@@ -1,13 +1,312 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.convert.Validator
+import graft.functions.Functions._
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query has a DuckDB oracle; cross-engine hash-parity rules:
+  *   - money/metric sums go through DECIMAL(27,s) (exact, order-independent)
+  *     then cast to double — see Functions.decimalSum;
+  *   - hashing is md5 (bit-identical in Spark and DuckDB);
+  *   - timestamps leave results as strings/bigints/dates, never raw;
+  *   - DuckDB SUM(int) returns HUGEINT, so oracles CAST(... AS BIGINT).
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q05_region_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Normalized whitespace tokens of lowercased doc text (shared by several
+    * document queries; DuckDB twin is `dTokens`). */
+  private def docTokens: Column = TextAnalysis.tokens(lower(col("text")))
+  private val dTokens = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core -------------------------------------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decimalSum(col("l_quantity"), 2).as("sum_qty"),
+          decimalSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          decimalSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          decimalAvg(col("l_quantity"), 2).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q02_filter_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 49)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+    "q03_join_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          decimalSum(col("o_totalprice"), 2).as("total_price"))
+    }),
+    "q05_region_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(decimalSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+    }),
+    "q06_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey").as("o_orderkey"))
+      o.join(li, Seq("o_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    }),
+    "q07_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti").select("c_custkey", "c_name")
+    }),
+    "q08_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("run_total",
+          sum(col("o_totalprice").cast("decimal(27,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select("o_custkey", "o_orderkey", "rn", "run_total")
+    }),
+    "q09_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    }),
+    "q10_sort_limit" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")),
+    "q11_set_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))),
+    "q12_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), decimalSum(col("l_quantity"), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))),
+    "q13_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))),
+
+    // ---- marmaray dataflow surface --------------------------------------
+    "m01_validate_split" -> ((s, dir) => {
+      val rules = Seq(
+        Validator.Rule("missing_required_field:o_totalprice", col("o_totalprice").isNull),
+        Validator.Rule("totalprice_below_min", col("o_totalprice") < 1000),
+        Validator.Rule("bad_status", !col("o_orderstatus").isin("O", "F", "P")))
+      Validator.withErrors(t(s, dir, "orders"), rules)
+        .select(col("o_orderkey"), col("error_message"),
+          col("error_message").isNull.as("is_valid"))
+    }),
+    "m02_fork_counts" -> ((s, dir) => {
+      val tags = array_compact(array(
+        when(lit(true), lit(0)),
+        when(col("value") > 100, lit(1)),
+        when(col("event_type") === "error", lit(2))))
+      t(s, dir, "events")
+        .select(explode(tags).as("fork_key"))
+        .groupBy(col("fork_key"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "m03_ts_convert" -> ((s, dir) =>
+      // o_orderdate arrives as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
+      // with a UTC session the cast to TIMESTAMP preserves the wall clock,
+      // matching DuckDB's naive-as-UTC epoch_ms.
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"),
+          timestampToMillis(col("o_orderdate").cast("timestamp")).as("ts_ms"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))),
+    "m04_csv_lines" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          csvLine(Seq(col("c_custkey").cast("string"), col("c_name"),
+            col("c_mktsegment"))).as("line"))),
+    "m05_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))),
+
+    // ---- training-data ops ----------------------------------------------
+    "d01_exact_dedup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(Dedup.exactKey(col("text")).as("fp"), col("doc_id"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))),
+    "d02_quality" -> ((s, dir) => {
+      val feats = TextAnalysis.qualityFeatures(col("text"))
+        .map { case (name, c) => c.as(name) }
+      t(s, dir, "documents").select(col("doc_id") +: feats: _*)
+    }),
+    "d03_lang_scores" -> ((s, dir) => {
+      val scores = TextAnalysis.langScores(col("text"))
+        .map { case (name, c) => c.as(name) }
+      t(s, dir, "documents").select(col("doc_id") +: scores: _*)
+    }),
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  private val dec = "DECIMAL(27,%d)"
+  private def dsum(expr: String, scale: Int, as: String) =
+    s"CAST(SUM(CAST($expr AS DECIMAL(27,$scale))) AS DOUBLE) AS $as"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${dsum("l_quantity", 2, "sum_qty")},
+         |${dsum("l_extendedprice", 2, "sum_base_price")},
+         |${dsum("l_extendedprice * (1 - l_discount)", 4, "sum_disc_price")},
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         |COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 49""".stripMargin,
+    "q03_join_agg" ->
+      s"""SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+         |${dsum("o_totalprice", 2, "total_price")}
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
+    "q05_region_revenue" ->
+      s"""SELECT r_name, n_name,
+         |${dsum("l_extendedprice * (1 - l_discount)", 4, "revenue")}
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q08_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(row_number() OVER w AS INTEGER) AS rn,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) OVER
+        |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q09_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    "q10_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q11_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q12_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+         |COUNT(*) AS n, ${dsum("l_quantity", 2, "qty")}
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q13_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "m01_validate_split" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_totalprice IS NULL THEN 'missing_required_field:o_totalprice'
+        |     WHEN o_totalprice < 1000 THEN 'totalprice_below_min'
+        |     WHEN o_orderstatus NOT IN ('O','F','P') THEN 'bad_status'
+        |     ELSE NULL END AS error_message,
+        |(CASE WHEN o_totalprice IS NULL THEN 'x'
+        |     WHEN o_totalprice < 1000 THEN 'x'
+        |     WHEN o_orderstatus NOT IN ('O','F','P') THEN 'x'
+        |     ELSE NULL END) IS NULL AS is_valid
+        |FROM orders""".stripMargin,
+    "m02_fork_counts" ->
+      """SELECT 0 AS fork_key, COUNT(*) AS n FROM events
+        |UNION ALL SELECT 1, COUNT(*) FROM events WHERE value > 100
+        |UNION ALL SELECT 2, COUNT(*) FROM events WHERE event_type = 'error'""".stripMargin,
+    "m03_ts_convert" ->
+      """SELECT o_orderkey, epoch_ms(o_orderdate) AS ts_ms,
+        |strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders WHERE o_orderkey <= 1000""".stripMargin,
+    "m04_csv_lines" ->
+      """SELECT c_custkey,
+        |concat_ws(',', CAST(c_custkey AS VARCHAR), c_name, c_mktsegment) AS line
+        |FROM customer""".stripMargin,
+    "m05_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "d01_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d02_quality" ->
+      s"""SELECT doc_id,
+         |CAST(length(text) AS BIGINT) AS n_chars,
+         |CAST(len($dTokens) AS BIGINT) AS n_tokens,
+         |CAST(len(list_distinct($dTokens)) AS BIGINT) AS n_unique_tokens,
+         |CAST(len(list_distinct($dTokens)) AS DOUBLE) / CAST(len($dTokens) AS DOUBLE) AS unique_ratio,
+         |CAST(list_sum(list_transform($dTokens, x -> CAST(len(x) AS BIGINT))) AS DOUBLE)
+         |  / CAST(len($dTokens) AS DOUBLE) AS mean_token_len,
+         |CAST((length(text) - length(replace(text, '.', ''))) / 1
+         |  + (length(text) - length(replace(text, ',', ''))) / 1
+         |  + (length(text) - length(replace(text, '!', ''))) / 1
+         |  + (length(text) - length(replace(text, '?', ''))) / 1 AS BIGINT) AS n_punct,
+         |CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+         |  + (length(text) - length(replace(text, ' a ', ''))) / 3
+         |  + (length(text) - length(replace(text, ' and ', ''))) / 5
+         |  + (length(text) - length(replace(text, ' of ', ''))) / 4 AS BIGINT) AS stopword_count
+         |FROM documents""".stripMargin,
+    "d03_lang_scores" -> {
+      def cnt(m: String) =
+        s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}"
+      val scores = TextAnalysis.langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+        s"CAST(${ms.map(cnt).mkString(" + ")} AS BIGINT) AS score_$lang"
+      }.mkString(",\n")
+      s"""SELECT doc_id, $scores
+         |FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)""".stripMargin
+    },
+  )
 }

@@ -1,0 +1,55 @@
+package graft.exec
+
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.{Executors, TimeUnit}
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.util.Try
+
+/** Pipeline orchestration — the JobManager/JobDag/ThreadPoolService layer
+  * (reference common/job/JobManager.java:190-255, ThreadPoolService.java:52-121,
+  * utilities/listener/TimeoutManager.java) reduced to Scala Futures + Spark
+  * job groups. Concurrent pipelines share one SparkSession; FAIR scheduling
+  * keeps one long pipeline from starving the rest; per-pipeline job groups
+  * give targeted cancellation (the reference's watchdog kill).
+  */
+object Runner {
+
+  final case class PipelineResult(name: String, result: Try[Unit], millis: Long)
+
+  /** Run named pipelines concurrently. Each runs in its own Spark job group
+    * and FAIR pool; a timeout cancels just that pipeline's jobs
+    * (cancelJobGroup — same API the reference's TimeoutManager uses). */
+  def runAll(spark: SparkSession, pipelines: Seq[(String, SparkSession => Unit)],
+             parallelism: Int = 6, timeout: Duration = Duration.Inf): Seq[PipelineResult] = {
+    val pool = Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = pipelines.map { case (name, body) =>
+      Future {
+        val t0 = System.nanoTime()
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+        spark.sparkContext.setJobGroup(name, s"graft pipeline $name", interruptOnCancel = true)
+        val r = Try {
+          try body(spark) finally spark.sparkContext.clearJobGroup()
+        }
+        PipelineResult(name, r, (System.nanoTime() - t0) / 1000000)
+      }
+    }
+    val guarded = futures.zip(pipelines).map { case (f, (name, _)) =>
+      Try(Await.result(f, timeout)).recover { case e =>
+        spark.sparkContext.cancelJobGroup(name)
+        PipelineResult(name, scala.util.Failure(e), -1)
+      }.get
+    }
+    pool.shutdown()
+    pool.awaitTermination(10, TimeUnit.SECONDS)
+    guarded
+  }
+
+  /** Order pipelines longest-running-first from prior run times — the
+    * ExecutionTimeJobExecutionStrategy (reference
+    * common/job/ExecutionTimeJobExecutionStrategy.java:65-105). */
+  def orderByHistory(pipelines: Seq[(String, SparkSession => Unit)],
+                     historyMillis: Map[String, Long]): Seq[(String, SparkSession => Unit)] =
+    pipelines.sortBy { case (name, _) => -historyMillis.getOrElse(name, Long.MaxValue) }
+}

@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. All hashing is md5-based so signatures are bit-identical
+  * across engines, runs, and cluster layouts — at 100TB a dedup pass is
+  * incremental (new shard vs. historical signatures), which only works if
+  * the signature function is stable forever.
+  *
+  * Scale shape: signatures are map-side column expressions (no shuffle);
+  * the only shuffles are the groupBy on band buckets (LSH) or fingerprints
+  * (exact), each shuffling a few dozen bytes per doc, not the text.
+  */
+object Dedup {
+
+  /** Exact dedup key (normalized md5 — see TextAnalysis.fingerprint). */
+  def exactKey(text: Column): Column = TextAnalysis.fingerprint(text)
+
+  /** Keep one doc per exact key: min id wins (deterministic). */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keyed = df.withColumn("__key", exactKey(col(textCol)))
+    val keep = keyed.groupBy(col("__key")).agg(min(col(idCol)).as(idCol))
+    // Self-join back on (key, id) to recover full rows; broadcast-ineligible
+    // at scale but the join is on a pruned 2-column projection.
+    keyed.join(keep, Seq("__key", idCol), "left_semi").drop("__key")
+  }
+
+  /** Word k-shingles of the normalized text. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    val n = size(toks)
+    when(n < k, array(concat_ws(" ", toks))).otherwise(
+      transform(sequence(lit(0), n - k), i =>
+        concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` salted hash families, the
+    * lexicographic minimum of md5(salt || shingle). Using the hex string
+    * itself as the hash value keeps the whole construction portable (any
+    * engine with md5 + min reproduces it exactly). */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleArr, s => md5(concat(lit(s"graft$i|"), s))))
+    }: _*)
+
+  /** LSH band keys: signature split into `bands` groups of `rowsPerBand`,
+    * each band hashed to one bucket key. Docs sharing any band key are
+    * candidate pairs. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", lit(b.toString),
+        concat_ws("|", slice(signature, b * rowsPerBand + 1, rowsPerBand))))
+    }: _*)
+
+  /** Candidate near-dup pairs via LSH: explode band keys, self-join per
+    * bucket (id1 < id2), distinct. The shuffle key is the 32-char band
+    * bucket; bucket sizes are bounded by band selectivity, and AQE's skew
+    * join handles hot buckets. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+        minhashSignature(shingles(col(textCol), k), numHashes).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val a = sig.select(col("band"), col("id").as("id1"), col("sig").as("sig1"))
+    val b = sig.select(col("band"), col("id").as("id2"), col("sig").as("sig2"))
+    a.join(b, Seq("band")).where(col("id1") < col("id2"))
+      .select("id1", "id2", "sig1", "sig2").distinct()
+  }
+
+  /** Estimated Jaccard from two minhash signatures (fraction of agreeing
+    * components). */
+  def signatureSimilarity(sig1: Column, sig2: Column): Column =
+    size(filter(zip_with(sig1, sig2, (x, y) => x === y), b => b))
+      .cast("double") / size(sig1).cast("double")
+
+  /** Exact n-gram Jaccard between two shingle arrays. */
+  def jaccard(sh1: Column, sh2: Column): Column = {
+    val i = size(array_intersect(sh1, sh2)).cast("double")
+    val u = size(array_union(sh1, sh2)).cast("double")
+    when(u === 0d, lit(0d)).otherwise(i / u)
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates -> exact Jaccard verify
+    * (re-joining the shingle sets for the candidate ids only) -> pairs over
+    * threshold. Verification joins only candidate ids, so the expensive
+    * exact comparison runs on the (tiny) candidate set, not all pairs. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, k: Int = 3,
+                   numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, k, numHashes, bands)
+      .select("id1", "id2")
+    val sh = df.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), k)).as("__sh"))
+    cands
+      .join(sh.withColumnRenamed("__id", "id1").withColumnRenamed("__sh", "sh1"), Seq("id1"))
+      .join(sh.withColumnRenamed("__id", "id2").withColumnRenamed("__sh", "sh2"), Seq("id2"))
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash (64-bit) over tokens: per bit position, majority vote of token
+    * hash bits, weighted by token frequency. Uses xxhash64 (stable within
+    * Spark); for cross-engine-stable signatures use the md5 path above. */
+  def simhash64(text: Column): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val mask = lit(1L << bit)
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
+      when(votes > 0, mask).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, score
+  * map-side, per-query top-k via window). Scale path: LSH bucketing via
+  * random hyperplane signs (SRP) so each query only scores its bucket.
+  * All arithmetic is double-precision with a fixed left-to-right fold, so
+  * scores are deterministic.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k: for each row of `queries`, the k nearest rows of
+    * `corpus` by cosine. The query side is broadcast (it's the small side
+    * by construction); scoring is a map-side nested loop over corpus
+    * partitions — no shuffle of the corpus; only (queryId, corpusId, score)
+    * triples shuffle into the per-query top-k, and the window's rank
+    * predicate is applied partially map-side by Spark's TopK optimization
+    * when a limit is present. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("score", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "score", "rank")
+  }
+
+  /** Signed-random-projection bucket key: sign bits of dot products with
+    * `planes` fixed hyperplanes (deterministic pseudo-planes derived from
+    * the dimension index — no RNG at runtime). Vectors in the same bucket
+    * are likely neighbors; search cost drops from O(N) to O(N/2^planes)
+    * per query at some recall cost. */
+  def srpBucket(vec: Column, dim: Int, planes: Int): Column = {
+    // Deterministic pseudo-random plane weights: w(p,i) in {-1,0,1} from a
+    // fixed integer mix (no runtime RNG; identical across runs/engines).
+    def weight(p: Int, i: Int): Int = {
+      val h = (p * 1103515245 + i * 12345 + 1013904223) & Int.MaxValue
+      (h % 3) - 1
+    }
+    val bits = (0 until planes).map { p =>
+      val s = (0 until dim).map { i =>
+        element_at(vec, i + 1).cast("double") * lit(weight(p, i).toDouble)
+      }.reduce(_ + _)
+      when(s >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Bucketed ANN top-k: join corpus and queries on SRP bucket, then
+    * per-query top-k within the bucket. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              planes: Int = 8, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+      srpBucket(col(vecCol), dim, planes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      srpBucket(col(vecCol), dim, planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("score", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "score", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: all (id1 < id2) pairs with cosine >=
+    * threshold, bucketed by SRP so only same-bucket pairs are compared. */
+  def embeddingNearDups(df: DataFrame, threshold: Double, dim: Int,
+                        planes: Int = 8, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      srpBucket(col(vecCol), dim, planes).as("bucket"))
+    val a = v.select(col("bucket"), col("id").as("id1"), col("vec").as("vec1"))
+    val b = v.select(col("bucket"), col("id").as("id2"), col("vec").as("vec2"))
+    a.join(b, Seq("bucket")).where(col("id1") < col("id2"))
+      .withColumn("score", cosine(col("vec1"), col("vec2")))
+      .where(col("score") >= threshold)
+      .select("id1", "id2", "score")
+  }
+}

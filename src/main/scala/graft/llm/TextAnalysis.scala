@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: tokenization, quality
+  * features, language scoring, fingerprinting. Everything is a codegen'd
+  * Column expression over the `text` column — no UDFs, no shuffles; these
+  * run map-side inside the parquet scan stage at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty-safe: split on single spaces, drop empties.
+    * (Deliberately defined without regex so the definition is portable and
+    * cheap; a BPE-ish regex tokenizer is `regexTokens`.) */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** BPE-ish regex tokenization: words, numbers, or single non-space
+    * symbols. */
+  def regexTokens(text: Column): Column =
+    filter(split(text, "((?<=[^A-Za-z0-9'])|(?=[^A-Za-z0-9' ]))"), t => trim(t) =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Occurrences of `needle` in `text` via length difference — exact,
+    * regex-free, portable. */
+  def countOccurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit("")))) / needle.length).cast("long")
+
+  /** Quality features (length / punctuation / stopword / uniqueness ratios). */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val nChars = length(text).cast("long")
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTok,
+      "n_unique_tokens" -> size(array_distinct(toks)).cast("long"),
+      "unique_ratio" -> size(array_distinct(toks)).cast("double") / nTok.cast("double"),
+      "mean_token_len" -> (aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / nTok.cast("double")),
+      "n_punct" -> (countOccurrences(text, ".") + countOccurrences(text, ",") +
+        countOccurrences(text, "!") + countOccurrences(text, "?")),
+      "stopword_count" -> (countOccurrences(text, " the ") + countOccurrences(text, " a ") +
+        countOccurrences(text, " and ") + countOccurrences(text, " of ")),
+    )
+  }
+
+  /** Language-ID by stopword evidence: count marker-word hits per language.
+    * N-gram heuristic in the classic Cavnar-Trenkle spirit, reduced to
+    * portable substring counts. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "es" -> Seq(" el ", " la ", " de ", " que "),
+    "fr" -> Seq(" le ", " la ", " et ", " les "),
+    "de" -> Seq(" der ", " die ", " und ", " das "),
+    "zh" -> Seq("的", "了", "是", "我"),
+  )
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), text, lit(" "))
+    langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      s"score_$lang" -> markers.map(m => countOccurrences(padded, m))
+        .reduce(_ + _)
+    }
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercased text.
+    * md5 is bit-identical everywhere, so fingerprints computed by different
+    * engines/runs agree — the property a 100TB dedup pass needs. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

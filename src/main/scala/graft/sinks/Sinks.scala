@@ -1,0 +1,121 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sinks. Everything is `df.write` with scale-aware options; no per-record
+  * driver code anywhere (the reference's sample-100-rows-then-repartition
+  * sizing — FileSink.java:209-280 — is replaced by maxRecordsPerFile /
+  * AQE, which sizes output files without collecting data to the driver).
+  */
+object Sinks {
+
+  /** File sink (csv/json/parquet) — reference common/sinks/file/FileSink.java.
+    * Header-per-file comes from the datasource (`option("header")`), not a
+    * mapPartitions trick; target file size via maxRecordsPerFile instead of
+    * driver-side sampling. Writing to s3a:// paths subsumes AwsFileSink's
+    * manual TransferManager upload (AwsFileSink.java:105-173).
+    */
+  final case class FileSinkConfig(
+      format: String = "parquet",           // parquet | csv | json
+      mode: SaveMode = SaveMode.Overwrite,
+      header: Boolean = true,               // csv only
+      compression: Option[String] = None,
+      partitionBy: Seq[String] = Nil,
+      maxRecordsPerFile: Option[Long] = None,
+      separator: Option[String] = None)
+
+  def writeFile(df: DataFrame, path: String, cfg: FileSinkConfig = FileSinkConfig()): Unit = {
+    var w = df.write.mode(cfg.mode)
+    if (cfg.format == "csv") w = w.option("header", cfg.header.toString)
+    cfg.compression.foreach(c => w = w.option("compression", c))
+    cfg.separator.foreach(s => w = w.option("sep", s))
+    cfg.maxRecordsPerFile.foreach(n => w = w.option("maxRecordsPerFile", n.toString))
+    if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
+    w.format(cfg.format).save(path)
+  }
+
+  /** Error-table sink preserving the reference's public error schema
+    * (utilities/ErrorTableUtil.java:93-190): row_key, source_data, exception,
+    * changelog_columns, app_id — written date-partitioned for retention. */
+  def writeErrorTable(errors: DataFrame, path: String, appId: String,
+                      rowKeyCol: String, errorCol: String = "error_message"): Unit = {
+    val shaped = errors.select(
+      col(rowKeyCol).cast("string").as("row_key"),
+      to_json(struct(errors.columns.filter(_ != errorCol).map(col).toIndexedSeq: _*)).as("source_data"),
+      col(errorCol).as("exception"),
+      lit("").as("changelog_columns"),
+      lit(appId).as("app_id"),
+      current_date().as("error_date"))
+    shaped.write.mode(SaveMode.Append).partitionBy("error_date").parquet(path)
+  }
+
+  /** Hudi sink option mapping — reference HoodieSink op modes
+    * (common/sinks/hoodie/HoodieSink.java:409-444,533-546). The engine maps
+    * each mode onto the Hudi Spark datasource; DEDUP_* become either Hudi's
+    * own insert-dedup or an explicit left_anti against existing keys
+    * (HoodieSink.java:426-449). Format-string based: compiles and runs
+    * wherever the Hudi bundle is on the classpath.
+    */
+  sealed trait HudiOp { def value: String; def dropDupes: Boolean = false }
+  case object Insert extends HudiOp { val value = "insert" }
+  case object BulkInsert extends HudiOp { val value = "bulk_insert" }
+  case object Upsert extends HudiOp { val value = "upsert" }
+  case object DedupInsert extends HudiOp { val value = "insert"; override val dropDupes = true }
+  case object DedupBulkInsert extends HudiOp { val value = "bulk_insert"; override val dropDupes = true }
+
+  def hudiOptions(table: String, recordKey: String, partitionPath: String,
+                  op: HudiOp, extra: Map[String, String] = Map.empty): Map[String, String] =
+    Map(
+      "hoodie.table.name" -> table,
+      "hoodie.datasource.write.recordkey.field" -> recordKey,
+      "hoodie.datasource.write.partitionpath.field" -> partitionPath,
+      "hoodie.datasource.write.operation" -> op.value,
+      "hoodie.datasource.write.insert.drop.duplicates" -> op.dropDupes.toString,
+    ) ++ extra
+
+  def writeHudi(df: DataFrame, path: String, opts: Map[String, String]): Unit =
+    df.write.format("hudi").options(opts).mode(SaveMode.Append).save(path)
+
+  /** Explicit anti-join dedup against an existing dataset's keys — the
+    * DEDUP_INSERT semantics (HoodieSink.java:426-433) expressed as a Spark
+    * plan. `existingKeys` is typically a key-only projection of the target
+    * table (column-pruned scan); Catalyst broadcast-joins it when small. */
+  def dedupAgainstExisting(incoming: DataFrame, existingKeys: DataFrame,
+                           keyCols: Seq[String]): DataFrame =
+    incoming.join(existingKeys.select(keyCols.map(col).toIndexedSeq: _*).distinct(),
+      keyCols, "left_anti")
+
+  /** Cassandra sink option mapping (reference CassandraClientSink /
+    * CassandraSSTableSink) for the spark-cassandra-connector datasource.
+    * Batching/sorting knobs map to connector output options; the bespoke
+    * SSTable streaming path is intentionally not reproduced (see SURVEY §7.4).
+    */
+  def cassandraOptions(keyspace: String, table: String,
+                       ttlSeconds: Option[Long] = None,
+                       writeTimestampMicros: Option[Long] = None): Map[String, String] =
+    Map("keyspace" -> keyspace, "table" -> table) ++
+      ttlSeconds.map("spark.cassandra.output.ttl" -> _.toString) ++
+      writeTimestampMicros.map("spark.cassandra.output.timestamp" -> _.toString)
+
+  def writeCassandra(df: DataFrame, opts: Map[String, String]): Unit =
+    df.write.format("org.apache.spark.sql.cassandra").options(opts)
+      .mode(SaveMode.Append).save()
+
+  /** Sorted bulk write: range-partition + sort within partitions by the
+    * composite (partition keys ++ clustering keys) — the Spark equivalent of
+    * the SSTable global sort (CassandraSSTableSink.java:262-318) and the Hudi
+    * bulk-insert sort partitioner (DefaultHoodieDataPartitioner.java:34-38).
+    * repartitionByRange samples the keys (distributed) and produces
+    * non-overlapping sorted partitions — exactly what sorted bulk loaders
+    * want, with no driver-side work. */
+  def sortedForBulkLoad(df: DataFrame, sortCols: Seq[String],
+                        numPartitions: Option[Int] = None): DataFrame = {
+    val cols = sortCols.map(col)
+    val ranged = numPartitions match {
+      case Some(n) => df.repartitionByRange(n, cols: _*)
+      case None    => df.repartitionByRange(cols: _*)
+    }
+    ranged.sortWithinPartitions(cols: _*)
+  }
+}
