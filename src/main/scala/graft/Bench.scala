@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Prints ONE JSON line to stdout (raw — build.sbt sets
+  * `run / outputStrategy := StdoutOutput` so sbt doesn't prefix it) and
+  * also writes it to BENCH.json in the cwd.
+  *
+  * Measurement: each query is executed to completion through a `noop`
+  * datasource write — unlike `.count()`, which lets Catalyst prune every
+  * projection that doesn't affect the row count, a noop write evaluates
+  * all output columns (the round-1 harness accidentally benchmarked
+  * "scan+count" for projection-only queries). A full warmup pass runs
+  * first so JVM/codegen warmup isn't charged to whichever query happens
+  * to run first. Failures are recorded per-query and fail the process.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,15 +27,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def execute(name: String): Either[String, Unit] =
+      try Right(SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+      catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(execute) // warmup pass (JIT, codegen cache, FS metadata)
+
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = execute(name)
+      (name, (System.nanoTime() - t0) / 1e9, r)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (n, _, Left(e)) => n -> e }
+    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ")}""""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    Files.writeString(Paths.get("BENCH.json"), line + "\n")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

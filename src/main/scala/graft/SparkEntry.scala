@@ -80,8 +80,12 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice")
     }),
     "q07_anti_join" -> ((s, dir) => {
+      // Customers with no order since the cutoff — dedup-against-existing
+      // shape (non-empty at every sf, unlike an all-time anti-join).
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey"))
       c.join(o, Seq("c_custkey"), "left_anti").select("c_custkey", "c_name")
     }),
     "q08_window_running" -> ((s, dir) => {
@@ -140,10 +144,15 @@ object SparkEntry {
         when(lit(true), lit(0)),
         when(col("value") > 100, lit(1)),
         when(col("event_type") === "error", lit(2))))
-      t(s, dir, "events")
+      val grouped = t(s, dir, "events")
         .select(explode(tags).as("fork_key"))
         .groupBy(col("fork_key"))
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("cnt"))
+      // Left-join the static key list so a fork key that never fires still
+      // reports n=0 (Fork.count semantics; the oracle always emits 3 rows).
+      val keys = s.range(3).select(col("id").cast("int").as("fork_key"))
+      keys.join(grouped, Seq("fork_key"), "left")
+        .select(col("fork_key"), coalesce(col("cnt"), lit(0L)).as("n"))
     }),
     "m03_ts_convert" -> ((s, dir) =>
       // o_orderdate arrives as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
@@ -171,7 +180,9 @@ object SparkEntry {
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))),
     "d02_quality" -> ((s, dir) => {
-      val feats = TextAnalysis.qualityFeatures(col("text"))
+      // Features computed over lower(text) on BOTH sides (the oracle's
+      // tokens are lowercased; mixed-case docs would otherwise diverge).
+      val feats = TextAnalysis.qualityFeatures(lower(col("text")))
         .map { case (name, c) => c.as(name) }
       t(s, dir, "documents").select(col("doc_id") +: feats: _*)
     }),
@@ -222,7 +233,8 @@ object SparkEntry {
         |  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)""".stripMargin,
     "q07_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
     "q08_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |CAST(row_number() OVER w AS INTEGER) AS rn,
@@ -282,23 +294,26 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    "d02_quality" ->
+    "d02_quality" -> {
+      // All features over t = lower(text), matching the Spark side exactly.
+      val toks = "list_filter(string_split(t, ' '), x -> x != '')"
       s"""SELECT doc_id,
-         |CAST(length(text) AS BIGINT) AS n_chars,
-         |CAST(len($dTokens) AS BIGINT) AS n_tokens,
-         |CAST(len(list_distinct($dTokens)) AS BIGINT) AS n_unique_tokens,
-         |CAST(len(list_distinct($dTokens)) AS DOUBLE) / CAST(len($dTokens) AS DOUBLE) AS unique_ratio,
-         |CAST(list_sum(list_transform($dTokens, x -> CAST(len(x) AS BIGINT))) AS DOUBLE)
-         |  / CAST(len($dTokens) AS DOUBLE) AS mean_token_len,
-         |CAST((length(text) - length(replace(text, '.', ''))) / 1
-         |  + (length(text) - length(replace(text, ',', ''))) / 1
-         |  + (length(text) - length(replace(text, '!', ''))) / 1
-         |  + (length(text) - length(replace(text, '?', ''))) / 1 AS BIGINT) AS n_punct,
-         |CAST((length(text) - length(replace(text, ' the ', ''))) / 5
-         |  + (length(text) - length(replace(text, ' a ', ''))) / 3
-         |  + (length(text) - length(replace(text, ' and ', ''))) / 5
-         |  + (length(text) - length(replace(text, ' of ', ''))) / 4 AS BIGINT) AS stopword_count
-         |FROM documents""".stripMargin,
+         |CAST(length(t) AS BIGINT) AS n_chars,
+         |CAST(len($toks) AS BIGINT) AS n_tokens,
+         |CAST(len(list_distinct($toks)) AS BIGINT) AS n_unique_tokens,
+         |CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE) AS unique_ratio,
+         |CAST(list_sum(list_transform($toks, x -> CAST(len(x) AS BIGINT))) AS DOUBLE)
+         |  / CAST(len($toks) AS DOUBLE) AS mean_token_len,
+         |CAST((length(t) - length(replace(t, '.', ''))) / 1
+         |  + (length(t) - length(replace(t, ',', ''))) / 1
+         |  + (length(t) - length(replace(t, '!', ''))) / 1
+         |  + (length(t) - length(replace(t, '?', ''))) / 1 AS BIGINT) AS n_punct,
+         |CAST((length(t) - length(replace(t, ' the ', ''))) / 5
+         |  + (length(t) - length(replace(t, ' a ', ''))) / 3
+         |  + (length(t) - length(replace(t, ' and ', ''))) / 5
+         |  + (length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS stopword_count
+         |FROM (SELECT doc_id, lower(text) AS t FROM documents)""".stripMargin
+    },
     "d03_lang_scores" -> {
       def cnt(m: String) =
         s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}"

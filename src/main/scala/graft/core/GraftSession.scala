@@ -18,6 +18,10 @@ object GraftSession {
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // FAIR + a default pool spec so Runner's per-pipeline
+      // `spark.scheduler.pool` actually isolates pipelines (under the
+      // default FIFO the pool property is silently ignored).
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -35,8 +35,15 @@ object Runner {
         PipelineResult(name, r, (System.nanoTime() - t0) / 1000000)
       }
     }
+    // One shared deadline: awaiting sequentially must not grant pipeline N
+    // up to N x timeout (each Await's budget is what remains of the global
+    // window, never negative).
+    val deadline = if (timeout.isFinite) Some(System.nanoTime() + timeout.toNanos) else None
     val guarded = futures.zip(pipelines).map { case (f, (name, _)) =>
-      Try(Await.result(f, timeout)).recover { case e =>
+      val remaining = deadline.fold(Duration.Inf: Duration) { d =>
+        Duration(math.max(0L, d - System.nanoTime()), TimeUnit.NANOSECONDS)
+      }
+      Try(Await.result(f, remaining)).recover { case e =>
         spark.sparkContext.cancelJobGroup(name)
         PipelineResult(name, scala.util.Failure(e), -1)
       }.get

@@ -60,15 +60,23 @@ object Dedup {
     * join handles hot buckets. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    // Fail fast on misconfiguration: silent integer division would ignore
+    // trailing signature components, and bands > numHashes would make every
+    // band key a constant (all docs collide into one bucket = cross join).
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val sig = df.select(col(idCol).as("id"),
         minhashSignature(shingles(col(textCol), k), numHashes).as("sig"))
-      .select(col("id"), col("sig"),
+      .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
-    val a = sig.select(col("band"), col("id").as("id1"), col("sig").as("sig1"))
-    val b = sig.select(col("band"), col("id").as("id2"), col("sig").as("sig2"))
+    // Only (band, id) travels through the self-join and the distinct —
+    // signatures would multiply the shuffle by numHashes x 32 bytes per row
+    // (callers re-join signatures by id if they need them).
+    val a = sig.select(col("band"), col("id").as("id1"))
+    val b = sig.select(col("band"), col("id").as("id2"))
     a.join(b, Seq("band")).where(col("id1") < col("id2"))
-      .select("id1", "id2", "sig1", "sig2").distinct()
+      .select("id1", "id2").distinct()
   }
 
   /** Estimated Jaccard from two minhash signatures (fraction of agreeing
@@ -92,7 +100,6 @@ object Dedup {
                    threshold: Double, k: Int = 3,
                    numHashes: Int = 12, bands: Int = 4): DataFrame = {
     val cands = lshCandidatePairs(df, idCol, textCol, k, numHashes, bands)
-      .select("id1", "id2")
     val sh = df.select(col(idCol).as("__id"),
       array_distinct(shingles(col(textCol), k)).as("__sh"))
     cands

@@ -30,14 +30,17 @@ object Multimodal {
   ))
 
   /** Repartition a media DataFrame so each partition holds ~targetBytes of
-    * payload, estimated from the average content size (distributed agg, no
-    * driver collect — contrast reference FileSink.java:258-280 which
-    * collects sample rows to the driver). */
-  def repartitionByBytes(df: DataFrame, byteCol: String, targetBytes: Long): DataFrame = {
-    val stats = df.agg(sum(length(col(byteCol)).cast("long")).as("total")).collect()(0)
-    val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-    val parts = math.max(1, (total / math.max(1L, targetBytes)).toInt)
-    df.repartition(parts)
+    * payload. Size comes from Catalyst's plan statistics (file-metadata /
+    * relation size — driver-side, O(1), no job), NOT from scanning the
+    * content: the round-1 version ran a full agg over all media bytes and
+    * then a full shuffle of them, which at 100TB is two extra passes over
+    * the corpus just to pick a partition count. Note for writes the
+    * shuffle-free path is `maxRecordsPerFile`/AQE; use this only when a
+    * downstream mapPartitions kernel genuinely needs byte-balanced tasks. */
+  def repartitionByBytes(df: DataFrame, targetBytes: Long): DataFrame = {
+    val total = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1L, (total / BigInt(math.max(1L, targetBytes))).toLong)
+    df.repartition(math.min(parts, Int.MaxValue.toLong).toInt)
   }
 
   final case class ImageFeatures(media_id: Long, width: Int, height: Int,

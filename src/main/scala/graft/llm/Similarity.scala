@@ -44,22 +44,31 @@ object Similarity {
       .select("query_id", "corpus_id", "score", "rank")
   }
 
-  /** Signed-random-projection bucket key: sign bits of dot products with
-    * `planes` fixed hyperplanes (deterministic pseudo-planes derived from
-    * the dimension index — no RNG at runtime). Vectors in the same bucket
-    * are likely neighbors; search cost drops from O(N) to O(N/2^planes)
-    * per query at some recall cost. */
-  def srpBucket(vec: Column, dim: Int, planes: Int): Column = {
-    // Deterministic pseudo-random plane weights: w(p,i) in {-1,0,1} from a
-    // fixed integer mix (no runtime RNG; identical across runs/engines).
-    def weight(p: Int, i: Int): Int = {
-      val h = (p * 1103515245 + i * 12345 + 1013904223) & Int.MaxValue
-      (h % 3) - 1
+  /** Deterministic ±1 hyperplane weights: murmur3-fmix32 avalanche of the
+    * (plane, dimension) pair, so weights vary independently across both
+    * axes (a weak linear mix here degenerates every plane to a constant —
+    * sign(sum(vec)) — and collapses the bucketing; see round-1 advice). */
+  private[llm] def planeWeights(dim: Int, planes: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, i) =>
+      var h = p * 0x9E3779B9 + i * 0x85EBCA6B + 0x27D4EB2F
+      h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13; h *= 0xC2B2AE35; h ^= h >>> 16
+      if ((h & 1) == 0) 1.0 else -1.0
     }
+
+  /** Signed-random-projection bucket key: sign bits of dot products with
+    * `planes` fixed hyperplanes. Vectors in the same bucket are likely
+    * neighbors; search cost drops from O(N) to ~O(N/2^planes) per query at
+    * some recall cost. Each plane's dot product is one `aggregate` fold
+    * over a literal weight array — O(planes) expression nodes total, so
+    * whole-stage codegen survives real embedding dims (the round-1 version
+    * unrolled dim x planes nodes and blew the 64KB codegen method limit at
+    * dim=768). */
+  def srpBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val ws = planeWeights(dim, planes)
     val bits = (0 until planes).map { p =>
-      val s = (0 until dim).map { i =>
-        element_at(vec, i + 1).cast("double") * lit(weight(p, i).toDouble)
-      }.reduce(_ + _)
+      val s = aggregate(
+        zip_with(vec, typedLit(ws(p)), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
       when(s >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
