@@ -3,6 +3,7 @@ package graft
 import graft.convert.Validator
 import graft.functions.Functions._
 import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.operators.Fork
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -191,6 +192,44 @@ object SparkEntry {
         .map { case (name, c) => c.as(name) }
       t(s, dir, "documents").select(col("doc_id") +: scores: _*)
     }),
+    "d04_lsh_neardups" -> ((s, dir) =>
+      // MinHash(12) -> LSH(4 bands) candidates -> exact-Jaccard verify.
+      Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, k = 3, numHashes = 12, bands = 4)),
+    "d05_simhash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhashBits(col("text")).as("simhash"))),
+
+    // ---- similarity search (embeddings table) ---------------------------
+    "s01_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    "s02_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        dim = 64, planes = 8)
+    }),
+
+    // ---- fork operator end-to-end (through the Fork class) --------------
+    "m06_fork_streams" -> ((s, dir) => {
+      // Exercises Fork.apply (persist + single-action counts), stream()
+      // filtering, and count() agreement with per-stream aggregation —
+      // round 1's m02 certified only an inline expression, not the class.
+      val fork = Fork(t(s, dir, "events"), Seq(
+        (lit(true): Column) -> 0,
+        (col("value") > 100) -> 1,
+        (col("event_type") === "error") -> 2))
+      val streams = Seq(0, 1, 2).map { k =>
+        fork.stream(k)
+          .agg(count(lit(1)).as("n_stream"), decimalSum(col("value"), 2).as("sum_value"))
+          .select(lit(k).as("fork_key"), lit(fork.count(k)).as("n"),
+            col("n_stream"), col("sum_value"))
+      }
+      val res = streams.reduce(_ union _)
+      fork.close() // streams recompute post-unpersist; results unchanged
+      res
+    }),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -198,6 +237,23 @@ object SparkEntry {
   private val dec = "DECIMAL(27,%d)"
   private def dsum(expr: String, scale: Int, as: String) =
     s"CAST(SUM(CAST($expr AS DECIMAL(27,$scale))) AS DOUBLE) AS $as"
+
+  // DuckDB mirrors of Similarity's left-to-right double folds: list_reduce
+  // folds sequentially, and (0.0 + x) == x bit-exactly, so dot/norm/cosine
+  // are bit-identical to Spark's `aggregate` (verified numerically).
+  private def duckDot(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x,y) -> x+y)"
+  private def duckCos(q: String, c: String) =
+    s"${duckDot(q, c)} / (sqrt(${duckDot(q, q)}) * sqrt(${duckDot(c, c)}))"
+  private def duckSrpBucket(vec: String, dim: Int, planes: Int): String = {
+    val ws = Similarity.planeWeights(dim, planes)
+    (0 until planes).map { p =>
+      val wlist = ws(p).map(w => if (w > 0) "1.0" else "-1.0")
+        .mkString("([", ",", "]::DOUBLE[])")
+      val dot = s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $vec[i]::DOUBLE * $wlist[i]), (x,y) -> x+y)"
+      s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -322,6 +378,70 @@ object SparkEntry {
       }.mkString(",\n")
       s"""SELECT doc_id, $scores
          |FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)""".stripMargin
+    },
+    "d04_lsh_neardups" -> {
+      val K = 3; val NH = 12; val BANDS = 4; val RPB = NH / BANDS
+      val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+      val sh =
+        s"""CASE WHEN len($toks) < $K THEN [array_to_string($toks, ' ')]
+           | ELSE list_transform(range(0, len($toks) - $K + 1),
+           |   i -> array_to_string(list_slice($toks, i+1, i+$K), ' ')) END""".stripMargin
+      val minh = (0 until NH)
+        .map(i => s"list_min(list_transform(sh, s -> md5('graft$i|' || s)))")
+        .mkString(", ")
+      val bandkeys = (0 until BANDS)
+        .map(b => s"md5('$b' || '|' || array_to_string(list_slice(sig, ${b * RPB + 1}, ${b * RPB + RPB}), '|'))")
+        .mkString(", ")
+      s"""WITH shingled AS (SELECT doc_id, $sh AS sh FROM documents),
+         |sigs AS (SELECT doc_id, [$minh] AS sig FROM shingled),
+         |bands AS (SELECT doc_id, unnest([$bandkeys]) AS band FROM sigs),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id),
+         |dsh AS (SELECT doc_id, list_distinct(sh) AS s FROM shingled)
+         |SELECT id1, id2,
+         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS jaccard
+         |FROM cands JOIN dsh x ON x.doc_id = id1 JOIN dsh y ON y.doc_id = id2
+         |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= 0.5""".stripMargin
+    },
+    "d05_simhash" -> {
+      val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+      val hs = s"list_transform($toks, t -> ('0x' || substr(md5(t),1,8))::BIGINT::HUGEINT * 4294967296" +
+        s" + ('0x' || substr(md5(t),9,8))::BIGINT)"
+      val bits = (63 to 0 by -1).map { j =>
+        val p = BigInt(1) << j
+        s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // $p) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"SELECT doc_id, $bits AS simhash FROM (SELECT doc_id, $hs AS hs FROM documents)"
+    },
+    "s01_brute_topk" -> {
+      val cos = duckCos("q.embedding", "c.embedding")
+      s"""SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, $cos AS score,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
+         |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+         |  WHERE q.vec_id != c.vec_id)
+         |WHERE rnk <= 5""".stripMargin
+    },
+    "s02_ann_topk" -> {
+      val bucket = duckSrpBucket("embedding", 64, 8)
+      val cos = duckCos("q.embedding", "c.embedding")
+      s"""WITH v AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, $cos AS score,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
+         |  FROM v c JOIN (SELECT * FROM v WHERE vec_id < 10) q
+         |    ON q.bucket = c.bucket AND q.vec_id != c.vec_id)
+         |WHERE rnk <= 5""".stripMargin
+    },
+    "m06_fork_streams" -> {
+      def one(k: Int, where: String) =
+        s"""SELECT $k AS fork_key, COUNT(*) AS n, COUNT(*) AS n_stream,
+           |${dsum("value", 2, "sum_value")} FROM events $where""".stripMargin
+      s"""${one(0, "")}
+         |UNION ALL ${one(1, "WHERE value > 100")}
+         |UNION ALL ${one(2, "WHERE event_type = 'error'")}""".stripMargin
     },
   )
 }

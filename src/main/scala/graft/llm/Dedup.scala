@@ -110,6 +110,31 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Portable 64-bit token hash: the first 16 hex chars of md5 assembled
+    * from two 32-bit halves (hex-parse of the full 16 would overflow a
+    * signed long). Bit-identical in any engine with md5 — the property an
+    * incremental 100TB dedup needs (see simhash64 for the faster
+    * Spark-internal xxhash64 variant). */
+  def md5Hash64(t: Column): Column =
+    shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
+
+  /** Engine-portable SimHash over lowercased whitespace tokens, rendered as
+    * a 64-char '0'/'1' string (MSB first — avoids signed-64 representation
+    * mismatches between engines). Majority vote per bit position across
+    * token hashes, duplicates counted. */
+  def simhashBits(text: Column): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    val hashes = transform(toks, t => md5Hash64(t))
+    val bits = (63 to 0 by -1).map { j =>
+      val mask = lit(1L << j)
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
+      when(votes > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
   /** SimHash (64-bit) over tokens: per bit position, majority vote of token
     * hash bits, weighted by token frequency. Uses xxhash64 (stable within
     * Spark); for cross-engine-stable signatures use the md5 path above. */

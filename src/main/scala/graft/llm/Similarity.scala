@@ -48,7 +48,7 @@ object Similarity {
     * (plane, dimension) pair, so weights vary independently across both
     * axes (a weak linear mix here degenerates every plane to a constant —
     * sign(sum(vec)) — and collapses the bucketing; see round-1 advice). */
-  private[llm] def planeWeights(dim: Int, planes: Int): Array[Array[Double]] =
+  private[graft] def planeWeights(dim: Int, planes: Int): Array[Array[Double]] =
     Array.tabulate(planes, dim) { (p, i) =>
       var h = p * 0x9E3779B9 + i * 0x85EBCA6B + 0x27D4EB2F
       h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13; h *= 0xC2B2AE35; h ^= h >>> 16
