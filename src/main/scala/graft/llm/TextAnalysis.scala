@@ -19,7 +19,8 @@ object TextAnalysis {
   /** BPE-ish regex tokenization: words, numbers, or single non-space
     * symbols. */
   def regexTokens(text: Column): Column =
-    filter(split(text, "((?<=[^A-Za-z0-9'])|(?=[^A-Za-z0-9' ]))"), t => trim(t) =!= "")
+    filter(transform(split(text, "((?<=[^A-Za-z0-9'])|(?=[^A-Za-z0-9' ]))"), t => trim(t)),
+      t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -1,0 +1,95 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+
+  private def docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"),  // near dup of 1
+      (4L, "completely different text about spark engines and data"),
+      (5L, "THE QUICK  BROWN fox jumps over the lazy dog")   // dup modulo case/ws
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactDedup keeps the minimum id per normalized fingerprint") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // 1,2,5 share a fingerprint (case/whitespace-normalized) -> keep 1
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+
+  test("shingles: n >= k sliding windows; n < k single shingle") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+    val sh = df.select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val m = sh.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) == Seq("a b c", "b c d"))
+    assert(m(2L) == Seq("a b"))
+  }
+
+  test("minhash signatures are deterministic and component-wise portable") {
+    val sig = docs.select(
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 12).as("sig"))
+      .where(length(col("text")) > 0).collect().map(_.getSeq[String](0))
+    assert(sig.forall(_.length == 12))
+    assert(sig.forall(_.forall(_.matches("[0-9a-f]{32}"))))
+    // identical docs -> identical signatures
+    val byDoc = docs.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 12).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(byDoc(1L) == byDoc(2L))
+    assert(byDoc(1L) != byDoc(4L))
+  }
+
+  test("lshCandidatePairs surfaces planted near-dups, rejects bad band config") {
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+    intercept[IllegalArgumentException](
+      Dedup.lshCandidatePairs(docs, "doc_id", "text", numHashes = 12, bands = 5))
+  }
+
+  test("nearDupPairs verifies candidates with exact Jaccard") {
+    val out = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = out.map(t => (t._1, t._2)).toSet
+    // exact dups (1,2,5 normalize to the same text) always collide in
+    // every band; near-dups like (1,3) collide per-band with P<1, so only
+    // the guaranteed pairs are asserted (d04's oracle covers the rest)
+    assert(Set((1L, 2L), (1L, 5L), (2L, 5L)).subsetOf(ids), s"got $ids")
+    out.filter(t => Set((1L, 2L), (1L, 5L)).contains((t._1, t._2)))
+      .foreach(t => assert(t._3 == 1.0))
+    assert(!ids.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhashBits: identical docs equal; near docs close; different docs far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhashBits(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("simhash64/hamming64 (xxhash64 fast path)") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+    val joined = sigs.as("a").crossJoin(sigs.as("b"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        Dedup.hamming64(col("a.sh"), col("b.sh")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(joined((1L, 2L)) == 0)
+    assert(joined((1L, 3L)) < joined((1L, 4L)))
+  }
+
+  test("signatureSimilarity estimates Jaccard from signature agreement") {
+    val s = spark; import s.implicits._
+    val df = Seq((Seq("a", "b", "c", "d"), Seq("a", "b", "x", "y"))).toDF("s1", "s2")
+    assert(df.select(Dedup.signatureSimilarity(col("s1"), col("s2")))
+      .head().getDouble(0) == 0.5)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+
+  test("planeWeights vary within every plane and differ across planes") {
+    val ws = Similarity.planeWeights(64, 8)
+    ws.zipWithIndex.foreach { case (w, p) =>
+      assert(w.distinct.length == 2, s"plane $p is constant — bucketing degenerates")
+    }
+    assert(ws.map(_.toSeq).distinct.length == 8, "identical planes waste bits")
+    // roughly balanced signs (avalanche property, not 90/10 splits)
+    ws.foreach { w =>
+      val pos = w.count(_ > 0)
+      assert(pos >= 16 && pos <= 48, s"skewed plane: $pos/64 positive")
+    }
+  }
+
+  test("srpBucket spreads real embeddings over many buckets") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.select(Similarity.srpBucket(col("embedding"), 64, 8).as("b"))
+      .agg(countDistinct(col("b"))).head().getLong(0)
+    // 500 vectors into 256 possible buckets: degenerate hashing gives <=2
+    assert(n > 32, s"only $n distinct buckets — hashing degenerate")
+  }
+
+  test("srpBucket survives dim=768 (codegen-size regression)") {
+    val s = spark; import s.implicits._
+    val vecs = Seq.tabulate(4)(i => Tuple1(Array.tabulate(768)(j => ((i + j) % 7 - 3).toFloat)))
+    val df = vecs.toDF("embedding")
+    val out = df.select(Similarity.srpBucket(col("embedding"), 768, 16).as("b")).collect()
+    assert(out.length == 4)
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic tie-break") {
+    val s = spark; import s.implicits._
+    // query 0 = (1,0); corpus: 1=(2,0) cos=1, 2=(1,1) cos=.707, 3=(0,1) cos=0
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(2f, 0f)),
+      (2L, Array(1f, 1f)), (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(math.abs(out(0).getDouble(2) - 1.0) < 1e-12)
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2))
+  }
+
+  test("annTopK only scores same-bucket candidates and never pairs a query with itself") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.annTopK(emb, emb.limit(20), k = 3, dim = 64, planes = 4).cache()
+    assert(out.where(col("query_id") === col("corpus_id")).count() == 0)
+    assert(out.groupBy("query_id").count().agg(max("count")).head().getLong(0) <= 3)
+    out.unpersist()
+  }
+
+  test("cosine of identical vectors is 1.0 exactly enough") {
+    val s = spark; import s.implicits._
+    val df = Seq(Tuple1(Array(0.3f, -0.4f, 0.5f))).toDF("v")
+    val c = df.select(Similarity.cosine(col("v"), col("v"))).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}

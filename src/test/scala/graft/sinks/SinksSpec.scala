@@ -1,0 +1,93 @@
+package graft.sinks
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.io.File
+
+class SinksSpec extends SparkTestBase {
+
+  private def df100 = {
+    val s = spark; import s.implicits._
+    (1 to 100).map(i => (i.toLong, s"name$i", i % 7)).toDF("id", "name", "grp")
+  }
+
+  test("csv round-trip with header") {
+    val out = tmpDir("csv-out")
+    Sinks.writeFile(df100, out, Sinks.FileSinkConfig(format = "csv", header = true))
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(out)
+    assert(back.count() == 100)
+    assert(back.columns.toSeq == Seq("id", "name", "grp"))
+  }
+
+  test("maxRecordsPerFile bounds output file size (reference target-file-size)") {
+    val out = tmpDir("maxrec")
+    Sinks.writeFile(df100.repartition(1), out,
+      Sinks.FileSinkConfig(format = "parquet", maxRecordsPerFile = Some(10L)))
+    val parts = new File(out).listFiles().count(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts >= 10, s"expected >=10 part files, got $parts")
+    assert(spark.read.parquet(out).count() == 100)
+  }
+
+  test("partitionBy produces hive-style directories") {
+    val out = tmpDir("partby")
+    Sinks.writeFile(df100, out, Sinks.FileSinkConfig(partitionBy = Seq("grp")))
+    val dirs = new File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("grp=")) == 7)
+    assert(spark.read.parquet(out).count() == 100)
+  }
+
+  test("error table preserves the reference's public error schema") {
+    val out = tmpDir("errors")
+    val errs = df100.withColumn("error_message", lit("boom"))
+    Sinks.writeErrorTable(errs, out, appId = "test-app", rowKeyCol = "id")
+    val back = spark.read.parquet(out)
+    // ErrorTableUtil.java:93-190 contract
+    assert(back.columns.toSet ==
+      Set("row_key", "source_data", "exception", "changelog_columns", "app_id", "error_date"))
+    assert(back.where("app_id = 'test-app'").count() == 100)
+    assert(back.select("exception").distinct().head().getString(0) == "boom")
+    // source_data JSON round-trips the original row minus the error column
+    val sd = back.where("row_key = '1'").select("source_data").head().getString(0)
+    assert(sd.contains(""""name":"name1""""))
+    assert(!sd.contains("error_message"))
+  }
+
+  test("dedupAgainstExisting = left-anti on keys (HoodieSink DEDUP_INSERT)") {
+    val s = spark; import s.implicits._
+    val incoming = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("key", "v")
+    val existing = (1 to 5).map(i => (i.toLong, "old")).toDF("key", "w")
+    val out = Sinks.dedupAgainstExisting(incoming, existing, Seq("key"))
+    assert(out.select("key").as[Long].collect().sorted.toSeq == (6L to 10L))
+    // incoming columns preserved
+    assert(out.columns.toSeq == Seq("key", "v"))
+  }
+
+  test("sortedForBulkLoad: partitions internally sorted and range-disjoint") {
+    val s = spark; import s.implicits._
+    val shuffled = scala.util.Random.shuffle((1 to 1000).toList)
+      .map(i => (i.toLong, i % 3)).toDF("k", "v")
+    val sorted = Sinks.sortedForBulkLoad(shuffled, Seq("k"), numPartitions = Some(4))
+    val perPart = sorted.select("k").rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        val ks = it.map(_.getLong(0)).toVector
+        if (ks.isEmpty) Iterator.empty
+        else Iterator((pid, ks.min, ks.max, ks == ks.sorted))
+      }.collect().sortBy(_._1)
+    assert(perPart.forall(_._4), "a partition was not internally sorted")
+    perPart.sliding(2).foreach {
+      case Array((_, _, max1, _), (_, min2, _, _)) =>
+        assert(max1 <= min2, "partition ranges overlap")
+      case _ =>
+    }
+  }
+
+  test("hudi option mapping encodes op modes and dedup flags") {
+    val opts = Sinks.hudiOptions("t", "id", "ds", Sinks.DedupInsert)
+    assert(opts("hoodie.datasource.write.operation") == "insert")
+    assert(opts("hoodie.datasource.write.insert.drop.duplicates") == "true")
+    val bulk = Sinks.hudiOptions("t", "id", "ds", Sinks.BulkInsert)
+    assert(bulk("hoodie.datasource.write.operation") == "bulk_insert")
+    assert(bulk("hoodie.datasource.write.insert.drop.duplicates") == "false")
+  }
+}
