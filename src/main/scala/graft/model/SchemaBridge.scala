@@ -1,0 +1,254 @@
+package graft.model
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.avro.util.Utf8
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+
+/** StructType <-> Avro schema + binary record codec, built directly on
+  * avro-core (no spark-avro module in this environment).
+  *
+  * Covers the reference's schema-service surface:
+  *   - DataFrameSchemaConverter.java:38-97 (StructType -> Avro record
+  *     "commonSchema"; nullable fields become union[null, T])
+  *   - SchemaUtil.java:160-200 (Avro 1.7 had no timestamp logical type, so
+  *     a LONG schema carries prop `timestamp=true`, value = ms since epoch)
+  *   - HDFSSchemaService.java:213-248 (binary GenericRecord decode/encode)
+  *
+  * Deviations from the reference, deliberate: nested records/arrays/maps
+  * convert recursively (the reference TODOs them); Short/Byte widen to INT
+  * (the reference sent ByteType to BYTES); DecimalType serializes as
+  * STRING (portable, exact).
+  */
+object SchemaBridge {
+
+  /** Marker property for ms-epoch timestamp longs (SchemaUtil.java:160-185). */
+  val TimestampProp = "timestamp"
+
+  // ------------------------------------------------------ schema conversion
+
+  def structToAvro(st: StructType, name: String = "commonSchema",
+                   namespace: String = "graft.generated"): Schema = {
+    val fields = st.fields.map { f =>
+      val base = typeToAvro(f.dataType, s"${name}_${f.name}", namespace)
+      val sch = if (f.nullable) Schema.createUnion(
+        java.util.List.of(Schema.create(Schema.Type.NULL), base)) else base
+      new Schema.Field(f.name, sch, null,
+        if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    val rec = Schema.createRecord(name, null, namespace, false)
+    rec.setFields(fields.toSeq.asJava)
+    rec
+  }
+
+  private def typeToAvro(dt: DataType, name: String, ns: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType | DateType | _: DecimalType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case TimestampType =>
+      val s = Schema.create(Schema.Type.LONG)
+      s.addProp(TimestampProp, "true")
+      s
+    case st: StructType => structToAvro(st, name, ns)
+    case ArrayType(et, containsNull) =>
+      val el = typeToAvro(et, s"${name}_item", ns)
+      Schema.createArray(if (containsNull) Schema.createUnion(
+        java.util.List.of(Schema.create(Schema.Type.NULL), el)) else el)
+    case MapType(StringType, vt, valueContainsNull) =>
+      val v = typeToAvro(vt, s"${name}_value", ns)
+      Schema.createMap(if (valueContainsNull) Schema.createUnion(
+        java.util.List.of(Schema.create(Schema.Type.NULL), v)) else v)
+    case other => throw new IllegalArgumentException(
+      s"unsupported Spark type for Avro conversion: $other")
+  }
+
+  def avroToStruct(schema: Schema): StructType = {
+    require(schema.getType == Schema.Type.RECORD, s"expected RECORD, got ${schema.getType}")
+    StructType(schema.getFields.asScala.map { f =>
+      val (dt, nullable) = avroToType(f.schema())
+      StructField(f.name(), dt, nullable)
+    }.toSeq)
+  }
+
+  private def avroToType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1, s"only union[null, T] supported, got $s")
+      (avroToType(nonNull.head)._1, branches.size > nonNull.size)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.INT => (IntegerType, false)
+    case Schema.Type.LONG =>
+      if ("true" == s.getProp(TimestampProp)) (TimestampType, false) else (LongType, false)
+    case Schema.Type.FLOAT => (FloatType, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.STRING | Schema.Type.ENUM => (StringType, false)
+    case Schema.Type.BYTES | Schema.Type.FIXED => (BinaryType, false)
+    case Schema.Type.RECORD => (avroToStruct(s), false)
+    case Schema.Type.ARRAY =>
+      val (et, n) = avroToType(s.getElementType)
+      (ArrayType(et, n), false)
+    case Schema.Type.MAP =>
+      val (vt, n) = avroToType(s.getValueType)
+      (MapType(StringType, vt, n), false)
+    case other => throw new IllegalArgumentException(s"unsupported Avro type: $other")
+  }
+
+  // ------------------------------------------------------- value conversion
+
+  private def nonNullBranch(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  private def sparkToAvroValue(v: Any, dt: DataType, schema: Schema): Any = v match {
+    case null => null
+    case _ => (dt, nonNullBranch(schema)) match {
+      case (TimestampType, _) => v.asInstanceOf[Timestamp].getTime // ms (SchemaUtil.java:187)
+      case (DateType, _) => v.toString
+      case (_: DecimalType, _) => v.toString
+      case (BinaryType, _) => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case (ShortType, _) => v.asInstanceOf[Short].toInt
+      case (ByteType, _) => v.asInstanceOf[Byte].toInt
+      case (st: StructType, s) => rowToRecord(v.asInstanceOf[Row], st, s)
+      case (ArrayType(et, _), s) =>
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .map(sparkToAvroValue(_, et, s.getElementType)).asJava
+      case (MapType(_, vt, _), s) =>
+        v.asInstanceOf[scala.collection.Map[String, Any]].map { case (k, mv) =>
+          k -> sparkToAvroValue(mv, vt, s.getValueType)
+        }.toMap.asJava
+      case _ => v
+    }
+  }
+
+  private def avroToSparkValue(v: Any, dt: DataType): Any = v match {
+    case null => null
+    case u: Utf8 => u.toString
+    case _ => dt match {
+      case TimestampType => new Timestamp(v.asInstanceOf[Long])
+      case BinaryType =>
+        val bb = v.asInstanceOf[ByteBuffer]
+        val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+      case st: StructType => recordToRow(v.asInstanceOf[GenericRecord], st)
+      case ArrayType(et, _) =>
+        v.asInstanceOf[java.util.List[Any]].asScala.map(avroToSparkValue(_, et)).toSeq
+      case MapType(_, vt, _) =>
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala.map { case (k, mv) =>
+          k.toString -> avroToSparkValue(mv, vt)
+        }.toMap
+      case _ => v
+    }
+  }
+
+  def rowToRecord(row: Row, st: StructType, schema: Schema): GenericRecord = {
+    val rec = new GenericData.Record(schema)
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      val v = if (row.isNullAt(i)) null else row.get(i)
+      rec.put(f.name, sparkToAvroValue(v, f.dataType, schema.getField(f.name).schema()))
+    }
+    rec
+  }
+
+  def recordToRow(rec: GenericRecord, st: StructType): Row =
+    Row.fromSeq(st.fields.toSeq.map(f => avroToSparkValue(rec.get(f.name), f.dataType)))
+
+  // ---------------------------------------------------------- binary codec
+
+  /** Encode every row to Avro binary; result has one `value: binary`
+    * column (the shape a schema-registry Kafka producer writes —
+    * HDFSSchemaService.java:242-248). */
+  def encode(df: DataFrame): DataFrame = {
+    val st = df.schema
+    val avroJson = structToAvro(st).toString
+    val spark = df.sparkSession
+    val rdd = df.rdd.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(avroJson) // per-partition init
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val out = new ByteArrayOutputStream()
+      var encoder = EncoderFactory.get().binaryEncoder(out, null)
+      it.map { row =>
+        out.reset()
+        encoder = EncoderFactory.get().binaryEncoder(out, encoder)
+        writer.write(rowToRecord(row, st, schema), encoder)
+        encoder.flush()
+        Row(out.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd,
+      StructType(Seq(StructField("value", BinaryType, nullable = false))))
+  }
+
+  /** Decode a `value: binary` column of Avro records written with
+    * `writerSchemaJson` back into typed rows
+    * (HDFSSchemaService.java:213-219). */
+  def decode(bytes: DataFrame, writerSchemaJson: String,
+             valueCol: String = "value"): DataFrame = {
+    val st = avroToStruct(new Schema.Parser().parse(writerSchemaJson))
+    val spark = bytes.sparkSession
+    val idx = bytes.schema.fieldIndex(valueCol)
+    val rdd = bytes.rdd.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(writerSchemaJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      it.map { row =>
+        val decoder = DecoderFactory.get()
+          .binaryDecoder(row.getAs[Array[Byte]](idx), null)
+        recordToRow(reader.read(null, decoder), st)
+      }
+    }
+    spark.createDataFrame(rdd, st)
+  }
+}
+
+/** Versioned schema registry — the ISchemaService abstraction
+  * (common/schema/ISchemaService.java:35, HDFSSchemaService.java:59-113):
+  * schemas live as `<name>.<version>.avsc` files under a directory on any
+  * Hadoop-compatible FS; `getSchema(name)` returns the highest version.
+  */
+final class DirSchemaRegistry(dir: String,
+                              hadoopConf: org.apache.hadoop.conf.Configuration =
+                                new org.apache.hadoop.conf.Configuration()) {
+  import org.apache.hadoop.fs.Path
+  private val fs = new Path(dir).getFileSystem(hadoopConf)
+
+  private def versions(name: String): Seq[(Int, Path)] = {
+    val base = new Path(dir)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toIndexedSeq.map(_.getPath)
+      .flatMap { p =>
+        p.getName match {
+          case s if s.startsWith(s"$name.") && s.endsWith(".avsc") =>
+            s.stripPrefix(s"$name.").stripSuffix(".avsc").toIntOption.map(_ -> p)
+          case _ => None
+        }
+      }.sortBy(_._1)
+  }
+
+  private def read(p: Path): Schema = {
+    val in = fs.open(p)
+    try new Schema.Parser().parse(in) finally in.close()
+  }
+
+  def listVersions(name: String): Seq[Int] = versions(name).map(_._1)
+
+  def getSchema(name: String): Schema = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"no schema named '$name' in $dir")
+    read(vs.last._2)
+  }
+
+  def getSchema(name: String, version: Int): Schema =
+    versions(name).find(_._1 == version)
+      .map(v => read(v._2))
+      .getOrElse(throw new IllegalArgumentException(s"no $name.$version.avsc in $dir"))
+}
