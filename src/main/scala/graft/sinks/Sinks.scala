@@ -35,6 +35,31 @@ object Sinks {
     w.format(cfg.format).save(path)
   }
 
+  /** Sequence-file sink (key/value Text pairs, optional compression) —
+    * reference FileSink.java:155-181 (`saveAsNewAPIHadoopFile` with
+    * SequenceFileOutputFormat + LZ4). Distributed write, no driver data
+    * path; keys default to a configurable column rendered as text.
+    */
+  def writeSequenceFile(df: DataFrame, path: String, keyCol: String, valueCol: String,
+                        compressionCodec: Option[String] = Some("org.apache.hadoop.io.compress.Lz4Codec")): Unit = {
+    import org.apache.hadoop.io.Text
+    import org.apache.hadoop.mapreduce.lib.output.SequenceFileOutputFormat
+    val spark = df.sparkSession
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    compressionCodec.foreach { c =>
+      conf.set("mapreduce.output.fileoutputformat.compress", "true")
+      conf.set("mapreduce.output.fileoutputformat.compress.type", "BLOCK")
+      conf.set("mapreduce.output.fileoutputformat.compress.codec", c)
+    }
+    val ki = df.schema.fieldIndex(keyCol)
+    val vi = df.schema.fieldIndex(valueCol)
+    df.rdd
+      .map(r => (new Text(String.valueOf(r.get(ki))), new Text(String.valueOf(r.get(vi)))))
+      .saveAsNewAPIHadoopFile(path, classOf[Text], classOf[Text],
+        classOf[SequenceFileOutputFormat[Text, Text]], conf)
+  }
+
   /** Error-table sink preserving the reference's public error schema
     * (utilities/ErrorTableUtil.java:93-190): row_key, source_data, exception,
     * changelog_columns, app_id — written date-partitioned for retention. */
