@@ -45,18 +45,40 @@ object Validator {
     if (internal.isEmpty) df else df.drop(internal.toIndexedSeq: _*)
   }
 
-  /** Coerce columns to a target schema (widening casts only); unknown columns
-    * dropped, missing nullable columns added as null. Replaces the recursive
-    * enum/number normalizer (utilities/GenericRecordUtil.java:152-278). */
+  /** Coerce columns to a target schema; unknown columns dropped, missing
+    * columns added as null. Recurses through structs, arrays, and maps —
+    * the reference normalizer's full coverage
+    * (utilities/GenericRecordUtil.java:152-278 fixes enums/numbers through
+    * RECORD/ARRAY/MAP), expressed as nested column rebuilds (codegen'd,
+    * no UDF). */
   def conformTo(df: DataFrame, target: StructType): DataFrame = {
     val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = target.fields.map { f =>
       have.get(f.name) match {
-        case Some(dt) if dt == f.dataType => col(f.name)
-        case Some(_)                      => col(f.name).cast(f.dataType).as(f.name)
-        case None                         => lit(null).cast(f.dataType).as(f.name)
+        case Some(dt) => conformColumn(col(f.name), dt, f.dataType).as(f.name)
+        case None     => lit(null).cast(f.dataType).as(f.name)
       }
     }
     df.select(cols.toIndexedSeq: _*)
   }
+
+  private def conformColumn(c: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (f, t) if f == t => c
+      case (fs: StructType, ts: StructType) =>
+        val haveF = fs.fields.map(f => f.name -> f.dataType).toMap
+        val rebuilt = struct(ts.fields.toIndexedSeq.map { tf =>
+          haveF.get(tf.name) match {
+            case Some(fdt) => conformColumn(c.getField(tf.name), fdt, tf.dataType).as(tf.name)
+            case None      => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }: _*)
+        // a null struct must stay null, not become a struct of nulls
+        when(c.isNull, lit(null).cast(ts)).otherwise(rebuilt)
+      case (ArrayType(fe, _), ArrayType(te, _)) =>
+        transform(c, x => conformColumn(x, fe, te))
+      case (MapType(_, fv, _), MapType(_, tv, _)) =>
+        transform_values(c, (_, v) => conformColumn(v, fv, tv))
+      case _ => c.cast(to)
+    }
 }

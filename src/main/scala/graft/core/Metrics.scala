@@ -1,0 +1,62 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** Metrics layer — replaces the reference's accumulator/metric plumbing
+  * (ForkFunction counts, KafkaSource bytes-read LongAccumulator
+  * sum/count/max at KafkaSource.java:128-148, DataFeedMetrics) with
+  * Spark-native observed metrics: `df.observe` computes named aggregates
+  * DURING the action that materializes the plan (no extra job, no second
+  * scan — the property the reference built accumulators for), and a
+  * QueryExecutionListener collects them on the driver.
+  */
+object Metrics {
+
+  /** Attach named aggregate observations to a DataFrame; values arrive at
+    * the collector when an action on this plan completes. */
+  def observed(df: DataFrame, pointName: String, aggs: (String, Column)*): DataFrame = {
+    require(aggs.nonEmpty, "at least one observed aggregate required")
+    val named = aggs.map { case (n, c) => c.as(n) }
+    df.observe(pointName, named.head, named.tail: _*)
+  }
+
+  /** Driver-side collector of observed metrics (register once per session).
+    * Thread-safe; last write per (point, metric) wins, like the
+    * reference's metric registry. */
+  final class Collector extends QueryExecutionListener {
+    private val metrics = TrieMap.empty[String, Map[String, Any]]
+    private val durations = TrieMap.empty[String, Long]
+
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+      qe.observedMetrics.foreach { case (point, row: Row) =>
+        val m = row.schema.fieldNames.zipWithIndex
+          .map { case (n, i) => n -> row.get(i) }.toMap
+        metrics.put(point, m)
+        durations.put(point, durationNs)
+      }
+    }
+    override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+
+    def get(pointName: String): Option[Map[String, Any]] = metrics.get(pointName)
+    def getLong(pointName: String, metric: String): Option[Long] =
+      get(pointName).flatMap(_.get(metric)).map {
+        case l: Long => l
+        case i: Int  => i.toLong
+        case other   => other.toString.toLong
+      }
+    def durationNs(pointName: String): Option[Long] = durations.get(pointName)
+    def all: Map[String, Map[String, Any]] = metrics.toMap
+    def clear(): Unit = { metrics.clear(); durations.clear() }
+  }
+
+  /** Register a collector on the session (idempotent per collector). */
+  def register(spark: SparkSession): Collector = {
+    val c = new Collector
+    spark.listenerManager.register(c)
+    c
+  }
+}

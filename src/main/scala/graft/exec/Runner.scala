@@ -53,6 +53,14 @@ object Runner {
     guarded
   }
 
+  /** Post-job actions (reference JobDagActions.java:45,104-117): run after
+    * pipelines complete, receiving each pipeline's result. Best-effort —
+    * an action failure is reported in the returned seq but never fails the
+    * job (the reference logs and continues). */
+  def runPostActions(results: Seq[PipelineResult],
+                     actions: Seq[PipelineResult => Unit]): Seq[(String, Try[Unit])] =
+    for (r <- results; a <- actions) yield r.name -> Try(a(r))
+
   /** Order pipelines longest-running-first from prior run times — the
     * ExecutionTimeJobExecutionStrategy (reference
     * common/job/ExecutionTimeJobExecutionStrategy.java:65-105). */
