@@ -197,8 +197,10 @@ object SparkEntry {
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, k = 3, numHashes = 12, bands = 4)),
     "d05_simhash" -> ((s, dir) =>
+      // two-step: token hashes materialize once, then 64 bit-votes read them
       t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhashBits(col("text")).as("simhash"))),
+        .select(col("doc_id"), Dedup.md5TokenHashes(col("text")).as("__h"))
+        .select(col("doc_id"), Dedup.simhashBitsFromHashes(col("__h")).as("simhash"))),
 
     // ---- similarity search (embeddings table) ---------------------------
     "s01_brute_topk" -> ((s, dir) => {

@@ -66,10 +66,21 @@ object Dedup {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must evenly divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
-        minhashSignature(shingles(col(textCol), k), numHashes).as("sig"))
+    // Staged projections, not one fused expression: minhashSignature
+    // references the shingle array numHashes times and lshBandKeys the
+    // signature `bands` times — staging keeps CollapseProject from
+    // inlining the expensive producer into every consumer (the fused form
+    // re-tokenized + re-hashed each doc 12x; at sf0.1 that was ~10x the
+    // runtime of the staged plan).
+    // (band, id) is persisted before the self-join: without it Spark plans
+    // TWO full scan->shingle->minhash subtrees (no exchange reuse across
+    // the differently-aliased branches), doubling the dominant md5 cost.
+    // Cache payload is ~(bands x 40B)/doc — tiny next to the text.
+    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("__sh"))
+      .select(col("id"), minhashSignature(col("__sh"), numHashes).as("sig"))
       .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Only (band, id) travels through the self-join and the distinct —
     // signatures would multiply the shuffle by numHashes x 32 bytes per row
     // (callers re-join signatures by id if they need them).
@@ -100,8 +111,12 @@ object Dedup {
                    threshold: Double, k: Int = 3,
                    numHashes: Int = 12, bands: Int = 4): DataFrame = {
     val cands = lshCandidatePairs(df, idCol, textCol, k, numHashes, bands)
-    val sh = df.select(col(idCol).as("__id"),
-      array_distinct(shingles(col(textCol), k)).as("__sh"))
+    // persisted for the same reason as the band frame: joined twice (id1
+    // and id2 sides) and Spark won't reuse the shingling subtree across
+    // the two aliased branches
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__raw"))
+      .select(col("__id"), array_distinct(col("__raw")).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(sh.withColumnRenamed("__id", "id1").withColumnRenamed("__sh", "sh1"), Seq("id1"))
       .join(sh.withColumnRenamed("__id", "id2").withColumnRenamed("__sh", "sh2"), Seq("id2"))
@@ -119,13 +134,17 @@ object Dedup {
     shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
       .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
 
+  /** Portable per-token 64-bit hash array (stage this in its own select —
+    * simhashBitsFromHashes reads it 64 times, and staging keeps the md5
+    * evaluation at once per token instead of once per token per bit). */
+  def md5TokenHashes(text: Column): Column =
+    transform(TextAnalysis.tokens(lower(text)), t => md5Hash64(t))
+
   /** Engine-portable SimHash over lowercased whitespace tokens, rendered as
     * a 64-char '0'/'1' string (MSB first — avoids signed-64 representation
     * mismatches between engines). Majority vote per bit position across
     * token hashes, duplicates counted. */
-  def simhashBits(text: Column): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
-    val hashes = transform(toks, t => md5Hash64(t))
+  def simhashBitsFromHashes(hashes: Column): Column = {
     val bits = (63 to 0 by -1).map { j =>
       val mask = lit(1L << j)
       val votes = aggregate(hashes, lit(0L),
@@ -134,6 +153,11 @@ object Dedup {
     }
     concat(bits: _*)
   }
+
+  /** Convenience fused form — prefer the two-step
+    * `select(md5TokenHashes)` -> `select(simhashBitsFromHashes)` on large
+    * corpora (see md5TokenHashes). */
+  def simhashBits(text: Column): Column = simhashBitsFromHashes(md5TokenHashes(text))
 
   /** SimHash (64-bit) over tokens: per bit position, majority vote of token
     * hash bits, weighted by token frequency. Uses xxhash64 (stable within
