@@ -3,7 +3,10 @@ package graft
 import graft.convert.Validator
 import graft.functions.Functions._
 import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.model.SchemaBridge
 import graft.operators.Fork
+import graft.streaming.Incremental
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -129,6 +132,12 @@ object SparkEntry {
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n"))),
+    "q14_except_all" -> ((s, dir) => {
+      // multiset difference (deep record equality surface, SURVEY §2.2/2.9)
+      val a = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val b = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      a.exceptAll(b).groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+    }),
 
     // ---- marmaray dataflow surface --------------------------------------
     "m01_validate_split" -> ((s, dir) => {
@@ -173,6 +182,39 @@ object SparkEntry {
       t(s, dir, "events")
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("n"))),
+    "m07_avro_roundtrip" -> ((s, dir) => {
+      // rows -> Avro binary -> rows through the avro-core codec; the
+      // aggregate matching the plain-table oracle certifies the round-trip
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      val avroJson = SchemaBridge.structToAvro(docs.schema).toString
+      SchemaBridge.decode(SchemaBridge.encode(docs), avroJson)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+    }),
+    "m08_conform" -> ((s, dir) => {
+      val target = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("value", DoubleType),
+        StructField("user_id", StringType),    // long -> string coercion
+        StructField("added_col", StringType))) // absent -> null
+      Validator.conformTo(t(s, dir, "events"), target)
+    }),
+    "m09_stream_available_now" -> ((s, dir) => {
+      // incremental-batch semantics end-to-end: checkpointed AvailableNow
+      // stream over the events parquet into a sink dir, then aggregate
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file stream source needs a DIRECTORY to watch
+      val src = java.nio.file.Files.createTempDirectory("m09-src")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        src.resolve("events.parquet"))
+      val out = java.nio.file.Files.createTempDirectory("m09-sink").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("m09-ckpt").toString
+      Incremental.runAvailableNow(s, src.toString, schema, "parquet",
+        identity, out, ckpt).awaitTermination()
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), decimalSum(col("value"), 2).as("sum_value"))
+    }),
 
     // ---- training-data ops ----------------------------------------------
     "d01_exact_dedup" -> ((s, dir) =>
@@ -212,6 +254,12 @@ object SparkEntry {
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
         dim = 64, planes = 8)
     }),
+    "s03_srp_buckets" -> ((s, dir) =>
+      // LSH bucket histogram — certifies srpBucket itself (and would catch
+      // a degenerate-weights regression as a 2-bucket histogram)
+      t(s, dir, "embeddings")
+        .select(Similarity.srpBucket(col("embedding"), 64, 8).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))),
 
     // ---- fork operator end-to-end (through the Fork class) --------------
     "m06_fork_streams" -> ((s, dir) => {
@@ -436,6 +484,26 @@ object SparkEntry {
          |  FROM v c JOIN (SELECT * FROM v WHERE vec_id < 10) q
          |    ON q.bucket = c.bucket AND q.vec_id != c.vec_id)
          |WHERE rnk <= 5""".stripMargin
+    },
+    "q14_except_all" ->
+      """SELECT custkey, COUNT(*) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey AS custkey FROM customer)
+        |GROUP BY custkey""".stripMargin,
+    "m07_avro_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "m08_conform" ->
+      """SELECT event_id, value, CAST(user_id AS VARCHAR) AS user_id,
+        |CAST(NULL AS VARCHAR) AS added_col FROM events""".stripMargin,
+    "m09_stream_available_now" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${dsum("value", 2, "sum_value")}
+         |FROM events GROUP BY event_type""".stripMargin,
+    "s03_srp_buckets" -> {
+      val bucket = duckSrpBucket("embedding", 64, 8)
+      s"""SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n
+         |FROM (SELECT $bucket AS bucket FROM embeddings) GROUP BY 1""".stripMargin
     },
     "m06_fork_streams" -> {
       def one(k: Int, where: String) =

@@ -1,7 +1,9 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 /** Sinks. Everything is `df.write` with scale-aware options; no per-record
   * driver code anywhere (the reference's sample-100-rows-then-repartition
@@ -126,6 +128,40 @@ object Sinks {
   def writeCassandra(df: DataFrame, opts: Map[String, String]): Unit =
     df.write.format("org.apache.spark.sql.cassandra").options(opts)
       .mode(SaveMode.Append).save()
+
+  /** Batched, rate-paced writes — the reference's Cassandra batch mode
+    * (CassandraSSTableSink.java:155-205): slice the dataset into
+    * ceil(n / recordsPerBatch) chunks by global row index, write chunks
+    * sequentially, and sleep so each batch takes at least
+    * `minBatchMillis` (protects a receiving store from sustained
+    * full-throughput streaming). The input materializes once (DISK_ONLY,
+    * like the reference's fork) so N batch filters don't re-run the
+    * upstream plan. Returns the number of batches written. */
+  def writeInBatches(df: DataFrame, recordsPerBatch: Long, minBatchMillis: Long = 0L)
+                    (writeBatch: (DataFrame, Long) => Unit): Long = {
+    require(recordsPerBatch > 0, s"recordsPerBatch must be positive: $recordsPerBatch")
+    val spark = df.sparkSession
+    val indexed = df.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i / recordsPerBatch)
+    }
+    val withBatch = spark.createDataFrame(indexed,
+      df.schema.add("__graft_batch", LongType, nullable = false))
+      .persist(StorageLevel.DISK_ONLY)
+    try {
+      val head = withBatch.agg(max(col("__graft_batch"))).head()
+      val nBatches = if (head.isNullAt(0)) 0L else head.getLong(0) + 1
+      var b = 0L
+      while (b < nBatches) {
+        val t0 = System.nanoTime()
+        writeBatch(withBatch.filter(col("__graft_batch") === b).drop("__graft_batch"), b)
+        val elapsedMs = (System.nanoTime() - t0) / 1000000
+        if (b < nBatches - 1 && elapsedMs < minBatchMillis)
+          Thread.sleep(minBatchMillis - elapsedMs)
+        b += 1
+      }
+      nBatches
+    } finally { withBatch.unpersist(); () }
+  }
 
   /** Sorted bulk write: range-partition + sort within partitions by the
     * composite (partition keys ++ clustering keys) — the Spark equivalent of

@@ -103,6 +103,25 @@ class SinkDepthSpec extends SparkTestBase {
     assert(schema.columnsQueryCql.contains("system_schema.columns"))
   }
 
+  test("writeInBatches: slices by global index, paces, preserves all rows") {
+    val s = spark; import s.implicits._
+    val df = (1 to 25).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val outs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val t0 = System.nanoTime()
+    val n = Sinks.writeInBatches(df, recordsPerBatch = 10, minBatchMillis = 150) {
+      (batch, id) =>
+        sizes += ((id, batch.count()))
+        outs ++= batch.select("id").collect().map(_.getLong(0))
+        assert(!batch.columns.contains("__graft_batch"))
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(n == 3)
+    assert(sizes.toSeq == Seq((0L, 10L), (1L, 10L), (2L, 5L)))
+    assert(outs.sorted.toSeq == (1L to 25L))
+    assert(elapsedMs >= 300, s"pacing skipped: ${elapsedMs}ms") // 2 inter-batch waits
+  }
+
   test("CQL DDL: key validation and unsupported types fail fast") {
     intercept[IllegalArgumentException](Cql.TableSchema("ks", "t",
       StructType(Seq(StructField("a", LongType))), partitionKeys = Seq("missing")))
