@@ -67,4 +67,20 @@ object Runner {
   def orderByHistory(pipelines: Seq[(String, SparkSession => Unit)],
                      historyMillis: Map[String, Long]): Seq[(String, SparkSession => Unit)] =
     pipelines.sortBy { case (name, _) => -historyMillis.getOrElse(name, Long.MaxValue) }
+
+  // Execution-history persistence (the JobManagerMetadataTracker role —
+  // reference common/metadata/JobManagerMetadataTracker): run times live in
+  // RunState alongside the data checkpoints.
+  private val HistoryPrefix = "runner:millis:"
+
+  /** Stage successful pipelines' run times (caller commits the RunState). */
+  def saveHistory(rs: graft.core.RunState, results: Seq[PipelineResult]): Unit =
+    results.filter(r => r.result.isSuccess && r.millis >= 0)
+      .foreach(r => rs.set(s"$HistoryPrefix${r.name}", r.millis.toString))
+
+  def loadHistory(rs: graft.core.RunState): Map[String, Long] =
+    rs.all.collect {
+      case (k, v) if k.startsWith(HistoryPrefix) =>
+        k.stripPrefix(HistoryPrefix) -> v.toLong
+    }
 }
