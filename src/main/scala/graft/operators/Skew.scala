@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-handling for 100TB joins/aggregations.
+  *
+  * AQE's skew-join split (enabled in GraftSession) fixes sort-merge joins
+  * after a shuffle materializes; salting fixes the cases AQE can't: hot
+  * keys in shuffle joins against a non-broadcastable side, and skewed
+  * groupBy keys. The salt spreads one hot key over `saltFactor` reducers
+  * at the cost of replicating the small side `saltFactor` times — the
+  * classic space-for-balance trade.
+  */
+object Skew {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Equi-join with the LARGE (skewed) side salted and the small side
+    * replicated saltFactor times. Row-position-based salt (not a hash of
+    * the row: identical hot rows must land on different reducers). */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive: $saltFactor")
+    val salted = large.withColumn(SaltCol,
+      pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+    val replicated = small.withColumn(SaltCol,
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, keys :+ SaltCol, joinType).drop(SaltCol)
+  }
+
+  /** Two-stage salted count: partial counts on (keys, salt) — spreading a
+    * hot key across reducers — then the final roll-up on keys alone. The
+    * second shuffle carries one row per (key, salt), not per record. */
+  def saltedCount(df: DataFrame, keys: Seq[String], saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive: $saltFactor")
+    df.withColumn(SaltCol, pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+      .groupBy((keys :+ SaltCol).map(col): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as("n"))
+  }
+
+  /** Per-key frequencies of the top `k` heaviest keys — the reconnaissance
+    * step before choosing a salt factor (or a broadcast threshold). */
+  def topKeyCounts(df: DataFrame, keys: Seq[String], k: Int = 20): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(k)
+}

@@ -113,6 +113,23 @@ object Sinks {
     incoming.join(existingKeys.select(keyCols.map(col).toIndexedSeq: _*).distinct(),
       keyCols, "left_anti")
 
+  /** Bucketed table write: pre-shuffles once at write time so every later
+    * equi-join/aggregation on the bucket keys is SHUFFLE-FREE (bucket
+    * co-location — what the reference approximated with hand-balanced
+    * partitioning). At 100TB, paying one shuffle at ingest instead of one
+    * per downstream join is the single biggest join optimization
+    * available; pick numBuckets ~ cluster cores at target scale. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil,
+                    format: String = "parquet",
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty, "at least one bucket column required")
+    var w = df.write.format(format).mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
   /** Cassandra sink option mapping (reference CassandraClientSink /
     * CassandraSSTableSink) for the spark-cassandra-connector datasource.
     * Batching/sorting knobs map to connector output options; the bespoke
