@@ -244,6 +244,22 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.md5TokenHashes(col("text")).as("__h"))
         .select(col("doc_id"), Dedup.simhashBitsFromHashes(col("__h")).as("simhash"))),
 
+    "d06_ngram_jaccard" -> ((s, dir) => {
+      // direct exact-Jaccard surface (not LSH-filtered): compare each doc
+      // to the doc 250 ids later
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("__raw"))
+        .select(col("doc_id"), array_distinct(col("__raw")).as("sh"))
+        // persisted: joined from both sides; without it the shingling
+        // subtree runs twice (same reasoning as Dedup.nearDupPairs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+      val b = sh.select((col("doc_id") - 250).as("id1"), col("doc_id").as("id2"),
+        col("sh").as("sh2"))
+      a.join(b, Seq("id1"))
+        .select(col("id1"), col("id2"), Dedup.jaccard(col("sh1"), col("sh2")).as("jaccard"))
+    }),
+
     // ---- similarity search (embeddings table) ---------------------------
     "s01_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -464,6 +480,19 @@ object SparkEntry {
         s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // $p) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
       }.mkString(" || ")
       s"SELECT doc_id, $bits AS simhash FROM (SELECT doc_id, $hs AS hs FROM documents)"
+    },
+    "d06_ngram_jaccard" -> {
+      val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+      val sh =
+        s"""CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+           | ELSE list_transform(range(0, len($toks) - 2),
+           |   i -> array_to_string(list_slice($toks, i+1, i+3), ' ')) END""".stripMargin
+      s"""WITH d AS (SELECT doc_id, list_distinct($sh) AS sh FROM documents)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |       ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END AS jaccard
+         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 250""".stripMargin
     },
     "s01_brute_topk" -> {
       val cos = duckCos("q.embedding", "c.embedding")
