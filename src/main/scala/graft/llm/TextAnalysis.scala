@@ -56,7 +56,12 @@ object TextAnalysis {
     "es" -> Seq(" el ", " la ", " de ", " que "),
     "fr" -> Seq(" le ", " la ", " et ", " les "),
     "de" -> Seq(" der ", " die ", " und ", " das "),
+    "it" -> Seq(" il ", " che ", " di ", " per "),
+    "pt" -> Seq(" o ", " não ", " uma ", " com "),
+    "nl" -> Seq(" de ", " het ", " een ", " niet "),
+    "ru" -> Seq(" и ", " не ", " что ", " это "),
     "zh" -> Seq("的", "了", "是", "我"),
+    "ja" -> Seq("の", "に", "は", "です"),
   )
 
   def langScores(text: Column): Seq[(String, Column)] = {

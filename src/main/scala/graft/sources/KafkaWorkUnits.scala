@@ -135,6 +135,33 @@ object KafkaWorkUnits {
   def stageOffsets(rs: RunState, topic: String, offsets: Map[Int, Long]): Unit =
     offsets.foreach { case (p, off) => rs.set(key(topic, p), off.toString) }
 
+  /** One full incremental batch run — the JobDag.execute loop for Kafka
+    * (load checkpoint -> compute units -> read -> sink -> stage -> commit,
+    * JobDag.java:158-186). `earliest`/`latest` come from the caller's
+    * broker query (Kafka admin API); when the run has no work (bootstrap
+    * or fully caught up) the sink is skipped but the state still commits.
+    */
+  def runBatch(spark: org.apache.spark.sql.SparkSession, rs: RunState,
+               bootstrap: String, topic: String,
+               earliest: Map[Int, Long], latest: Map[Int, Long],
+               maxMessages: Long, lossPolicy: LossPolicy = FailOnLoss,
+               minPartitions: Option[Int] = None)
+              (sink: org.apache.spark.sql.DataFrame => Unit): Result = {
+    val result = computeWorkUnits(loadOffsets(rs, topic), earliest, latest,
+      maxMessages, lossPolicy)
+    if (result.workUnits.nonEmpty) {
+      val df = Sources.kafkaBatch(spark, bootstrap, topic,
+        startingOffsetsJson(topic, result.workUnits),
+        endingOffsetsJson(topic, result.workUnits),
+        minPartitions)
+      sink(df)
+    }
+    // state advances ONLY here — after the sink returned without throwing
+    stageOffsets(rs, topic, result.nextState)
+    rs.commit()
+    result
+  }
+
   // ----------------------------------------------------- Spark source glue
 
   /** Starting-offsets JSON for the Spark Kafka batch source
