@@ -93,6 +93,52 @@ object Similarity {
       .select("query_id", "corpus_id", "score", "rank")
   }
 
+  /** IVF (inverted-file) ANN — the centroid-quantized scale path next to
+    * the SRP one: k-means coarse centroids partition the corpus into
+    * `nlist` cells; a query probes only its `nprobe` nearest cells, so
+    * search cost is ~O(N * nprobe / nlist) with recall controlled by
+    * nprobe. The cell assignment is the shuffle key — at 100TB the
+    * assigned corpus would be written bucketed by cell so probes prune
+    * partitions instead of scanning. Centroids are tiny (nlist x dim) and
+    * broadcast via a literal-free crossJoin of the centroid DataFrame. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int, nprobe: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe not in [1, $nlist]")
+    val spark = corpus.sparkSession
+    val withVec = corpus.withColumn("__v",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__v")
+      .setPredictionCol("__cell").fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"), col("__cell").as("cell"))
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray) }).toDF("cell", "centroid")
+    // nprobe nearest centroids per query (centroid set is tiny: broadcast)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        aggregate(zip_with(col("qvec"), col("centroid"),
+          (x, c) => { val d = x.cast("double") - c; d * d }), lit(0.0), (a, v) => a + v))
+      .withColumn("prank", row_number().over(wCell))
+      .where(col("prank") <= nprobe)
+      .select("query_id", "qvec", "cell")
+    // score only within probed cells
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("score", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "score", "rank")
+  }
+
   /** Embedding near-duplicate pairs: all (id1 < id2) pairs with cosine >=
     * threshold, bucketed by SRP so only same-bucket pairs are compared. */
   def embeddingNearDups(df: DataFrame, threshold: Double, dim: Int,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -63,4 +63,48 @@ object Incremental {
     df.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen) +: keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
+
+  /** A closed user session: [start_ms, end_ms] of activity with no gap
+    * longer than the configured timeout. */
+  final case class Session(key: String, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Internal per-key state (public: Catalyst codegen instantiates it). */
+  final case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Gap-based sessionization with custom keyed state
+    * (flatMapGroupsWithState + event-time timeout) — the "custom state"
+    * streaming surface (SURVEY §2.12's greenfield capability). A session
+    * closes, and is emitted, when the event-time watermark passes
+    * last-event + gapMs. State per key is O(1) (start/end/count), so the
+    * state store scales with ACTIVE keys, not history — the property that
+    * matters at 100TB/day of events. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gapMs: Long, watermark: String): Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark) // after the projection: a select on a
+      // watermarked column would strip the event-time tag
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(Session(key, st.start, st.end, st.n))
+          } else {
+            val ts = rows.map(_._2.getTime).toVector
+            val prev = state.getOption.getOrElse(SessionState(Long.MaxValue, Long.MinValue, 0L))
+            val next = SessionState(math.min(prev.start, ts.min),
+              math.max(prev.end, ts.max), prev.n + ts.size)
+            state.update(next)
+            state.setTimeoutTimestamp(next.end + gapMs)
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -1,0 +1,37 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("ivfTopK structure: k per query, no self-pairs, ranks 1..k") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val out = Similarity.ivfTopK(emb, queries, k = 3, nlist = 8, nprobe = 2).cache()
+    assert(out.where(col("query_id") === col("corpus_id")).count() == 0)
+    val perQ = out.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQ.forall(_ <= 3))
+    assert(out.where(col("rank") < 1 || col("rank") > 3).count() == 0)
+    out.unpersist()
+  }
+
+  test("ivfTopK recall vs brute force improves with nprobe") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int): Double = {
+      val approx = Similarity.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = nprobe)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      approx.intersect(exact).size.toDouble / exact.size
+    }
+    val r2 = recall(2)
+    val rFull = recall(16)
+    assert(rFull > 0.99, s"nprobe=nlist must be exhaustive (recall $rFull)")
+    assert(r2 <= rFull)
+    assert(r2 > 0.2, s"nprobe=2 recall unreasonably low: $r2")
+  }
+}
