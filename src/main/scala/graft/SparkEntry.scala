@@ -132,6 +132,12 @@ object SparkEntry {
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n"))),
+    "q15_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))),
     "q14_except_all" -> ((s, dir) => {
       // multiset difference (deep record equality surface, SURVEY §2.2/2.9)
       val a = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
@@ -182,6 +188,9 @@ object SparkEntry {
       t(s, dir, "events")
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("n"))),
+    "m10_salted_count" -> ((s, dir) =>
+      // two-stage skew-spread aggregation must equal the plain GROUP BY
+      graft.operators.Skew.saltedCount(t(s, dir, "events"), Seq("event_type"), 8)),
     "m07_avro_roundtrip" -> ((s, dir) => {
       // rows -> Avro binary -> rows through the avro-core codec; the
       // aggregate matching the plain-table oracle certifies the round-trip
@@ -514,6 +523,11 @@ object SparkEntry {
          |    ON q.bucket = c.bucket AND q.vec_id != c.vec_id)
          |WHERE rnk <= 5""".stripMargin
     },
+    "q15_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |COUNT(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "m10_salted_count" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type""".stripMargin,
     "q14_except_all" ->
       """SELECT custkey, COUNT(*) AS n FROM (
         |  SELECT o_custkey AS custkey FROM orders
