@@ -188,6 +188,11 @@ object SparkEntry {
       t(s, dir, "events")
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("n"))),
+    "m11_json_lines" -> ((s, dir) =>
+      // Avro->JSON line converter surface (FileSinkDataJSONConverter)
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          jsonObject(col("c_custkey"), col("c_name")).as("line"))),
     "m10_salted_count" -> ((s, dir) =>
       // two-stage skew-spread aggregation must equal the plain GROUP BY
       graft.operators.Skew.saltedCount(t(s, dir, "events"), Seq("event_type"), 8)),
@@ -528,6 +533,10 @@ object SparkEntry {
         |COUNT(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "m10_salted_count" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type""".stripMargin,
+    "m11_json_lines" ->
+      """SELECT c_custkey,
+        |to_json(struct_pack(c_custkey := c_custkey, c_name := c_name)) AS line
+        |FROM customer""".stripMargin,
     "q14_except_all" ->
       """SELECT custkey, COUNT(*) AS n FROM (
         |  SELECT o_custkey AS custkey FROM orders
