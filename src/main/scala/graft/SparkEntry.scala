@@ -258,6 +258,11 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.md5TokenHashes(col("text")).as("__h"))
         .select(col("doc_id"), Dedup.simhashBitsFromHashes(col("__h")).as("simhash"))),
 
+    "d07_winnowing" -> ((s, dir) =>
+      // rolling-hash (winnowing) fingerprints, one row per distinct minimum
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowingFingerprints(col("text"), k = 8, w = 4)).as("fp"))),
     "d06_ngram_jaccard" -> ((s, dir) => {
       // direct exact-Jaccard surface (not LSH-filtered): compare each doc
       // to the doc 250 ids later
@@ -495,6 +500,18 @@ object SparkEntry {
       }.mkString(" || ")
       s"SELECT doc_id, $bits AS simhash FROM (SELECT doc_id, $hs AS hs FROM documents)"
     },
+    "d07_winnowing" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+        |      i -> md5(substr(lower(text), i, 8))) AS grams
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(grams) - 3, 1) + 1),
+        |    j -> list_min(list_slice(grams, j, j + 3)))) AS fps
+        |  FROM g)
+        |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
     "d06_ngram_jaccard" -> {
       val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
       val sh =

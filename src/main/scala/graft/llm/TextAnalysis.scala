@@ -77,4 +77,21 @@ object TextAnalysis {
     * engines/runs agree — the property a 100TB dedup pass needs. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    * every character k-gram (rolling-hash role, realized as md5 for
+    * cross-engine stability), take the minimum hash of each window of w
+    * consecutive k-grams, and keep the distinct minima. Local edits
+    * perturb only nearby windows, so overlapping fingerprints survive —
+    * the plagiarism/near-dup detector that exact fingerprints can't be.
+    * Pure column expressions; stage the result like the MinHash pipeline
+    * when feeding joins. */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val t = lower(text)
+    val numGrams = greatest(length(t) - (k - 1), lit(1))
+    val grams = transform(sequence(lit(1), numGrams), i => md5(t.substr(i, lit(k))))
+    val numWindows = greatest(numGrams - (w - 1), lit(1))
+    val minima = transform(sequence(lit(1), numWindows), j => array_min(slice(grams, j, lit(w))))
+    array_distinct(minima)
+  }
 }
