@@ -259,10 +259,12 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhashBitsFromHashes(col("__h")).as("simhash"))),
 
     "d07_winnowing" -> ((s, dir) =>
-      // rolling-hash (winnowing) fingerprints, one row per distinct minimum
+      // rolling-hash (winnowing) fingerprints, one row per distinct minimum;
+      // gram hashes staged so window minima don't re-hash per window
       t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.charGramHashes(col("text"), k = 8).as("__g"))
         .select(col("doc_id"),
-          explode(TextAnalysis.winnowingFingerprints(col("text"), k = 8, w = 4)).as("fp"))),
+          explode(TextAnalysis.winnowingMinima(col("__g"), w = 4)).as("fp"))),
     "d06_ngram_jaccard" -> ((s, dir) => {
       // direct exact-Jaccard surface (not LSH-filtered): compare each doc
       // to the doc 250 ids later

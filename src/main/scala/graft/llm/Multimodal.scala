@@ -69,6 +69,30 @@ object Multimodal {
       mean_luma = mean, phash = hash)
   }
 
+  final case class AudioFeatures(media_id: Long, duration_ms: Long,
+                                 mean_amplitude: Double, fingerprint: String)
+
+  /** Audio feature extraction with the same production-shaped plumbing as
+    * the image path (mapPartitions batching, typed Dataset out); the
+    * decode kernel is a deterministic STUB (no audio codecs in this
+    * environment) deriving features from the raw bytes + metadata. */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.where(col("media_type") === "audio")
+      .select(col("media_id"), col("content"), col("meta.duration_ms"))
+      .as[(Long, Array[Byte], Option[Long])]
+      .mapPartitions { it =>
+        // per-partition codec init would go here (amortized)
+        it.map { case (id, bytes, dur) =>
+          val b = Option(bytes).getOrElse(Array.empty[Byte])
+          val mean = if (b.isEmpty) 0.0 else b.map(x => math.abs(x.toDouble)).sum / b.length
+          val fp = java.security.MessageDigest.getInstance("MD5").digest(b)
+            .take(8).map("%02x".format(_)).mkString
+          AudioFeatures(id, dur.getOrElse(0L), mean, fp)
+        }
+      }
+  }
+
   /** Frame sampling plumbing for video: emit one row per sampled frame index
     * (every `everyMs` ms of duration) with the parent id — the flatMap shape
     * a real frame extractor uses; frame bytes stubbed to null. */

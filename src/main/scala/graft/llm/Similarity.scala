@@ -23,6 +23,17 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Codegen'd cosine (native Catalyst expression,
+    * graft.functions.CosineSimilarity): bit-identical to `cosine` but the
+    * scoring loop compiles into whole-stage codegen instead of running
+    * interpreted higher-order-function lambdas per element — the hot inner
+    * loop of every similarity scan at scale. */
+  def cosineFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   /** Brute-force top-k: for each row of `queries`, the k nearest rows of
     * `corpus` by cosine. The query side is broadcast (it's the small side
     * by construction); scoring is a map-side nested loop over corpus
@@ -36,7 +47,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("score", cosine(col("qvec"), col("cvec")))
+      .withColumn("score", cosineFast(col("qvec"), col("cvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -85,7 +96,7 @@ object Similarity {
       srpBucket(col(vecCol), dim, planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("score", cosine(col("qvec"), col("cvec")))
+      .withColumn("score", cosineFast(col("qvec"), col("cvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -131,7 +142,7 @@ object Similarity {
     // score only within probed cells
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("score", cosine(col("qvec"), col("cvec")))
+      .withColumn("score", cosineFast(col("qvec"), col("cvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -149,7 +160,7 @@ object Similarity {
     val a = v.select(col("bucket"), col("id").as("id1"), col("vec").as("vec1"))
     val b = v.select(col("bucket"), col("id").as("id2"), col("vec").as("vec2"))
     a.join(b, Seq("bucket")).where(col("id1") < col("id2"))
-      .withColumn("score", cosine(col("vec1"), col("vec2")))
+      .withColumn("score", cosineFast(col("vec1"), col("vec2")))
       .where(col("score") >= threshold)
       .select("id1", "id2", "score")
   }

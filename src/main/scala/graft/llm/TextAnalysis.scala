@@ -78,20 +78,32 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
-    * every character k-gram (rolling-hash role, realized as md5 for
-    * cross-engine stability), take the minimum hash of each window of w
-    * consecutive k-grams, and keep the distinct minima. Local edits
-    * perturb only nearby windows, so overlapping fingerprints survive —
-    * the plagiarism/near-dup detector that exact fingerprints can't be.
-    * Pure column expressions; stage the result like the MinHash pipeline
-    * when feeding joins. */
-  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+  /** Character k-gram hashes of the lowercased text (the rolling-hash
+    * role, realized as md5 for cross-engine stability). MUST be staged in
+    * its own select before `winnowingMinima` reads it: a window lambda
+    * referencing this expression inline re-evaluates the WHOLE gram
+    * transform per window — O(n^2) lower+md5 per document (a 40x stall at
+    * sf0.1 before staging). */
+  def charGramHashes(text: Column, k: Int = 8): Column = {
     val t = lower(text)
     val numGrams = greatest(length(t) - (k - 1), lit(1))
-    val grams = transform(sequence(lit(1), numGrams), i => md5(t.substr(i, lit(k))))
-    val numWindows = greatest(numGrams - (w - 1), lit(1))
-    val minima = transform(sequence(lit(1), numWindows), j => array_min(slice(grams, j, lit(w))))
-    array_distinct(minima)
+    transform(sequence(lit(1), numGrams), i => md5(t.substr(i, lit(k))))
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) from a
+    * MATERIALIZED gram-hash array column: the minimum hash of each window
+    * of w consecutive k-gram hashes, distinct. Local edits perturb only
+    * nearby windows, so overlapping fingerprints survive — the
+    * plagiarism/near-dup detector that exact fingerprints can't be. */
+  def winnowingMinima(gramHashes: Column, w: Int = 4): Column = {
+    val numWindows = greatest(size(gramHashes) - (w - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), numWindows),
+      j => array_min(slice(gramHashes, j, lit(w)))))
+  }
+
+  /** Convenience fused form for SMALL inputs — on a corpus, stage:
+    * `select(charGramHashes(text))` then `select(winnowingMinima(col))`
+    * (see charGramHashes for why). */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    winnowingMinima(charGramHashes(text, k), w)
 }

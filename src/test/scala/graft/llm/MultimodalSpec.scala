@@ -47,6 +47,20 @@ class MultimodalSpec extends SparkTestBase {
       .rdd.getNumPartitions == 1)
   }
 
+  test("extractAudioFeatures: audio rows only, deterministic stub features") {
+    val rows = Seq(
+      Row(10L, "audio", Array[Byte](4, -4, 8), Row(null, null, 3000L, "opus")),
+      Row(11L, "image", Array[Byte](1), Row(2, 2, null, "png")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val out = Multimodal.extractAudioFeatures(spark, df).collect()
+    assert(out.length == 1)
+    assert(out.head.media_id == 10L)
+    assert(out.head.duration_ms == 3000L)
+    assert(out.head.mean_amplitude == (4 + 4 + 8) / 3.0)
+    assert(out.head.fingerprint.matches("[0-9a-f]{16}"))
+  }
+
   test("runner history round-trips through RunState") {
     import graft.exec.Runner
     val dir = tmpDir("hist")

@@ -55,6 +55,24 @@ class SimilaritySpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("cosineFast (codegen'd expression) is bit-identical to the HOF fold") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1")).limit(40)
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2")).limit(40)
+    val pairs = a.crossJoin(b).where(col("id1") =!= col("id2"))
+    val diffs = pairs.select(
+      Similarity.cosine(col("v1"), col("v2")).as("slow"),
+      Similarity.cosineFast(col("v1"), col("v2")).as("fast"))
+      .where(col("slow") =!= col("fast")) // bitwise-exact double equality
+      .count()
+    assert(diffs == 0, s"$diffs pairs diverged between fold and codegen cosine")
+    // null element poisons the result like the fold does
+    val s = spark; import s.implicits._
+    val withNull = Seq((Array(1.0f, 2.0f), Array[java.lang.Float](1.0f, null)))
+      .toDF("x", "y")
+    assert(withNull.select(Similarity.cosineFast(col("x"), col("y"))).head().isNullAt(0))
+  }
+
   test("cosine of identical vectors is 1.0 exactly enough") {
     val s = spark; import s.implicits._
     val df = Seq(Tuple1(Array(0.3f, -0.4f, 0.5f))).toDF("v")
