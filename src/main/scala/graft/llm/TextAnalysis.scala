@@ -97,8 +97,11 @@ object TextAnalysis {
     * plagiarism/near-dup detector that exact fingerprints can't be. */
   def winnowingMinima(gramHashes: Column, w: Int = 4): Column = {
     val numWindows = greatest(size(gramHashes) - (w - 1), lit(1))
+    // least(g[j..j+w-1]) via direct indexed lookups — a per-window slice()
+    // would allocate a w-element array per window; element_at beyond the
+    // array end yields null, which least() ignores (short trailing docs)
     array_distinct(transform(sequence(lit(1), numWindows),
-      j => array_min(slice(gramHashes, j, lit(w)))))
+      j => least((0 until w).map(s => element_at(gramHashes, j + lit(s))): _*)))
   }
 
   /** Convenience fused form for SMALL inputs — on a corpus, stage:
