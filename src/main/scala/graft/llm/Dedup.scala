@@ -143,16 +143,13 @@ object Dedup {
   /** Engine-portable SimHash over lowercased whitespace tokens, rendered as
     * a 64-char '0'/'1' string (MSB first — avoids signed-64 representation
     * mismatches between engines). Majority vote per bit position across
-    * token hashes, duplicates counted. */
-  def simhashBitsFromHashes(hashes: Column): Column = {
-    val bits = (63 to 0 by -1).map { j =>
-      val mask = lit(1L << j)
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
-      when(votes > 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
-  }
+    * token hashes, duplicates counted. Computed by the codegen'd
+    * graft.functions.SimhashBits expression (one loop over the hashes; the
+    * composable form was 64 interpreted aggregate passes). */
+  def simhashBitsFromHashes(hashes: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.SimhashBits(
+        org.apache.spark.sql.GraftColumnBridge.expression(hashes)))
 
   /** Convenience fused form — prefer the two-step
     * `select(md5TokenHashes)` -> `select(simhashBitsFromHashes)` on large
