@@ -262,7 +262,8 @@ object SparkEntry {
       // rolling-hash (winnowing) fingerprints, one row per distinct minimum;
       // gram hashes staged so window minima don't re-hash per window
       t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.charGramHashes(col("text"), k = 8).as("__g"))
+        .select(col("doc_id"), lower(col("text")).as("__t"))
+        .select(col("doc_id"), TextAnalysis.charGramHashes(col("__t"), k = 8).as("__g"))
         .select(col("doc_id"),
           explode(TextAnalysis.winnowingMinima(col("__g"), w = 4)).as("fp"))),
     "d06_ngram_jaccard" -> ((s, dir) => {

@@ -84,8 +84,11 @@ object TextAnalysis {
     * referencing this expression inline re-evaluates the WHOLE gram
     * transform per window — O(n^2) lower+md5 per document (a 40x stall at
     * sf0.1 before staging). */
-  def charGramHashes(text: Column, k: Int = 8): Column = {
-    val t = lower(text)
+  def charGramHashes(normalizedText: Column, k: Int = 8): Column = {
+    // expects ALREADY-normalized text (e.g. a staged lower(text) column):
+    // any expression passed here is re-evaluated per gram by the lambda —
+    // an inline lower() made this O(n^2) chars per document
+    val t = normalizedText
     val numGrams = greatest(length(t) - (k - 1), lit(1))
     transform(sequence(lit(1), numGrams), i => md5(t.substr(i, lit(k))))
   }
@@ -105,8 +108,8 @@ object TextAnalysis {
   }
 
   /** Convenience fused form for SMALL inputs — on a corpus, stage:
-    * `select(charGramHashes(text))` then `select(winnowingMinima(col))`
-    * (see charGramHashes for why). */
+    * `select(lower(text))` -> `select(charGramHashes(col))` ->
+    * `select(winnowingMinima(col))` (see charGramHashes for why). */
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
-    winnowingMinima(charGramHashes(text, k), w)
+    winnowingMinima(charGramHashes(lower(text), k), w)
 }
