@@ -270,7 +270,8 @@ object SparkEntry {
       // direct exact-Jaccard surface (not LSH-filtered): compare each doc
       // to the doc 250 ids later
       val sh = t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("__raw"))
+        .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("__toks"))
+        .select(col("doc_id"), Dedup.shinglesFromTokens(col("__toks"), 3).as("__raw"))
         .select(col("doc_id"), array_distinct(col("__raw")).as("sh"))
         // persisted: joined from both sides; without it the shingling
         // subtree runs twice (same reasoning as Dedup.nearDupPairs)

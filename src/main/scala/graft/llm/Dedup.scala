@@ -27,14 +27,20 @@ object Dedup {
     keyed.join(keep, Seq("__key", idCol), "left_semi").drop("__key")
   }
 
-  /** Word k-shingles of the normalized text. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
+  /** Word k-shingles from a MATERIALIZED token-array column (stage
+    * `tokens(lower(text))` in its own select first — the window lambda
+    * references the token expression once per shingle, so an inline
+    * tokenizer goes quadratic per document). */
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column = {
     val n = size(toks)
     when(n < k, array(concat_ws(" ", toks))).otherwise(
       transform(sequence(lit(0), n - k), i =>
         concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
+
+  /** Convenience fused form for small inputs (see shinglesFromTokens). */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(lower(text)), k)
 
   /** MinHash signature: for each of `numHashes` salted hash families, the
     * lexicographic minimum of md5(salt || shingle). Using the hex string
@@ -76,7 +82,9 @@ object Dedup {
     // TWO full scan->shingle->minhash subtrees (no exchange reuse across
     // the differently-aliased branches), doubling the dominant md5 cost.
     // Cache payload is ~(bands x 40B)/doc — tiny next to the text.
-    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("__sh"))
+    val sig = df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("id"), shinglesFromTokens(col("__toks"), k).as("__sh"))
       .select(col("id"), minhashSignature(col("__sh"), numHashes).as("sig"))
       .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
@@ -114,7 +122,9 @@ object Dedup {
     // persisted for the same reason as the band frame: joined twice (id1
     // and id2 sides) and Spark won't reuse the shingling subtree across
     // the two aliased branches
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__raw"))
+    val sh = df.select(col(idCol).as("__id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("__id"), shinglesFromTokens(col("__toks"), k).as("__raw"))
       .select(col("__id"), array_distinct(col("__raw")).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
