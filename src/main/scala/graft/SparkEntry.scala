@@ -31,9 +31,7 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- helpers
 
-  /** Normalized whitespace tokens of lowercased doc text (shared by several
-    * document queries; DuckDB twin is `dTokens`). */
-  private def docTokens: Column = TextAnalysis.tokens(lower(col("text")))
+  /** DuckDB twin of `TextAnalysis.tokens(lower(text))`. */
   private val dTokens = "list_filter(string_split(lower(text), ' '), x -> x != '')"
 
   // ---------------------------------------------------------------- queries
