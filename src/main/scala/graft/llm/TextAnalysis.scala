@@ -84,14 +84,12 @@ object TextAnalysis {
     * referencing this expression inline re-evaluates the WHOLE gram
     * transform per window — O(n^2) lower+md5 per document (a 40x stall at
     * sf0.1 before staging). */
-  def charGramHashes(normalizedText: Column, k: Int = 8): Column = {
-    // expects ALREADY-normalized text (e.g. a staged lower(text) column):
-    // any expression passed here is re-evaluated per gram by the lambda —
-    // an inline lower() made this O(n^2) chars per document
-    val t = normalizedText
-    val numGrams = greatest(length(t) - (k - 1), lit(1))
-    transform(sequence(lit(1), numGrams), i => md5(t.substr(i, lit(k))))
-  }
+  def charGramHashes(normalizedText: Column, k: Int = 8): Column =
+    // expects ALREADY-normalized text (e.g. a staged lower(text) column);
+    // codegen'd expression — one loop, no per-gram lambda interpretation
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.CharGramMd5(
+        org.apache.spark.sql.GraftColumnBridge.expression(normalizedText), k))
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) from a
     * MATERIALIZED gram-hash array column: the minimum hash of each window

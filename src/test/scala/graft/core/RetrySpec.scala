@@ -25,6 +25,24 @@ class RetrySpec extends SparkTestBase {
     assert(e.getMessage == "fail 3" && calls == 3)
   }
 
+  test("CharGramMd5 expression matches the composable transform form exactly") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val df = Seq("hello world, this is a test", "short", "ü-nicode ßtring here", "")
+      .toDF("t")
+    val k = 8
+    val composable = {
+      val t = col("t")
+      transform(sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+        i => md5(t.substr(i, lit(k))))
+    }
+    val diffs = df.select(
+      graft.llm.TextAnalysis.charGramHashes(col("t"), k).as("fast"),
+      composable.as("slow"))
+      .where(col("fast") =!= col("slow")).count()
+    assert(diffs == 0)
+  }
+
   test("winnowing fingerprints overlap for locally-edited docs") {
     import org.apache.spark.sql.functions._
     val s = spark; import s.implicits._
