@@ -256,6 +256,21 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.md5TokenHashes(col("text")).as("__h"))
         .select(col("doc_id"), Dedup.simhashBitsFromHashes(col("__h")).as("simhash"))),
 
+    "d08_minhash_estimate" -> ((s, dir) => {
+      // estimated Jaccard from signature agreement on the LSH candidates
+      // (the cheap pre-filter a verify pass would rank by at scale)
+      val docs = t(s, dir, "documents")
+      val sigs = docs
+        .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("__toks"))
+        .select(col("doc_id"), Dedup.shinglesFromTokens(col("__toks"), 3).as("__sh"))
+        .select(col("doc_id"), Dedup.minhashSignature(col("__sh"), 12).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.lshCandidatePairs(docs, "doc_id", "text")
+        .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+        .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+        .select(col("id1"), col("id2"),
+          Dedup.signatureSimilarity(col("sig1"), col("sig2")).as("est_jaccard"))
+    }),
     "d07_winnowing" -> ((s, dir) =>
       // rolling-hash (winnowing) fingerprints, one row per distinct minimum;
       // gram hashes staged so window minima don't re-hash per window
@@ -501,6 +516,28 @@ object SparkEntry {
         s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // $p) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
       }.mkString(" || ")
       s"SELECT doc_id, $bits AS simhash FROM (SELECT doc_id, $hs AS hs FROM documents)"
+    },
+    "d08_minhash_estimate" -> {
+      val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+      val sh =
+        s"""CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+           | ELSE list_transform(range(0, len($toks) - 2),
+           |   i -> array_to_string(list_slice($toks, i+1, i+3), ' ')) END""".stripMargin
+      val minh = (0 until 12)
+        .map(i => s"list_min(list_transform(sh, s -> md5('graft$i|' || s)))")
+        .mkString(", ")
+      val bandkeys = (0 until 4)
+        .map(b => s"md5('$b' || '|' || array_to_string(list_slice(sig, ${b * 3 + 1}, ${b * 3 + 3}), '|'))")
+        .mkString(", ")
+      s"""WITH shingled AS (SELECT doc_id, $sh AS sh FROM documents),
+         |sigs AS (SELECT doc_id, [$minh] AS sig FROM shingled),
+         |bands AS (SELECT doc_id, unnest([$bandkeys]) AS band FROM sigs),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id)
+         |SELECT id1, id2,
+         |  CAST(len(list_filter(range(1, 13), i -> x.sig[i] = y.sig[i])) AS DOUBLE)
+         |    / CAST(len(x.sig) AS DOUBLE) AS est_jaccard
+         |FROM cands JOIN sigs x ON x.doc_id = id1 JOIN sigs y ON y.doc_id = id2""".stripMargin
     },
     "d07_winnowing" ->
       """WITH g AS (
