@@ -328,9 +328,13 @@ object SparkEntry {
           .select(lit(k).as("fork_key"), lit(fork.count(k)).as("n"),
             col("n_stream"), col("sum_value"))
       }
-      val res = streams.reduce(_ union _)
-      fork.close() // streams recompute post-unpersist; results unchanged
-      res
+      // No fork.close() here: the returned plan executes AFTER this
+      // function returns, and closing first would certify the recompute
+      // path (3 re-scans of events) instead of the persisted one that
+      // production uses. Post-close recompute semantics are covered by
+      // ForkSpec; the persisted frame is session-scoped (events is small
+      // relative to executor storage at every tested sf).
+      streams.reduce(_ union _)
     }),
   )
 

@@ -96,13 +96,25 @@ object TextAnalysis {
     * of w consecutive k-gram hashes, distinct. Local edits perturb only
     * nearby windows, so overlapping fingerprints survive — the
     * plagiarism/near-dup detector that exact fingerprints can't be. */
-  def winnowingMinima(gramHashes: Column, w: Int = 4): Column = {
+  def winnowingMinima(gramHashes: Column, w: Int = 4): Column =
+    // codegen'd expression (graft.functions.WinnowingMinima): one fused
+    // loop per document instead of w boxed element_at + least lambda
+    // evaluations per window — this was the last interpreted hot loop on
+    // the bench (d07, 14% of round-2 total)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.WinnowingMinima(
+        org.apache.spark.sql.GraftColumnBridge.expression(gramHashes), w))
+
+  /** The composable (interpreted) form `winnowingMinima` replaces —
+    * kept as the semantic reference for the parity regression test. */
+  private[graft] def winnowingMinimaHof(gramHashes: Column, w: Int = 4): Column = {
     val numWindows = greatest(size(gramHashes) - (w - 1), lit(1))
     // least(g[j..j+w-1]) via direct indexed lookups — a per-window slice()
-    // would allocate a w-element array per window; element_at beyond the
-    // array end yields null, which least() ignores (short trailing docs)
+    // would allocate a w-element array per window; try_element_at beyond
+    // the array end yields null (ANSI element_at throws), which least()
+    // ignores (short trailing docs)
     array_distinct(transform(sequence(lit(1), numWindows),
-      j => least((0 until w).map(s => element_at(gramHashes, j + lit(s))): _*)))
+      j => least((0 until w).map(s => try_element_at(gramHashes, j + lit(s))): _*)))
   }
 
   /** Convenience fused form for SMALL inputs — on a corpus, stage:

@@ -50,6 +50,40 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows == Seq(true, false))
   }
 
+  test("WinnowingMinima expression matches the composable least/element_at form") {
+    val s = spark; import s.implicits._
+    // real corpus + handcrafted edges: shorter than w, exactly w, ties,
+    // repeated minima, single element
+    // CACHED barrier: without it, PushDownPredicate substitutes the minima
+    // expressions into a filter below this project, inlining the gram
+    // producer into the HOF lambda -> O(n^2) md5 per doc (the
+    // spark-hof-staging trap, in test form). Compare driver-side instead
+    // of via a filter for the same reason.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(lower(col("text")).as("__t"))
+      .select(TextAnalysis.charGramHashes(col("__t"), 8).as("g"))
+      .cache()
+    val edges = Seq(
+      Seq("b", "a", "c", "a", "d", "a"), Seq("z"), Seq("b", "a"),
+      Seq("a", "a", "a", "a", "a"), Seq("d", "c", "b", "a")).toDF("g")
+    // w=1 excluded: least() needs >=2 args, so the HOF reference form
+    // can't express it (the codegen form handles it as identity+distinct)
+    for (df <- Seq(docs, edges); w <- Seq(2, 4, 7)) {
+      val rows = df.select(
+        TextAnalysis.winnowingMinima(col("g"), w).as("fast"),
+        TextAnalysis.winnowingMinimaHof(col("g"), w).as("slow")).collect()
+      val diffs = rows.count(r => r.getSeq[String](0) != r.getSeq[String](1))
+      assert(diffs == 0, s"w=$w diverged between codegen and HOF minima")
+    }
+    docs.unpersist()
+    // empty array: one all-null window -> [null] (both forms)
+    val empty = Seq(Seq.empty[String]).toDF("g")
+      .select(TextAnalysis.winnowingMinima(col("g"), 4).as("fast"),
+        TextAnalysis.winnowingMinimaHof(col("g"), 4).as("slow"))
+      .head()
+    assert(empty.getSeq[String](0) == Seq(null) && empty.getSeq[String](1) == Seq(null))
+  }
+
   test("regexTokens splits words, numbers and symbols") {
     val r = one("ab12 cd, ef!").select(TextAnalysis.regexTokens(col("text")))
       .head().getSeq[String](0)

@@ -61,6 +61,17 @@ class ForkSpec extends SparkTestBase {
     } finally fork.close()
   }
 
+  test("post-close recompute: streams stay correct after unpersist") {
+    // m06 certifies the persisted path; this covers the other lifecycle —
+    // a consumer holding a stream past close() gets the same rows back
+    // (the plan recomputes from source, it doesn't dangle).
+    val fork = Fork(df, Seq((col("id") > 50) -> 1))
+    val s1 = fork.stream(1)
+    fork.close()
+    assert(s1.count() == 50)
+    assert(fork.count(1) == 50) // counts were captured at materialization
+  }
+
   test("a record matching no condition appears in no stream but counts as input") {
     val fork = Fork(df, Seq((col("kind") === "even") -> 0))
     try {
