@@ -302,10 +302,17 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
     "s02_ann_topk" -> ((s, dir) => {
+      // multi-probe SRP (Hamming <= 1): ~9x the single-probe candidate
+      // set at 8 planes, still ~3.5% of the corpus per query
       val emb = t(s, dir, "embeddings")
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        dim = 64, planes = 8)
+        dim = 64, planes = 8, probeRadius = 1)
     }),
+    "s05_embedding_neardups" -> ((s, dir) =>
+      // near-dup pair surface under the oracle: multi-probe bucketed
+      // self-join, pairs within Hamming<=1 buckets scored by cosine
+      Similarity.embeddingNearDups(t(s, dir, "embeddings"),
+        threshold = 0.40, dim = 64, planes = 8, probeRadius = 1)),
     "s03_srp_buckets" -> ((s, dir) =>
       // LSH bucket histogram — certifies srpBucket itself (and would catch
       // a degenerate-weights regression as a 2-bucket histogram)
@@ -360,6 +367,10 @@ object SparkEntry {
       s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
   }
+  /** DuckDB twin of `Similarity.srpProbeBuckets(bucket, planes, 1)`:
+    * the bucket itself plus every single-bit flip. */
+  private def duckProbes(bucket: String, planes: Int): String =
+    s"([$bucket::BIGINT] || list_transform(range(0, $planes), p -> xor($bucket::BIGINT, (1::BIGINT << p))))"
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -580,13 +591,27 @@ object SparkEntry {
     "s02_ann_topk" -> {
       val bucket = duckSrpBucket("embedding", 64, 8)
       val cos = duckCos("q.embedding", "c.embedding")
-      s"""WITH v AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+      s"""WITH v AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |q AS (SELECT vec_id, embedding,
+         |        unnest(${duckProbes("bucket", 8)}) AS bucket
+         |      FROM v WHERE vec_id < 10)
          |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, $cos AS score,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
-         |  FROM v c JOIN (SELECT * FROM v WHERE vec_id < 10) q
+         |  FROM v c JOIN q
          |    ON q.bucket = c.bucket AND q.vec_id != c.vec_id)
          |WHERE rnk <= 5""".stripMargin
+    },
+    "s05_embedding_neardups" -> {
+      val bucket = duckSrpBucket("embedding", 64, 8)
+      val cos = duckCos("a.embedding", "b.embedding")
+      s"""WITH v AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |a AS (SELECT vec_id, embedding,
+         |        unnest(${duckProbes("bucket", 8)}) AS bucket FROM v)
+         |SELECT id1, id2, score FROM (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2, $cos AS score
+         |  FROM a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE score >= 0.40""".stripMargin
     },
     "q15_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
