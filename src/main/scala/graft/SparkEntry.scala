@@ -34,6 +34,22 @@ object SparkEntry {
   /** DuckDB twin of `TextAnalysis.tokens(lower(text))`. */
   private val dTokens = "list_filter(string_split(lower(text), ' '), x -> x != '')"
 
+  /** IVF centroids, fit ONCE per (dir, nlist) within this JVM. The s04
+    * oracle embeds the SAME doubles as SQL literals (Double.toString
+    * round-trips through DuckDB's strtod), so query and oracle share one
+    * quantizer even though a k-means fit is not bit-reproducible across
+    * runs — Verify runs the query (which populates this cache) before it
+    * dumps oracle_sql.json, which is the ordering that matters. */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  @volatile private var lastIvfCentroids: Array[Array[Double]] = _
+  private def ivfCentroids(s: SparkSession, dir: String, nlist: Int): Array[Array[Double]] = {
+    val cs = ivfCache.getOrElseUpdate(s"$dir|$nlist",
+      Similarity.fitCentroids(t(s, dir, "embeddings"), nlist))
+    lastIvfCentroids = cs
+    cs
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -308,6 +324,14 @@ object SparkEntry {
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
         dim = 64, planes = 8, probeRadius = 1)
     }),
+    "s04_ivf_topk" -> ((s, dir) => {
+      // IVF ANN: map-side argmin cell assignment over the fitted literal
+      // centroids; queries probe their 4 nearest of 16 cells (~25% of the
+      // corpus scanned per query at this operating point)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKLiteral(emb, emb.filter(col("vec_id") < 10), k = 5,
+        ivfCentroids(s, dir, 16), nprobe = 4)
+    }),
     "s05_embedding_neardups" -> ((s, dir) =>
       // near-dup pair surface under the oracle: multi-probe bucketed
       // self-join, pairs within Hamming<=1 buckets scored by cosine
@@ -371,6 +395,11 @@ object SparkEntry {
     * the bucket itself plus every single-bit flip. */
   private def duckProbes(bucket: String, planes: Int): String =
     s"([$bucket::BIGINT] || list_transform(range(0, $planes), p -> xor($bucket::BIGINT, (1::BIGINT << p))))"
+  /** DuckDB twin of Similarity's squared-L2 fold against a literal
+    * centroid (same left-to-right accumulation; (x-c)*(x-c) evaluated
+    * twice on both sides). */
+  private def duckSqDist(v: String, c: String) =
+    s"list_reduce(list_transform(range(1, len($v)+1), i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])), (x,y) -> x+y)"
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -601,6 +630,41 @@ object SparkEntry {
          |  FROM v c JOIN q
          |    ON q.bucket = c.bucket AND q.vec_id != c.vec_id)
          |WHERE rnk <= 5""".stripMargin
+    },
+    "s04_ivf_topk" -> {
+      // Mirrors ivfTopKLiteral with the centroids the s04 query fit (see
+      // ivfCentroids): same distance-list literals -> same argmin cell
+      // assignment (list_position = first-match, like array_position),
+      // same (dist, cell) probe ranking, same cosine scoring.
+      val cents = Option(lastIvfCentroids).getOrElse(
+        // defensive: s04's query didn't run first — emit a row-less
+        // probe so only s04's row (not the whole JSON) goes red
+        Array.empty[Array[Double]])
+      if (cents.isEmpty)
+        """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS corpus_id,
+          |CAST(NULL AS DOUBLE) AS score, CAST(NULL AS INTEGER) AS rank WHERE FALSE""".stripMargin
+      else {
+        val nlist = cents.length
+        val dl = cents.map { c =>
+          duckSqDist("embedding", s"([${c.mkString(",")}]::DOUBLE[])")
+        }.mkString("[", ",\n", "]")
+        val cos = duckCos("p.embedding", "a.embedding")
+        s"""WITH al AS (SELECT vec_id, embedding, $dl AS dl FROM embeddings),
+           |a AS (SELECT vec_id, embedding,
+           |        (list_position(dl, list_min(dl)) - 1) AS cell FROM al),
+           |p AS (SELECT vec_id, embedding, cell FROM (
+           |  SELECT vec_id, embedding, r.cell,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dl[(r.cell)::INT + 1] ASC, r.cell ASC) AS rn
+           |  FROM (SELECT * FROM al WHERE vec_id < 10) ql
+           |  CROSS JOIN (SELECT unnest(range(0, $nlist)) AS cell) r)
+           |  WHERE rn <= 4)
+           |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank FROM (
+           |  SELECT p.vec_id AS query_id, a.vec_id AS corpus_id, $cos AS score,
+           |    row_number() OVER (PARTITION BY p.vec_id ORDER BY $cos DESC, a.vec_id) AS rnk
+           |  FROM a JOIN p ON a.cell = p.cell AND p.vec_id != a.vec_id)
+           |WHERE rnk <= 5""".stripMargin
+      }
     },
     "s05_embedding_neardups" -> {
       val bucket = duckSrpBucket("embedding", 64, 8)

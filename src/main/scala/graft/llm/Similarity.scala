@@ -133,42 +133,61 @@ object Similarity {
       .select("query_id", "corpus_id", "score", "rank")
   }
 
-  /** IVF (inverted-file) ANN — the centroid-quantized scale path next to
-    * the SRP one: k-means coarse centroids partition the corpus into
-    * `nlist` cells; a query probes only its `nprobe` nearest cells, so
-    * search cost is ~O(N * nprobe / nlist) with recall controlled by
-    * nprobe. The cell assignment is the shuffle key — at 100TB the
-    * assigned corpus would be written bucketed by cell so probes prune
-    * partitions instead of scanning. Centroids are tiny (nlist x dim) and
-    * broadcast via a literal-free crossJoin of the centroid DataFrame. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int, nprobe: Int, idCol: String = "vec_id",
-              vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+  /** Squared-L2 fold between a vector column and a literal centroid —
+    * left-to-right double accumulation, DuckDB-mirrorable like `dot`. */
+  private def sqDistLit(vec: Column, centroid: Array[Double]): Column =
+    aggregate(zip_with(vec, typedLit(centroid),
+      (x, c) => { val d = x.cast("double") - c; d * d }), lit(0.0), (a, v) => a + v)
+
+  /** Fit the IVF coarse quantizer: `nlist` k-means centroids. Fit once,
+    * then pass the centers to `ivfTopKLiteral` — at 100TB the centers are
+    * fit on a sample, frozen, and shipped as literals with the job (the
+    * corpus itself is written bucketed by cell so probes prune files). */
+  def fitCentroids(corpus: DataFrame, nlist: Int, vecCol: String = "embedding",
+                   seed: Long = 42L): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe not in [1, $nlist]")
-    val spark = corpus.sparkSession
+    import org.apache.spark.ml.functions.array_to_vector
     val withVec = corpus.withColumn("__v",
       array_to_vector(col(vecCol).cast("array<double>")))
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__v")
       .setPredictionCol("__cell").fit(withVec)
-    val assigned = model.transform(withVec)
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"), col("__cell").as("cell"))
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray) }).toDF("cell", "centroid")
-    // nprobe nearest centroids per query (centroid set is tiny: broadcast)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** IVF (inverted-file) ANN with explicit centroids: the corpus's cell
+    * assignment is a MAP-SIDE argmin over literal-centroid distance folds
+    * (no join, no shuffle, no N*nlist row blowup — the assignment a
+    * 100TB bucketed-write layout would persist); queries rank cells and
+    * probe the `nprobe` nearest, so search cost is ~O(N * nprobe / nlist)
+    * with recall controlled by nprobe. Every arithmetic step is a
+    * deterministic left-to-right fold with first-match argmin tie-break,
+    * so a DuckDB oracle given the same centroid literals reproduces cell
+    * assignment, probe ranking, and scores bit-exactly (s04). */
+  def ivfTopKLiteral(corpus: DataFrame, queries: DataFrame, k: Int,
+                     centroids: Array[Array[Double]], nprobe: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val nlist = centroids.length
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe not in [1, $nlist]")
+    def distArr(vec: Column): Column =
+      array(centroids.map(c => sqDistLit(vec, c)).toIndexedSeq: _*)
+    // distance array staged (multi-use: argmin reads it twice)
+    val assigned = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+        distArr(col(vecCol)).as("__dl"))
+      .select(col("corpus_id"), col("cvec"),
+        (array_position(col("__dl"), array_min(col("__dl"))) - 1)
+          .cast("int").as("cell"))
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").asc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cdist",
-        aggregate(zip_with(col("qvec"), col("centroid"),
-          (x, c) => { val d = x.cast("double") - c; d * d }), lit(0.0), (a, v) => a + v))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        distArr(col(vecCol)).as("__dl"))
+      .select(col("query_id"), col("qvec"),
+        posexplode(col("__dl")).as(Seq("cell", "cdist")))
       .withColumn("prank", row_number().over(wCell))
       .where(col("prank") <= nprobe)
-      .select("query_id", "qvec", "cell")
-    // score only within probed cells
+      .select(col("query_id"), col("qvec"), col("cell").cast("int").as("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("corpus_id"))
       .withColumn("score", cosineFast(col("qvec"), col("cvec")))
@@ -178,6 +197,15 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "corpus_id", "score", "rank")
   }
+
+  /** Convenience fused fit+search form (unit-level entry; the oracle-gated
+    * path is fitCentroids + ivfTopKLiteral so the centroids can be
+    * mirrored into the DuckDB SQL as literals). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int, nprobe: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding", seed: Long = 42L): DataFrame =
+    ivfTopKLiteral(corpus, queries, k,
+      fitCentroids(corpus, nlist, vecCol, seed), nprobe, idCol, vecCol)
 
   /** Embedding near-duplicate pairs: all (id1 < id2) pairs with cosine >=
     * threshold, bucketed by SRP so only near-bucket pairs are compared.
