@@ -219,6 +219,15 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
     }),
+    "m13_avro_rdd_roundtrip" -> ((s, dir) => {
+      // the RDD-codec twin of m07: same semantics, kept verified so the
+      // bench exposes the expression-vs-RDD codec delta on a like basis
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      val avroJson = SchemaBridge.structToAvro(docs.schema).toString
+      SchemaBridge.decodeViaRdd(SchemaBridge.encodeViaRdd(docs), avroJson)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+    }),
     "m08_conform" -> ((s, dir) => {
       val target = StructType(Seq(
         StructField("event_id", LongType),
@@ -343,6 +352,72 @@ object SparkEntry {
       t(s, dir, "embeddings")
         .select(Similarity.srpBucket(col("embedding"), 64, 8).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))),
+
+    // ---- orchestration spine end-to-end (Runner + SubDag + Fork) --------
+    "m12_multi_pipeline" -> ((s, dir) => {
+      // Two concurrent pipelines through the production spine: (1) events
+      // validate -> Fork valid/error split -> SubDag two-phase commit
+      // (valid parquet published by rename AFTER all executes succeed;
+      // errors to the reference-schema error table), (2) orders summary.
+      // Runner runs them in parallel FAIR pools; RunState records history.
+      // The returned aggregates read back BOTH sinks' published outputs.
+      import graft.core.RunState
+      import graft.exec.{Runner, SubDag}
+      import graft.sinks.Sinks
+      val out = java.nio.file.Files.createTempDirectory("m12").toString
+      val rules = Seq(
+        Validator.Rule("value_out_of_range", col("value") < 1),
+        Validator.Rule("error_event", col("event_type") === "error"))
+      val eventsSplit: SparkSession => Unit = sp => {
+        val withErr = Validator.withErrors(
+          sp.read.parquet(s"$dir/events.parquet"), rules)
+        val fork = Fork.validErrorSplit(withErr, Validator.ErrorCol)
+        try {
+          val staging = s"$out/_staging_events_valid"
+          val dag = SubDag("events_root", children = Seq(
+            SubDag("valid", priority = 0,
+              execute = df => Sinks.writeFile(df, staging),
+              commit = () => require(new java.io.File(staging).renameTo(
+                new java.io.File(s"$out/events_valid")), "publish rename failed")),
+            SubDag("errors", priority = 1,
+              execute = df => Sinks.writeErrorTable(df, s"$out/events_errors",
+                appId = "m12", rowKeyCol = "event_id"))))
+          SubDag.run(dag, withErr, routeForChild = (child, _) =>
+            if (child.name == "valid") fork.stream(0).drop(Validator.ErrorCol)
+            else fork.stream(1))
+        } finally fork.close()
+      }
+      val ordersSummary: SparkSession => Unit = sp =>
+        Sinks.writeFile(
+          sp.read.parquet(s"$dir/orders.parquet")
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_orders"),
+              decimalSum(col("o_totalprice"), 2).as("total_price")),
+          s"$out/orders_summary")
+      val state = new RunState(s"$out/_state")
+      val results = Runner.runAll(s, Seq(
+        "events_split" -> eventsSplit, "orders_summary" -> ordersSummary))
+      Runner.saveHistory(state, results)
+      state.commit()
+      require(results.forall(_.result.isSuccess),
+        s"pipeline failed: ${results.filter(_.result.isFailure)}")
+      // aggregates over the PUBLISHED outputs (post-commit paths)
+      val valid = s.read.parquet(s"$out/events_valid")
+        .agg(count(lit(1)).as("n"), decimalSum(col("value"), 2).as("metric"))
+        .select(lit("events_valid").as("part"), col("n"), col("metric"))
+      val errTbl = s.read.parquet(s"$out/events_errors")
+      val errParts = Seq("value_out_of_range", "error_event").map { rule =>
+        errTbl.filter(col("exception") === rule)
+          .agg(count(lit(1)).as("n"))
+          .select(lit(rule).as("part"), col("n"),
+            lit(null).cast("double").as("metric"))
+      }
+      val summary = s.read.parquet(s"$out/orders_summary")
+        .agg(count(lit(1)).as("n"),
+          sum(col("total_price").cast("decimal(27,2)")).cast("double").as("metric"))
+        .select(lit("orders_summary").as("part"), col("n"), col("metric"))
+      (valid +: errParts :+ summary).reduce(_ union _)
+    }),
 
     // ---- fork operator end-to-end (through the Fork class) --------------
     "m06_fork_streams" -> ((s, dir) => {
@@ -695,6 +770,9 @@ object SparkEntry {
     "m07_avro_roundtrip" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
+    "m13_avro_rdd_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin,
     "m08_conform" ->
       """SELECT event_id, value, CAST(user_id AS VARCHAR) AS user_id,
         |CAST(NULL AS VARCHAR) AS added_col FROM events""".stripMargin,
@@ -706,6 +784,23 @@ object SparkEntry {
       s"""SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n
          |FROM (SELECT $bucket AS bucket FROM embeddings) GROUP BY 1""".stripMargin
     },
+    "m12_multi_pipeline" ->
+      // Mirrors the two published sinks from raw tables: valid = no rule
+      // fired (rule conditions are null-safe CASE arms, so NULL = not
+      // fired); error parts keyed by FIRST failing rule (CASE order);
+      // orders_summary re-aggregated through the same decimal path.
+      s"""SELECT 'events_valid' AS part, COUNT(*) AS n,
+         |${dsum("value", 2, "metric")} FROM events
+         |WHERE NOT COALESCE(value < 1, FALSE) AND NOT COALESCE(event_type = 'error', FALSE)
+         |UNION ALL SELECT 'value_out_of_range', COUNT(*), CAST(NULL AS DOUBLE)
+         |FROM events WHERE COALESCE(value < 1, FALSE)
+         |UNION ALL SELECT 'error_event', COUNT(*), CAST(NULL AS DOUBLE)
+         |FROM events WHERE NOT COALESCE(value < 1, FALSE) AND COALESCE(event_type = 'error', FALSE)
+         |UNION ALL SELECT 'orders_summary', COUNT(*),
+         |CAST(SUM(CAST(total_price AS DECIMAL(27,2))) AS DOUBLE) FROM (
+         |  SELECT o_orderpriority,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total_price
+         |  FROM orders GROUP BY 1)""".stripMargin,
     "m06_fork_streams" -> {
       def one(k: Int, where: String) =
         s"""SELECT $k AS fork_key, COUNT(*) AS n, COUNT(*) AS n_stream,

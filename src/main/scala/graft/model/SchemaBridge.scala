@@ -167,8 +167,34 @@ object SchemaBridge {
 
   /** Encode every row to Avro binary; result has one `value: binary`
     * column (the shape a schema-registry Kafka producer writes —
-    * HDFSSchemaService.java:242-248). */
+    * HDFSSchemaService.java:242-248). Runs through the codegen'd
+    * `AvroEncode` expression: the row stays in Tungsten, no RDD detour. */
   def encode(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct}
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val avroJson = structToAvro(df.schema).toString
+    df.select(column(graft.functions.AvroEncode(
+      expression(struct(df.columns.toIndexedSeq.map(col): _*)), avroJson)).as("value"))
+  }
+
+  /** Decode a `value: binary` column of Avro records written with
+    * `writerSchemaJson` back into typed rows
+    * (HDFSSchemaService.java:213-219), via the codegen'd `AvroDecode`
+    * expression. */
+  def decode(bytes: DataFrame, writerSchemaJson: String,
+             valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    bytes
+      .select(column(graft.functions.AvroDecode(
+        expression(col(valueCol)), writerSchemaJson)).as("__r"))
+      .select(col("__r.*"))
+  }
+
+  /** The pre-expression RDD forms of encode/decode — kept as the semantic
+    * reference (SchemaBridgeSpec asserts byte/row parity with the
+    * expression path) and as the bench comparison point (m13 vs m07). */
+  def encodeViaRdd(df: DataFrame): DataFrame = {
     val st = df.schema
     val avroJson = structToAvro(st).toString
     val spark = df.sparkSession
@@ -189,11 +215,9 @@ object SchemaBridge {
       StructType(Seq(StructField("value", BinaryType, nullable = false))))
   }
 
-  /** Decode a `value: binary` column of Avro records written with
-    * `writerSchemaJson` back into typed rows
-    * (HDFSSchemaService.java:213-219). */
-  def decode(bytes: DataFrame, writerSchemaJson: String,
-             valueCol: String = "value"): DataFrame = {
+  /** RDD twin of `decode` — see `encodeViaRdd`. */
+  def decodeViaRdd(bytes: DataFrame, writerSchemaJson: String,
+                   valueCol: String = "value"): DataFrame = {
     val st = avroToStruct(new Schema.Parser().parse(writerSchemaJson))
     val spark = bytes.sparkSession
     val idx = bytes.schema.fieldIndex(valueCol)

@@ -62,6 +62,31 @@ class SchemaBridgeSpec extends SparkTestBase {
     encoded.unpersist()
   }
 
+  test("expression codec is byte- and row-identical to the RDD codec") {
+    val rows = Seq(
+      Row(1L, "alice", 0.5, Timestamp.valueOf("2024-01-15 10:30:00.123"),
+        Array[Byte](1, 2, 3), Seq("a", "b"), Map("k" -> 9L), Row("sf", 94107)),
+      Row(2L, null, -1.25, null, null, null, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val avroJson = SchemaBridge.structToAvro(schema).toString
+    // byte parity: same Avro binary from both encoders
+    val exprBytes = SchemaBridge.encode(df).collect()
+      .map(_.getAs[Array[Byte]](0).toSeq).toSet
+    val rddBytes = SchemaBridge.encodeViaRdd(df).collect()
+      .map(_.getAs[Array[Byte]](0).toSeq).toSet
+    assert(exprBytes == rddBytes)
+    // row parity: each decoder inverts the other's encoder (blob hexed —
+    // Array[Byte] equality inside Row is referential)
+    def render(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("blob", org.apache.spark.sql.functions.hex(
+        org.apache.spark.sql.functions.col("blob")))
+      .collect().map(_.toString).sorted.toSeq
+    val viaExpr = SchemaBridge.decode(SchemaBridge.encodeViaRdd(df), avroJson)
+    val viaRdd = SchemaBridge.decodeViaRdd(SchemaBridge.encode(df), avroJson)
+    assert(viaExpr.schema == viaRdd.schema)
+    assert(render(viaExpr) == render(viaRdd))
+  }
+
   test("date and decimal serialize as portable strings") {
     val st = StructType(Seq(
       StructField("d", DateType, nullable = false),
