@@ -1,0 +1,95 @@
+package graft
+
+import graft.llm.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Adversarial-scale dedup bench — the closest local proxy for the 100TB
+  * claim. Builds a duplicate-heavy corpus >=100x the sf0.1 documents table
+  * with SKEWED near-dup clusters (every base doc replicated with a small
+  * trailing edit; a few "boilerplate" docs replicated thousands of times —
+  * the mega-cluster that turns naive LSH pairing quadratic), writes it as
+  * parquet, then measures the production dedup surfaces over real scans:
+  *
+  *   - exact dedup (fingerprint groupBy) over the full corpus;
+  *   - LSH candidate pairing WITH the bucket-size cap (hot boilerplate
+  *     buckets are dropped from pairing — they're duplicate GROUPS, found
+  *     in O(B) by the exact/keep-min path, not O(B^2) pair listing);
+  *   - winnowing fingerprints (the chargram-md5 + codegen'd minima path).
+  *
+  * Emits one JSON line (and SCALE_BENCH.json) with corpus size, per-stage
+  * seconds, and result cardinalities. Run:
+  *   sbt "runMain graft.ScaleBench" (env: SPARK_GRAFT_SF_DIR, GRAFT_SCALE_COLD,
+  *   GRAFT_SCALE_HOT to shrink for smoke runs)
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val coldReps = sys.env.getOrElse("GRAFT_SCALE_COLD", "60").toInt   // per ordinary doc
+    val hotReps = sys.env.getOrElse("GRAFT_SCALE_HOT", "2500").toInt   // per boilerplate doc
+    val spark = graft.core.GraftSession.local("graft-scale-bench")
+    val t0 = System.nanoTime()
+    def secs(since: Long): Double = (System.nanoTime() - since) / 1e9
+
+    // ---- corpus build: one parquet table, skewed near-dup clusters ------
+    val gen = System.nanoTime()
+    // repartition the (small, single-file) base BEFORE the explode: the
+    // 100x replication and everything downstream parallelizes over all
+    // cores, and the corpus lands as enough files for parallel scans
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .repartition(64)
+    // doc_id % 50 == 0 -> boilerplate: hotReps EXACT copies (the verbatim
+    // mega-cluster exact dedup collapses in O(B) and the LSH cap keeps out
+    // of O(B^2) pairing); other docs -> coldReps NEAR-dup replicas (a
+    // trailing revision token differs, so replicas share all but the last
+    // few shingles — jaccard ~0.9+, LSH's job)
+    val replicated = base
+      .withColumn("__hot", col("doc_id") % 50 === 0)
+      .withColumn("__reps", when(col("__hot"), lit(hotReps)).otherwise(lit(coldReps)))
+      .select(col("doc_id"), col("text"), col("__hot"),
+        explode(sequence(lit(0), col("__reps") - 1)).as("rep"))
+      .select((col("doc_id") * 100000 + col("rep")).as("doc_id"),
+        when(col("__hot"), col("text"))
+          .otherwise(concat(col("text"), lit(" rev "), col("rep").cast("string")))
+          .as("text"))
+    val corpusPath = java.nio.file.Files.createTempDirectory("graft-scale").toString + "/corpus"
+    replicated.write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val nDocs = corpus.count()
+    val genSecs = secs(gen)
+
+    // ---- exact dedup: the O(B) path that owns the mega-clusters ---------
+    val tExact = System.nanoTime()
+    val nExactGroups = corpus
+      .select(Dedup.exactKey(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .count()
+    val exactSecs = secs(tExact)
+
+    // ---- LSH candidates with the bucket cap -----------------------------
+    val cap = 256
+    val tLsh = System.nanoTime()
+    val nCands = Dedup.lshCandidatePairs(corpus, "doc_id", "text",
+      maxBucketSize = Some(cap)).count()
+    val lshSecs = secs(tLsh)
+
+    // ---- winnowing fingerprints (codegen'd chargram + minima) -----------
+    val tWin = System.nanoTime()
+    val nFps = corpus
+      .select(col("doc_id"), lower(col("text")).as("__t"))
+      .select(col("doc_id"), TextAnalysis.charGramHashes(col("__t"), k = 8).as("__g"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnowingMinima(col("__g"), w = 4)).as("fp"))
+      .count()
+    val winSecs = secs(tWin)
+
+    val line =
+      s"""{"metric":"scale_dedup","unit":"sec","sf":"$sfDir","docs":$nDocs,""" +
+      s""""gen_secs":$genSecs,"exact_secs":$exactSecs,"exact_groups":$nExactGroups,""" +
+      s""""lsh_secs":$lshSecs,"lsh_cands":$nCands,"bucket_cap":$cap,""" +
+      s""""winnow_secs":$winSecs,"winnow_fps":$nFps,"total_secs":${secs(t0)}}"""
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_BENCH.json"), line + "\n")
+    spark.stop()
+  }
+}

@@ -44,31 +44,50 @@ case class CharGramMd5(child: Expression, k: Int) extends UnaryExpression {
 object CharGramMd5 {
   private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
-  private val hexChars = "0123456789abcdef".toCharArray
-
-  private def md5Hex(s: UTF8String): UTF8String = {
-    val d = digest.get()
-    d.reset()
-    val bytes = d.digest(s.getBytes)
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
-      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
-      i += 1
-    }
-    UTF8String.fromString(new String(out))
-  }
+  private val digestBuf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16))
+  private val hexBytes = "0123456789abcdef".getBytes
 
   /** All k-gram md5 hex hashes of `t` (single gram of the whole string
-    * when shorter than k — sequence(1, max(n-k+1, 1)) semantics). */
+    * when shorter than k — sequence(1, max(n-k+1, 1)) semantics).
+    *
+    * Hot path of the winnowing pipeline: instead of materializing a
+    * UTF8String + byte[] per gram (substringSQL copies), code-point byte
+    * offsets are computed once and each gram digests a slice of the base
+    * byte array in place; the hex render writes straight into the output
+    * UTF8String's backing array. Identical output to
+    * `md5(substringSQL(i, k))` — same code-point slicing, same UTF-8
+    * bytes digested (parity-tested against the composable form). */
   def grams(t: UTF8String, k: Int): GenericArrayData = {
-    val n = math.max(t.numChars() - (k - 1), 1)
+    val nChars = t.numChars()
+    val n = math.max(nChars - (k - 1), 1)
+    val bytes = t.getBytes
+    val offs = new Array[Int](nChars + 1)
+    var ci = 0; var bi = 0
+    while (ci < nChars) {
+      offs(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offs(nChars) = bytes.length
+    val d = digest.get()
+    val md = digestBuf.get()
     val arr = new Array[Any](n)
-    var i = 0
-    while (i < n) {
-      arr(i) = md5Hex(t.substringSQL(i + 1, k))
-      i += 1
+    var g = 0
+    while (g < n) {
+      val start = offs(g)
+      val end = offs(math.min(g + k, nChars))
+      d.reset()
+      d.update(bytes, start, end - start)
+      d.digest(md, 0, 16)
+      val hex = new Array[Byte](32)
+      var i = 0
+      while (i < 16) {
+        hex(2 * i) = hexBytes((md(i) >> 4) & 0xf)
+        hex(2 * i + 1) = hexBytes(md(i) & 0xf)
+        i += 1
+      }
+      arr(g) = UTF8String.fromBytes(hex)
+      g += 1
     }
     new GenericArrayData(arr)
   }

@@ -63,9 +63,18 @@ object Dedup {
   /** Candidate near-dup pairs via LSH: explode band keys, self-join per
     * bucket (id1 < id2), distinct. The shuffle key is the 32-char band
     * bucket; bucket sizes are bounded by band selectivity, and AQE's skew
-    * join handles hot buckets. */
+    * join handles hot buckets.
+    *
+    * `maxBucketSize` is the adversarial-corpus guard: a bucket of B docs
+    * emits O(B^2) candidate pairs, so one boilerplate mega-cluster (every
+    * replica sharing every band key) turns the pair list quadratic no
+    * matter how well the bands select. Capped buckets are DROPPED from
+    * pairing — at scale such buckets are near-identical duplicate groups
+    * that exact dedup / keep-min-per-bucket handles in O(B), which is the
+    * standard large-scale LSH practice. DedupScaleSpec asserts the bound. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+                        k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
     // Fail fast on misconfiguration: silent integer division would ignore
     // trailing signature components, and bands > numHashes would make every
     // band key a constant (all docs collide into one bucket = cross join).
@@ -89,11 +98,21 @@ object Dedup {
       .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bucket-size cap: count per band key (a tiny aggregate over the
+    // persisted (band, id) frame) and keep only rows in buckets <= cap.
+    val pruned = maxBucketSize match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxBucketSize must be >= 2: $cap")
+        val small = sig.groupBy(col("band")).agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= cap).select("band")
+        sig.join(small, Seq("band"))
+      case None => sig
+    }
     // Only (band, id) travels through the self-join and the distinct —
     // signatures would multiply the shuffle by numHashes x 32 bytes per row
     // (callers re-join signatures by id if they need them).
-    val a = sig.select(col("band"), col("id").as("id1"))
-    val b = sig.select(col("band"), col("id").as("id2"))
+    val a = pruned.select(col("band"), col("id").as("id1"))
+    val b = pruned.select(col("band"), col("id").as("id2"))
     a.join(b, Seq("band")).where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }

@@ -157,27 +157,44 @@ object Sinks {
   def writeInBatches(df: DataFrame, recordsPerBatch: Long, minBatchMillis: Long = 0L)
                     (writeBatch: (DataFrame, Long) => Unit): Long = {
     require(recordsPerBatch > 0, s"recordsPerBatch must be positive: $recordsPerBatch")
-    val spark = df.sparkSession
-    val indexed = df.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i / recordsPerBatch)
-    }
-    val withBatch = spark.createDataFrame(indexed,
-      df.schema.add("__graft_batch", LongType, nullable = false))
+    // Global contiguous index WITHOUT an RDD detour: persist once with a
+    // monotonic id (partitionId << 33 | rowInPartition), aggregate tiny
+    // per-partition counts, and turn the id into a contiguous index via a
+    // literal offset lookup — everything stays columnar/Tungsten, and the
+    // only extra job is the O(#partitions)-row count (zipWithIndex spent a
+    // full pass over unpersisted data AND exited whole-stage codegen).
+    val withId = df.withColumn("__graft_mid", monotonically_increasing_id())
       .persist(StorageLevel.DISK_ONLY)
     try {
-      val head = withBatch.agg(max(col("__graft_batch"))).head()
-      val nBatches = if (head.isNullAt(0)) 0L else head.getLong(0) + 1
+      val pid = shiftright(col("__graft_mid"), 33)
+      val rowInPart = col("__graft_mid").bitwiseAND(lit((1L << 33) - 1))
+      val partCounts = withId.groupBy(pid.as("__pid"))
+        .agg(count(lit(1)).as("__n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val total = partCounts.values.sum
+      val nBatches = (total + recordsPerBatch - 1) / recordsPerBatch
+      // offsets(p) = rows in partitions before p (absent partitions = 0)
+      val maxPid = if (partCounts.isEmpty) 0L else partCounts.keys.max
+      val offsets = new Array[Long](maxPid.toInt + 1)
+      var acc = 0L
+      for (p <- 0 to maxPid.toInt) {
+        offsets(p) = acc; acc += partCounts.getOrElse(p.toLong, 0L)
+      }
+      // floor+cast: Column./ is double division (exact below 2^53 rows,
+      // made integral explicitly)
+      val batchCol = floor((element_at(typedLit(offsets.toSeq), (pid + 1).cast("int"))
+        + rowInPart) / recordsPerBatch).cast("long")
       var b = 0L
       while (b < nBatches) {
         val t0 = System.nanoTime()
-        writeBatch(withBatch.filter(col("__graft_batch") === b).drop("__graft_batch"), b)
+        writeBatch(withId.filter(batchCol === b).drop("__graft_mid"), b)
         val elapsedMs = (System.nanoTime() - t0) / 1000000
         if (b < nBatches - 1 && elapsedMs < minBatchMillis)
           Thread.sleep(minBatchMillis - elapsedMs)
         b += 1
       }
       nBatches
-    } finally { withBatch.unpersist(); () }
+    } finally { withId.unpersist(); () }
   }
 
   /** Sorted bulk write: range-partition + sort within partitions by the
