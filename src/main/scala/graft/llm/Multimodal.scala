@@ -1,18 +1,31 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata. The decode/feature kernels are STUBBED with
-  * deterministic fakes (no codec libraries in this environment) — the
-  * Spark-side contract (schema, batching, partition sizing) is real.
+  * with typed metadata, decoded by REAL pure-JDK kernels where the JDK
+  * ships a codec:
+  *
+  *   - images: `javax.imageio` (PNG/JPEG/GIF/BMP) — true width/height,
+  *     mean luma over the actual pixels, and a deterministic 8x8
+  *     average-hash perceptual fingerprint (manual box pooling, no
+  *     platform-dependent scaler);
+  *   - audio: `javax.sound.sampled` (WAV/AIFF/AU PCM) — true duration
+  *     from the frame count, mean |amplitude| over decoded samples;
+  *   - video: no JDK codec exists, so frame extraction remains a
+  *     documented STUB emitting the flatMap shape (one row per sampled
+  *     timestamp) with null frame bytes.
+  *
+  * Decode failures follow the engine's error-channel convention: a row
+  * with null features and a populated `error` column, ready for
+  * `Fork.validErrorSplit`. Kernels run via mapPartitions so per-batch
+  * setup is amortized across a partition.
   *
   * Scale notes: media rows are large (MBs); the repartitioning helper sizes
   * partitions by *bytes* not rows so a 100TB corpus of 2MB images doesn't
-  * put 10GB in one task. Kernels run via mapPartitions so per-batch setup
-  * (codec init, model load) is amortized across a partition.
+  * put 10GB in one task.
   */
 object Multimodal {
 
@@ -43,59 +56,124 @@ object Multimodal {
     df.repartition(math.min(parts, Int.MaxValue.toLong).toInt)
   }
 
-  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
-                                 mean_luma: Double, phash: String)
+  final case class ImageFeatures(media_id: Long, width: Option[Int],
+                                 height: Option[Int], mean_luma: Option[Double],
+                                 phash: Option[String], error: Option[String])
 
-  /** Deterministic fake image decode + feature extraction. A real deployment
-    * swaps `decodeKernel` for a codec call; everything around it (partition
-    * iteration, output schema, encoder) is production-shaped. */
+  /** Real image decode + feature extraction over `javax.imageio`.
+    * Undecodable content yields an error row (null features + message). */
   def extractImageFeatures(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.select("media_id", "content").as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition setup would init the codec here (amortized)
-        it.map { case (id, bytes) => decodeKernel(id, Option(bytes).getOrElse(Array.empty)) }
+        // per-partition setup (ImageIO scans its reader registry once)
+        it.map { case (id, bytes) => decodeImage(id, bytes) }
       }
   }
 
-  /** STUB decode: deterministic features derived from the byte content. */
-  private def decodeKernel(id: Long, bytes: Array[Byte]): ImageFeatures = {
-    val n = bytes.length
-    val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
-    val mean = if (n == 0) 0.0 else sum.toDouble / n
-    val hash = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      .take(8).map("%02x".format(_)).mkString
-    ImageFeatures(id, width = math.max(1, n % 1024), height = math.max(1, (n / 1024) % 1024),
-      mean_luma = mean, phash = hash)
+  /** Decode one image: true dimensions, mean luma (Rec.601 weights over
+    * every pixel), and an 8x8 average-hash — deterministic manual box
+    * pooling, not a platform-dependent scaler, so fingerprints computed on
+    * different JVMs/OSes agree (the cross-run property dedup needs). */
+  private[llm] def decodeImage(id: Long, bytes: Array[Byte]): ImageFeatures = {
+    if (bytes == null || bytes.isEmpty)
+      return ImageFeatures(id, None, None, None, None, Some("empty content"))
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        return ImageFeatures(id, None, None, None, None,
+          Some("no ImageIO reader for content"))
+      val w = img.getWidth; val h = img.getHeight
+      val cellSum = new Array[Double](64)
+      val cellN = new Array[Long](64)
+      var lumaSum = 0.0
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          lumaSum += luma
+          val c = cy * 8 + (x * 8 / w)
+          cellSum(c) += luma; cellN(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val cells = Array.tabulate(64)(c => if (cellN(c) == 0) 0.0 else cellSum(c) / cellN(c))
+      val mean = cells.sum / 64.0
+      var bits = 0L
+      var c = 0
+      while (c < 64) { if (cells(c) > mean) bits |= (1L << c); c += 1 }
+      ImageFeatures(id, Some(w), Some(h), Some(lumaSum / (w.toLong * h)),
+        Some(f"$bits%016x"), None)
+    } catch {
+      case e: Exception =>
+        ImageFeatures(id, None, None, None, None,
+          Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
   }
 
-  final case class AudioFeatures(media_id: Long, duration_ms: Long,
-                                 mean_amplitude: Double, fingerprint: String)
+  final case class AudioFeatures(media_id: Long, duration_ms: Option[Long],
+                                 sample_rate: Option[Int], channels: Option[Int],
+                                 mean_amplitude: Option[Double],
+                                 fingerprint: Option[String], error: Option[String])
 
-  /** Audio feature extraction with the same production-shaped plumbing as
-    * the image path (mapPartitions batching, typed Dataset out); the
-    * decode kernel is a deterministic STUB (no audio codecs in this
-    * environment) deriving features from the raw bytes + metadata. */
+  /** Real audio decode over `javax.sound.sampled` (WAV/AIFF/AU): duration
+    * from the frame count, mean |amplitude| in [0,1] over decoded PCM
+    * samples, md5 content fingerprint of the decoded PCM (container
+    * metadata doesn't perturb it). Non-PCM/unreadable content yields an
+    * error row. */
   def extractAudioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
     import spark.implicits._
     media.where(col("media_type") === "audio")
-      .select(col("media_id"), col("content"), col("meta.duration_ms"))
-      .as[(Long, Array[Byte], Option[Long])]
-      .mapPartitions { it =>
-        // per-partition codec init would go here (amortized)
-        it.map { case (id, bytes, dur) =>
-          val b = Option(bytes).getOrElse(Array.empty[Byte])
-          val mean = if (b.isEmpty) 0.0 else b.map(x => math.abs(x.toDouble)).sum / b.length
-          val fp = java.security.MessageDigest.getInstance("MD5").digest(b)
-            .take(8).map("%02x".format(_)).mkString
-          AudioFeatures(id, dur.getOrElse(0L), mean, fp)
-        }
-      }
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => decodeAudio(id, bytes) })
+  }
+
+  private[llm] def decodeAudio(id: Long, bytes: Array[Byte]): AudioFeatures = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (bytes == null || bytes.isEmpty)
+      return AudioFeatures(id, None, None, None, None, None, Some("empty content"))
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val durMs = (frames * 1000.0 / fmt.getFrameRate).toLong
+      val pcm = in.readAllBytes()
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val amp: Option[Double] =
+        if (enc == AudioFormat.Encoding.PCM_SIGNED && bits == 16) {
+          var sum = 0.0; var i = 0
+          while (i + 1 < pcm.length) {
+            val s = if (fmt.isBigEndian) ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort
+                    else ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort
+            sum += math.abs(s.toDouble) / 32768.0
+            i += 2
+          }
+          Some(if (pcm.length < 2) 0.0 else sum / (pcm.length / 2))
+        } else if (enc == AudioFormat.Encoding.PCM_SIGNED && bits == 8) {
+          Some(if (pcm.isEmpty) 0.0 else pcm.map(b => math.abs(b.toDouble) / 128.0).sum / pcm.length)
+        } else None // format decoded but sample layout unsupported for stats
+      val fp = java.security.MessageDigest.getInstance("MD5").digest(pcm)
+        .take(8).map("%02x".format(_)).mkString
+      AudioFeatures(id, Some(durMs), Some(fmt.getSampleRate.toInt),
+        Some(fmt.getChannels), amp, Some(fp), None)
+    } catch {
+      case e: Exception =>
+        AudioFeatures(id, None, None, None, None, None,
+          Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
   }
 
   /** Frame sampling plumbing for video: emit one row per sampled frame index
     * (every `everyMs` ms of duration) with the parent id — the flatMap shape
-    * a real frame extractor uses; frame bytes stubbed to null. */
+    * a real frame extractor uses; frame bytes STUBBED to null (the JDK has
+    * no video codec; a real deployment swaps in one inside mapPartitions). */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
     media.where(col("media_type") === "video")
       .select(col("media_id"),

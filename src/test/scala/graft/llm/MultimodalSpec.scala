@@ -6,29 +6,96 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkTestBase {
 
-  private def media = {
-    val rows = Seq(
-      Row(1L, "image", Array[Byte](1, 2, 3, 4), Row(64, 48, null, "png")),
-      Row(2L, "video", null, Row(null, null, 2500L, "h264")),
-      Row(3L, "image", Array[Byte](9, 9), Row(8, 8, null, "jpeg")))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+  /** Render a real PNG in-memory: pixels(y)(x) as 0xRRGGBB. */
+  private def png(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
-  test("extractImageFeatures: deterministic stub kernel, typed output") {
-    val feats = Multimodal.extractImageFeatures(spark, media.where("media_type = 'image'"))
+  /** Render a real 16-bit mono little-endian WAV from raw samples. */
+  private def wav(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private def mediaDf(rows: Seq[Row]) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+
+  test("extractImageFeatures decodes real PNGs: dimensions, luma, error channel") {
+    // 2x2: two black, two white pixels -> mean luma 127.5; 4x1 mid-gray
+    val bw = png(Array(Array(0x000000, 0xffffff), Array(0xffffff, 0x000000)))
+    val gray = png(Array(Array(0x808080, 0x808080, 0x808080, 0x808080)))
+    val df = mediaDf(Seq(
+      Row(1L, "image", bw, null),
+      Row(2L, "image", gray, null),
+      Row(3L, "image", Array[Byte](1, 2, 3), null))) // not an image
+    val feats = Multimodal.extractImageFeatures(spark, df)
       .collect().map(f => f.media_id -> f).toMap
-    assert(feats.keySet == Set(1L, 3L))
-    // stub decode is deterministic: same bytes -> same features
-    val again = Multimodal.extractImageFeatures(spark, media.where("media_id = 1"))
-      .head()
-    assert(again == feats(1L))
-    assert(feats(1L).mean_luma == (1 + 2 + 3 + 4) / 4.0)
-    assert(feats(1L).phash.matches("[0-9a-f]{16}"))
+    assert(feats(1L).width.contains(2) && feats(1L).height.contains(2))
+    assert(feats(1L).error.isEmpty)
+    assert(math.abs(feats(1L).mean_luma.get - 127.5) < 1e-9)
+    assert(feats(2L).width.contains(4) && feats(2L).height.contains(1))
+    assert(math.abs(feats(2L).mean_luma.get - 128.0) < 0.5) // 0x80 gray
+    // decode failure -> error row, not an exception
+    assert(feats(3L).error.nonEmpty && feats(3L).phash.isEmpty)
+  }
+
+  test("average-hash is deterministic and separates distinct images") {
+    // structured image: left half black, right half white
+    def half(w: Int, h: Int) = png(Array.tabulate(h, w)((_, x) =>
+      if (x < w / 2) 0x000000 else 0xffffff))
+    val a1 = Multimodal.decodeImage(1L, half(32, 32))
+    val a2 = Multimodal.decodeImage(2L, half(32, 32))
+    val b = Multimodal.decodeImage(3L, png(Array.tabulate(32, 32)((y, _) =>
+      if (y < 16) 0x000000 else 0xffffff))) // top/bottom split instead
+    assert(a1.phash == a2.phash, "same pixels must hash identically")
+    assert(a1.phash != b.phash, "structurally different images must differ")
+    assert(a1.phash.get.matches("[0-9a-f]{16}"))
+    // scale invariance of the 8x8 pooling: same structure at 64x64
+    val big = Multimodal.decodeImage(4L, half(64, 64))
+    assert(big.phash == a1.phash, "average-hash must be scale-stable for exact pools")
+  }
+
+  test("extractAudioFeatures decodes real WAV: duration, rate, amplitude, errors") {
+    // 8000 frames at 8kHz = 1000ms of constant half-amplitude
+    val tone = wav(Array.fill[Short](8000)(16384))
+    val silent = wav(Array.fill[Short](4000)(0)) // 500ms silence
+    val df = mediaDf(Seq(
+      Row(10L, "audio", tone, null),
+      Row(11L, "audio", silent, null),
+      Row(12L, "audio", Array[Byte](7, 7, 7), null), // not audio
+      Row(13L, "image", png(Array(Array(0x101010))), null))) // filtered out
+    val out = Multimodal.extractAudioFeatures(spark, df)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out.keySet == Set(10L, 11L, 12L))
+    assert(out(10L).duration_ms.contains(1000L))
+    assert(out(10L).sample_rate.contains(8000) && out(10L).channels.contains(1))
+    assert(math.abs(out(10L).mean_amplitude.get - 0.5) < 1e-3)
+    assert(out(11L).duration_ms.contains(500L))
+    assert(out(11L).mean_amplitude.contains(0.0))
+    assert(out(10L).fingerprint != out(11L).fingerprint)
+    assert(out(12L).error.nonEmpty && out(12L).fingerprint.isEmpty)
   }
 
   test("sampleFrames: one row per everyMs tick of video duration, others skipped") {
-    val frames = Multimodal.sampleFrames(media, everyMs = 1000)
+    val df = mediaDf(Seq(
+      Row(2L, "video", null, Row(null, null, 2500L, "h264")),
+      Row(9L, "image", null, Row(2, 2, null, "png"))))
+    val frames = Multimodal.sampleFrames(df, everyMs = 1000)
       .select("media_id", "frame_ts_ms").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     // 2500ms video sampled at 0,1000,2000
@@ -37,7 +104,10 @@ class MultimodalSpec extends SparkTestBase {
 
   test("repartitionByBytes sizes from plan stats without scanning content") {
     val dir = tmpDir("media")
-    media.write.mode("overwrite").parquet(dir)
+    mediaDf(Seq(
+      Row(1L, "image", Array[Byte](1, 2, 3, 4), Row(64, 48, null, "png")),
+      Row(2L, "video", null, Row(null, null, 2500L, "h264"))))
+      .write.mode("overwrite").parquet(dir)
     val df = spark.read.parquet(dir)
     val parts = Multimodal.repartitionByBytes(df, targetBytes = 1L)
       .rdd.getNumPartitions
@@ -45,20 +115,6 @@ class MultimodalSpec extends SparkTestBase {
     // a huge target collapses to one partition
     assert(Multimodal.repartitionByBytes(df, targetBytes = Long.MaxValue)
       .rdd.getNumPartitions == 1)
-  }
-
-  test("extractAudioFeatures: audio rows only, deterministic stub features") {
-    val rows = Seq(
-      Row(10L, "audio", Array[Byte](4, -4, 8), Row(null, null, 3000L, "opus")),
-      Row(11L, "image", Array[Byte](1), Row(2, 2, null, "png")))
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
-    val out = Multimodal.extractAudioFeatures(spark, df).collect()
-    assert(out.length == 1)
-    assert(out.head.media_id == 10L)
-    assert(out.head.duration_ms == 3000L)
-    assert(out.head.mean_amplitude == (4 + 4 + 8) / 3.0)
-    assert(out.head.fingerprint.matches("[0-9a-f]{16}"))
   }
 
   test("runner history round-trips through RunState") {
