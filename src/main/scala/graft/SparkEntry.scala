@@ -296,6 +296,11 @@ object SparkEntry {
         .select(col("id1"), col("id2"),
           Dedup.signatureSimilarity(col("sig1"), col("sig2")).as("est_jaccard"))
     }),
+    "d09_dedup_clusters" -> ((s, dir) =>
+      // pairs -> connected components -> keeper decision: the step that
+      // turns near-dup pairs into an actual dedup (keep = id == cluster)
+      Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, k = 3, numHashes = 12, bands = 4)),
     "d07_winnowing" -> ((s, dir) =>
       // rolling-hash (winnowing) fingerprints, one row per distinct minimum;
       // gram hashes staged so window minima don't re-hash per window
@@ -476,6 +481,37 @@ object SparkEntry {
   private def duckSqDist(v: String, c: String) =
     s"list_reduce(list_transform(range(1, len($v)+1), i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])), (x,y) -> x+y)"
 
+  /** Shared CTE body for the MinHash-LSH near-dup pipeline (d04's oracle
+    * and the d09 clustering oracle): shingle -> minhash(12) -> 4 band
+    * buckets -> candidate pairs -> exact-Jaccard >= 0.5 as `ndpairs`. */
+  private def duckLshPairsCte: String = {
+    val K = 3; val NH = 12; val BANDS = 4; val RPB = NH / BANDS
+    val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+    val sh =
+      s"""CASE WHEN len($toks) < $K THEN [array_to_string($toks, ' ')]
+         | ELSE list_transform(range(0, len($toks) - $K + 1),
+         |   i -> array_to_string(list_slice($toks, i+1, i+$K), ' ')) END""".stripMargin
+    val minh = (0 until NH)
+      .map(i => s"list_min(list_transform(sh, s -> md5('graft$i|' || s)))")
+      .mkString(", ")
+    val bandkeys = (0 until BANDS)
+      .map(b => s"md5('$b' || '|' || array_to_string(list_slice(sig, ${b * RPB + 1}, ${b * RPB + RPB}), '|'))")
+      .mkString(", ")
+    val jacc =
+      """CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)""".stripMargin
+    s"""shingled AS (SELECT doc_id, $sh AS sh FROM documents),
+       |sigs AS (SELECT doc_id, [$minh] AS sig FROM shingled),
+       |bands AS (SELECT doc_id, unnest([$bandkeys]) AS band FROM sigs),
+       |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |          FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id),
+       |dsh AS (SELECT doc_id, list_distinct(sh) AS s FROM shingled),
+       |ndpairs AS (
+       |  SELECT id1, id2, $jacc AS jaccard
+       |  FROM cands JOIN dsh x ON x.doc_id = id1 JOIN dsh y ON y.doc_id = id2
+       |  WHERE $jacc >= 0.5)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -600,32 +636,22 @@ object SparkEntry {
       s"""SELECT doc_id, $scores
          |FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)""".stripMargin
     },
-    "d04_lsh_neardups" -> {
-      val K = 3; val NH = 12; val BANDS = 4; val RPB = NH / BANDS
-      val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
-      val sh =
-        s"""CASE WHEN len($toks) < $K THEN [array_to_string($toks, ' ')]
-           | ELSE list_transform(range(0, len($toks) - $K + 1),
-           |   i -> array_to_string(list_slice($toks, i+1, i+$K), ' ')) END""".stripMargin
-      val minh = (0 until NH)
-        .map(i => s"list_min(list_transform(sh, s -> md5('graft$i|' || s)))")
-        .mkString(", ")
-      val bandkeys = (0 until BANDS)
-        .map(b => s"md5('$b' || '|' || array_to_string(list_slice(sig, ${b * RPB + 1}, ${b * RPB + RPB}), '|'))")
-        .mkString(", ")
-      s"""WITH shingled AS (SELECT doc_id, $sh AS sh FROM documents),
-         |sigs AS (SELECT doc_id, [$minh] AS sig FROM shingled),
-         |bands AS (SELECT doc_id, unnest([$bandkeys]) AS band FROM sigs),
-         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |          FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id),
-         |dsh AS (SELECT doc_id, list_distinct(sh) AS s FROM shingled)
-         |SELECT id1, id2,
-         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS jaccard
-         |FROM cands JOIN dsh x ON x.doc_id = id1 JOIN dsh y ON y.doc_id = id2
-         |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= 0.5""".stripMargin
-    },
+    "d04_lsh_neardups" ->
+      s"""WITH $duckLshPairsCte
+         |SELECT id1, id2, jaccard FROM ndpairs""".stripMargin,
+    "d09_dedup_clusters" ->
+      // connected components over the verified near-dup pairs via a
+      // recursive transitive-closure CTE: min reachable id = cluster
+      // (UNION, not UNION ALL, so the recursion converges)
+      s"""WITH RECURSIVE $duckLshPairsCte,
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ndpairs
+         |          UNION ALL SELECT id2, id1 FROM ndpairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
+         |SELECT id, MIN(r) AS cluster, (id = MIN(r)) AS keep
+         |FROM reach GROUP BY id""".stripMargin,
     "d05_simhash" -> {
       val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
       val hs = s"list_transform($toks, t -> ('0x' || substr(md5(t),1,8))::BIGINT::HUGEINT * 4294967296" +

@@ -154,6 +154,62 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS into dedup DECISIONS: every doc in a component
+    * gets the component's minimum id as its cluster label (the canonical
+    * "keeper"), so `keep = (id == cluster)` collapses each near-dup
+    * cluster to one representative.
+    *
+    * Algorithm: min-label propagation to fixpoint — each round every node
+    * takes the min of its own label and its neighbors' labels. Rounds =
+    * graph diameter (near-dup clusters are dense, so typically 2-3); each
+    * round is one co-partitioned join + aggregate on (id, label) pairs
+    * only. Labels persist per round and the loop's driver-side work is a
+    * single changed-count per iteration — at 100TB this is the standard
+    * alternative to collecting edges (which doesn't fit anywhere).
+    * Nodes not present in `pairs` are implicit singletons (their cluster
+    * is themselves); callers left-anti/left-join against this output. */
+  def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
+                          idCol2: String = "id2",
+                          maxIterations: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
+      .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIterations) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("blab")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("blab")).as("nlab"))
+        .select(col("a").as("id"), col("nlab"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Full near-dup DEDUP decision: LSH pairs over `threshold` -> connected
+    * components -> (id, cluster, keep). */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, k: Int = 3,
+                      numHashes: Int = 12, bands: Int = 4): DataFrame =
+    connectedComponents(
+      nearDupPairs(df, idCol, textCol, threshold, k, numHashes, bands))
+      .withColumn("keep", col("id") === col("cluster"))
+
   /** Portable 64-bit token hash: the first 16 hex chars of md5 assembled
     * from two 32-bit halves (hex-parse of the full 16 would overflow a
     * signed long). Bit-identical in any engine with md5 — the property an

@@ -92,4 +92,20 @@ class DedupSpec extends SparkTestBase {
     assert(df.select(Dedup.signatureSimilarity(col("s1"), col("s2")))
       .head().getDouble(0) == 0.5)
   }
+
+  test("connectedComponents: chains converge to min id; components stay disjoint") {
+    val s = spark; import s.implicits._
+    // component A is a 6-node CHAIN (5-1-9-12-7-20: diameter 5, forces
+    // several propagation rounds); component B a triangle; C a lone pair
+    val pairs = Seq(
+      (5L, 1L), (5L, 9L), (9L, 12L), (12L, 7L), (7L, 20L), // A, min=1
+      (40L, 41L), (41L, 42L), (40L, 42L),                  // B, min=40
+      (100L, 90L)).toDF("id1", "id2")                      // C, min=90
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 5L, 9L, 12L, 7L, 20L).forall(cc(_) == 1L))
+    assert(Seq(40L, 41L, 42L).forall(cc(_) == 40L))
+    assert(cc(90L) == 90L && cc(100L) == 90L)
+    assert(cc.size == 11)
+  }
 }
