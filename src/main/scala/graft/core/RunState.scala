@@ -40,6 +40,8 @@ final class RunState(baseDir: String, hadoopConf: Configuration = new Configurat
   def set(key: String, value: String): Unit = staged(key) = value
   def remove(key: String): Unit = staged.remove(key)
   def all: Map[String, String] = staged.toMap
+  /** Committed checkpoint file names, oldest first (tools/StateTool). */
+  def checkpoints: Seq[String] = listCheckpoints().map(_.getName)
 
   private def listCheckpoints(): Seq[Path] =
     if (!fs.exists(new Path(baseDir))) Nil

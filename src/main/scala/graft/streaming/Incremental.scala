@@ -64,6 +64,20 @@ object Incremental {
       .groupBy(window(col(tsCol), windowLen) +: keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup with BOUNDED state: drop rows whose key
+    * already appeared within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`). State evicts keys once the
+    * watermark passes them — the property that lets a continuous ingest
+    * dedup forever without unbounded key state (plain dropDuplicates
+    * keeps every key ever seen). Combine with
+    * `Dedup.exactKey(text)` as the key column for streaming document
+    * dedup: the md5 fingerprint is 32 bytes of state per in-horizon doc,
+    * not the text. */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, watermark: String,
+                           keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** A closed user session: [start_ms, end_ms] of activity with no gap
     * longer than the configured timeout. */
   final case class Session(key: String, start_ms: Long, end_ms: Long, n_events: Long)

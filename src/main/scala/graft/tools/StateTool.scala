@@ -1,0 +1,53 @@
+package graft.tools
+
+import graft.core.RunState
+
+/** RunState metadata CLI — the `marmaray-tools` role (reference
+  * marmaray-tools/src/main/java/com/uber/marmaray/tools/HDFSMetadataPrinter
+  * .java:44-77 and HDFSMetadataPruner.java:52-97): inspect and prune a
+  * job's checkpointed metadata from the command line. Works on any
+  * Hadoop-compatible FS path (local, hdfs://, s3a://) like RunState
+  * itself.
+  *
+  * Usage:
+  *   sbt "runMain graft.tools.StateTool print    <stateDir>"
+  *   sbt "runMain graft.tools.StateTool get      <stateDir> <key>"
+  *   sbt "runMain graft.tools.StateTool versions <stateDir>"
+  *   sbt "runMain graft.tools.StateTool unset    <stateDir> <key>"
+  *   sbt "runMain graft.tools.StateTool prune    <stateDir> <retain>"
+  */
+object StateTool {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "print" :: dir :: Nil =>
+      new RunState(dir).all.foreach { case (k, v) => println(s"$k\t$v") }
+    case "get" :: dir :: key :: Nil =>
+      new RunState(dir).get(key) match {
+        case Some(v) => println(v)
+        case None => System.err.println(s"no key '$key' in $dir"); sys.exit(1)
+      }
+    case "versions" :: dir :: Nil =>
+      new RunState(dir).checkpoints.foreach(println)
+    case "unset" :: dir :: key :: Nil =>
+      val rs = new RunState(dir)
+      if (rs.get(key).isEmpty) {
+        System.err.println(s"no key '$key' in $dir"); sys.exit(1)
+      }
+      rs.remove(key)
+      rs.commit()
+      println(s"removed '$key' (new checkpoint committed)")
+    case "prune" :: dir :: retain :: Nil =>
+      val n = retain.toInt
+      require(n >= 1, s"retain must be >= 1: $n")
+      // commit() with the target retention re-persists current state and
+      // deletes everything but the newest n checkpoint files
+      val rs = new RunState(dir, retain = n)
+      val before = rs.checkpoints.size
+      rs.commit()
+      println(s"pruned $dir: $before -> ${rs.checkpoints.size} checkpoints (retain $n)")
+    case _ =>
+      System.err.println(
+        "usage: StateTool print|versions <dir> | get|unset <dir> <key> | prune <dir> <retain>")
+      sys.exit(2)
+  }
+}

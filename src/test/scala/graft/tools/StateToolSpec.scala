@@ -1,0 +1,60 @@
+package graft.tools
+
+import graft.core.RunState
+import org.scalatest.funsuite.AnyFunSuite
+
+/** StateTool — the marmaray-tools metadata printer/pruner equivalent.
+  * Pure-FS tool: no SparkSession needed. */
+class StateToolSpec extends AnyFunSuite {
+
+  private def dir() = java.nio.file.Files.createTempDirectory("statetool").toString
+
+  private def captureOut(body: => Unit): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos))(body)
+    bos.toString("UTF-8")
+  }
+
+  test("print and get read the latest committed state") {
+    val d = dir()
+    val rs = new RunState(d)
+    rs.set("orders.last_run", "2026-08-12")
+    rs.set("events.offset", "42")
+    rs.commit()
+    val printed = captureOut(StateTool.main(Array("print", d)))
+    assert(printed.contains("orders.last_run\t2026-08-12"))
+    assert(printed.contains("events.offset\t42"))
+    assert(captureOut(StateTool.main(Array("get", d, "events.offset"))).trim == "42")
+  }
+
+  test("unset removes a key via a new committed checkpoint") {
+    val d = dir()
+    val rs = new RunState(d)
+    rs.set("a", "1"); rs.set("b", "2"); rs.commit()
+    captureOut(StateTool.main(Array("unset", d, "a")))
+    val reloaded = new RunState(d)
+    assert(reloaded.get("a").isEmpty && reloaded.get("b").contains("2"))
+    assert(reloaded.checkpoints.size == 2, "unset must add a checkpoint, not rewrite history")
+  }
+
+  test("prune keeps only the newest N checkpoints, state intact") {
+    val d = dir()
+    val rs = new RunState(d, retain = 100)
+    (1 to 6).foreach { i => rs.set("k", i.toString); rs.commit() }
+    assert(new RunState(d).checkpoints.size == 6)
+    captureOut(StateTool.main(Array("prune", d, "2")))
+    val after = new RunState(d)
+    assert(after.checkpoints.size <= 2)
+    assert(after.get("k").contains("6"), "prune must preserve the latest state")
+  }
+
+  test("versions lists checkpoint files oldest first") {
+    val d = dir()
+    val rs = new RunState(d)
+    rs.set("x", "1"); rs.commit()
+    rs.set("x", "2"); rs.commit()
+    val lines = captureOut(StateTool.main(Array("versions", d))).trim.split("\n").toSeq
+    assert(lines.size == 2 && lines == lines.sorted)
+    assert(lines.forall(_.startsWith("state-")))
+  }
+}
