@@ -170,6 +170,64 @@ object Multimodal {
     }
   }
 
+  final case class ResizedImage(media_id: Long, content: Option[Array[Byte]],
+                                error: Option[String])
+
+  /** Real image resize kernel: decode via javax.imageio, deterministic
+    * box-average downscale (nearest-pixel for upscale cells), re-encode
+    * PNG. The same manual pooling as the average-hash, so resized output
+    * is byte-identical across JVMs/OSes — a resize-then-hash pipeline
+    * stays reproducible. Failures go to the error channel. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   width: Int, height: Int): Dataset[ResizedImage] = {
+    import spark.implicits._
+    require(width > 0 && height > 0, s"bad target size ${width}x$height")
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => resizeImage(id, bytes, width, height) })
+  }
+
+  private[llm] def resizeImage(id: Long, bytes: Array[Byte],
+                               w: Int, h: Int): ResizedImage = {
+    if (bytes == null || bytes.isEmpty)
+      return ResizedImage(id, None, Some("empty content"))
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return ResizedImage(id, None, Some("no ImageIO reader for content"))
+      val w0 = img.getWidth; val h0 = img.getHeight
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var ty = 0
+      while (ty < h) {
+        val y0 = ty * h0 / h; val y1 = math.max(y0 + 1, (ty + 1) * h0 / h)
+        var tx = 0
+        while (tx < w) {
+          val x0 = tx * w0 / w; val x1 = math.max(x0 + 1, (tx + 1) * w0 / w)
+          var r = 0L; var g = 0L; var b = 0L; var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          out.setRGB(tx, ty,
+            (((r / n).toInt & 0xff) << 16) | (((g / n).toInt & 0xff) << 8) | ((b / n).toInt & 0xff))
+          tx += 1
+        }
+        ty += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      ResizedImage(id, Some(bos.toByteArray), None)
+    } catch {
+      case e: Exception =>
+        ResizedImage(id, None, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
+  }
+
   /** Frame sampling plumbing for video: emit one row per sampled frame index
     * (every `everyMs` ms of duration) with the parent id — the flatMap shape
     * a real frame extractor uses; frame bytes STUBBED to null (the JDK has

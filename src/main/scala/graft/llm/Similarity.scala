@@ -55,6 +55,19 @@ object Similarity {
       .select("query_id", "corpus_id", "score", "rank")
   }
 
+  /** Auto-size the SRP plane count from corpus size: enough planes that
+    * the EXPECTED bucket occupancy is ~targetBucketSize (corpus/2^planes),
+    * clamped to [4, 30]. Per-query candidate cost at Hamming-radius-1
+    * multi-probe is then ~(planes+1) * targetBucketSize — pick the target
+    * from the k you need and the recall you can afford, re-derive planes
+    * as the corpus grows, and re-bucket incrementally (srpBucket is
+    * deterministic, so only the plane count changes the keys). */
+  def suggestedPlanes(corpusSize: Long, targetBucketSize: Int = 64): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0)
+    val p = math.ceil(math.log(corpusSize.toDouble / targetBucketSize) / math.log(2)).toInt
+    math.min(30, math.max(4, p))
+  }
+
   /** Deterministic ±1 hyperplane weights: murmur3-fmix32 avalanche of the
     * (plane, dimension) pair, so weights vary independently across both
     * axes (a weak linear mix here degenerates every plane to a constant —

@@ -52,4 +52,28 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("s01_brute_topk")
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("s02: probe side broadcast; corpus scanned+hashed exactly once") {
+    val p = plan("s02_ann_topk")
+    assert(p.contains("BroadcastHashJoin"), "bucket equi-join should broadcast the probes")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the probe fan-out (Generate/explode) must be on the (small) query
+    // side only — one corpus FileScan, no corpus-side explode blowup
+    assert("FileScan".r.findAllIn(p).length == 2, "corpus + query scans only")
+  }
+
+  test("s04: IVF cell assignment is map-side (no shuffle between scan and join)") {
+    val p = plan("s04_ivf_topk")
+    assert(p.contains("BroadcastHashJoin"), "probes should broadcast into the cell join")
+    assert(!p.contains("CartesianProduct"),
+      "cell assignment must not plan as a centroid cross join")
+  }
+
+  test("m12 readback: published-parquet aggregates stay partial-agg + pruned") {
+    // not the pipeline run itself (side-effecting) — the readback shape:
+    // error-table scan must prune to the exception column for counting
+    val p = SparkEntry.queries("m02_fork_counts")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), "fork counts lost map-side combine")
+  }
 }

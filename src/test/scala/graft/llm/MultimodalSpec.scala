@@ -91,6 +91,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(12L).error.nonEmpty && out(12L).fingerprint.isEmpty)
   }
 
+  test("resizeImages: real box-average downscale, deterministic bytes, error channel") {
+    // 4x4 quadrant image -> 2x2: each target pixel = its quadrant's color
+    val quad = png(Array.tabulate(4, 4)((y, x) =>
+      (if (y < 2) (if (x < 2) 0xff0000 else 0x00ff00)
+       else (if (x < 2) 0x0000ff else 0xffffff))))
+    val df = mediaDf(Seq(
+      Row(1L, "image", quad, null),
+      Row(2L, "image", Array[Byte](0, 1), null)))
+    val out = Multimodal.resizeImages(spark, df, 2, 2)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(out(2L).error.nonEmpty && out(2L).content.isEmpty)
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).content.get))
+    assert(resized.getWidth == 2 && resized.getHeight == 2)
+    assert((resized.getRGB(0, 0) & 0xffffff) == 0xff0000)
+    assert((resized.getRGB(1, 0) & 0xffffff) == 0x00ff00)
+    assert((resized.getRGB(0, 1) & 0xffffff) == 0x0000ff)
+    assert((resized.getRGB(1, 1) & 0xffffff) == 0xffffff)
+    // deterministic: same input -> same encoded bytes (reproducible
+    // resize-then-hash pipelines)
+    val again = Multimodal.resizeImage(1L, quad, 2, 2)
+    assert(again.content.get.toSeq == out(1L).content.get.toSeq)
+    // upscale path (nearest-cell) stays well-defined
+    val up = Multimodal.resizeImage(1L, quad, 8, 8)
+    assert(up.error.isEmpty && javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(up.content.get)).getWidth == 8)
+  }
+
   test("sampleFrames: one row per everyMs tick of video duration, others skipped") {
     val df = mediaDf(Seq(
       Row(2L, "video", null, Row(null, null, 2500L, "h264")),

@@ -120,6 +120,13 @@ class SimilaritySpec extends SparkTestBase {
     assert(withNull.select(Similarity.cosineFast(col("x"), col("y"))).head().isNullAt(0))
   }
 
+  test("suggestedPlanes tracks corpus growth and clamps") {
+    assert(Similarity.suggestedPlanes(500, 2) == 8)        // 500/2^8 ~ 2
+    assert(Similarity.suggestedPlanes(1000000, 64) == 14)  // 1M/2^14 ~ 61
+    assert(Similarity.suggestedPlanes(10, 64) == 4)        // clamp low
+    assert(Similarity.suggestedPlanes(Long.MaxValue, 1) == 30) // clamp high
+  }
+
   test("cosine of identical vectors is 1.0 exactly enough") {
     val s = spark; import s.implicits._
     val df = Seq(Tuple1(Array(0.3f, -0.4f, 0.5f))).toDF("v")
