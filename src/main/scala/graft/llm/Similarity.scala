@@ -34,6 +34,21 @@ object Similarity {
         org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
+  /** Codegen'd dot product (graft.functions.DotProduct). */
+  def dotFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** L2 norm via the codegen'd self-dot — STAGE this once per row; then
+    * pair scoring is `dotFast(q, c) / (qnorm * cnorm)`, bit-identical to
+    * `cosineFast(q, c)` (same fold order; sqrt of the same double is the
+    * same double) at a third of the per-pair arithmetic. At 100TB the
+    * norm column is dim-fold work paid once per VECTOR instead of once
+    * per CANDIDATE PAIR (~bucket-size times more often). */
+  def normFast(v: Column): Column = sqrt(dotFast(v, v))
+
   /** Brute-force top-k: for each row of `queries`, the k nearest rows of
     * `corpus` by cosine. The query side is broadcast (it's the small side
     * by construction); scoring is a map-side nested loop over corpus
@@ -43,11 +58,14 @@ object Similarity {
     * when a limit is present. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+      normFast(col(vecCol)).as("cnorm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      normFast(col(vecCol)).as("qnorm"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("score", cosineFast(col("qvec"), col("cvec")))
+      .withColumn("score",
+        dotFast(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -128,17 +146,20 @@ object Similarity {
               planes: Int = 8, probeRadius: Int = 1, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+      normFast(col(vecCol)).as("cnorm"),
       srpBucket(col(vecCol), dim, planes).as("bucket"))
     // bucket staged in its own select: the probe array references it
     // planes+1 times, and inlining would recompute the planes-fold per
     // reference (spark-hof-staging trap)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        normFast(col(vecCol)).as("qnorm"),
         srpBucket(col(vecCol), dim, planes).as("bucket"))
-      .select(col("query_id"), col("qvec"),
+      .select(col("query_id"), col("qvec"), col("qnorm"),
         explode(srpProbeBuckets(col("bucket"), planes, probeRadius)).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("score", cosineFast(col("qvec"), col("cvec")))
+      .withColumn("score",
+        dotFast(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -187,23 +208,25 @@ object Similarity {
     // distance array staged (multi-use: argmin reads it twice)
     val assigned = corpus
       .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
-        distArr(col(vecCol)).as("__dl"))
-      .select(col("corpus_id"), col("cvec"),
+        normFast(col(vecCol)).as("cnorm"), distArr(col(vecCol)).as("__dl"))
+      .select(col("corpus_id"), col("cvec"), col("cnorm"),
         (array_position(col("__dl"), array_min(col("__dl"))) - 1)
           .cast("int").as("cell"))
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").asc, col("cell").asc)
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        distArr(col(vecCol)).as("__dl"))
-      .select(col("query_id"), col("qvec"),
+        normFast(col(vecCol)).as("qnorm"), distArr(col(vecCol)).as("__dl"))
+      .select(col("query_id"), col("qvec"), col("qnorm"),
         posexplode(col("__dl")).as(Seq("cell", "cdist")))
       .withColumn("prank", row_number().over(wCell))
       .where(col("prank") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("cell").cast("int").as("cell"))
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        col("cell").cast("int").as("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("score", cosineFast(col("qvec"), col("cvec")))
+      .withColumn("score",
+        dotFast(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -232,13 +255,17 @@ object Similarity {
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        normFast(col(vecCol)).as("nrm"),
         srpBucket(col(vecCol), dim, planes).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = v.select(col("id").as("id1"), col("vec").as("vec1"),
+        col("nrm").as("nrm1"),
         explode(srpProbeBuckets(col("bucket"), planes, probeRadius)).as("bucket"))
-    val b = v.select(col("bucket"), col("id").as("id2"), col("vec").as("vec2"))
+    val b = v.select(col("bucket"), col("id").as("id2"), col("vec").as("vec2"),
+        col("nrm").as("nrm2"))
     a.join(b, Seq("bucket")).where(col("id1") < col("id2"))
-      .withColumn("score", cosineFast(col("vec1"), col("vec2")))
+      .withColumn("score",
+        dotFast(col("vec1"), col("vec2")) / (col("nrm1") * col("nrm2")))
       .where(col("score") >= threshold)
       .select("id1", "id2", "score")
   }

@@ -120,6 +120,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(withNull.select(Similarity.cosineFast(col("x"), col("y"))).head().isNullAt(0))
   }
 
+  test("staged-norm scoring (dotFast/normFast) is bit-identical to cosineFast") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+      Similarity.normFast(col("embedding")).as("n1")).limit(40)
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+      Similarity.normFast(col("embedding")).as("n2")).limit(40)
+    val diffs = a.crossJoin(b).where(col("id1") =!= col("id2"))
+      .select(Similarity.cosineFast(col("v1"), col("v2")).as("fused"),
+        (Similarity.dotFast(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("staged"))
+      .where(col("fused") =!= col("staged")) // bitwise-exact double equality
+      .count()
+    assert(diffs == 0, s"$diffs pairs diverged between fused and staged cosine")
+  }
+
   test("suggestedPlanes tracks corpus growth and clamps") {
     assert(Similarity.suggestedPlanes(500, 2) == 8)        // 500/2^8 ~ 2
     assert(Similarity.suggestedPlanes(1000000, 64) == 14)  // 1M/2^14 ~ 61
