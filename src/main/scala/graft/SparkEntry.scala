@@ -296,6 +296,33 @@ object SparkEntry {
         .select(col("id1"), col("id2"),
           Dedup.signatureSimilarity(col("sig1"), col("sig2")).as("est_jaccard"))
     }),
+    "m14_curation_pipeline" -> ((s, dir) => {
+      // The full training-data curation flow as ONE oracle-gated query:
+      // quality gate (token count + uniqueness over lower(text)) ->
+      // exact dedup (min-id keeper per normalized fingerprint) ->
+      // near-dup clustering on the survivors (drop non-keepers) ->
+      // per-language curated-corpus stats. Every stage is map-side or
+      // key-shuffled only; text never shuffles except into the quality
+      // projection.
+      val docs = t(s, dir, "documents")
+      val toks = TextAnalysis.tokens(lower(col("text")))
+      val qual = docs
+        .withColumn("__nt", size(toks).cast("long"))
+        .withColumn("__ur",
+          size(array_distinct(toks)).cast("double") / col("__nt").cast("double"))
+        .where(col("__nt") >= 10 && col("__ur") > 0.3)
+        .drop("__nt", "__ur")
+      val exact = Dedup.exactDedup(qual, "text", "doc_id")
+        // feeds the near-dup pipeline (two scans) and the final join:
+        // materialize the dedup once, not three times
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dropIds = Dedup.nearDupClusters(exact, "doc_id", "text", threshold = 0.5)
+        .where(!col("keep")).select(col("id").as("doc_id"))
+      exact.join(dropIds, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
     "d09_dedup_clusters" -> ((s, dir) =>
       // pairs -> connected components -> keeper decision: the step that
       // turns near-dup pairs into an actual dedup (keep = id == cluster)
@@ -481,10 +508,11 @@ object SparkEntry {
   private def duckSqDist(v: String, c: String) =
     s"list_reduce(list_transform(range(1, len($v)+1), i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])), (x,y) -> x+y)"
 
-  /** Shared CTE body for the MinHash-LSH near-dup pipeline (d04's oracle
-    * and the d09 clustering oracle): shingle -> minhash(12) -> 4 band
-    * buckets -> candidate pairs -> exact-Jaccard >= 0.5 as `ndpairs`. */
-  private def duckLshPairsCte: String = {
+  /** Shared CTE body for the MinHash-LSH near-dup pipeline (d04, d09 and
+    * m14 oracles): shingle -> minhash(12) -> 4 band buckets -> candidate
+    * pairs -> exact-Jaccard >= 0.5 as `ndpairs`, over any relation with
+    * (doc_id, text). */
+  private def duckLshPairsCte(src: String = "documents"): String = {
     val K = 3; val NH = 12; val BANDS = 4; val RPB = NH / BANDS
     val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
     val sh =
@@ -500,7 +528,7 @@ object SparkEntry {
     val jacc =
       """CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
         |    / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)""".stripMargin
-    s"""shingled AS (SELECT doc_id, $sh AS sh FROM documents),
+    s"""shingled AS (SELECT doc_id, $sh AS sh FROM $src),
        |sigs AS (SELECT doc_id, [$minh] AS sig FROM shingled),
        |bands AS (SELECT doc_id, unnest([$bandkeys]) AS band FROM sigs),
        |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -637,13 +665,43 @@ object SparkEntry {
          |FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)""".stripMargin
     },
     "d04_lsh_neardups" ->
-      s"""WITH $duckLshPairsCte
+      s"""WITH ${duckLshPairsCte()}
          |SELECT id1, id2, jaccard FROM ndpairs""".stripMargin,
+    "m14_curation_pipeline" ->
+      // quality gate -> min-id exact dedup -> near-dup clusters over the
+      // survivors (same pair CTE as d04/d09, parameterized on `ex`) ->
+      // drop non-keepers -> per-lang stats
+      s"""WITH RECURSIVE
+         |qd AS (SELECT doc_id, text, lang, n_chars,
+         |         len($dTokens) AS nt,
+         |         CAST(len(list_distinct($dTokens)) AS DOUBLE)
+         |           / CAST(len($dTokens) AS DOUBLE) AS ur
+         |       FROM documents),
+         |qual AS (SELECT doc_id, text, lang, n_chars FROM qd
+         |         WHERE nt >= 10 AND ur > 0.3),
+         |exf AS (SELECT *,
+         |          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |        FROM qual),
+         |ex AS (SELECT e.doc_id, e.text, e.lang, e.n_chars FROM exf e
+         |       JOIN (SELECT fp, MIN(doc_id) AS kid FROM exf GROUP BY fp) k
+         |         ON e.fp = k.fp AND e.doc_id = k.kid),
+         |${duckLshPairsCte("ex")},
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ndpairs
+         |          UNION ALL SELECT id2, id1 FROM ndpairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         |drops AS (SELECT id FROM (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         |          WHERE id != cluster)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM ex WHERE doc_id NOT IN (SELECT id FROM drops)
+         |GROUP BY lang""".stripMargin,
     "d09_dedup_clusters" ->
       // connected components over the verified near-dup pairs via a
       // recursive transitive-closure CTE: min reachable id = cluster
       // (UNION, not UNION ALL, so the recursion converges)
-      s"""WITH RECURSIVE $duckLshPairsCte,
+      s"""WITH RECURSIVE ${duckLshPairsCte()},
          |edges AS (SELECT id1 AS a, id2 AS b FROM ndpairs
          |          UNION ALL SELECT id2, id1 FROM ndpairs),
          |reach(id, r) AS (

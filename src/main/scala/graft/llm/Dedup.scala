@@ -179,9 +179,17 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    // Convergence via checksum, not a per-round comparison join: labels
+    // only ever DECREASE, so sum(label) strictly decreases until the
+    // fixpoint — one cheap aggregate over the freshly-persisted frame
+    // replaces a full join+filter+count per round. Decimal sum: exact and
+    // overflow-free at any id range/corpus size.
+    def checksum(df: DataFrame): BigDecimal =
+      BigDecimal(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+    var prevSum = checksum(labels)
+    var converged = false
     var iters = 0
-    while (changed > 0 && iters < maxIterations) {
+    while (!converged && iters < maxIterations) {
       val neighborMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("blab")), Seq("b"))
         .groupBy(col("a")).agg(min(col("blab")).as("nlab"))
@@ -190,9 +198,9 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .where(col("label") =!= col("old")).count()
+      val nextSum = checksum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       iters += 1
