@@ -100,20 +100,24 @@ object Similarity {
   /** Signed-random-projection bucket key: sign bits of dot products with
     * `planes` fixed hyperplanes. Vectors in the same bucket are likely
     * neighbors; search cost drops from O(N) to ~O(N/2^planes) per query at
-    * some recall cost. Each plane's dot product is one `aggregate` fold
-    * over a literal weight array — O(planes) expression nodes total, so
-    * whole-stage codegen survives real embedding dims (the round-1 version
-    * unrolled dim x planes nodes and blew the 64KB codegen method limit at
-    * dim=768). */
+    * some recall cost. The planes x dim dot products run as ONE codegen'd
+    * loop (VectorLiteralFold — the interpreted per-plane HOF folds cost
+    * planes x dim boxed lambda calls per record on the corpus-wide
+    * hashing path); only the trivial planes-length sign/bit fold stays
+    * composable. Accumulation order matches the HOF form exactly, so the
+    * DuckDB oracle mirror is unchanged; a null/mismatched vector still
+    * maps to bucket 0 (null folds -> 0 bits, as before). */
   def srpBucket(vec: Column, dim: Int, planes: Int): Column = {
     val ws = planeWeights(dim, planes)
-    val bits = (0 until planes).map { p =>
-      val s = aggregate(
-        zip_with(vec, typedLit(ws(p)), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(s >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val dots = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.VectorLiteralFold(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec),
+        ws.map(_.toSeq).toSeq, squared = false))
+    val bits = typedLit((0 until planes).map(p => 1L << p).toArray)
+    coalesce(
+      aggregate(zip_with(dots, bits, (d, bit) => when(d >= 0, bit).otherwise(lit(0L))),
+        lit(0L), (a, v) => a + v),
+      lit(0L))
   }
 
   /** All buckets within Hamming distance `radius` of `bucket` (multi-probe
@@ -167,12 +171,6 @@ object Similarity {
       .select("query_id", "corpus_id", "score", "rank")
   }
 
-  /** Squared-L2 fold between a vector column and a literal centroid —
-    * left-to-right double accumulation, DuckDB-mirrorable like `dot`. */
-  private def sqDistLit(vec: Column, centroid: Array[Double]): Column =
-    aggregate(zip_with(vec, typedLit(centroid),
-      (x, c) => { val d = x.cast("double") - c; d * d }), lit(0.0), (a, v) => a + v)
-
   /** Fit the IVF coarse quantizer: `nlist` k-means centroids. Fit once,
     * then pass the centers to `ivfTopKLiteral` — at 100TB the centers are
     * fit on a sample, frozen, and shipped as literals with the job (the
@@ -203,8 +201,13 @@ object Similarity {
                      vecCol: String = "embedding"): DataFrame = {
     val nlist = centroids.length
     require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe not in [1, $nlist]")
+    // one codegen'd loop for all nlist distances (vs nlist interpreted
+    // HOF folds per row); same per-centroid accumulation order
     def distArr(vec: Column): Column =
-      array(centroids.map(c => sqDistLit(vec, c)).toIndexedSeq: _*)
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.VectorLiteralFold(
+          org.apache.spark.sql.GraftColumnBridge.expression(vec),
+          centroids.map(_.toSeq).toSeq, squared = true))
     // distance array staged (multi-use: argmin reads it twice)
     val assigned = corpus
       .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
