@@ -323,6 +323,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))
     }),
+    "d10_winnow_overlap" -> ((s, dir) =>
+      // fingerprint-overlap near-dups (the winnowing detector's purpose):
+      // pairs by shared-fp Jaccard — finds the same planted near-dup
+      // pairs as d04 through a completely different signal
+      Dedup.winnowingOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+        minSim = 0.3)),
     "d09_dedup_clusters" -> ((s, dir) =>
       // pairs -> connected components -> keeper decision: the step that
       // turns near-dup pairs into an actual dedup (keep = id == cluster)
@@ -754,6 +760,26 @@ object SparkEntry {
         |    j -> list_min(list_slice(grams, j, j + 3)))) AS fps
         |  FROM g)
         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+    "d10_winnow_overlap" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+        |      i -> md5(substr(lower(text), i, 8))) AS grams
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(grams) - 3, 1) + 1),
+        |    j -> list_min(list_slice(grams, j, j + 3)))) AS fps
+        |  FROM g),
+        |f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |n AS (SELECT doc_id, len(fps) AS nf FROM w),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+        |      FROM f a JOIN f b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id1, id2, sim FROM (
+        |  SELECT id1, id2,
+        |    CAST(n_shared AS DOUBLE) / (x.nf + y.nf - n_shared) AS sim
+        |  FROM p JOIN n x ON x.doc_id = id1 JOIN n y ON y.doc_id = id2)
+        |WHERE sim >= 0.3""".stripMargin,
     "d06_ngram_jaccard" -> {
       val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
       val sh =

@@ -154,6 +154,49 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Winnowing-overlap near-dup pairs — the plagiarism-detector join the
+    * winnowing fingerprints (TextAnalysis.winnowingMinima) exist for:
+    * docs sharing fingerprints are candidate pairs, scored by fingerprint
+    * Jaccard (shared / union of the two distinct-fp sets) and kept at
+    * `minSim`. Catches heavy local edits that break shingle MinHash
+    * (fingerprints survive anywhere outside the edited windows).
+    *
+    * Scale shape: only (fp, id) pairs shuffle (32-char md5 + id — never
+    * text or gram arrays); the per-doc fp frame persists across its three
+    * consumers (both join sides + the size frame). `maxBucketSize` drops
+    * ubiquitous-gram buckets (common English 8-grams land in most docs —
+    * a B-doc bucket emits O(B^2) pair rows) exactly like the LSH cap;
+    * uncapped matches the simple quadratic-free-threshold oracle. */
+  def winnowingOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                            minSim: Double, k: Int = 8, w: Int = 4,
+                            maxBucketSize: Option[Int] = None): DataFrame = {
+    val fps = df.select(col(idCol).as("id"), lower(col(textCol)).as("__t"))
+      .select(col("id"), TextAnalysis.charGramHashes(col("__t"), k).as("__g"))
+      .select(col("id"), TextAnalysis.winnowingMinima(col("__g"), w).as("fps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fps.select(col("id"), size(col("fps")).as("nf"))
+    val f0 = fps.select(col("id"), explode(col("fps")).as("fp"))
+    val f = maxBucketSize match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxBucketSize must be >= 2: $cap")
+        val small = f0.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= cap).select("fp")
+        f0.join(small, Seq("fp"))
+      case None => f0
+    }
+    val shared = f.select(col("fp"), col("id").as("id1"))
+      .join(f.select(col("fp"), col("id").as("id2")), Seq("fp"))
+      .where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("id").as("id1"), col("nf").as("nf1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("nf").as("nf2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (col("n_shared").cast("double") /
+          (col("nf1") + col("nf2") - col("n_shared"))).as("sim"))
+      .where(col("sim") >= minSim)
+  }
+
   /** Connected components over an undirected pair list — the step that
     * turns near-dup PAIRS into dedup DECISIONS: every doc in a component
     * gets the component's minimum id as its cluster label (the canonical
