@@ -69,9 +69,20 @@ object ScaleBench {
     // ---- LSH candidates with the bucket cap -----------------------------
     val cap = 256
     val tLsh = System.nanoTime()
-    val nCands = Dedup.lshCandidatePairs(corpus, "doc_id", "text",
-      maxBucketSize = Some(cap)).count()
+    val cands = Dedup.lshCandidatePairs(corpus, "doc_id", "text",
+      maxBucketSize = Some(cap))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCands = cands.count()
     val lshSecs = secs(tLsh)
+
+    // ---- connected components over the multi-million-edge pair graph ----
+    val tCc = System.nanoTime()
+    val cc = Dedup.connectedComponents(cands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nClusters = cc.select(col("cluster")).distinct().count()
+    val nClustered = cc.count()
+    val ccSecs = secs(tCc)
+    cands.unpersist(); cc.unpersist()
 
     // ---- winnowing fingerprints (codegen'd chargram + minima) -----------
     val tWin = System.nanoTime()
@@ -87,6 +98,7 @@ object ScaleBench {
       s"""{"metric":"scale_dedup","unit":"sec","sf":"$sfDir","docs":$nDocs,""" +
       s""""gen_secs":$genSecs,"exact_secs":$exactSecs,"exact_groups":$nExactGroups,""" +
       s""""lsh_secs":$lshSecs,"lsh_cands":$nCands,"bucket_cap":$cap,""" +
+      s""""cc_secs":$ccSecs,"cc_clusters":$nClusters,"cc_nodes":$nClustered,""" +
       s""""winnow_secs":$winSecs,"winnow_fps":$nFps,"total_secs":${secs(t0)}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_BENCH.json"), line + "\n")
