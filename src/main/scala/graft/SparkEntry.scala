@@ -325,10 +325,13 @@ object SparkEntry {
     }),
     "d10_winnow_overlap" -> ((s, dir) =>
       // fingerprint-overlap near-dups (the winnowing detector's purpose):
-      // pairs by shared-fp Jaccard — finds the same planted near-dup
-      // pairs as d04 through a completely different signal
+      // pairs by shared-fp Jaccard over the capped fp sets — finds the
+      // same planted near-dup pairs as d04 through a completely different
+      // signal. The cap is NOT optional at scale: ubiquitous-gram buckets
+      // grow with the corpus, and the uncapped self-join went quadratic
+      // at sf0.1 (31s of a 21s bench)
       Dedup.winnowingOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
-        minSim = 0.3)),
+        minSim = 0.3, maxBucketSize = Some(64))),
     "d09_dedup_clusters" -> ((s, dir) =>
       // pairs -> connected components -> keeper decision: the step that
       // turns near-dup pairs into an actual dedup (keep = id == cluster)
@@ -771,8 +774,10 @@ object SparkEntry {
         |    range(1, greatest(len(grams) - 3, 1) + 1),
         |    j -> list_min(list_slice(grams, j, j + 3)))) AS fps
         |  FROM g),
-        |f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
-        |n AS (SELECT doc_id, len(fps) AS nf FROM w),
+        |f0 AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |ok AS (SELECT fp FROM f0 GROUP BY fp HAVING COUNT(*) <= 64),
+        |f AS (SELECT f0.* FROM f0 JOIN ok USING (fp)),
+        |n AS (SELECT doc_id, COUNT(*) AS nf FROM f GROUP BY doc_id),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
         |      FROM f a JOIN f b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT id1, id2, sim FROM (

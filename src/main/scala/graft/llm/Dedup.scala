@@ -170,20 +170,24 @@ object Dedup {
   def winnowingOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                             minSim: Double, k: Int = 8, w: Int = 4,
                             maxBucketSize: Option[Int] = None): DataFrame = {
-    val fps = df.select(col(idCol).as("id"), lower(col(textCol)).as("__t"))
+    val f0 = df.select(col(idCol).as("id"), lower(col(textCol)).as("__t"))
       .select(col("id"), TextAnalysis.charGramHashes(col("__t"), k).as("__g"))
       .select(col("id"), TextAnalysis.winnowingMinima(col("__g"), w).as("fps"))
+      .select(col("id"), explode(col("fps")).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = fps.select(col("id"), size(col("fps")).as("nf"))
-    val f0 = fps.select(col("id"), explode(col("fps")).as("fp"))
     val f = maxBucketSize match {
       case Some(cap) =>
         require(cap >= 2, s"maxBucketSize must be >= 2: $cap")
         val small = f0.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
           .where(col("__n") <= cap).select("fp")
         f0.join(small, Seq("fp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case None => f0
     }
+    // Jaccard is over the SURVIVING fp sets (capped grams leave both the
+    // numerator and the denominator — dropping ubiquitous grams from the
+    // similarity, which sharpens it rather than skewing it)
+    val sizes = f.groupBy(col("id")).agg(count(lit(1)).as("nf"))
     val shared = f.select(col("fp"), col("id").as("id1"))
       .join(f.select(col("fp"), col("id").as("id2")), Seq("fp"))
       .where(col("id1") < col("id2"))
