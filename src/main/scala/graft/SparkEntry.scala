@@ -387,6 +387,13 @@ object SparkEntry {
       // self-join, pairs within Hamming<=1 buckets scored by cosine
       Similarity.embeddingNearDups(t(s, dir, "embeddings"),
         threshold = 0.40, dim = 64, planes = 8, probeRadius = 1)),
+    "s06_embedding_clusters" -> ((s, dir) =>
+      // pairs -> connected components -> keeper decision over embeddings:
+      // the same dedup-decision step as d09, on the vector signal
+      Dedup.connectedComponents(
+        Similarity.embeddingNearDups(t(s, dir, "embeddings"),
+          threshold = 0.40, dim = 64, planes = 8, probeRadius = 1))
+        .withColumn("keep", col("id") === col("cluster"))),
     "s03_srp_buckets" -> ((s, dir) =>
       // LSH bucket histogram — certifies srpBucket itself (and would catch
       // a degenerate-weights regression as a 2-bucket histogram)
@@ -516,6 +523,22 @@ object SparkEntry {
     * twice on both sides). */
   private def duckSqDist(v: String, c: String) =
     s"list_reduce(list_transform(range(1, len($v)+1), i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])), (x,y) -> x+y)"
+
+  /** Shared CTE body for the multi-probe embedding near-dup pairs (s05
+    * and s06 oracles): SRP buckets -> radius-1 probe expansion ->
+    * same-bucket pairs -> cosine >= 0.40 as `epairs`. */
+  private def duckEmbPairsCte(): String = {
+    val bucket = duckSrpBucket("embedding", 64, 8)
+    val cos = duckCos("a.embedding", "b.embedding")
+    s"""v AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |pr AS (SELECT vec_id, embedding,
+       |         unnest(${duckProbes("bucket", 8)}) AS bucket FROM v),
+       |epairs AS (
+       |  SELECT id1, id2, score FROM (
+       |    SELECT a.vec_id AS id1, b.vec_id AS id2, $cos AS score
+       |    FROM pr a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |  WHERE score >= 0.40)""".stripMargin
+  }
 
   /** Shared CTE body for the MinHash-LSH near-dup pipeline (d04, d09 and
     * m14 oracles): shingle -> minhash(12) -> 4 band buckets -> candidate
@@ -857,16 +880,20 @@ object SparkEntry {
       }
     },
     "s05_embedding_neardups" -> {
-      val bucket = duckSrpBucket("embedding", 64, 8)
-      val cos = duckCos("a.embedding", "b.embedding")
-      s"""WITH v AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
-         |a AS (SELECT vec_id, embedding,
-         |        unnest(${duckProbes("bucket", 8)}) AS bucket FROM v)
-         |SELECT id1, id2, score FROM (
-         |  SELECT a.vec_id AS id1, b.vec_id AS id2, $cos AS score
-         |  FROM a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |WHERE score >= 0.40""".stripMargin
+      s"""WITH ${duckEmbPairsCte()}
+         |SELECT id1, id2, score FROM epairs""".stripMargin
     },
+    "s06_embedding_clusters" ->
+      // d09's closure pattern on the embedding pair signal
+      s"""WITH RECURSIVE ${duckEmbPairsCte()},
+         |edges AS (SELECT id1 AS a, id2 AS b FROM epairs
+         |          UNION ALL SELECT id2, id1 FROM epairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
+         |SELECT id, MIN(r) AS cluster, (id = MIN(r)) AS keep
+         |FROM reach GROUP BY id""".stripMargin,
     "q15_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |COUNT(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
