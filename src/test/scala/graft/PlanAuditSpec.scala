@@ -69,6 +69,12 @@ class PlanAuditSpec extends SparkTestBase {
       "cell assignment must not plan as a centroid cross join")
   }
 
+  test("d10: fp equi-joins only — no cartesian, no broadcast-nested-loop") {
+    val p = plan("d10_winnow_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "winnowing overlap pairing degenerated to an all-pairs join")
+  }
+
   test("m12 readback: published-parquet aggregates stay partial-agg + pruned") {
     // not the pipeline run itself (side-effecting) — the readback shape:
     // error-table scan must prune to the exception column for counting
