@@ -100,14 +100,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Bucket-size cap: count per band key (a tiny aggregate over the
     // persisted (band, id) frame) and keep only rows in buckets <= cap.
-    val pruned = maxBucketSize match {
-      case Some(cap) =>
-        require(cap >= 2, s"maxBucketSize must be >= 2: $cap")
-        val small = sig.groupBy(col("band")).agg(count(lit(1)).as("__n"))
-          .where(col("__n") <= cap).select("band")
-        sig.join(small, Seq("band"))
-      case None => sig
-    }
+    val pruned = capBuckets(sig, "band", maxBucketSize)
     // Only (band, id) travels through the self-join and the distinct —
     // signatures would multiply the shuffle by numHashes x 32 bytes per row
     // (callers re-join signatures by id if they need them).
@@ -116,6 +109,20 @@ object Dedup {
     a.join(b, Seq("band")).where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
+
+  /** Keep only rows whose `keyCol` bucket holds <= cap rows — the shared
+    * adversarial guard of lshCandidatePairs and winnowingOverlapPairs
+    * (a B-row bucket emits O(B^2) pair rows downstream). */
+  private def capBuckets(df: DataFrame, keyCol: String,
+                         maxBucketSize: Option[Int]): DataFrame =
+    maxBucketSize match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxBucketSize must be >= 2: $cap")
+        val small = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= cap).select(keyCol)
+        df.join(small, Seq(keyCol))
+      case None => df
+    }
 
   /** Estimated Jaccard from two minhash signatures (fraction of agreeing
     * components). */
@@ -170,20 +177,14 @@ object Dedup {
   def winnowingOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                             minSim: Double, k: Int = 8, w: Int = 4,
                             maxBucketSize: Option[Int] = None): DataFrame = {
+    // one persist: the capped frame recomputes from this cache via a
+    // cheap semi-join (caching both would hold ~2x the fp data)
     val f0 = df.select(col(idCol).as("id"), lower(col(textCol)).as("__t"))
       .select(col("id"), TextAnalysis.charGramHashes(col("__t"), k).as("__g"))
       .select(col("id"), TextAnalysis.winnowingMinima(col("__g"), w).as("fps"))
       .select(col("id"), explode(col("fps")).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val f = maxBucketSize match {
-      case Some(cap) =>
-        require(cap >= 2, s"maxBucketSize must be >= 2: $cap")
-        val small = f0.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
-          .where(col("__n") <= cap).select("fp")
-        f0.join(small, Seq("fp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      case None => f0
-    }
+    val f = capBuckets(f0, "fp", maxBucketSize)
     // Jaccard is over the SURVIVING fp sets (capped grams leave both the
     // numerator and the denominator — dropping ubiquitous grams from the
     // similarity, which sharpens it rather than skewing it)
@@ -220,6 +221,15 @@ object Dedup {
                           idCol2: String = "id2",
                           maxIterations: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // the checksum convergence test relies on numeric ordering: labels
+    // decrease numerically, so a decreasing exact decimal sum == progress.
+    // String ids would cast to null (and lexicographic least() wouldn't
+    // match the sum's ordering anyway) — fail fast instead.
+    Seq(idCol1, idCol2).foreach { c =>
+      require(pairs.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"connectedComponents needs numeric ids; '$c' is ${pairs.schema(c).dataType.simpleString}" +
+          " (map string keys to a numeric surrogate first)")
+    }
     val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
       .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -240,10 +250,12 @@ object Dedup {
     // fixpoint — one cheap aggregate over the checkpointed frame replaces
     // a full join+filter+count per round. Decimal sum: exact and
     // overflow-free at any id range/corpus size.
-    def checksum(df: DataFrame): BigDecimal =
-      BigDecimal(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+    def checksum(df: DataFrame): BigDecimal = {
+      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (d == null) BigDecimal(0) else BigDecimal(d) // null = empty graph
+    }
     var prevSum = checksum(labels)
-    var converged = false
+    var converged = labels.isEmpty // no pairs -> nothing to propagate
     var iters = 0
     while (!converged && iters < maxIterations) {
       val neighborMin = edges
@@ -260,6 +272,11 @@ object Dedup {
       labels = next
       iters += 1
     }
+    // a partially-propagated labeling is silently WRONG (one component
+    // reported as several "keepers") — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIterations rounds " +
+        "(component diameter exceeds maxIterations — raise it)")
     edges.unpersist()
     labels.select(col("id"), col("label").as("cluster"))
   }

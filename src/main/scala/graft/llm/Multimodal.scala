@@ -142,7 +142,11 @@ object Multimodal {
       val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
       val fmt = in.getFormat
       val frames = in.getFrameLength
-      val durMs = (frames * 1000.0 / fmt.getFrameRate).toLong
+      // AudioSystem.NOT_SPECIFIED (-1) frame length/rate (e.g. AU files
+      // with the unknown-length header) must yield None, not a confident 0
+      val durMs: Option[Long] =
+        if (frames < 0 || fmt.getFrameRate <= 0) None
+        else Some((frames * 1000.0 / fmt.getFrameRate).toLong)
       val pcm = in.readAllBytes()
       val enc = fmt.getEncoding
       val bits = fmt.getSampleSizeInBits
@@ -161,7 +165,7 @@ object Multimodal {
         } else None // format decoded but sample layout unsupported for stats
       val fp = java.security.MessageDigest.getInstance("MD5").digest(pcm)
         .take(8).map("%02x".format(_)).mkString
-      AudioFeatures(id, Some(durMs), Some(fmt.getSampleRate.toInt),
+      AudioFeatures(id, durMs, Some(fmt.getSampleRate.toInt),
         Some(fmt.getChannels), amp, Some(fp), None)
     } catch {
       case e: Exception =>

@@ -46,7 +46,13 @@ object Similarity {
     * `cosineFast(q, c)` (same fold order; sqrt of the same double is the
     * same double) at a third of the per-pair arithmetic. At 100TB the
     * norm column is dim-fold work paid once per VECTOR instead of once
-    * per CANDIDATE PAIR (~bucket-size times more often). */
+    * per CANDIDATE PAIR (~bucket-size times more often).
+    *
+    * Contract: all vectors share one dimensionality (the embedding-table
+    * invariant every scorer here assumes). On MIXED dims the fused form
+    * norms only the shared prefix while this norms the full vector — any
+    * "cosine" over mismatched dims is ill-defined; validate dims upstream
+    * rather than relying on either behavior. */
   def normFast(v: Column): Column = sqrt(dotFast(v, v))
 
   /** Brute-force top-k: for each row of `queries`, the k nearest rows of

@@ -75,9 +75,7 @@ class PlanAuditSpec extends SparkTestBase {
       "winnowing overlap pairing degenerated to an all-pairs join")
   }
 
-  test("m12 readback: published-parquet aggregates stay partial-agg + pruned") {
-    // not the pipeline run itself (side-effecting) — the readback shape:
-    // error-table scan must prune to the exception column for counting
+  test("m02: fork counts keep map-side partial aggregation") {
     val p = SparkEntry.queries("m02_fork_counts")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_"), "fork counts lost map-side combine")

@@ -93,6 +93,14 @@ class DedupSpec extends SparkTestBase {
       .head().getDouble(0) == 0.5)
   }
 
+  test("connectedComponents: empty pair list yields an empty frame; string ids rejected") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+    val strings = Seq(("a", "b")).toDF("id1", "id2")
+    intercept[IllegalArgumentException](Dedup.connectedComponents(strings))
+  }
+
   test("connectedComponents: chains converge to min id; components stay disjoint") {
     val s = spark; import s.implicits._
     // component A is a 6-node CHAIN (5-1-9-12-7-20: diameter 5, forces

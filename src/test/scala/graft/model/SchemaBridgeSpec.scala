@@ -85,6 +85,19 @@ class SchemaBridgeSpec extends SparkTestBase {
     val viaRdd = SchemaBridge.decodeViaRdd(SchemaBridge.encode(df), avroJson)
     assert(viaExpr.schema == viaRdd.schema)
     assert(render(viaExpr) == render(viaRdd))
+    // date + decimal stringification parity (LocalDate vs sql.Date
+    // rendering; Decimal vs java BigDecimal scale preservation)
+    val ddSchema = StructType(Seq(
+      StructField("d", DateType, nullable = true),
+      StructField("m", DecimalType(10, 2), nullable = true)))
+    val ddRows = Seq(
+      Row(java.sql.Date.valueOf("2024-02-29"), new java.math.BigDecimal("1234.50")),
+      Row(java.sql.Date.valueOf("0987-01-02"), new java.math.BigDecimal("-0.01")),
+      Row(null, null))
+    val dd = spark.createDataFrame(spark.sparkContext.parallelize(ddRows), ddSchema)
+    val exprB = SchemaBridge.encode(dd).collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
+    val rddB = SchemaBridge.encodeViaRdd(dd).collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
+    assert(exprB == rddB, "date/decimal bytes diverge between codec paths")
   }
 
   test("date and decimal serialize as portable strings") {
