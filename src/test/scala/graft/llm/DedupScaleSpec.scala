@@ -50,6 +50,26 @@ class DedupScaleSpec extends SparkTestBase {
     } finally { capped.unpersist(); () }
   }
 
+  test("winnowingOverlapPairs: cap drops ubiquitous grams, still pairs near-dups") {
+    val s = spark; import s.implicits._
+    // every doc shares one boilerplate sentence (ubiquitous grams); only
+    // docs within a near-dup cluster share most of their body
+    val boiler = "all rights reserved terms of service apply everywhere"
+    val docs = (for (c <- 0 until 12; r <- 0 until 3) yield
+      (c * 10L + r, s"$boiler body$c alpha$c beta$c gamma$c delta$c " +
+        s"epsilon$c zeta$c eta$c theta$c rev$r")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingOverlapPairs(docs, "doc_id", "text",
+      minSim = 0.3, maxBucketSize = Some(8)).cache()
+    try {
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // within-cluster pairs found, no cross-cluster pairs (boilerplate
+      // grams land in all 36 docs -> capped out of both sides of the sim)
+      assert(got.nonEmpty, "cap destroyed legitimate near-dup pairs")
+      assert(got.forall { case (a, b) => a / 10 == b / 10 },
+        s"boilerplate grams leaked cross-cluster pairs: $got")
+    } finally { pairs.unpersist(); () }
+  }
+
   test("AQE skew-join engages on a hot band bucket (uncapped pairing)") {
     val conf = spark.conf
     val saved = Seq(
