@@ -425,8 +425,10 @@ object SparkEntry {
           val dag = SubDag("events_root", children = Seq(
             SubDag("valid", priority = 0,
               execute = df => Sinks.writeFile(df, staging),
-              commit = () => require(new java.io.File(staging).renameTo(
-                new java.io.File(s"$out/events_valid")), "publish rename failed")),
+              // publish through the Hadoop FileSystem API (same primitive
+              // RunState uses): atomic on HDFS, correct on any HCFS —
+              // java.io.File.renameTo is local-FS-only
+              commit = () => Sinks.publishRename(sp, staging, s"$out/events_valid")),
             SubDag("errors", priority = 1,
               execute = df => Sinks.writeErrorTable(df, s"$out/events_errors",
                 appId = "m12", rowKeyCol = "event_id"))))

@@ -104,6 +104,21 @@ object Sinks {
   def writeHudi(df: DataFrame, path: String, opts: Map[String, String]): Unit =
     df.write.format("hudi").options(opts).mode(SaveMode.Append).save(path)
 
+  /** Two-phase-commit publish: atomically rename a staged output directory
+    * to its published path through the Hadoop FileSystem API — atomic on
+    * HDFS and correct on any HCFS, where java.io.File.renameTo silently
+    * fails (same primitive RunState's checkpoint commit uses). Fails loudly
+    * if the destination exists or the rename is refused. */
+  def publishRename(spark: org.apache.spark.sql.SparkSession,
+                    stagingPath: String, publishPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(publishPath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(dst), s"publish target already exists: $publishPath")
+    require(fs.rename(new Path(stagingPath), dst),
+      s"publish rename failed: $stagingPath -> $publishPath")
+  }
+
   /** Explicit anti-join dedup against an existing dataset's keys — the
     * DEDUP_INSERT semantics (HoodieSink.java:426-433) expressed as a Spark
     * plan. `existingKeys` is typically a key-only projection of the target
