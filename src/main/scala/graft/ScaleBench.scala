@@ -94,12 +94,43 @@ object ScaleBench {
       .count()
     val winSecs = secs(tWin)
 
+    // ---- incremental dedup: cost ∝ NEW-SHARD size, not corpus size ------
+    // The cross-run mode: the full corpus's signature state is persisted
+    // once (the amortized cost every run AVOIDS re-paying), then two new
+    // shards — 1k and 4k docs, trailing-edited so they near-dup history —
+    // are deduped against it. The shard-time ratio should track the shard
+    // size ratio: the only O(history) work left is the slim band/fp hash
+    // join (40-byte rows, no text), which at 100TB a state table bucketed
+    // by band key turns into a co-located join.
+    val tState = System.nanoTime()
+    val statePath = corpusPath + "_sigstate"
+    Dedup.writeSignatureState(
+      Dedup.signatureState(corpus, "doc_id", "text"), statePath,
+      mode = "overwrite")
+    val stateSecs = secs(tState)
+    val history = Dedup.readSignatureState(spark, statePath)
+    def newShard(maxId: Int) = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < maxId)
+      .select((col("doc_id") + 900000000L).as("doc_id"),
+        concat(col("text"), lit(" incr")).as("text"))
+    def incRun(maxId: Int): (Double, Long) = {
+      val t = System.nanoTime()
+      val kept = Dedup.incrementalDedup(newShard(maxId), history,
+        "doc_id", "text", threshold = 0.5, maxBucketSize = Some(cap))
+        .where(col("keep")).count()
+      (secs(t), kept)
+    }
+    val (incSecs1k, kept1k) = incRun(1000)
+    val (incSecs4k, kept4k) = incRun(4000)
+
     val line =
       s"""{"metric":"scale_dedup","unit":"sec","sf":"$sfDir","docs":$nDocs,""" +
       s""""gen_secs":$genSecs,"exact_secs":$exactSecs,"exact_groups":$nExactGroups,""" +
       s""""lsh_secs":$lshSecs,"lsh_cands":$nCands,"bucket_cap":$cap,""" +
       s""""cc_secs":$ccSecs,"cc_clusters":$nClusters,"cc_nodes":$nClustered,""" +
-      s""""winnow_secs":$winSecs,"winnow_fps":$nFps,"total_secs":${secs(t0)}}"""
+      s""""winnow_secs":$winSecs,"winnow_fps":$nFps,""" +
+      s""""sigstate_secs":$stateSecs,"inc_1k_secs":$incSecs1k,"inc_1k_kept":$kept1k,""" +
+      s""""inc_4k_secs":$incSecs4k,"inc_4k_kept":$kept4k,"total_secs":${secs(t0)}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_BENCH.json"), line + "\n")
     spark.stop()

@@ -2,7 +2,7 @@ package graft
 
 import graft.convert.Validator
 import graft.functions.Functions._
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, MediaFixtures, Multimodal, Similarity, TextAnalysis}
 import graft.model.SchemaBridge
 import graft.operators.Fork
 import graft.streaming.Incremental
@@ -48,6 +48,34 @@ object SparkEntry {
       Similarity.fitCentroids(t(s, dir, "embeddings"), nlist))
     lastIvfCentroids = cs
     cs
+  }
+
+  /** Operating points DERIVED from corpus stats, not hardcoded: a fixed
+    * bucket cap drops progressively more legitimate pairs at 100× corpus,
+    * and a fixed SRP plane count inflates bucket occupancy linearly with
+    * growth — both must track the table they run over. The parquet
+    * row-count is metadata-only (no scan), cached per dir; the last
+    * derived values feed the matching oracle SQL (same populate-then-dump
+    * ordering contract as ivfCentroids). */
+  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def tableCount(s: SparkSession, dir: String, name: String): Long =
+    countCache.getOrElseUpdate(s"$dir|$name", t(s, dir, name).count())
+  @volatile private var lastBucketCap: Int = 64
+  private def docBucketCap(s: SparkSession, dir: String): Int = {
+    val c = Dedup.suggestedBucketCap(tableCount(s, dir, "documents"))
+    lastBucketCap = c; c
+  }
+  // target occupancy 2: near-dup pairing wants near-empty buckets (each
+  // vector is compared to ~(planes+1)×occupancy candidates at radius 1);
+  // ANN recall is then bought with probe radius, not bucket size. At the
+  // sf0.01 gate (500 vectors) this derives the measured 0.8-recall point
+  // (8 planes); at 100× corpus it adds ~7 planes instead of letting
+  // occupancy grow 100×.
+  @volatile private var lastSrpPlanes: Int = 8
+  private def srpPlanes(s: SparkSession, dir: String): Int = {
+    val p = Similarity.suggestedPlanes(tableCount(s, dir, "embeddings"),
+      targetBucketSize = 2)
+    lastSrpPlanes = p; p
   }
 
   // ---------------------------------------------------------------- queries
@@ -272,9 +300,12 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id") +: scores: _*)
     }),
     "d04_lsh_neardups" -> ((s, dir) =>
-      // MinHash(12) -> LSH(4 bands) candidates -> exact-Jaccard verify.
+      // MinHash(12) -> LSH(4 bands) candidates -> exact-Jaccard verify;
+      // band-bucket cap derived from corpus size (mega-buckets belong to
+      // exact dedup, and the cap must grow with collision noise at scale)
       Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, k = 3, numHashes = 12, bands = 4)),
+        threshold = 0.5, k = 3, numHashes = 12, bands = 4,
+        maxBucketSize = Some(docBucketCap(s, dir)))),
     "d05_simhash" -> ((s, dir) =>
       // two-step: token hashes materialize once, then 64 bit-votes read them
       t(s, dir, "documents")
@@ -316,7 +347,8 @@ object SparkEntry {
         // feeds the near-dup pipeline (two scans) and the final join:
         // materialize the dedup once, not three times
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dropIds = Dedup.nearDupClusters(exact, "doc_id", "text", threshold = 0.5)
+      val dropIds = Dedup.nearDupClusters(exact, "doc_id", "text", threshold = 0.5,
+          maxBucketSize = Some(docBucketCap(s, dir)))
         .where(!col("keep")).select(col("id").as("doc_id"))
       exact.join(dropIds, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
@@ -331,12 +363,23 @@ object SparkEntry {
       // grow with the corpus, and the uncapped self-join went quadratic
       // at sf0.1 (31s of a 21s bench)
       Dedup.winnowingOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
-        minSim = 0.3, maxBucketSize = Some(64))),
+        minSim = 0.3, maxBucketSize = Some(docBucketCap(s, dir)))),
     "d09_dedup_clusters" -> ((s, dir) =>
       // pairs -> connected components -> keeper decision: the step that
       // turns near-dup pairs into an actual dedup (keep = id == cluster)
       Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, k = 3, numHashes = 12, bands = 4)),
+        threshold = 0.5, k = 3, numHashes = 12, bands = 4,
+        maxBucketSize = Some(docBucketCap(s, dir)))),
+    "d12_string_clusters" -> ((s, dir) =>
+      // d09's clustering with STRING document keys (the real-world id
+      // shape: UUIDs/URLs) — ids map to dense numeric surrogates inside
+      // connectedComponents (order-preserving global-sort rank), so the
+      // keeper is still the MIN id, lexicographic for strings
+      Dedup.nearDupClusters(
+        t(s, dir, "documents").withColumn("doc_key",
+          concat(lit("doc-"), lpad(col("doc_id").cast("string"), 6, "0"))),
+        "doc_key", "text", threshold = 0.5,
+        maxBucketSize = Some(docBucketCap(s, dir)))),
     "d07_winnowing" -> ((s, dir) =>
       // rolling-hash (winnowing) fingerprints, one row per distinct minimum;
       // gram hashes staged so window minima don't re-hash per window
@@ -345,6 +388,25 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.charGramHashes(col("__t"), k = 8).as("__g"))
         .select(col("doc_id"),
           explode(TextAnalysis.winnowingMinima(col("__g"), w = 4)).as("fp"))),
+    "d11_incremental_dedup" -> ((s, dir) => {
+      // Cross-RUN dedup — the mode a 100TB pipeline actually runs: the
+      // signature state of an earlier ingest (docs < 250) is persisted to
+      // parquet and read back (the cross-run contract); a new shard (the
+      // remaining docs plus 10 re-ingested exact copies under fresh ids)
+      // is then flagged exact/near/keep against the STATE ONLY — the
+      // historical text is never re-read.
+      val docs = t(s, dir, "documents")
+      val statePath =
+        java.nio.file.Files.createTempDirectory("d11-state").toString + "/sigs"
+      Dedup.writeSignatureState(
+        Dedup.signatureState(docs.where(col("doc_id") < 250), "doc_id", "text"),
+        statePath, mode = "overwrite")
+      val history = Dedup.readSignatureState(s, statePath)
+      val batch = docs.where(col("doc_id") >= 250)
+        .unionByName(docs.where(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.incrementalDedup(batch, history, "doc_id", "text", threshold = 0.5)
+    }),
     "d06_ngram_jaccard" -> ((s, dir) => {
       // direct exact-Jaccard surface (not LSH-filtered): compare each doc
       // to the doc 250 ids later
@@ -368,11 +430,12 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
     "s02_ann_topk" -> ((s, dir) => {
-      // multi-probe SRP (Hamming <= 1): ~9x the single-probe candidate
-      // set at 8 planes, still ~3.5% of the corpus per query
+      // multi-probe SRP (Hamming <= 1): ~(planes+1)/2^planes of the
+      // corpus per query; planes DERIVED from corpus size (see srpPlanes)
+      // so occupancy stays at target as the corpus grows
       val emb = t(s, dir, "embeddings")
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        dim = 64, planes = 8, probeRadius = 1)
+        dim = 64, planes = srpPlanes(s, dir), probeRadius = 1)
     }),
     "s04_ivf_topk" -> ((s, dir) => {
       // IVF ANN: map-side argmin cell assignment over the fitted literal
@@ -384,15 +447,16 @@ object SparkEntry {
     }),
     "s05_embedding_neardups" -> ((s, dir) =>
       // near-dup pair surface under the oracle: multi-probe bucketed
-      // self-join, pairs within Hamming<=1 buckets scored by cosine
+      // self-join, pairs within Hamming<=1 buckets scored by cosine;
+      // plane count derived from corpus size (srpPlanes)
       Similarity.embeddingNearDups(t(s, dir, "embeddings"),
-        threshold = 0.40, dim = 64, planes = 8, probeRadius = 1)),
+        threshold = 0.40, dim = 64, planes = srpPlanes(s, dir), probeRadius = 1)),
     "s06_embedding_clusters" -> ((s, dir) =>
       // pairs -> connected components -> keeper decision over embeddings:
       // the same dedup-decision step as d09, on the vector signal
       Dedup.connectedComponents(
         Similarity.embeddingNearDups(t(s, dir, "embeddings"),
-          threshold = 0.40, dim = 64, planes = 8, probeRadius = 1))
+          threshold = 0.40, dim = 64, planes = srpPlanes(s, dir), probeRadius = 1))
         .withColumn("keep", col("id") === col("cluster"))),
     "s03_srp_buckets" -> ((s, dir) =>
       // LSH bucket histogram — certifies srpBucket itself (and would catch
@@ -400,6 +464,28 @@ object SparkEntry {
       t(s, dir, "embeddings")
         .select(Similarity.srpBucket(col("embedding"), 64, 8).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))),
+
+    // ---- multimodal kernels under the oracle ----------------------------
+    "m15_image_features" -> ((s, dir) =>
+      // REAL image decode gated by the oracle: deterministic fixture PNGs
+      // -> javax.imageio decode -> dims / mean luma / 8x8 average-hash;
+      // the oracle carries the hand-computed features as literals (the
+      // kernels are deterministic, so this is a true cross-check, not an
+      // echo). mean_luma rounds to 3dp so fp accumulation order can't
+      // perturb the value hash.
+      Multimodal.extractImageFeatures(s,
+          MediaFixtures.media(s).where(col("media_type") === "image"))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_luma"), 3).as("mean_luma"), col("phash"))),
+    "m16_audio_features" -> ((s, dir) =>
+      // REAL audio decode gated by the oracle: constant-tone WAV ->
+      // javax.sound decode -> frame-count duration, exact 0.5 mean
+      // amplitude (power-of-two samples: no fp error), PCM md5.
+      Multimodal.extractAudioFeatures(s, MediaFixtures.media(s))
+        .toDF()
+        .select(col("media_id"), col("duration_ms"), col("sample_rate"),
+          col("channels"), col("mean_amplitude"), col("fingerprint"))),
 
     // ---- orchestration spine end-to-end (Runner + SubDag + Fork) --------
     "m12_multi_pipeline" -> ((s, dir) => {
@@ -528,13 +614,15 @@ object SparkEntry {
 
   /** Shared CTE body for the multi-probe embedding near-dup pairs (s05
     * and s06 oracles): SRP buckets -> radius-1 probe expansion ->
-    * same-bucket pairs -> cosine >= 0.40 as `epairs`. */
+    * same-bucket pairs -> cosine >= 0.40 as `epairs`. Plane count mirrors
+    * the query side's derived value (lastSrpPlanes). */
   private def duckEmbPairsCte(): String = {
-    val bucket = duckSrpBucket("embedding", 64, 8)
+    val planes = lastSrpPlanes
+    val bucket = duckSrpBucket("embedding", 64, planes)
     val cos = duckCos("a.embedding", "b.embedding")
     s"""v AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
        |pr AS (SELECT vec_id, embedding,
-       |         unnest(${duckProbes("bucket", 8)}) AS bucket FROM v),
+       |         unnest(${duckProbes("bucket", planes)}) AS bucket FROM v),
        |epairs AS (
        |  SELECT id1, id2, score FROM (
        |    SELECT a.vec_id AS id1, b.vec_id AS id2, $cos AS score
@@ -548,6 +636,7 @@ object SparkEntry {
     * (doc_id, text). */
   private def duckLshPairsCte(src: String = "documents"): String = {
     val K = 3; val NH = 12; val BANDS = 4; val RPB = NH / BANDS
+    val cap = lastBucketCap // mirrors the query side's derived bucket cap
     val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
     val sh =
       s"""CASE WHEN len($toks) < $K THEN [array_to_string($toks, ' ')]
@@ -564,7 +653,9 @@ object SparkEntry {
         |    / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)""".stripMargin
     s"""shingled AS (SELECT doc_id, $sh AS sh FROM $src),
        |sigs AS (SELECT doc_id, [$minh] AS sig FROM shingled),
-       |bands AS (SELECT doc_id, unnest([$bandkeys]) AS band FROM sigs),
+       |bands0 AS (SELECT doc_id, unnest([$bandkeys]) AS band FROM sigs),
+       |bandsok AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) <= $cap),
+       |bands AS (SELECT bands0.* FROM bands0 JOIN bandsok USING (band)),
        |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |          FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id),
        |dsh AS (SELECT doc_id, list_distinct(sh) AS s FROM shingled),
@@ -574,7 +665,53 @@ object SparkEntry {
        |  WHERE $jacc >= 0.5)""".stripMargin
   }
 
+  /** DuckDB twin of `Dedup.signatureState` over an inline relation `src`
+    * (columns doc_id, text): doc_id, fp (normalized md5), sig (12 minhash
+    * components, same salted-md5 construction as the Spark side). */
+  private def duckSigState(src: String): String = {
+    val K = 3; val NH = 12
+    val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+    val sh =
+      s"""CASE WHEN len($toks) < $K THEN [array_to_string($toks, ' ')]
+         | ELSE list_transform(range(0, len($toks) - $K + 1),
+         |   i -> array_to_string(list_slice($toks, i+1, i+$K), ' ')) END""".stripMargin
+    val minh = (0 until NH)
+      .map(i => s"list_min(list_transform(sh, s -> md5('graft$i|' || s)))")
+      .mkString(", ")
+    s"""SELECT doc_id, fp, [$minh] AS sig FROM (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |    $sh AS sh
+       |  FROM ($src))""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "d11_incremental_dedup" -> {
+      val bandkeys = (0 until 4)
+        .map(b => s"md5('$b' || '|' || array_to_string(list_slice(sig, ${b * 3 + 1}, ${b * 3 + 3}), '|'))")
+        .mkString(", ")
+      s"""WITH
+         |h AS (${duckSigState("SELECT doc_id, text FROM documents WHERE doc_id < 250")}),
+         |b AS (${duckSigState(
+             """SELECT doc_id, text FROM documents WHERE doc_id >= 250
+               |UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10""".stripMargin)}),
+         |hb AS (SELECT doc_id AS hist_id, unnest([$bandkeys]) AS band FROM h),
+         |bb AS (SELECT doc_id, unnest([$bandkeys]) AS band FROM b),
+         |cands AS (SELECT DISTINCT bb.doc_id, hb.hist_id FROM bb JOIN hb USING (band)),
+         |nearids AS (SELECT DISTINCT c.doc_id FROM cands c
+         |  JOIN b x ON x.doc_id = c.doc_id
+         |  JOIN h y ON y.doc_id = c.hist_id
+         |  WHERE CAST(len(list_filter(range(1, 13), i -> x.sig[i] = y.sig[i])) AS DOUBLE)
+         |    / CAST(len(x.sig) AS DOUBLE) >= 0.5),
+         |exactids AS (SELECT DISTINCT b.doc_id FROM b
+         |  JOIN (SELECT DISTINCT fp FROM h) hf USING (fp))
+         |SELECT b.doc_id,
+         |  b.doc_id IN (SELECT doc_id FROM exactids) AS exact_dup,
+         |  b.doc_id IN (SELECT doc_id FROM nearids) AS near_dup,
+         |  b.doc_id NOT IN (SELECT doc_id FROM exactids)
+         |    AND b.doc_id NOT IN (SELECT doc_id FROM nearids) AS keep
+         |FROM b""".stripMargin
+    },
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |${dsum("l_quantity", 2, "sum_qty")},
@@ -744,6 +881,21 @@ object SparkEntry {
          |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
          |SELECT id, MIN(r) AS cluster, (id = MIN(r)) AS keep
          |FROM reach GROUP BY id""".stripMargin,
+    "d12_string_clusters" ->
+      // d09's recursive-closure oracle over string keys: MIN(varchar) is
+      // lexicographic, matching the surrogate translation's keeper choice
+      s"""WITH RECURSIVE
+         |skeys AS (SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id, text
+         |          FROM documents),
+         |${duckLshPairsCte("skeys")},
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ndpairs
+         |          UNION ALL SELECT id2, id1 FROM ndpairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
+         |SELECT id, MIN(r) AS cluster, (id = MIN(r)) AS keep
+         |FROM reach GROUP BY id""".stripMargin,
     "d05_simhash" -> {
       val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
       val hs = s"list_transform($toks, t -> ('0x' || substr(md5(t),1,8))::BIGINT::HUGEINT * 4294967296" +
@@ -800,7 +952,7 @@ object SparkEntry {
         |    j -> list_min(list_slice(grams, j, j + 3)))) AS fps
         |  FROM g),
         |f0 AS (SELECT doc_id, unnest(fps) AS fp FROM w),
-        |ok AS (SELECT fp FROM f0 GROUP BY fp HAVING COUNT(*) <= 64),
+        |ok AS (SELECT fp FROM f0 GROUP BY fp HAVING COUNT(*) <= CAPLIT),
         |f AS (SELECT f0.* FROM f0 JOIN ok USING (fp)),
         |n AS (SELECT doc_id, COUNT(*) AS nf FROM f GROUP BY doc_id),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
@@ -809,7 +961,9 @@ object SparkEntry {
         |  SELECT id1, id2,
         |    CAST(n_shared AS DOUBLE) / (x.nf + y.nf - n_shared) AS sim
         |  FROM p JOIN n x ON x.doc_id = id1 JOIN n y ON y.doc_id = id2)
-        |WHERE sim >= 0.3""".stripMargin,
+        |WHERE sim >= 0.3""".stripMargin
+        // mirror the query side's derived fp-bucket cap
+        .replace("CAPLIT", lastBucketCap.toString),
     "d06_ngram_jaccard" -> {
       val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
       val sh =
@@ -833,11 +987,12 @@ object SparkEntry {
          |WHERE rnk <= 5""".stripMargin
     },
     "s02_ann_topk" -> {
-      val bucket = duckSrpBucket("embedding", 64, 8)
+      val planes = lastSrpPlanes
+      val bucket = duckSrpBucket("embedding", 64, planes)
       val cos = duckCos("q.embedding", "c.embedding")
       s"""WITH v AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
          |q AS (SELECT vec_id, embedding,
-         |        unnest(${duckProbes("bucket", 8)}) AS bucket
+         |        unnest(${duckProbes("bucket", planes)}) AS bucket
          |      FROM v WHERE vec_id < 10)
          |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, $cos AS score,
@@ -945,6 +1100,24 @@ object SparkEntry {
          |  SELECT o_orderpriority,
          |    CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total_price
          |  FROM orders GROUP BY 1)""".stripMargin,
+    "m15_image_features" ->
+      // Hand-derived from the fixture construction (MediaFixtures.media):
+      // every 8x8 cell pools to exactly 0 or 255, so bit c = cy*8+cx is
+      // set iff the cell is on the white side: vertical split -> cx>=4 ->
+      // 0xf0 per row-byte; horizontal split -> cy>=4 -> high 32 bits;
+      // quarter split -> cx<2 -> 0x03 per row-byte (mean 63.75). Mean
+      // luma = white fraction * 255.
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 16::INTEGER, 16::INTEGER, 127.5::DOUBLE,  'f0f0f0f0f0f0f0f0'),
+        |  (2::BIGINT, 16::INTEGER, 16::INTEGER, 127.5::DOUBLE,  'ffffffff00000000'),
+        |  (3::BIGINT, 32::INTEGER,  8::INTEGER, 63.75::DOUBLE,  '0303030303030303')
+        |) AS t(media_id, width, height, mean_luma, phash)""".stripMargin,
+    "m16_audio_features" ->
+      // 4000 frames @ 8000 Hz = 500 ms; constant 16384/32768 = 0.5 mean
+      // amplitude; fingerprint = md5 prefix of the (00 40)*4000 PCM bytes
+      """SELECT 4::BIGINT AS media_id, 500::BIGINT AS duration_ms,
+        |8000::INTEGER AS sample_rate, 1::INTEGER AS channels,
+        |0.5::DOUBLE AS mean_amplitude, '8eea12095947b2e5' AS fingerprint""".stripMargin,
     "m06_fork_streams" -> {
       def one(k: Int, where: String) =
         s"""SELECT $k AS fork_key, COUNT(*) AS n, COUNT(*) AS n_stream,

@@ -110,6 +110,22 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Bucket-size cap DERIVED from corpus size — the operating point for
+    * `maxBucketSize` in lshCandidatePairs / winnowingOverlapPairs /
+    * incrementalDedup. The floor (64) is the hand-off point to exact
+    * dedup: a bucket that large is a mega-cluster of near-identical docs
+    * whose O(B²) pair listing adds nothing over the O(B) exact/keep-min
+    * path. Growth is logarithmic in corpus size: legitimate near-dup
+    * clusters do NOT grow with the corpus (a doc has a bounded set of
+    * true near-dups), but collision/ubiquitous-gram noise in a bucket
+    * creeps up with scale — a slowly rising cap absorbs that without
+    * re-admitting quadratic pair cost (per-doc candidate work stays
+    * O(n_fp × cap), scale-free). */
+  def suggestedBucketCap(corpusSize: Long): Int = {
+    require(corpusSize > 0, s"corpusSize must be positive: $corpusSize")
+    math.max(64, math.ceil(8.0 * math.log(corpusSize.toDouble)).toInt)
+  }
+
   /** Keep only rows whose `keyCol` bucket holds <= cap rows — the shared
     * adversarial guard of lshCandidatePairs and winnowingOverlapPairs
     * (a B-row bucket emits O(B^2) pair rows downstream). */
@@ -123,6 +139,95 @@ object Dedup {
         df.join(small, Seq(keyCol))
       case None => df
     }
+
+  // ------------------------------------------------------- incremental state
+
+  /** Signature STATE for cross-run incremental dedup: one row per document
+    * carrying everything a later run needs to dedup a NEW shard against
+    * history without re-reading historical text:
+    *   - `fp`  — the exact-dedup fingerprint (md5 of normalized text);
+    *   - `sig` — the MinHash signature (`numHashes` md5-min components).
+    * Band keys are NOT stored: they derive from `sig` map-side at read
+    * time (`bands` md5s per doc), so the state stays minimal and the band
+    * count can be retuned later without rewriting history. All hashes are
+    * engine-portable md5 (see the object doc) — state written by one
+    * engine/version is readable by any other, which is the property that
+    * makes a years-long 100TB signature table possible. */
+  def signatureState(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, numHashes: Int = 12): DataFrame =
+    // staged producers (see lshCandidatePairs): tokens -> shingles -> sig,
+    // each materialized once, never inlined numHashes times
+    df.select(col(idCol).as("id"), exactKey(col(textCol)).as("fp"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("id"), col("fp"), shinglesFromTokens(col("__toks"), k).as("__sh"))
+      .select(col("id"), col("fp"), minhashSignature(col("__sh"), numHashes).as("sig"))
+
+  /** Append a batch's signature state to the persisted parquet state table
+    * (the cross-run contract: one row per already-ingested doc; each run
+    * appends its survivors). */
+  def writeSignatureState(state: DataFrame, path: String,
+                          mode: String = "append"): Unit =
+    state.write.mode(mode).parquet(path)
+
+  def readSignatureState(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = spark.read.parquet(path)
+
+  /** Incremental dedup decision for a NEW batch against persisted history —
+    * the mode a 100TB pipeline actually runs (a daily shard is deduped
+    * against the accumulated signature table, never against the corpus):
+    *   - `exact_dup`: the batch doc's fingerprint exists in history (the
+    *     DEDUP_INSERT anti-join semantics — the reference's only join,
+    *     HoodieSink.java:426-449 — here as a semi-join flag);
+    *   - `near_dup`: some historical doc shares an LSH band key AND the
+    *     signature-estimated Jaccard >= `threshold`. Verification needs no
+    *     historical text: the stored signatures ARE the verify data.
+    *   - `keep` = neither.
+    * Cost ∝ new-shard size: history participates only through two hash
+    * equi-joins (fp, band) on its slim state projection; the historical
+    * corpus is never read. `maxBucketSize` caps HISTORY band buckets (a
+    * ubiquitous-band history bucket × every matching batch doc is the
+    * incremental form of the quadratic mega-bucket; exact dedup owns
+    * those, as in lshCandidatePairs). Within-batch duplicates are out of
+    * scope by design — compose: within-batch dedup (nearDupClusters) ->
+    * incrementalDedup vs history -> append survivors' state. */
+  def incrementalDedup(batch: DataFrame, history: DataFrame,
+                       idCol: String, textCol: String, threshold: Double,
+                       k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                       maxBucketSize: Option[Int] = None): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    // three consumers (exact join, band join, output spine) — one pass
+    // over the batch text
+    val st = signatureState(batch, idCol, textCol, k, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = st.select(col("id"), col("fp"))
+      .join(history.select(col("fp")), Seq("fp"), "left_semi")
+      .select(col("id")).distinct().withColumn("exact_dup", lit(true))
+    val batchBands = st.select(col("id"),
+      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val histBands = capBuckets(
+      history.select(col("id").as("hist_id"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band")),
+      "band", maxBucketSize)
+    // candidates carry only (band, id, hist_id); signatures re-join by id
+    // so the wide sig arrays never ride the band shuffle
+    val cands = batchBands.join(histBands, Seq("band"))
+      .select(col("id"), col("hist_id")).distinct()
+    val near = cands
+      .join(st.select(col("id"), col("sig")), Seq("id"))
+      .join(history.select(col("id").as("hist_id"), col("sig").as("hsig")),
+        Seq("hist_id"))
+      .where(signatureSimilarity(col("sig"), col("hsig")) >= threshold)
+      .select(col("id")).distinct().withColumn("near_dup", lit(true))
+    st.select(col("id"))
+      .join(exact, Seq("id"), "left")
+      .join(near, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"))
+      .withColumn("keep", !col("exact_dup") && !col("near_dup"))
+  }
 
   /** Estimated Jaccard from two minhash signatures (fraction of agreeing
     * components). */
@@ -143,8 +248,10 @@ object Dedup {
     * exact comparison runs on the (tiny) candidate set, not all pairs. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, k: Int = 3,
-                   numHashes: Int = 12, bands: Int = 4): DataFrame = {
-    val cands = lshCandidatePairs(df, idCol, textCol, k, numHashes, bands)
+                   numHashes: Int = 12, bands: Int = 4,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, k, numHashes, bands,
+      maxBucketSize)
     // persisted for the same reason as the band frame: joined twice (id1
     // and id2 sides) and Spark won't reuse the shingling subtree across
     // the two aliased branches
@@ -220,31 +327,68 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
                           idCol2: String = "id2",
                           maxIterations: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, NumericType, StructField, StructType}
+    val dt1 = pairs.schema(idCol1).dataType
+    val dt2 = pairs.schema(idCol2).dataType
+    require(dt1 == dt2,
+      s"pair id columns disagree: $idCol1 is ${dt1.simpleString}, $idCol2 is ${dt2.simpleString}")
+    if (dt1.isInstanceOf[NumericType])
+      return ccNumeric(pairs, idCol1, idCol2, maxIterations)
+    // Non-numeric ids (strings/UUIDs/URLs — the real-world document key):
+    // map them to dense numeric surrogates, run the numeric loop, map
+    // back. The surrogate is the id's GLOBAL SORT POSITION over the
+    // distinct node set (orderBy + zipWithIndex: two distributed passes,
+    // no driver collect; the index is the sort rank, independent of
+    // partition boundaries, so the mapping is deterministic across runs).
+    // Order preservation means min-surrogate == min-original-id, so the
+    // "cluster keeper = MIN id" contract survives translation
+    // (lexicographic min for strings — what an engine's MIN() gives).
+    // Nodes ≪ corpus (only docs appearing in pairs), so the sort is a
+    // small fraction of the pairing cost at any scale.
+    val spark = pairs.sparkSession
+    val surRdd = pairs.select(col(idCol1).as("orig"))
+      .union(pairs.select(col(idCol2).as("orig"))).distinct()
+      .orderBy(col("orig")).rdd.zipWithIndex()
+      .map { case (r, i) => org.apache.spark.sql.Row(r.get(0), i) }
+    val sur = spark.createDataFrame(surRdd, StructType(Seq(
+        StructField("orig", dt1), StructField("sid", LongType, nullable = false))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spairs = pairs
+      .join(sur.select(col("orig").as(idCol1), col("sid").as("__s1")), Seq(idCol1))
+      .join(sur.select(col("orig").as(idCol2), col("sid").as("__s2")), Seq(idCol2))
+      .select("__s1", "__s2")
+    ccNumeric(spairs, "__s1", "__s2", maxIterations)
+      .join(sur.select(col("sid").as("id"), col("orig").as("__oid")), Seq("id"))
+      .join(sur.select(col("sid").as("cluster"), col("orig").as("__oclu")), Seq("cluster"))
+      .select(col("__oid").as("id"), col("__oclu").as("cluster"))
+  }
+
+  private def ccNumeric(pairs: DataFrame, idCol1: String, idCol2: String,
+                        maxIterations: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // the checksum convergence test relies on numeric ordering: labels
-    // decrease numerically, so a decreasing exact decimal sum == progress.
-    // String ids would cast to null (and lexicographic least() wouldn't
-    // match the sum's ordering anyway) — fail fast instead.
-    Seq(idCol1, idCol2).foreach { c =>
-      require(pairs.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"connectedComponents needs numeric ids; '$c' is ${pairs.schema(c).dataType.simpleString}" +
-          " (map string keys to a numeric surrogate first)")
-    }
+    // Lineage truncation per round is mandatory (see below), and HOW is a
+    // deployment choice: localCheckpoint blocks live in executor memory
+    // and die with executor churn/preemption — fine single-JVM, fatal on
+    // a busy 100TB cluster. When the session has a checkpoint dir
+    // configured, truncate through the reliable FS-backed checkpoint()
+    // instead (opt out with graft.cc.reliableCheckpoint=false).
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined &&
+      pairs.sparkSession.conf.get("graft.cc.reliableCheckpoint", "true") != "false"
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
       .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint, not persist: each round references `labels` twice,
-    // so the LOGICAL plan quadruples per round — by round 6 on a 9.5M-edge
-    // graph the driver was re-optimizing a 200k-node tree per action
-    // (executors idle, 100% driver CPU; measured 395s where execution is
-    // ~25s). Caching fixes execution reuse but not plan growth;
-    // localCheckpoint(eager) truncates the lineage to an O(1) LogicalRDD
-    // per round — the standard iterative-algorithm hygiene (GraphX does
-    // the same). On a long-lived cluster with executor churn, swap for
-    // reliable `checkpoint()` against the checkpoint dir.
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    // truncate (checkpoint), not persist: each round references `labels`
+    // twice, so the LOGICAL plan quadruples per round — by round 6 on a
+    // 9.5M-edge graph the driver was re-optimizing a 200k-node tree per
+    // action (executors idle, 100% driver CPU; measured 395s where
+    // execution is ~25s). Caching fixes execution reuse but not plan
+    // growth; an eager checkpoint truncates the lineage to an O(1)
+    // LogicalRDD per round — the standard iterative-algorithm hygiene
+    // (GraphX does the same).
+    var labels = truncate(edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     // Convergence via checksum, not a per-round comparison join: labels
     // only ever DECREASE, so sum(label) strictly decreases until the
     // fixpoint — one cheap aggregate over the checkpointed frame replaces
@@ -262,10 +406,9 @@ object Dedup {
         .join(labels.select(col("id").as("b"), col("label").as("blab")), Seq("b"))
         .groupBy(col("a")).agg(min(col("blab")).as("nlab"))
         .select(col("a").as("id"), col("nlab"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val next = truncate(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlab"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nlab"), col("label"))).as("label")))
       val nextSum = checksum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -285,9 +428,11 @@ object Dedup {
     * components -> (id, cluster, keep). */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, k: Int = 3,
-                      numHashes: Int = 12, bands: Int = 4): DataFrame =
+                      numHashes: Int = 12, bands: Int = 4,
+                      maxBucketSize: Option[Int] = None): DataFrame =
     connectedComponents(
-      nearDupPairs(df, idCol, textCol, threshold, k, numHashes, bands))
+      nearDupPairs(df, idCol, textCol, threshold, k, numHashes, bands,
+        maxBucketSize))
       .withColumn("keep", col("id") === col("cluster"))
 
   /** Portable 64-bit token hash: the first 16 hex chars of md5 assembled

@@ -192,6 +192,41 @@ object Similarity {
     model.clusterCenters.map(_.toArray)
   }
 
+  /** Map-side IVF cell assignment: each row gains its nearest-centroid
+    * `cell` (one codegen'd literal squared-L2 fold over all nlist
+    * centroids, first-match argmin tie-break — no join, no shuffle, no
+    * N×nlist row blowup). This IS the assignment a 100TB bucketed layout
+    * persists; ivfTopKLiteral shares it. */
+  def assignCells(df: DataFrame, centroids: Array[Array[Double]],
+                  vecCol: String = "embedding"): DataFrame = {
+    val distArr = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.VectorLiteralFold(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(vecCol)),
+        centroids.map(_.toSeq).toSeq, squared = true))
+    // distance array staged in its own projection (argmin reads it twice)
+    df.withColumn("__dl", distArr)
+      .withColumn("cell",
+        (array_position(col("__dl"), array_min(col("__dl"))) - 1).cast("int"))
+      .drop("__dl")
+  }
+
+  /** The 100TB IVF storage layout: the corpus written PARTITIONED BY CELL,
+    * so a probe query prunes to its nprobe cells at the file-listing
+    * level — files outside the probed cells are never read (plan-guarded
+    * in IvfSpec). Centroids are fit once (fitCentroids, on a sample at
+    * scale), frozen, and shipped with every reader as literals; appends
+    * assign cells map-side and land in the right partition directories. */
+  def writeIvfLayout(corpus: DataFrame, centroids: Array[Array[Double]],
+                     path: String, vecCol: String = "embedding"): Unit =
+    assignCells(corpus, centroids, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Read only the probed cells from an IVF layout (partition pruning —
+    * the `cell` IN filter is a partition filter, not a data filter). */
+  def readIvfCells(spark: org.apache.spark.sql.SparkSession, path: String,
+                   cells: Seq[Int]): DataFrame =
+    spark.read.parquet(path).where(col("cell").isin(cells: _*))
+
   /** IVF (inverted-file) ANN with explicit centroids: the corpus's cell
     * assignment is a MAP-SIDE argmin over literal-centroid distance folds
     * (no join, no shuffle, no N*nlist row blowup — the assignment a
@@ -214,13 +249,10 @@ object Similarity {
         graft.functions.VectorLiteralFold(
           org.apache.spark.sql.GraftColumnBridge.expression(vec),
           centroids.map(_.toSeq).toSeq, squared = true))
-    // distance array staged (multi-use: argmin reads it twice)
-    val assigned = corpus
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
-        normFast(col(vecCol)).as("cnorm"), distArr(col(vecCol)).as("__dl"))
-      .select(col("corpus_id"), col("cvec"), col("cnorm"),
-        (array_position(col("__dl"), array_min(col("__dl"))) - 1)
-          .cast("int").as("cell"))
+    // cell assignment shared with the bucketed-layout writer (assignCells)
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+        normFast(col(vecCol)).as("cnorm")), centroids, "cvec")
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").asc, col("cell").asc)
     val probes = queries

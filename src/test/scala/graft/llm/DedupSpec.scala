@@ -93,12 +93,93 @@ class DedupSpec extends SparkTestBase {
       .head().getDouble(0) == 0.5)
   }
 
-  test("connectedComponents: empty pair list yields an empty frame; string ids rejected") {
+  test("incrementalDedup flags a new shard against persisted signature state") {
+    val s = spark; import s.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra tango"
+    val history = Seq(
+      (1L, base),
+      (2L, "completely different text about spark engines and data"),
+      (3L, "an unrelated historical document about weather patterns")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                                            // exact dup of 1
+      // trailing one-token edit: 15 of 21 shingles shared (jaccard ~0.71)
+      (11L, base.replace("tango", "uniform")),                // near dup of 1
+      (12L, "a brand new document never seen in any prior run")
+    ).toDF("doc_id", "text")
+    // state round-trips through parquet — the cross-run contract
+    val statePath = tmpDir("sigstate") + "/sigs"
+    Dedup.writeSignatureState(
+      Dedup.signatureState(history, "doc_id", "text"), statePath)
+    val out = Dedup.incrementalDedup(batch,
+      Dedup.readSignatureState(s, statePath), "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out(10L) == ((true, true, false)),  // exact (and trivially near)
+      s"exact re-ingest misflagged: ${out(10L)}")
+    assert(out(11L)._1 == false && out(11L)._3 == false,
+      s"near dup misflagged: ${out(11L)}")    // near-dup: dropped, not exact
+    assert(out(11L)._2, "one-token edit should match history by signature")
+    assert(out(12L) == ((false, false, true)), s"novel doc dropped: ${out(12L)}")
+    // appending a second batch's state accumulates (mode=append default)
+    Dedup.writeSignatureState(
+      Dedup.signatureState(batch.where(col("doc_id") === 12L), "doc_id", "text"),
+      statePath)
+    assert(Dedup.readSignatureState(s, statePath).count() == 4)
+  }
+
+  test("suggestedBucketCap: floor at the exact-dedup hand-off, grows with corpus") {
+    assert(Dedup.suggestedBucketCap(500) == 64)     // the sf0.01 gate point
+    assert(Dedup.suggestedBucketCap(50) == 64)      // floor
+    val caps = Seq(5000L, 1000000L, 1000000000L).map(Dedup.suggestedBucketCap)
+    assert(caps == caps.sorted && caps.distinct == caps,
+      s"cap must grow strictly with corpus size past the floor: $caps")
+    assert(caps.head > 64 && caps.last < 200,
+      s"log growth keeps per-doc candidate cost bounded at 1e9 docs: $caps")
+    intercept[IllegalArgumentException](Dedup.suggestedBucketCap(0))
+  }
+
+  test("connectedComponents: empty pair list yields an empty frame; mixed id types rejected") {
     val s = spark; import s.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Dedup.connectedComponents(empty).count() == 0)
-    val strings = Seq(("a", "b")).toDF("id1", "id2")
-    intercept[IllegalArgumentException](Dedup.connectedComponents(strings))
+    val mixed = Seq((1L, "b")).toDF("id1", "id2")
+    intercept[IllegalArgumentException](Dedup.connectedComponents(mixed))
+  }
+
+  test("connectedComponents: string ids cluster via surrogates; keeper is lexicographic min") {
+    val s = spark; import s.implicits._
+    // same chain/triangle/pair topology as the numeric test, string-keyed
+    // (URLs): the surrogate mapping must preserve ordering so the cluster
+    // label is the lexicographic MIN id — what DuckDB's MIN(varchar) gives
+    val pairs = Seq(
+      ("u/e", "u/a"), ("u/e", "u/i"), ("u/i", "u/l"), ("u/l", "u/g"), ("u/g", "u/t"),
+      ("x/b", "x/c"), ("x/c", "x/d"), ("x/b", "x/d"),
+      ("z/9", "z/3")).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("u/a", "u/e", "u/i", "u/l", "u/g", "u/t").forall(cc(_) == "u/a"))
+    assert(Seq("x/b", "x/c", "x/d").forall(cc(_) == "x/b"))
+    assert(cc("z/9") == "z/3" && cc("z/3") == "z/3")
+    assert(cc.size == 11)
+  }
+
+  test("connectedComponents: reliable checkpoint path yields identical labels") {
+    val s = spark; import s.implicits._
+    val ckptDir = tmpDir("cc-ckpt")
+    val pairs = Seq((5L, 1L), (5L, 9L), (9L, 12L), (40L, 41L)).toDF("id1", "id2")
+    val local = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    s.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      val reliable = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+    } finally
+      // the checkpoint dir is sticky on the shared context: disable the
+      // gate so later suites keep the (faster) localCheckpoint path
+      s.conf.set("graft.cc.reliableCheckpoint", "false")
   }
 
   test("connectedComponents: chains converge to min id; components stay disjoint") {

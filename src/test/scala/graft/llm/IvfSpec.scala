@@ -17,6 +17,32 @@ class IvfSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("writeIvfLayout: probe read prunes cell partitions at the source") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = tmpDir("ivf-layout") + "/corpus"
+    val cents = Similarity.fitCentroids(emb, nlist = 8)
+    Similarity.writeIvfLayout(emb, cents, path)
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(cellDirs.length > 2, s"expected multiple cell partitions, got ${cellDirs.toSeq}")
+    // layout parity: partition-derived cells re-aggregate to the same
+    // assignment the in-memory path computes
+    val full = spark.read.parquet(path)
+    assert(full.count() == emb.count())
+    val probe = Similarity.readIvfCells(spark, path, Seq(0, 1))
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    // the cell filter must prune at the FILE LISTING level: only the two
+    // probed partition directories are selected, everything else is
+    // never read (nprobe/nlist of the corpus touched — the 100TB win)
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected 2 pruned partitions, scanned ${scan.selectedPartitions.partitionCount}")
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("cell"),
+      "cell filter did not register as a partition filter")
+  }
+
   test("ivfTopK recall vs brute force improves with nprobe") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
