@@ -486,6 +486,18 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), col("duration_ms"), col("sample_rate"),
           col("channels"), col("mean_amplitude"), col("fingerprint"))),
+    "m17_video_frames" -> ((s, dir) =>
+      // REAL video decode gated by the oracle: a deterministic uncompressed
+      // AVI (4 DIB frames at 10 fps) -> container parse -> per-sampled-frame
+      // decode -> the image kernel's luma/average-hash. Cell-exact frames
+      // make every feature hand-computable; integer-rational timestamps are
+      // exact. (MJPEG decode is unit-tested — JPEG is lossy, so its values
+      // aren't literal-stable across JVMs; DIB's are.)
+      Multimodal.extractVideoFrames(s, MediaFixtures.media(s), everyMs = 100L)
+        .toDF()
+        .select(col("media_id"), col("frame_index"), col("frame_ts_ms"),
+          col("width"), col("height"),
+          round(col("mean_luma"), 3).as("mean_luma"), col("phash"))),
 
     // ---- orchestration spine end-to-end (Runner + SubDag + Fork) --------
     "m12_multi_pipeline" -> ((s, dir) => {
@@ -1118,6 +1130,19 @@ object SparkEntry {
       """SELECT 4::BIGINT AS media_id, 500::BIGINT AS duration_ms,
         |8000::INTEGER AS sample_rate, 1::INTEGER AS channels,
         |0.5::DOUBLE AS mean_amplitude, '8eea12095947b2e5' AS fingerprint""".stripMargin,
+    "m17_video_frames" ->
+      // Hand-derived from the fixture AVI (MediaFixtures.media id 5):
+      // 10 fps -> ts = 100*i exactly; frames black / vertical split /
+      // horizontal split / white. Split frames pool each 8x8 cell to
+      // exactly 0 or 255 (mean 127.5): vertical -> cx>=4 -> 0xf0 per row
+      // byte, horizontal -> cy>=4 -> high 32 bits. Uniform frames have
+      // every cell == mean, so no `> mean` bit sets: phash 0.
+      """SELECT * FROM (VALUES
+        |  (5::BIGINT, 0::INTEGER,   0::BIGINT, 16::INTEGER, 16::INTEGER,   0.0::DOUBLE, '0000000000000000'),
+        |  (5::BIGINT, 1::INTEGER, 100::BIGINT, 16::INTEGER, 16::INTEGER, 127.5::DOUBLE, 'f0f0f0f0f0f0f0f0'),
+        |  (5::BIGINT, 2::INTEGER, 200::BIGINT, 16::INTEGER, 16::INTEGER, 127.5::DOUBLE, 'ffffffff00000000'),
+        |  (5::BIGINT, 3::INTEGER, 300::BIGINT, 16::INTEGER, 16::INTEGER, 255.0::DOUBLE, '0000000000000000')
+        |) AS t(media_id, frame_index, frame_ts_ms, width, height, mean_luma, phash)""".stripMargin,
     "m06_fork_streams" -> {
       def one(k: Int, where: String) =
         s"""SELECT $k AS fork_key, COUNT(*) AS n, COUNT(*) AS n_stream,

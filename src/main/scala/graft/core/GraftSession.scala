@@ -17,6 +17,9 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName(appName)
+      // native expressions as SQL functions (graft_cosine_similarity, …) —
+      // plain-SQL pipelines get the same codegen'd kernels, no UDF tax
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // FAIR + a default pool spec so Runner's per-pipeline
       // `spark.scheduler.pool` actually isolates pipelines (under the

@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   *     platform-dependent scaler);
   *   - audio: `javax.sound.sampled` (WAV/AIFF/AU PCM) — true duration
   *     from the frame count, mean |amplitude| over decoded samples;
-  *   - video: no JDK codec exists, so frame extraction remains a
-  *     documented STUB emitting the flatMap shape (one row per sampled
-  *     timestamp) with null frame bytes.
+  *   - video: AVI container parsing + frame decode for the two payloads a
+  *     pure JDK can read — uncompressed DIB (hand-decoded, deterministic)
+  *     and MJPEG (per-frame JPEG via ImageIO); see [[AviCodec]]. Clips in
+  *     codecs the JDK genuinely cannot decode (h264/vp9/…) flow to the
+  *     error channel like any other unreadable content.
   *
   * Decode failures follow the engine's error-channel convention: a row
   * with null features and a populated `error` column, ready for
@@ -83,37 +85,45 @@ object Multimodal {
       if (img == null)
         return ImageFeatures(id, None, None, None, None,
           Some("no ImageIO reader for content"))
-      val w = img.getWidth; val h = img.getHeight
-      val cellSum = new Array[Double](64)
-      val cellN = new Array[Long](64)
-      var lumaSum = 0.0
-      var y = 0
-      while (y < h) {
-        val cy = y * 8 / h
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-            0.114 * (rgb & 0xff)
-          lumaSum += luma
-          val c = cy * 8 + (x * 8 / w)
-          cellSum(c) += luma; cellN(c) += 1
-          x += 1
-        }
-        y += 1
-      }
-      val cells = Array.tabulate(64)(c => if (cellN(c) == 0) 0.0 else cellSum(c) / cellN(c))
-      val mean = cells.sum / 64.0
-      var bits = 0L
-      var c = 0
-      while (c < 64) { if (cells(c) > mean) bits |= (1L << c); c += 1 }
-      ImageFeatures(id, Some(w), Some(h), Some(lumaSum / (w.toLong * h)),
-        Some(f"$bits%016x"), None)
+      val (luma, phash) = imageStats(img)
+      ImageFeatures(id, Some(img.getWidth), Some(img.getHeight), Some(luma),
+        Some(phash), None)
     } catch {
       case e: Exception =>
         ImageFeatures(id, None, None, None, None,
           Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
     }
+  }
+
+  /** Mean Rec.601 luma over every pixel + the 8x8 average-hash (manual box
+    * pooling, cross-JVM-stable). Shared by the image and video kernels so a
+    * frame's fingerprint is comparable to a still image's. */
+  private[llm] def imageStats(img: java.awt.image.BufferedImage): (Double, String) = {
+    val w = img.getWidth; val h = img.getHeight
+    val cellSum = new Array[Double](64)
+    val cellN = new Array[Long](64)
+    var lumaSum = 0.0
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        lumaSum += luma
+        val c = cy * 8 + (x * 8 / w)
+        cellSum(c) += luma; cellN(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = Array.tabulate(64)(c => if (cellN(c) == 0) 0.0 else cellSum(c) / cellN(c))
+    val mean = cells.sum / 64.0
+    var bits = 0L
+    var c = 0
+    while (c < 64) { if (cells(c) > mean) bits |= (1L << c); c += 1 }
+    (lumaSum / (w.toLong * h), f"$bits%016x")
   }
 
   final case class AudioFeatures(media_id: Long, duration_ms: Option[Long],
@@ -232,10 +242,11 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling plumbing for video: emit one row per sampled frame index
-    * (every `everyMs` ms of duration) with the parent id — the flatMap shape
-    * a real frame extractor uses; frame bytes STUBBED to null (the JDK has
-    * no video codec; a real deployment swaps in one inside mapPartitions). */
+  /** Metadata-only frame-tick sampler: one row per `everyMs` tick of
+    * `meta.duration_ms`, no content read. Use to PLAN a sampling pass (how
+    * many frames will a corpus yield?) without touching payload bytes —
+    * at 100TB that is a metadata-column scan, not a media scan. For actual
+    * frame decode use [[extractVideoFrames]]. */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
     media.where(col("media_type") === "video")
       .select(col("media_id"),
@@ -243,4 +254,56 @@ object Multimodal {
           greatest(coalesce(col("meta.duration_ms"), lit(0L)) - 1, lit(0L)),
           lit(everyMs))).as("frame_ts_ms"))
       .withColumn("frame", lit(null).cast(BinaryType))
+
+  final case class VideoFrameFeatures(media_id: Long, frame_index: Int,
+                                      frame_ts_ms: Long, width: Option[Int],
+                                      height: Option[Int], mean_luma: Option[Double],
+                                      phash: Option[String], error: Option[String])
+
+  /** REAL video frame sampling + feature extraction: parse the AVI
+    * container ([[AviCodec]]), pick one frame per `everyMs` of stream time
+    * (dedup'd to distinct frame indices via the stream's own rate), decode
+    * only those frames (DIB by hand, MJPEG via ImageIO), and emit the same
+    * luma/average-hash features as the image kernel — so frames dedup
+    * against stills with the same fingerprint space. Unreadable clips or
+    * frames yield error rows; the parse collects frame offsets only, so a
+    * sparse sample of a long clip decodes just the sampled frames. */
+  def extractVideoFrames(spark: SparkSession, media: DataFrame,
+                         everyMs: Long): Dataset[VideoFrameFeatures] = {
+    import spark.implicits._
+    require(everyMs > 0, s"everyMs must be positive: $everyMs")
+    media.where(col("media_type") === "video")
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        decodeVideoFrames(id, bytes, everyMs)
+      })
+  }
+
+  private[llm] def decodeVideoFrames(id: Long, bytes: Array[Byte],
+                                     everyMs: Long): Seq[VideoFrameFeatures] = {
+    def err(m: String) = Seq(VideoFrameFeatures(id, -1, 0L, None, None, None, None, Some(m)))
+    if (bytes == null || bytes.isEmpty) return err("empty content")
+    AviCodec.parse(bytes) match {
+      case Left(reason) => err(reason)
+      case Right(v) if v.frameCount == 0 => err("AVI has no frames")
+      case Right(v) =>
+        // distinct frame indices hit by ticks 0, everyMs, 2*everyMs, … —
+        // integer math throughout so timestamps are exact
+        val durMs = v.durationMs
+        val indices = Iterator.iterate(0L)(_ + everyMs).takeWhile(_ < math.max(durMs, 1L))
+          .map(ts => math.min(v.frameCount - 1L, ts * v.info.fpsNum / (1000L * v.info.fpsDen)).toInt)
+          .distinct.toSeq
+        indices.map { i =>
+          AviCodec.decodeFrame(v, i) match {
+            case Left(reason) =>
+              VideoFrameFeatures(id, i, v.frameTsMs(i), None, None, None, None, Some(reason))
+            case Right(img) =>
+              val (luma, phash) = imageStats(img)
+              VideoFrameFeatures(id, i, v.frameTsMs(i), Some(img.getWidth),
+                Some(img.getHeight), Some(luma), Some(phash), None)
+          }
+        }
+    }
+  }
 }

@@ -130,6 +130,40 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.toSet == Set((2L, 0L), (2L, 1000L), (2L, 2000L)))
   }
 
+  test("extractVideoFrames decodes real AVI frames with image-kernel features") {
+    val avi = MediaFixtures.aviRgb24(16, 16, 10, Seq(
+      (_, _) => 0x000000,
+      (x, _) => if (x < 8) 0x000000 else 0xffffff))
+    val df = mediaDf(Seq(
+      Row(7L, "video", avi, null),
+      Row(8L, "video", Array[Byte](9, 9, 9), null), // not an AVI
+      Row(9L, "image", avi, null)))                 // wrong type: excluded
+    val rows = Multimodal.extractVideoFrames(spark, df, everyMs = 100L)
+      .collect().groupBy(_.media_id)
+    val good = rows(7L).sortBy(_.frame_index)
+    assert(good.map(f => (f.frame_index, f.frame_ts_ms)).toSeq == Seq((0, 0L), (1, 100L)))
+    assert(good.forall(f => f.width.contains(16) && f.height.contains(16) && f.error.isEmpty))
+    assert(good(0).mean_luma.contains(0.0) && good(0).phash.contains("0000000000000000"))
+    assert(math.abs(good(1).mean_luma.get - 127.5) < 1e-9)
+    assert(good(1).phash.contains("f0f0f0f0f0f0f0f0")) // matches the still-image hash space
+    // unreadable clip -> error row; non-video rows never enter the scan
+    assert(rows(8L).head.error.nonEmpty && rows(8L).head.phash.isEmpty)
+    assert(!rows.contains(9L))
+  }
+
+  test("extractVideoFrames sparse sampling decodes only distinct frame indices") {
+    // 10 frames at 10 fps = 1000 ms; everyMs=400 -> ticks 0,400,800 ->
+    // frame indices 0,4,8 (and everyMs larger than the clip -> frame 0 only)
+    val avi = MediaFixtures.aviRgb24(8, 8, 10,
+      Seq.tabulate(10)(i => (_: Int, _: Int) => i * 0x010101 * 20))
+    val df = mediaDf(Seq(Row(1L, "video", avi, null)))
+    val sparse = Multimodal.extractVideoFrames(spark, df, everyMs = 400L).collect()
+    assert(sparse.map(f => (f.frame_index, f.frame_ts_ms)).sorted.toSeq ==
+      Seq((0, 0L), (4, 400L), (8, 800L)))
+    val one = Multimodal.extractVideoFrames(spark, df, everyMs = 5000L).collect()
+    assert(one.map(_.frame_index).toSeq == Seq(0))
+  }
+
   test("repartitionByBytes sizes from plan stats without scanning content") {
     val dir = tmpDir("media")
     mediaDf(Seq(
