@@ -78,6 +78,54 @@ object Incremental {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Continuous cross-run dedup: each micro-batch is deduped against the
+    * persisted signature state ([[graft.llm.Dedup.incrementalDedup]] — the
+    * new-shard-vs-history exact/near decision), decisions land in
+    * `outPath`, and the SURVIVORS' signatures append to the state table so
+    * later batches — and later runs, the state is the same parquet
+    * contract the batch operators use — dedup against everything ingested
+    * so far. `foreachBatch` puts the state read, decision join, and both
+    * writes inside the transactional batch function: offsets advance only
+    * after it returns, so a crash re-runs the whole batch. A re-run can
+    * re-append signature rows (parquet append is not idempotent), which is
+    * harmless for correctness — the exact flag is a semi-join and the
+    * near-dup candidates are `distinct` — it just costs duplicate state
+    * bytes; a dedup-on-read or a transactional table format removes even
+    * that. Within-batch duplicates follow incrementalDedup's contract
+    * (out of scope — compose with dedupWithinWatermark upstream). */
+  def incrementalDedupStream(stream: DataFrame, idCol: String, textCol: String,
+                             statePath: String, outPath: String,
+                             checkpointDir: String, threshold: Double,
+                             k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+                             maxBucketSize: Option[Int] = None): StreamingQuery = {
+    import graft.llm.Dedup
+    val processBatch: (DataFrame, Long) => Unit = { (batch, _) =>
+      val spark = batch.sparkSession
+      val stateFs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val history =
+        if (stateFs.exists(new org.apache.hadoop.fs.Path(statePath)))
+          Dedup.readSignatureState(spark, statePath)
+        else // bootstrap: empty state with the right schema/id type
+          Dedup.signatureState(batch.limit(0), idCol, textCol, k, numHashes)
+      val decisions = Dedup.incrementalDedup(batch, history, idCol, textCol,
+        threshold, k, numHashes, bands, maxBucketSize)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        batch.join(decisions, Seq(idCol)).write.mode("append").parquet(outPath)
+        val survivors = batch.join(
+          decisions.where(col("keep")).select(col(idCol)), Seq(idCol))
+        Dedup.writeSignatureState(
+          Dedup.signatureState(survivors, idCol, textCol, k, numHashes), statePath)
+      } finally decisions.unpersist()
+    }
+    stream.writeStream
+      .foreachBatch(processBatch)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** A closed user session: [start_ms, end_ms] of activity with no gap
     * longer than the configured timeout. */
   final case class Session(key: String, start_ms: Long, end_ms: Long, n_events: Long)

@@ -43,4 +43,49 @@ class DedupStreamSpec extends SparkTestBase {
         s"state not evicted past the watermark: $counts")
     } finally q.stop()
   }
+
+  test("incrementalDedupStream dedups micro-batches against persisted state across runs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("inc-stream").toString
+    val (statePath, outPath) = (s"$base/state", s"$base/out")
+    // long shared text: a single trailing-token edit perturbs only 3 of ~38
+    // k=3 shingles, so the (deterministic md5) MinHash signatures stay close
+    // enough for a band collision and estimated Jaccard >= 0.5
+    val common = ("alpha bravo charlie delta echo foxtrot golf hotel india juliett " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu one two three four " +
+      "five six seven eight nine ten eleven twelve today")
+
+    def runOnce(ck: String, docs: (String, String)*): Unit = {
+      val input = MemoryStream[(String, String)]
+      input.addData(docs: _*)
+      val q = Incremental.incrementalDedupStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        statePath, outPath, s"$base/$ck", threshold = 0.5)
+      try q.awaitTermination(60000) finally q.stop()
+    }
+
+    // run 1: two distinct docs -> both keep, state bootstraps
+    runOnce("ck1", ("a1", common), ("b1", "completely different words here nothing shared at all zero"))
+    // run 2 (separate query, same state): exact copy of a1, near-dup of a1
+    // (one token changed), and a brand-new doc
+    runOnce("ck2",
+      ("a2", common),
+      ("a3", common.replace("today", "tonight")),
+      ("c1", "unrelated fresh content that matches nothing in the history table"))
+
+    val out = spark.read.parquet(outPath)
+      .select("doc_id", "exact_dup", "near_dup", "keep")
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out("a1") == ((false, false, true)) && out("b1") == ((false, false, true)))
+    assert(out("a2")._1, s"exact copy not flagged: $out")         // exact dup of a1
+    assert(out("a3")._2 && !out("a3")._1, s"near dup not flagged: $out")
+    assert(out("c1") == ((false, false, true)), s"fresh doc not kept: $out")
+    // state holds exactly the survivors: a1, b1, c1
+    val stateIds = graft.llm.Dedup.readSignatureState(spark, statePath)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(stateIds == Set("a1", "b1", "c1"))
+  }
 }
