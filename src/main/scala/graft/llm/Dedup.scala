@@ -406,6 +406,7 @@ object Dedup {
         .join(labels.select(col("id").as("b"), col("label").as("blab")), Seq("b"))
         .groupBy(col("a")).agg(min(col("blab")).as("nlab"))
         .select(col("a").as("id"), col("nlab"))
+      val prev = labels
       val next = truncate(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlab"), col("label"))).as("label")))
@@ -414,6 +415,10 @@ object Dedup {
       prevSum = nextSum
       labels = next
       iters += 1
+      // `truncate` is eager, so `next`'s blocks no longer reference the
+      // previous round — drop its checkpoint blocks now instead of letting
+      // a deep loop accumulate every round's storage until GC
+      prev.unpersist()
     }
     // a partially-propagated labeling is silently WRONG (one component
     // reported as several "keepers") — fail loudly instead
