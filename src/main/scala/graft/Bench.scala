@@ -33,13 +33,27 @@ object Bench {
         .write.format("noop").mode("overwrite").save())
       catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
 
+    // Query isolation: operators persist intermediates (LSH band frames,
+    // shingle sets, fork tags) whose lifetime is the returned plan — over
+    // 2 passes x ~50 queries the leaked blocks overflow the storage pool,
+    // and eviction/GC pressure from query A lands in query B's wall time
+    // (round 4: untouched queries regressed 3x from exactly this). Between
+    // queries, drop every cached plan and persisted/localCheckpointed RDD
+    // so each timed query pays its own materializations and nothing else.
+    def resetStorage(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(execute) // warmup pass (JIT, codegen cache, FS metadata)
+    names.foreach { n => execute(n); resetStorage() } // warmup (JIT, codegen, FS metadata)
 
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val r = execute(name)
-      (name, (System.nanoTime() - t0) / 1e9, r)
+      val dt = (System.nanoTime() - t0) / 1e9
+      resetStorage()
+      (name, dt, r)
     }
     val errors = results.collect { case (n, _, Left(e)) => n -> e }
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")

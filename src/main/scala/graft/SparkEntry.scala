@@ -78,6 +78,12 @@ object SparkEntry {
     lastSrpPlanes = p; p
   }
 
+  /** BPE-ish tokenizer regex (d13): alphanumeric/apostrophe runs or single
+    * non-space symbols. Deliberately RE2-compatible (no lookarounds) so
+    * the DuckDB oracle evaluates the IDENTICAL pattern. */
+  private val bpePattern = "[a-z0-9']+|[^a-z0-9'\\s]"
+  private def bpePatternSqlLit: String = s"'${bpePattern.replace("'", "''")}'"
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -499,6 +505,53 @@ object SparkEntry {
           col("width"), col("height"),
           round(col("mean_luma"), 3).as("mean_luma"), col("phash"))),
 
+    "d13_token_stats" -> ((s, dir) =>
+      // BPE-ish token accounting: alnum runs or single symbols via
+      // regexp_extract_all (RE2-compatible pattern — no lookarounds — so
+      // the DuckDB oracle runs the IDENTICAL regex). The per-doc stats a
+      // tokenizer-budget pass computes before real BPE runs; map-side
+      // only, no shuffle at any scale.
+      t(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("__lt"))
+        .select(col("doc_id"), col("__lt"),
+          regexp_extract_all(col("__lt"), lit(bpePattern), lit(0)).as("__bpe"))
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("__lt"))).cast("long").as("n_ws_tokens"),
+          size(col("__bpe")).cast("long").as("n_bpe_tokens"),
+          size(array_distinct(col("__bpe"))).cast("long").as("n_unique_bpe"),
+          when(size(col("__bpe")) === 0, lit(null).cast("double"))
+            .otherwise(length(col("__lt")).cast("double") /
+              size(col("__bpe")).cast("double")).as("chars_per_token"))),
+
+    "m18_stream_windowed" -> ((s, dir) => {
+      // Watermarked event-time windowing END-TO-END under the oracle: the
+      // events table streams through a file source (AvailableNow), a 1-day
+      // tumbling count per event_type with a 2-day watermark lands in a
+      // parquet sink in APPEND mode — so only windows the watermark has
+      // closed (window_end <= max(ts) - 2 days) are emitted. That emission
+      // rule IS the assertion: the DuckDB oracle recomputes the windows
+      // with the same cutoff, so a watermark/no-data-batch regression
+      // (e.g. final windows never flushed, or late windows leaking) breaks
+      // the row set, not just a unit expectation.
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = java.nio.file.Files.createTempDirectory("m18-src")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        src.resolve("events.parquet"))
+      val out = java.nio.file.Files.createTempDirectory("m18-sink").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("m18-ckpt").toString
+      val windowed = (df: org.apache.spark.sql.DataFrame) =>
+        Incremental.windowedCounts(
+          // ts arrives as nanos (legacy nanosAsLong); `div` keeps the
+          // micros conversion in exact integer arithmetic
+          df.withColumn("ets", timestamp_micros(expr("ts div 1000"))),
+          "ets", "2 days", "1 day", Seq("event_type"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"))
+      Incremental.runAvailableNow(s, src.toString, schema, "parquet",
+        windowed, out, ckpt).awaitTermination()
+      s.read.parquet(out)
+    }),
+
     // ---- orchestration spine end-to-end (Runner + SubDag + Fork) --------
     "m12_multi_pipeline" -> ((s, dir) => {
       // Two concurrent pipelines through the production spine: (1) events
@@ -646,6 +699,18 @@ object SparkEntry {
     * m14 oracles): shingle -> minhash(12) -> 4 band buckets -> candidate
     * pairs -> exact-Jaccard >= 0.5 as `ndpairs`, over any relation with
     * (doc_id, text). */
+  /** DuckDB twin of graft.functions.MinhashMinima over a staged
+    * hash-pair-list column `hp` (one md5 per shingle, split into its two
+    * unsigned 32-bit halves): component i = min over shingles of
+    * h1 + i*h2 — exact BIGINT arithmetic, < 2^36, same values the
+    * codegen'd expression produces. */
+  private val duckHashPairs =
+    "list_transform(sh, s -> [('0x' || substr(md5(s), 1, 8))::BIGINT, " +
+      "('0x' || substr(md5(s), 9, 8))::BIGINT])"
+  private def duckMinhash(nh: Int): String = (0 until nh)
+    .map(i => s"list_min(list_transform(hp, p -> p[1] + $i * p[2]))")
+    .mkString(", ")
+
   private def duckLshPairsCte(src: String = "documents"): String = {
     val K = 3; val NH = 12; val BANDS = 4; val RPB = NH / BANDS
     val cap = lastBucketCap // mirrors the query side's derived bucket cap
@@ -654,9 +719,6 @@ object SparkEntry {
       s"""CASE WHEN len($toks) < $K THEN [array_to_string($toks, ' ')]
          | ELSE list_transform(range(0, len($toks) - $K + 1),
          |   i -> array_to_string(list_slice($toks, i+1, i+$K), ' ')) END""".stripMargin
-    val minh = (0 until NH)
-      .map(i => s"list_min(list_transform(sh, s -> md5('graft$i|' || s)))")
-      .mkString(", ")
     val bandkeys = (0 until BANDS)
       .map(b => s"md5('$b' || '|' || array_to_string(list_slice(sig, ${b * RPB + 1}, ${b * RPB + RPB}), '|'))")
       .mkString(", ")
@@ -664,7 +726,8 @@ object SparkEntry {
       """CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
         |    / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE)""".stripMargin
     s"""shingled AS (SELECT doc_id, $sh AS sh FROM $src),
-       |sigs AS (SELECT doc_id, [$minh] AS sig FROM shingled),
+       |hashed AS (SELECT doc_id, $duckHashPairs AS hp FROM shingled),
+       |sigs AS (SELECT doc_id, [${duckMinhash(NH)}] AS sig FROM hashed),
        |bands0 AS (SELECT doc_id, unnest([$bandkeys]) AS band FROM sigs),
        |bandsok AS (SELECT band FROM bands0 GROUP BY band HAVING COUNT(*) <= $cap),
        |bands AS (SELECT bands0.* FROM bands0 JOIN bandsok USING (band)),
@@ -687,14 +750,12 @@ object SparkEntry {
       s"""CASE WHEN len($toks) < $K THEN [array_to_string($toks, ' ')]
          | ELSE list_transform(range(0, len($toks) - $K + 1),
          |   i -> array_to_string(list_slice($toks, i+1, i+$K), ' ')) END""".stripMargin
-    val minh = (0 until NH)
-      .map(i => s"list_min(list_transform(sh, s -> md5('graft$i|' || s)))")
-      .mkString(", ")
-    s"""SELECT doc_id, fp, [$minh] AS sig FROM (
-       |  SELECT doc_id,
-       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-       |    $sh AS sh
-       |  FROM ($src))""".stripMargin
+    s"""SELECT doc_id, fp, [${duckMinhash(NH)}] AS sig FROM (
+       |  SELECT doc_id, fp, $duckHashPairs AS hp FROM (
+       |    SELECT doc_id,
+       |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |      $sh AS sh
+       |    FROM ($src)))""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -924,14 +985,12 @@ object SparkEntry {
         s"""CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
            | ELSE list_transform(range(0, len($toks) - 2),
            |   i -> array_to_string(list_slice($toks, i+1, i+3), ' ')) END""".stripMargin
-      val minh = (0 until 12)
-        .map(i => s"list_min(list_transform(sh, s -> md5('graft$i|' || s)))")
-        .mkString(", ")
       val bandkeys = (0 until 4)
         .map(b => s"md5('$b' || '|' || array_to_string(list_slice(sig, ${b * 3 + 1}, ${b * 3 + 3}), '|'))")
         .mkString(", ")
       s"""WITH shingled AS (SELECT doc_id, $sh AS sh FROM documents),
-         |sigs AS (SELECT doc_id, [$minh] AS sig FROM shingled),
+         |hashed AS (SELECT doc_id, $duckHashPairs AS hp FROM shingled),
+         |sigs AS (SELECT doc_id, [${duckMinhash(12)}] AS sig FROM hashed),
          |bands AS (SELECT doc_id, unnest([$bandkeys]) AS band FROM sigs),
          |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |          FROM bands a JOIN bands b USING (band) WHERE a.doc_id < b.doc_id)
@@ -1151,5 +1210,26 @@ object SparkEntry {
          |UNION ALL ${one(1, "WHERE value > 100")}
          |UNION ALL ${one(2, "WHERE event_type = 'error'")}""".stripMargin
     },
+    "d13_token_stats" ->
+      s"""WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         |b AS (SELECT doc_id, lt,
+         |        regexp_extract_all(lt, $bpePatternSqlLit) AS bpe FROM d)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(string_split(lt, ' '), x -> x != '')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(len(list_distinct(bpe)) AS BIGINT) AS n_unique_bpe,
+         |  CASE WHEN len(bpe) = 0 THEN NULL
+         |       ELSE CAST(length(lt) AS DOUBLE) / CAST(len(bpe) AS DOUBLE)
+         |  END AS chars_per_token
+         |FROM b""".stripMargin,
+    "m18_stream_windowed" ->
+      // append-mode emission contract: only watermark-closed windows
+      // (window_end <= max(ts) - 2 days) appear in the sink
+      """WITH cutoff AS (SELECT max(ts) - INTERVAL 2 DAY AS wm FROM events)
+        |SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+        |  event_type, COUNT(*) AS n
+        |FROM events, cutoff
+        |WHERE time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY <= wm
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

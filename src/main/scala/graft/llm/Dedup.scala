@@ -42,22 +42,40 @@ object Dedup {
   def shingles(text: Column, k: Int = 3): Column =
     shinglesFromTokens(TextAnalysis.tokens(lower(text)), k)
 
-  /** MinHash signature: for each of `numHashes` salted hash families, the
-    * lexicographic minimum of md5(salt || shingle). Using the hex string
-    * itself as the hash value keeps the whole construction portable (any
-    * engine with md5 + min reproduces it exactly). */
+  /** MinHash signature (array<long>): one md5 per shingle expanded into
+    * `numHashes` Kirsch–Mitzenmacher families (h1 + i*h2 over the two
+    * unsigned 32-bit digest halves), minima taken in ONE codegen'd loop —
+    * see graft.functions.MinhashMinima. Engine-portable: any engine with
+    * md5 + 64-bit integers reproduces the signature bit-exactly (no
+    * overflow: components < 2^36), which is what incremental cross-run
+    * dedup state requires. Replaces the salted-md5-string construction
+    * (numHashes digests per shingle through interpreted lambdas — the
+    * dominant cost of the whole LSH tier). */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MinhashMinima(
+        org.apache.spark.sql.GraftColumnBridge.expression(shingleArr), numHashes))
+
+  /** The composable (interpreted) form `minhashSignature` replaces — kept
+    * as the semantic reference for the parity regression test. */
+  private[graft] def minhashSignatureHof(shingleArr: Column, numHashes: Int): Column = {
+    val hp = transform(shingleArr, s => struct(
+      conv(substring(md5(s), 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(s), 9, 8), 16, 10).cast("long").as("h2")))
     array((0 until numHashes).map { i =>
-      array_min(transform(shingleArr, s => md5(concat(lit(s"graft$i|"), s))))
+      array_min(transform(hp, p => p("h1") + lit(i.toLong) * p("h2")))
     }: _*)
+  }
 
   /** LSH band keys: signature split into `bands` groups of `rowsPerBand`,
     * each band hashed to one bucket key. Docs sharing any band key are
-    * candidate pairs. */
+    * candidate pairs. (Signature components render as decimal strings —
+    * the same `array_to_string` form the DuckDB oracle produces.) */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       md5(concat_ws("|", lit(b.toString),
-        concat_ws("|", slice(signature, b * rowsPerBand + 1, rowsPerBand))))
+        concat_ws("|", slice(signature, b * rowsPerBand + 1, rowsPerBand)
+          .cast("array<string>"))))
     }: _*)
 
   /** Candidate near-dup pairs via LSH: explode band keys, self-join per
@@ -334,6 +352,15 @@ object Dedup {
       s"pair id columns disagree: $idCol1 is ${dt1.simpleString}, $idCol2 is ${dt2.simpleString}")
     if (dt1.isInstanceOf[NumericType])
       return ccNumeric(pairs, idCol1, idCol2, maxIterations)
+    // The pair list is typically the OUTPUT of the expensive LSH/winnowing
+    // pipeline, and this path consumes it three times (node-set sort +
+    // two surrogate joins) before the loop's own edge build — persist it
+    // once so the producer pipeline runs once, not per consumer. (Skipped
+    // when the caller already persisted it.)
+    val ownPairs = pairs.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    if (ownPairs)
+      pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Non-numeric ids (strings/UUIDs/URLs — the real-world document key):
     // map them to dense numeric surrogates, run the numeric loop, map
     // back. The surrogate is the id's GLOBAL SORT POSITION over the
@@ -357,10 +384,28 @@ object Dedup {
       .join(sur.select(col("orig").as(idCol1), col("sid").as("__s1")), Seq(idCol1))
       .join(sur.select(col("orig").as(idCol2), col("sid").as("__s2")), Seq(idCol2))
       .select("__s1", "__s2")
-    ccNumeric(spairs, "__s1", "__s2", maxIterations)
+    val mapped = ccNumeric(spairs, "__s1", "__s2", maxIterations)
       .join(sur.select(col("sid").as("id"), col("orig").as("__oid")), Seq("id"))
       .join(sur.select(col("sid").as("cluster"), col("orig").as("__oclu")), Seq("cluster"))
       .select(col("__oid").as("id"), col("__oclu").as("cluster"))
+    // Truncate the back-mapping (one small row per node) so the surrogate
+    // table and the pair cache can be freed NOW instead of leaking until
+    // session teardown — the loop inside ccNumeric is already eager, so
+    // this materializes only the two mapping joins.
+    val res = truncateFrame(mapped)
+    sur.unpersist()
+    if (ownPairs) pairs.unpersist()
+    res
+  }
+
+  /** Eager lineage truncation: reliable `checkpoint()` when the session
+    * has a checkpoint dir (executor-churn-safe — blocks survive on the
+    * FS), `localCheckpoint()` otherwise. Opt out of the reliable path
+    * with graft.cc.reliableCheckpoint=false. */
+  private def truncateFrame(df: DataFrame): DataFrame = {
+    val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined &&
+      df.sparkSession.conf.get("graft.cc.reliableCheckpoint", "true") != "false"
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
   }
 
   private def ccNumeric(pairs: DataFrame, idCol1: String, idCol2: String,
@@ -372,10 +417,12 @@ object Dedup {
     // a busy 100TB cluster. When the session has a checkpoint dir
     // configured, truncate through the reliable FS-backed checkpoint()
     // instead (opt out with graft.cc.reliableCheckpoint=false).
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined &&
-      pairs.sparkSession.conf.get("graft.cc.reliableCheckpoint", "true") != "false"
-    def truncate(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    def truncate(df: DataFrame): DataFrame = truncateFrame(df)
+    // `pairs` feeds both union branches of the edge frame; without its own
+    // persist the (expensive) pair producer evaluates twice when the edge
+    // cache materializes.
+    val ownPairs = pairs.storageLevel == StorageLevel.NONE
+    if (ownPairs) pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
       .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -426,6 +473,7 @@ object Dedup {
       s"connectedComponents did not converge in $maxIterations rounds " +
         "(component diameter exceeds maxIterations — raise it)")
     edges.unpersist()
+    if (ownPairs) pairs.unpersist()
     labels.select(col("id"), col("label").as("cluster"))
   }
 

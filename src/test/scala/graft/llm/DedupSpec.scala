@@ -35,15 +35,31 @@ class DedupSpec extends SparkTestBase {
   test("minhash signatures are deterministic and component-wise portable") {
     val sig = docs.select(
       Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 12).as("sig"))
-      .where(length(col("text")) > 0).collect().map(_.getSeq[String](0))
+      .where(length(col("text")) > 0).collect().map(_.getSeq[Long](0))
     assert(sig.forall(_.length == 12))
-    assert(sig.forall(_.forall(_.matches("[0-9a-f]{32}"))))
+    // K-M components are h1 + i*h2 with h1,h2 < 2^32: always in [0, 2^36)
+    assert(sig.forall(_.forall(v => v >= 0L && v < (1L << 36))))
     // identical docs -> identical signatures
     val byDoc = docs.select(col("doc_id"),
       Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 12).as("sig")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(byDoc(1L) == byDoc(2L))
     assert(byDoc(1L) != byDoc(4L))
+  }
+
+  test("MinhashMinima matches the composable md5 double-hash reference") {
+    // the codegen'd one-digest-per-shingle loop must be bit-identical to
+    // the transform/conv/array_min composition it replaces (which is also
+    // the shape the DuckDB oracle mirrors)
+    val both = docs.select(
+      Dedup.shingles(col("text"), 3).as("sh"))
+      .select(Dedup.minhashSignature(col("sh"), 12).as("fast"),
+        Dedup.minhashSignatureHof(col("sh"), 12).as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"fast=${r.getSeq[Long](0)} ref=${r.getSeq[Long](1)}")
+    }
   }
 
   test("lshCandidatePairs surfaces planted near-dups, rejects bad band config") {
