@@ -505,6 +505,28 @@ object SparkEntry {
           col("width"), col("height"),
           round(col("mean_luma"), 3).as("mean_luma"), col("phash"))),
 
+    "q16_asof_join" -> ((s, dir) => {
+      // As-of join — the point-in-time lookup Spark lacks as an operator
+      // (graft.operators.AsofJoin: tagged union + carry-forward window,
+      // one co-partitioned shuffle per side, |left| output rows). Each
+      // event is joined to the user's latest order at-or-before the event
+      // time; the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the
+      // semantics (inclusive <=, latest-wins, null when no prior order)
+      // are certified against an independent implementation.
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ets"))
+      // one right row per (key, time): equal-timestamp duplicates have no
+      // defined "latest" (mirrored in the oracle's pre-aggregate)
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("asof_orderkey"))
+        .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ots"),
+          col("asof_orderkey"))
+      graft.operators.AsofJoin.asofJoin(ev, ord, "user_id", "o_custkey",
+          "ets", "ots", Seq("asof_orderkey"))
+        .select(col("event_id"), col("user_id"), col("asof_orderkey"))
+    }),
+
     "d13_token_stats" -> ((s, dir) =>
       // BPE-ish token accounting: alnum runs or single symbols via
       // regexp_extract_all (RE2-compatible pattern — no lookarounds — so
@@ -1231,5 +1253,14 @@ object SparkEntry {
         |FROM events, cutoff
         |WHERE time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY <= wm
         |GROUP BY 1, 2""".stripMargin,
+    "q16_asof_join" ->
+      // DuckDB's native ASOF JOIN — an INDEPENDENT implementation of the
+      // point-in-time semantics (inclusive <=, latest right row wins)
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS asof_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.asof_orderkey
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""".stripMargin,
   )
 }
