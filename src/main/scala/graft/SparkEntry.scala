@@ -327,11 +327,12 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.shinglesFromTokens(col("__toks"), 3).as("__sh"))
         .select(col("doc_id"), Dedup.minhashSignature(col("__sh"), 12).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      val est = Dedup.lshCandidatePairs(docs, "doc_id", "text")
         .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
         .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
         .select(col("id1"), col("id2"),
           Dedup.signatureSimilarity(col("sig1"), col("sig2")).as("est_jaccard"))
+      Dedup.materializeAndRelease(est, sigs)
     }),
     "m14_curation_pipeline" -> ((s, dir) => {
       // The full training-data curation flow as ONE oracle-gated query:
@@ -356,10 +357,11 @@ object SparkEntry {
       val dropIds = Dedup.nearDupClusters(exact, "doc_id", "text", threshold = 0.5,
           maxBucketSize = Some(docBucketCap(s, dir)))
         .where(!col("keep")).select(col("id").as("doc_id"))
-      exact.join(dropIds, Seq("doc_id"), "left_anti")
+      val curated = exact.join(dropIds, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))
+      Dedup.materializeAndRelease(curated, exact)
     }),
     "d10_winnow_overlap" -> ((s, dir) =>
       // fingerprint-overlap near-dups (the winnowing detector's purpose):
@@ -426,8 +428,9 @@ object SparkEntry {
       val a = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
       val b = sh.select((col("doc_id") - 250).as("id1"), col("doc_id").as("id2"),
         col("sh").as("sh2"))
-      a.join(b, Seq("id1"))
+      val jac = a.join(b, Seq("id1"))
         .select(col("id1"), col("id2"), Dedup.jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      Dedup.materializeAndRelease(jac, sh)
     }),
 
     // ---- similarity search (embeddings table) ---------------------------
@@ -657,13 +660,14 @@ object SparkEntry {
           .select(lit(k).as("fork_key"), lit(fork.count(k)).as("n"),
             col("n_stream"), col("sum_value"))
       }
-      // No fork.close() here: the returned plan executes AFTER this
-      // function returns, and closing first would certify the recompute
-      // path (3 re-scans of events) instead of the persisted one that
-      // production uses. Post-close recompute semantics are covered by
-      // ForkSpec; the persisted frame is session-scoped (events is small
-      // relative to executor storage at every tested sf).
-      streams.reduce(_ union _)
+      // Materialize the union THROUGH the persisted fork frame (the
+      // production path — executing after close() would certify the
+      // recompute path instead), then close so the fork's cache doesn't
+      // outlive the query. Post-close recompute semantics are covered by
+      // ForkSpec.
+      val out = Dedup.materializeAndRelease(streams.reduce(_ union _))
+      fork.close()
+      out
     }),
   )
 

@@ -18,6 +18,29 @@ object Dedup {
   /** Exact dedup key (normalized md5 — see TextAnalysis.fingerprint). */
   def exactKey(text: Column): Column = TextAnalysis.fingerprint(text)
 
+  /** Operator-cache hygiene: eagerly materialize `result` (lineage
+    * truncated — reliable `checkpoint()` when the session has a
+    * checkpoint dir, `localCheckpoint()` otherwise) and THEN release the
+    * operator-scoped caches that fed it, with a blocking unpersist.
+    *
+    * Every pair-producing operator here persists an intermediate (band /
+    * shingle / fingerprint frame) that two plan branches share. Before
+    * round 6 those persists lived until session teardown — fine for a
+    * one-query job, a storage leak in a long-lived session running many
+    * pipelines (the bench had to drop ALL cached blocks between queries
+    * to survive its own suite). The contract now: the operator's returned
+    * frame is already materialized (its results are small — pairs and
+    * decisions, never text), and nothing it persisted outlives the call.
+    * connectedComponents has managed its own cache lifetime this way
+    * since round 4; this extends the same persist → compute → unpersist
+    * discipline to the producers. */
+  private[graft] def materializeAndRelease(result: DataFrame,
+                                           caches: DataFrame*): DataFrame = {
+    val out = truncateFrame(result)
+    caches.foreach(_.unpersist(blocking = true))
+    out
+  }
+
   /** Keep one doc per exact key: min id wins (deterministic). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val keyed = df.withColumn("__key", exactKey(col(textCol)))
@@ -93,6 +116,22 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 12, bands: Int = 4,
                         maxBucketSize: Option[Int] = None): DataFrame = {
+    val (pairs, sig) =
+      lshCandidatePairsLazy(df, idCol, textCol, k, numHashes, bands, maxBucketSize)
+    // pairs materialize NOW (they're ids only — tiny), so the band cache
+    // can be dropped before returning instead of leaking for the session
+    materializeAndRelease(pairs, sig)
+  }
+
+  /** Lazy form of [[lshCandidatePairs]]: returns the UN-materialized pair
+    * plan plus the persisted (band, id) frame it depends on. The caller
+    * owns the cache lifetime (unpersist after the consuming action). Used
+    * by plan-audit tests that must inspect the live join plan (the public
+    * wrapper checkpoints, which replaces the plan with an RDD scan). */
+  private[graft] def lshCandidatePairsLazy(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      maxBucketSize: Option[Int] = None): (DataFrame, DataFrame) = {
     // Fail fast on misconfiguration: silent integer division would ignore
     // trailing signature components, and bands > numHashes would make every
     // band key a constant (all docs collide into one bucket = cross join).
@@ -124,8 +163,9 @@ object Dedup {
     // (callers re-join signatures by id if they need them).
     val a = pruned.select(col("band"), col("id").as("id1"))
     val b = pruned.select(col("band"), col("id").as("id2"))
-    a.join(b, Seq("band")).where(col("id1") < col("id2"))
+    val pairs = a.join(b, Seq("band")).where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+    (pairs, sig)
   }
 
   /** Bucket-size cap DERIVED from corpus size — the operating point for
@@ -180,15 +220,56 @@ object Dedup {
       .select(col("id"), col("fp"), shinglesFromTokens(col("__toks"), k).as("__sh"))
       .select(col("id"), col("fp"), minhashSignature(col("__sh"), numHashes).as("sig"))
 
+  /** Signature format version stamped into the state table. Version 2 is
+    * the Kirsch–Mitzenmacher array<long> construction (round 5); version
+    * 1 was the retired salted-md5 array<string> form. Bumped whenever the
+    * signature function changes — see requireSignatureFormat. */
+  val SigFormat = 2
+
   /** Append a batch's signature state to the persisted parquet state table
     * (the cross-run contract: one row per already-ingested doc; each run
-    * appends its survivors). */
+    * appends its survivors). Stamps `sig_format` so a later engine version
+    * can detect — rather than silently mis-join — state written under a
+    * different signature construction. */
   def writeSignatureState(state: DataFrame, path: String,
                           mode: String = "append"): Unit =
-    state.write.mode(mode).parquet(path)
+    state.withColumn("sig_format", lit(SigFormat)).write.mode(mode).parquet(path)
 
   def readSignatureState(spark: org.apache.spark.sql.SparkSession,
-                         path: String): DataFrame = spark.read.parquet(path)
+                         path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    requireSignatureFormat(df)
+    df
+  }
+
+  /** Fail fast on a state table written under a different signature
+    * construction. Band keys derive from the signature VALUES, so
+    * mismatched formats don't error downstream — old-format band keys
+    * simply never collide with new ones and every doc silently reports
+    * near_dup=false against history, which is exactly the corruption the
+    * "stable forever" contract exists to prevent. Two guards: the sig
+    * column type must be the K-M array<long>, and an explicit
+    * `sig_format` column (absent = pre-versioning table, still checked
+    * by type) must match [[SigFormat]]. */
+  private[graft] def requireSignatureFormat(state: DataFrame): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val sigType = state.schema.find(_.name == "sig").map(_.dataType)
+    require(sigType.contains(ArrayType(LongType)) ||
+        sigType.contains(ArrayType(LongType, containsNull = false)),
+      s"signature state 'sig' must be array<bigint> (K-M format v$SigFormat); " +
+        s"got ${sigType.map(_.simpleString).getOrElse("<missing>")} — " +
+        "state written by an older signature construction must be rebuilt")
+    if (state.schema.exists(_.name == "sig_format")) {
+      // pushed-down `!= SigFormat` filter: parquet row-group stats
+      // (min = max = format) prune every group of a healthy table, so the
+      // check is metadata-cheap even on a years-long 100TB state table
+      val bad = state.where(col("sig_format") =!= SigFormat)
+        .select(col("sig_format")).limit(1).collect()
+      require(bad.isEmpty,
+        s"signature state contains format ${bad.headOption.map(_.get(0))} != " +
+          s"engine format $SigFormat — rebuild the state table before cross-run dedup")
+    }
+  }
 
   /** Incremental dedup decision for a NEW batch against persisted history —
     * the mode a 100TB pipeline actually runs (a daily shard is deduped
@@ -214,6 +295,10 @@ object Dedup {
                        maxBucketSize: Option[Int] = None): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must evenly divide numHashes ($numHashes)")
+    // the history side may come from any source, not just
+    // readSignatureState — re-check the signature construction here (a
+    // format mismatch would silently report near_dup=false for everything)
+    requireSignatureFormat(history)
     val rowsPerBand = numHashes / bands
     // three consumers (exact join, band join, output spine) — one pass
     // over the batch text
@@ -238,13 +323,14 @@ object Dedup {
         Seq("hist_id"))
       .where(signatureSimilarity(col("sig"), col("hsig")) >= threshold)
       .select(col("id")).distinct().withColumn("near_dup", lit(true))
-    st.select(col("id"))
+    val decisions = st.select(col("id"))
       .join(exact, Seq("id"), "left")
       .join(near, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
         coalesce(col("near_dup"), lit(false)).as("near_dup"))
       .withColumn("keep", !col("exact_dup") && !col("near_dup"))
+    materializeAndRelease(decisions, st)
   }
 
   /** Estimated Jaccard from two minhash signatures (fraction of agreeing
@@ -278,12 +364,13 @@ object Dedup {
       .select(col("__id"), shinglesFromTokens(col("__toks"), k).as("__raw"))
       .select(col("__id"), array_distinct(col("__raw")).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cands
+    val verified = cands
       .join(sh.withColumnRenamed("__id", "id1").withColumnRenamed("__sh", "sh1"), Seq("id1"))
       .join(sh.withColumnRenamed("__id", "id2").withColumnRenamed("__sh", "sh2"), Seq("id2"))
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+    materializeAndRelease(verified, sh)
   }
 
   /** Winnowing-overlap near-dup pairs — the plagiarism-detector join the
@@ -302,6 +389,20 @@ object Dedup {
   def winnowingOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                             minSim: Double, k: Int = 8, w: Int = 4,
                             maxBucketSize: Option[Int] = None): DataFrame = {
+    val (scored, f0) =
+      winnowingOverlapPairsLazy(df, idCol, textCol, minSim, k, w, maxBucketSize)
+    materializeAndRelease(scored, f0)
+  }
+
+  /** Lazy form of [[winnowingOverlapPairs]]: un-materialized pair plan +
+    * the persisted fp frame it depends on (caller owns the cache
+    * lifetime). Exists so plan-audit tests can inspect the live join plan
+    * — the public wrapper checkpoints, which replaces it with an RDD
+    * scan. */
+  private[graft] def winnowingOverlapPairsLazy(
+      df: DataFrame, idCol: String, textCol: String,
+      minSim: Double, k: Int = 8, w: Int = 4,
+      maxBucketSize: Option[Int] = None): (DataFrame, DataFrame) = {
     // one persist: the capped frame recomputes from this cache via a
     // cheap semi-join (caching both would hold ~2x the fp data)
     val f0 = df.select(col(idCol).as("id"), lower(col(textCol)).as("__t"))
@@ -318,13 +419,14 @@ object Dedup {
       .join(f.select(col("fp"), col("id").as("id2")), Seq("fp"))
       .where(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
-    shared
+    val scored = shared
       .join(sizes.select(col("id").as("id1"), col("nf").as("nf1")), Seq("id1"))
       .join(sizes.select(col("id").as("id2"), col("nf").as("nf2")), Seq("id2"))
       .select(col("id1"), col("id2"),
         (col("n_shared").cast("double") /
           (col("nf1") + col("nf2") - col("n_shared"))).as("sim"))
       .where(col("sim") >= minSim)
+    (scored, f0)
   }
 
   /** Connected components over an undirected pair list — the step that
@@ -393,8 +495,8 @@ object Dedup {
     // session teardown — the loop inside ccNumeric is already eager, so
     // this materializes only the two mapping joins.
     val res = truncateFrame(mapped)
-    sur.unpersist()
-    if (ownPairs) pairs.unpersist()
+    sur.unpersist(blocking = true)
+    if (ownPairs) pairs.unpersist(blocking = true)
     res
   }
 
@@ -402,7 +504,7 @@ object Dedup {
     * has a checkpoint dir (executor-churn-safe — blocks survive on the
     * FS), `localCheckpoint()` otherwise. Opt out of the reliable path
     * with graft.cc.reliableCheckpoint=false. */
-  private def truncateFrame(df: DataFrame): DataFrame = {
+  private[graft] def truncateFrame(df: DataFrame): DataFrame = {
     val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined &&
       df.sparkSession.conf.get("graft.cc.reliableCheckpoint", "true") != "false"
     if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
@@ -465,15 +567,15 @@ object Dedup {
       // `truncate` is eager, so `next`'s blocks no longer reference the
       // previous round — drop its checkpoint blocks now instead of letting
       // a deep loop accumulate every round's storage until GC
-      prev.unpersist()
+      prev.unpersist(blocking = true)
     }
     // a partially-propagated labeling is silently WRONG (one component
     // reported as several "keepers") — fail loudly instead
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIterations rounds " +
         "(component diameter exceeds maxIterations — raise it)")
-    edges.unpersist()
-    if (ownPairs) pairs.unpersist()
+    edges.unpersist(blocking = true)
+    if (ownPairs) pairs.unpersist(blocking = true)
     labels.select(col("id"), col("label").as("cluster"))
   }
 

@@ -304,10 +304,13 @@ object Similarity {
         explode(srpProbeBuckets(col("bucket"), planes, probeRadius)).as("bucket"))
     val b = v.select(col("bucket"), col("id").as("id2"), col("vec").as("vec2"),
         col("nrm").as("nrm2"))
-    a.join(b, Seq("bucket")).where(col("id1") < col("id2"))
+    val pairs = a.join(b, Seq("bucket")).where(col("id1") < col("id2"))
       .withColumn("score",
         dotFast(col("vec1"), col("vec2")) / (col("nrm1") * col("nrm2")))
       .where(col("score") >= threshold)
       .select("id1", "id2", "score")
+    // pairs materialize eagerly so the hashed-frame cache is released
+    // before returning (session hygiene — see Dedup.materializeAndRelease)
+    Dedup.materializeAndRelease(pairs, v)
   }
 }

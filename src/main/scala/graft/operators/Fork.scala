@@ -32,7 +32,7 @@ final class Fork private (tagged: DataFrame, keys: Seq[Int],
   def count(key: Int): Long = counts.getOrElse(key, 0L)
   /** Total input records (reference ForkOperator.java:79 forced count). */
   def inputCount: Long = total
-  def close(): Unit = tagged.unpersist()
+  def close(): Unit = tagged.unpersist(blocking = true)
 }
 
 object Fork {

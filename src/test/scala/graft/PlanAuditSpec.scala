@@ -70,9 +70,19 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("d10: fp equi-joins only — no cartesian, no broadcast-nested-loop") {
-    val p = plan("d10_winnow_overlap")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "winnowing overlap pairing degenerated to an all-pairs join")
+    // the public operator checkpoints its result (cache hygiene), which
+    // would reduce the returned plan to an RDD scan and make this guard
+    // vacuous — audit the lazy form's live join plan instead
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (scored, f0) = graft.llm.Dedup.winnowingOverlapPairsLazy(
+      docs, "doc_id", "text", minSim = 0.3, maxBucketSize = Some(64))
+    try {
+      val p = scored.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "winnowing overlap pairing degenerated to an all-pairs join")
+      assert(p.contains("InMemoryTableScan"),
+        "fp frame no longer persisted across its consumers")
+    } finally { f0.unpersist(blocking = true); () }
   }
 
   test("m02: fork counts keep map-side partial aggregation") {

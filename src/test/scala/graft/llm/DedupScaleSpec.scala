@@ -97,12 +97,17 @@ class DedupScaleSpec extends SparkTestBase {
       // the median (at 4, the 4 hot band keys hash-balance and hide)
       conf.set("spark.sql.shuffle.partitions", "32")
       val df = skewedCorpus(nHot = 3000, nCold = 800)
-      val cands = Dedup.lshCandidatePairs(df, "doc_id", "text")
-      val qe = cands.queryExecution
-      qe.toRdd.count() // execute the adaptive plan to its final form
-      val plan = qe.executedPlan.toString
-      assert(plan.contains("skew=true"),
-        s"skew-join did not engage; final plan:\n$plan")
+      // the lazy form: the public wrapper eagerly checkpoints (cache
+      // hygiene), which replaces the returned plan with an RDD scan —
+      // the adaptive join plan must be inspected before materialization
+      val (cands, sig) = Dedup.lshCandidatePairsLazy(df, "doc_id", "text")
+      try {
+        val qe = cands.queryExecution
+        qe.toRdd.count() // execute the adaptive plan to its final form
+        val plan = qe.executedPlan.toString
+        assert(plan.contains("skew=true"),
+          s"skew-join did not engage; final plan:\n$plan")
+      } finally { sig.unpersist(blocking = true); () }
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)

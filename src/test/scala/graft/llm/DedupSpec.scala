@@ -145,6 +145,33 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.readSignatureState(s, statePath).count() == 4)
   }
 
+  test("signature-state format guard fails fast on pre-K-M or mismatched state") {
+    val s = spark; import s.implicits._
+    val batch = Seq((1L, "some document text here")).toDF("doc_id", "text")
+    // the retired v1 shape: array<string> salted-md5 signature — its band
+    // keys can never collide with v2's, so without the guard every doc
+    // silently reported near_dup=false against such history
+    val v1 = Seq((1L, "fp1", Seq("aa", "bb"))).toDF("id", "fp", "sig")
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.incrementalDedup(batch, v1, "doc_id", "text", threshold = 0.5))
+    assert(e1.getMessage.contains("array<bigint>"))
+    // right sig type but a foreign sig_format stamp → equally rejected
+    val wrongVer = Seq((1L, "fp1", Seq(1L, 2L), 99)).toDF("id", "fp", "sig", "sig_format")
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.incrementalDedup(batch, wrongVer, "doc_id", "text", threshold = 0.5))
+    assert(e2.getMessage.contains("rebuild"))
+    // a v1 table written to parquet is rejected at READ time too
+    val p = tmpDir("sigstate-v1") + "/sigs"
+    v1.write.parquet(p)
+    intercept[IllegalArgumentException](Dedup.readSignatureState(s, p))
+    // current-format state round-trips with the version stamp
+    val p2 = tmpDir("sigstate-v2") + "/sigs"
+    Dedup.writeSignatureState(Dedup.signatureState(batch, "doc_id", "text"), p2)
+    val rd = Dedup.readSignatureState(s, p2)
+    assert(rd.schema.exists(_.name == "sig_format"))
+    assert(rd.select("sig_format").head().getInt(0) == Dedup.SigFormat)
+  }
+
   test("suggestedBucketCap: floor at the exact-dedup hand-off, grows with corpus") {
     assert(Dedup.suggestedBucketCap(500) == 64)     // the sf0.01 gate point
     assert(Dedup.suggestedBucketCap(50) == 64)      // floor
