@@ -530,6 +530,31 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("asof_orderkey"))
     }),
 
+    "q17_asof_tolerance" -> ((s, dir) => {
+      // The two as-of knobs users reach for first, under the oracle:
+      // `tolerance` (match discarded when older than the lookback — pandas
+      // merge_asof semantics, inclusive bound) and `strict` (right time
+      // strictly < left time). Both run the same merge-union plan as q16;
+      // the oracle recomputes each via DuckDB scalar subqueries (an
+      // independent latest-within-bound formulation).
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ets"))
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("asof_tol"))
+        .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ots"),
+          col("asof_tol"))
+      val withTol = graft.operators.AsofJoin.asofJoin(ev, ord,
+        "user_id", "o_custkey", "ets", "ots", Seq("asof_tol"),
+        tolerance = Some(expr("INTERVAL 30 DAYS")))
+      graft.operators.AsofJoin.asofJoin(withTol,
+          ord.withColumnRenamed("asof_tol", "asof_strict"),
+          "user_id", "o_custkey", "ets", "ots", Seq("asof_strict"),
+          strict = true)
+        .select(col("event_id"), col("user_id"),
+          col("asof_tol"), col("asof_strict"))
+    }),
+
     "d13_token_stats" -> ((s, dir) =>
       // BPE-ish token accounting: alnum runs or single symbols via
       // regexp_extract_all (RE2-compatible pattern — no lookarounds — so
@@ -1266,5 +1291,20 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, o.asof_orderkey
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""".stripMargin,
+    "q17_asof_tolerance" ->
+      // independent formulation of tolerance/strict as-of: latest-within-
+      // bound scalar subqueries over the pre-aggregated right side
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS ok
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |  (SELECT o.ok FROM ord o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |     AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+        |   ORDER BY o.o_orderdate DESC LIMIT 1) AS asof_tol,
+        |  (SELECT o.ok FROM ord o
+        |   WHERE o.o_custkey = e.user_id AND o.o_orderdate < e.ts
+        |   ORDER BY o.o_orderdate DESC LIMIT 1) AS asof_strict
+        |FROM events e""".stripMargin,
   )
 }

@@ -77,6 +77,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("graft_winnowing_minima", 2, args)
       WinnowingMinima(args(0), litInt("graft_winnowing_minima", "w", args(1)))
     }
+    inject("graft_minhash_minima", classOf[MinhashMinima],
+      "graft_minhash_minima(shingles, numHashes) - MinHash signature via one md5 " +
+        "per shingle + Kirsch-Mitzenmacher double hashing (array<bigint>)") { args =>
+      arity("graft_minhash_minima", 2, args)
+      MinhashMinima(args(0), litInt("graft_minhash_minima", "numHashes", args(1)))
+    }
+    inject("graft_srp_bucket", classOf[SignBits],
+      "graft_srp_bucket(vec, dim, planes) - signed-random-projection LSH bucket " +
+        "(sign bits of the vector's dot products with `planes` deterministic hyperplanes)") { args =>
+      arity("graft_srp_bucket", 3, args)
+      // same derived-weights expression the DataFrame surface uses
+      // (Similarity.srpBucket), so SQL and DataFrame pipelines land vectors
+      // in IDENTICAL buckets — the property a shared bucketed layout needs
+      graft.llm.Similarity.srpBucketExpr(args(0),
+        litInt("graft_srp_bucket", "dim", args(1)),
+        litInt("graft_srp_bucket", "planes", args(2)))
+    }
     inject("graft_avro_encode", classOf[AvroEncode],
       "graft_avro_encode(struct, schemaJson) - Avro-binary encode a struct") { args =>
       arity("graft_avro_encode", 2, args)

@@ -106,14 +106,37 @@ object Similarity {
   /** Signed-random-projection bucket key: sign bits of dot products with
     * `planes` fixed hyperplanes. Vectors in the same bucket are likely
     * neighbors; search cost drops from O(N) to ~O(N/2^planes) per query at
-    * some recall cost. The planes x dim dot products run as ONE codegen'd
-    * loop (VectorLiteralFold — the interpreted per-plane HOF folds cost
-    * planes x dim boxed lambda calls per record on the corpus-wide
-    * hashing path); only the trivial planes-length sign/bit fold stays
-    * composable. Accumulation order matches the HOF form exactly, so the
-    * DuckDB oracle mirror is unchanged; a null/mismatched vector still
-    * maps to bucket 0 (null folds -> 0 bits, as before). */
-  def srpBucket(vec: Column, dim: Int, planes: Int): Column = {
+    * some recall cost. The whole key is ONE codegen'd pipeline: the
+    * planes x dim dot products via VectorLiteralFold, the sign/bit
+    * packing via SignBits (round 6 — the planes-length packing fold was
+    * the last interpreted HOF on this path, and pure-Catalyst composition
+    * is also what lets graft_srp_bucket register as a SQL function).
+    * Values are bit-identical to the composable form (srpBucketHof, kept
+    * as the parity reference), so the DuckDB oracle mirror is unchanged;
+    * a null/mismatched vector still maps to bucket 0 (null folds -> 0
+    * bits, as before). */
+  def srpBucket(vec: Column, dim: Int, planes: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      srpBucketExpr(org.apache.spark.sql.GraftColumnBridge.expression(vec),
+        dim, planes))
+
+  /** Resolved-Catalyst form of [[srpBucket]] — shared with the SQL
+    * function registration (GraftExtensions), which cannot return
+    * unresolved Column compositions. */
+  private[graft] def srpBucketExpr(
+      vec: org.apache.spark.sql.catalyst.expressions.Expression,
+      dim: Int, planes: Int): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Coalesce, Literal}
+    val ws = planeWeights(dim, planes)
+    Coalesce(Seq(
+      graft.functions.SignBits(
+        graft.functions.VectorLiteralFold(vec, ws.map(_.toSeq).toSeq, squared = false)),
+      Literal(0L)))
+  }
+
+  /** The composable (interpreted) form `srpBucket` replaces — the
+    * semantic reference for the parity regression test. */
+  private[graft] def srpBucketHof(vec: Column, dim: Int, planes: Int): Column = {
     val ws = planeWeights(dim, planes)
     val dots = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.VectorLiteralFold(

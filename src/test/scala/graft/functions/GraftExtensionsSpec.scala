@@ -39,6 +39,44 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sql.orderBy("id").collect().toSeq == api.orderBy("id").collect().toSeq)
   }
 
+  test("graft_minhash_minima is bit-identical to Dedup.minhashSignature") {
+    import spark.implicits._
+    val df = Seq(("the quick brown fox jumps over the lazy dog", 1),
+        ("a different document entirely with other words here", 2),
+        ("", 3)) // empty text -> all-null signature on both surfaces
+      .toDF("text", "id")
+    df.createOrReplaceTempView("mh_docs")
+    // same staging on both sides: tokens -> shingles -> signature
+    val sql = spark.sql(
+      """SELECT id, graft_minhash_minima(sh, 12) AS sig FROM (
+        |  SELECT id, CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' '))
+        |    ELSE transform(sequence(0, size(toks) - 3),
+        |      i -> array_join(slice(toks, i + 1, 3), ' ')) END AS sh FROM (
+        |    SELECT id, filter(split(lower(text), ' '), x -> x != '') AS toks
+        |    FROM mh_docs))""".stripMargin)
+    val api = df
+      .select(col("id"), graft.llm.TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .select(col("id"), graft.llm.Dedup.shinglesFromTokens(col("toks"), 3).as("sh"))
+      .select(col("id"), graft.llm.Dedup.minhashSignature(col("sh"), 12).as("sig"))
+    assert(sql.orderBy("id").collect().toSeq == api.orderBy("id").collect().toSeq)
+  }
+
+  test("graft_srp_bucket is bit-identical to Similarity.srpBucket") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.5f, -1.0f, 2.0f, 0.25f)),
+        (2L, Array(-0.5f, 1.0f, -2.0f, -0.25f)),
+        (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("id", "vec")
+    df.createOrReplaceTempView("srp_vecs")
+    val sql = spark.sql(
+      "SELECT id, graft_srp_bucket(vec, 4, 6) AS bucket FROM srp_vecs")
+    val api = df.select(col("id"),
+      graft.llm.Similarity.srpBucket(col("vec"), 4, 6).as("bucket"))
+    assert(sql.orderBy("id").collect().toSeq == api.orderBy("id").collect().toSeq)
+    // buckets vary across these vectors (degenerate-weights tripwire)
+    assert(sql.select("bucket").distinct().count() > 1)
+  }
+
   test("avro encode/decode round-trips through SQL") {
     val schema =
       """{"type":"record","name":"R","fields":[

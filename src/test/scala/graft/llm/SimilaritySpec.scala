@@ -26,6 +26,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(n > 32, s"only $n distinct buckets — hashing degenerate")
   }
 
+  test("srpBucket (SignBits) is bit-identical to the composable HOF form") {
+    val s = spark; import s.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fast = emb.select(col("vec_id"),
+      Similarity.srpBucket(col("embedding"), 64, 8).as("b"))
+    val ref = emb.select(col("vec_id"),
+      Similarity.srpBucketHof(col("embedding"), 64, 8).as("b"))
+    assert(fast.orderBy("vec_id").collect().toSeq ==
+      ref.orderBy("vec_id").collect().toSeq)
+    // null / mismatched-dim vectors map to bucket 0 on both surfaces
+    val edge = Seq(Tuple1(Option.empty[Array[Float]]),
+      Tuple1(Some(Array(1.0f, -2.0f)))).toDF("embedding")
+    val fastE = edge.select(Similarity.srpBucket(col("embedding"), 64, 8).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    val refE = edge.select(Similarity.srpBucketHof(col("embedding"), 64, 8).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fastE == refE && fastE == Seq(0L, 0L))
+  }
+
   test("srpBucket survives dim=768 (codegen-size regression)") {
     val s = spark; import s.implicits._
     val vecs = Seq.tabulate(4)(i => Tuple1(Array.tabulate(768)(j => ((i + j) % 7 - 3).toFloat)))

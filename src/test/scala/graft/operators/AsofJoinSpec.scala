@@ -52,6 +52,78 @@ class AsofJoinSpec extends SparkTestBase {
       AsofJoin.asofJoin(l, r, "k", "k", "t", "t", Seq("v")))
   }
 
+  test("asofJoin rejects columns colliding with the internal __ prefix") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 1L, "x")).toDF("k", "t", "__asof")
+    val r = Seq((1L, 1L, "y")).toDF("k", "t", "v")
+    intercept[IllegalArgumentException](
+      AsofJoin.asofJoin(l, r, "k", "k", "t", "t", Seq("v")))
+    val l2 = Seq((1L, 1L)).toDF("k", "t")
+    val r2 = Seq((1L, 1L, "y")).toDF("k", "t", "__rv")
+    intercept[IllegalArgumentException](
+      AsofJoin.asofJoin(l2, r2, "k", "k", "t", "t", Seq("__rv")))
+  }
+
+  test("asofJoin strict mode hides exactly-simultaneous right rows") {
+    val s = spark; import s.implicits._
+    val quotes = Seq(("A", 10L, 1.0), ("A", 20L, 2.0)).toDF("sym", "qt", "px")
+    val trades = Seq(("A", 10L, 1L), ("A", 20L, 2L), ("A", 25L, 3L))
+      .toDF("sym", "tt", "qty")
+    val out = AsofJoin.asofJoin(trades, quotes, "sym", "sym", "tt", "qt",
+        Seq("px"), strict = true)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(10L).isEmpty)       // < semantics: simultaneous quote hidden
+    assert(out(20L).contains(1.0)) // latest strictly-earlier quote
+    assert(out(25L).contains(2.0))
+  }
+
+  test("asofJoin tolerance discards matches older than the lookback") {
+    val s = spark; import s.implicits._
+    val quotes = Seq(("A", 10L, 1.0), ("A", 100L, 2.0)).toDF("sym", "qt", "px")
+    val trades = Seq(
+      ("A", 15L, 1L),   // 5 back, within 10 -> 1.0
+      ("A", 20L, 2L),   // exactly 10 back (inclusive bound) -> 1.0
+      ("A", 50L, 3L),   // 40 back, beyond 10 -> null
+      ("A", 105L, 4L)   // 5 back from the later quote -> 2.0
+    ).toDF("sym", "tt", "qty")
+    val out = AsofJoin.asofJoin(trades, quotes, "sym", "sym", "tt", "qt",
+        Seq("px"), tolerance = Some(lit(10L)))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(15L).contains(1.0))
+    assert(out(20L).contains(1.0))
+    assert(out(50L).isEmpty)
+    assert(out(105L).contains(2.0))
+  }
+
+  test("asofJoin null keys/times: right rows dropped, left rows unmatched") {
+    val s = spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rSchema = StructType(Seq(StructField("k", StringType),
+      StructField("t", LongType), StructField("px", DoubleType)))
+    val quotes = s.createDataFrame(java.util.Arrays.asList(
+      Row("A", 10L, 1.0),
+      Row(null, 5L, 66.0),   // null key: matches nothing (SQL `=`)
+      Row("A", null, 77.0)), // null time: matches nothing (SQL `<=`)
+      rSchema)
+    val lSchema = StructType(Seq(StructField("k", StringType),
+      StructField("t", LongType), StructField("n", LongType)))
+    val trades = s.createDataFrame(java.util.Arrays.asList(
+      Row("A", 20L, 1L),    // normal match
+      Row(null, 20L, 2L),   // null left key -> kept, payload null
+      Row("A", null, 3L)),  // null left time -> kept, payload null
+      lSchema)
+    val out = AsofJoin.asofJoin(trades, quotes, "k", "k", "t", "t", Seq("px"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out.size == 3) // every left row survives
+    assert(out(1L).contains(1.0)) // not 77.0: the null-time right row is dropped
+    assert(out(2L).isEmpty)
+    assert(out(3L).isEmpty)
+  }
+
   test("asofJoin plans one window over the unioned sides, no range probe") {
     val s = spark; import s.implicits._
     val l = (1 to 100).map(i => (i % 5L, i.toLong)).toDF("k", "t")
