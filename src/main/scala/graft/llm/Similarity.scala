@@ -250,6 +250,58 @@ object Similarity {
                    cells: Seq[Int]): DataFrame =
     spark.read.parquet(path).where(col("cell").isin(cells: _*))
 
+  /** The 100TB SRP storage layout — the persisted-ANN twin of
+    * writeIvfLayout: the corpus written PARTITIONED BY SRP BUCKET, so a
+    * probe query prunes to its (planes+1 at radius 1) probe buckets at
+    * the file-listing level; files outside the probed buckets are never
+    * read. srpBucket is deterministic (weights derive from (plane, dim)),
+    * so appends land in the right partition directories and a re-derived
+    * plane count is the only thing that ever forces a re-bucket. */
+  def writeSrpLayout(corpus: DataFrame, dim: Int, planes: Int, path: String,
+                     vecCol: String = "embedding"): Unit =
+    corpus.withColumn("bucket", srpBucket(col(vecCol), dim, planes))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Driver-side twin of srpBucket for probe planning: the bucket of one
+    * vector, computed without a Spark job (same weights, same
+    * left-to-right fold, same >= 0 sign rule — bit-identical to the
+    * column form; parity-asserted in SimilaritySpec). */
+  def srpBucketLocal(vec: Array[Double], planes: Int): Long = {
+    val ws = planeWeights(vec.length, planes)
+    var bits = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var i = 0
+      while (i < vec.length) { acc += vec(i) * ws(p)(i); i += 1 }
+      if (acc >= 0.0) bits |= 1L << p
+      p += 1
+    }
+    bits
+  }
+
+  /** Driver-side twin of srpProbeBuckets: all buckets within Hamming
+    * `radius` of `bucket` (pairwise distinct, bucket first). */
+  def probeBucketValues(bucket: Long, planes: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= 2, s"probe radius $radius not in [0, 2]")
+    val r1 = if (radius >= 1) (0 until planes).map(p => bucket ^ (1L << p)) else Nil
+    val r2 = if (radius >= 2) (for { p <- 0 until planes; q <- (p + 1) until planes }
+      yield bucket ^ ((1L << p) | (1L << q))) else Nil
+    bucket +: (r1 ++ r2)
+  }
+
+  /** Read only the probed buckets of an SRP layout for one query vector:
+    * the `bucket IN (...)` filter is a PARTITION filter (plan-guarded in
+    * SimilaritySpec), so a radius-1 probe lists (planes+1) of the
+    * 2^planes partition directories and reads nothing else — the
+    * persisted form of annTopK's candidate pruning. */
+  def readSrpProbes(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queryVec: Array[Double], planes: Int,
+                    probeRadius: Int = 1): DataFrame = {
+    val probes = probeBucketValues(srpBucketLocal(queryVec, planes), planes, probeRadius)
+    spark.read.parquet(path).where(col("bucket").isin(probes: _*))
+  }
+
   /** IVF (inverted-file) ANN with explicit centroids: the corpus's cell
     * assignment is a MAP-SIDE argmin over literal-centroid distance folds
     * (no join, no shuffle, no N*nlist row blowup — the assignment a

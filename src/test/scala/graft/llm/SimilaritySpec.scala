@@ -45,6 +45,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(fastE == refE && fastE == Seq(0L, 0L))
   }
 
+  test("writeSrpLayout: probe read prunes bucket partitions at the source") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes = 4 // 16 partitions; radius-1 probe must touch exactly 5
+    val path = tmpDir("srp-layout") + "/corpus"
+    Similarity.writeSrpLayout(emb, dim = 64, planes = planes, path = path)
+    val bucketDirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("bucket="))
+    assert(bucketDirs.length > 2, s"expected multiple bucket partitions, got ${bucketDirs.toSeq}")
+    assert(spark.read.parquet(path).count() == emb.count())
+    // local bucket twin is bit-identical to the column form
+    val one = emb.filter(col("vec_id") === 7)
+      .select(col("embedding"), Similarity.srpBucket(col("embedding"), 64, planes).as("b"))
+      .head()
+    val qvec = one.getSeq[Float](0).map(_.toDouble).toArray
+    assert(Similarity.srpBucketLocal(qvec, planes) == one.getLong(1))
+    // the probe read lists only (planes+1) of the 2^planes partition
+    // dirs at radius 1 — partition pruning, the persisted-ANN 100TB win
+    val probe = Similarity.readSrpProbes(spark, path, qvec, planes, probeRadius = 1)
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val present = Similarity
+      .probeBucketValues(Similarity.srpBucketLocal(qvec, planes), planes, 1)
+      .map(b => s"bucket=$b").count(bucketDirs.contains)
+    assert(scan.selectedPartitions.partitionCount == present,
+      s"expected $present pruned partitions, scanned ${scan.selectedPartitions.partitionCount}")
+    assert(present <= planes + 1)
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("bucket"),
+      "bucket filter did not register as a partition filter")
+    // every probed row really is within Hamming radius 1 of the query bucket
+    val qb = Similarity.srpBucketLocal(qvec, planes)
+    val far = probe.where(
+      org.apache.spark.sql.functions.bit_count(col("bucket").bitwiseXOR(qb)) > 1).count()
+    assert(far == 0)
+  }
+
   test("srpBucket survives dim=768 (codegen-size regression)") {
     val s = spark; import s.implicits._
     val vecs = Seq.tabulate(4)(i => Tuple1(Array.tabulate(768)(j => ((i + j) % 7 - 3).toFloat)))

@@ -44,6 +44,63 @@ class DedupStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark composes upstream of incrementalDedupStream: " +
+    "within-batch duplicates never reach the state table") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("compose-stream").toString
+    val (statePath, outPath) = (s"$base/state", s"$base/out")
+    val common = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra tango"
+
+    def runOnce(ck: String, docs: (String, String, Timestamp)*): Unit = {
+      val input = MemoryStream[(String, String, Timestamp)]
+      input.addData(docs: _*)
+      // the documented composition (Incremental.scala): stage 1 collapses
+      // in-horizon repeats on the exact fingerprint; stage 2 dedups the
+      // survivors against the persisted cross-run state
+      val staged = Incremental.dedupWithinWatermark(
+        input.toDF().toDF("doc_id", "text", "ts")
+          .withColumn("fp", graft.llm.Dedup.exactKey(col("text"))),
+        "ts", "10 seconds", Seq("fp"))
+      val q = Incremental.incrementalDedupStream(staged, "doc_id", "text",
+        statePath, outPath, s"$base/$ck", threshold = 0.5)
+      try q.awaitTermination(60000) finally q.stop()
+    }
+
+    // run 1: two exact copies in ONE batch + one distinct doc
+    runOnce("ck1",
+      ("a1", common, ts("2024-01-01 10:00:00")),
+      ("a1b", common, ts("2024-01-01 10:00:01")), // within-batch exact dup
+      ("b1", "totally different text sharing nothing with the other doc",
+        ts("2024-01-01 10:00:02")))
+    val out1 = spark.read.parquet(outPath)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    // stage 1 swallowed one of the two copies BEFORE the decision join —
+    // without it both would reach incrementalDedup (within-batch dups are
+    // out of its contract) and both would land in output AND state
+    assert(out1.count(id => id == "a1" || id == "a1b") == 1,
+      s"expected exactly one of the within-batch copies, got $out1")
+    assert(out1.contains("b1"))
+    val state1 = graft.llm.Dedup.readSignatureState(spark, statePath)
+    assert(state1.count() == 2, "state must hold one row per DISTINCT doc")
+    assert(state1.groupBy("fp").count().where(col("count") > 1).isEmpty,
+      "duplicate fingerprint leaked into the signature state")
+
+    // run 2: the same text arrives again -> exact dup vs HISTORY now
+    // (stage 1's state died with run 1's query; stage 2's parquet state
+    // is the cross-run memory)
+    runOnce("ck2", ("a2", common, ts("2024-01-01 11:00:00")))
+    val out2 = spark.read.parquet(outPath)
+      .select("doc_id", "exact_dup", "keep").collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(out2("a2") == ((true, false)), s"cross-run exact dup missed: $out2")
+    assert(graft.llm.Dedup.readSignatureState(spark, statePath).count() == 2,
+      "non-keeper must not append state")
+  }
+
   test("incrementalDedupStream dedups micro-batches against persisted state across runs") {
     val s = spark
     import s.implicits._
