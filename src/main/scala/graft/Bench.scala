@@ -45,7 +45,10 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
 
+    // optional local-iteration subset (driver always benches everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { n => execute(n); resetStorage() } // warmup (JIT, codegen, FS metadata)
 
     val results = names.map { name =>

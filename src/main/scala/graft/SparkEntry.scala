@@ -78,6 +78,28 @@ object SparkEntry {
     lastSrpPlanes = p; p
   }
 
+  /** Scratch dirs for the harness queries that need local paths (m09/m18
+    * stream source+sink+checkpoint, d11 state, m12 pipeline outputs): all
+    * under ONE per-JVM root deleted by a shutdown hook, so repeated
+    * bench/verify runs (each query runs twice per bench pass) don't
+    * accumulate events.parquet copies and checkpoint data in /tmp. The
+    * production APIs (Incremental.runAvailableNow, writeSignatureState,
+    * Runner) take caller-owned paths — on a cluster those must be
+    * shared-FS; this is oracle-harness scaffolding only. */
+  private lazy val tmpRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-queries-")
+    sys.addShutdownHook {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del))
+        f.delete(); ()
+      }
+      del(root.toFile)
+    }
+    root
+  }
+  private def tmpQueryDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(tmpRoot, prefix)
+
   /** BPE-ish tokenizer regex (d13): alphanumeric/apostrophe runs or single
     * non-space symbols. Deliberately RE2-compatible (no lookarounds) so
     * the DuckDB oracle evaluates the IDENTICAL pattern. */
@@ -275,11 +297,11 @@ object SparkEntry {
       // stream over the events parquet into a sink dir, then aggregate
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       // the file stream source needs a DIRECTORY to watch
-      val src = java.nio.file.Files.createTempDirectory("m09-src")
+      val src = tmpQueryDir("m09-src")
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
         src.resolve("events.parquet"))
-      val out = java.nio.file.Files.createTempDirectory("m09-sink").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("m09-ckpt").toString
+      val out = tmpQueryDir("m09-sink").toString
+      val ckpt = tmpQueryDir("m09-ckpt").toString
       Incremental.runAvailableNow(s, src.toString, schema, "parquet",
         identity, out, ckpt).awaitTermination()
       s.read.parquet(out)
@@ -405,7 +427,7 @@ object SparkEntry {
       // historical text is never re-read.
       val docs = t(s, dir, "documents")
       val statePath =
-        java.nio.file.Files.createTempDirectory("d11-state").toString + "/sigs"
+        tmpQueryDir("d11-state").toString + "/sigs"
       Dedup.writeSignatureState(
         Dedup.signatureState(docs.where(col("doc_id") < 250), "doc_id", "text"),
         statePath, mode = "overwrite")
@@ -584,11 +606,11 @@ object SparkEntry {
       // (e.g. final windows never flushed, or late windows leaking) breaks
       // the row set, not just a unit expectation.
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = java.nio.file.Files.createTempDirectory("m18-src")
+      val src = tmpQueryDir("m18-src")
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
         src.resolve("events.parquet"))
-      val out = java.nio.file.Files.createTempDirectory("m18-sink").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("m18-ckpt").toString
+      val out = tmpQueryDir("m18-sink").toString
+      val ckpt = tmpQueryDir("m18-ckpt").toString
       val windowed = (df: org.apache.spark.sql.DataFrame) =>
         Incremental.windowedCounts(
           // ts arrives as nanos (legacy nanosAsLong); `div` keeps the
@@ -613,7 +635,7 @@ object SparkEntry {
       import graft.core.RunState
       import graft.exec.{Runner, SubDag}
       import graft.sinks.Sinks
-      val out = java.nio.file.Files.createTempDirectory("m12").toString
+      val out = tmpQueryDir("m12").toString
       val rules = Seq(
         Validator.Rule("value_out_of_range", col("value") < 1),
         Validator.Rule("error_event", col("event_type") === "error"))

@@ -147,22 +147,22 @@ object Dedup {
     // (band, id) is persisted before the self-join: without it Spark plans
     // TWO full scan->shingle->minhash subtrees (no exchange reuse across
     // the differently-aliased branches), doubling the dominant md5 cost.
-    // Cache payload is ~(bands x 40B)/doc — tiny next to the text.
-    val sig = df.select(col(idCol).as("id"),
+    // Cache payload is ~(bands x 40B)/doc — tiny next to the text. The
+    // bucket cap (windowed count, see capBuckets) is applied BEFORE the
+    // persist so it runs once, not once per join side.
+    val produced = df.select(col(idCol).as("id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col("id"), shinglesFromTokens(col("__toks"), k).as("__sh"))
       .select(col("id"), minhashSignature(col("__sh"), numHashes).as("sig"))
       .select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val sig = capBuckets(produced, "band", maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Bucket-size cap: count per band key (a tiny aggregate over the
-    // persisted (band, id) frame) and keep only rows in buckets <= cap.
-    val pruned = capBuckets(sig, "band", maxBucketSize)
     // Only (band, id) travels through the self-join and the distinct —
     // signatures would multiply the shuffle by numHashes x 32 bytes per row
     // (callers re-join signatures by id if they need them).
-    val a = pruned.select(col("band"), col("id").as("id1"))
-    val b = pruned.select(col("band"), col("id").as("id2"))
+    val a = sig.select(col("band"), col("id").as("id1"))
+    val b = sig.select(col("band"), col("id").as("id2"))
     val pairs = a.join(b, Seq("band")).where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
     (pairs, sig)
@@ -186,15 +186,23 @@ object Dedup {
 
   /** Keep only rows whose `keyCol` bucket holds <= cap rows — the shared
     * adversarial guard of lshCandidatePairs and winnowingOverlapPairs
-    * (a B-row bucket emits O(B^2) pair rows downstream). */
+    * (a B-row bucket emits O(B^2) pair rows downstream).
+    *
+    * One windowed count per bucket, NOT groupBy + join-back: the join form
+    * re-shuffles the full frame AND re-derives the count frame in every
+    * consumer of the result (round-6 profile: the cap was the dominant
+    * non-producer cost of d10 — three consumers x two shuffles each). The
+    * window is one shuffle+sort by the bucket key, and it leaves the
+    * output partitioned by that key, which the downstream self-join on
+    * the same key reuses. */
   private def capBuckets(df: DataFrame, keyCol: String,
                          maxBucketSize: Option[Int]): DataFrame =
     maxBucketSize match {
       case Some(cap) =>
         require(cap >= 2, s"maxBucketSize must be >= 2: $cap")
-        val small = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
-          .where(col("__n") <= cap).select(keyCol)
-        df.join(small, Seq(keyCol))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+        df.withColumn("__bn", count(lit(1)).over(w))
+          .where(col("__bn") <= cap).drop("__bn")
       case None => df
     }
 
@@ -403,14 +411,15 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       minSim: Double, k: Int = 8, w: Int = 4,
       maxBucketSize: Option[Int] = None): (DataFrame, DataFrame) = {
-    // one persist: the capped frame recomputes from this cache via a
-    // cheap semi-join (caching both would hold ~2x the fp data)
-    val f0 = df.select(col(idCol).as("id"), lower(col(textCol)).as("__t"))
+    // one persist, of the POST-cap frame: the windowed cap (capBuckets)
+    // runs once into the cache instead of once per consumer, and the
+    // cache is partitioned by fp — which the self-join below reuses
+    val produced = df.select(col(idCol).as("id"), lower(col(textCol)).as("__t"))
       .select(col("id"), TextAnalysis.charGramHashes(col("__t"), k).as("__g"))
       .select(col("id"), TextAnalysis.winnowingMinima(col("__g"), w).as("fps"))
       .select(col("id"), explode(col("fps")).as("fp"))
+    val f = capBuckets(produced, "fp", maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val f = capBuckets(f0, "fp", maxBucketSize)
     // Jaccard is over the SURVIVING fp sets (capped grams leave both the
     // numerator and the denominator — dropping ubiquitous grams from the
     // similarity, which sharpens it rather than skewing it)
@@ -426,7 +435,7 @@ object Dedup {
         (col("n_shared").cast("double") /
           (col("nf1") + col("nf2") - col("n_shared"))).as("sim"))
       .where(col("sim") >= minSim)
-    (scored, f0)
+    (scored, f)
   }
 
   /** Connected components over an undirected pair list — the step that
@@ -447,7 +456,7 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
                           idCol2: String = "id2",
                           maxIterations: Int = 50): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, NumericType, StructField, StructType}
+    import org.apache.spark.sql.types.NumericType
     val dt1 = pairs.schema(idCol1).dataType
     val dt2 = pairs.schema(idCol2).dataType
     require(dt1 == dt2,
@@ -464,23 +473,27 @@ object Dedup {
     if (ownPairs)
       pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Non-numeric ids (strings/UUIDs/URLs — the real-world document key):
-    // map them to dense numeric surrogates, run the numeric loop, map
-    // back. The surrogate is the id's GLOBAL SORT POSITION over the
-    // distinct node set (orderBy + zipWithIndex: two distributed passes,
-    // no driver collect; the index is the sort rank, independent of
-    // partition boundaries, so the mapping is deterministic across runs).
-    // Order preservation means min-surrogate == min-original-id, so the
-    // "cluster keeper = MIN id" contract survives translation
-    // (lexicographic min for strings — what an engine's MIN() gives).
+    // map them to ORDER-PRESERVING numeric surrogates, run the numeric
+    // loop, map back. Order preservation is the only property the loop
+    // needs (min-surrogate == min-original-id, so the "cluster keeper =
+    // MIN id" contract survives translation — lexicographic min for
+    // strings, what an engine's MIN() gives); density is not required.
+    // Construction: range-partition the distinct node set by id, sort
+    // within partitions, then monotonically_increasing_id — the id is
+    // (rangePartitionIndex << 33) + rowOffset, increasing within each
+    // sorted partition AND across the ordered ranges, so it preserves
+    // the global sort order without the RDD zipWithIndex detour round 5
+    // used (which left Tungsten for a row re-encode and scheduled an
+    // extra count job). Entirely distributed — no driver collect, no
+    // single-partition window; holds for up to 2^33 (~8.6B) nodes per
+    // range partition, far past any sane partitioning of a node set.
     // Nodes ≪ corpus (only docs appearing in pairs), so the sort is a
     // small fraction of the pairing cost at any scale.
-    val spark = pairs.sparkSession
-    val surRdd = pairs.select(col(idCol1).as("orig"))
+    val sur = pairs.select(col(idCol1).as("orig"))
       .union(pairs.select(col(idCol2).as("orig"))).distinct()
-      .orderBy(col("orig")).rdd.zipWithIndex()
-      .map { case (r, i) => org.apache.spark.sql.Row(r.get(0), i) }
-    val sur = spark.createDataFrame(surRdd, StructType(Seq(
-        StructField("orig", dt1), StructField("sid", LongType, nullable = false))))
+      .repartitionByRange(col("orig"))
+      .sortWithinPartitions("orig")
+      .withColumn("sid", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spairs = pairs
       .join(sur.select(col("orig").as(idCol1), col("sid").as("__s1")), Seq(idCol1))
