@@ -86,44 +86,76 @@ object Incremental {
     * contract the batch operators use — dedup against everything ingested
     * so far. `foreachBatch` puts the state read, decision join, and both
     * writes inside the transactional batch function: offsets advance only
-    * after it returns, so a crash re-runs the whole batch. A re-run can
-    * re-append signature rows (parquet append is not idempotent), which is
-    * harmless for correctness — the exact flag is a semi-join and the
-    * near-dup candidates are `distinct` — it just costs duplicate state
-    * bytes; a dedup-on-read or a transactional table format removes even
-    * that. Within-batch duplicates follow incrementalDedup's contract
-    * (out of scope — compose with dedupWithinWatermark upstream). */
+    * after it returns, so a crash re-runs the whole batch.
+    *
+    * Both writes are IDEMPOTENT under that replay: each batch owns a
+    * `batch_key=<md5(checkpointDir)>-<batchId>` partition subdir written
+    * with overwrite, so a re-run replaces its own crashed half-write
+    * instead of appending duplicate rows (batchId restarts per checkpoint,
+    * hence the checkpoint hash in the key; it is stable across restarts of
+    * the SAME checkpoint, which is what replay means). The history read
+    * excludes the current batch_key — a replayed batch must never see its
+    * own crashed attempt's state, which would flag every doc as an exact
+    * dup of itself. Pre-seeding history at `statePath` must use the same
+    * keyed layout (write to `.../batch_key=<seed>`): parquet partition
+    * discovery rejects a mix of flat files and partition dirs. Years of
+    * per-batch subdirs are cheap to list (one dir per COMMITTED batch) and
+    * can be compacted by rewriting into fresh batch_key dirs offline.
+    * Within-batch duplicates follow incrementalDedup's contract (out of
+    * scope — compose with dedupWithinWatermark upstream). */
   def incrementalDedupStream(stream: DataFrame, idCol: String, textCol: String,
                              statePath: String, outPath: String,
                              checkpointDir: String, threshold: Double,
                              k: Int = 3, numHashes: Int = 12, bands: Int = 4,
                              maxBucketSize: Option[Int] = None): StreamingQuery = {
-    import graft.llm.Dedup
-    val processBatch: (DataFrame, Long) => Unit = { (batch, _) =>
-      val spark = batch.sparkSession
-      val stateFs = new org.apache.hadoop.fs.Path(statePath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val history =
-        if (stateFs.exists(new org.apache.hadoop.fs.Path(statePath)))
-          Dedup.readSignatureState(spark, statePath)
-        else // bootstrap: empty state with the right schema/id type
-          Dedup.signatureState(batch.limit(0), idCol, textCol, k, numHashes)
-      val decisions = Dedup.incrementalDedup(batch, history, idCol, textCol,
-        threshold, k, numHashes, bands, maxBucketSize)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        batch.join(decisions, Seq(idCol)).write.mode("append").parquet(outPath)
-        val survivors = batch.join(
-          decisions.where(col("keep")).select(col(idCol)), Seq(idCol))
-        Dedup.writeSignatureState(
-          Dedup.signatureState(survivors, idCol, textCol, k, numHashes), statePath)
-      } finally decisions.unpersist()
-    }
+    val ckToken = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
     stream.writeStream
-      .foreachBatch(processBatch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processIncrementalBatch(batch, s"$ckToken-$batchId", idCol, textCol,
+          statePath, outPath, threshold, k, numHashes, bands, maxBucketSize)
+      }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** One micro-batch of [[incrementalDedupStream]], factored out so the
+    * replay contract is directly testable: calling this twice with the
+    * same `batchKey` (a crash after the writes but before the offset
+    * commit, then the replay) leaves exactly one decision row and one
+    * state row per doc, with decisions identical to a clean run. */
+  private[graft] def processIncrementalBatch(
+      batch: DataFrame, batchKey: String, idCol: String, textCol: String,
+      statePath: String, outPath: String, threshold: Double,
+      k: Int, numHashes: Int, bands: Int,
+      maxBucketSize: Option[Int]): Unit = {
+    import graft.llm.Dedup
+    val spark = batch.sparkSession
+    val stateFs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val history =
+      if (stateFs.exists(new org.apache.hadoop.fs.Path(statePath))) {
+        val st = Dedup.readSignatureState(spark, statePath)
+        // partition-pruned: only the current batch's own dir is excluded
+        if (st.columns.contains("batch_key"))
+          st.where(col("batch_key") =!= lit(batchKey)).drop("batch_key")
+        else st
+      } else // bootstrap: empty state with the right schema/id type
+        Dedup.signatureState(batch.limit(0), idCol, textCol, k, numHashes)
+    val decisions = Dedup.incrementalDedup(batch, history, idCol, textCol,
+      threshold, k, numHashes, bands, maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      batch.join(decisions, Seq(idCol)).write.mode("overwrite")
+        .parquet(s"$outPath/batch_key=$batchKey")
+      val survivors = batch.join(
+        decisions.where(col("keep")).select(col(idCol)), Seq(idCol))
+      Dedup.writeSignatureState(
+        Dedup.signatureState(survivors, idCol, textCol, k, numHashes),
+        s"$statePath/batch_key=$batchKey", mode = "overwrite")
+    } finally decisions.unpersist()
   }
 
   /** A closed user session: [start_ms, end_ms] of activity with no gap

@@ -101,6 +101,48 @@ class DedupStreamSpec extends SparkTestBase {
       "non-keeper must not append state")
   }
 
+  test("incrementalDedupStream batch replay is idempotent: re-running a " +
+    "failed batch leaves one state row per doc, decisions as a clean run") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("replay-stream").toString
+    val (statePath, outPath) = (s"$base/state", s"$base/out")
+    val run = (docs: Seq[(String, String)], key: String) =>
+      Incremental.processIncrementalBatch(docs.toDF("doc_id", "text"), key,
+        "doc_id", "text", statePath, outPath, threshold = 0.5,
+        k = 3, numHashes = 12, bands = 4, maxBucketSize = None)
+
+    val batch0 = Seq(
+      "a1" -> "alpha bravo charlie delta echo foxtrot golf hotel india juliett",
+      "b1" -> "totally different words sharing nothing with the other document here")
+    run(batch0, "ck0-0")
+    // crash after the writes, before the offset commit -> the SAME batch
+    // replays with the SAME key. The replay must (a) not see its own
+    // crashed attempt's state as history (else every doc flags exact_dup
+    // of itself) and (b) overwrite, not duplicate, both outputs.
+    run(batch0, "ck0-0")
+
+    val out = spark.read.parquet(outPath)
+      .select("doc_id", "exact_dup", "near_dup", "keep").collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(out.length == 2, s"replay duplicated decision rows: ${out.toSeq}")
+    assert(out.toMap == Map("a1" -> ((false, false, true)),
+      "b1" -> ((false, false, true))),
+      s"replay saw its own crashed state as history: ${out.toSeq}")
+    val state = graft.llm.Dedup.readSignatureState(spark, statePath)
+    assert(state.count() == 2, "replay duplicated signature-state rows")
+    assert(state.groupBy("id").count().where(col("count") > 1).isEmpty)
+
+    // a LATER batch (different key) still sees batch 0 as history
+    run(Seq("a2" -> batch0.head._2), "ck0-1")
+    val out1 = spark.read.parquet(outPath)
+      .where(col("doc_id") === "a2").select("exact_dup").collect()
+    assert(out1.head.getBoolean(0), "later batch lost the replayed history")
+    assert(graft.llm.Dedup.readSignatureState(spark, statePath).count() == 2,
+      "non-keeper appended state")
+  }
+
   test("incrementalDedupStream dedups micro-batches against persisted state across runs") {
     val s = spark
     import s.implicits._
