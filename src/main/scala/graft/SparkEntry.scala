@@ -339,6 +339,14 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.md5TokenHashes(col("text")).as("__h"))
         .select(col("doc_id"), Dedup.simhashBitsFromHashes(col("__h")).as("simhash"))),
+    "d14_simhash_neardups" -> ((s, dir) =>
+      // Hamming-space near-dups: pigeonhole-banded candidate join (one of
+      // 4 16-bit chunks must match exactly when hamming <= 3), exact
+      // Hamming verify on candidates only — the Manku'07 detector that
+      // complements shingle-Jaccard LSH (d04)
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bands = 4,
+        maxBucketSize = Some(docBucketCap(s, dir)))),
 
     "d08_minhash_estimate" -> ((s, dir) => {
       // estimated Jaccard from signature agreement on the LSH candidates
@@ -1051,6 +1059,35 @@ object SparkEntry {
         s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // $p) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
       }.mkString(" || ")
       s"SELECT doc_id, $bits AS simhash FROM (SELECT doc_id, $hs AS hs FROM documents)"
+    },
+    "d14_simhash_neardups" -> {
+      // d05's simhash construction, then the SAME pigeonhole banding the
+      // Spark plan uses (4 x 16-bit chunks, bucket cap mirrored) and a
+      // char-compare Hamming verify — an independent formulation of the
+      // distance (the Spark side parses chunks to longs and bit_counts
+      // the xor)
+      val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+      val hs = s"list_transform($toks, t -> ('0x' || substr(md5(t),1,8))::BIGINT::HUGEINT * 4294967296" +
+        s" + ('0x' || substr(md5(t),9,8))::BIGINT)"
+      val bits = (63 to 0 by -1).map { j =>
+        val p = BigInt(1) << j
+        s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // $p) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"""WITH sh AS (SELECT doc_id, $bits AS sig
+         |            FROM (SELECT doc_id, $hs AS hs FROM documents)),
+         |b0 AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+         |         b -> CAST(b AS VARCHAR) || '|' || substr(sig, CAST(b*16+1 AS BIGINT), 16))) AS band
+         |       FROM sh),
+         |bok AS (SELECT band FROM b0 GROUP BY band HAVING COUNT(*) <= CAPLIT),
+         |bf AS (SELECT b0.* FROM b0 JOIN bok USING (band)),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM bf a JOIN bf b USING (band) WHERE a.doc_id < b.doc_id),
+         |p AS (SELECT id1, id2,
+         |        CAST(len(list_filter(range(1, 65),
+         |          i -> substr(x.sig, i, 1) != substr(y.sig, i, 1))) AS BIGINT) AS hamming
+         |      FROM cands JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2)
+         |SELECT id1, id2, hamming FROM p WHERE hamming <= 3""".stripMargin
+        .replace("CAPLIT", lastBucketCap.toString)
     },
     "d08_minhash_estimate" -> {
       val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"

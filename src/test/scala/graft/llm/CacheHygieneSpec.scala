@@ -22,6 +22,9 @@ class CacheHygieneSpec extends SparkTestBase {
   test("dedup/similarity/fork query chain leaves no persisted blocks") {
     val sc = spark.sparkContext
     if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(tmpDir("hygiene-ckpt"))
+    // pin the reliable path explicitly: DedupSpec's checkpoint test leaves
+    // the opt-out set on the shared session, and suite order is arbitrary
+    spark.conf.set("graft.cc.reliableCheckpoint", "true")
     // tolerate blocks leaked by OTHER suites sharing this session: only
     // RDDs persisted DURING the chain may not survive it
     val before = sc.getPersistentRDDs.keySet
@@ -29,7 +32,7 @@ class CacheHygieneSpec extends SparkTestBase {
     val chain = Seq(
       "d04_lsh_neardups", "d06_ngram_jaccard", "d08_minhash_estimate",
       "d09_dedup_clusters", "d10_winnow_overlap", "d11_incremental_dedup",
-      "d12_string_clusters", "m14_curation_pipeline",
+      "d12_string_clusters", "d14_simhash_neardups", "m14_curation_pipeline",
       "s05_embedding_neardups", "s06_embedding_clusters", "m06_fork_streams")
     val counts = chain.map { q =>
       q -> SparkEntry.queries(q)(spark, dir).count()
@@ -48,6 +51,7 @@ class CacheHygieneSpec extends SparkTestBase {
   test("nearDupPairs alone releases its caches (unit-level, no query harness)") {
     val sc = spark.sparkContext
     if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(tmpDir("hygiene-ckpt"))
+    spark.conf.set("graft.cc.reliableCheckpoint", "true")
     val before = sc.getPersistentRDDs.keySet
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)

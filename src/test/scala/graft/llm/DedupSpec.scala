@@ -92,6 +92,31 @@ class DedupSpec extends SparkTestBase {
     assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
   }
 
+  test("simhashNearDupPairs: exact dups at hamming 0, near docs within " +
+    "radius, pigeonhole recall vs brute force, bad band config rejected") {
+    val out = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exact dups (1,2,5 normalize identically) => hamming 0
+    assert(out((1L, 2L)) == 0L && out((1L, 5L)) == 0L && out((2L, 5L)) == 0L,
+      s"got $out")
+    assert(out.values.forall(_ <= 3L))
+    // pigeonhole blocking is a GUARANTEE, not an estimate: the banded
+    // result must equal the brute-force hamming<=3 pair set exactly
+    val sigs = docs.select(col("doc_id"), Dedup.simhashBits(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val brute = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j && ham(si, sj) <= 3
+    } yield (i, j) -> ham(si, sj).toLong).toMap
+    assert(out == brute, s"banded=$out brute=$brute")
+    // bands must exceed maxHamming (else no pigeonhole guarantee) and
+    // divide 64
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 4, bands = 4))
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3, bands = 5))
+  }
+
   test("simhash64/hamming64 (xxhash64 fast path)") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
     val joined = sigs.as("a").crossJoin(sigs.as("b"))
