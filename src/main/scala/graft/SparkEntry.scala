@@ -348,6 +348,28 @@ object SparkEntry {
         maxHamming = 3, bands = 4,
         maxBucketSize = Some(docBucketCap(s, dir)))),
 
+    "d15_sessions" -> ((s, dir) =>
+      // gap-based batch sessionization (30-min gap): the batch twin of the
+      // streaming flatMapGroupsWithState sessionize — one shuffle on the
+      // key serves both window passes and the rollup
+      graft.operators.Sessionize.sessions(
+        t(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus")),
+        "user_id", "tus", gap = 1800000000L)
+        .select(col("user_id"), col("session_seq"),
+          col("start_ts").as("start_us"), col("end_ts").as("end_us"),
+          col("n_events"))),
+
+    "d16_hash_sample" -> ((s, dir) =>
+      // deterministic stratified sampling: membership = pure function of
+      // (salt, doc_id), so the subset is reproducible across runs/engines/
+      // partitionings (df.sample is not); per-lang rates rebalance the
+      // corpus in ONE map-side codegen'd filter, no shuffle at any scale
+      graft.llm.Sampling.stratifiedHashSample(t(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 0.3, "zh" -> 0.8),
+        defaultRate = 0.5, salt = "s42")
+        .select(col("doc_id"), col("lang"))),
+
     "d08_minhash_estimate" -> ((s, dir) => {
       // estimated Jaccard from signature agreement on the LSH candidates
       // (the cheap pre-filter a verify pass would rank by at scale)
@@ -1089,6 +1111,30 @@ object SparkEntry {
          |SELECT id1, id2, hamming FROM p WHERE hamming <= 3""".stripMargin
         .replace("CAPLIT", lastBucketCap.toString)
     },
+    "d15_sessions" ->
+      // identical lag + RANGE-framed cumulative-sum formulation; DuckDB's
+      // SUM(INT) OVER returns HUGEINT, hence the BIGINT cast
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |f AS (SELECT user_id, tus,
+        |        CASE WHEN lag(tus) OVER w IS NULL
+        |               OR tus - lag(tus) OVER w > 1800000000 THEN 1
+        |             ELSE 0 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |sess AS (SELECT user_id, tus,
+        |           CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY tus)
+        |                AS BIGINT) AS session_seq
+        |         FROM f)
+        |SELECT user_id, session_seq, MIN(tus) AS start_us, MAX(tus) AS end_us,
+        |       COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+    "d16_hash_sample" ->
+      // same md5 hash, same thresholds (built by the same rateThreshold),
+      // same lexicographic hex compare — the portability claim IS the test
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+         |  CASE WHEN lang = 'en' THEN '${graft.llm.Sampling.rateThreshold(0.3)}'
+         |       WHEN lang = 'zh' THEN '${graft.llm.Sampling.rateThreshold(0.8)}'
+         |       ELSE '${graft.llm.Sampling.rateThreshold(0.5)}' END""".stripMargin,
     "d08_minhash_estimate" -> {
       val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
       val sh =

@@ -1,0 +1,57 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling — the reproducible subset selector a
+  * training-data pipeline needs where `df.sample` cannot serve: membership
+  * is a pure function of (salt, key), so the same doc lands in the sample
+  * on every run, on any engine, at any partitioning/parallelism, and a
+  * re-run over a GROWN corpus keeps every previously-selected doc (the
+  * property that makes incremental corpus refreshes diff-friendly).
+  * `df.sample`'s seeded RNG guarantees none of that: its draw depends on
+  * partition layout, so a repartition or a second engine silently changes
+  * the subset.
+  *
+  * Mechanism: keep a row iff the first 8 hex chars of md5(salt|key) fall
+  * below the rate's threshold in the 32-bit hash space. The comparison is
+  * LEXICOGRAPHIC on the lowercase hex — identical in any engine with md5,
+  * no integer parsing — and the filter is map-side codegen'd: at 100 TB a
+  * sample is one scan, no shuffle, with the filter pushed into the scan
+  * where the source supports it. Rate resolution is 1/2^32 (~2.3e-10).
+  *
+  * Changing `salt` draws an independent sample; nested rates with one salt
+  * NEST (rate 0.1 ⊂ rate 0.5 — useful for dataset-size ablations).
+  */
+object Sampling {
+
+  /** Lowercase-hex threshold for `rate` in the 32-bit hash space. */
+  private[graft] def rateThreshold(rate: Double): String = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
+    f"${math.min((rate * 4294967296d).toLong, 4294967295L)}%08x"
+  }
+
+  /** The sampling hash: first 8 hex chars of md5(salt|key). */
+  def sampleKey(key: Column, salt: String): Column =
+    substring(md5(concat_ws("|", lit(salt), key.cast("string"))), 1, 8)
+
+  /** Keep each row with probability `rate`, deterministically in `keyCol`. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double,
+                 salt: String = "graft"): DataFrame =
+    if (rate >= 1.0) df
+    else df.where(sampleKey(col(keyCol), salt) < lit(rateThreshold(rate)))
+
+  /** Per-stratum rates (e.g. per-language corpus rebalancing): rows in a
+    * stratum listed in `rates` sample at that rate, others at
+    * `defaultRate`. One scan, one codegen'd CASE — strata are enum-like
+    * (languages, sources), so the literal chain stays small. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           rates: Map[String, Double], defaultRate: Double,
+                           salt: String = "graft"): DataFrame = {
+    val thresh = rates.foldLeft(lit(rateThreshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(rateThreshold(rate))).otherwise(acc)
+    }
+    df.where(sampleKey(col(keyCol), salt) < thresh)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("hashSample: deterministic, partitioning-independent, ~rate sized") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.4, "t1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(7), "doc_id", 0.4, "t1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on partitioning")
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.2 && a.size < n * 0.6, s"rate off: ${a.size}/$n")
+    // rate 1.0 keeps everything; rate 0.0 keeps nothing
+    assert(Sampling.hashSample(docs, "doc_id", 1.0).count() == n.toLong)
+    assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0L)
+  }
+
+  test("nested rates with one salt: the 0.1 sample is a subset of the 0.5 sample") {
+    val small = Sampling.hashSample(docs, "doc_id", 0.1, "t2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(docs, "doc_id", 0.5, "t2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big), "samples under one salt must nest")
+    // a different salt draws an (almost surely) different sample
+    val other = Sampling.hashSample(docs, "doc_id", 0.5, "t3")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != big)
+  }
+
+  test("stratifiedHashSample applies per-stratum rates; filter stays map-side") {
+    val out = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("en" -> 0.0), defaultRate = 1.0, salt = "t4")
+    assert(out.where(col("lang") === "en").count() == 0L)
+    assert(out.count() == docs.where(col("lang") =!= "en").count())
+    // no exchange: sampling is one scan + filter at any scale
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
+  test("rateThreshold: hex space endpoints and monotonicity") {
+    assert(Sampling.rateThreshold(0.0) == "00000000")
+    assert(Sampling.rateThreshold(1.0) == "ffffffff")
+    assert(Sampling.rateThreshold(0.5) == "80000000")
+    intercept[IllegalArgumentException](Sampling.rateThreshold(1.5))
+    val ts = Seq(0.1, 0.25, 0.5, 0.9).map(Sampling.rateThreshold)
+    assert(ts == ts.sorted)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SessionizeSpec extends SparkTestBase {
+
+  test("sessions: gap strictly-greater splits; boundary events merge; ties share a session") {
+    val s = spark
+    import s.implicits._
+    // key u: events at 0, 100 (gap 100 = limit, merges), 101..201 (within),
+    // 502 (gap 301 > 300, new session), 502 duplicate tie, 900 (new)
+    val ev = Seq(
+      ("u", 0L), ("u", 100L), ("u", 201L), ("u", 502L), ("u", 502L), ("u", 900L),
+      ("v", 50L)).toDF("k", "t")
+    val out = Sessionize.sessions(ev, "k", "t", gap = 300L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("u", 1L)) == ((0L, 201L, 3L)), s"got $out")   // 0,100,201 merge
+    assert(out(("u", 2L)) == ((502L, 502L, 2L)), s"got $out") // tie shares
+    assert(out(("u", 3L)) == ((900L, 900L, 1L)), s"got $out")
+    assert(out(("v", 1L)) == ((50L, 50L, 1L)), s"got $out")
+    assert(out.size == 4)
+  }
+
+  test("assign: per-event session_seq is 1-based per key in time order") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(("u", 10L), ("u", 1000L), ("w", 5L)).toDF("k", "t")
+    val seqs = Sessionize.assign(ev, "k", "t", gap = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(seqs == Map(("u", 10L) -> 1L, ("u", 1000L) -> 2L, ("w", 5L) -> 1L))
+  }
+
+  test("sessions plans ONE exchange: windows and rollup share the key partitioning") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(("u", 0L), ("u", 10L)).toDF("k", "t")
+    val plan = Sessionize.sessions(ev, "k", "t", gap = 300L)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected one shuffle, got $shuffles:\n$plan")
+  }
+}
