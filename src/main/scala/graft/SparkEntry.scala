@@ -607,6 +607,43 @@ object SparkEntry {
           col("asof_tol"), col("asof_strict"))
     }),
 
+    "q18_range_join" -> ((s, dir) => {
+      // Point-in-interval range join via bin-key manufacture: lineitems
+      // shipped within 7 days of a top-value order's date. The naive
+      // `ON lo <= p AND p <= hi` plans a nested-loop; the operator turns
+      // it into a hash equi-join on the covering bin (AQE-skew-safe at
+      // scale) with the exact bound check as a post-filter.
+      val week = 7L * 24 * 3600 * 1000000
+      val intervals = t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey").as("interval_key"),
+          // NTZ -> timestamp under the UTC session zone: epoch micros
+          // match DuckDB's epoch_us over the same naive values
+          unix_micros(col("o_orderdate").cast("timestamp")).as("lo"))
+        .withColumn("hi", col("lo") + week)
+      val points = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      graft.operators.RangeJoin.pointInInterval(points, intervals,
+          "ship_us", "lo", "hi", binWidth = week)
+        .select(col("interval_key"), col("l_orderkey"),
+          col("l_linenumber"), col("ship_us"))
+    }),
+
+    "q19_quantiles" -> ((s, dir) =>
+      // exact grouped quantiles (linear interpolation at p*(n-1), the
+      // definition Spark's percentile and DuckDB's quantile_cont share);
+      // integer-valued doubles interpolate to exactly-representable
+      // quarters, so the oracle compare is bit-exact
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          count(lit(1)).as("n"))),
+
     "d13_token_stats" -> ((s, dir) =>
       // BPE-ish token accounting: alnum runs or single symbols via
       // regexp_extract_all (RE2-compatible pattern — no lookarounds — so
@@ -1411,5 +1448,24 @@ object SparkEntry {
         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate < e.ts
         |   ORDER BY o.o_orderdate DESC LIMIT 1) AS asof_strict
         |FROM events e""".stripMargin,
+    "q19_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q18_range_join" ->
+      // the naive inequality-join formulation the operator replaces —
+      // DuckDB plans it fine at oracle scale, and it is the semantic
+      // definition the binned equi-join must reproduce exactly
+      """WITH topo AS (
+        |  SELECT o_orderkey AS interval_key, epoch_us(o_orderdate) AS lo
+        |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
+        |SELECT t.interval_key, l.l_orderkey, l.l_linenumber,
+        |       epoch_us(l.l_shipdate) AS ship_us
+        |FROM topo t JOIN lineitem l
+        |  ON epoch_us(l.l_shipdate) >= t.lo
+        | AND epoch_us(l.l_shipdate) <= t.lo + 604800000000""".stripMargin,
   )
 }
