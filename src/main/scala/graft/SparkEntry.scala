@@ -379,12 +379,15 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.shinglesFromTokens(col("__toks"), 3).as("__sh"))
         .select(col("doc_id"), Dedup.minhashSignature(col("__sh"), 12).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val est = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      // lazy candidates: the pair plan fuses into the estimate join (an
+      // eager lshCandidatePairs would checkpoint a frame consumed once)
+      val (cands, bandSig) = Dedup.lshCandidatePairsLazy(docs, "doc_id", "text")
+      val est = cands
         .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), Seq("id1"))
         .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), Seq("id2"))
         .select(col("id1"), col("id2"),
           Dedup.signatureSimilarity(col("sig1"), col("sig2")).as("est_jaccard"))
-      Dedup.materializeAndRelease(est, sigs)
+      Dedup.materializeAndRelease(est, sigs, bandSig)
     }),
     "m14_curation_pipeline" -> ((s, dir) => {
       // The full training-data curation flow as ONE oracle-gated query:

@@ -362,8 +362,25 @@ object Dedup {
                    threshold: Double, k: Int = 3,
                    numHashes: Int = 12, bands: Int = 4,
                    maxBucketSize: Option[Int] = None): DataFrame = {
-    val cands = lshCandidatePairs(df, idCol, textCol, k, numHashes, bands,
-      maxBucketSize)
+    val (verified, caches) = nearDupPairsLazy(df, idCol, textCol, threshold,
+      k, numHashes, bands, maxBucketSize)
+    materializeAndRelease(verified, caches: _*)
+  }
+
+  /** Lazy form of [[nearDupPairs]]: the un-materialized verified-pair plan
+    * plus the persisted frames it reads (band frame + shingle sets). The
+    * candidate pairs stay LAZY inside the plan — materializing them
+    * separately (as the eager wrapper's first cut did) costs an extra
+    * job + checkpoint barrier per call for a frame that is consumed
+    * exactly once, right here (round-6 bench: d04 1.8s -> 2.4s from that
+    * alone). Callers own the cache lifetime: release `caches` after the
+    * consuming action. */
+  private[graft] def nearDupPairsLazy(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      maxBucketSize: Option[Int] = None): (DataFrame, Seq[DataFrame]) = {
+    val (cands, sig) =
+      lshCandidatePairsLazy(df, idCol, textCol, k, numHashes, bands, maxBucketSize)
     // persisted for the same reason as the band frame: joined twice (id1
     // and id2 sides) and Spark won't reuse the shingling subtree across
     // the two aliased branches
@@ -378,7 +395,7 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
-    materializeAndRelease(verified, sh)
+    (verified, Seq(sig, sh))
   }
 
   /** SimHash near-dup pairs: docs whose 64-bit SimHash signatures differ
@@ -659,11 +676,17 @@ object Dedup {
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, k: Int = 3,
                       numHashes: Int = 12, bands: Int = 4,
-                      maxBucketSize: Option[Int] = None): DataFrame =
-    connectedComponents(
-      nearDupPairs(df, idCol, textCol, threshold, k, numHashes, bands,
-        maxBucketSize))
-      .withColumn("keep", col("id") === col("cluster"))
+                      maxBucketSize: Option[Int] = None): DataFrame = {
+    // lazy pairs: connectedComponents persists its pair input itself
+    // (ownPairs) before the edge union, so a pre-materialized checkpoint
+    // of the same tiny frame would only add a job + barrier; the producer
+    // caches release once the (already-truncated) labels are out
+    val (pairs, caches) = nearDupPairsLazy(df, idCol, textCol, threshold,
+      k, numHashes, bands, maxBucketSize)
+    val cc = connectedComponents(pairs)
+    caches.foreach(_.unpersist(blocking = true))
+    cc.withColumn("keep", col("id") === col("cluster"))
+  }
 
   /** Portable 64-bit token hash: the first 16 hex chars of md5 assembled
     * from two 32-bit halves (hex-parse of the full 16 would overflow a
