@@ -94,6 +94,16 @@ object ScaleBench {
       .count()
     val winSecs = secs(tWin)
 
+    // ---- SimHash Hamming-band near-dups ----------------------------------
+    // The pigeonhole detector over the same skewed corpus. Chunk keys have
+    // only 2^16 values, so at this scale buckets FILL (the operator doc's
+    // stated limit) — the cap is doing real work here, and the interesting
+    // number is that the banded join stays bounded instead of quadratic.
+    val tSim = System.nanoTime()
+    val nSimPairs = Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = Some(cap)).count()
+    val simSecs = secs(tSim)
+
     // ---- incremental dedup: cost ∝ NEW-SHARD size, not corpus size ------
     // The cross-run mode: the full corpus's signature state is persisted
     // once (the amortized cost every run AVOIDS re-paying), then two new
@@ -129,6 +139,7 @@ object ScaleBench {
       s""""lsh_secs":$lshSecs,"lsh_cands":$nCands,"bucket_cap":$cap,""" +
       s""""cc_secs":$ccSecs,"cc_clusters":$nClusters,"cc_nodes":$nClustered,""" +
       s""""winnow_secs":$winSecs,"winnow_fps":$nFps,""" +
+      s""""simhash_secs":$simSecs,"simhash_pairs":$nSimPairs,""" +
       s""""sigstate_secs":$stateSecs,"inc_1k_secs":$incSecs1k,"inc_1k_kept":$kept1k,""" +
       s""""inc_4k_secs":$incSecs4k,"inc_4k_kept":$kept4k,"total_secs":${secs(t0)}}"""
     println(line)

@@ -634,6 +634,33 @@ object SparkEntry {
           col("l_linenumber"), col("ship_us"))
     }),
 
+    "q20_interval_overlap" -> ((s, dir) => {
+      // interval x interval overlap join (60-day windows around the top-30
+      // order dates, split into two rank bands): same binned equi-join as
+      // q18, each overlapping pair found exactly once in the bin holding
+      // the overlap's start. Top-30 via TakeOrderedAndProject (scalable);
+      // the rank window runs over those 30 rows only.
+      val D = 60L * 24 * 3600 * 1000000
+      val ranked = t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(30)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .select(col("o_orderkey"), col("rk"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("lo"))
+      val a = ranked.where(col("rk") <= 15)
+        .select(col("o_orderkey").as("a_key"), col("lo").as("a_lo"),
+          (col("lo") + D).as("a_hi"))
+      val b = ranked.where(col("rk") > 15 && col("rk") <= 30)
+        .select(col("o_orderkey").as("b_key"), col("lo").as("b_lo"),
+          (col("lo") + D).as("b_hi"))
+      graft.operators.RangeJoin.intervalOverlap(a, b,
+          "a_lo", "a_hi", "b_lo", "b_hi", binWidth = D)
+        .select(col("a_key"), col("b_key"),
+          (least(col("a_hi"), col("b_hi")) -
+            greatest(col("a_lo"), col("b_lo"))).as("overlap_us"))
+    }),
+
     "q19_quantiles" -> ((s, dir) =>
       // exact grouped quantiles (linear interpolation at p*(n-1), the
       // definition Spark's percentile and DuckDB's quantile_cont share);
@@ -1451,6 +1478,20 @@ object SparkEntry {
         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate < e.ts
         |   ORDER BY o.o_orderdate DESC LIMIT 1) AS asof_strict
         |FROM events e""".stripMargin,
+    "q20_interval_overlap" ->
+      // the naive inequality-overlap formulation the binned operator must
+      // reproduce exactly
+      """WITH ranked AS (
+        |  SELECT o_orderkey, epoch_us(o_orderdate) AS lo,
+        |         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders),
+        |a AS (SELECT o_orderkey AS a_key, lo AS a_lo, lo + 5184000000000 AS a_hi
+        |      FROM ranked WHERE rk <= 15),
+        |b AS (SELECT o_orderkey AS b_key, lo AS b_lo, lo + 5184000000000 AS b_hi
+        |      FROM ranked WHERE rk > 15 AND rk <= 30)
+        |SELECT a_key, b_key,
+        |       least(a_hi, b_hi) - greatest(a_lo, b_lo) AS overlap_us
+        |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi""".stripMargin,
     "q19_quantiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS q25,

@@ -52,6 +52,36 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval-overlap join: every (left, right) pair with
+    * `lLo <= rHi AND rLo <= lHi` (inclusive overlap — touching endpoints
+    * match). Same bin-key manufacture as [[pointInInterval]], with one
+    * extra rule because a pair can now share SEVERAL bins: the match is
+    * attributed to the single bin containing the overlap's START
+    * (`max(lLo, rLo)`) — both intervals cover that bin by definition, so
+    * the equi-join finds the pair there, and the post-filter keeps it
+    * ONLY there, making each overlapping pair emitted exactly once with
+    * no dedup pass. Output columns = left columns ++ right columns;
+    * null/inverted intervals drop on both sides. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lLo: String, lHi: String, rLo: String, rHi: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val clash = (left.columns ++ right.columns).filter(_ == "__bin")
+    require(clash.isEmpty, "reserved column name in input: __bin")
+    require(!left.columns.exists(right.columns.contains),
+      "left/right column names must be disjoint: " +
+        left.columns.toSet.intersect(right.columns.toSet).mkString(","))
+    def explodeBins(df: DataFrame, lo: String, hi: String) = df
+      .where(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+      .withColumn("__bin",
+        explode(sequence(floorDiv(col(lo), binWidth), floorDiv(col(hi), binWidth))))
+    explodeBins(left, lLo, lHi)
+      .join(explodeBins(right, rLo, rHi), Seq("__bin"))
+      .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        col("__bin") === floorDiv(greatest(col(lLo), col(rLo)), binWidth))
+      .drop("__bin")
+  }
+
   /** Floor division in exact integer arithmetic, correct for negative
     * values (epoch times before 1970): SQL integer division truncates
     * toward zero, which would put -1 and +1 in the same bin, and a

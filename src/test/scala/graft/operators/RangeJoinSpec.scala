@@ -64,6 +64,36 @@ class RangeJoinSpec extends SparkTestBase {
       RangeJoin.pointInInterval(points, ivs, "t", "lo", "hi", 0L))
   }
 
+  test("intervalOverlap: inclusive endpoints, exactly-once attribution, " +
+    "matches naive overlap join on random data across bin widths") {
+    val s = spark
+    import s.implicits._
+    // touching endpoints overlap; disjoint do not; long-vs-short spanning
+    val a = Seq(("a1", 0L, 10L), ("a2", 20L, 100L)).toDF("ak", "alo", "ahi")
+    val b = Seq(("b1", 10L, 15L), ("b2", 16L, 19L), ("b3", 0L, 200L))
+      .toDF("bk", "blo", "bhi")
+    val out = RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", 7L)
+      .select("ak", "bk").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.length == out.distinct.length, s"dup matches: ${out.toSeq}")
+    assert(out.toSet == Set(("a1", "b1"), ("a1", "b3"), ("a2", "b3")), s"${out.toSeq}")
+
+    val rnd = new scala.util.Random(11)
+    val la = (1 to 120).map { i =>
+      val lo = rnd.nextInt(900).toLong; (i.toLong, lo, lo + rnd.nextInt(150).toLong)
+    }.toDF("ak", "alo", "ahi")
+    val rb = (1 to 120).map { i =>
+      val lo = rnd.nextInt(900).toLong; (i.toLong, lo, lo + rnd.nextInt(150).toLong)
+    }.toDF("bk", "blo", "bhi")
+    val naive = la.join(rb, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("ak", "bk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1L, 37L, 150L, 9000L)) {
+      val binned = RangeJoin.intervalOverlap(la, rb, "alo", "ahi", "blo", "bhi", w)
+        .select("ak", "bk").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(binned.length == binned.distinct.length, s"w=$w dup matches")
+      assert(binned.toSet == naive, s"w=$w diverged from the overlap join")
+    }
+  }
+
   test("plans a hash equi-join on the bin key — never a nested loop / cartesian") {
     val s = spark
     import s.implicits._
