@@ -162,21 +162,46 @@ object Incremental {
     * longer than the configured timeout. */
   final case class Session(key: String, start_ms: Long, end_ms: Long, n_events: Long)
 
-  /** Internal per-key state (public: Catalyst codegen instantiates it). */
-  final case class SessionState(start: Long, end: Long, n: Long)
+  /** One not-yet-final session fragment (public: Catalyst codegen
+    * instantiates it). */
+  final case class SessionFrag(start: Long, end: Long, n: Long)
+
+  /** Internal per-key state: gap-separated fragments, sorted by start. */
+  final case class SessionState(frags: Seq[SessionFrag])
 
   /** Gap-based sessionization with custom keyed state
     * (flatMapGroupsWithState + event-time timeout) — the "custom state"
     * streaming surface (SURVEY §2.12's greenfield capability). A session
-    * closes, and is emitted, when the event-time watermark passes
-    * last-event + gapMs. State per key is O(1) (start/end/count), so the
-    * state store scales with ACTIVE keys, not history — the property that
-    * matters at 100TB/day of events. */
+    * closes, and is emitted, once the event-time watermark passes its
+    * last event + gapMs.
+    *
+    * State per key is the list of OPEN session fragments — runs of events
+    * separated by more than the gap that the watermark has not yet sealed.
+    * Fragments (not one [min,max] span) are what make the operator correct
+    * under replay/backfill: one micro-batch can carry many sessions' worth
+    * of a key's history (the first cut collapsed a whole batch into a
+    * single session — caught by the batch-twin equivalence test), and a
+    * late event inside the watermark may bridge two fragments into one
+    * session. An emitted session can never be bridged: it is emitted only
+    * when watermark >= end + gap, and an event that could join it would be
+    * older than the watermark — already dropped. Open fragments per key
+    * are bounded by lateness/gap, so the state store still scales with
+    * ACTIVE keys, not history — the property that matters at 100TB/day. */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
                  gapMs: Long, watermark: String): Dataset[Session] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val s = events.sparkSession
     import s.implicits._
+    // fold sorted fragments: adjacent-within-gap merge (counts add)
+    def mergeFrags(fs: Seq[SessionFrag]): Seq[SessionFrag] =
+      fs.sortBy(f => (f.start, f.end)).foldLeft(Vector.empty[SessionFrag]) {
+        (acc, f) =>
+          acc.lastOption match {
+            case Some(l) if f.start <= l.end + gapMs =>
+              acc.init :+ SessionFrag(l.start, math.max(l.end, f.end), l.n + f.n)
+            case _ => acc :+ f
+          }
+      }
     events
       .select(col(keyCol).cast("string").as("k"), col(tsCol).cast("timestamp").as("ts"))
       .withWatermark("ts", watermark) // after the projection: a select on a
@@ -186,19 +211,20 @@ object Incremental {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (key, rows, state) =>
-          if (state.hasTimedOut) {
-            val st = state.get
-            state.remove()
-            Iterator(Session(key, st.start, st.end, st.n))
-          } else {
-            val ts = rows.map(_._2.getTime).toVector
-            val prev = state.getOption.getOrElse(SessionState(Long.MaxValue, Long.MinValue, 0L))
-            val next = SessionState(math.min(prev.start, ts.min),
-              math.max(prev.end, ts.max), prev.n + ts.size)
-            state.update(next)
-            state.setTimeoutTimestamp(next.end + gapMs)
-            Iterator.empty
+          val wm = state.getCurrentWatermarkMs()
+          val arrived = rows.map(r => SessionFrag(r._2.getTime, r._2.getTime, 1L)).toVector
+          val frags = mergeFrags(
+            state.getOption.map(_.frags).getOrElse(Seq.empty) ++ arrived)
+          // a fragment is final once no in-watermark event can extend it
+          val (closed, open) = frags.partition(_.end + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionState(open))
+            // earliest possible close; open fragments have end+gap > wm,
+            // satisfying Spark's timeout-after-watermark requirement
+            state.setTimeoutTimestamp(open.map(_.end).min + gapMs)
           }
+          closed.iterator.map(f => Session(key, f.start, f.end, f.n))
       }
   }
 }

@@ -32,6 +32,42 @@ class SessionizeSpec extends SparkTestBase {
     assert(seqs == Map(("u", 10L) -> 1L, ("u", 1000L) -> 2L, ("w", 5L) -> 1L))
   }
 
+  test("batch sessions == streaming sessionize on the same events (the twins agree)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(1704103200000L + ms) // 2024-01-01 10:00 UTC
+    val gapMs = 120000L // 2 minutes
+    // u: two sessions (10s apart, then a 10-min gap); v: one session
+    val events = Seq(
+      ("u", 0L), ("u", 10000L), ("u", 610000L), ("u", 615000L), ("v", 5000L))
+
+    // streaming: watermark 0s; a far-future sentinel key advances the
+    // watermark past every real session's end+gap so they all emit
+    val input = MemoryStream[(String, Timestamp)]
+    input.addData(events.map { case (k, ms) => (k, ts(ms)) }: _*)
+    input.addData(("__sentinel", ts(86400000L)))
+    val q = graft.streaming.Incremental.sessionize(
+      input.toDF().toDF("k", "ts"), "k", "ts", gapMs, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_twin").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_twin")
+      .where(col("key") =!= "__sentinel")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // batch twin over epoch millis, sessions keyed back to (key, start, end, n)
+    val batch = Sessionize.sessions(
+      events.map { case (k, ms) => (k, ts(ms).getTime) }.toDF("k", "t"),
+      "k", "t", gap = gapMs)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch.size == 3)
+  }
+
   test("sessions plans ONE exchange: windows and rollup share the key partitioning") {
     val s = spark
     import s.implicits._
