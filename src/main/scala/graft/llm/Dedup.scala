@@ -595,11 +595,25 @@ object Dedup {
   /** Eager lineage truncation: reliable `checkpoint()` when the session
     * has a checkpoint dir (executor-churn-safe — blocks survive on the
     * FS), `localCheckpoint()` otherwise. Opt out of the reliable path
-    * with graft.cc.reliableCheckpoint=false. */
+    * with graft.cc.reliableCheckpoint=false.
+    *
+    * A reliable checkpoint on an UNPERSISTED frame computes the plan
+    * twice: once for the eager action and again when the checkpoint
+    * write re-runs the RDD (Spark's classic checkpoint double-compute).
+    * So persist around the checkpoint — the write then replays cache
+    * blocks instead of the plan — and free the blocks immediately: the
+    * returned frame is backed by the checkpoint files, not the cache. */
   private[graft] def truncateFrame(df: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined &&
       df.sparkSession.conf.get("graft.cc.reliableCheckpoint", "true") != "false"
-    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    if (reliable) {
+      val own = df.storageLevel == StorageLevel.NONE
+      if (own) df.persist(StorageLevel.MEMORY_AND_DISK)
+      val out = df.checkpoint(true)
+      if (own) df.unpersist(blocking = true)
+      out
+    } else df.localCheckpoint(true)
   }
 
   private def ccNumeric(pairs: DataFrame, idCol1: String, idCol2: String,
