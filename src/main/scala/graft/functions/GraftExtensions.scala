@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_simhash(hashes) - 64-bit SimHash over an array of token hashes") { args =>
       arity("graft_simhash", 1, args); SimhashBits(args(0))
     }
+    inject("graft_simhash_packed", classOf[SimhashPacked],
+      "graft_simhash_packed(hashes) - 64-bit SimHash as a packed long") { args =>
+      arity("graft_simhash_packed", 1, args); SimhashPacked(args(0))
+    }
     inject("graft_chargram_md5", classOf[CharGramMd5],
       "graft_chargram_md5(text, k) - md5 hash per k-char gram of text") { args =>
       arity("graft_chargram_md5", 2, args)

@@ -92,6 +92,18 @@ class DedupSpec extends SparkTestBase {
     assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
   }
 
+  test("simhashPackedFromHashes: lpad(bin(packed)) equals the string form") {
+    val both = docs
+      .select(col("doc_id"), Dedup.md5TokenHashes(col("text")).as("__h"))
+      .select(col("doc_id"),
+        Dedup.simhashBitsFromHashes(col("__h")).as("s"),
+        lpad(bin(Dedup.simhashPackedFromHashes(col("__h"))), 64, "0").as("p"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"doc ${r.getLong(0)}: string=${r.getString(1)} packed=${r.getString(2)}"))
+  }
+
   test("simhashNearDupPairs: exact dups at hamming 0, near docs within " +
     "radius, pigeonhole recall vs brute force, bad band config rejected") {
     val out = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
