@@ -48,10 +48,17 @@ object Sampling {
   def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
                            rates: Map[String, Double], defaultRate: Double,
                            salt: String = "graft"): DataFrame = {
-    val thresh = rates.foldLeft(lit(rateThreshold(defaultRate))) {
+    val sk = sampleKey(col(keyCol), salt)
+    // rate >= 1.0 must keep EVERYTHING (matching hashSample's
+    // short-circuit): a strict `< "ffffffff"` would drop keys whose
+    // 32-bit hash is exactly 0xffffffff. Branch to a literal true;
+    // codegen subexpression elimination keeps the md5 at one per row.
+    def keep(rate: Double): Column =
+      if (rate >= 1.0) lit(true) else sk < lit(rateThreshold(rate))
+    val cond = rates.foldLeft(keep(defaultRate)) {
       case (acc, (stratum, rate)) =>
-        when(col(strataCol) === stratum, lit(rateThreshold(rate))).otherwise(acc)
+        when(col(strataCol) === stratum, keep(rate)).otherwise(acc)
     }
-    df.where(sampleKey(col(keyCol), salt) < thresh)
+    df.where(cond)
   }
 }

@@ -89,10 +89,15 @@ object RangeJoin {
     * always non-negative, so (c - pmod(c, w)) is the exact floor multiple. */
   private def floorDiv(c: org.apache.spark.sql.Column, w: Long) = {
     val exact = c.cast("long") - pmod(c.cast("long"), lit(w))
-    // `/` on longs is double division, but `exact` is a multiple of w, so
-    // the quotient is exact while it fits 53 bits — epoch micros (~2^50)
-    // divided by ANY width stay far inside that
-    (exact / lit(w)).cast("long")
+    // `exact` is the floor multiple of w; divide it with SQL `div`
+    // (IntegralDivide) — exact over the FULL long range. Column `/` is
+    // double division, which silently rounds the quotient for
+    // |values| >= 2^53 (epoch nanos ~1.7e18) and mis-bins.
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftColumnBridge.expression(exact),
+        GraftColumnBridge.expression(lit(w)))).cast("long")
   }
 
   /** Bin width ≈ the mean interval length (one aggregate over the
@@ -101,9 +106,10 @@ object RangeJoin {
     * distributions. Heavy-tailed interval lengths deserve a hand-picked
     * width (or an interval split upstream). */
   def suggestedBinWidth(intervals: DataFrame, loCol: String, hiCol: String): Long = {
-    val avg = intervals.select(
+    val row = intervals.select(
       org.apache.spark.sql.functions.avg(col(hiCol) - col(loCol)).cast("long"))
-      .head().getLong(0)
-    math.max(avg, 1L)
+      .head()
+    // avg() over zero rows is null — default to 1 rather than NPE
+    if (row.isNullAt(0)) 1L else math.max(row.getLong(0), 1L)
   }
 }

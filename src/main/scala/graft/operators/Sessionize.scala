@@ -30,6 +30,11 @@ object Sessionize {
     * (1-based, per key, in time order). `tsCol` must be a numeric
     * time column (epoch micros/millis — same unit as `gap`). */
   def assign(df: DataFrame, keyCol: String, tsCol: String, gap: Long): DataFrame = {
+    // withColumn REPLACES an existing column — reject rather than
+    // silently overwrite user data (same reserved-name discipline as
+    // RangeJoin's __bin check)
+    require(!df.columns.contains("session_seq"),
+      "input already has a 'session_seq' column; rename it before assign()")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
     val isNew: Column = {
       val prev = lag(col(tsCol), 1).over(w)
@@ -42,9 +47,14 @@ object Sessionize {
 
   /** Closed sessions: one row per (key, session) with start/end/count —
     * the shape the streaming sessionize emits. */
-  def sessions(df: DataFrame, keyCol: String, tsCol: String, gap: Long): DataFrame =
+  def sessions(df: DataFrame, keyCol: String, tsCol: String, gap: Long): DataFrame = {
+    val reserved = Seq("start_ts", "end_ts", "n_events").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input already has reserved column(s) ${reserved.mkString(", ")}; " +
+        "rename before sessions()")
     assign(df, keyCol, tsCol, gap)
       .groupBy(col(keyCol), col("session_seq"))
       .agg(min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"),
         count(lit(1)).as("n_events"))
+  }
 }

@@ -108,9 +108,16 @@ object Incremental {
                              checkpointDir: String, threshold: Double,
                              k: Int = 3, numHashes: Int = 12, bands: Int = 4,
                              maxBucketSize: Option[Int] = None): StreamingQuery = {
-    val ckToken = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8"))
-      .take(6).map(b => f"$b%02x").mkString
+    // Token from the checkpoint's persisted StreamingQuery id, NOT a hash
+    // of the path: batchId restarts at 0 when a checkpoint dir is deleted
+    // and recreated (a common recovery move), so a path-derived token
+    // would reuse the old run's batch keys — silently excluding the old
+    // batch-0 state from history AND overwriting its partition. The query
+    // id is regenerated with the checkpoint, so recreated checkpoints get
+    // fresh batch keys and the old state stays in history. Resolved
+    // lazily inside foreachBatch — the metadata file exists by the time
+    // the first batch runs.
+    lazy val ckToken = checkpointQueryToken(stream.sparkSession, checkpointDir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processIncrementalBatch(batch, s"$ckToken-$batchId", idCol, textCol,
@@ -119,6 +126,30 @@ object Incremental {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Stable per-checkpoint token for batch keys: the StreamingQuery id
+    * Spark persists at `<checkpointDir>/metadata` (stable across restarts
+    * of the same checkpoint, regenerated when it's recreated — the
+    * property batch-key idempotence needs). Falls back to an md5 of the
+    * path only if the metadata file is missing (pre-start call). */
+  private[graft] def checkpointQueryToken(
+      spark: org.apache.spark.sql.SparkSession, checkpointDir: String): String = {
+    val meta = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seed =
+      if (fs.exists(meta)) {
+        val in = fs.open(meta)
+        try {
+          val raw = new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r.findFirstMatchIn(raw)
+            .map(_.group(1)).getOrElse(raw)
+        } finally in.close()
+      } else checkpointDir
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
   }
 
   /** One micro-batch of [[incrementalDedupStream]], factored out so the

@@ -43,6 +43,17 @@ class SamplingSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("stratifiedHashSample: rate 1.0 keeps a stratum EXACTLY (no strict-< edge)") {
+    // rate >= 1.0 must short-circuit to true like hashSample does — a
+    // strict < 'ffffffff' compare drops hash-0xffffffff keys
+    val out = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.0, salt = "t5")
+    assert(out.count() == docs.where(col("lang") === "en").count())
+    val all = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map.empty, defaultRate = 1.0, salt = "t5")
+    assert(all.count() == docs.count())
+  }
+
   test("rateThreshold: hex space endpoints and monotonicity") {
     assert(Sampling.rateThreshold(0.0) == "00000000")
     assert(Sampling.rateThreshold(1.0) == "ffffffff")

@@ -106,6 +106,26 @@ class RangeJoinSpec extends SparkTestBase {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("bins exactly beyond 2^53 (epoch-nanos domain)") {
+    val s = spark
+    import s.implicits._
+    // double division would round these quotients and mis-bin; integral
+    // `div` is exact over the full long range
+    val base = 1700000000000000000L // ~1.7e18 epoch nanos, > 2^53
+    val points = Seq(("p1", base + 5L), ("p2", base + 11L)).toDF("pid", "t")
+    val ivs = Seq(("i1", base, base + 10L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, ivs, "t", "lo", "hi", binWidth = 7L)
+      .select("pid", "iid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("p1", "i1")), s"got $got")
+  }
+
+  test("suggestedBinWidth: empty interval table defaults to 1") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("lo", "hi")
+    assert(RangeJoin.suggestedBinWidth(empty, "lo", "hi") == 1L)
+  }
+
   test("suggestedBinWidth: mean interval length, floor 1") {
     val s = spark
     import s.implicits._

@@ -23,6 +23,16 @@ class SessionizeSpec extends SparkTestBase {
     assert(out.size == 4)
   }
 
+  test("reserved output columns in input are rejected, not overwritten") {
+    val s = spark
+    import s.implicits._
+    val withSeq = Seq(("u", 1L, 9L)).toDF("k", "t", "session_seq")
+    intercept[IllegalArgumentException](Sessionize.assign(withSeq, "k", "t", 10L))
+    intercept[IllegalArgumentException](Sessionize.sessions(withSeq, "k", "t", 10L))
+    val withStart = Seq(("u", 1L, 9L)).toDF("k", "t", "n_events")
+    intercept[IllegalArgumentException](Sessionize.sessions(withStart, "k", "t", 10L))
+  }
+
   test("assign: per-event session_seq is 1-based per key in time order") {
     val s = spark
     import s.implicits._

@@ -8,6 +8,34 @@ class DedupStreamSpec extends SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("checkpointQueryToken: follows the persisted query id, so a recreated " +
+    "checkpoint dir gets fresh batch keys instead of clobbering old state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck").toFile
+    try {
+      val ck = dir.getAbsolutePath
+      // no metadata yet -> path-hash fallback, deterministic
+      val pre = Incremental.checkpointQueryToken(spark, ck)
+      assert(pre == Incremental.checkpointQueryToken(spark, ck))
+      // first run writes its query id
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(ck, "metadata"),
+        """{"id":"11111111-2222-3333-4444-555555555555"}""")
+      val run1 = Incremental.checkpointQueryToken(spark, ck)
+      assert(run1 != pre)
+      assert(run1 == Incremental.checkpointQueryToken(spark, ck),
+        "token must be stable across restarts of the SAME checkpoint")
+      // delete + recreate the checkpoint: Spark writes a NEW query id;
+      // the token must change so old batch_key partitions survive
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(ck, "metadata"),
+        """{"id":"aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"}""")
+      val run2 = Incremental.checkpointQueryToken(spark, ck)
+      assert(run2 != run1, "recreated checkpoint must not reuse batch keys")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("dedupWithinWatermark drops in-horizon repeats, state stays bounded") {
     val s = spark
     import s.implicits._
