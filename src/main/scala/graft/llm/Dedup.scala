@@ -618,8 +618,140 @@ object Dedup {
     } else df.localCheckpoint(true)
   }
 
+  /** Rounds the last connectedComponents call took — bench/diagnostic
+    * surface only (not synchronized across concurrent CC runs). */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
+  /** Algorithm dispatch. "auto" (default) picks min-label for small edge
+    * sets and large-star/small-star above `graft.cc.starEdgeThreshold`
+    * (default 2M edges): a star round costs ~2x a min-label round (two
+    * groupBy+join steps vs one), so on the small-diameter graphs small
+    * corpora produce it loses on constant factors, while at scale the
+    * O(log^2 n)-vs-O(diameter) round count dominates — chain-heavy
+    * near-dup graphs are exactly where min-label degenerates. The count
+    * materializes the (persisted) pair frame the loop needs anyway. */
   private def ccNumeric(pairs: DataFrame, idCol1: String, idCol2: String,
                         maxIterations: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val conf = pairs.sparkSession.conf
+    conf.get("graft.cc.algorithm", "auto") match {
+      case "minlabel" => ccMinLabel(pairs, idCol1, idCol2, maxIterations)
+      case "star" => ccStar(pairs, idCol1, idCol2, maxIterations)
+      case _ =>
+        val own = pairs.storageLevel == StorageLevel.NONE
+        if (own) pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        val threshold =
+          conf.get("graft.cc.starEdgeThreshold", "2000000").toLong
+        val res =
+          if (pairs.count() >= threshold)
+            ccStar(pairs, idCol1, idCol2, maxIterations)
+          else ccMinLabel(pairs, idCol1, idCol2, maxIterations)
+        if (own) pairs.unpersist(blocking = true)
+        res
+    }
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14): each
+    * round rewrites the edge set so nodes point at ever-smaller ids —
+    * large-star hangs every neighbor larger than u onto u's minimum,
+    * small-star flattens the rest — converging to a star forest whose
+    * roots are the component minima in O(log^2 n) rounds. Min-label
+    * propagation (ccMinLabel) needs O(diameter) rounds, which on the
+    * chain-heavy graphs near-dup corpora produce (A~B~C~... shingle
+    * drift) is the dominant cost; the star form halves-or-better the
+    * round count there. Both converge to identical (id, cluster=min)
+    * output; graft.cc.algorithm=minlabel restores the old loop.
+    *
+    * Scale shape per round: one groupBy + one equi-join per star step
+    * over the (u, v) edge frame — ids only, never payloads — with the
+    * same per-round eager lineage truncation as ccMinLabel (plan growth,
+    * not data volume, is the iterative-loop killer; see that comment). */
+  private def ccStar(pairs: DataFrame, idCol1: String, idCol2: String,
+                     maxIterations: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val ownPairs = pairs.storageLevel == StorageLevel.NONE
+    if (ownPairs) pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // all nodes EVER seen — edges shrink as stars collapse, but every
+    // node still owes an output row (roots map to themselves)
+    val nodes = pairs.select(col(idCol1).as("id"))
+      .union(pairs.select(col(idCol2).as("id"))).distinct()
+    // canonical (big, small) orientation; both star steps preserve it
+    var edges = truncateFrame(
+      pairs.select(greatest(col(idCol1), col(idCol2)).as("u"),
+          least(col(idCol1), col(idCol2)).as("v"))
+        .where(col("u") =!= col("v")).distinct())
+
+    // large-star: for every node u (over the SYMMETRIC neighbor view),
+    // connect each strictly-larger neighbor to m = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val withMin = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // no distinct: each directed sym edge emits at most one row, so
+      // output stays <= |sym|; small-star's round-final distinct dedups
+      sym.join(withMin, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+    // small-star: for every u (edges already point big -> small),
+    // connect u and all its smaller neighbors to m = min(N(u) ∪ {u})
+    def smallStar(e: DataFrame): DataFrame = {
+      val withMin = e.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      e.join(withMin, Seq("u"))
+        .select(explode(array(
+          struct(col("v").as("u"), col("mv").as("v")),
+          struct(col("u"), col("mv").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // Convergence via (count, hash-sum) fingerprint of the edge SET: both
+    // steps are the identity exactly on a star forest, so an unchanged
+    // round means done. One cheap aggregate replaces a per-round except()
+    // (a full extra shuffle); a false positive needs a 64-bit hash-sum
+    // collision at equal cardinality — not a realistic input property.
+    def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    var prevFp = fingerprint(edges)
+    var converged = prevFp._1 == 0 // no non-loop edges: all singletons
+    var iters = 0
+    while (!converged && iters < maxIterations) {
+      val prev = edges
+      // the large-star result feeds small-star's groupBy AND join —
+      // persist for the round so the two-shuffle step runs once
+      val ls = largeStar(edges).persist(StorageLevel.MEMORY_AND_DISK)
+      val next = truncateFrame(smallStar(ls))
+      ls.unpersist(blocking = true)
+      val fp = fingerprint(next)
+      converged = fp == prevFp
+      prevFp = fp
+      edges = next
+      iters += 1
+      prev.unpersist(blocking = true)
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents (star) did not converge in $maxIterations rounds")
+    lastCcRounds = iters
+    // star forest -> labels: every non-root points straight at its
+    // component min; roots (nodes never on the u side) label themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("cluster"))
+      .unionByName(
+        nodes.join(edges.select(col("u").as("id")), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("cluster")))
+    val res = truncateFrame(labels)
+    edges.unpersist(blocking = true)
+    if (ownPairs) pairs.unpersist(blocking = true)
+    res
+  }
+
+  private def ccMinLabel(pairs: DataFrame, idCol1: String, idCol2: String,
+                         maxIterations: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Lineage truncation per round is mandatory (see below), and HOW is a
     // deployment choice: localCheckpoint blocks live in executor memory
@@ -682,6 +814,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIterations rounds " +
         "(component diameter exceeds maxIterations — raise it)")
+    lastCcRounds = iters
     edges.unpersist(blocking = true)
     if (ownPairs) pairs.unpersist(blocking = true)
     labels.select(col("id"), col("label").as("cluster"))

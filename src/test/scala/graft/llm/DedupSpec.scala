@@ -262,6 +262,34 @@ class DedupSpec extends SparkTestBase {
       s.conf.set("graft.cc.reliableCheckpoint", "false")
   }
 
+  test("connectedComponents: star and min-label agree on random graphs; " +
+    "star needs far fewer rounds on a long chain") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // random sparse graph: 120 nodes, 90 edges — mixed chains + clumps
+    val randomPairs = Seq.fill(90)(
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).toDF("id1", "id2")
+    def run(algo: String, pairs: org.apache.spark.sql.DataFrame) = {
+      s.conf.set("graft.cc.algorithm", algo)
+      try Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally s.conf.unset("graft.cc.algorithm")
+    }
+    assert(run("star", randomPairs) == run("minlabel", randomPairs))
+    // 40-node chain (diameter 39): min-label pays ~diameter rounds,
+    // the star alternation collapses it logarithmically
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val starLabels = run("star", chain)
+    val starRounds = Dedup.lastCcRounds
+    val mlLabels = run("minlabel", chain)
+    val mlRounds = Dedup.lastCcRounds
+    assert(starLabels == mlLabels)
+    assert((0L to 39L).forall(starLabels(_) == 0L))
+    assert(starRounds * 2 <= mlRounds,
+      s"star took $starRounds rounds vs min-label $mlRounds — expected <= half")
+  }
+
   test("connectedComponents: chains converge to min id; components stay disjoint") {
     val s = spark; import s.implicits._
     // component A is a 6-node CHAIN (5-1-9-12-7-20: diameter 5, forces
