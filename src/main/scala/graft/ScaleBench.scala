@@ -82,6 +82,10 @@ object ScaleBench {
     val nClusters = cc.select(col("cluster")).distinct().count()
     val nClustered = cc.count()
     val ccSecs = secs(tCc)
+    // the multi-million-edge graph is over graft.cc.starEdgeThreshold, so
+    // auto dispatch runs the large-star/small-star alternation — rounds
+    // here vs min-label's O(diameter) is the claim this bench checks
+    val ccRounds = Dedup.lastCcRounds
     cands.unpersist(); cc.unpersist()
 
     // ---- winnowing fingerprints (codegen'd chargram + minima) -----------
@@ -103,6 +107,52 @@ object ScaleBench {
     val nSimPairs = Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
       maxHamming = 3, maxBucketSize = Some(cap)).count()
     val simSecs = secs(tSim)
+
+    // ---- non-equi joins at scale: range, interval overlap, as-of --------
+    // Heavy-tailed interval lengths (log-uniform 2^0..2^27 over a 4e10
+    // span — mean >> median, the hazard RangeJoin's doc calls out): the
+    // mean-derived bin width leaves most intervals in ~1 bin while the
+    // tail explodes into many. Numbers to watch: the interval-side bin
+    // blow-up factor stays small (~2 by design), match cardinalities stay
+    // linear-ish, and the plans remain hash equi-joins on the bin key
+    // (AQE owns hot bins) — never a nested loop.
+    import graft.operators.{AsofJoin, RangeJoin}
+    val span = 40000000000L // 4e10: past 2^32, exercises full-long binning
+    def hcol(seed: Int, of: org.apache.spark.sql.Column) =
+      pmod(xxhash64(of, lit(seed)), lit(span))
+    val points = spark.range(600000)
+      .select(col("id").as("pid"), hcol(11, col("id")).as("p"))
+    def intervalTable(n: Long, seed: Int, iid: String, lo: String, hi: String) =
+      spark.range(n)
+        .select(col("id").as(iid), hcol(seed, col("id")).as(lo),
+          pow(lit(2.0), pmod(col("id"), lit(28)).cast("double"))
+            .cast("long").as("__len"))
+        .select(col(iid), col(lo),
+          least(col(lo) + col("__len"), lit(span - 1)).as(hi))
+    val ivs = intervalTable(100000, 12, "iid", "lo", "hi")
+    val binW = RangeJoin.suggestedBinWidth(ivs, "lo", "hi")
+    val blowup = ivs.select(avg(
+      expr(s"cast(hi div $binW as bigint) - cast(lo div $binW as bigint) + 1")))
+      .head().getDouble(0)
+    val tRj = System.nanoTime()
+    val rjMatches = RangeJoin.pointInInterval(points, ivs, "p", "lo", "hi", binW).count()
+    val rjSecs = secs(tRj)
+    val ivs2 = intervalTable(100000, 13, "iid2", "lo2", "hi2")
+    val tOv = System.nanoTime()
+    val ovMatches = RangeJoin.intervalOverlap(ivs, ivs2,
+      "lo", "hi", "lo2", "hi2", binW).count()
+    val ovSecs = secs(tOv)
+    // as-of: 1M left events over 1k keys against 200k right states, with
+    // a lookback tolerance — one (key, time) sort-merge pass, no explode
+    val trades = spark.range(1000000).select(col("id").as("tid"),
+      pmod(col("id"), lit(1000)).as("sym"), hcol(14, col("id")).as("tts"))
+    val quotes = spark.range(200000).select(
+      pmod(col("id"), lit(1000)).as("qsym"), hcol(15, col("id")).as("qts"),
+      pmod(xxhash64(col("id"), lit(16)), lit(10000)).as("px"))
+    val tAsof = System.nanoTime()
+    val asofRows = AsofJoin.asofJoin(trades, quotes, "sym", "qsym", "tts", "qts",
+      Seq("px"), tolerance = Some(lit(span / 100))).count()
+    val asofSecs = secs(tAsof)
 
     // ---- incremental dedup: cost ∝ NEW-SHARD size, not corpus size ------
     // The cross-run mode: the full corpus's signature state is persisted
@@ -138,8 +188,12 @@ object ScaleBench {
       s""""gen_secs":$genSecs,"exact_secs":$exactSecs,"exact_groups":$nExactGroups,""" +
       s""""lsh_secs":$lshSecs,"lsh_cands":$nCands,"bucket_cap":$cap,""" +
       s""""cc_secs":$ccSecs,"cc_clusters":$nClusters,"cc_nodes":$nClustered,""" +
+      s""""cc_rounds":$ccRounds,""" +
       s""""winnow_secs":$winSecs,"winnow_fps":$nFps,""" +
       s""""simhash_secs":$simSecs,"simhash_pairs":$nSimPairs,""" +
+      s""""rj_secs":$rjSecs,"rj_matches":$rjMatches,"rj_bin_width":$binW,""" +
+      s""""rj_blowup":$blowup,"ov_secs":$ovSecs,"ov_matches":$ovMatches,""" +
+      s""""asof_secs":$asofSecs,"asof_rows":$asofRows,""" +
       s""""sigstate_secs":$stateSecs,"inc_1k_secs":$incSecs1k,"inc_1k_kept":$kept1k,""" +
       s""""inc_4k_secs":$incSecs4k,"inc_4k_kept":$kept4k,"total_secs":${secs(t0)}}"""
     println(line)

@@ -57,4 +57,57 @@ object Sessionize {
       .agg(min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Hot-key-safe twin of [[sessions]]: identical output, but no single
+    * partition ever sorts one key's full event history. [[sessions]]
+    * partitions the window by key alone, so a key carrying a visible
+    * fraction of the corpus (one bot account in 100 TB of events) sorts
+    * on one partition. Here events first split into gap-safe TIME
+    * sub-ranges of `rangeWidth` — the salting m10's salted-count uses,
+    * keyed by time so boundary reconciliation stays exact — and
+    * sessionize within (key, range); then the per-range session stubs
+    * (one row per local session, ~events/range_width + sessions rows per
+    * key, not events) merge across boundaries with the same gap rule and
+    * renumber. Two window passes, both bounded: (key, range) for events,
+    * key for stubs.
+    *
+    * Exactness: ranges partition time, so per key the local session
+    * intervals are disjoint and ordered; merging adjacent stubs when
+    * `start - prev_end <= gap` reconstructs exactly the sessions the
+    * unsalted pass finds (sessions crossing several ranges merge down
+    * the chain). Pick `rangeWidth >> gap` (e.g. a day for a 30-min gap)
+    * so few sessions straddle boundaries; correctness holds for any
+    * positive width. */
+  def sessionsSalted(df: DataFrame, keyCol: String, tsCol: String, gap: Long,
+                     rangeWidth: Long): DataFrame = {
+    require(rangeWidth > 0, s"rangeWidth must be positive: $rangeWidth")
+    val reserved = Seq("session_seq", "start_ts", "end_ts", "n_events", "__rng")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input already has reserved column(s) ${reserved.mkString(", ")}; " +
+        "rename before sessionsSalted()")
+    // phase 1: local sessions within (key, time-range) — the hot key's
+    // events spread over ranges, so no partition sees its full history
+    val ranged = df.select(col(keyCol), col(tsCol),
+      RangeJoin.floorDiv(col(tsCol), rangeWidth).as("__rng"))
+    val w1 = Window.partitionBy(col(keyCol), col("__rng")).orderBy(col(tsCol))
+    val isNewLocal: Column = {
+      val prev = lag(col(tsCol), 1).over(w1)
+      when(prev.isNull || col(tsCol) - prev > gap, 1L).otherwise(0L)
+    }
+    val stubs = ranged.withColumn("__ls", sum(isNewLocal).over(w1))
+      .groupBy(col(keyCol), col("__rng"), col("__ls"))
+      .agg(min(col(tsCol)).as("__s"), max(col(tsCol)).as("__e"),
+        count(lit(1)).as("__n"))
+    // phase 2: classic sorted-disjoint interval merge over the stubs
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col("__s"))
+    val isNewMerged: Column = {
+      val prevEnd = lag(col("__e"), 1).over(w2)
+      when(prevEnd.isNull || col("__s") - prevEnd > gap, 1L).otherwise(0L)
+    }
+    stubs.withColumn("session_seq", sum(isNewMerged).over(w2))
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(min(col("__s")).as("start_ts"), max(col("__e")).as("end_ts"),
+        sum(col("__n")).as("n_events"))
+  }
 }

@@ -23,6 +23,48 @@ class SessionizeSpec extends SparkTestBase {
     assert(out.size == 4)
   }
 
+  test("sessionsSalted == sessions with a key holding 50% of events; " +
+    "hot key never sorts on one partition") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // "hot" carries half the corpus; timestamps cluster so sessions both
+    // straddle and avoid range boundaries (width 1000, gap 100)
+    val hot = Seq.tabulate(2000)(i =>
+      ("hot", i.toLong * 37 + rnd.nextInt(20)))
+    val cold = Seq.tabulate(2000)(i =>
+      (s"u${i % 200}", rnd.nextInt(74000).toLong))
+    val ev = (hot ++ cold).toDF("k", "t")
+    val plain = Sessionize.sessions(ev, "k", "t", gap = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val salted = Sessionize.sessionsSalted(ev, "k", "t", gap = 100L,
+      rangeWidth = 1000L)
+    val saltedMap = salted.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(saltedMap == plain)
+    // the event-level window must partition by (key, range), so the hot
+    // key's history is spread across range partitions, never one sort
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__rng"),
+      s"expected the event window to salt by time range:\n$plan")
+  }
+
+  test("sessionsSalted: negative timestamps (pre-1970) range correctly") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(("u", -2500L), ("u", -2450L), ("u", -100L), ("u", 50L))
+      .toDF("k", "t")
+    val plain = Sessionize.sessions(ev, "k", "t", gap = 200L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val salted = Sessionize.sessionsSalted(ev, "k", "t", gap = 200L,
+      rangeWidth = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(salted == plain, s"salted=$salted plain=$plain")
+  }
+
   test("reserved output columns in input are rejected, not overwritten") {
     val s = spark
     import s.implicits._
