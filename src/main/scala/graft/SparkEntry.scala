@@ -528,6 +528,23 @@ object SparkEntry {
       t(s, dir, "embeddings")
         .select(Similarity.srpBucket(col("embedding"), 64, 8).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))),
+    "m19_srp_layout" -> ((s, dir) => {
+      // persisted-ANN round-trip under the oracle: the corpus is WRITTEN
+      // partitioned by SRP bucket (writeSrpLayout), then ONE query's
+      // radius-1 probe read prunes to planes+1 of the 2^planes partition
+      // dirs at the file-listing level (readSrpProbes) and brute-force
+      // scoring over that slice reproduces bucketed ANN for the query —
+      // the persisted twin of s02's in-flight pruning
+      val emb = t(s, dir, "embeddings")
+      val planes = srpPlanes(s, dir)
+      val path = tmpQueryDir("m19-srp").toString + "/layout"
+      Similarity.writeSrpLayout(emb, dim = 64, planes = planes, path)
+      val qVec = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val probed = Similarity.readSrpProbes(s, path, qVec, planes,
+        probeRadius = 1)
+      Similarity.bruteForceTopK(probed, emb.where(col("vec_id") === 0), k = 5)
+    }),
 
     // ---- multimodal kernels under the oracle ----------------------------
     "m15_image_features" -> ((s, dir) =>
@@ -1288,6 +1305,24 @@ object SparkEntry {
          |q AS (SELECT vec_id, embedding,
          |        unnest(${duckProbes("bucket", planes)}) AS bucket
          |      FROM v WHERE vec_id < 10)
+         |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, $cos AS score,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
+         |  FROM v c JOIN q
+         |    ON q.bucket = c.bucket AND q.vec_id != c.vec_id)
+         |WHERE rnk <= 5""".stripMargin
+    },
+    "m19_srp_layout" -> {
+      // s02's probe-join formulation restricted to query 0: the layout
+      // round-trip must surface exactly the corpus rows whose bucket is
+      // within Hamming 1 of the query's, scored by the same cosine
+      val planes = lastSrpPlanes
+      val bucket = duckSrpBucket("embedding", 64, planes)
+      val cos = duckCos("q.embedding", "c.embedding")
+      s"""WITH v AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |q AS (SELECT vec_id, embedding,
+         |        unnest(${duckProbes("bucket", planes)}) AS bucket
+         |      FROM v WHERE vec_id = 0)
          |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, $cos AS score,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
