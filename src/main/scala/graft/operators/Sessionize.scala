@@ -79,35 +79,65 @@ object Sessionize {
     * so few sessions straddle boundaries; correctness holds for any
     * positive width. */
   def sessionsSalted(df: DataFrame, keyCol: String, tsCol: String, gap: Long,
-                     rangeWidth: Long): DataFrame = {
+                     rangeWidth: Long): DataFrame =
+    mergedStubs(df, keyCol, tsCol, gap, rangeWidth)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(min(col("__s")).as("start_ts"), max(col("__e")).as("end_ts"),
+        sum(col("__n")).as("n_events"))
+
+  /** Hot-key-safe twin of [[assign]]: the per-event `session_seq`, with
+    * the same two-phase split as [[sessionsSalted]] — events sessionize
+    * within (key, time-range), stub sessions merge/renumber globally,
+    * and the merged numbering joins back to events on the
+    * (key, range, local-session) triple. One equi-join more than the
+    * unsalted form, but the only key-global pass runs over session
+    * stubs, never the hot key's event history. */
+  def assignSalted(df: DataFrame, keyCol: String, tsCol: String, gap: Long,
+                   rangeWidth: Long): DataFrame = {
+    val stubs = mergedStubs(df, keyCol, tsCol, gap, rangeWidth)
+      .select(col(keyCol), col("__rng"), col("__ls"), col("session_seq"))
+    val ranged = localSessions(df, keyCol, tsCol, gap, rangeWidth)
+    ranged.join(stubs, Seq(keyCol, "__rng", "__ls"))
+      .drop("__rng", "__ls")
+  }
+
+  /** Phase 1 of the salted pass: per-event (key, time-range) local
+    * session ids — the hot key's events spread over ranges, so no
+    * partition sees its full history. */
+  private def localSessions(df: DataFrame, keyCol: String, tsCol: String,
+                            gap: Long, rangeWidth: Long): DataFrame = {
     require(rangeWidth > 0, s"rangeWidth must be positive: $rangeWidth")
-    val reserved = Seq("session_seq", "start_ts", "end_ts", "n_events", "__rng")
-      .filter(df.columns.contains)
+    val reserved =
+      Seq("session_seq", "start_ts", "end_ts", "n_events", "__rng", "__ls")
+        .filter(df.columns.contains)
     require(reserved.isEmpty,
       s"input already has reserved column(s) ${reserved.mkString(", ")}; " +
-        "rename before sessionsSalted()")
-    // phase 1: local sessions within (key, time-range) — the hot key's
-    // events spread over ranges, so no partition sees its full history
-    val ranged = df.select(col(keyCol), col(tsCol),
-      RangeJoin.floorDiv(col(tsCol), rangeWidth).as("__rng"))
+        "rename before the salted sessionize")
+    val ranged = df.withColumn("__rng",
+      RangeJoin.floorDiv(col(tsCol), rangeWidth))
     val w1 = Window.partitionBy(col(keyCol), col("__rng")).orderBy(col(tsCol))
     val isNewLocal: Column = {
       val prev = lag(col(tsCol), 1).over(w1)
       when(prev.isNull || col(tsCol) - prev > gap, 1L).otherwise(0L)
     }
-    val stubs = ranged.withColumn("__ls", sum(isNewLocal).over(w1))
+    ranged.withColumn("__ls", sum(isNewLocal).over(w1))
+  }
+
+  /** Phases 1+2: one row per LOCAL session carrying its merged global
+    * `session_seq` — the classic sorted-disjoint interval merge (ranges
+    * partition time, so per key the local session intervals are disjoint
+    * and ordered by start). */
+  private def mergedStubs(df: DataFrame, keyCol: String, tsCol: String,
+                          gap: Long, rangeWidth: Long): DataFrame = {
+    val stubs = localSessions(df, keyCol, tsCol, gap, rangeWidth)
       .groupBy(col(keyCol), col("__rng"), col("__ls"))
       .agg(min(col(tsCol)).as("__s"), max(col(tsCol)).as("__e"),
         count(lit(1)).as("__n"))
-    // phase 2: classic sorted-disjoint interval merge over the stubs
     val w2 = Window.partitionBy(col(keyCol)).orderBy(col("__s"))
     val isNewMerged: Column = {
       val prevEnd = lag(col("__e"), 1).over(w2)
       when(prevEnd.isNull || col("__s") - prevEnd > gap, 1L).otherwise(0L)
     }
     stubs.withColumn("session_seq", sum(isNewMerged).over(w2))
-      .groupBy(col(keyCol), col("session_seq"))
-      .agg(min(col("__s")).as("start_ts"), max(col("__e")).as("end_ts"),
-        sum(col("__n")).as("n_events"))
   }
 }

@@ -50,6 +50,23 @@ class SessionizeSpec extends SparkTestBase {
       s"expected the event window to salt by time range:\n$plan")
   }
 
+  test("assignSalted == assign per event (hot-key event-level numbering)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val ev = (Seq.tabulate(800)(i => ("hot", i.toLong * 53 + rnd.nextInt(30))) ++
+      Seq.tabulate(400)(i => (s"u${i % 40}", rnd.nextInt(42000).toLong)))
+      .toDF("k", "t")
+    val plain = Sessionize.assign(ev, "k", "t", gap = 120L)
+      .groupBy("k", "t").agg(max("session_seq").as("ss")) // dedupe tie rows
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val salted = Sessionize.assignSalted(ev, "k", "t", gap = 120L,
+      rangeWidth = 1000L)
+      .groupBy("k", "t").agg(max("session_seq").as("ss"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(salted == plain)
+  }
+
   test("sessionsSalted: negative timestamps (pre-1970) range correctly") {
     val s = spark
     import s.implicits._
