@@ -72,10 +72,24 @@ object SparkEntry {
   // (8 planes); at 100× corpus it adds ~7 planes instead of letting
   // occupancy grow 100×.
   @volatile private var lastSrpPlanes: Int = 8
+  @volatile private var lastSrpLayoutPlanes: Int = 3
   private def srpPlanes(s: SparkSession, dir: String): Int = {
     val p = Similarity.suggestedPlanes(tableCount(s, dir, "embeddings"),
       targetBucketSize = 2)
     lastSrpPlanes = p; p
+  }
+
+  /** Plane count for the PERSISTED layout (m19): partition-dir count
+    * targets file sizes, not probe precision — a layout wants buckets of
+    * ~hundreds of rows locally (hundreds of MB at scale), where the
+    * in-flight ANN queries (s02/s05) want ~2-row buckets for precision.
+    * At 100TB the two derivations converge (billions of vectors support
+    * thousands of dirs either way); locally this keeps the layout write
+    * at ~2^3 dirs instead of 2^10. */
+  private def srpLayoutPlanes(s: SparkSession, dir: String): Int = {
+    val p = Similarity.suggestedPlanes(tableCount(s, dir, "embeddings"),
+      targetBucketSize = 256)
+    lastSrpLayoutPlanes = p; p
   }
 
   /** Scratch dirs for the harness queries that need local paths (m09/m18
@@ -536,7 +550,7 @@ object SparkEntry {
       // scoring over that slice reproduces bucketed ANN for the query —
       // the persisted twin of s02's in-flight pruning
       val emb = t(s, dir, "embeddings")
-      val planes = srpPlanes(s, dir)
+      val planes = srpLayoutPlanes(s, dir)
       val path = tmpQueryDir("m19-srp").toString + "/layout"
       Similarity.writeSrpLayout(emb, dim = 64, planes = planes, path)
       val qVec = emb.where(col("vec_id") === 0).select(col("embedding"))
@@ -1316,7 +1330,8 @@ object SparkEntry {
       // s02's probe-join formulation restricted to query 0: the layout
       // round-trip must surface exactly the corpus rows whose bucket is
       // within Hamming 1 of the query's, scored by the same cosine
-      val planes = lastSrpPlanes
+      // (layout-sized plane count, see srpLayoutPlanes)
+      val planes = lastSrpLayoutPlanes
       val bucket = duckSrpBucket("embedding", 64, planes)
       val cos = duckCos("q.embedding", "c.embedding")
       s"""WITH v AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),

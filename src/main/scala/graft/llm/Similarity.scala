@@ -242,6 +242,12 @@ object Similarity {
   def writeIvfLayout(corpus: DataFrame, centroids: Array[Array[Double]],
                      path: String, vecCol: String = "embedding"): Unit =
     assignCells(corpus, centroids, vecCol)
+      // cluster rows by cell before the partitioned write: without this,
+      // every task writes a sliver into every cell dir — nlist x tasks
+      // tiny files (the classic partitionBy small-file storm); with it,
+      // one file per cell per owning task. At 100TB raise parallelism by
+      // also salting the repartition key, keeping files/cell = salt count.
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Read only the probed cells from an IVF layout (partition pruning —
@@ -260,6 +266,10 @@ object Similarity {
   def writeSrpLayout(corpus: DataFrame, dim: Int, planes: Int, path: String,
                      vecCol: String = "embedding"): Unit =
     corpus.withColumn("bucket", srpBucket(col(vecCol), dim, planes))
+      // cluster rows by bucket before the partitioned write (see
+      // writeIvfLayout): one file per bucket instead of 2^planes x tasks
+      // slivers. At 100TB salt the repartition key for more files/bucket.
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Driver-side twin of srpBucket for probe planning: the bucket of one
