@@ -553,6 +553,20 @@ object Dedup {
       org.apache.spark.storage.StorageLevel.NONE
     if (ownPairs)
       pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Small graphs skip the surrogate translation entirely: min-label's
+    // operators (min/least/coalesce and the hash checksum) are
+    // type-agnostic, and below the threshold the translation's ~6 extra
+    // shuffles (node sort + two joins in, two joins out) cost more than
+    // slightly pricier string comparisons over a handful of rounds. At
+    // scale the per-round string shuffle dominates and the
+    // order-preserving numeric surrogate pays for itself.
+    val surrogateThreshold = pairs.sparkSession.conf
+      .get("graft.cc.surrogateEdgeThreshold", "2000000").toLong
+    if (pairs.count() < surrogateThreshold) {
+      val direct = ccMinLabel(pairs, idCol1, idCol2, maxIterations)
+      if (ownPairs) pairs.unpersist(blocking = true)
+      return direct
+    }
     // Non-numeric ids (strings/UUIDs/URLs — the real-world document key):
     // map them to ORDER-PRESERVING numeric surrogates, run the numeric
     // loop, map back. Order preservation is the only property the loop
@@ -781,10 +795,20 @@ object Dedup {
     // Convergence via checksum, not a per-round comparison join: labels
     // only ever DECREASE, so sum(label) strictly decreases until the
     // fixpoint — one cheap aggregate over the checkpointed frame replaces
-    // a full join+filter+count per round. Decimal sum: exact and
-    // overflow-free at any id range/corpus size.
+    // a full join+filter+count per round. Numeric labels: exact decimal
+    // sum, overflow-free at any id range. Non-numeric labels (the direct
+    // string path): decimal sum of xxhash64(label) — equal sums mean an
+    // unchanged label MULTISET, and strictly-decreasing moves can never
+    // preserve the multiset (the largest changed label would need an
+    // increase to refill), so unchanged checksum = fixpoint, modulo a
+    // 64-bit hash-sum collision at equal cardinality.
+    val numericLabels = pairs.schema(idCol1).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def checksum(df: DataFrame): BigDecimal = {
-      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      val sumCol =
+        if (numericLabels) sum(col("label").cast("decimal(38,0)"))
+        else sum(xxhash64(col("label")).cast("decimal(38,0)"))
+      val d = df.agg(sumCol).head().getDecimal(0)
       if (d == null) BigDecimal(0) else BigDecimal(d) // null = empty graph
     }
     var prevSum = checksum(labels)

@@ -237,12 +237,21 @@ class DedupSpec extends SparkTestBase {
       ("u/e", "u/a"), ("u/e", "u/i"), ("u/i", "u/l"), ("u/l", "u/g"), ("u/g", "u/t"),
       ("x/b", "x/c"), ("x/c", "x/d"), ("x/b", "x/d"),
       ("z/9", "z/3")).toDF("id1", "id2")
-    val cc = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(Seq("u/a", "u/e", "u/i", "u/l", "u/g", "u/t").forall(cc(_) == "u/a"))
-    assert(Seq("x/b", "x/c", "x/d").forall(cc(_) == "x/b"))
-    assert(cc("z/9") == "z/3" && cc("z/3") == "z/3")
-    assert(cc.size == 11)
+    def check(cc: Map[String, String]): Unit = {
+      assert(Seq("u/a", "u/e", "u/i", "u/l", "u/g", "u/t").forall(cc(_) == "u/a"))
+      assert(Seq("x/b", "x/c", "x/d").forall(cc(_) == "x/b"))
+      assert(cc("z/9") == "z/3" && cc("z/3") == "z/3")
+      assert(cc.size == 11)
+    }
+    // default: small graph runs min-label DIRECTLY on the string ids
+    // (multi-round chain — would catch a string-blind convergence check)
+    check(Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap)
+    // forced surrogate path (threshold 0): identical labels
+    s.conf.set("graft.cc.surrogateEdgeThreshold", "0")
+    try check(Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap)
+    finally s.conf.unset("graft.cc.surrogateEdgeThreshold")
   }
 
   test("connectedComponents: reliable checkpoint path yields identical labels") {
