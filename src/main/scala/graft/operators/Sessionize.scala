@@ -80,7 +80,8 @@ object Sessionize {
     * positive width. */
   def sessionsSalted(df: DataFrame, keyCol: String, tsCol: String, gap: Long,
                      rangeWidth: Long): DataFrame =
-    mergedStubs(df, keyCol, tsCol, gap, rangeWidth)
+    mergedStubs(localSessions(df, keyCol, tsCol, gap, rangeWidth),
+        keyCol, tsCol, gap)
       .groupBy(col(keyCol), col("session_seq"))
       .agg(min(col("__s")).as("start_ts"), max(col("__e")).as("end_ts"),
         sum(col("__n")).as("n_events"))
@@ -94,11 +95,21 @@ object Sessionize {
     * stubs, never the hot key's event history. */
   def assignSalted(df: DataFrame, keyCol: String, tsCol: String, gap: Long,
                    rangeWidth: Long): DataFrame = {
-    val stubs = mergedStubs(df, keyCol, tsCol, gap, rangeWidth)
-      .select(col(keyCol), col("__rng"), col("__ls"), col("session_seq"))
-    val ranged = localSessions(df, keyCol, tsCol, gap, rangeWidth)
-    ranged.join(stubs, Seq(keyCol, "__rng", "__ls"))
-      .drop("__rng", "__ls")
+    // The event-level window runs ONCE (inside the stub build); events
+    // then re-join the merged stubs by (key, range) with an interval
+    // containment filter — within one (key, range) the stub intervals
+    // are disjoint and cover their own events, so each event matches
+    // exactly one stub. This keeps the operator cache-free (no persisted
+    // frame outlives the call) at the cost of one equi-join, whose key
+    // the range salt keeps hot-key-safe.
+    val stubs = mergedStubs(
+        localSessions(df, keyCol, tsCol, gap, rangeWidth), keyCol, tsCol, gap)
+      .select(col(keyCol), col("__rng"), col("__s"), col("__e"),
+        col("session_seq"))
+    df.withColumn("__rng", RangeJoin.floorDiv(col(tsCol), rangeWidth))
+      .join(stubs, Seq(keyCol, "__rng"))
+      .where(col(tsCol) >= col("__s") && col(tsCol) <= col("__e"))
+      .drop("__rng", "__s", "__e")
   }
 
   /** Phase 1 of the salted pass: per-event (key, time-range) local
@@ -123,13 +134,13 @@ object Sessionize {
     ranged.withColumn("__ls", sum(isNewLocal).over(w1))
   }
 
-  /** Phases 1+2: one row per LOCAL session carrying its merged global
-    * `session_seq` — the classic sorted-disjoint interval merge (ranges
-    * partition time, so per key the local session intervals are disjoint
-    * and ordered by start). */
-  private def mergedStubs(df: DataFrame, keyCol: String, tsCol: String,
-                          gap: Long, rangeWidth: Long): DataFrame = {
-    val stubs = localSessions(df, keyCol, tsCol, gap, rangeWidth)
+  /** Phase 2 over the phase-1 frame: one row per LOCAL session carrying
+    * its merged global `session_seq` — the classic sorted-disjoint
+    * interval merge (ranges partition time, so per key the local session
+    * intervals are disjoint and ordered by start). */
+  private def mergedStubs(local: DataFrame, keyCol: String, tsCol: String,
+                          gap: Long): DataFrame = {
+    val stubs = local
       .groupBy(col(keyCol), col("__rng"), col("__ls"))
       .agg(min(col(tsCol)).as("__s"), max(col(tsCol)).as("__e"),
         count(lit(1)).as("__n"))

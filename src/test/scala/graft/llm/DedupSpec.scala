@@ -275,10 +275,13 @@ class DedupSpec extends SparkTestBase {
     "star needs far fewer rounds on a long chain") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(7)
-    // random sparse graph: 120 nodes, 90 edges — mixed chains + clumps
-    val randomPairs = Seq.fill(90)(
+    // random sparse graph: 120 nodes, 90 edges — mixed chains + clumps —
+    // plus adversarial noise: self-loops, duplicates, reversed copies
+    val base = Seq.fill(90)(
       (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
-      .filter(p => p._1 != p._2).toDF("id1", "id2")
+    val randomPairs = (base ++ base.take(20) ++ base.take(15).map(_.swap) ++
+      Seq((7L, 7L), (200L, 200L)))
+      .toDF("id1", "id2")
     def run(algo: String, pairs: org.apache.spark.sql.DataFrame) = {
       s.conf.set("graft.cc.algorithm", algo)
       try Dedup.connectedComponents(pairs).collect()
