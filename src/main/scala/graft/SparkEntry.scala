@@ -73,6 +73,24 @@ object SparkEntry {
   // occupancy grow 100×.
   @volatile private var lastSrpPlanes: Int = 8
   @volatile private var lastSrpLayoutPlanes: Int = 3
+  /** Shared by d15 (unsalted) and d17 (salted) — identical lag +
+    * RANGE-framed cumulative-sum formulation; DuckDB's SUM(INT) OVER
+    * returns HUGEINT, hence the BIGINT cast. */
+  private val sessionsOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      |f AS (SELECT user_id, tus,
+      |        CASE WHEN lag(tus) OVER w IS NULL
+      |               OR tus - lag(tus) OVER w > 1800000000 THEN 1
+      |             ELSE 0 END AS nw
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+      |sess AS (SELECT user_id, tus,
+      |           CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY tus)
+      |                AS BIGINT) AS session_seq
+      |         FROM f)
+      |SELECT user_id, session_seq, MIN(tus) AS start_us, MAX(tus) AS end_us,
+      |       COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, session_seq""".stripMargin
+
   private def srpPlanes(s: SparkSession, dir: String): Int = {
     val p = Similarity.suggestedPlanes(tableCount(s, dir, "embeddings"),
       targetBucketSize = 2)
@@ -374,6 +392,20 @@ object SparkEntry {
           col("start_ts").as("start_us"), col("end_ts").as("end_us"),
           col("n_events"))),
 
+    "d17_salted_sessions" -> ((s, dir) =>
+      // d15's sessionization through the HOT-KEY-SAFE salted path
+      // (events sessionize within (user, day) ranges, stubs merge across
+      // boundaries): identical output to the unsalted pass, under the
+      // same independent DuckDB oracle — no partition ever sorts one
+      // user's full history
+      graft.operators.Sessionize.sessionsSalted(
+        t(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("tus")),
+        "user_id", "tus", gap = 1800000000L, rangeWidth = 86400000000L)
+        .select(col("user_id"), col("session_seq"),
+          col("start_ts").as("start_us"), col("end_ts").as("end_us"),
+          col("n_events"))),
+
     "d16_hash_sample" -> ((s, dir) =>
       // deterministic stratified sampling: membership = pure function of
       // (salt, doc_id), so the subset is reproducible across runs/engines/
@@ -557,6 +589,29 @@ object SparkEntry {
         .head().getSeq[Float](0).map(_.toDouble).toArray
       val probed = Similarity.readSrpProbes(s, path, qVec, planes,
         probeRadius = 1)
+      Similarity.bruteForceTopK(probed, emb.where(col("vec_id") === 0), k = 5)
+    }),
+    "m20_ivf_layout" -> ((s, dir) => {
+      // IVF twin of m19: corpus written PARTITIONED BY CELL
+      // (writeIvfLayout), query 0's 4 nearest of 16 cells ranked
+      // driver-side from the same frozen centroid literals (squared-L2,
+      // first-match argmin tie-break asc cell — s04's ordering), probe
+      // cells read partition-pruned (readIvfCells), brute-force scored
+      val emb = t(s, dir, "embeddings")
+      val cents = ivfCentroids(s, dir, 16)
+      val path = tmpQueryDir("m20-ivf").toString + "/layout"
+      Similarity.writeIvfLayout(emb, cents, path)
+      val qVec = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val cells = cents.zipWithIndex.map { case (c, i) =>
+        var acc = 0.0
+        var j = 0
+        while (j < qVec.length) {
+          val d = qVec(j) - c(j); acc += d * d; j += 1
+        }
+        (acc, i)
+      }.sortBy { case (d, i) => (d, i) }.take(4).map(_._2).toSeq
+      val probed = Similarity.readIvfCells(s, path, cells)
       Similarity.bruteForceTopK(probed, emb.where(col("vec_id") === 0), k = 5)
     }),
 
@@ -1209,22 +1264,11 @@ object SparkEntry {
          |SELECT id1, id2, hamming FROM p WHERE hamming <= 3""".stripMargin
         .replace("CAPLIT", lastBucketCap.toString)
     },
-    "d15_sessions" ->
-      // identical lag + RANGE-framed cumulative-sum formulation; DuckDB's
-      // SUM(INT) OVER returns HUGEINT, hence the BIGINT cast
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
-        |f AS (SELECT user_id, tus,
-        |        CASE WHEN lag(tus) OVER w IS NULL
-        |               OR tus - lag(tus) OVER w > 1800000000 THEN 1
-        |             ELSE 0 END AS nw
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
-        |sess AS (SELECT user_id, tus,
-        |           CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY tus)
-        |                AS BIGINT) AS session_seq
-        |         FROM f)
-        |SELECT user_id, session_seq, MIN(tus) AS start_us, MAX(tus) AS end_us,
-        |       COUNT(*) AS n_events
-        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+    "d15_sessions" -> sessionsOracle,
+    "d17_salted_sessions" ->
+      // the salted path must produce EXACTLY the unsalted sessions —
+      // same oracle, independent of the range split
+      sessionsOracle,
     "d16_hash_sample" ->
       // same md5 hash, same thresholds (built by the same rateThreshold),
       // same lexicographic hex compare — the portability claim IS the test
@@ -1344,6 +1388,38 @@ object SparkEntry {
          |  FROM v c JOIN q
          |    ON q.bucket = c.bucket AND q.vec_id != c.vec_id)
          |WHERE rnk <= 5""".stripMargin
+    },
+    "m20_ivf_layout" -> {
+      // s04's formulation restricted to query 0: the layout round-trip
+      // must surface exactly the corpus rows assigned to the query's 4
+      // nearest cells (same centroid literals, same argmin/probe
+      // ordering), scored by the same cosine
+      val cents = Option(lastIvfCentroids).getOrElse(Array.empty[Array[Double]])
+      if (cents.isEmpty)
+        """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS corpus_id,
+          |CAST(NULL AS DOUBLE) AS score, CAST(NULL AS INTEGER) AS rank WHERE FALSE""".stripMargin
+      else {
+        val nlist = cents.length
+        val dl = cents.map { c =>
+          duckSqDist("embedding", s"([${c.mkString(",")}]::DOUBLE[])")
+        }.mkString("[", ",\n", "]")
+        val cos = duckCos("p.embedding", "a.embedding")
+        s"""WITH al AS (SELECT vec_id, embedding, $dl AS dl FROM embeddings),
+           |a AS (SELECT vec_id, embedding,
+           |        (list_position(dl, list_min(dl)) - 1) AS cell FROM al),
+           |p AS (SELECT vec_id, embedding, cell FROM (
+           |  SELECT vec_id, embedding, r.cell,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dl[(r.cell)::INT + 1] ASC, r.cell ASC) AS rn
+           |  FROM (SELECT * FROM al WHERE vec_id = 0) ql
+           |  CROSS JOIN (SELECT unnest(range(0, $nlist)) AS cell) r)
+           |  WHERE rn <= 4)
+           |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank FROM (
+           |  SELECT p.vec_id AS query_id, a.vec_id AS corpus_id, $cos AS score,
+           |    row_number() OVER (PARTITION BY p.vec_id ORDER BY $cos DESC, a.vec_id) AS rnk
+           |  FROM a JOIN p ON a.cell = p.cell AND p.vec_id != a.vec_id)
+           |WHERE rnk <= 5""".stripMargin
+      }
     },
     "s04_ivf_topk" -> {
       // Mirrors ivfTopKLiteral with the centroids the s04 query fit (see
