@@ -25,11 +25,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-    // local-iteration conf overrides, e.g. SPARK_GRAFT_CONF=
-    // "graft.cc.algorithm=minlabel,spark.sql.shuffle.partitions=64"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+    // local-iteration conf overrides, ';'-separated (conf VALUES may
+    // legitimately contain commas — extraJavaOptions, extensions lists):
+    // SPARK_GRAFT_CONF="graft.cc.algorithm=minlabel;spark.sql.shuffle.partitions=64"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) => builder.config(k.trim, v.trim)
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
         case _ =>
       }
     })

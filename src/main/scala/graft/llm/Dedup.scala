@@ -563,7 +563,13 @@ object Dedup {
     val surrogateThreshold = pairs.sparkSession.conf
       .get("graft.cc.surrogateEdgeThreshold", "2000000").toLong
     if (pairs.count() < surrogateThreshold) {
-      val direct = ccMinLabel(pairs, idCol1, idCol2, maxIterations)
+      // honor a forced graft.cc.algorithm even on the direct string path
+      // (both loops' operators — min/least/greatest/xxhash64 — are
+      // type-agnostic); auto means min-label here, the small-graph choice
+      val direct =
+        if (pairs.sparkSession.conf.get("graft.cc.algorithm", "auto") == "star")
+          ccStar(pairs, idCol1, idCol2, maxIterations)
+        else ccMinLabel(pairs, idCol1, idCol2, maxIterations)
       if (ownPairs) pairs.unpersist(blocking = true)
       return direct
     }

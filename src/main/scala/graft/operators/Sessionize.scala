@@ -58,8 +58,9 @@ object Sessionize {
         count(lit(1)).as("n_events"))
   }
 
-  /** Hot-key-safe twin of [[sessions]]: identical output, but no single
-    * partition ever sorts one key's full event history. [[sessions]]
+  /** Hot-key-safe twin of [[sessions]]: identical output (for non-null
+    * timestamps — null-time rows DROP here, see localSessions), but no
+    * single partition ever sorts one key's full event history. [[sessions]]
     * partitions the window by key alone, so a key carrying a visible
     * fraction of the corpus (one bot account in 100 TB of events) sorts
     * on one partition. Here events first split into gap-safe TIME
@@ -106,7 +107,8 @@ object Sessionize {
         localSessions(df, keyCol, tsCol, gap, rangeWidth), keyCol, tsCol, gap)
       .select(col(keyCol), col("__rng"), col("__s"), col("__e"),
         col("session_seq"))
-    df.withColumn("__rng", RangeJoin.floorDiv(col(tsCol), rangeWidth))
+    df.where(col(tsCol).isNotNull) // same null-drop rule as the stub side
+      .withColumn("__rng", RangeJoin.floorDiv(col(tsCol), rangeWidth))
       .join(stubs, Seq(keyCol, "__rng"))
       .where(col(tsCol) >= col("__s") && col(tsCol) <= col("__e"))
       .drop("__rng", "__s", "__e")
@@ -119,12 +121,17 @@ object Sessionize {
                             gap: Long, rangeWidth: Long): DataFrame = {
     require(rangeWidth > 0, s"rangeWidth must be positive: $rangeWidth")
     val reserved =
-      Seq("session_seq", "start_ts", "end_ts", "n_events", "__rng", "__ls")
+      Seq("session_seq", "start_ts", "end_ts", "n_events",
+        "__rng", "__ls", "__s", "__e", "__n")
         .filter(df.columns.contains)
     require(reserved.isEmpty,
       s"input already has reserved column(s) ${reserved.mkString(", ")}; " +
         "rename before the salted sessionize")
-    val ranged = df.withColumn("__rng",
+    // null timestamps DROP (SQL comparison semantics, like RangeJoin's
+    // null bounds): a null time has no range and no gap relation. The
+    // unsalted assign() instead sorts nulls first within the key —
+    // filter or impute upstream if null-time events must be kept.
+    val ranged = df.where(col(tsCol).isNotNull).withColumn("__rng",
       RangeJoin.floorDiv(col(tsCol), rangeWidth))
     val w1 = Window.partitionBy(col(keyCol), col("__rng")).orderBy(col(tsCol))
     val isNewLocal: Column = {

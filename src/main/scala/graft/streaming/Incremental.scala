@@ -117,6 +117,13 @@ object Incremental {
     // fresh batch keys and the old state stays in history. Resolved
     // lazily inside foreachBatch — the metadata file exists by the time
     // the first batch runs.
+    // MIGRATION: streams whose state predates the query-id token used
+    // md5(path)-<batchId> keys. A stream that crashed MID-BATCH under the
+    // old format replays under a new key after upgrading, so the crashed
+    // half-write's partition is not overwritten — delete the highest
+    // legacy batch_key partition from decisions/state before restarting
+    // such a stream (committed batches are unaffected: their offsets
+    // advanced, so their keys are never re-written).
     lazy val ckToken = checkpointQueryToken(stream.sparkSession, checkpointDir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -43,11 +43,14 @@ class SessionizeSpec extends SparkTestBase {
     val saltedMap = salted.collect().map(r => (r.getString(0), r.getLong(1)) ->
       (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(saltedMap == plain)
-    // the event-level window must partition by (key, range), so the hot
-    // key's history is spread across range partitions, never one sort
+    // the event-level window must PARTITION by (key, range) — check the
+    // window spec itself, not mere presence of the column: a regression
+    // to key-only partitioning still mentions __rng in projections
     val plan = salted.queryExecution.executedPlan.toString
-    assert(plan.contains("__rng"),
-      s"expected the event window to salt by time range:\n$plan")
+    val eventWindowSpecs =
+      """windowspecdefinition\(k#\d+, __rng#\d+L?,""".r.findAllIn(plan).toList
+    assert(eventWindowSpecs.nonEmpty,
+      s"expected an event window partitioned by (k, __rng):\n$plan")
   }
 
   test("assignSalted == assign per event (hot-key event-level numbering)") {
