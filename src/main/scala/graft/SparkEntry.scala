@@ -406,6 +406,22 @@ object SparkEntry {
           col("start_ts").as("start_us"), col("end_ts").as("end_us"),
           col("n_events"))),
 
+    "d18_keywords" -> ((s, dir) =>
+      // per-doc keyword extraction: top-3 terms by the rational tf-idf
+      // variant (tf * N / df — integer inputs, one IEEE multiply+divide,
+      // bit-exact in any engine; see TextAnalysis.keywordScores)
+      TextAnalysis.keywordScores(t(s, dir, "documents"), "doc_id", "text",
+        topK = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rank"))),
+
+    "d19_stratified_take" -> ((s, dir) =>
+      // exactly-20-docs-per-language balanced subset, deterministic in
+      // (salt, doc_id) — reproducible across engines and partitionings
+      graft.llm.Sampling.stratifiedTake(t(s, dir, "documents"),
+        "doc_id", "lang", n = 20, salt = "s7")
+        .select(col("doc_id"), col("lang"))),
+
     "d16_hash_sample" -> ((s, dir) =>
       // deterministic stratified sampling: membership = pure function of
       // (salt, doc_id), so the subset is reproducible across runs/engines/
@@ -1277,6 +1293,30 @@ object SparkEntry {
          |  CASE WHEN lang = 'en' THEN '${graft.llm.Sampling.rateThreshold(0.3)}'
          |       WHEN lang = 'zh' THEN '${graft.llm.Sampling.rateThreshold(0.8)}'
          |       ELSE '${graft.llm.Sampling.rateThreshold(0.5)}' END""".stripMargin,
+    "d18_keywords" ->
+      // identical rational tf-idf: integer tf/N/df, score = (tf * N) / df
+      // as one double multiply+divide (left-assoc on both sides)
+      """WITH t AS (SELECT doc_id,
+        |             unnest(list_filter(string_split(lower(text), ' '),
+        |                                x -> x != '')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT doc_id, term, tf, df,
+        |        tf * (SELECT COUNT(*) FROM documents)::DOUBLE / df AS score
+        |      FROM tf JOIN d USING (term))
+        |SELECT doc_id, term, tf, df, score, CAST(rk AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term ASC) AS rk FROM s)
+        |WHERE rk <= 3""".stripMargin,
+    "d19_stratified_take" ->
+      // same sampling hash, same (hash, key) ordering, same per-stratum
+      // cutoff — the deterministic balanced subset reproduced in SQL
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(md5('s7|' || CAST(doc_id AS VARCHAR)), 1, 8) ASC,
+        |             doc_id ASC) AS rk
+        |  FROM documents) WHERE rk <= 20""".stripMargin,
     "d08_minhash_estimate" -> {
       val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
       val sh =

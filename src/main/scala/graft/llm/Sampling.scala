@@ -45,6 +45,29 @@ object Sampling {
     * stratum listed in `rates` sample at that rate, others at
     * `defaultRate`. One scan, one codegen'd CASE — strata are enum-like
     * (languages, sources), so the literal chain stays small. */
+  /** Take EXACTLY `n` rows per stratum (fewer if the stratum is smaller),
+    * deterministically: rows rank by the sampling hash within their
+    * stratum (key as tie-break for hash collisions), so the selection is
+    * reproducible across runs/engines/partitionings — the balanced-subset
+    * builder (n docs per language/source) `df.sample` can't give you.
+    * Rates compose: the n-take of a stratum is a prefix of its m-take for
+    * n <= m under one salt.
+    *
+    * Scale shape: one window per stratum, but the rank<=n filter pushes
+    * map-side (Spark's WindowGroupLimit keeps a per-partition top-n heap
+    * before the shuffle), so a billion-row stratum never sorts fully. */
+  def stratifiedTake(df: DataFrame, keyCol: String, strataCol: String,
+                     n: Int, salt: String = "graft"): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(!df.columns.contains("__rk"),
+      "input already has a '__rk' column; rename it before stratifiedTake()")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(sampleKey(col(keyCol), salt).asc, col(keyCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n).drop("__rk")
+  }
+
   def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
                            rates: Map[String, Double], defaultRate: Double,
                            salt: String = "graft"): DataFrame = {

@@ -120,6 +120,37 @@ object TextAnalysis {
   /** Convenience fused form for SMALL inputs — on a corpus, stage:
     * `select(lower(text))` -> `select(charGramHashes(col))` ->
     * `select(winnowingMinima(col))` (see charGramHashes for why). */
+  /** Per-document keyword extraction: top-`topK` terms by a RATIONAL
+    * tf-idf variant, score = tf * N / df (term frequency x inverse
+    * document-frequency ratio, no logarithm). The log-free form is
+    * deliberate: tf, N, df are integers, so the score is one IEEE double
+    * multiply+divide that any engine reproduces bit-exactly — same
+    * ranking behavior as classic tf-idf (monotone in tf and 1/df), none
+    * of the cross-libm drift of ln(). Ties rank lexicographically.
+    *
+    * Scale shape: one shuffle of (id, term) pairs for tf, a tiny df
+    * aggregate joined back (broadcast-able — distinct terms ≪ corpus),
+    * and the per-doc top-k window, whose rank<=k filter Spark pushes
+    * map-side (WindowGroupLimit) so full per-doc term lists never sort
+    * through one partition. Output: (id, term, tf, df, score, rank). */
+  def keywordScores(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val nDocs = df.count()
+    val tf = df
+      .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("score", col("tf") * lit(nDocs.toDouble) / col("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     winnowingMinima(charGramHashes(lower(text), k), w)
 }

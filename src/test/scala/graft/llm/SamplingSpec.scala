@@ -54,6 +54,30 @@ class SamplingSpec extends SparkTestBase {
     assert(all.count() == docs.count())
   }
 
+  test("stratifiedTake: exactly n per stratum, deterministic, nested, " +
+    "rank filter pushed map-side") {
+    val out = Sampling.stratifiedTake(docs, "doc_id", "lang", n = 5, salt = "t6")
+    val perLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.values.forall(_ <= 5L))
+    val bigStrata = docs.groupBy("lang").count()
+      .collect().filter(_.getLong(1) >= 5).map(_.getString(0))
+    bigStrata.foreach(l => assert(perLang(l) == 5L, s"stratum $l: $perLang"))
+    // partitioning-independent + nested: 3-take is a prefix of the 5-take
+    val ids5 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids5b = Sampling.stratifiedTake(docs.repartition(7), "doc_id", "lang",
+      n = 5, salt = "t6").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids5 == ids5b)
+    val ids3 = Sampling.stratifiedTake(docs, "doc_id", "lang", n = 3,
+      salt = "t6").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids3.subsetOf(ids5))
+    // the rank<=n filter must reach the map side (per-partition top-n
+    // before the shuffle), or a billion-row stratum would sort fully
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected map-side WindowGroupLimit:\n$plan")
+  }
+
   test("rateThreshold: hex space endpoints and monotonicity") {
     assert(Sampling.rateThreshold(0.0) == "00000000")
     assert(Sampling.rateThreshold(1.0) == "ffffffff")

@@ -84,6 +84,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(empty.getSeq[String](0) == Seq(null) && empty.getSeq[String](1) == Seq(null))
   }
 
+
+  test("keywordScores: rational tf-idf ranks rare repeated terms first, topK per doc") {
+    val s = spark; import s.implicits._
+    // "whale" is unique to doc 1 and repeated -> top keyword; "the" is in
+    // every doc -> score tf*N/df = tf, ranks below the rare repeats
+    val docs = Seq(
+      (1L, "the whale the whale whale swims"),
+      (2L, "the cat sits on the mat"),
+      (3L, "the dog runs")).toDF("doc_id", "text")
+    val out = TextAnalysis.keywordScores(docs, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(5)) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out((1L, 1))._1 == "whale", s"got $out")
+    assert(out((1L, 1)) == (("whale", 3L, 1L, 9.0)), s"got $out") // 3 * 3 / 1
+    // every doc emits at most topK rows, ranks are 1-based contiguous
+    assert(out.keys.groupBy(_._1).values.forall(ks => ks.map(_._2).toSeq.sorted == (1 to ks.size)))
+    assert(out.keys.count(_._1 == 2L) == 2)
+    // ties rank lexicographically: doc 3 terms all distinct, "dog" df=1 and
+    // "runs" df=1 tie at 3.0 -> dog before runs
+    assert(out((3L, 1))._1 == "dog" && out((3L, 2))._1 == "runs", s"got $out")
+  }
   test("regexTokens splits words, numbers and symbols") {
     val r = one("ab12 cd, ef!").select(TextAnalysis.regexTokens(col("text")))
       .head().getSeq[String](0)
