@@ -406,6 +406,20 @@ object SparkEntry {
           col("start_ts").as("start_us"), col("end_ts").as("end_us"),
           col("n_events"))),
 
+    "d20_bloom_dedup" -> ((s, dir) => {
+      // dedup-against-existing with the Bloom pre-filter: only
+      // bloom-positive rows (true dups + fpp sliver) reach the exact
+      // anti-join; result identical to the plain anti-join by
+      // construction (no false negatives, positives re-verified)
+      val docs = t(s, dir, "documents")
+      val existing = docs.where(col("doc_id") < 250)
+        .select(Dedup.exactKey(col("text")).as("fp"))
+      val batch = docs.select(col("doc_id"), Dedup.exactKey(col("text")).as("fp"))
+      graft.sinks.Sinks.bloomDedupAgainstExisting(batch, existing, "fp",
+        expectedItems = 1000)
+        .select(col("doc_id"), col("fp"))
+    }),
+
     "d18_keywords" -> ((s, dir) =>
       // per-doc keyword extraction: top-3 terms by the rational tf-idf
       // variant (tf * N / df — integer inputs, one IEEE multiply+divide,
@@ -1293,6 +1307,15 @@ object SparkEntry {
          |  CASE WHEN lang = 'en' THEN '${graft.llm.Sampling.rateThreshold(0.3)}'
          |       WHEN lang = 'zh' THEN '${graft.llm.Sampling.rateThreshold(0.8)}'
          |       ELSE '${graft.llm.Sampling.rateThreshold(0.5)}' END""".stripMargin,
+    "d20_bloom_dedup" ->
+      // the bloom pre-filter is an optimization, not a semantics change:
+      // the oracle is the PLAIN anti-join on the same fingerprints
+      """WITH fp AS (SELECT doc_id,
+        |              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |            FROM documents),
+        |ex AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250)
+        |SELECT doc_id, fp FROM fp
+        |WHERE fp NOT IN (SELECT fp FROM ex)""".stripMargin,
     "d18_keywords" ->
       // identical rational tf-idf: integer tf/N/df, score = (tf * N) / df
       // as one double multiply+divide (left-assoc on both sides)

@@ -128,6 +128,38 @@ object Sinks {
     incoming.join(existingKeys.select(keyCols.map(col).toIndexedSeq: _*).distinct(),
       keyCols, "left_anti")
 
+  /** Bloom-prefiltered [[dedupAgainstExisting]] — the 100TB shape of
+    * dedup-against-target: a Bloom filter of the existing keys (built
+    * once, `expectedItems`/`fpp` sized, broadcast inside the codegen'd
+    * [[graft.functions.BloomContains]] probe) splits the batch MAP-SIDE
+    * into definitely-new rows (bloom-negative — no false negatives, they
+    * bypass the join entirely) and candidates (bloom-positive), and only
+    * the candidates — true duplicates plus an `fpp` sliver of false
+    * positives — pay the exact anti-join shuffle. Against a multi-TB
+    * target where the incoming batch is mostly new, the anti-join input
+    * shrinks from |batch| to ~|duplicates|. Result is EXACTLY
+    * dedupAgainstExisting's (false positives are re-verified by the
+    * join; null keys keep anti-join semantics: never equal, so kept). */
+  def bloomDedupAgainstExisting(incoming: DataFrame, existingKeys: DataFrame,
+                                keyCol: String, expectedItems: Long,
+                                fpp: Double = 0.01): DataFrame = {
+    val bf = existingKeys.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    val contains = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.BloomContains(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(keyCol)), bytes))
+    // null keys: contains is null; coalesce routes them to the fast path,
+    // matching left_anti (null never equals an existing key -> row kept)
+    val definitelyNew = incoming.where(!coalesce(contains, lit(false)))
+    val candidates = incoming.where(coalesce(contains, lit(false)))
+    definitelyNew.unionByName(
+      candidates.join(existingKeys.select(col(keyCol)).distinct(),
+        Seq(keyCol), "left_anti"))
+  }
+
   /** Bucketed table write: pre-shuffles once at write time so every later
     * equi-join/aggregation on the bucket keys is SHUFFLE-FREE (bucket
     * co-location — what the reference approximated with hand-balanced

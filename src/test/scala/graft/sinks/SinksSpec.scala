@@ -11,6 +11,26 @@ class SinksSpec extends SparkTestBase {
     (1 to 100).map(i => (i.toLong, s"name$i", i % 7)).toDF("id", "name", "grp")
   }
 
+  test("bloomDedupAgainstExisting == plain anti-join; bloom prunes the join " +
+    "input; null keys kept") {
+    val s = spark; import s.implicits._
+    val existing = (0L until 300L).map(i => s"key-$i").toDF("k")
+    val batch = ((100L until 1100L).map(i => Some(s"key-$i")) :+ None)
+      .toDF("k").withColumn("payload", col("k"))
+    val plain = Sinks.dedupAgainstExisting(batch, existing, Seq("k"))
+      .collect().map(_.getString(1)).toSet
+    val bloom = Sinks.bloomDedupAgainstExisting(batch, existing, "k",
+      expectedItems = 300)
+    val bloomed = bloom.collect().map(_.getString(1)).toSet
+    assert(bloomed == plain, "bloom pre-filter must not change the result")
+    assert(plain.contains(null), "null keys never equal an existing key")
+    // the probe guards both branches (the executed plan constant-folds it
+    // into the LocalTableScan here; d20 over parquet runs the codegen)
+    val analyzed = bloom.queryExecution.analyzed.toString
+    assert(analyzed.contains("bloom_contains"),
+      s"expected the bloom probe in the plan:\n$analyzed")
+  }
+
   test("csv round-trip with header") {
     val out = tmpDir("csv-out")
     Sinks.writeFile(df100, out, Sinks.FileSinkConfig(format = "csv", header = true))
