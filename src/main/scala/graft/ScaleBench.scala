@@ -183,6 +183,31 @@ object ScaleBench {
     val (incSecs1k, kept1k) = incRun(1000)
     val (incSecs4k, kept4k) = incRun(4000)
 
+    // ---- bloom anti-join vs plain anti-join against the big target ------
+    // The dedup-against-existing shape at scale: a mostly-new batch
+    // against the full corpus's fingerprints. The bloom pre-filter sends
+    // only true dups + fpp sliver into the anti-join shuffle.
+    val targetFps = corpus.select(graft.llm.Dedup.exactKey(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freshBatch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select((col("doc_id") + 800000000L).as("doc_id"),
+        concat(col("text"), lit(" fresh")).as("text"))
+      .unionByName(corpus.limit(2000))
+      .select(col("doc_id"), graft.llm.Dedup.exactKey(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    freshBatch.count() // materialize so both variants time only the join
+    val tPlainAnti = System.nanoTime()
+    val nPlainAnti = graft.sinks.Sinks.dedupAgainstExisting(
+      freshBatch, targetFps, Seq("fp")).count()
+    val plainAntiSecs = secs(tPlainAnti)
+    val tBloomAnti = System.nanoTime()
+    val nBloomAnti = graft.sinks.Sinks.bloomDedupAgainstExisting(
+      freshBatch, targetFps, "fp", expectedItems = nDocs).count()
+    val bloomAntiSecs = secs(tBloomAnti)
+    require(nPlainAnti == nBloomAnti,
+      s"bloom anti-join diverged: $nBloomAnti vs $nPlainAnti")
+    targetFps.unpersist(); freshBatch.unpersist()
+
     val line =
       s"""{"metric":"scale_dedup","unit":"sec","sf":"$sfDir","docs":$nDocs,""" +
       s""""gen_secs":$genSecs,"exact_secs":$exactSecs,"exact_groups":$nExactGroups,""" +
@@ -194,6 +219,8 @@ object ScaleBench {
       s""""rj_secs":$rjSecs,"rj_matches":$rjMatches,"rj_bin_width":$binW,""" +
       s""""rj_blowup":$blowup,"ov_secs":$ovSecs,"ov_matches":$ovMatches,""" +
       s""""asof_secs":$asofSecs,"asof_rows":$asofRows,""" +
+      s""""anti_plain_secs":$plainAntiSecs,"anti_bloom_secs":$bloomAntiSecs,""" +
+      s""""anti_new_rows":$nBloomAnti,""" +
       s""""sigstate_secs":$stateSecs,"inc_1k_secs":$incSecs1k,"inc_1k_kept":$kept1k,""" +
       s""""inc_4k_secs":$incSecs4k,"inc_4k_kept":$kept4k,"total_secs":${secs(t0)}}"""
     println(line)
