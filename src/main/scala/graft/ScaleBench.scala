@@ -195,7 +195,8 @@ object ScaleBench {
       .unionByName(corpus.limit(2000))
       .select(col("doc_id"), graft.llm.Dedup.exactKey(col("text")).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    freshBatch.count() // materialize so both variants time only the join
+    freshBatch.count() // materialize BOTH caches so the two variants
+    targetFps.count()  // time only their joins, not scan+md5 warm-up
     val tPlainAnti = System.nanoTime()
     val nPlainAnti = graft.sinks.Sinks.dedupAgainstExisting(
       freshBatch, targetFps, Seq("fp")).count()

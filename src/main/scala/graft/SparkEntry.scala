@@ -1309,13 +1309,15 @@ object SparkEntry {
          |       ELSE '${graft.llm.Sampling.rateThreshold(0.5)}' END""".stripMargin,
     "d20_bloom_dedup" ->
       // the bloom pre-filter is an optimization, not a semantics change:
-      // the oracle is the PLAIN anti-join on the same fingerprints
+      // the oracle is the PLAIN anti-join on the same fingerprints.
+      // NOT EXISTS, not NOT IN: left_anti keeps null-key rows, and NOT IN
+      // collapses to no-rows if the subquery ever contains a null
       """WITH fp AS (SELECT doc_id,
         |              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |            FROM documents),
         |ex AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250)
-        |SELECT doc_id, fp FROM fp
-        |WHERE fp NOT IN (SELECT fp FROM ex)""".stripMargin,
+        |SELECT f.doc_id, f.fp FROM fp f
+        |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.fp = f.fp)""".stripMargin,
     "d18_keywords" ->
       // identical rational tf-idf: integer tf/N/df, score = (tf * N) / df
       // as one double multiply+divide (left-assoc on both sides)

@@ -139,10 +139,21 @@ object Sinks {
     * target where the incoming batch is mostly new, the anti-join input
     * shrinks from |batch| to ~|duplicates|. Result is EXACTLY
     * dedupAgainstExisting's (false positives are re-verified by the
-    * join; null keys keep anti-join semantics: never equal, so kept). */
+    * join; null keys keep anti-join semantics: never equal, so kept).
+    *
+    * `incoming` is consumed by BOTH branches of the split — persist it
+    * first if it is an expensive derivation rather than a cheap scan
+    * (the trade is deliberate: two map-side passes over the batch cost
+    * far less at scale than shuffling the whole batch through the
+    * anti-join, which a single-pass join-condition formulation would). */
   def bloomDedupAgainstExisting(incoming: DataFrame, existingKeys: DataFrame,
                                 keyCol: String, expectedItems: Long,
                                 fpp: Double = 0.01): DataFrame = {
+    // empty (or all-null) existing keys: bloom_filter_agg yields a null
+    // filter and stat.bloomFilter NPEs — the answer is just "everything
+    // is new", matching dedupAgainstExisting on an empty right side
+    if (existingKeys.where(col(keyCol).isNotNull).limit(1).isEmpty)
+      return incoming
     val bf = existingKeys.stat.bloomFilter(keyCol, expectedItems, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -156,8 +167,7 @@ object Sinks {
     val definitelyNew = incoming.where(!coalesce(contains, lit(false)))
     val candidates = incoming.where(coalesce(contains, lit(false)))
     definitelyNew.unionByName(
-      candidates.join(existingKeys.select(col(keyCol)).distinct(),
-        Seq(keyCol), "left_anti"))
+      dedupAgainstExisting(candidates, existingKeys, Seq(keyCol)))
   }
 
   /** Bucketed table write: pre-shuffles once at write time so every later

@@ -29,6 +29,14 @@ class SinksSpec extends SparkTestBase {
     val analyzed = bloom.queryExecution.analyzed.toString
     assert(analyzed.contains("bloom_contains"),
       s"expected the bloom probe in the plan:\n$analyzed")
+    // empty / all-null existing keys: everything is new (the plain
+    // anti-join's answer), not an NPE from a null bloom aggregate
+    val empty = Seq.empty[String].toDF("k")
+    assert(Sinks.bloomDedupAgainstExisting(batch, empty, "k", 10).count()
+      == batch.count())
+    val allNull = Seq(Option.empty[String]).toDF("k")
+    assert(Sinks.bloomDedupAgainstExisting(batch, allNull, "k", 10).count()
+      == batch.count())
   }
 
   test("csv round-trip with header") {
