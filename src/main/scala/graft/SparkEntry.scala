@@ -618,7 +618,7 @@ object SparkEntry {
       val qVec = emb.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble).toArray
       val probed = Similarity.readSrpProbes(s, path, qVec, planes,
-        probeRadius = 1)
+        probeRadius = 1, dim = 64)
       Similarity.bruteForceTopK(probed, emb.where(col("vec_id") === 0), k = 5)
     }),
     "m20_ivf_layout" -> ((s, dir) => {

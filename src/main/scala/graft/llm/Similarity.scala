@@ -68,10 +68,28 @@ object Similarity {
       normFast(col(vecCol)).as("cnorm"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       normFast(col(vecCol)).as("qnorm"))
-    val scored = c.crossJoin(broadcast(q))
+    perQueryTopK(c.crossJoin(broadcast(q)), k)
+  }
+
+  /** Shared tail of the three top-k surfaces (brute force / SRP / IVF):
+    * same-id self-exclusion (queries are drawn from the corpus in every
+    * surface here — callers with DISTINCT tables whose id spaces overlap
+    * must disambiguate ids first), cosine score, per-query rank.
+    *
+    * NaN/null hygiene: an all-zero vector has norm 0, so its cosine is
+    * 0/0 — a DIVIDE_BY_ZERO runtime error under ANSI mode (Spark 4's
+    * default), and NaN otherwise, which Spark's sort puts ABOVE every
+    * real double: one padding row either kills the job or ranks as
+    * everyone's nearest neighbor. try_divide turns the zero-norm case
+    * into null, nanvl nulls any NaN (NaN vector elements), and null
+    * scores drop — such rows simply never rank. */
+  private def perQueryTopK(joined: DataFrame, k: Int): DataFrame = {
+    val raw = try_divide(dotFast(col("qvec"), col("cvec")),
+      col("qnorm") * col("cnorm"))
+    val scored = joined
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("score",
-        dotFast(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .withColumn("score", nanvl(raw, lit(null).cast("double")))
+      .where(col("score").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -144,7 +162,11 @@ object Similarity {
         ws.map(_.toSeq).toSeq, squared = false))
     val bits = typedLit((0 until planes).map(p => 1L << p).toArray)
     coalesce(
-      aggregate(zip_with(dots, bits, (d, bit) => when(d >= 0, bit).otherwise(lit(0L))),
+      aggregate(zip_with(dots, bits, (d, bit) =>
+          // !isnan: Spark SQL's NaN >= 0 is TRUE, Java's (SignBits,
+          // srpBucketLocal) is false — pin the Java rule so all three
+          // bucket forms stay bit-identical even on NaN elements
+          when(d >= 0 && !isnan(d), bit).otherwise(lit(0L))),
         lit(0L), (a, v) => a + v),
       lit(0L))
   }
@@ -189,15 +211,7 @@ object Similarity {
         srpBucket(col(vecCol), dim, planes).as("bucket"))
       .select(col("query_id"), col("qvec"), col("qnorm"),
         explode(srpProbeBuckets(col("bucket"), planes, probeRadius)).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("score",
-        dotFast(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "score", "rank")
+    perQueryTopK(c.join(broadcast(q), Seq("bucket")), k)
   }
 
   /** Fit the IVF coarse quantizer: `nlist` k-means centroids. Fit once,
@@ -215,6 +229,18 @@ object Similarity {
     model.clusterCenters.map(_.toArray)
   }
 
+  /** Squared-L2 distances to every centroid as one codegen'd literal
+    * fold — the single construction shared by cell ASSIGNMENT
+    * (assignCells, the bucketed-layout writer) and query-side cell
+    * RANKING (ivfTopKLiteral): one site, so the two can never
+    * desynchronize. */
+  private def centroidDistances(vec: Column,
+                                centroids: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.VectorLiteralFold(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec),
+        centroids.map(_.toSeq).toSeq, squared = true))
+
   /** Map-side IVF cell assignment: each row gains its nearest-centroid
     * `cell` (one codegen'd literal squared-L2 fold over all nlist
     * centroids, first-match argmin tie-break — no join, no shuffle, no
@@ -222,12 +248,8 @@ object Similarity {
     * persists; ivfTopKLiteral shares it. */
   def assignCells(df: DataFrame, centroids: Array[Array[Double]],
                   vecCol: String = "embedding"): DataFrame = {
-    val distArr = org.apache.spark.sql.GraftColumnBridge.column(
-      graft.functions.VectorLiteralFold(
-        org.apache.spark.sql.GraftColumnBridge.expression(col(vecCol)),
-        centroids.map(_.toSeq).toSeq, squared = true))
     // distance array staged in its own projection (argmin reads it twice)
-    df.withColumn("__dl", distArr)
+    df.withColumn("__dl", centroidDistances(col(vecCol), centroids))
       .withColumn("cell",
         (array_position(col("__dl"), array_min(col("__dl"))) - 1).cast("int"))
       .drop("__dl")
@@ -307,7 +329,12 @@ object Similarity {
     * persisted form of annTopK's candidate pruning. */
   def readSrpProbes(spark: org.apache.spark.sql.SparkSession, path: String,
                     queryVec: Array[Double], planes: Int,
-                    probeRadius: Int = 1): DataFrame = {
+                    probeRadius: Int = 1, dim: Int = -1): DataFrame = {
+    // a wrong-length query silently buckets from prefix dots (the plane
+    // weights depend only on (plane, index)) and probes garbage — pass
+    // the layout's dim to fail loudly instead
+    require(dim < 0 || queryVec.length == dim,
+      s"query vector length ${queryVec.length} != layout dim $dim")
     val probes = probeBucketValues(srpBucketLocal(queryVec, planes), planes, probeRadius)
     spark.read.parquet(path).where(col("bucket").isin(probes: _*))
   }
@@ -327,13 +354,10 @@ object Similarity {
                      vecCol: String = "embedding"): DataFrame = {
     val nlist = centroids.length
     require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe not in [1, $nlist]")
-    // one codegen'd loop for all nlist distances (vs nlist interpreted
-    // HOF folds per row); same per-centroid accumulation order
-    def distArr(vec: Column): Column =
-      org.apache.spark.sql.GraftColumnBridge.column(
-        graft.functions.VectorLiteralFold(
-          org.apache.spark.sql.GraftColumnBridge.expression(vec),
-          centroids.map(_.toSeq).toSeq, squared = true))
+    // the SAME distance fold assignCells uses (shared construction —
+    // query-side cell ranking must never desynchronize from corpus-side
+    // cell assignment)
+    def distArr(vec: Column): Column = centroidDistances(vec, centroids)
     // cell assignment shared with the bucketed-layout writer (assignCells)
     val assigned = assignCells(
       corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
@@ -349,15 +373,7 @@ object Similarity {
       .where(col("prank") <= nprobe)
       .select(col("query_id"), col("qvec"), col("qnorm"),
         col("cell").cast("int").as("cell"))
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
-      .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("score",
-        dotFast(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "score", "rank")
+    perQueryTopK(assigned.join(broadcast(probes), Seq("cell")), k)
   }
 
   /** Convenience fused fit+search form (unit-level entry; the oracle-gated
@@ -390,8 +406,15 @@ object Similarity {
     val b = v.select(col("bucket"), col("id").as("id2"), col("vec").as("vec2"),
         col("nrm").as("nrm2"))
     val pairs = a.join(b, Seq("bucket")).where(col("id1") < col("id2"))
-      .withColumn("score",
-        dotFast(col("vec1"), col("vec2")) / (col("nrm1") * col("nrm2")))
+      // an all-zero vector's cosine is 0/0: DIVIDE_BY_ZERO under ANSI
+      // (Spark 4 default), NaN otherwise — and NaN >= threshold is TRUE,
+      // so a padding row would pair with every bucket-mate. try_divide
+      // nulls the zero-norm case, nanvl nulls NaN, null fails the
+      // threshold: such rows never pair.
+      .withColumn("score", nanvl(
+        try_divide(dotFast(col("vec1"), col("vec2")),
+          col("nrm1") * col("nrm2")),
+        lit(null).cast("double")))
       .where(col("score") >= threshold)
       .select("id1", "id2", "score")
     // pairs materialize eagerly so the hashed-frame cache is released

@@ -91,6 +91,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.length == 4)
   }
 
+  test("zero/NaN vectors never rank: padding rows drop from top-k and " +
+    "near-dup pairs instead of scoring NaN-first") {
+    val s = spark; import s.implicits._
+    // vec 99 is all-zero (a padding/failed-embed row): its cosine with
+    // anything is 0/0 = NaN, which Spark's sort puts ABOVE every real
+    // score — it must be dropped, not returned as everyone's neighbor
+    val rows = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)),
+      (99L, Array(0.0, 0.0))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(rows, rows.where(col("vec_id") === 1), 2)
+      .collect().map(r => r.getInt(3) -> r.getLong(1)).toMap
+    assert(top == Map(1 -> 2L, 2 -> 3L), s"got $top")
+    // the zero vector itself has no real scores -> no output rows at all
+    val zq = Similarity.bruteForceTopK(rows, rows.where(col("vec_id") === 99), 2)
+    assert(zq.count() == 0)
+    val pairs = Similarity.embeddingNearDups(rows, threshold = 0.0,
+      dim = 2, planes = 4, probeRadius = 2)
+    assert(!pairs.select("id1", "id2").collect()
+      .exists(r => r.getLong(0) == 99L || r.getLong(1) == 99L),
+      "zero vector must not pair with bucket-mates")
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic tie-break") {
     val s = spark; import s.implicits._
     // query 0 = (1,0); corpus: 1=(2,0) cos=1, 2=(1,1) cos=.707, 3=(0,1) cos=0
