@@ -56,11 +56,25 @@ object AsofJoin {
                strict: Boolean = false,
                tolerance: Option[Column] = None): DataFrame = {
     val leftOut = left.columns.toSeq
-    require(!leftOut.exists(rightCols.contains),
-      s"right payload columns ${rightCols.intersect(leftOut)} collide with left columns")
+    require(rightCols.nonEmpty, "at least one right payload column required")
+    // case-INSENSITIVE collision check: Spark resolution is
+    // case-insensitive by default, so a left "PX" and payload "px" would
+    // pass a case-sensitive guard and yield an ambiguous output
+    val lowerOut = leftOut.map(_.toLowerCase).toSet
+    val collide = rightCols.filter(c => lowerOut.contains(c.toLowerCase))
+    require(collide.isEmpty,
+      s"right payload columns $collide collide with left columns")
     val reserved = (leftOut ++ rightCols).filter(_.startsWith(Reserved))
     require(reserved.isEmpty,
       s"column names $reserved collide with AsofJoin's internal '$Reserved' prefix — rename them")
+    // the union would silently WIDEN mismatched key/time types (long vs
+    // string times then sort lexicographically: '9' > '10') — fail loudly
+    val (lk, rk) = (left.schema(leftKey).dataType, right.schema(rightKey).dataType)
+    require(lk == rk, s"key types disagree: $leftKey is ${lk.simpleString}, " +
+      s"$rightKey is ${rk.simpleString} — cast one side first")
+    val (lt, rt) = (left.schema(leftTime).dataType, right.schema(rightTime).dataType)
+    require(lt == rt, s"time types disagree: $leftTime is ${lt.simpleString}, " +
+      s"$rightTime is ${rt.simpleString} — cast one side first")
     // SQL comparison semantics: a NULL right key/time can never satisfy
     // `key = AND time <=`, so such rows must not enter the carry
     val r = right
@@ -68,9 +82,12 @@ object AsofJoin {
       .select(
         col(rightKey).as("__k"), col(rightTime).as("__t"),
         lit(0).as("__side"),
-        // the matched right TIME rides with the payload so a tolerance
-        // bound can test it after the carry
-        struct(col(rightTime).as("__rt") +: rightCols.map(col): _*).as("__rv"))
+        // the matched right TIME rides with the payload ONLY when a
+        // tolerance bound needs to test it after the carry — without one
+        // it would be a dead 8-bytes-per-right-row through the exchange,
+        // sort, and carry
+        struct((if (tolerance.isDefined) Seq(col(rightTime).as("__rt"))
+          else Nil) ++ rightCols.map(col): _*).as("__rv"))
     val l = left.select(
       (col(leftKey).as("__k") +: col(leftTime).as("__t") +:
         lit(if (strict) -1 else 1).as("__side") +: leftOut.map(col)): _*)

@@ -97,6 +97,34 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out(105L).contains(2.0))
   }
 
+  test("asofJoin strict + tolerance combined: bound applies to the " +
+    "strictly-earlier carry; mismatched types and case-variant " +
+    "collisions rejected") {
+    val s = spark; import s.implicits._
+    val quotes = Seq(("A", 10L, 1.0), ("A", 20L, 2.0)).toDF("sym", "qt", "px")
+    val trades = Seq(
+      ("A", 10L, 1L),  // strict hides the simultaneous quote; nothing earlier -> null
+      ("A", 20L, 2L),  // strict -> quote@10, 10 back, within tolerance -> 1.0
+      ("A", 35L, 3L),  // quote@20, 15 back, beyond 12 -> null
+      ("A", 25L, 4L)   // quote@20, 5 back -> 2.0
+    ).toDF("sym", "tt", "qty")
+    val out = AsofJoin.asofJoin(trades, quotes, "sym", "sym", "tt", "qt",
+        Seq("px"), strict = true, tolerance = Some(lit(12L)))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out == Map(10L -> None, 20L -> Some(1.0), 35L -> None,
+      25L -> Some(2.0)), s"got $out")
+    // long left time vs string right time would sort lexicographically
+    // after the union widens — rejected up front instead
+    val strQuotes = quotes.withColumn("qt", col("qt").cast("string"))
+    intercept[IllegalArgumentException](AsofJoin.asofJoin(
+      trades, strQuotes, "sym", "sym", "tt", "qt", Seq("px")))
+    // case-variant payload collision (resolution is case-insensitive)
+    intercept[IllegalArgumentException](AsofJoin.asofJoin(
+      trades.withColumn("PX", lit(1)), quotes, "sym", "sym", "tt", "qt",
+      Seq("px")))
+  }
+
   test("asofJoin null keys/times: right rows dropped, left rows unmatched") {
     val s = spark
     import org.apache.spark.sql.Row
