@@ -74,9 +74,11 @@ object Incremental {
     * dedup: the md5 fingerprint is 32 bytes of state per in-horizon doc,
     * not the text. */
   def dedupWithinWatermark(df: DataFrame, tsCol: String, watermark: String,
-                           keyCols: Seq[String]): DataFrame =
+                           keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   /** Continuous cross-run dedup: each micro-batch is deduped against the
     * persisted signature state ([[graft.llm.Dedup.incrementalDedup]] — the
@@ -108,6 +110,11 @@ object Incremental {
                              checkpointDir: String, threshold: Double,
                              k: Int = 3, numHashes: Int = 12, bands: Int = 4,
                              maxBucketSize: Option[Int] = None): StreamingQuery = {
+    // fail fast at the call site: deferred to the first micro-batch these
+    // requires surface asynchronously as a StreamingQueryException
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    require(threshold >= 0 && threshold <= 1, s"threshold not in [0,1]: $threshold")
     // Token from the checkpoint's persisted StreamingQuery id, NOT a hash
     // of the path: batchId restarts at 0 when a checkpoint dir is deleted
     // and recreated (a common recovery move), so a path-derived token
@@ -173,12 +180,23 @@ object Incremental {
     val spark = batch.sparkSession
     val stateFs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statePathObj = new org.apache.hadoop.fs.Path(statePath)
+    // exists AND non-empty: a pre-created empty dir (ACL setup on managed
+    // storage) must bootstrap like a missing one, not crash schema
+    // inference on batch 0
+    val hasState = stateFs.exists(statePathObj) &&
+      stateFs.listStatus(statePathObj).nonEmpty
     val history =
-      if (stateFs.exists(new org.apache.hadoop.fs.Path(statePath))) {
+      if (hasState) {
         val st = Dedup.readSignatureState(spark, statePath)
-        // partition-pruned: only the current batch's own dir is excluded
+        // partition-pruned: only the current batch's own dir is excluded.
+        // cast: partition type INFERENCE types batch_key from its values —
+        // a seed-only table whose one dir is numeric/date-like
+        // (batch_key=20240101) infers non-string, and comparing that to a
+        // string token nulls the predicate and silently drops ALL history
         if (st.columns.contains("batch_key"))
-          st.where(col("batch_key") =!= lit(batchKey)).drop("batch_key")
+          st.where(col("batch_key").cast("string") =!= lit(batchKey))
+            .drop("batch_key")
         else st
       } else // bootstrap: empty state with the right schema/id type
         Dedup.signatureState(batch.limit(0), idCol, textCol, k, numHashes)
@@ -242,6 +260,10 @@ object Incremental {
       }
     events
       .select(col(keyCol).cast("string").as("k"), col(tsCol).cast("timestamp").as("ts"))
+      // cast("timestamp") silently NULLS malformed values, the late-row
+      // predicate does not drop null event times, and getTime would then
+      // NPE on the executor and kill the query — drop them here
+      .where(col("ts").isNotNull)
       .withWatermark("ts", watermark) // after the projection: a select on a
       // watermarked column would strip the event-time tag
       .as[(String, java.sql.Timestamp)]
