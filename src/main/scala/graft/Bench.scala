@@ -4,7 +4,10 @@ import java.nio.file.{Files, Paths}
 
 /** Benchmark main. Prints ONE JSON line to stdout (raw — build.sbt sets
   * `run / outputStrategy := StdoutOutput` so sbt doesn't prefix it) and
-  * also writes it to BENCH.json in the cwd.
+  * also writes it to BENCH_local.json in the cwd (NOT BENCH.json — round
+  * 7's ledger collision: the driver's post-round run overwrote the
+  * builder's cited local artifact; the local file name plus the
+  * provenance stamp keep every run's numbers attributable).
   *
   * Measurement: each query is executed to completion through a `noop`
   * datasource write — unlike `.count()`, which lets Catalyst prune every
@@ -13,6 +16,19 @@ import java.nio.file.{Files, Paths}
   * "scan+count" for projection-only queries). A full warmup pass runs
   * first so JVM/codegen warmup isn't charged to whichever query happens
   * to run first. Failures are recorded per-query and fail the process.
+  *
+  * Self-defense against ambient load (round 7: a single-shot driver pass
+  * showed 2-6x phantom regressions on two contiguous alphabetical blocks
+  * that a rerun 20 minutes later fully erased): every query is timed
+  * `SPARK_GRAFT_REPEATS` times (default 3) and the headline per-query
+  * number is the MEDIAN. Repeats are organized as whole-suite passes —
+  * pass 1 runs all queries, then pass 2, then pass 3 — so one query's
+  * repeats land many minutes apart and a transient load spike degrades
+  * at most one repeat of each query it overlaps, which the median then
+  * discards. (Back-to-back repeats of the same query would all fit
+  * inside one spike — exactly the failure mode being defended against.)
+  * The JSON keeps `"queries"` = medians for backward compatibility and
+  * adds `"min"` + `"repeats"` (all per-pass times, in pass order).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,27 +72,44 @@ object Bench {
 
     // optional local-iteration subset (driver always benches everything)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.foreach { n => execute(n); resetStorage() } // warmup (JIT, codegen, FS metadata)
 
-    val results = names.map { name =>
+    // repeats as whole-suite passes (see scaladoc): times(name) collects
+    // in pass order; the first error per query is kept
+    val times = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> Vector.empty[Double]): _*)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (_ <- 1 to repeats; name <- names) {
       val t0 = System.nanoTime()
       val r = execute(name)
       val dt = (System.nanoTime() - t0) / 1e9
       resetStorage()
-      (name, dt, r)
+      times(name) = times(name) :+ dt
+      r.left.foreach(e => if (!errors.contains(name)) errors(name) = e)
     }
-    val errors = results.collect { case (n, _, Left(e)) => n -> e }
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val qs = names.map(n => s""""$n":${median(times(n))}""").mkString("{", ",", "}")
+    val mins = names.map(n => s""""$n":${times(n).min}""").mkString("{", ",", "}")
+    val reps = names.map(n => times(n).mkString(s""""$n":[""", ",", "]"))
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ")}""""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = names.map(n => median(times(n))).sum
+    val host = try java.net.InetAddress.getLocalHost.getHostName catch { case _: Throwable => "unknown" }
+    val prov = s"""{"host":"$host","cpus":"$cpus","repeats":$repeats,""" +
+      s""""ts":"${java.time.Instant.now()}"}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,""" +
+      s""""repeats":$reps,"errors":$errJson,"sf":"$sfDir","provenance":$prov}"""
     println(line)
-    Files.writeString(Paths.get("BENCH.json"), line + "\n")
+    Files.writeString(Paths.get("BENCH_local.json"), line + "\n")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
