@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -9,11 +10,15 @@ import org.apache.spark.util.sketch.BloomFilter
 
 /** Membership probe against a pre-built `spark.util.sketch.BloomFilter`,
   * codegen'd — the map-side pre-filter of a Bloom anti-join
-  * ([[graft.sinks.Sinks.bloomDedupAgainstExisting]]). The serialized
-  * filter rides in the expression (an Array[Byte] constructor param, NOT
-  * a child — it is not a column) and deserializes once per executor via
-  * the codegen reference array; per row the probe is a few hash
-  * multiplies against the bit array, no shuffle, no join.
+  * ([[graft.sinks.Sinks.bloomDedupAgainstExisting]]). The filter rides
+  * in a BROADCAST variable (a constructor param, NOT a child — it is
+  * not a column): the driver holds one copy, the plan/task closures
+  * carry only the broadcast handle (O(1) bytes — a serialized-literal
+  * form would embed the full filter in every task at ~1.2 GB for 10^9
+  * keys at 1% fpp), and each executor torrent-fetches the bits once.
+  * The codegen caches `bloom.value` in a per-operator mutable slot so
+  * the per-row cost is a few hash multiplies against the bit array —
+  * no shuffle, no join, no per-row broadcast lookup.
   *
   * Hashing matches what `DataFrameStatFunctions.bloomFilter` put in:
   * longs probe `mightContainLong`, strings probe `mightContainBinary`
@@ -21,11 +26,10 @@ import org.apache.spark.util.sketch.BloomFilter
   * UTF8String with no java.lang.String round-trip). May return a false
   * POSITIVE (callers re-verify positives exactly); never a false
   * negative — the property the definitely-new fast path rests on. */
-case class BloomContains(child: Expression, bloomBytes: Array[Byte])
+case class BloomContains(child: Expression, bloom: Broadcast[BloomFilter])
     extends UnaryExpression {
 
-  @transient private lazy val filter: BloomFilter =
-    BloomFilter.readFrom(bloomBytes)
+  @transient private lazy val filter: BloomFilter = bloom.value
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType | IntegerType | ShortType | ByteType | StringType =>
@@ -45,8 +49,12 @@ case class BloomContains(child: Expression, bloomBytes: Array[Byte])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bf = ctx.addReferenceObj("bloomFilter", filter,
-      classOf[BloomFilter].getName)
+    val bfClass = classOf[BloomFilter].getName
+    val bcRef = ctx.addReferenceObj("bloomBroadcast", bloom,
+      classOf[Broadcast[_]].getName)
+    // fetch the broadcast value once per operator instance, not per row
+    val bf = ctx.addMutableState(bfClass, "graftBloomFilter",
+      v => s"$v = ($bfClass) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, c => child.dataType match {
       case StringType => s"${ev.value} = $bf.mightContainBinary($c.getBytes());"
       case _ => s"${ev.value} = $bf.mightContainLong((long) $c);"

@@ -128,46 +128,86 @@ object Sinks {
     incoming.join(existingKeys.select(keyCols.map(col).toIndexedSeq: _*).distinct(),
       keyCols, "left_anti")
 
+  /** Estimated serialized size of a Bloom filter sized for `n` keys at
+    * `fpp` — the textbook optimal bit count m = -n*ln(p)/ln(2)^2, in
+    * bytes. ~1.2 bytes/key at 1% fpp: 10^8 keys ≈ 120 MB, 10^9 ≈ 1.2 GB. */
+  def bloomFilterBytes(n: Long, fpp: Double): Long =
+    (-n * math.log(fpp) / (math.log(2) * math.log(2)) / 8).toLong
+
   /** Bloom-prefiltered [[dedupAgainstExisting]] — the 100TB shape of
     * dedup-against-target: a Bloom filter of the existing keys (built
-    * once, `expectedItems`/`fpp` sized, broadcast inside the codegen'd
-    * [[graft.functions.BloomContains]] probe) splits the batch MAP-SIDE
-    * into definitely-new rows (bloom-negative — no false negatives, they
-    * bypass the join entirely) and candidates (bloom-positive), and only
-    * the candidates — true duplicates plus an `fpp` sliver of false
-    * positives — pay the exact anti-join shuffle. Against a multi-TB
-    * target where the incoming batch is mostly new, the anti-join input
-    * shrinks from |batch| to ~|duplicates|. Result is EXACTLY
-    * dedupAgainstExisting's (false positives are re-verified by the
-    * join; null keys keep anti-join semantics: never equal, so kept).
+    * once, `expectedItems`/`fpp` sized, shipped as a BROADCAST variable
+    * probed by the codegen'd [[graft.functions.BloomContains]]) splits
+    * the batch MAP-SIDE into definitely-new rows (bloom-negative — no
+    * false negatives, they bypass the join entirely) and candidates
+    * (bloom-positive), and only the candidates — true duplicates plus an
+    * `fpp` sliver of false positives — pay the exact anti-join. Against
+    * a multi-TB target where the incoming batch is mostly new, the
+    * anti-join's batch-side input shrinks from |batch| to ~|duplicates|.
+    * Result is EXACTLY dedupAgainstExisting's (false positives are
+    * re-verified by the join; null keys keep anti-join semantics: never
+    * equal, so kept).
     *
-    * `incoming` is consumed by BOTH branches of the split — persist it
-    * first if it is an expensive derivation rather than a cheap scan
-    * (the trade is deliberate: two map-side passes over the batch cost
-    * far less at scale than shuffling the whole batch through the
-    * anti-join, which a single-pass join-condition formulation would). */
+    * Size bound: the filter costs `bloomFilterBytes(expectedItems, fpp)`
+    * ≈ -n*ln(fpp)/ln(2)^2/8 on the driver (once, transiently at build)
+    * and per executor (once, torrent-fetched) — NOT per task and NOT in
+    * the plan. The `maxFilterBytes` guard (default 256 MB ≈ 2*10^8 keys
+    * at 1% fpp) fails fast instead of silently OOMing; raise it
+    * deliberately on drivers/executors sized for it, or shard the key
+    * space upstream.
+    *
+    * `pruneExistingByCandidates` is the scan-side win regime: when the
+    * batch is known MOSTLY NEW (candidates ≈ dupes + fpp*|batch|, small),
+    * the distinct candidate keys are broadcast to semi-prune the huge
+    * existing side map-side — existing never shuffles (only rows whose
+    * key is in the tiny candidate set survive the scan), and the residual
+    * anti-join broadcasts those survivors back. Total shuffle: the
+    * candidate-key distinct, O(|candidates|) — vs BOTH full sides for
+    * the plain anti-join. Do NOT enable when a large batch may be mostly
+    * duplicates: the candidate broadcast would then be O(|batch|).
+    *
+    * `incoming` is consumed by both branches of the split (three times
+    * with the prune on) — persist it first if it is an expensive
+    * derivation rather than a cheap scan (the trade is deliberate:
+    * map-side re-scans of the batch cost far less at scale than
+    * shuffling the whole batch through the anti-join, which a
+    * single-pass join-condition formulation would). */
   def bloomDedupAgainstExisting(incoming: DataFrame, existingKeys: DataFrame,
                                 keyCol: String, expectedItems: Long,
-                                fpp: Double = 0.01): DataFrame = {
+                                fpp: Double = 0.01,
+                                pruneExistingByCandidates: Boolean = false,
+                                maxFilterBytes: Long = 256L << 20): DataFrame = {
+    val estBytes = bloomFilterBytes(expectedItems, fpp)
+    require(estBytes <= maxFilterBytes,
+      s"bloom filter for expectedItems=$expectedItems at fpp=$fpp is ~$estBytes " +
+        s"bytes > maxFilterBytes=$maxFilterBytes (driver + per-executor " +
+        "allocation) — raise maxFilterBytes deliberately or shard the key space")
     // empty (or all-null) existing keys: bloom_filter_agg yields a null
     // filter and stat.bloomFilter NPEs — the answer is just "everything
     // is new", matching dedupAgainstExisting on an empty right side
     if (existingKeys.where(col(keyCol).isNotNull).limit(1).isEmpty)
       return incoming
     val bf = existingKeys.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos); bos.toByteArray
-    }
+    val bc = incoming.sparkSession.sparkContext.broadcast(bf)
     val contains = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.BloomContains(
-        org.apache.spark.sql.GraftColumnBridge.expression(col(keyCol)), bytes))
+        org.apache.spark.sql.GraftColumnBridge.expression(col(keyCol)), bc))
     // null keys: contains is null; coalesce routes them to the fast path,
     // matching left_anti (null never equals an existing key -> row kept)
     val definitelyNew = incoming.where(!coalesce(contains, lit(false)))
     val candidates = incoming.where(coalesce(contains, lit(false)))
-    definitelyNew.unionByName(
-      dedupAgainstExisting(candidates, existingKeys, Seq(keyCol)))
+    val residual =
+      if (!pruneExistingByCandidates)
+        dedupAgainstExisting(candidates, existingKeys, Seq(keyCol))
+      else {
+        // candidates are non-null by construction (nulls took the fast
+        // path), so equality semantics need no null handling here
+        val candKeys = candidates.select(col(keyCol)).distinct()
+        val survivors = existingKeys.select(col(keyCol))
+          .join(broadcast(candKeys), Seq(keyCol), "left_semi").distinct()
+        candidates.join(broadcast(survivors), Seq(keyCol), "left_anti")
+      }
+    definitelyNew.unionByName(residual)
   }
 
   /** Bucketed table write: pre-shuffles once at write time so every later

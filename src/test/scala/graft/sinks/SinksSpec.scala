@@ -39,6 +39,47 @@ class SinksSpec extends SparkTestBase {
       == batch.count())
   }
 
+  test("bloomDedup candidate-prune path: == plain anti-join; the existing " +
+    "side joins by broadcast only (never a shuffle join) even with " +
+    "auto-broadcast disabled") {
+    val s = spark; import s.implicits._
+    val existing = (0L until 300L).map(i => s"key-$i").toDF("k")
+    val batch = ((100L until 1100L).map(i => Some(s"key-$i")) :+ None)
+      .toDF("k").withColumn("payload", col("k"))
+    val plain = Sinks.dedupAgainstExisting(batch, existing, Seq("k"))
+      .collect().map(_.getString(1)).toSet
+    // simulate the un-broadcastable multi-TB existing table: the prune
+    // path's EXPLICIT small-side broadcasts must carry the whole plan
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    confs.foreach(spark.conf.set(_, "-1"))
+    try {
+      val pruned = Sinks.bloomDedupAgainstExisting(batch, existing, "k",
+        expectedItems = 300, pruneExistingByCandidates = true)
+      assert(pruned.collect().map(_.getString(1)).toSet == plain,
+        "candidate prune must not change the result")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast semi/anti joins in:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"existing side must never reach a shuffle join:\n$plan")
+    } finally confs.foreach(spark.conf.unset)
+  }
+
+  test("bloomDedup fails fast when the filter would exceed maxFilterBytes") {
+    val s = spark; import s.implicits._
+    val existing = Seq("a", "b").toDF("k")
+    // 10^10 keys at 1% fpp ~ 12 GB >> the 256 MB default guard
+    val e = intercept[IllegalArgumentException] {
+      Sinks.bloomDedupAgainstExisting(existing, existing, "k",
+        expectedItems = 10000000000L)
+    }
+    assert(e.getMessage.contains("maxFilterBytes"))
+    // the guard formula itself: ~1.2 bytes/key at 1% fpp
+    val est = Sinks.bloomFilterBytes(1000000000L, 0.01)
+    assert(est > 1100000000L && est < 1300000000L, s"estimate off: $est")
+  }
+
   test("csv round-trip with header") {
     val out = tmpDir("csv-out")
     Sinks.writeFile(df100, out, Sinks.FileSinkConfig(format = "csv", header = true))
