@@ -128,21 +128,54 @@ object TextAnalysis {
     * ranking behavior as classic tf-idf (monotone in tf and 1/df), none
     * of the cross-libm drift of ln(). Ties rank lexicographically.
     *
-    * Scale shape: one shuffle of (id, term) pairs for tf, a tiny df
-    * aggregate joined back (broadcast-able — distinct terms ≪ corpus),
-    * and the per-doc top-k window, whose rank<=k filter Spark pushes
-    * map-side (WindowGroupLimit) so full per-doc term lists never sort
-    * through one partition. Output: (id, term, tf, df, score, rank). */
+    * Scale shape: ONE pass over the corpus. A per-doc sentinel term
+    * keeps tokenless docs in the grouped frame, so the exact document
+    * count N is an aggregate of that same frame rather than a separate
+    * `df.count()` scan of a possibly-expensive upstream pipeline; the
+    * (id, term) exchange is the plan's only shuffle of corpus bytes and
+    * is REUSED by all three consumers (tf join-left, df, N). The tiny df
+    * aggregate is broadcast-hinted into the join (distinct terms ≪
+    * (id, term) pairs in any natural corpus) under a plan-stats size
+    * guard, so a pathological billion-term corpus degrades to a sort-
+    * merge join instead of a broadcast OOM. The per-doc top-k window's
+    * rank<=k filter Spark pushes map-side (WindowGroupLimit) so full
+    * per-doc term lists never sort through one partition.
+    *
+    * N counts distinct `idCol` values (== row count when ids are unique,
+    * the sane corpus shape). Output: (id, term, tf, df, score, rank). */
   def keywordScores(df: DataFrame, idCol: String, textCol: String,
-                    topK: Int): DataFrame = {
+                    topK: Int, broadcastDfMaxBytes: Long = 64L << 20): DataFrame = {
     require(topK >= 1, s"topK must be >= 1: $topK")
-    val nDocs = df.count()
-    val tf = df
-      .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("term"))
+    // Each doc emits a sentinel `""` term (impossible as a real token —
+    // tokens() drops empties) ahead of its tokens, so tokenless docs
+    // still ride the shared (id, term) exchange for the N count, and
+    // `term` stays NON-nullable by schema — the inner join on term below
+    // infers an isnotnull(term) which then constant-folds away instead
+    // of materializing below the exchange in some branches but not
+    // others (which would split the subtrees and defeat ReuseExchange).
+    val tf0 = df
+      .select(col(idCol).as("id"),
+        explode(concat(array(lit("")),
+          tokens(lower(coalesce(col(textCol), lit("")))))).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, Seq("term"))
-      .withColumn("score", col("tf") * lit(nDocs.toDouble) / col("df"))
+    // Every consumer references tf0's columns through a semantic no-op
+    // on `tf` (tf >= 1 holds for every grouped row): without it, column
+    // pruning and predicate pushdown rewrite each branch's copy of the
+    // exchange subtree differently, the subtrees stop being identical,
+    // and ReuseExchange falls apart into extra corpus scans. The plan
+    // test pins all of this (one scan + ReusedExchange).
+    val tf = tf0.where(when(col("tf") >= 1, length(col("term")) > 0))
+    val nDocs = tf0.agg(
+      countDistinct(when(col("tf") >= 1, col("id"))).as("n_docs"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(when(col("tf") >= 1, lit(1))).as("df"))
+    val dfreqHinted =
+      if (dfreq.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastDfMaxBytes)
+        broadcast(dfreq)
+      else dfreq
+    val scored = tf.join(dfreqHinted, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * col("n_docs").cast("double") / col("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rank", row_number().over(w))

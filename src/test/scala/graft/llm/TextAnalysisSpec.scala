@@ -104,6 +104,37 @@ class TextAnalysisSpec extends SparkTestBase {
     // "runs" df=1 tie at 3.0 -> dog before runs
     assert(out((3L, 1))._1 == "dog" && out((3L, 2))._1 == "runs", s"got $out")
   }
+  test("keywordScores plan: one corpus scan (tf exchange reused by df and " +
+    "N branches), df side joins by broadcast") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 50L).map(i => (i, s"alpha beta gamma-$i delta word$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.keywordScores(docs, "doc_id", "text", topK = 2)
+    out.collect()
+    // AQE's toString appends an "== Initial Plan ==" section (pre-reuse);
+    // assert over the final plan only
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly one corpus scan, got $scans in:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"expected the (id, term) exchange to be reused in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the df side broadcast into the score join in:\n$plan")
+  }
+
+  test("keywordScores: tokenless docs count toward N (the sentinel term " +
+    "keeps them in the doc-count branch, excluded from tf)") {
+    val s = spark; import s.implicits._
+    // 4 docs, one tokenless: N=4, so "whale" (tf=2, df=1) scores 2*4/1=8
+    val docs = Seq((1L, "whale whale swims"), (2L, "cat"), (3L, "dog"),
+      (4L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.keywordScores(docs, "doc_id", "text", topK = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(4))).toMap
+    assert(out(1L) == (("whale", 8.0)), s"got $out")
+    assert(!out.contains(4L), "tokenless doc emits no keyword rows")
+  }
+
   test("regexTokens splits words, numbers and symbols") {
     val r = one("ab12 cd, ef!").select(TextAnalysis.regexTokens(col("text")))
       .head().getSeq[String](0)
