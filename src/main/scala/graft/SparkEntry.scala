@@ -485,9 +485,18 @@ object SparkEntry {
         // feeds the near-dup pipeline (two scans) and the final join:
         // materialize the dedup once, not three times
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.core.Metrics.drainDriverEvents() // scope the event window
       val dropIds = Dedup.nearDupClusters(exact, "doc_id", "text", threshold = 0.5,
           maxBucketSize = Some(docBucketCap(s, dir)))
         .where(!col("keep")).select(col("id").as("doc_id"))
+      // the CC loop inside nearDupClusters just ran eagerly — publish its
+      // round count (a driver-loop counter no action computes) to the
+      // telemetry metrics table; side output, not the returned frame
+      graft.core.Telemetry.appendMetrics(s,
+        graft.core.Telemetry.fromDriverEvents("m14",
+          graft.core.Metrics.drainDriverEvents()),
+        tmpQueryDir("m14-telemetry").toString + "/metrics",
+        java.time.LocalDate.now())
       val curated = exact.join(dropIds, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -881,12 +890,23 @@ object SparkEntry {
               decimalSum(col("o_totalprice"), 2).as("total_price")),
           s"$out/orders_summary")
       val state = new RunState(s"$out/_state")
+      graft.core.Metrics.drainDriverEvents() // scope the event window to this run
       val results = Runner.runAll(s, Seq(
         "events_split" -> eventsSplit, "orders_summary" -> ordersSummary))
       Runner.saveHistory(state, results)
       state.commit()
       require(results.forall(_.result.isSuccess),
         s"pipeline failed: ${results.filter(_.result.isFailure)}")
+      // telemetry metrics table (reference MetricRecord family): per-
+      // pipeline durations plus any driver-loop events (cc rounds etc.)
+      // recorded during the window — side output, not the returned frame
+      val nowTs = new java.sql.Timestamp(System.currentTimeMillis())
+      graft.core.Telemetry.appendMetrics(s,
+        results.map(r => graft.core.Telemetry.MetricRecord("m12",
+          s"${r.name}.duration_ms", r.millis, "", nowTs)) ++
+          graft.core.Telemetry.fromDriverEvents("m12",
+            graft.core.Metrics.drainDriverEvents()),
+        s"$out/telemetry_metrics", java.time.LocalDate.now())
       // aggregates over the PUBLISHED outputs (post-commit paths)
       val valid = s.read.parquet(s"$out/events_valid")
         .agg(count(lit(1)).as("n"), decimalSum(col("value"), 2).as("metric"))

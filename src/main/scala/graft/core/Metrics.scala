@@ -59,4 +59,32 @@ object Metrics {
     spark.listenerManager.register(c)
     c
   }
+
+  /** Driver-side metric event — for values the observe() path cannot
+    * capture: counters produced by iterative DRIVER loops (e.g.
+    * connected-components round counts), which exist only after the loop
+    * ends, not during any single action's execution. */
+  final case class DriverEvent(point: String, metric: String, value: Long,
+                               tags: String, at: java.sql.Timestamp)
+
+  private val driverQueue =
+    new java.util.concurrent.ConcurrentLinkedQueue[DriverEvent]()
+
+  /** Record a driver-loop metric. Appends per call — concurrent
+    * pipelines interleave without clobbering each other (the failure
+    * mode of a shared mutable field). */
+  def recordDriver(point: String, metric: String, value: Long,
+                   tags: String = ""): Unit =
+    driverQueue.add(DriverEvent(point, metric, value, tags,
+      new java.sql.Timestamp(System.currentTimeMillis())))
+
+  /** Remove and return all driver events recorded so far, in record
+    * order. Callers bracketing a job (drain-discard before, drain-append
+    * after) get exactly their own window's events. */
+  def drainDriverEvents(): Seq[DriverEvent] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DriverEvent]
+    var e = driverQueue.poll()
+    while (e != null) { buf += e; e = driverQueue.poll() }
+    buf.toSeq
+  }
 }

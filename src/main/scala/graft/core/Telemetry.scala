@@ -44,6 +44,12 @@ object Telemetry {
     write(spark, records, dest, date)
   }
 
+  /** Driver-loop events (Metrics.recordDriver) as MetricRecords — the
+    * channel for counters no action computes, e.g. connected-components
+    * round counts. */
+  def fromDriverEvents(job: String, events: Seq[Metrics.DriverEvent]): Seq[MetricRecord] =
+    events.map(e => MetricRecord(job, s"${e.point}.${e.metric}", e.value, e.tags, e.at))
+
   /** Snapshot a Metrics.Collector into MetricRecords (long-valued points). */
   def fromCollector(job: String, collector: Metrics.Collector,
                     at: Timestamp): Seq[MetricRecord] =

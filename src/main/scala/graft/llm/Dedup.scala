@@ -638,9 +638,22 @@ object Dedup {
     } else df.localCheckpoint(true)
   }
 
-  /** Rounds the last connectedComponents call took — bench/diagnostic
-    * surface only (not synchronized across concurrent CC runs). */
-  @volatile private[graft] var lastCcRounds: Int = 0
+  /** Rounds the last connectedComponents call ON THIS THREAD took —
+    * bench/test read-back (thread-local, so concurrent pipelines never
+    * clobber each other's value; a CC call and its read-back share the
+    * caller's thread). The durable, pipeline-visible channel is the
+    * Metrics driver event ("graft.cc"/"rounds", tagged with the
+    * algorithm) emitted per call — see recordCcRounds. */
+  private val ccRoundsLocal = new ThreadLocal[Int] {
+    override def initialValue(): Int = 0
+  }
+  private[graft] def lastCcRounds: Int = ccRoundsLocal.get()
+
+  private def recordCcRounds(algorithm: String, iters: Int): Unit = {
+    ccRoundsLocal.set(iters)
+    graft.core.Metrics.recordDriver("graft.cc", "rounds", iters.toLong,
+      tags = algorithm)
+  }
 
   /** Algorithm dispatch. "auto" (default) picks min-label for small edge
     * sets and large-star/small-star above `graft.cc.starEdgeThreshold`
@@ -757,7 +770,7 @@ object Dedup {
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents (star) did not converge in $maxIterations rounds")
-    lastCcRounds = iters
+    recordCcRounds("star", iters)
     // star forest -> labels: every non-root points straight at its
     // component min; roots (nodes never on the u side) label themselves
     val labels = edges.select(col("u").as("id"), col("v").as("cluster"))
@@ -844,7 +857,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIterations rounds " +
         "(component diameter exceeds maxIterations — raise it)")
-    lastCcRounds = iters
+    recordCcRounds("minlabel", iters)
     edges.unpersist(blocking = true)
     if (ownPairs) pairs.unpersist(blocking = true)
     labels.select(col("id"), col("label").as("cluster"))

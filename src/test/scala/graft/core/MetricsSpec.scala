@@ -52,6 +52,46 @@ class MetricsSpec extends SparkTestBase {
     assert(spark.read.parquet(dest2).where("is_driver").count() == 1)
   }
 
+  test("driver events: record/drain in order, window-scoped, telemetry mapping") {
+    Metrics.drainDriverEvents() // isolate from other suites
+    Metrics.recordDriver("graft.cc", "rounds", 6L, tags = "star")
+    Metrics.recordDriver("graft.cc", "rounds", 11L, tags = "minlabel")
+    val events = Metrics.drainDriverEvents()
+    assert(events.map(e => (e.point, e.metric, e.value, e.tags)) ==
+      Seq(("graft.cc", "rounds", 6L, "star"), ("graft.cc", "rounds", 11L, "minlabel")))
+    assert(Metrics.drainDriverEvents().isEmpty, "drain empties the queue")
+    val recs = Telemetry.fromDriverEvents("jobX", events)
+    assert(recs.map(r => (r.job, r.metric, r.value, r.tags)) ==
+      Seq(("jobX", "graft.cc.rounds", 6L, "star"),
+        ("jobX", "graft.cc.rounds", 11L, "minlabel")))
+  }
+
+  test("concurrent CC runs: per-thread round read-back never clobbers, " +
+    "both calls emit driver events") {
+    val s = spark; import s.implicits._
+    Metrics.drainDriverEvents()
+    // a 12-node chain vs a 2-node pair: different round counts by design
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val pair = Seq((100L, 101L)).toDF("id1", "id2")
+    @volatile var chainRounds = -1
+    @volatile var pairRounds = -1
+    val t1 = new Thread(() => {
+      graft.llm.Dedup.connectedComponents(chain).count()
+      chainRounds = graft.llm.Dedup.lastCcRounds
+    })
+    val t2 = new Thread(() => {
+      graft.llm.Dedup.connectedComponents(pair).count()
+      pairRounds = graft.llm.Dedup.lastCcRounds
+    })
+    t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+    assert(pairRounds >= 1 && chainRounds > pairRounds,
+      s"thread-local read-back clobbered: chain=$chainRounds pair=$pairRounds")
+    val events = Metrics.drainDriverEvents()
+      .filter(e => e.point == "graft.cc" && e.metric == "rounds")
+    assert(events.size == 2, s"expected one event per CC call, got $events")
+    assert(events.map(_.value).toSet == Set(chainRounds.toLong, pairRounds.toLong))
+  }
+
   test("fromCollector snapshots long-valued observed metrics") {
     val c = new Metrics.Collector
     // simulate a delivery via the public surface: use a real observation
