@@ -743,13 +743,16 @@ object Dedup {
     // Convergence via (count, hash-sum) fingerprint of the edge SET: both
     // steps are the identity exactly on a star forest, so an unchanged
     // round means done. One cheap aggregate replaces a per-round except()
-    // (a full extra shuffle); a false positive needs a 64-bit hash-sum
-    // collision at equal cardinality — not a realistic input property.
-    def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+    // (a full extra shuffle). TWO independent hash-sums (the second
+    // salt-seeded) guard the correctness-critical fixpoint test: a false
+    // positive now needs simultaneous 64-bit collisions in both families
+    // at equal cardinality (~2^-128), vs ~2^-64 for one.
+    def fingerprint(e: DataFrame): (Long, BigDecimal, BigDecimal) = {
       val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
-      (r.getLong(0),
-        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        sum(xxhash64(lit("graft-cc-b"), col("u"), col("v")).cast("decimal(38,0)"))).head()
+      def d(i: Int) = if (r.isNullAt(i)) BigDecimal(0) else BigDecimal(r.getDecimal(i))
+      (r.getLong(0), d(1), d(2))
     }
     var prevFp = fingerprint(edges)
     var converged = prevFp._1 == 0 // no non-loop edges: all singletons
@@ -819,16 +822,25 @@ object Dedup {
     // string path): decimal sum of xxhash64(label) — equal sums mean an
     // unchanged label MULTISET, and strictly-decreasing moves can never
     // preserve the multiset (the largest changed label would need an
-    // increase to refill), so unchanged checksum = fixpoint, modulo a
-    // 64-bit hash-sum collision at equal cardinality.
+    // increase to refill), so unchanged checksum = fixpoint. The string
+    // path folds in a SECOND, salt-seeded hash-sum: a false fixpoint now
+    // needs simultaneous collisions in both 64-bit families at equal
+    // cardinality (~2^-128). The numeric path needs none of this — its
+    // sum is exact and strictly decreasing, so equality IS the fixpoint.
     val numericLabels = pairs.schema(idCol1).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    def checksum(df: DataFrame): BigDecimal = {
-      val sumCol =
-        if (numericLabels) sum(col("label").cast("decimal(38,0)"))
-        else sum(xxhash64(col("label")).cast("decimal(38,0)"))
-      val d = df.agg(sumCol).head().getDecimal(0)
-      if (d == null) BigDecimal(0) else BigDecimal(d) // null = empty graph
+    def checksum(df: DataFrame): (BigDecimal, BigDecimal) = {
+      val (c1, c2) =
+        if (numericLabels)
+          (sum(col("label").cast("decimal(38,0)")),
+            sum(lit(0)).cast("decimal(38,0)"))
+        else
+          (sum(xxhash64(col("label")).cast("decimal(38,0)")),
+            sum(xxhash64(lit("graft-cc-b"), col("label")).cast("decimal(38,0)")))
+      val r = df.agg(c1, c2).head()
+      def d(i: Int) = // null = empty graph
+        if (r.isNullAt(i)) BigDecimal(0) else BigDecimal(r.getDecimal(i))
+      (d(0), d(1))
     }
     var prevSum = checksum(labels)
     var converged = labels.isEmpty // no pairs -> nothing to propagate

@@ -57,11 +57,16 @@ object AsofJoin {
                tolerance: Option[Column] = None): DataFrame = {
     val leftOut = left.columns.toSeq
     require(rightCols.nonEmpty, "at least one right payload column required")
-    // case-INSENSITIVE collision check: Spark resolution is
-    // case-insensitive by default, so a left "PX" and payload "px" would
-    // pass a case-sensitive guard and yield an ambiguous output
-    val lowerOut = leftOut.map(_.toLowerCase).toSet
-    val collide = rightCols.filter(c => lowerOut.contains(c.toLowerCase))
+    // collision check honoring the session's resolution mode: Spark
+    // resolution is case-insensitive by default, so a left "PX" and
+    // payload "px" would pass a case-sensitive guard and yield an
+    // ambiguous output — but under spark.sql.caseSensitive=true those
+    // are distinct, legal columns, so compare exactly there
+    val caseSensitive = left.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    val norm: String => String = if (caseSensitive) identity else _.toLowerCase
+    val lowerOut = leftOut.map(norm).toSet
+    val collide = rightCols.filter(c => lowerOut.contains(norm(c)))
     require(collide.isEmpty,
       s"right payload columns $collide collide with left columns")
     val reserved = (leftOut ++ rightCols).filter(_.startsWith(Reserved))

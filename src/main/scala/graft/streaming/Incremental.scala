@@ -131,7 +131,11 @@ object Incremental {
     // legacy batch_key partition from decisions/state before restarting
     // such a stream (committed batches are unaffected: their offsets
     // advanced, so their keys are never re-written).
-    lazy val ckToken = checkpointQueryToken(stream.sparkSession, checkpointDir)
+    lazy val ckToken = {
+      val t = checkpointQueryToken(stream.sparkSession, checkpointDir)
+      warnLegacyBatchKeys(stream.sparkSession, statePath, checkpointDir, t)
+      t
+    }
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processIncrementalBatch(batch, s"$ckToken-$batchId", idCol, textCol,
@@ -161,9 +165,46 @@ object Incremental {
             .map(_.group(1)).getOrElse(raw)
         } finally in.close()
       } else checkpointDir
+    tokenDigest(seed)
+  }
+
+  private def tokenDigest(seed: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(seed.getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
+
+  /** Detect state written under the LEGACY batch-key token (an md5 of the
+    * checkpoint path, the pre-query-id format): legacy and current keys
+    * share the same 12-hex shape, so the probe computes what the legacy
+    * token for this checkpoint path WOULD be and lists its partitions.
+    * One prominent warning, because the failure is silent otherwise: a
+    * stream that crashed MID-BATCH under the old format replays under a
+    * new key after upgrading, leaving the crashed half-write's partition
+    * in state/decisions — the operator must delete the HIGHEST legacy
+    * batch_key partition before trusting the state (committed batches
+    * are unaffected: their offsets advanced, their keys never re-write).
+    * Returns the legacy partition names so tests (and operators) can
+    * assert/inspect. */
+  private[graft] def warnLegacyBatchKeys(
+      spark: org.apache.spark.sql.SparkSession, statePath: String,
+      checkpointDir: String, currentToken: String): Seq[String] = {
+    val legacy = tokenDigest(checkpointDir)
+    if (legacy == currentToken) return Nil // pre-start fallback: same token
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val hits = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(s"batch_key=$legacy-")).toSeq.sorted
+    if (hits.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"LEGACY batch-key state detected at $statePath (${hits.size} " +
+          s"partition(s) under the old md5(path) token '$legacy', e.g. " +
+          s"${hits.head}). If the stream crashed mid-batch before the " +
+          "upgrade, DELETE the highest legacy batch_key partition from " +
+          "state AND decisions before trusting this state — the replay " +
+          "now runs under a new key and will not overwrite the crashed " +
+          "half-write. Committed batches are unaffected.")
+    hits
   }
 
   /** One micro-batch of [[incrementalDedupStream]], factored out so the

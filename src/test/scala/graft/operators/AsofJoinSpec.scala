@@ -123,6 +123,16 @@ class AsofJoinSpec extends SparkTestBase {
     intercept[IllegalArgumentException](AsofJoin.asofJoin(
       trades.withColumn("PX", lit(1)), quotes, "sym", "sym", "tt", "qt",
       Seq("px")))
+    // ...but under spark.sql.caseSensitive=true a left PX and right px
+    // are distinct legal columns — the guard must not reject them
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val out2 = AsofJoin.asofJoin(
+        trades.withColumn("PX", lit(1)), quotes, "sym", "sym", "tt", "qt",
+        Seq("px"))
+      assert(out2.columns.count(_.equalsIgnoreCase("px")) == 2)
+      out2.collect() // resolves and executes unambiguously
+    } finally spark.conf.unset("spark.sql.caseSensitive")
   }
 
   test("asofJoin null keys/times: right rows dropped, left rows unmatched") {

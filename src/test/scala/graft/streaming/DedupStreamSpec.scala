@@ -36,6 +36,34 @@ class DedupStreamSpec extends SparkTestBase {
     }
   }
 
+  test("warnLegacyBatchKeys flags state written under the old md5(path) " +
+    "token, and only that state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy").toFile
+    try {
+      val ck = dir.getAbsolutePath + "/ck"
+      val statePath = dir.getAbsolutePath + "/state"
+      // legacy token = the pre-query-id path hash (today's pre-start
+      // fallback computes exactly it)
+      val legacy = Incremental.checkpointQueryToken(spark, ck)
+      // no state dir at all -> nothing to warn about
+      assert(Incremental.warnLegacyBatchKeys(spark, statePath, ck, "ffffffffffff").isEmpty)
+      new java.io.File(s"$statePath/batch_key=$legacy-0").mkdirs()
+      new java.io.File(s"$statePath/batch_key=$legacy-1").mkdirs()
+      new java.io.File(s"$statePath/batch_key=ffffffffffff-0").mkdirs()
+      // current token == legacy (stream never upgraded): no warning
+      assert(Incremental.warnLegacyBatchKeys(spark, statePath, ck, legacy).isEmpty)
+      // upgraded stream (query-id token differs): exactly the two legacy
+      // partitions are flagged, the new-format one is not
+      val hits = Incremental.warnLegacyBatchKeys(spark, statePath, ck, "ffffffffffff")
+      assert(hits == Seq(s"batch_key=$legacy-0", s"batch_key=$legacy-1"), hits)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("dedupWithinWatermark drops in-horizon repeats, state stays bounded") {
     val s = spark
     import s.implicits._
