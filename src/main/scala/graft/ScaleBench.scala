@@ -107,6 +107,15 @@ object ScaleBench {
     val nSimPairs = Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
       maxHamming = 3, maxBucketSize = Some(cap)).count()
     val simSecs = secs(tSim)
+    // The web-scale tier (Manku'07 6C3 chunk-combination keys, 2^33-value
+    // key space): 20 exploded rows/doc instead of 4, but buckets stay
+    // near-singleton where the 16-bit chunks above saturate — the claim
+    // is that the wider blocking costs only a constant factor here while
+    // being the ONLY scheme that still works at 10^9 docs.
+    val tSimC = System.nanoTime()
+    val nSimCPairs = Dedup.simhashNearDupPairsCombined(corpus, "doc_id",
+      "text", maxHamming = 3, chunks = 6, maxBucketSize = Some(cap)).count()
+    val simCSecs = secs(tSimC)
 
     // ---- non-equi joins at scale: range, interval overlap, as-of --------
     // Heavy-tailed interval lengths (log-uniform 2^0..2^27 over a 4e10
@@ -251,6 +260,7 @@ object ScaleBench {
       s""""cc_rounds":$ccRounds,""" +
       s""""winnow_secs":$winSecs,"winnow_fps":$nFps,""" +
       s""""simhash_secs":$simSecs,"simhash_pairs":$nSimPairs,""" +
+      s""""simhash_comb_secs":$simCSecs,"simhash_comb_pairs":$nSimCPairs,""" +
       s""""rj_secs":$rjSecs,"rj_matches":$rjMatches,"rj_bin_width":$binW,""" +
       s""""rj_blowup":$blowup,"ov_secs":$ovSecs,"ov_matches":$ovMatches,""" +
       s""""asof_secs":$asofSecs,"asof_rows":$asofRows,""" +

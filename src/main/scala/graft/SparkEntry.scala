@@ -379,6 +379,13 @@ object SparkEntry {
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3, bands = 4,
         maxBucketSize = Some(docBucketCap(s, dir)))),
+    "d21_simhash_combined" -> ((s, dir) =>
+      // the WEB-SCALE blocking tier (Manku'07 chunk-combination keys,
+      // 6C3 -> 2^33-value keys): recall is still a pigeonhole guarantee,
+      // so the oracle is the scheme-INDEPENDENT brute-force hamming<=3
+      // pair set — the strongest statement the detector can make
+      Dedup.simhashNearDupPairsCombined(t(s, dir, "documents"), "doc_id",
+        "text", maxHamming = 3, chunks = 6)),
 
     "d15_sessions" -> ((s, dir) =>
       // gap-based batch sessionization (30-min gap): the batch twin of the
@@ -1313,6 +1320,25 @@ object SparkEntry {
          |      FROM cands JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2)
          |SELECT id1, id2, hamming FROM p WHERE hamming <= 3""".stripMargin
         .replace("CAPLIT", lastBucketCap.toString)
+    },
+    "d21_simhash_combined" -> {
+      // brute-force all-pairs hamming over d05's simhash construction —
+      // deliberately INDEPENDENT of the chunk-combination blocking under
+      // test (exact recall means blocked == brute force)
+      val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+      val hs = s"list_transform($toks, t -> ('0x' || substr(md5(t),1,8))::BIGINT::HUGEINT * 4294967296" +
+        s" + ('0x' || substr(md5(t),9,8))::BIGINT)"
+      val bits = (63 to 0 by -1).map { j =>
+        val p = BigInt(1) << j
+        s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // $p) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"""WITH sh AS (SELECT doc_id, $bits AS sig
+         |            FROM (SELECT doc_id, $hs AS hs FROM documents)),
+         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |        CAST(len(list_filter(range(1, 65),
+         |          i -> substr(a.sig, i, 1) != substr(b.sig, i, 1))) AS BIGINT) AS hamming
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id1, id2, hamming FROM p WHERE hamming <= 3""".stripMargin
     },
     "d15_sessions" -> sessionsOracle,
     "d17_salted_sessions" ->

@@ -418,9 +418,10 @@ object Dedup {
     * Scale shape: only (16-byte band key, id) shuffles; signatures re-join
     * by id for the verify. A chunk key has just 2^(64/bands) possible
     * values, so at billion-doc scale buckets WILL grow with the corpus —
-    * `maxBucketSize` hands mega-buckets to exact dedup like the LSH cap
-    * (at web scale the paper's answer is wider keys via chunk
-    * combinations; the cap is the simpler guard at this tier). */
+    * `maxBucketSize` hands mega-buckets to exact dedup like the LSH cap.
+    * At web scale use [[simhashNearDupPairsCombined]] (the paper's
+    * chunk-combination keys, 2^33 key values); this 4-band form is the
+    * cheaper default below that tier. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, bands: Int = 4,
                           maxBucketSize: Option[Int] = None): DataFrame = {
@@ -429,24 +430,81 @@ object Dedup {
         "pigeonhole guarantee and divide 64 evenly")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    // two-step simhash (token hashes staged once, see md5TokenHashes),
-    // PACKED: the signature is one long (simhashPackedFromHashes — bit 63
-    // = the string form's first char), so the detector's hottest frames
-    // shuffle 8-byte longs + a (tinyint, long) chunk struct instead of
-    // 64-char bit strings (~8x fewer shuffle bytes at any scale), and the
-    // verify is a single bit_count(xor) with no string parsing.
+    simhashDetect(df, idCol, textCol, maxHamming, maxBucketSize, sig =>
+      array((0 until bands).map { b =>
+        // chunk b = string positions [b*width+1, (b+1)*width] of the bit
+        // string = bits [63-b*width .. 64-(b+1)*width] of the packed long
+        struct(lit(b.toByte).as("b"),
+          shiftrightunsigned(sig, width * (bands - 1 - b))
+            .bitwiseAND(lit(mask)).as("chunk"))
+      }: _*))
+  }
+
+  /** Web-scale SimHash blocking (Manku'07 §3's chunk-COMBINATION scheme):
+    * the signature splits into `chunks` near-equal pieces; two signatures
+    * within `maxHamming` agree on at least `chunks - maxHamming` pieces,
+    * so each doc emits one key per (chunks choose chunks-maxHamming)
+    * combination — (combination-id, the selected chunks' bits
+    * concatenated) — and candidates come from the equi-join on those
+    * keys. Key cardinality per combination with the default 6-choose-3
+    * split is 2^33 vs 2^16 for a 16-bit band: at billion-doc scale the
+    * 4-band tier's every bucket is a mega-bucket (only 65k distinct
+    * values exist) and the cap routes EVERYTHING to exact dedup, while
+    * combination keys keep buckets near-singleton. The price is C(6,3) =
+    * 20 exploded (int, long, id) rows per doc vs 4 — the right trade
+    * exactly when the corpus is big enough to saturate narrow chunks.
+    * Recall is exact (pigeonhole is a guarantee); output is identical to
+    * [[simhashNearDupPairs]] at the same `maxHamming` (modulo bucket-cap
+    * drops, which act on different bucket spaces). */
+  def simhashNearDupPairsCombined(df: DataFrame, idCol: String, textCol: String,
+                                  maxHamming: Int = 3, chunks: Int = 6,
+                                  maxBucketSize: Option[Int] = None): DataFrame = {
+    require(chunks > maxHamming,
+      s"chunks ($chunks) must exceed maxHamming ($maxHamming) for the " +
+        "pigeonhole guarantee")
+    require(chunks <= 16, s"chunks ($chunks) > 16 explodes combinatorially " +
+      "(C(chunks, chunks-maxHamming) keys per doc)")
+    val agree = chunks - maxHamming
+    // near-equal split of the 64 bits: the first (64 mod chunks) chunks
+    // are one bit wider
+    val widths = (0 until chunks).map(i => 64 / chunks + (if (i < 64 % chunks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    def chunkCol(sig: Column, i: Int): Column = {
+      val w = widths(i)
+      val m = if (w == 64) -1L else (1L << w) - 1L
+      shiftrightunsigned(sig, 64 - starts(i) - w).bitwiseAND(lit(m))
+    }
+    // selected chunks concatenated MSB-first; total bits <= 64, one long
+    def comboKey(sig: Column, combo: Seq[Int]): Column =
+      combo.foldLeft(lit(0L): Column) { (acc, i) =>
+        shiftleft(acc, widths(i)).bitwiseOR(chunkCol(sig, i))
+      }
+    val combos = (0 until chunks).combinations(agree).toSeq
+    simhashDetect(df, idCol, textCol, maxHamming, maxBucketSize, sig =>
+      array(combos.zipWithIndex.map { case (combo, ci) =>
+        struct(lit(ci).as("c"), comboKey(sig, combo).as("bits"))
+      }: _*))
+  }
+
+  /** Shared SimHash detector core: signatures once, exploded blocking
+    * keys (scheme supplied by the caller), capped equi-join for
+    * candidates, exact Hamming verify.
+    *
+    * Two-step simhash (token hashes staged once, see md5TokenHashes),
+    * PACKED: the signature is one long (simhashPackedFromHashes — bit 63
+    * = the string form's first char), so the detector's hottest frames
+    * shuffle 8-byte longs + a small key struct instead of 64-char bit
+    * strings (~8x fewer shuffle bytes at any scale), and the verify is a
+    * single bit_count(xor) with no string parsing. */
+  private def simhashDetect(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int, maxBucketSize: Option[Int],
+                            blockingKeys: Column => Column): DataFrame = {
     // persisted: feeds the exploded band frame AND both verify joins
     val sigs = df.select(col(idCol).as("id"), md5TokenHashes(col(textCol)).as("__h"))
       .select(col("id"), simhashPackedFromHashes(col("__h")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandFrame = capBuckets(
-      sigs.select(col("id"), explode(array((0 until bands).map { b =>
-        // chunk b = string positions [b*width+1, (b+1)*width] of the bit
-        // string = bits [63-b*width .. 64-(b+1)*width] of the packed long
-        struct(lit(b.toByte).as("b"),
-          shiftrightunsigned(col("sig"), width * (bands - 1 - b))
-            .bitwiseAND(lit(mask)).as("chunk"))
-      }: _*)).as("band")),
+      sigs.select(col("id"), explode(blockingKeys(col("sig"))).as("band")),
       "band", maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = bandFrame.select(col("band"), col("id").as("id1"))

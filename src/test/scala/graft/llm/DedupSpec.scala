@@ -127,6 +127,21 @@ class DedupSpec extends SparkTestBase {
       Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 4, bands = 4))
     intercept[IllegalArgumentException](
       Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3, bands = 5))
+    // the web-scale 6C3 chunk-combination keys find EXACTLY the same
+    // brute-force pair set (recall is a pigeonhole guarantee there too)
+    val combined = Dedup.simhashNearDupPairsCombined(docs, "doc_id", "text",
+        maxHamming = 3, chunks = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(combined == brute, s"combined=$combined brute=$brute")
+    // uneven split (64 = 5*12 + 4): widths 13,13,13,13,12 — still exact
+    val c5 = Dedup.simhashNearDupPairsCombined(docs, "doc_id", "text",
+        maxHamming = 2, chunks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val brute2 = brute.filter(_._2 <= 2L)
+    assert(c5 == brute2, s"c5=$c5 brute2=$brute2")
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairsCombined(docs, "doc_id", "text",
+        maxHamming = 6, chunks = 6))
   }
 
   test("simhash64/hamming64 (xxhash64 fast path)") {
