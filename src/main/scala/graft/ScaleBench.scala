@@ -252,6 +252,60 @@ object ScaleBench {
       s"bloom anti-join diverged: $nBloomAnti vs $nPlainAnti")
     targetFps.unpersist(); freshBatch.unpersist()
 
+    // ---- sessionization under a deliberately hot key --------------------
+    // 6M events, ONE key holding 40% of them (the fandom/bot account every
+    // real event stream has): the unsalted window must sort that key's
+    // full 2.4M-event history through one partition — the single-task
+    // straggler that stalls a 1000-executor job — while the salted
+    // two-phase split caps any partition at one (key, day) slice. Both
+    // must produce identical sessions (d17's oracle proves exact equality;
+    // here the cardinality+mass check guards the 6M-row run cheaply).
+    val spanSecs = 2592000L // 30 days
+    val sessGap = 1800L     // 30 min
+    val dayWidth = 86400L
+    val nEv = sys.env.getOrElse("GRAFT_SCALE_EVENTS", "6000000").toLong
+    val hotN = (nEv * 2) / 5
+    val evPath = java.nio.file.Files.createTempDirectory("graft-sess").toString + "/events"
+    spark.range(nEv).select(
+        when(col("id") < hotN, lit(0L)).otherwise(col("id") % 100000 + 1).as("uid"),
+        when(col("id") < hotN, (col("id") * 37) % spanSecs)
+          .otherwise((col("id") * 7919) % spanSecs).as("ts"))
+      .write.mode("overwrite").parquet(evPath)
+    val evts = spark.read.parquet(evPath)
+    // the observable the salt deletes: max rows any one window partition
+    // must sort — unsalted it is the hot key's whole history, salted the
+    // biggest (key, day) slice
+    val maxSaltedGroup = evts
+      .groupBy(col("uid"), graft.operators.RangeJoin.floorDiv(col("ts"), dayWidth))
+      .count().agg(max(col("count"))).head().getLong(0)
+    val tSessU = System.nanoTime()
+    val unsalted = graft.operators.Sessionize.sessions(evts, "uid", "ts", sessGap)
+      .agg(count(lit(1)), sum(col("n_events"))).head()
+    val sessUSecs = secs(tSessU)
+    val tSessS = System.nanoTime()
+    val salted = graft.operators.Sessionize.sessionsSalted(
+        evts, "uid", "ts", sessGap, rangeWidth = dayWidth)
+      .agg(count(lit(1)), sum(col("n_events"))).head()
+    val sessSSecs = secs(tSessS)
+    require(unsalted == salted,
+      s"salted sessionize diverged: $salted vs $unsalted")
+    val nSessions = unsalted.getLong(0)
+
+    // ---- keyword extraction over the 544k-doc corpus --------------------
+    // One corpus scan by construction (the reused tf exchange); the
+    // interesting runtime fact is which strategy AQE picks for the
+    // df-side join once it sees the real aggregate size.
+    val tKw = System.nanoTime()
+    val kwQe = TextAnalysis.keywordScores(corpus, "doc_id", "text", topK = 5)
+      .queryExecution
+    val nKw = kwQe.executedPlan.execute().count()
+    val kwSecs = secs(tKw)
+    val kwPlan = kwQe.executedPlan.toString.split("== Initial Plan ==").head
+    val kwJoin =
+      if (kwPlan.contains("BroadcastHashJoin")) "broadcast"
+      else if (kwPlan.contains("SortMergeJoin")) "smj"
+      else "other"
+
     val line =
       s"""{"metric":"scale_dedup","unit":"sec","sf":"$sfDir","docs":$nDocs,""" +
       s""""gen_secs":$genSecs,"exact_secs":$exactSecs,"exact_groups":$nExactGroups,""" +
@@ -268,7 +322,14 @@ object ScaleBench {
       s""""anti_bloom_prune_secs":$bloomPruneSecs,""" +
       s""""anti_bloom_build_secs":$bloomBuildSecs,"anti_new_rows":$nBloomAnti,""" +
       s""""sigstate_secs":$stateSecs,"inc_1k_secs":$incSecs1k,"inc_1k_kept":$kept1k,""" +
-      s""""inc_4k_secs":$incSecs4k,"inc_4k_kept":$kept4k,"total_secs":${secs(t0)}}"""
+      s""""inc_4k_secs":$incSecs4k,"inc_4k_kept":$kept4k,""" +
+      s""""sess_events":$nEv,"sess_hot_events":$hotN,""" +
+      s""""sess_hot_ratio":${hotN.toDouble / nEv},"sess_gap":$sessGap,""" +
+      s""""sess_range_width":$dayWidth,"sess_max_salted_group":$maxSaltedGroup,""" +
+      s""""sess_unsalted_secs":$sessUSecs,"sess_salted_secs":$sessSSecs,""" +
+      s""""sess_sessions":$nSessions,""" +
+      s""""kw_secs":$kwSecs,"kw_rows":$nKw,"kw_df_join":"$kwJoin",""" +
+      s""""total_secs":${secs(t0)}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_BENCH.json"), line + "\n")
     spark.stop()

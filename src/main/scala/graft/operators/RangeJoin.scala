@@ -87,7 +87,7 @@ object RangeJoin {
     * toward zero, which would put -1 and +1 in the same bin, and a
     * double-division floor can round up at 2^50-scale micros. pmod is
     * always non-negative, so (c - pmod(c, w)) is the exact floor multiple. */
-  private[operators] def floorDiv(c: org.apache.spark.sql.Column, w: Long) = {
+  private[graft] def floorDiv(c: org.apache.spark.sql.Column, w: Long) = {
     val exact = c.cast("long") - pmod(c.cast("long"), lit(w))
     // `exact` is the floor multiple of w; divide it with SQL `div`
     // (IntegralDivide) — exact over the FULL long range. Column `/` is
