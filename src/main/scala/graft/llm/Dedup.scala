@@ -455,7 +455,11 @@ object Dedup {
     * exactly when the corpus is big enough to saturate narrow chunks.
     * Recall is exact (pigeonhole is a guarantee); output is identical to
     * [[simhashNearDupPairs]] at the same `maxHamming` (modulo bucket-cap
-    * drops, which act on different bucket spaces). */
+    * drops, which act on different bucket spaces — and that difference
+    * is the point: ScaleBench's 544k-doc corpus already saturates the
+    * 16-bit chunks, where the capped 4-band tier silently drops ~44% of
+    * the true pairs this scheme keeps, at ~1.6x the time for ~1.8x the
+    * verified pairs). */
   def simhashNearDupPairsCombined(df: DataFrame, idCol: String, textCol: String,
                                   maxHamming: Int = 3, chunks: Int = 6,
                                   maxBucketSize: Option[Int] = None): DataFrame = {
