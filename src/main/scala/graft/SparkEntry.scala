@@ -354,6 +354,13 @@ object SparkEntry {
         .map { case (name, c) => c.as(name) }
       t(s, dir, "documents").select(col("doc_id") +: feats: _*)
     }),
+    "d22_repetition" -> ((s, dir) =>
+      // Gopher-family repetition ratios (dup/mode n-gram mass, n=1..3):
+      // map-side sort+fold per doc, no shuffle, staged so each expensive
+      // array op runs once — the oracle recomputes the mode count by a
+      // deliberately different (quadratic list) formulation, so the
+      // integers cross-check the fold
+      TextAnalysis.repetitionReport(t(s, dir, "documents"), "doc_id", "text")),
     "d03_lang_scores" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(col("text"))
         .map { case (name, c) => c.as(name) }
@@ -1192,6 +1199,36 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "d22_repetition" -> {
+      // Repetition ratios over t = lower(text). The mode count here is a
+      // quadratic count-per-distinct-gram list expression — deliberately
+      // NOT the Spark side's sorted-run fold, so the integer cross-checks
+      // the fold rather than echoing it (oracle-scale only; the Spark
+      // form is the O(L log L) one that runs at corpus scale).
+      val toks = "list_filter(string_split(t, ' '), x -> x != '')"
+      def grams(n: Int) =
+        if (n == 1) "g"
+        // i ranges 1..len-n+1 (range is end-exclusive: len-n+2)
+        else s"""(CASE WHEN len(g) < $n THEN [array_to_string(g, ' ')]
+                 | ELSE list_transform(range(1, len(g) - ${n - 2}),
+                 |        i -> array_to_string(g[i:i+${n - 1}], ' ')) END)""".stripMargin
+      val cols = Seq(1, 2, 3).map { n =>
+        s"""CAST(len(gr$n) AS BIGINT) AS n_${n}grams,
+           |CASE WHEN len(gr$n) > 0 THEN CAST(len(gr$n) - len(list_distinct(gr$n)) AS DOUBLE)
+           |  / CAST(len(gr$n) AS DOUBLE) END AS dup_${n}gram_ratio,
+           |CAST(coalesce(list_max(list_transform(list_distinct(gr$n),
+           |  x -> len(list_filter(gr$n, y -> y = x)))), 0) AS BIGINT) AS top_${n}gram_count,
+           |CASE WHEN len(gr$n) > 0 THEN CAST(list_max(list_transform(list_distinct(gr$n),
+           |  x -> len(list_filter(gr$n, y -> y = x)))) AS DOUBLE)
+           |  / CAST(len(gr$n) AS DOUBLE) END AS top_${n}gram_ratio""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT doc_id,
+         |$cols
+         |FROM (SELECT doc_id, ${grams(1)} AS gr1,
+         |        ${grams(2)} AS gr2, ${grams(3)} AS gr3
+         |      FROM (SELECT doc_id, $toks AS g
+         |            FROM (SELECT doc_id, lower(text) AS t FROM documents)))""".stripMargin
+    },
     "d02_quality" -> {
       // All features over t = lower(text), matching the Spark side exactly.
       val toks = "list_filter(string_split(t, ' '), x -> x != '')"

