@@ -361,6 +361,13 @@ object SparkEntry {
       // deliberately different (quadratic list) formulation, so the
       // integers cross-check the fold
       TextAnalysis.repetitionReport(t(s, dir, "documents"), "doc_id", "text")),
+    "d23_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: every ~97th doc plays the eval set;
+      // training docs are flagged by distinct shared 8-shingle md5 keys
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationFlags(docs, docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", k = 8)
+    }),
     "d03_lang_scores" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(col("text"))
         .map { case (name, c) => c.as(name) }
@@ -1229,6 +1236,23 @@ object SparkEntry {
          |      FROM (SELECT doc_id, $toks AS g
          |            FROM (SELECT doc_id, lower(text) AS t FROM documents)))""".stripMargin
     },
+    "d23_decontaminate" ->
+      // same 8-shingle md5 keys on both sides; per-doc DISTINCT shared
+      // count (the Spark side array_distincts before exploding)
+      """WITH toks AS (SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '), x -> x != '') AS g
+        |       FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         CASE WHEN len(g) < 8 THEN [md5(array_to_string(g, ' '))]
+        |              ELSE list_transform(range(1, len(g) - 6),
+        |                     i -> md5(array_to_string(g[i:i+7], ' '))) END)) AS h
+        |       FROM toks),
+        |bk AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+        |hits AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |         FROM sh s JOIN bk USING (h) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |       coalesce(h.n_hits, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
     "d02_quality" -> {
       // All features over t = lower(text), matching the Spark side exactly.
       val toks = "list_filter(string_split(t, ' '), x -> x != '')"

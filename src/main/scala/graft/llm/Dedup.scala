@@ -524,6 +524,51 @@ object Dedup {
     materializeAndRelease(verified, sigs, bandFrame)
   }
 
+  /** Benchmark DECONTAMINATION — the n-gram contamination check a
+    * training pipeline runs before training: flag every training doc
+    * sharing at least `minHits` distinct word `k`-shingle hashes with an
+    * eval/benchmark set, so contaminated docs can be dropped (or the
+    * eval question invalidated). Returns one row per training doc:
+    * (id, n_hits = distinct shared shingle hashes, contaminated).
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT md5 shingle
+    * keys — eval sets are thousands of docs, so the key set is small and
+    * broadcast (hinted under a plan-stats size guard; an oversized bench
+    * set degrades to a shuffled join rather than an OOM). The training
+    * side shuffles only (id, 32-char hash) pairs for the per-doc hit
+    * count — never text — and docs with zero hits skip the aggregate
+    * entirely (inner join) and rejoin as n_hits=0 via the left join on
+    * ids. md5 shingles are the house portability contract: any engine
+    * reproduces the keys bit-exactly, so bench-key sets can be persisted
+    * and reused across runs like signature state. */
+  def contaminationFlags(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 8, minHits: Long = 1,
+                         broadcastBenchMaxBytes: Long = 512L << 20): DataFrame = {
+    require(k >= 1, s"shingle width must be >= 1: $k")
+    require(minHits >= 1, s"minHits must be >= 1: $minHits")
+    def shingleHashes(df: DataFrame, id: Option[String]): DataFrame = {
+      val keepFirst = id.toSeq.map(c => col(c).as("__id"))
+      val keep = id.toSeq.map(_ => col("__id"))
+      df.select(keepFirst :+ TextAnalysis.tokens(lower(col(textCol))).as("__toks"): _*)
+        .select(keep :+ shinglesFromTokens(col("__toks"), k).as("__raw"): _*)
+        .select(keep :+ explode(array_distinct(transform(col("__raw"), s => md5(s))))
+          .as("__sh"): _*)
+    }
+    val benchKeys = shingleHashes(bench, None).select(col("__sh")).distinct()
+    val benchHinted =
+      if (benchKeys.queryExecution.optimizedPlan.stats.sizeInBytes
+            <= broadcastBenchMaxBytes) broadcast(benchKeys)
+      else benchKeys
+    val hits = shingleHashes(train, Some(idCol))
+      .join(benchHinted, Seq("__sh"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol))
+      .join(hits.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
   /** Winnowing-overlap near-dup pairs — the plagiarism-detector join the
     * winnowing fingerprints (TextAnalysis.winnowingMinima) exist for:
     * docs sharing fingerprints are candidate pairs, scored by fingerprint

@@ -83,6 +83,37 @@ class DedupSpec extends SparkTestBase {
     assert(!ids.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("contaminationFlags: distinct shared shingles counted, clean docs " +
+    "kept at zero, minHits threshold, broadcast plan under the guard") {
+    val s = spark; import s.implicits._
+    // k=3 shingles; doc 1 shares its full text with the bench doc (3
+    // shingles of 5 tokens = 3 hits), doc 2 shares one window, doc 3 none
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "xx alpha beta gamma yy"),
+      (3L, "totally clean document here")).toDF("doc_id", "text")
+    val out = Dedup.contaminationFlags(train, bench, "doc_id", "text", k = 3)
+    val m = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(m == Map(1L -> ((3L, true)), 2L -> ((1L, true)), 3L -> ((0L, false))), m)
+    // minHits raises the bar: doc 2's single hit no longer flags
+    val strict = Dedup.contaminationFlags(train, bench, "doc_id", "text",
+        k = 3, minHits = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(strict == Map(1L -> true, 2L -> false, 3L -> false), strict)
+    // the bench-key side rides a broadcast (the guard admits a tiny set)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // duplicated shingles within one doc count ONCE
+    val dup = Dedup.contaminationFlags(
+      Seq((7L, "alpha beta gamma alpha beta gamma")).toDF("doc_id", "text"),
+      bench, "doc_id", "text", k = 3).head()
+    // doc 7 shingles: [alpha beta gamma, beta gamma alpha, gamma alpha
+    // beta, alpha beta gamma] -> distinct 3; shared with bench = only
+    // "alpha beta gamma", and only ONCE despite appearing twice
+    assert(dup.getLong(1) == 1L, s"got $dup")
+  }
+
   test("simhashBits: identical docs equal; near docs close; different docs far") {
     val sigs = docs.select(col("doc_id"), Dedup.simhashBits(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
