@@ -361,6 +361,14 @@ object SparkEntry {
       // deliberately different (quadratic list) formulation, so the
       // integers cross-check the fold
       TextAnalysis.repetitionReport(t(s, dir, "documents"), "doc_id", "text")),
+    "d24_mix_take" -> ((s, dir) =>
+      // data mixing: largest corpus at a 50/25/25 en/zh/de composition,
+      // rows picked by the deterministic salted-hash order (d16/d19's
+      // portability contract); bottleneck stratum kept ~whole
+      graft.llm.Sampling.mixTake(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25), salt = "mix8")),
     "d23_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: every ~97th doc plays the eval set;
       // training docs are flagged by distinct shared 8-shingle md5 keys
@@ -1235,6 +1243,26 @@ object SparkEntry {
          |        ${grams(2)} AS gr2, ${grams(3)} AS gr3
          |      FROM (SELECT doc_id, $toks AS g
          |            FROM (SELECT doc_id, lower(text) AS t FROM documents)))""".stripMargin
+    },
+    "d24_mix_take" -> {
+      // identical composition math in SQL: N = floor(min n_g/p_g), cut_g
+      // = least(floor(p_g*N), n_g), same hash order — every division and
+      // multiply CAST to DOUBLE so both engines run the same IEEE ops
+      // (bare 0.25 literals are DECIMAL in DuckDB)
+      val p = "CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE) " +
+        "WHEN 'zh' THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END"
+      s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+         |           WHERE lang IN ('en', 'zh', 'de') GROUP BY 1),
+         |t AS (SELECT CAST(min(floor(CAST(n AS DOUBLE) / $p)) AS BIGINT) AS total
+         |      FROM c),
+         |cuts AS (SELECT lang,
+         |           least(CAST(floor($p * CAST(total AS DOUBLE)) AS BIGINT), n) AS cut
+         |         FROM c, t),
+         |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |        ORDER BY substr(md5('mix8|' || CAST(doc_id AS VARCHAR)), 1, 8) ASC,
+         |                 doc_id ASC) AS rk
+         |      FROM documents WHERE lang IN ('en', 'zh', 'de'))
+         |SELECT doc_id, lang FROM r JOIN cuts USING (lang) WHERE rk <= cut""".stripMargin
     },
     "d23_decontaminate" ->
       // same 8-shingle md5 keys on both sides; per-doc DISTINCT shared

@@ -68,6 +68,50 @@ object Sampling {
       .where(col("__rk") <= n).drop("__rk")
   }
 
+  /** Deterministic corpus-MIX sampling — downsample to a target
+    * composition (the data-mixing step of a training pipeline: e.g. 50%
+    * web / 30% code / 20% academic). `targets` are relative weights
+    * (normalized internally); strata absent from `targets` are dropped.
+    * The output is the LARGEST corpus satisfying the mix: with
+    * normalized weights p_g and stratum counts n_g,
+    * N = floor(min_g n_g / p_g) (the bottleneck stratum is kept ~whole)
+    * and each stratum contributes c_g = min(floor(p_g * N), n_g) rows,
+    * chosen by the same salted-hash order as [[stratifiedTake]] —
+    * deterministic, partitioning-independent, engine-portable.
+    *
+    * Scale shape: one count aggregate (O(#strata) rows to the driver —
+    * composition math is driver-side by design, like Fork's counts) plus
+    * one windowed take whose rank filter pushes map-side
+    * (WindowGroupLimit) — no stratum ever fully sorts through one
+    * partition's memory. */
+  def mixTake(df: DataFrame, keyCol: String, strataCol: String,
+              targets: Map[String, Double], salt: String = "graft"): DataFrame = {
+    require(targets.nonEmpty, "targets must not be empty")
+    targets.foreach { case (s, w) =>
+      require(w > 0, s"weight for stratum '$s' must be > 0: $w") }
+    val wsum = targets.values.sum
+    val probs = targets.map { case (s, w) => s -> w / wsum }
+    val inMix = df.where(col(strataCol).isin(targets.keys.toSeq: _*))
+    val counts = inMix.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    probs.keys.foreach { s =>
+      require(counts.getOrElse(s, 0L) > 0L,
+        s"stratum '$s' has no rows — the mix cannot be satisfied") }
+    val total = probs.map { case (s, p) => math.floor(counts(s) / p) }.min.toLong
+    val cuts = probs.map { case (s, p) =>
+      s -> math.min(math.floor(p * total).toLong, counts(s)) }
+    require(!df.columns.contains("__rk"),
+      "input already has a '__rk' column; rename it before mixTake()")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(sampleKey(col(keyCol), salt).asc, col(keyCol).asc)
+    val cutoff = cuts.foldLeft(lit(0L): Column) { case (acc, (s, c)) =>
+      when(col(strataCol) === s, lit(c)).otherwise(acc)
+    }
+    inMix.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= cutoff).drop("__rk")
+  }
+
   def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
                            rates: Map[String, Double], defaultRate: Double,
                            salt: String = "graft"): DataFrame = {

@@ -78,6 +78,35 @@ class SamplingSpec extends SparkTestBase {
       s"expected map-side WindowGroupLimit:\n$plan")
   }
 
+  test("mixTake: exact target composition, bottleneck stratum kept whole, " +
+    "deterministic, absent strata dropped, bad specs rejected") {
+    val s = spark; import s.implicits._
+    // a: 100 rows, b: 30, c: 50, d: 10 (d not in targets -> dropped)
+    val rows = (1L to 100L).map(i => (i, "a")) ++
+      (101L to 130L).map(i => (i, "b")) ++ (131L to 180L).map(i => (i, "c")) ++
+      (181L to 190L).map(i => (i, "d"))
+    val df = rows.toDF("id", "g")
+    // weights 2/1/1 -> p = 0.5/0.25/0.25; N = min(100/.5, 30/.25, 50/.25)
+    //   = min(200, 120, 200) = 120 -> cuts a=60, b=30 (whole), c=30
+    val out = Sampling.mixTake(df, "id", "g",
+      Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0))
+    val byG = out.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).map { case (g, xs) => g -> xs.map(_._1).toSet }
+    assert(byG.view.mapValues(_.size).toMap == Map("a" -> 60, "b" -> 30, "c" -> 30))
+    assert(byG("b") == (101L to 130L).toSet, "bottleneck stratum kept whole")
+    // deterministic and partitioning-independent
+    val again = Sampling.mixTake(df.repartition(7), "id", "g",
+        Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == out.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    intercept[IllegalArgumentException](
+      Sampling.mixTake(df, "id", "g", Map.empty[String, Double]))
+    intercept[IllegalArgumentException](
+      Sampling.mixTake(df, "id", "g", Map("a" -> -1.0)))
+    intercept[IllegalArgumentException]( // stratum with zero rows
+      Sampling.mixTake(df, "id", "g", Map("a" -> 1.0, "zz" -> 1.0)))
+  }
+
   test("rateThreshold: hex space endpoints and monotonicity") {
     assert(Sampling.rateThreshold(0.0) == "00000000")
     assert(Sampling.rateThreshold(1.0) == "ffffffff")
