@@ -607,6 +607,13 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    "s07_quantized_topk" -> ((s, dir) => {
+      // the int8 tier: same brute-force shape as s01 but every vector in
+      // flight is a tinyint array (4x fewer bytes); scores are the
+      // scale-free quantized cosine — integer sums, bit-exact in SQL
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKQuantized(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
     "s02_ann_topk" -> ((s, dir) => {
       // multi-probe SRP (Hamming <= 1): ~(planes+1)/2^planes of the
       // corpus per query; planes DERIVED from corpus size (see srpPlanes)
@@ -1553,6 +1560,37 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
          |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
          |  WHERE q.vec_id != c.vec_id)
+         |WHERE rnk <= 5""".stripMargin
+    },
+    "s07_quantized_topk" -> {
+      // int8 symmetric quantization replayed in SQL: same per-vector
+      // scale (max|x|/127, double), same floor(x/s + 0.5) half-up
+      // (round() halves differ across engines — floor does not),
+      // integer dot/self-dots, scale-free cosine. The n2 > 0 filters
+      // mirror the Spark side's null-score drop.
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+         |    / CAST(127 AS DOUBLE) AS scale FROM embeddings),
+         |qv AS (SELECT vec_id,
+         |  CASE WHEN scale > 0
+         |    THEN list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+         |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+         |  FROM s),
+         |n AS (SELECT vec_id, q,
+         |  CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))
+         |    AS BIGINT) AS n2 FROM qv)
+         |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    CAST(list_sum(list_transform(range(1, len(qq.q) + 1),
+         |      i -> qq.q[i] * c.q[i])) AS DOUBLE)
+         |      / sqrt(CAST(qq.n2 * c.n2 AS DOUBLE)) AS score,
+         |    row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+         |      CAST(list_sum(list_transform(range(1, len(qq.q) + 1),
+         |        i -> qq.q[i] * c.q[i])) AS DOUBLE)
+         |        / sqrt(CAST(qq.n2 * c.n2 AS DOUBLE)) DESC, c.vec_id) AS rnk
+         |  FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id < 10) qq
+         |  WHERE qq.vec_id != c.vec_id AND qq.n2 > 0 AND c.n2 > 0)
          |WHERE rnk <= 5""".stripMargin
     },
     "s02_ann_topk" -> {

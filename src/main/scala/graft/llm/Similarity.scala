@@ -55,6 +55,77 @@ object Similarity {
     * rather than relying on either behavior. */
   def normFast(v: Column): Column = sqrt(dotFast(v, v))
 
+  /** INT8 symmetric quantization of an embedding vector — the 100TB
+    * storage/shuffle tier for similarity: ~4x fewer bytes per vector
+    * than float32 in every exchange, cache, and persisted layout. Per
+    * vector: scale = max|x| / 127 (double), q_i = floor(x_i / scale +
+    * 0.5) — the half-up rounding written out as floor() because round()
+    * halves differ across engines; q ∈ [-127, 127] (tinyint). A zero
+    * vector quantizes to all zeros (its cosine is null downstream, the
+    * same hygiene as the float path). Returns struct(scale, q).
+    *
+    * Cosine over SYMMETRIC per-vector quantization is scale-free — the
+    * scales cancel — so scoring needs only the q arrays: integer dot
+    * and integer self-dots (exact in any engine), one sqrt, one divide.
+    * That also makes quantized scores bit-exact cross-engine, which the
+    * float path needs fold-order discipline for.
+    *
+    * This fused column form re-derives `scale` inside the per-element
+    * lambda — fine for small frames and the oracle; at corpus scale use
+    * [[bruteForceTopKQuantized]]'s staged projections (scale lands in
+    * its own column first, the house HOF-staging discipline). */
+  def quantizeInt8(vec: Column): Column = {
+    val absd = transform(vec, x => abs(x.cast("double")))
+    val scale = array_max(absd) / lit(127.0)
+    val q = when(scale > 0,
+        transform(vec, x => floor(x.cast("double") / scale + lit(0.5)).cast("byte")))
+      .otherwise(transform(vec, _ => lit(0).cast("byte")))
+    struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** Integer dot product of two quantized (tinyint) vectors, as a long. */
+  def dotInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force top-k over INT8-quantized vectors: same shape as
+    * [[bruteForceTopK]] (broadcast queries, map-side scoring, per-query
+    * windowed top-k) but every shuffled/broadcast vector is a tinyint
+    * array — the regime where the corpus no longer fits the float
+    * budget. Scores are the scale-free quantized cosine (integer sums ÷
+    * sqrt of integer product): an approximation of the float cosine
+    * (~1e-3 at dim 64) but bit-exact cross-engine in itself. Ties (more
+    * common with integer dots) break by corpus_id. */
+  def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    def quantized(df: DataFrame, idAs: String, qAs: String, n2As: String) = df
+      // staged: scale in its own projection so the per-element lambda
+      // reads an attribute instead of re-deriving array_max per element
+      .select(col(idCol).as(idAs), col(vecCol).as("__v"))
+      .select(col(idAs), col("__v"),
+        (array_max(transform(col("__v"), x => abs(x.cast("double")))) / lit(127.0))
+          .as("__s"))
+      .select(col(idAs),
+        when(col("__s") > 0, transform(col("__v"),
+            x => floor(x.cast("double") / col("__s") + lit(0.5)).cast("byte")))
+          .otherwise(transform(col("__v"), _ => lit(0).cast("byte"))).as(qAs))
+      .select(col(idAs), col(qAs), dotInt(col(qAs), col(qAs)).as(n2As))
+    val c = quantized(corpus, "corpus_id", "cq", "cn2")
+    val q = quantized(queries, "query_id", "qq", "qn2")
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("score", nanvl(try_divide(
+        dotInt(col("qq"), col("cq")).cast("double"),
+        sqrt((col("qn2") * col("cn2")).cast("double"))), lit(null).cast("double")))
+      .where(col("score").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "score", "rank")
+  }
+
   /** Brute-force top-k: for each row of `queries`, the k nearest rows of
     * `corpus` by cosine. The query side is broadcast (it's the small side
     * by construction); scoring is a map-side nested loop over corpus

@@ -220,6 +220,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.suggestedPlanes(Long.MaxValue, 1) == 30) // clamp high
   }
 
+  test("quantizeInt8: hand-computed codes, zero-vector to zeros, " +
+    "negative half-up rounding") {
+    val s = spark; import s.implicits._
+    // max|x| = 2.54 -> scale = 0.02; codes floor(x/0.02 + 0.5)
+    val r = Seq(Tuple1(Array(2.54f, -2.54f, 1.27f, 0.01f, -0.01f, 0f)))
+      .toDF("v").select(Similarity.quantizeInt8(col("v")).as("z"))
+      .select(col("z.scale"), col("z.q")).head()
+    assert(math.abs(r.getDouble(0) - 0.02) < 1e-9)
+    // 0.01f/scale is 0.4999... in float32 (0.01f < 0.01 exactly), so the
+    // half-up floor lands at 0 — the float-representation-faithful answer
+    assert(r.getSeq[Byte](1) == Seq[Byte](127, -127, 64, 0, 0, 0),
+      s"got ${r.getSeq[Byte](1)}")
+    val z = Seq(Tuple1(Array(0f, 0f))).toDF("v")
+      .select(Similarity.quantizeInt8(col("v")).getField("q")).head()
+    assert(z.getSeq[Byte](0) == Seq[Byte](0, 0), "zero vector -> zero codes")
+  }
+
+  test("bruteForceTopKQuantized: close to float ranks on real embeddings, " +
+    "zero vectors never rank, deterministic") {
+    val s = spark; import s.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val qz = Similarity.bruteForceTopKQuantized(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val fl = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // int8 at dim 64 preserves neighbor structure: top-10 overlap >= 8/10
+    val overlap = qz.keys.map(_._1).toSeq.distinct.map { q =>
+      val a = (1 to 10).flatMap(i => qz.get((q, i))).toSet
+      val b = (1 to 10).flatMap(i => fl.get((q, i))).toSet
+      (a intersect b).size
+    }
+    assert(overlap.forall(_ >= 8), s"overlaps: $overlap")
+    // zero-vector padding never ranks (same hygiene as the float path)
+    val withZero = emb.unionByName(
+      Seq((99999L, Array.fill(64)(0f), 0)).toDF("vec_id", "embedding", "label"))
+    val ranked = Similarity.bruteForceTopKQuantized(withZero, queries, k = 10)
+      .where(col("corpus_id") === 99999L).count()
+    assert(ranked == 0L)
+  }
+
   test("cosine of identical vectors is 1.0 exactly enough") {
     val s = spark; import s.implicits._
     val df = Seq(Tuple1(Array(0.3f, -0.4f, 0.5f))).toDF("v")
