@@ -83,8 +83,18 @@ object Similarity {
     struct(scale.as("scale"), q.as("q"))
   }
 
-  /** Integer dot product of two quantized (tinyint) vectors, as a long. */
+  /** Integer dot product of two quantized (tinyint) vectors, as a long —
+    * codegen'd (graft.functions.DotProductInt); exact, so fold order is
+    * irrelevant. */
   def dotInt(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.DotProductInt(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** The composable (interpreted) form `dotInt` replaces — kept as the
+    * semantic reference for the parity regression test. */
+  private[graft] def dotIntHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, v) => acc + v)
 

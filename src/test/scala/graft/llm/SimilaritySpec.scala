@@ -261,6 +261,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(ranked == 0L)
   }
 
+  test("dotInt (codegen'd DotProductInt) equals the interpreted HOF fold " +
+    "and poisons on null elements") {
+    val s = spark; import s.implicits._
+    // Seq[Byte], not Array[Byte]: the latter encodes as BINARY
+    val df = Seq(
+      (Seq[Byte](127, -127, 3), Seq[Byte](1, 2, -3)),
+      (Seq[Byte](0, 0, 0), Seq[Byte](5, 5, 5))).toDF("a", "b")
+    val rows = df.select(
+      Similarity.dotInt(col("a"), col("b")).as("fast"),
+      Similarity.dotIntHof(col("a"), col("b")).as("slow")).collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
+    assert(rows.head.getLong(0) == 127L - 254L - 9L)
+    // null element -> null result (fold-poison, like DotProduct)
+    val withNull = spark.sql("SELECT array(1L, NULL, 3L) AS a, array(1L, 1L, 1L) AS b")
+    assert(withNull.select(Similarity.dotInt(col("a"), col("b"))).head().isNullAt(0))
+  }
+
   test("cosine of identical vectors is 1.0 exactly enough") {
     val s = spark; import s.implicits._
     val df = Seq(Tuple1(Array(0.3f, -0.4f, 0.5f))).toDF("v")
