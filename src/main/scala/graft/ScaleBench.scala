@@ -306,6 +306,45 @@ object ScaleBench {
       else if (kwPlan.contains("SortMergeJoin")) "smj"
       else "other"
 
+    // ---- float vs int8 brute-force similarity -------------------------
+    // The base embeddings replicated with a small per-copy perturbation
+    // (copies aren't bit-identical), 20 queries, k=10, BOTH layouts
+    // persisted first — the 100TB shape is quantize-once-at-ingest, so
+    // the comparison is (float parquet -> float scorer) vs (int8 parquet
+    // -> integer scorer): bytes on disk are the headline (the same
+    // factor every downstream exchange pays), scoring wall-clock the
+    // sanity check.
+    val vecDir = java.nio.file.Files.createTempDirectory("graft-vec").toString
+    val baseVecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vecReps = 40
+    baseVecs.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(vecReps - 1))).as("rep"))
+      .select((col("vec_id") * 1000 + col("rep")).as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("rep").cast("float") / lit(1000.0f)).as("embedding"))
+      .write.mode("overwrite").parquet(s"$vecDir/float")
+    val vecs = spark.read.parquet(s"$vecDir/float")
+    val nVecs = vecs.count()
+    graft.llm.Similarity.quantizeForStorage(vecs)
+      .write.mode("overwrite").parquet(s"$vecDir/int8")
+    val vecsQ = spark.read.parquet(s"$vecDir/int8")
+    def dirBytes(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(path).getLength
+    }
+    val (floatBytes, int8Bytes) = (dirBytes(s"$vecDir/float"), dirBytes(s"$vecDir/int8"))
+    val isQuery = col("vec_id") % 1000 === 0 && col("vec_id") < 20000
+    val tSimF = System.nanoTime()
+    val nSimF = graft.llm.Similarity
+      .bruteForceTopK(vecs, vecs.where(isQuery), k = 10).count()
+    val simFSecs = secs(tSimF)
+    val tSimQ = System.nanoTime()
+    val nSimQ = graft.llm.Similarity
+      .bruteForceTopKOnQuantized(vecsQ, vecsQ.where(isQuery), k = 10).count()
+    val simQSecs = secs(tSimQ)
+    require(nSimF == nSimQ, s"top-k cardinality diverged: $nSimQ vs $nSimF")
+
     val line =
       s"""{"metric":"scale_dedup","unit":"sec","sf":"$sfDir","docs":$nDocs,""" +
       s""""gen_secs":$genSecs,"exact_secs":$exactSecs,"exact_groups":$nExactGroups,""" +
@@ -329,6 +368,9 @@ object ScaleBench {
       s""""sess_unsalted_secs":$sessUSecs,"sess_salted_secs":$sessSSecs,""" +
       s""""sess_sessions":$nSessions,""" +
       s""""kw_secs":$kwSecs,"kw_rows":$nKw,"kw_df_join":"$kwJoin",""" +
+      s""""vec_corpus":$nVecs,"vec_float_secs":$simFSecs,""" +
+      s""""vec_int8_secs":$simQSecs,"vec_topk_rows":$nSimF,""" +
+      s""""vec_float_bytes":$floatBytes,"vec_int8_bytes":$int8Bytes,""" +
       s""""total_secs":${secs(t0)}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_BENCH.json"), line + "\n")

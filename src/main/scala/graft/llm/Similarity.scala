@@ -108,21 +108,37 @@ object Similarity {
     * common with integer dots) break by corpus_id. */
   def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
                               idCol: String = "vec_id",
-                              vecCol: String = "embedding"): DataFrame = {
-    def quantized(df: DataFrame, idAs: String, qAs: String, n2As: String) = df
-      // staged: scale in its own projection so the per-element lambda
-      // reads an attribute instead of re-deriving array_max per element
-      .select(col(idCol).as(idAs), col(vecCol).as("__v"))
-      .select(col(idAs), col("__v"),
-        (array_max(transform(col("__v"), x => abs(x.cast("double")))) / lit(127.0))
-          .as("__s"))
-      .select(col(idAs),
-        when(col("__s") > 0, transform(col("__v"),
-            x => floor(x.cast("double") / col("__s") + lit(0.5)).cast("byte")))
-          .otherwise(transform(col("__v"), _ => lit(0).cast("byte"))).as(qAs))
-      .select(col(idAs), col(qAs), dotInt(col(qAs), col(qAs)).as(n2As))
-    val c = quantized(corpus, "corpus_id", "cq", "cn2")
-    val q = quantized(queries, "query_id", "qq", "qn2")
+                              vecCol: String = "embedding"): DataFrame =
+    bruteForceTopKOnQuantized(
+      quantizeForStorage(corpus, idCol, vecCol),
+      quantizeForStorage(queries, idCol, vecCol), k, idCol)
+
+  /** The persistable int8 layout: (id, q: array<tinyint>, n2: long) —
+    * quantize ONCE at ingest, write THIS (4x smaller than float32 in
+    * parquet and in every downstream exchange), and score query batches
+    * with [[bruteForceTopKOnQuantized]] without ever touching the float
+    * vectors again. Staged projections per the HOF-staging discipline
+    * (scale lands in its own column before the per-element lambda). */
+  def quantizeForStorage(df: DataFrame, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = df
+    .select(col(idCol), col(vecCol).as("__v"))
+    .select(col(idCol), col("__v"),
+      (array_max(transform(col("__v"), x => abs(x.cast("double")))) / lit(127.0))
+        .as("__s"))
+    .select(col(idCol),
+      when(col("__s") > 0, transform(col("__v"),
+          x => floor(x.cast("double") / col("__s") + lit(0.5)).cast("byte")))
+        .otherwise(transform(col("__v"), _ => lit(0).cast("byte"))).as("q"))
+    .select(col(idCol), col("q"), dotInt(col("q"), col("q")).as("n2"))
+
+  /** Top-k over PRE-quantized (id, q, n2) frames — the scoring half of
+    * the int8 tier (see [[quantizeForStorage]]). */
+  def bruteForceTopKOnQuantized(corpusQ: DataFrame, queriesQ: DataFrame,
+                                k: Int, idCol: String = "vec_id"): DataFrame = {
+    val c = corpusQ.select(col(idCol).as("corpus_id"), col("q").as("cq"),
+      col("n2").as("cn2"))
+    val q = queriesQ.select(col(idCol).as("query_id"), col("q").as("qq"),
+      col("n2").as("qn2"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
       .withColumn("score", nanvl(try_divide(
