@@ -108,8 +108,13 @@ object Sampling {
     val cutoff = cuts.foldLeft(lit(0L): Column) { case (acc, (s, c)) =>
       when(col(strataCol) === s, lit(c)).otherwise(acc)
     }
+    // the per-stratum cutoff is a CASE expression, which Spark's
+    // InferWindowGroupLimit cannot use — the extra LITERAL max-cutoff
+    // conjunct restores the map-side top-k heap (WindowGroupLimit,
+    // plan-asserted), then the exact per-stratum CASE filters the rest
+    val maxCut = cuts.values.max
     inMix.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= cutoff).drop("__rk")
+      .where(col("__rk") <= lit(maxCut) && col("__rk") <= cutoff).drop("__rk")
   }
 
   def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,

@@ -99,6 +99,10 @@ class SamplingSpec extends SparkTestBase {
         Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(again == out.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // the literal max-cutoff conjunct keeps the rank filter map-side
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a map-side WindowGroupLimit in:\n$plan")
     intercept[IllegalArgumentException](
       Sampling.mixTake(df, "id", "g", Map.empty[String, Double]))
     intercept[IllegalArgumentException](
