@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_dot_product(a, b) - dot product of two float/double arrays") { args =>
       arity("graft_dot_product", 2, args); DotProduct(args(0), args(1))
     }
+    inject("graft_dot_product_int", classOf[DotProductInt],
+      "graft_dot_product_int(a, b) - exact integer dot product of two " +
+        "integral arrays (the int8-quantized similarity scorer)") { args =>
+      arity("graft_dot_product_int", 2, args); DotProductInt(args(0), args(1))
+    }
     inject("graft_simhash", classOf[SimhashBits],
       "graft_simhash(hashes) - 64-bit SimHash over an array of token hashes") { args =>
       arity("graft_simhash", 1, args); SimhashBits(args(0))

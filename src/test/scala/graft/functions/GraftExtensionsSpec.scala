@@ -15,6 +15,11 @@ class GraftExtensionsSpec extends SparkTestBase {
         |       graft_dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""".stripMargin).head()
     assert(math.abs(r.getDouble(0) - 24.0 / 25.0) < 1e-15)
     assert(r.getDouble(1) == 11.0)
+    val i = spark.sql(
+      """SELECT graft_dot_product_int(array(CAST(127 AS TINYINT), CAST(-2 AS TINYINT)),
+        |                             array(CAST(3 AS TINYINT), CAST(4 AS TINYINT))) AS di""".stripMargin)
+      .head()
+    assert(i.getLong(0) == 381L - 8L)
   }
 
   test("SQL results are bit-identical to the DataFrame-API twins") {
