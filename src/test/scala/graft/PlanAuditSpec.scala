@@ -90,4 +90,31 @@ class PlanAuditSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_"), "fork counts lost map-side combine")
   }
+
+  test("d22: repetition signals are one scan, no shuffle, pruned to " +
+    "(doc_id, text)") {
+    val p = plan("d22_repetition")
+    assert("FileScan".r.findAllIn(p).length == 1)
+    assert(!p.contains("Exchange"), s"repetition signals must be map-side:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to the two used columns:\n$p")
+  }
+
+  test("d23: decontamination broadcasts the bench keys; the zero-hit " +
+    "rejoin scans ids only") {
+    val p = plan("d23_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "bench shingle keys should broadcast into the hit join")
+    // the left-join side that restores zero-hit docs must read just the
+    // id column — at 100TB that second scan is a sliver, and this guard
+    // keeps it one
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"zero-hit rejoin reads more than doc_id:\n$p")
+  }
+
+  test("s07: quantized top-k broadcasts queries like the float tier") {
+    val p = plan("s07_quantized_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
