@@ -544,29 +544,70 @@ object Dedup {
   def contaminationFlags(train: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          k: Int = 8, minHits: Long = 1,
-                         broadcastBenchMaxBytes: Long = 512L << 20): DataFrame = {
+                         broadcastBenchMaxBytes: Long = 512L << 20): DataFrame =
+    contaminationFlagsAgainstKeys(train,
+      contaminationShingles(bench, None, textCol, k).select(col("__sh")).distinct(),
+      idCol, textCol, k, minHits, broadcastBenchMaxBytes)
+
+  private def contaminationShingles(df: DataFrame, id: Option[String],
+                                    textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"shingle width must be >= 1: $k")
+    val keepFirst = id.toSeq.map(c => col(c).as("__id"))
+    val keep = id.toSeq.map(_ => col("__id"))
+    df.select(keepFirst :+ TextAnalysis.tokens(lower(col(textCol))).as("__toks"): _*)
+      .select(keep :+ shinglesFromTokens(col("__toks"), k).as("__raw"): _*)
+      .select(keep :+ explode(array_distinct(transform(col("__raw"), s => md5(s))))
+        .as("__sh"): _*)
+  }
+
+  /** [[contaminationFlags]] against an already-derived bench-key frame
+    * (one `__sh` string column) — the cross-run shape: eval sets change
+    * rarely, so derive their keys once with [[writeBenchKeys]] and run
+    * each ingest shard against [[readBenchKeys]] without ever re-reading
+    * the benchmark text. */
+  def contaminationFlagsAgainstKeys(train: DataFrame, benchKeys: DataFrame,
+                                    idCol: String, textCol: String,
+                                    k: Int = 8, minHits: Long = 1,
+                                    broadcastBenchMaxBytes: Long = 512L << 20): DataFrame = {
     require(minHits >= 1, s"minHits must be >= 1: $minHits")
-    def shingleHashes(df: DataFrame, id: Option[String]): DataFrame = {
-      val keepFirst = id.toSeq.map(c => col(c).as("__id"))
-      val keep = id.toSeq.map(_ => col("__id"))
-      df.select(keepFirst :+ TextAnalysis.tokens(lower(col(textCol))).as("__toks"): _*)
-        .select(keep :+ shinglesFromTokens(col("__toks"), k).as("__raw"): _*)
-        .select(keep :+ explode(array_distinct(transform(col("__raw"), s => md5(s))))
-          .as("__sh"): _*)
-    }
-    val benchKeys = shingleHashes(bench, None).select(col("__sh")).distinct()
+    val keys = benchKeys.select(col("__sh"))
     val benchHinted =
-      if (benchKeys.queryExecution.optimizedPlan.stats.sizeInBytes
-            <= broadcastBenchMaxBytes) broadcast(benchKeys)
-      else benchKeys
-    val hits = shingleHashes(train, Some(idCol))
+      if (keys.queryExecution.optimizedPlan.stats.sizeInBytes
+            <= broadcastBenchMaxBytes) broadcast(keys)
+      else keys
+    val hits = contaminationShingles(train, Some(idCol), textCol, k)
       .join(benchHinted, Seq("__sh"))
       .groupBy(col("__id")).agg(count(lit(1)).as("n_hits"))
     train.select(col(idCol))
       .join(hits.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
+  /** Persist a benchmark's distinct shingle keys for cross-run reuse.
+    * Stamps the shingle width `k`: keys from mismatched k never collide,
+    * so every shard would silently report clean — exactly the corruption
+    * the signature-state `sig_format` guard exists for; [[readBenchKeys]]
+    * fails fast instead. */
+  def writeBenchKeys(bench: DataFrame, textCol: String, path: String,
+                     k: Int = 8, mode: String = "overwrite"): Unit =
+    contaminationShingles(bench, None, textCol, k)
+      .select(col("__sh")).distinct()
+      .withColumn("shingle_k", lit(k))
+      .write.mode(mode).parquet(path)
+
+  /** Read persisted bench keys, failing fast on a shingle-width mismatch
+    * (see [[writeBenchKeys]]). */
+  def readBenchKeys(spark: org.apache.spark.sql.SparkSession, path: String,
+                    k: Int = 8): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.schema.exists(_.name == "shingle_k"),
+      s"bench-key table at $path has no shingle_k column — not written by writeBenchKeys")
+    val bad = df.where(col("shingle_k") =!= k).limit(1).collect()
+    require(bad.isEmpty,
+      s"bench-key table at $path was written with shingle_k=${bad.head.getAs[Int]("shingle_k")}, " +
+        s"reader expects k=$k — mismatched widths silently report every shard clean")
+    df.select(col("__sh"))
   }
 
   /** Winnowing-overlap near-dup pairs — the plagiarism-detector join the

@@ -114,6 +114,27 @@ class DedupSpec extends SparkTestBase {
     assert(dup.getLong(1) == 1L, s"got $dup")
   }
 
+  test("bench-key state round-trip: persisted keys give identical flags, " +
+    "shingle-width mismatch fails fast") {
+    val s = spark; import s.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "xx alpha beta gamma yy"),
+      (3L, "totally clean document here")).toDF("doc_id", "text")
+    val path = tmpDir("benchkeys") + "/keys"
+    Dedup.writeBenchKeys(bench, "text", path, k = 3)
+    val fromState = Dedup.contaminationFlagsAgainstKeys(
+        train, Dedup.readBenchKeys(spark, path, k = 3), "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val direct = Dedup.contaminationFlags(train, bench, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(fromState == direct, s"state=$fromState direct=$direct")
+    val e = intercept[IllegalArgumentException](
+      Dedup.readBenchKeys(spark, path, k = 8))
+    assert(e.getMessage.contains("shingle_k"))
+  }
+
   test("simhashBits: identical docs equal; near docs close; different docs far") {
     val sigs = docs.select(col("doc_id"), Dedup.simhashBits(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
