@@ -68,7 +68,7 @@ object TextAnalysis {
       val grams = if (n == 1) toks else graft.llm.Dedup.shinglesFromTokens(toks, n)
       val total = size(grams).cast("long")
       val uniq = size(array_distinct(grams)).cast("long")
-      val mode = maxRunLength(array_sort(grams))
+      val mode = modeCount(grams)
       def ratio(num: Column) =
         when(total > 0, num.cast("double") / total.cast("double"))
       Seq(
@@ -99,7 +99,7 @@ object TextAnalysis {
       val g = col(s"__g$n")
       Seq(size(g).cast("long").as(s"n_${n}grams"),
         size(array_distinct(g)).cast("long").as(s"__u$n"),
-        maxRunLength(array_sort(g)).as(s"top_${n}gram_count"))
+        modeCount(g).as(s"top_${n}gram_count"))
     }: _*)
     counts.select(col(idCol) +: ns.flatMap { n =>
       val total = col(s"n_${n}grams")
@@ -112,10 +112,19 @@ object TextAnalysis {
     }: _*)
   }
 
-  /** Longest run of equal elements in a SORTED string array = the mode's
-    * occurrence count, as one linear codegen'd fold (no explode, no
-    * shuffle — the per-doc "most common n-gram" count at scan speed). */
-  private def maxRunLength(sorted: Column): Column =
+  /** Most-frequent-element count via the fused native kernel
+    * (graft.functions.ModeCount: one copy+sort+run-scan per row inside
+    * whole-stage codegen — no per-element lambda, no explode, no
+    * shuffle). */
+  private def modeCount(grams: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ModeCount(
+        org.apache.spark.sql.GraftColumnBridge.expression(grams)))
+
+  /** The composable (interpreted) form `modeCount` replaces — longest
+    * run of equal elements in a SORTED array; kept as the semantic
+    * reference for the parity regression test. */
+  private[graft] def maxRunLengthHof(sorted: Column): Column =
     aggregate(sorted,
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {

@@ -164,6 +164,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(3))
   }
 
+  test("ModeCount kernel equals the interpreted sorted-run fold on " +
+    "random gram arrays") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      Tuple1((0 until rnd.nextInt(30)).map(_ => s"g${rnd.nextInt(8)}"))
+    }
+    val out = rows.toDF("g").select(
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.ModeCount(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("g")))).as("fast"),
+      TextAnalysis.maxRunLengthHof(array_sort(col("g"))).as("slow")).collect()
+    assert(out.forall(r => r.getLong(0) == r.getLong(1)),
+      out.filter(r => r.getLong(0) != r.getLong(1)).take(3).mkString(","))
+  }
+
   test("repetitionReport (staged) equals the fused column form") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "the cat the cat sat"), (2L, "a b c"), (3L, ""),
