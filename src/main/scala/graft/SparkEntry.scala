@@ -541,6 +541,11 @@ object SparkEntry {
       // at sf0.1 (31s of a 21s bench)
       Dedup.winnowingOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
         minSim = 0.3, maxBucketSize = Some(docBucketCap(s, dir)))),
+    "d25_containment" -> ((s, dir) =>
+      // quote/subset detection: shared winnowing fps over the SMALLER fp
+      // set — catches short-doc-inside-long-doc pairs Jaccard dilutes
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        minContainment = 0.6, maxBucketSize = Some(docBucketCap(s, dir)))),
     "d09_dedup_clusters" -> ((s, dir) =>
       // pairs -> connected components -> keeper decision: the step that
       // turns near-dup pairs into an actual dedup (keep = id == cluster)
@@ -1539,6 +1544,31 @@ object SparkEntry {
         |  FROM p JOIN n x ON x.doc_id = id1 JOIN n y ON y.doc_id = id2)
         |WHERE sim >= 0.3""".stripMargin
         // mirror the query side's derived fp-bucket cap
+        .replace("CAPLIT", lastBucketCap.toString),
+    "d25_containment" ->
+      // d10's fp machinery with the containment denominator: shared over
+      // the smaller surviving fp set
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(lower(text)) - 7, 1) + 1),
+        |      i -> md5(substr(lower(text), i, 8))) AS grams
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(grams) - 3, 1) + 1),
+        |    j -> list_min(list_slice(grams, j, j + 3)))) AS fps
+        |  FROM g),
+        |f0 AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |ok AS (SELECT fp FROM f0 GROUP BY fp HAVING COUNT(*) <= CAPLIT),
+        |f AS (SELECT f0.* FROM f0 JOIN ok USING (fp)),
+        |n AS (SELECT doc_id, COUNT(*) AS nf FROM f GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+        |      FROM f a JOIN f b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id1, id2, containment FROM (
+        |  SELECT id1, id2,
+        |    CAST(n_shared AS DOUBLE) / least(x.nf, y.nf) AS containment
+        |  FROM p JOIN n x ON x.doc_id = id1 JOIN n y ON y.doc_id = id2)
+        |WHERE containment >= 0.6""".stripMargin
         .replace("CAPLIT", lastBucketCap.toString),
     "d06_ngram_jaccard" -> {
       val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"

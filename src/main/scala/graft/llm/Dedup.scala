@@ -639,7 +639,8 @@ object Dedup {
   private[graft] def winnowingOverlapPairsLazy(
       df: DataFrame, idCol: String, textCol: String,
       minSim: Double, k: Int = 8, w: Int = 4,
-      maxBucketSize: Option[Int] = None): (DataFrame, DataFrame) = {
+      maxBucketSize: Option[Int] = None,
+      containment: Boolean = false): (DataFrame, DataFrame) = {
     // one persist, of the POST-cap frame: the windowed cap (capBuckets)
     // runs once into the cache instead of once per consumer, and the
     // cache is partitioned by fp — which the self-join below reuses
@@ -657,14 +658,38 @@ object Dedup {
       .join(f.select(col("fp"), col("id").as("id2")), Seq("fp"))
       .where(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
+    // symmetric Jaccard by default; containment (shared over the SMALLER
+    // fp set) for the quote/subset detector — a short doc embedded in a
+    // long one keeps nearly all of its own fingerprints while Jaccard is
+    // diluted by the long doc's size
+    val (scoreName, scoreCol) =
+      if (containment)
+        ("containment",
+          col("n_shared").cast("double") / least(col("nf1"), col("nf2")))
+      else
+        ("sim", col("n_shared").cast("double") /
+          (col("nf1") + col("nf2") - col("n_shared")))
     val scored = shared
       .join(sizes.select(col("id").as("id1"), col("nf").as("nf1")), Seq("id1"))
       .join(sizes.select(col("id").as("id2"), col("nf").as("nf2")), Seq("id2"))
-      .select(col("id1"), col("id2"),
-        (col("n_shared").cast("double") /
-          (col("nf1") + col("nf2") - col("n_shared"))).as("sim"))
-      .where(col("sim") >= minSim)
+      .select(col("id1"), col("id2"), scoreCol.as(scoreName))
+      .where(col(scoreName) >= minSim)
     (scored, f)
+  }
+
+  /** Containment-scored overlap pairs — the QUOTE/SUBSET detector the
+    * symmetric family (d04 Jaccard, d05 Hamming, d10 fp-Jaccard) misses:
+    * score = shared fps / min(|A|, |B|), so a short doc embedded
+    * verbatim in a much longer one scores ~1 where Jaccard reports
+    * shared/(|A|+|B|-shared) ~ |A|/|B| ~ 0. Same winnowing machinery,
+    * bucket cap, and scale shape as [[winnowingOverlapPairs]] (only
+    * (fp, id) pairs shuffle). Output: (id1, id2, containment). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       minContainment: Double, k: Int = 8, w: Int = 4,
+                       maxBucketSize: Option[Int] = None): DataFrame = {
+    val (scored, f0) = winnowingOverlapPairsLazy(df, idCol, textCol,
+      minContainment, k, w, maxBucketSize, containment = true)
+    materializeAndRelease(scored, f0)
   }
 
   /** Connected components over an undirected pair list — the step that

@@ -114,6 +114,25 @@ class DedupSpec extends SparkTestBase {
     assert(dup.getLong(1) == 1L, s"got $dup")
   }
 
+  test("containmentPairs: embedded quote scores ~1 where Jaccard dilutes") {
+    val s = spark; import s.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog near the river bank"
+    val filler = (1 to 30).map(i => s"unrelated filler sentence number $i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                    // the short doc
+      (2L, s"$filler $quote $filler"), // contains it verbatim
+      (3L, "completely different content about astronomy and planets")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.contains((1L, 2L)) && cont((1L, 2L)) >= 0.9, s"got $cont")
+    assert(!cont.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // the symmetric detector misses the same pair at the same bar
+    val jac = Dedup.winnowingOverlapPairs(docs, "doc_id", "text", minSim = 0.8)
+      .collect()
+    assert(jac.isEmpty, s"Jaccard should dilute the embedded quote: ${jac.toSeq}")
+  }
+
   test("bench-key state round-trip: persisted keys give identical flags, " +
     "shingle-width mismatch fails fast") {
     val s = spark; import s.implicits._
