@@ -212,6 +212,36 @@ object Incremental {
     * same `batchKey` (a crash after the writes but before the offset
     * commit, then the replay) leaves exactly one decision row and one
     * state row per doc, with decisions identical to a clean run. */
+  /** Streaming DECONTAMINATION — screen each ingest micro-batch against a
+    * persisted bench-key table ([[graft.llm.Dedup.writeBenchKeys]]) and
+    * write per-doc (id, n_hits, contaminated) flags, one overwrite-keyed
+    * partition per batch: the same idempotent-replay discipline as
+    * [[incrementalDedupStream]] (a crashed batch replays under ITS key
+    * and replaces its own half-write; batch keys derive from the
+    * checkpoint's persisted query id). The bench keys re-read per batch
+    * is deliberate: the table is small (eval sets), the read is one
+    * pruned scan, and a refreshed bench set takes effect on the next
+    * batch without restarting the stream. */
+  def decontaminateStream(stream: DataFrame, idCol: String, textCol: String,
+                          benchKeysPath: String, outPath: String,
+                          checkpointDir: String, k: Int = 8,
+                          minHits: Long = 1): StreamingQuery = {
+    require(minHits >= 1, s"minHits must be >= 1: $minHits")
+    lazy val ckToken = checkpointQueryToken(stream.sparkSession, checkpointDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keys = graft.llm.Dedup.readBenchKeys(batch.sparkSession,
+          benchKeysPath, k)
+        graft.llm.Dedup.contaminationFlagsAgainstKeys(batch, keys,
+            idCol, textCol, k, minHits)
+          .write.mode("overwrite")
+          .parquet(s"$outPath/batch_key=$ckToken-$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   private[graft] def processIncrementalBatch(
       batch: DataFrame, batchKey: String, idCol: String, textCol: String,
       statePath: String, outPath: String, threshold: Double,

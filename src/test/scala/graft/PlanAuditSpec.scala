@@ -112,6 +112,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"zero-hit rejoin reads more than doc_id:\n$p")
   }
 
+  test("d25: containment pairing keeps d10's equi-join-only shape") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (scored, f0) = graft.llm.Dedup.winnowingOverlapPairsLazy(
+      docs, "doc_id", "text", 0.6, maxBucketSize = Some(64), containment = true)
+    try {
+      val p = scored.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "containment pairing degenerated to an all-pairs join")
+    } finally { f0.unpersist(blocking = true); () }
+  }
+
   test("s07: quantized top-k broadcasts queries like the float tier") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("BroadcastNestedLoopJoin"))

@@ -199,6 +199,48 @@ class DedupStreamSpec extends SparkTestBase {
       "non-keeper appended state")
   }
 
+  test("decontaminateStream: per-batch flags against persisted bench keys, " +
+    "batch-keyed output, refreshed keys picked up next run") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("decon-stream").toString
+    val (keysPath, outPath) = (s"$base/keys", s"$base/out")
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    graft.llm.Dedup.writeBenchKeys(
+      Seq((0L, evalText)).toDF("doc_id", "text"), "text", keysPath, k = 3)
+
+    def runOnce(ck: String, docs: (String, String)*): Unit = {
+      val input = MemoryStream[(String, String)]
+      input.addData(docs: _*)
+      val q = Incremental.decontaminateStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        keysPath, outPath, s"$base/$ck", k = 3)
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    runOnce("ck1",
+      ("t1", evalText),                              // full containment
+      ("t2", "xx alpha beta gamma yy unrelated"),    // one shared shingle
+      ("t3", "totally clean document content here")) // clean
+    val out = spark.read.parquet(outPath)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out("t1")._2 && out("t1")._1 >= 5L, s"got $out")
+    assert(out("t2") == ((1L, true)) && out("t3") == ((0L, false)), s"got $out")
+    // a refreshed bench set takes effect on the NEXT run without code
+    // changes: overwrite keys with a different eval doc
+    graft.llm.Dedup.writeBenchKeys(
+      Seq((1L, "totally clean document content here")).toDF("doc_id", "text"),
+      "text", keysPath, k = 3)
+    runOnce("ck2", ("t4", evalText), ("t5", "totally clean document content here"))
+    val out2 = spark.read.parquet(outPath)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!out2("t4") && out2("t5"), s"got $out2")
+    // batch-keyed layout: one partition dir per committed batch
+    val dirs = new java.io.File(outPath).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("batch_key=")).toSet
+    assert(dirs.size == 2, s"got $dirs")
+  }
+
   test("incrementalDedupStream dedups micro-batches against persisted state across runs") {
     val s = spark
     import s.implicits._
