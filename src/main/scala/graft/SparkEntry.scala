@@ -671,6 +671,22 @@ object SparkEntry {
         probeRadius = 1, dim = 64)
       Similarity.bruteForceTopK(probed, emb.where(col("vec_id") === 0), k = 5)
     }),
+    "m21_srp_quantized_layout" -> ((s, dir) => {
+      // m19's layout round-trip at int8 storage: bucket from the float
+      // vectors, persist only quantized codes partitioned by bucket,
+      // probe-read query 0's radius-1 buckets, score with the integer
+      // cosine — the fused partition-pruning + 4x-bytes 100TB layout
+      val emb = t(s, dir, "embeddings")
+      val planes = srpLayoutPlanes(s, dir)
+      val path = tmpQueryDir("m21-srpq").toString + "/layout"
+      Similarity.writeSrpQuantizedLayout(emb, dim = 64, planes = planes, path)
+      val qVec = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val probed = Similarity.readSrpQuantizedProbes(s, path, qVec, planes,
+        probeRadius = 1, dim = 64)
+      Similarity.bruteForceTopKOnQuantized(probed,
+        Similarity.quantizeForStorage(emb.where(col("vec_id") === 0)), k = 5)
+    }),
     "m20_ivf_layout" -> ((s, dir) => {
       // IVF twin of m19: corpus written PARTITIONED BY CELL
       // (writeIvfLayout), query 0's 4 nearest of 16 cells ranked
@@ -1655,6 +1671,39 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
          |  FROM v c JOIN q
          |    ON q.bucket = c.bucket AND q.vec_id != c.vec_id)
+         |WHERE rnk <= 5""".stripMargin
+    },
+    "m21_srp_quantized_layout" -> {
+      // m19's probe-join formulation with s07's quantized scoring: float
+      // buckets select the candidates, integer arithmetic scores them
+      val planes = lastSrpLayoutPlanes
+      val bucket = duckSrpBucket("embedding", 64, planes)
+      s"""WITH s AS (SELECT vec_id, embedding, $bucket AS bucket,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+         |    / CAST(127 AS DOUBLE) AS scale FROM embeddings),
+         |qv AS (SELECT vec_id, bucket,
+         |  CASE WHEN scale > 0
+         |    THEN list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+         |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+         |  FROM s),
+         |n AS (SELECT vec_id, bucket, q,
+         |  CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))
+         |    AS BIGINT) AS n2 FROM qv),
+         |qq AS (SELECT vec_id, q, n2, unnest(${duckProbes("bucket", planes)}) AS bucket
+         |       FROM n WHERE vec_id = 0)
+         |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT qq.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    CAST(list_sum(list_transform(range(1, len(qq.q) + 1),
+         |      i -> qq.q[i] * c.q[i])) AS DOUBLE)
+         |      / sqrt(CAST(qq.n2 * c.n2 AS DOUBLE)) AS score,
+         |    row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+         |      CAST(list_sum(list_transform(range(1, len(qq.q) + 1),
+         |        i -> qq.q[i] * c.q[i])) AS DOUBLE)
+         |        / sqrt(CAST(qq.n2 * c.n2 AS DOUBLE)) DESC, c.vec_id) AS rnk
+         |  FROM n c JOIN qq
+         |    ON qq.bucket = c.bucket AND qq.vec_id != c.vec_id
+         |  WHERE qq.n2 > 0 AND c.n2 > 0)
          |WHERE rnk <= 5""".stripMargin
     },
     "m20_ivf_layout" -> {

@@ -120,16 +120,51 @@ object Similarity {
     * vectors again. Staged projections per the HOF-staging discipline
     * (scale lands in its own column before the per-element lambda). */
   def quantizeForStorage(df: DataFrame, idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = df
-    .select(col(idCol), col(vecCol).as("__v"))
-    .select(col(idCol), col("__v"),
-      (array_max(transform(col("__v"), x => abs(x.cast("double")))) / lit(127.0))
-        .as("__s"))
-    .select(col(idCol),
-      when(col("__s") > 0, transform(col("__v"),
-          x => floor(x.cast("double") / col("__s") + lit(0.5)).cast("byte")))
-        .otherwise(transform(col("__v"), _ => lit(0).cast("byte"))).as("q"))
-    .select(col(idCol), col("q"), dotInt(col("q"), col("q")).as("n2"))
+                         vecCol: String = "embedding",
+                         carryCols: Seq[String] = Nil): DataFrame = {
+    val keep = (idCol +: carryCols).map(col)
+    df.select(keep :+ col(vecCol).as("__v"): _*)
+      .select(keep :+ col("__v") :+
+        (array_max(transform(col("__v"), x => abs(x.cast("double")))) / lit(127.0))
+          .as("__s"): _*)
+      .select(keep :+
+        when(col("__s") > 0, transform(col("__v"),
+            x => floor(x.cast("double") / col("__s") + lit(0.5)).cast("byte")))
+          .otherwise(transform(col("__v"), _ => lit(0).cast("byte"))).as("q"): _*)
+      .select(keep :+ col("q") :+ dotInt(col("q"), col("q")).as("n2"): _*)
+  }
+
+  /** The int8 form of [[writeSrpLayout]] — the two 100TB levers fused:
+    * rows bucket from the FLOAT vector (bucketing precision and storage
+    * precision are independent choices; the weights fold is bit-identical
+    * to srpBucket), but the layout stores only the quantized codes —
+    * partition-PRUNABLE at the file listing AND ~4-6x smaller on disk
+    * than the float layout, which is the factor every probe read and
+    * downstream exchange then pays. Probe reads score with the
+    * codegen'd integer cosine ([[bruteForceTopKOnQuantized]]). */
+  def writeSrpQuantizedLayout(corpus: DataFrame, dim: Int, planes: Int,
+                              path: String, idCol: String = "vec_id",
+                              vecCol: String = "embedding"): Unit =
+    quantizeForStorage(
+        corpus.withColumn("bucket", srpBucket(col(vecCol), dim, planes)),
+        idCol, vecCol, carryCols = Seq("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Probe read over a [[writeSrpQuantizedLayout]] table: same partition
+    * pruning as [[readSrpProbes]] (bucket IN (...) is a partition
+    * filter), returning (id, q, n2) rows ready for
+    * [[bruteForceTopKOnQuantized]]. The query still buckets from its
+    * FLOAT vector — quantize it separately for scoring. */
+  def readSrpQuantizedProbes(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queryVec: Array[Double],
+                             planes: Int, probeRadius: Int = 1,
+                             dim: Int = -1): DataFrame = {
+    require(dim < 0 || queryVec.length == dim,
+      s"query vector length ${queryVec.length} != layout dim $dim")
+    val probes = probeBucketValues(srpBucketLocal(queryVec, planes), planes, probeRadius)
+    spark.read.parquet(path).where(col("bucket").isin(probes: _*))
+  }
 
   /** Top-k over PRE-quantized (id, q, n2) frames — the scoring half of
     * the int8 tier (see [[quantizeForStorage]]). */

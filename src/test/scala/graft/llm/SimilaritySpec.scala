@@ -220,6 +220,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.suggestedPlanes(Long.MaxValue, 1) == 30) // clamp high
   }
 
+  test("writeSrpQuantizedLayout: partition-pruned probe read, int8 bytes, " +
+    "buckets identical to the float layout") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes = 4
+    val path = tmpDir("srpq-layout") + "/corpus"
+    Similarity.writeSrpQuantizedLayout(emb, dim = 64, planes = planes, path = path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == emb.count())
+    assert(back.schema("q").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      back.schema("q").dataType.simpleString == "array<tinyint>")
+    // float and quantized layouts bucket IDENTICALLY (bucketing is from
+    // the float vector in both)
+    val floatBuckets = emb.select(col("vec_id"),
+        Similarity.srpBucket(col("embedding"), 64, planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qBuckets = back.select(col("vec_id"), col("bucket").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(qBuckets == floatBuckets)
+    // probe read prunes partitions exactly like the float layout
+    val qvec = emb.filter(col("vec_id") === 7).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val probe = Similarity.readSrpQuantizedProbes(spark, path, qvec, planes)
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.selectedPartitions.partitionCount <= planes + 1)
+    assert(probe.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("quantizeInt8: hand-computed codes, zero-vector to zeros, " +
     "negative half-up rounding") {
     val s = spark; import s.implicits._
