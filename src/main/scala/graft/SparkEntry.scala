@@ -514,16 +514,19 @@ object SparkEntry {
         // feeds the near-dup pipeline (two scans) and the final join:
         // materialize the dedup once, not three times
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.core.Metrics.drainDriverEvents() // scope the event window
-      val dropIds = Dedup.nearDupClusters(exact, "doc_id", "text", threshold = 0.5,
+      // scoped event window: only THIS run's driver events drain below,
+      // even if another pipeline records concurrently
+      val evScope = s"m14-${java.util.UUID.randomUUID()}"
+      val dropIds = graft.core.Metrics.withScope(evScope) {
+        Dedup.nearDupClusters(exact, "doc_id", "text", threshold = 0.5,
           maxBucketSize = Some(docBucketCap(s, dir)))
-        .where(!col("keep")).select(col("id").as("doc_id"))
+      }.where(!col("keep")).select(col("id").as("doc_id"))
       // the CC loop inside nearDupClusters just ran eagerly — publish its
       // round count (a driver-loop counter no action computes) to the
       // telemetry metrics table; side output, not the returned frame
       graft.core.Telemetry.appendMetrics(s,
         graft.core.Telemetry.fromDriverEvents("m14",
-          graft.core.Metrics.drainDriverEvents()),
+          graft.core.Metrics.drainDriverEvents(evScope)),
         tmpQueryDir("m14-telemetry").toString + "/metrics",
         java.time.LocalDate.now())
       val curated = exact.join(dropIds, Seq("doc_id"), "left_anti")
@@ -947,9 +950,14 @@ object SparkEntry {
               decimalSum(col("o_totalprice"), 2).as("total_price")),
           s"$out/orders_summary")
       val state = new RunState(s"$out/_state")
-      graft.core.Metrics.drainDriverEvents() // scope the event window to this run
-      val results = Runner.runAll(s, Seq(
-        "events_split" -> eventsSplit, "orders_summary" -> ordersSummary))
+      // scoped event window: Runner re-establishes the scope on its pool
+      // threads, so events recorded inside the pipelines drain here and
+      // nowhere else, even under concurrent runs
+      val evScope = s"m12-${java.util.UUID.randomUUID()}"
+      val results = graft.core.Metrics.withScope(evScope) {
+        Runner.runAll(s, Seq(
+          "events_split" -> eventsSplit, "orders_summary" -> ordersSummary))
+      }
       Runner.saveHistory(state, results)
       state.commit()
       require(results.forall(_.result.isSuccess),
@@ -962,7 +970,7 @@ object SparkEntry {
         results.map(r => graft.core.Telemetry.MetricRecord("m12",
           s"${r.name}.duration_ms", r.millis, "", nowTs)) ++
           graft.core.Telemetry.fromDriverEvents("m12",
-            graft.core.Metrics.drainDriverEvents()),
+            graft.core.Metrics.drainDriverEvents(evScope)),
         s"$out/telemetry_metrics", java.time.LocalDate.now())
       // aggregates over the PUBLISHED outputs (post-commit paths)
       val valid = s.read.parquet(s"$out/events_valid")

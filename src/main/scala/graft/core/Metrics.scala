@@ -63,28 +63,70 @@ object Metrics {
   /** Driver-side metric event — for values the observe() path cannot
     * capture: counters produced by iterative DRIVER loops (e.g.
     * connected-components round counts), which exist only after the loop
-    * ends, not during any single action's execution. */
+    * ends, not during any single action's execution. `scope` identifies
+    * the logical run that recorded the event (see [[withScope]]); empty
+    * when recorded outside any scope. */
   final case class DriverEvent(point: String, metric: String, value: Long,
-                               tags: String, at: java.sql.Timestamp)
+                               tags: String, at: java.sql.Timestamp,
+                               scope: String = "")
 
   private val driverQueue =
     new java.util.concurrent.ConcurrentLinkedQueue[DriverEvent]()
 
-  /** Record a driver-loop metric. Appends per call — concurrent
-    * pipelines interleave without clobbering each other (the failure
-    * mode of a shared mutable field). */
+  // Dynamic scope for driver events: a plain ThreadLocal, NOT inheritable
+  // — pooled executor threads (Runner) predate the scope, so propagation
+  // is explicit (Runner captures the caller's scope and re-establishes it
+  // inside each pipeline task).
+  private val scopeLocal = new ThreadLocal[String] { override def initialValue(): String = "" }
+
+  /** The current thread's driver-event scope ("" when unscoped). */
+  def currentScope: String = scopeLocal.get()
+
+  /** Run `f` with the current thread's driver-event scope set to `scope`;
+    * every [[recordDriver]] on this thread inside `f` is stamped with it,
+    * and [[drainDriverEvents(scope*]] recovers exactly those events even
+    * when other pipelines record concurrently. Restores the previous
+    * scope on exit (scopes nest). Code that hands work to OTHER threads
+    * must re-establish the scope there ([[Runner.runAll]] does). */
+  def withScope[T](scope: String)(f: => T): T = {
+    val prev = scopeLocal.get()
+    scopeLocal.set(scope)
+    try f finally scopeLocal.set(prev)
+  }
+
+  /** Record a driver-loop metric, stamped with the current thread's
+    * scope. Appends per call — concurrent pipelines interleave without
+    * clobbering each other (the failure mode of a shared mutable field). */
   def recordDriver(point: String, metric: String, value: Long,
                    tags: String = ""): Unit =
     driverQueue.add(DriverEvent(point, metric, value, tags,
-      new java.sql.Timestamp(System.currentTimeMillis())))
+      new java.sql.Timestamp(System.currentTimeMillis()), scopeLocal.get()))
 
   /** Remove and return all driver events recorded so far, in record
-    * order. Callers bracketing a job (drain-discard before, drain-append
-    * after) get exactly their own window's events. */
+    * order — the whole-process telemetry drain. The drain-bracket
+    * pattern (drain-discard before, drain-append after) is only exact
+    * when NO other thread records during the window; concurrent
+    * pipelines must use [[withScope]] + [[drainDriverEvents(scope*]],
+    * which cannot steal or misattribute across runs. */
   def drainDriverEvents(): Seq[DriverEvent] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[DriverEvent]
     var e = driverQueue.poll()
     while (e != null) { buf += e; e = driverQueue.poll() }
+    buf.toSeq
+  }
+
+  /** Remove and return only the driver events recorded under `scope`,
+    * in record order; events from other scopes stay queued for their
+    * own drains. Safe under concurrent recording: the iterator is
+    * weakly consistent, and events for this scope are produced by the
+    * draining caller's own (completed) run, so none can be missed. */
+  def drainDriverEvents(scope: String): Seq[DriverEvent] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DriverEvent]
+    val it = driverQueue.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.scope == scope) { it.remove(); buf += e }
+    }
     buf.toSeq
   }
 }

@@ -24,13 +24,18 @@ object Runner {
              parallelism: Int = 6, timeout: Duration = Duration.Inf): Seq[PipelineResult] = {
     val pool = Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // pooled threads don't inherit the caller's driver-event scope —
+    // capture it here and re-establish it inside each pipeline task so a
+    // scoped caller's drain sees events its pipelines recorded
+    val callerScope = graft.core.Metrics.currentScope
     val futures = pipelines.map { case (name, body) =>
       Future {
         val t0 = System.nanoTime()
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
         spark.sparkContext.setJobGroup(name, s"graft pipeline $name", interruptOnCancel = true)
         val r = Try {
-          try body(spark) finally spark.sparkContext.clearJobGroup()
+          try graft.core.Metrics.withScope(callerScope)(body(spark))
+          finally spark.sparkContext.clearJobGroup()
         }
         PipelineResult(name, r, (System.nanoTime() - t0) / 1000000)
       }

@@ -92,7 +92,12 @@ object Sampling {
     val wsum = targets.values.sum
     val probs = targets.map { case (s, w) => s -> w / wsum }
     val inMix = df.where(col(strataCol).isin(targets.keys.toSeq: _*))
-    val counts = inMix.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    // cast to string for the driver-side count map: a non-string strata
+    // column (e.g. an int source id) otherwise throws an opaque
+    // ClassCastException at getString, even though isin()/=== coerce fine
+    val counts = inMix
+      .groupBy(col(strataCol).cast("string").as("__stratum"))
+      .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     probs.keys.foreach { s =>
       require(counts.getOrElse(s, 0L) > 0L,

@@ -220,10 +220,20 @@ object TextAnalysis {
     * `df.count()` scan of a possibly-expensive upstream pipeline; the
     * (id, term) exchange is the plan's only shuffle of corpus bytes and
     * is REUSED by all three consumers (tf join-left, df, N). The tiny df
-    * aggregate is broadcast-hinted into the join (distinct terms ≪
-    * (id, term) pairs in any natural corpus) under a plan-stats size
-    * guard, so a pathological billion-term corpus degrades to a sort-
-    * merge join instead of a broadcast OOM. The per-doc top-k window's
+    * aggregate (distinct terms ≪ (id, term) pairs in any natural corpus)
+    * joins by BROADCAST, but the static hint is best-effort only: the
+    * plan-stats guard reads the Aggregate's estimate, which without CBO
+    * derives from its CHILD (the full (id, term) exchange), so at real
+    * corpus scale the estimate exceeds the threshold and the hint does
+    * NOT engage. The mechanism that actually delivers the broadcast at
+    * scale is AQE: the exchange's RUNTIME size of the df aggregate is
+    * accurate, and adaptive join selection converts the sort-merge join
+    * to a broadcast join when it fits
+    * `spark.sql.adaptive.autoBroadcastJoinThreshold` (asserted on the
+    * adaptive final plan in TextAnalysisSpec). The static hint stays for
+    * the CBO-on / tiny-input cases where the estimate is honest; either
+    * way a pathological billion-term corpus degrades to a sort-merge
+    * join instead of a broadcast OOM. The per-doc top-k window's
     * rank<=k filter Spark pushes map-side (WindowGroupLimit) so full
     * per-doc term lists never sort through one partition.
     *

@@ -164,7 +164,16 @@ object Sinks {
     * anti-join broadcasts those survivors back. Total shuffle: the
     * candidate-key distinct, O(|candidates|) — vs BOTH full sides for
     * the plain anti-join. Do NOT enable when a large batch may be mostly
-    * duplicates: the candidate broadcast would then be O(|batch|).
+    * duplicates: the candidate broadcast would then be O(|batch|). The
+    * `maxCandidateBroadcastBytes` guard (symmetric to `maxFilterBytes`)
+    * backstops exactly that misuse: when the candidate-key frame's
+    * Catalyst plan-stats bound exceeds it, the call FALLS BACK to the
+    * plain anti-join (identical result, shuffle instead of broadcast)
+    * and logs a warning — a mis-predicted batch degrades to the safe
+    * plan instead of OOMing the driver/executors. Without CBO the bound
+    * is the filtered batch's size (an overestimate of the distinct
+    * keys), so the fallback errs conservative; raise the threshold
+    * deliberately when the batch side is known small.
     *
     * `incoming` is consumed by both branches of the split (three times
     * with the prune on) — persist it first if it is an expensive
@@ -176,7 +185,8 @@ object Sinks {
                                 keyCol: String, expectedItems: Long,
                                 fpp: Double = 0.01,
                                 pruneExistingByCandidates: Boolean = false,
-                                maxFilterBytes: Long = 256L << 20): DataFrame = {
+                                maxFilterBytes: Long = 256L << 20,
+                                maxCandidateBroadcastBytes: Long = 64L << 20): DataFrame = {
     val estBytes = bloomFilterBytes(expectedItems, fpp)
     require(estBytes <= maxFilterBytes,
       s"bloom filter for expectedItems=$expectedItems at fpp=$fpp is ~$estBytes " +
@@ -196,13 +206,21 @@ object Sinks {
     // matching left_anti (null never equals an existing key -> row kept)
     val definitelyNew = incoming.where(!coalesce(contains, lit(false)))
     val candidates = incoming.where(coalesce(contains, lit(false)))
+    // candidates are non-null by construction (nulls took the fast
+    // path), so equality semantics need no null handling here
+    val candKeys = candidates.select(col(keyCol)).distinct()
+    val candBytes = candKeys.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pruneSafe = candBytes <= BigInt(maxCandidateBroadcastBytes)
+    if (pruneExistingByCandidates && !pruneSafe)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bloomDedupAgainstExisting: candidate-key plan-stats bound $candBytes B " +
+          s"exceeds maxCandidateBroadcastBytes=$maxCandidateBroadcastBytes — " +
+          "falling back to the plain anti-join (identical result); the batch " +
+          "is too large/duplicate-heavy for the candidate-broadcast prune")
     val residual =
-      if (!pruneExistingByCandidates)
+      if (!pruneExistingByCandidates || !pruneSafe)
         dedupAgainstExisting(candidates, existingKeys, Seq(keyCol))
       else {
-        // candidates are non-null by construction (nulls took the fast
-        // path), so equality semantics need no null handling here
-        val candKeys = candidates.select(col(keyCol)).distinct()
         val survivors = existingKeys.select(col(keyCol))
           .join(broadcast(candKeys), Seq(keyCol), "left_semi").distinct()
         candidates.join(broadcast(survivors), Seq(keyCol), "left_anti")

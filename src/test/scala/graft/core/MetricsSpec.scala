@@ -92,6 +92,51 @@ class MetricsSpec extends SparkTestBase {
     assert(events.map(_.value).toSet == Set(chainRounds.toLong, pairRounds.toLong))
   }
 
+  test("scoped driver-event windows: concurrent scopes drain exactly their " +
+    "own events; unscoped drain keeps the rest") {
+    Metrics.drainDriverEvents() // isolate from other suites
+    // interleave two scoped recorders on separate threads plus an
+    // unscoped event — each scope's drain must recover exactly its own
+    val t1 = new Thread(() => Metrics.withScope("runA") {
+      Metrics.recordDriver("graft.cc", "rounds", 3L)
+      Thread.sleep(20)
+      Metrics.recordDriver("graft.cc", "rounds", 4L)
+    })
+    val t2 = new Thread(() => Metrics.withScope("runB") {
+      Thread.sleep(10)
+      Metrics.recordDriver("graft.cc", "rounds", 9L)
+    })
+    Metrics.recordDriver("graft.other", "n", 1L) // unscoped
+    t1.start(); t2.start(); t1.join(10000); t2.join(10000)
+    val a = Metrics.drainDriverEvents("runA")
+    assert(a.map(_.value) == Seq(3L, 4L) && a.forall(_.scope == "runA"))
+    val b = Metrics.drainDriverEvents("runB")
+    assert(b.map(_.value) == Seq(9L))
+    assert(Metrics.drainDriverEvents("runA").isEmpty, "scoped drain empties its scope")
+    val rest = Metrics.drainDriverEvents()
+    assert(rest.map(e => (e.point, e.value, e.scope)) == Seq(("graft.other", 1L, "")),
+      s"unscoped event must survive scoped drains: $rest")
+  }
+
+  test("withScope nests and restores; Runner propagates the caller scope " +
+    "to its pool threads") {
+    assert(Metrics.currentScope == "")
+    Metrics.withScope("outer") {
+      assert(Metrics.currentScope == "outer")
+      Metrics.withScope("inner")(assert(Metrics.currentScope == "inner"))
+      assert(Metrics.currentScope == "outer")
+      // Runner runs pipelines on pooled threads that predate this scope;
+      // runAll must re-establish it there
+      val results = graft.exec.Runner.runAll(spark, Seq(
+        "p1" -> ((_: org.apache.spark.sql.SparkSession) =>
+          Metrics.recordDriver("graft.cc", "rounds", 7L))))
+      assert(results.forall(_.result.isSuccess))
+    }
+    assert(Metrics.currentScope == "")
+    val ev = Metrics.drainDriverEvents("outer")
+    assert(ev.map(_.value) == Seq(7L), s"pool-thread event must carry caller scope: $ev")
+  }
+
   test("fromCollector snapshots long-valued observed metrics") {
     val c = new Metrics.Collector
     // simulate a delivery via the public surface: use a real observation

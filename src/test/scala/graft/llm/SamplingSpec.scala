@@ -111,6 +111,18 @@ class SamplingSpec extends SparkTestBase {
       Sampling.mixTake(df, "id", "g", Map("a" -> 1.0, "zz" -> 1.0)))
   }
 
+  test("mixTake: non-string strata column (int source id) works — counts " +
+    "cast instead of ClassCastException") {
+    val s = spark; import s.implicits._
+    // source ids as INTs; targets keyed by their string forms
+    val rows = (1L to 40L).map(i => (i, 1)) ++ (41L to 60L).map(i => (i, 2))
+    val df = rows.toDF("id", "src")
+    val out = Sampling.mixTake(df, "id", "src", Map("1" -> 1.0, "2" -> 1.0))
+    val byG = out.collect().groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+    // p = 0.5/0.5; N = min(40/.5, 20/.5) = 40 -> 20 per stratum
+    assert(byG == Map(1 -> 20, 2 -> 20), s"got $byG")
+  }
+
   test("rateThreshold: hex space endpoints and monotonicity") {
     assert(Sampling.rateThreshold(0.0) == "00000000")
     assert(Sampling.rateThreshold(1.0) == "ffffffff")

@@ -123,6 +123,30 @@ class TextAnalysisSpec extends SparkTestBase {
       s"expected the df side broadcast into the score join in:\n$plan")
   }
 
+  test("keywordScores: when the static hint cannot engage (plan-stats over " +
+    "threshold), AQE converts the df join to broadcast from runtime sizes") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 50L).map(i => (i, s"alpha beta gamma-$i delta word$i"))
+      .toDF("doc_id", "text")
+    // the scale shape: static estimates too big to hint or auto-broadcast
+    // (threshold -1 kills the static path; broadcastDfMaxBytes=1 kills
+    // our hint), adaptive threshold live — AQE must rescue the join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val out = TextAnalysis.keywordScores(docs, "doc_id", "text", topK = 2,
+        broadcastDfMaxBytes = 1L)
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("BroadcastHashJoin"),
+        s"AQE must convert the df join to broadcast at runtime:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("keywordScores: tokenless docs count toward N (the sentinel term " +
     "keeps them in the doc-count branch, excluded from tf)") {
     val s = spark; import s.implicits._

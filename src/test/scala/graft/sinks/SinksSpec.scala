@@ -66,6 +66,27 @@ class SinksSpec extends SparkTestBase {
     } finally confs.foreach(spark.conf.unset)
   }
 
+  test("bloomDedup candidate-prune guard: an oversized candidate set falls " +
+    "back to the plain anti-join (identical result, no candidate broadcast)") {
+    val s = spark; import s.implicits._
+    val existing = (0L until 300L).map(i => s"key-$i").toDF("k")
+    val batch = ((100L until 1100L).map(i => Some(s"key-$i")) :+ None)
+      .toDF("k").withColumn("payload", col("k"))
+    val plain = Sinks.dedupAgainstExisting(batch, existing, Seq("k"))
+      .collect().map(_.getString(1)).toSet
+    // a 1-byte threshold trips the guard for any non-empty batch
+    val guarded = Sinks.bloomDedupAgainstExisting(batch, existing, "k",
+      expectedItems = 300, pruneExistingByCandidates = true,
+      maxCandidateBroadcastBytes = 1L)
+    assert(guarded.collect().map(_.getString(1)).toSet == plain,
+      "fallback must preserve the anti-join result")
+    // the fallback plan is the plain residual anti-join: no left-semi
+    // prune of the existing side (the candidate broadcast never happens)
+    val analyzed = guarded.queryExecution.analyzed.toString
+    assert(!analyzed.contains("LeftSemi"),
+      s"guard tripped but the prune semi-join is still in the plan:\n$analyzed")
+  }
+
   test("bloomDedup fails fast when the filter would exceed maxFilterBytes") {
     val s = spark; import s.implicits._
     val existing = Seq("a", "b").toDF("k")
