@@ -225,12 +225,30 @@ object ScaleBench {
     freshBatch.count() // materialize BOTH caches so the variants time
     targetFps.count()  // only joins, not scan+md5 warm-up
     val tBloomBuild = System.nanoTime()
-    targetFps.stat.bloomFilter("fp", nDocs, 0.01)
+    val prebuiltBf = targetFps.stat.bloomFilter("fp", nDocs, 0.01)
     val bloomBuildSecs = secs(tBloomBuild)
     val noBroadcast = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
     noBroadcast.foreach(spark.conf.set(_, "-1"))
-    val (plainAntiSecs, bloomAntiSecs, bloomPruneSecs, nPlainAnti, nBloomAnti) =
+    // The SMALL-batch shape is the prune path's actual operating point
+    // (its scaladoc's win regime): a ~18k-row mostly-new incremental
+    // batch against the same big target, probed through the PRE-BUILT
+    // filter (the steady-state ingestion contract: build/maintain the
+    // target's filter once, reuse per batch) — the shape where the
+    // candidate broadcast is O(dups) and the existing side never
+    // shuffles. The batch≈target shape above stays as the stress case
+    // (it measures the overheads when the premise DOESN'T hold, filter
+    // build included per call).
+    val smallBatch = corpus
+      .where(pmod(xxhash64(col("doc_id")), lit(1000L)) < 33) // hash-uniform ~3.3%
+      .select((col("doc_id") + 700000000L).as("doc_id"),
+        concat(col("text"), lit(" small")).as("text"))
+      .unionByName(corpus.limit(2000))
+      .select(col("doc_id"), graft.llm.Dedup.exactKey(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSmallBatch = smallBatch.count()
+    val (plainAntiSecs, bloomAntiSecs, bloomPruneSecs, nPlainAnti, nBloomAnti,
+         smallPlainSecs, smallBloomSecs, smallPruneSecs) =
       try {
         val tPlainAnti = System.nanoTime()
         val nPlain = graft.sinks.Sinks.dedupAgainstExisting(
@@ -246,11 +264,29 @@ object ScaleBench {
           pruneExistingByCandidates = true).count()
         require(nPrune == nPlain,
           s"bloom+prune anti-join diverged: $nPrune vs $nPlain")
-        (pSecs, bSecs, secs(tPrune), nPlain, nBloom)
+        val prSecs = secs(tPrune)
+        val tSp = System.nanoTime()
+        val nSp = graft.sinks.Sinks.dedupAgainstExisting(
+          smallBatch, targetFps, Seq("fp")).count()
+        val spSecs = secs(tSp)
+        val tSb = System.nanoTime()
+        val nSb = graft.sinks.Sinks.bloomDedupAgainstExisting(
+          smallBatch, targetFps, "fp", prebuiltBf,
+          pruneExistingByCandidates = false,
+          maxCandidateBroadcastBytes = 64L << 20).count()
+        val sbSecs = secs(tSb)
+        val tSpr = System.nanoTime()
+        val nSpr = graft.sinks.Sinks.bloomDedupAgainstExisting(
+          smallBatch, targetFps, "fp", prebuiltBf,
+          pruneExistingByCandidates = true,
+          maxCandidateBroadcastBytes = 64L << 20).count()
+        require(nSb == nSp && nSpr == nSp,
+          s"small-batch variants diverged: plain=$nSp bloom=$nSb prune=$nSpr")
+        (pSecs, bSecs, prSecs, nPlain, nBloom, spSecs, sbSecs, secs(tSpr))
       } finally noBroadcast.foreach(spark.conf.unset)
     require(nPlainAnti == nBloomAnti,
       s"bloom anti-join diverged: $nBloomAnti vs $nPlainAnti")
-    targetFps.unpersist(); freshBatch.unpersist()
+    targetFps.unpersist(); freshBatch.unpersist(); smallBatch.unpersist()
 
     // ---- sessionization under a deliberately hot key --------------------
     // 6M events, ONE key holding 40% of them (the fandom/bot account every
@@ -360,6 +396,10 @@ object ScaleBench {
       s""""anti_plain_secs":$plainAntiSecs,"anti_bloom_secs":$bloomAntiSecs,""" +
       s""""anti_bloom_prune_secs":$bloomPruneSecs,""" +
       s""""anti_bloom_build_secs":$bloomBuildSecs,"anti_new_rows":$nBloomAnti,""" +
+      s""""anti_small_batch_rows":$nSmallBatch,""" +
+      s""""anti_small_plain_secs":$smallPlainSecs,""" +
+      s""""anti_small_bloom_secs":$smallBloomSecs,""" +
+      s""""anti_small_bloom_prune_secs":$smallPruneSecs,""" +
       s""""sigstate_secs":$stateSecs,"inc_1k_secs":$incSecs1k,"inc_1k_kept":$kept1k,""" +
       s""""inc_4k_secs":$incSecs4k,"inc_4k_kept":$kept4k,""" +
       s""""sess_events":$nEv,"sess_hot_events":$hotN,""" +

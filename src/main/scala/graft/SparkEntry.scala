@@ -376,6 +376,34 @@ object SparkEntry {
       Dedup.contaminationFlags(docs, docs.where(col("doc_id") % 97 === 0),
         "doc_id", "text", k = 8)
     }),
+    "d26_pack_sequences" -> ((s, dir) =>
+      // training-sequence packing (concat-and-chunk): deterministic
+      // salted-hash shuffle order, two-phase distributed prefix sum
+      // (tiny bucket-offset window + bucket-partitioned cumsum) ==
+      // the one-global-window formulation bit-exactly — which is what
+      // the oracle runs
+      graft.llm.Packing.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", TextAnalysis.tokenCount(col("text")).cast("long"),
+        budget = 2048)),
+    "d27_boilerplate_spans" -> ((s, dir) =>
+      // exact-substring (span) dedup inside docs: 4-token spans seen in
+      // > 2 docs are boilerplate; covered positions are cut and the
+      // survivors re-join — the Lee et al. ACL'22 pass the document-
+      // level detectors (d01/d04/d05) can't express
+      Dedup.removeBoilerplateSpans(t(s, dir, "documents"), "doc_id", "text",
+        width = 4, maxDocFreq = 2)),
+    "d28_regex_tokens" -> ((s, dir) =>
+      // BPE-ish pre-tokenization profile: the RE2-compatible alternation
+      // pattern (no lookaround) runs IDENTICALLY under Java regex here
+      // and RE2 in the oracle; counts are integers, the one ratio is a
+      // per-row division
+      TextAnalysis.regexTokenStats(t(s, dir, "documents"), "doc_id", "text")),
+    "d29_unigram_familiarity" -> ((s, dir) =>
+      // log-free unigram-LM quality scoring: mean corpus frequency +
+      // rare-token mass, all integer sums (ln() would drift across
+      // libms; monotone surrogate keeps the ranking)
+      TextAnalysis.unigramFamiliarity(t(s, dir, "documents"), "doc_id", "text")),
     "d03_lang_scores" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(col("text"))
         .map { case (name, c) => c.as(name) }
@@ -1317,6 +1345,100 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
         |       coalesce(h.n_hits, 0) >= 1 AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "d26_pack_sequences" ->
+      // the packing spec IS the one-global-window prefix sum: same
+      // salted-hash order (sampleKey), same integral div/mod — the
+      // Spark side's two-phase bucket decomposition must reproduce it
+      // bit-exactly
+      """WITH toks AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens,
+        |    substr(md5('graft' || '|' || CAST(doc_id AS VARCHAR)), 1, 8) AS sk
+        |  FROM documents),
+        |cum AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY sk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_tok
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, start_tok,
+        |  start_tok // 2048 AS seq,
+        |  start_tok % 2048 AS seq_off,
+        |  (start_tok + GREATEST(n_tokens - 1, 0)) // 2048
+        |    - (start_tok // 2048) + 1 AS spans
+        |FROM cum""".stripMargin,
+    "d27_boilerplate_spans" ->
+      // same gram keys (case-normalized md5 over 4-token joins), same
+      // df > 2 bar, same position-predicate reconstruction
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |g0 AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(tk) - 4 + 1, 0)),
+        |      i -> {'pos': i,
+        |            'gram': md5(lower(array_to_string(tk[i+1:i+4], ' ')))})) AS u
+        |  FROM toks),
+        |gp AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0),
+        |hot AS (SELECT gram FROM (
+        |    SELECT gram, COUNT(DISTINCT doc_id) AS df FROM gp GROUP BY 1)
+        |  WHERE df > 2),
+        |st AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS starts
+        |  FROM gp JOIN hot USING (gram) GROUP BY 1),
+        |j AS (SELECT t.doc_id, tk,
+        |    COALESCE(starts, CAST([] AS BIGINT[])) AS starts
+        |  FROM toks t LEFT JOIN st USING (doc_id)),
+        |k AS (SELECT doc_id, tk,
+        |    list_transform(list_filter(range(0, len(tk)),
+        |      p -> len(list_filter(starts, s -> p >= s AND p <= s + 3)) = 0),
+        |      p -> tk[p+1]) AS kept
+        |  FROM j)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+        |  -- DuckDB: array_to_string([]) is NULL; Spark concat_ws is ''
+        |  COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+        |FROM k""".stripMargin,
+    "d28_regex_tokens" ->
+      // same alternation pattern under RE2; list_sum of an empty list is
+      // NULL in DuckDB where Spark's aggregate(0L, +) is 0 — COALESCE
+      """WITH tk AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[A-Za-z0-9'']+|[^A-Za-z0-9'' ]') AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z'']+')))
+        |      AS BIGINT) AS n_word,
+        |    CAST(len(list_filter(t, x -> regexp_full_match(x, '[0-9]+')))
+        |      AS BIGINT) AS n_num,
+        |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0)
+        |      AS BIGINT) AS tok_chars
+        |  FROM tk)
+        |SELECT doc_id, n_tokens, n_word, n_num, tok_chars,
+        |  n_tokens - n_word - n_num AS n_other,
+        |  CASE WHEN n_tokens = 0 THEN NULL
+        |       ELSE CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |  END AS chars_per_token
+        |FROM c""".stripMargin,
+    "d29_unigram_familiarity" ->
+      // identical integer arithmetic: per-(doc,term) tf, corpus counts,
+      // total token mass; rare = cnt*100 < total; ratios are single
+      // IEEE divisions of the BIGINT sums
+      """WITH tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split(lower(text), ' '),
+        |            x -> x <> '')) AS term
+        |        FROM documents) GROUP BY 1, 2),
+        |vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt
+        |  FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_toks FROM vocab)
+        |SELECT tf.doc_id AS id,
+        |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(tf * cnt) AS BIGINT) AS sum_freq,
+        |  CAST(SUM(CASE WHEN cnt * 100 < total_toks THEN tf ELSE 0 END)
+        |    AS BIGINT) AS oov_tokens,
+        |  CAST(SUM(tf * cnt) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS mean_freq,
+        |  CAST(SUM(CASE WHEN cnt * 100 < total_toks THEN tf ELSE 0 END)
+        |    AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS oov_rate
+        |FROM tf JOIN vocab USING (term), tot
+        |GROUP BY 1, total_toks""".stripMargin,
     "d02_quality" -> {
       // All features over t = lower(text), matching the Spark side exactly.
       val toks = "list_filter(string_split(t, ' '), x -> x != '')"

@@ -692,6 +692,74 @@ object Dedup {
     materializeAndRelease(scored, f0)
   }
 
+  /** Span-level boilerplate removal — exact-substring dedup INSIDE
+    * documents, the step document-level detectors can't do (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL'22:
+    * repeated substrings, not just repeated documents, drive memorization;
+    * RefinedWeb/CCNet run the same line/passage-level pass). A `width`-
+    * token span (case-normalized, md5-keyed) whose corpus DOCUMENT
+    * frequency exceeds `maxDocFreq` is boilerplate; every token position
+    * it covers is cut from the doc, and the surviving tokens (original
+    * case) re-join as `cleaned_text`.
+    *
+    * Deterministic and partitioning-independent: flagged-start sets are
+    * collected as sorted distinct positions and the keep-filter is a pure
+    * predicate over positions, so the output is a function of the corpus
+    * alone.
+    *
+    * Scale shape: one corpus tokenize; only (16-byte gram md5, id, pos)
+    * triples shuffle — text never enters an exchange (same contract as
+    * the LSH/winnowing family). The hot-gram set (corpus-frequency >
+    * maxDocFreq) is tiny by construction and broadcast-hinted under a
+    * plan-stats guard; at real scale AQE's runtime sizes convert the
+    * join when the static estimate is too coarse (same mechanism as
+    * keywordScores, TextAnalysisSpec pins it there). The per-doc
+    * reconstruction is map-side HOFs — no shuffle after the flagged-
+    * start aggregation.
+    *
+    * Output: (idCol, n_tokens, n_removed, cleaned_text). */
+  def removeBoilerplateSpans(df: DataFrame, idCol: String, textCol: String,
+                             width: Int = 4, maxDocFreq: Long = 2,
+                             hotBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
+    require(width >= 1, s"width must be >= 1: $width")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1: $maxDocFreq")
+    val toks = df.select(col(idCol).as("__id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // gram keys are case-normalized; docs shorter than `width` emit no
+    // grams (sequence(0, negative) would count DOWN — guard it)
+    val gramArr = when(size(col("__toks")) < width,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("__toks")) - width),
+        i => md5(lower(concat_ws(" ", slice(col("__toks"), i + lit(1), lit(width)))))))
+    val grams = toks
+      .select(col("__id"), posexplode(gramArr).as(Seq("__pos", "__gram")))
+    val hot = grams.groupBy(col("__gram"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .where(col("__df") > maxDocFreq).select(col("__gram"))
+    val hotHinted =
+      if (hot.queryExecution.optimizedPlan.stats.sizeInBytes <= hotBroadcastMaxBytes)
+        broadcast(hot)
+      else hot
+    val starts = grams.join(hotHinted, Seq("__gram"))
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_set(col("__pos"))).as("__starts"))
+    val covered: Column => Column = p =>
+      exists(col("__starts"), s => p >= s && p <= s + width - 1)
+    val kept = transform(
+      filter(when(size(col("__toks")) === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), size(col("__toks")) - 1)),
+        p => !covered(p)),
+      p => element_at(col("__toks"), p + 1))
+    toks.join(starts, Seq("__id"), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept", kept)
+      .select(col("__id").as(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("__kept")).as("cleaned_text"))
+  }
+
   /** Connected components over an undirected pair list — the step that
     * turns near-dup PAIRS into dedup DECISIONS: every doc in a component
     * gets the component's minimum id as its cluster label (the canonical

@@ -16,11 +16,34 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
-  /** BPE-ish regex tokenization: words, numbers, or single non-space
-    * symbols. */
+  /** BPE-ish regex tokenization: alphanumeric runs (apostrophes glued,
+    * so contractions hold together) or single non-space symbols — the
+    * GPT-2-style pre-tokenization split, reduced to an alternation of
+    * character classes so the SAME pattern runs under Java regex (Spark
+    * codegen) and RE2 (DuckDB/engines without lookaround — the previous
+    * lookbehind-based formulation could not cross engines). */
   def regexTokens(text: Column): Column =
-    filter(transform(split(text, "((?<=[^A-Za-z0-9'])|(?=[^A-Za-z0-9' ]))"), t => trim(t)),
-      t => t =!= "")
+    regexp_extract_all(text, lit("[A-Za-z0-9']+|[^A-Za-z0-9' ]"), lit(0))
+
+  /** Per-doc stats over [[regexTokens]] — the token-shape profile a
+    * tokenizer-budget model feeds on: counts by class (word/number/other),
+    * summed token chars, chars-per-token. All counts are integers and the
+    * single ratio is one per-row IEEE division, so every engine
+    * reproduces the output bit-exactly. */
+  def regexTokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = regexTokens(col(textCol))
+    val staged = df.select(col(idCol), toks.as("__t"))
+    staged.select(col(idCol),
+      size(col("__t")).cast("long").as("n_tokens"),
+      size(filter(col("__t"), t => t.rlike("^[A-Za-z']+$"))).cast("long").as("n_word"),
+      size(filter(col("__t"), t => t.rlike("^[0-9]+$"))).cast("long").as("n_num"),
+      aggregate(transform(col("__t"), t => length(t)), lit(0L),
+        (acc, x) => acc + x).as("tok_chars"))
+    .withColumn("n_other", col("n_tokens") - col("n_word") - col("n_num"))
+    .withColumn("chars_per_token",
+      when(col("n_tokens") === 0, lit(null).cast("double"))
+        .otherwise(col("tok_chars").cast("double") / col("n_tokens").cast("double")))
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -278,6 +301,55 @@ object TextAnalysis {
       .where(col("rank") <= topK)
       .select(col("id"), col("term"), col("tf"), col("df"),
         col("score"), col("rank"))
+  }
+
+  /** Unigram-LM familiarity scoring — the corpus-frequency quality
+    * filter (the CCNet/Gopher "does this look like the corpus" signal)
+    * expressed WITHOUT logarithms so it is bit-exact across engines: a
+    * doc's score is the mean corpus frequency of its tokens
+    * (`mean_freq`, high = common-vocabulary text) plus its rare-token
+    * mass (`oov_rate`, the fraction of tokens whose term holds less
+    * than a 1/`rareDenom` share of the corpus). Log-probability LM
+    * scoring would rank identically per token (log is monotone) but
+    * ln() drifts across libms; here every aggregate is an INTEGER sum
+    * and the two ratios are one per-row IEEE division each.
+    *
+    * Scale shape: one corpus tokenize; the (id, term) exchange feeds
+    * both the vocabulary aggregate and the scoring join (same reuse
+    * shape as keywordScores); the vocab (distinct terms ≪ corpus) is
+    * broadcast-hinted under a plan-stats guard with AQE as the
+    * at-scale mechanism; the total-token count rides a 1-row broadcast
+    * cross join. Docs with zero tokens have no rows. `sum_freq` is a
+    * sum of tf·count(term) longs — bounded by n_tokens(doc) ·
+    * n_tokens(corpus), overflow-safe below ~10^18 (a 25T-token corpus
+    * and 40k-token docs sit at ~10^17).
+    *
+    * Output: (id, n_tokens, sum_freq, oov_tokens, mean_freq, oov_rate). */
+  def unigramFamiliarity(df: DataFrame, idCol: String, textCol: String,
+                         rareDenom: Long = 100,
+                         vocabBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
+    require(rareDenom >= 1, s"rareDenom must be >= 1: $rareDenom")
+    val tf = df
+      .select(col(idCol).as("id"),
+        explode(tokens(lower(coalesce(col(textCol), lit(""))))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total_toks"))
+    val vocabHinted =
+      if (vocab.queryExecution.optimizedPlan.stats.sizeInBytes <= vocabBroadcastMaxBytes)
+        broadcast(vocab)
+      else vocab
+    tf.join(vocabHinted, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("cnt")).as("sum_freq"),
+        sum(when(col("cnt") * rareDenom < col("total_toks"), col("tf"))
+          .otherwise(lit(0L))).as("oov_tokens"))
+      .withColumn("mean_freq",
+        col("sum_freq").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
   }
 
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =

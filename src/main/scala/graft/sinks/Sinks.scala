@@ -198,7 +198,32 @@ object Sinks {
     if (existingKeys.where(col(keyCol).isNotNull).limit(1).isEmpty)
       return incoming
     val bf = existingKeys.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val bc = incoming.sparkSession.sparkContext.broadcast(bf)
+    bloomDedupAgainstExisting(incoming, existingKeys, keyCol, bf,
+      pruneExistingByCandidates, maxCandidateBroadcastBytes)
+  }
+
+  /** Pre-built-filter form of [[bloomDedupAgainstExisting]] — the
+    * STEADY-STATE ingestion shape: the target table's filter is built
+    * once (or maintained incrementally as batches commit) and reused
+    * across every incoming batch, so the per-batch cost is just the
+    * map-side probe plus the residual join. CORRECTNESS CONTRACT: the
+    * filter must cover a SUPERSET of `existingKeys`' non-null keys — a
+    * bloom-negative row skips the exact join entirely, so a key the
+    * filter has never seen but the table holds would wrongly pass as
+    * new. Covering extra keys is always safe (false positives are
+    * re-verified by the join). In incremental ingestion, `putString`
+    * each committed batch's keys into the filter (Spark's sketch
+    * supports incremental put + mergeInPlace) BEFORE the next batch, or
+    * rebuild on a schedule and pass the matching table snapshot. The
+    * sibling overload builds the filter per call — the one-shot shape;
+    * at N batches per target it pays the O(|existing|) build N times
+    * for no reason. */
+  def bloomDedupAgainstExisting(incoming: DataFrame, existingKeys: DataFrame,
+                                keyCol: String,
+                                filter: org.apache.spark.util.sketch.BloomFilter,
+                                pruneExistingByCandidates: Boolean,
+                                maxCandidateBroadcastBytes: Long): DataFrame = {
+    val bc = incoming.sparkSession.sparkContext.broadcast(filter)
     val contains = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.BloomContains(
         org.apache.spark.sql.GraftColumnBridge.expression(col(keyCol)), bc))

@@ -403,4 +403,39 @@ class DedupSpec extends SparkTestBase {
     assert(cc(90L) == 90L && cc(100L) == 90L)
     assert(cc.size == 11)
   }
+
+  test("removeBoilerplateSpans: covered positions cut (case-insensitive " +
+    "match, original case kept), short/clean docs untouched, overlapping " +
+    "spans union, partitioning-independent") {
+    val s = spark; import s.implicits._
+    // "click here to subscribe" appears in docs 1-3 (df=3 > 2, hot; doc 2
+    // uppercased — the key is case-normalized but output keeps case);
+    // doc 4 shares it truncated (3 tokens, no hot 4-gram); doc 5 clean;
+    // doc 6 shorter than width; doc 7 has the span twice, overlapping
+    // unique words between -> union of covered positions
+    val docs = Seq(
+      (1L, "alpha click here to subscribe beta"),
+      (2L, "CLICK HERE TO SUBSCRIBE gamma delta"),
+      (3L, "x y click here to subscribe"),
+      (4L, "click here to nothing else at all"),
+      (5L, "totally unique words nowhere repeated ever"),
+      (6L, "tiny doc"),
+      (7L, "click here to subscribe click here to subscribe tail")
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.removeBoilerplateSpans(d, "doc_id", "text", width = 4, maxDocFreq = 2)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val out = run(docs)
+    assert(out(1L) == ((6L, 4L, "alpha beta")))
+    assert(out(2L) == ((6L, 4L, "gamma delta")), "original case preserved in survivors")
+    assert(out(3L) == ((6L, 4L, "x y")))
+    assert(out(4L) == ((7L, 0L, "click here to nothing else at all")))
+    assert(out(5L)._2 == 0L && out(6L)._2 == 0L)
+    // doc 7: hot starts 0..4 (all 4-grams of the doubled span are hot or
+    // the span itself repeats) — at minimum both full-span starts 0 and 4
+    // are hot, covering positions 0..7; "tail" survives
+    assert(out(7L)._3 == "tail", s"got ${out(7L)}")
+    assert(run(docs.repartition(5)) == out, "partitioning independence")
+  }
 }

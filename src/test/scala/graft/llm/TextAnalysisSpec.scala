@@ -221,5 +221,37 @@ class TextAnalysisSpec extends SparkTestBase {
     val r = one("ab12 cd, ef!").select(TextAnalysis.regexTokens(col("text")))
       .head().getSeq[String](0)
     assert(r.contains("ab12") && r.contains(",") && r.contains("!"))
+    // contractions hold together; punctuation runs split per symbol
+    val r2 = one("it's 3.14 done!!").select(TextAnalysis.regexTokens(col("text")))
+      .head().getSeq[String](0)
+    assert(r2 == Seq("it's", "3", ".", "14", "done", "!", "!"), s"got $r2")
+  }
+
+  test("regexTokenStats: hand-computed class counts and chars-per-token; " +
+    "empty doc yields null ratio") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "it's 3.14 done!!"), (2L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.regexTokenStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    // tokens: it's, 3, ., 14, done, !, ! -> 7; words: it's, done -> 2;
+    // nums: 3, 14 -> 2; other 3; chars 4+1+1+2+4+1+1 = 14
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4),
+      r1.getLong(5)) == ((7L, 2L, 2L, 14L, 3L)))
+    assert(r1.getDouble(6) == 14.0 / 7.0)
+    val r2 = out(2L)
+    assert(r2.getLong(1) == 0L && r2.isNullAt(6))
+  }
+
+  test("unigramFamiliarity: hand-computed integer sums and ratios") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // vocab: a=3, b=1, c=1; total=5; rareDenom=2 -> rare iff cnt*2 < 5
+    val out = TextAnalysis.unigramFamiliarity(df, "doc_id", "text", rareDenom = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out(1L) == ((3L, 7L, 1L, 7.0 / 3.0, 1.0 / 3.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 4L, 1L, 2.0, 0.5)), s"got ${out(2L)}")
   }
 }

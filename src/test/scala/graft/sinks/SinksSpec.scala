@@ -87,6 +87,31 @@ class SinksSpec extends SparkTestBase {
       s"guard tripped but the prune semi-join is still in the plan:\n$analyzed")
   }
 
+  test("bloomDedup pre-built-filter overload: == plain anti-join; a " +
+    "superset filter stays correct (extra keys are just candidates)") {
+    val s = spark; import s.implicits._
+    val existing = (0L until 300L).map(i => s"key-$i").toDF("k")
+    val batch = ((100L until 1100L).map(i => Some(s"key-$i")) :+ None)
+      .toDF("k").withColumn("payload", col("k"))
+    val plain = Sinks.dedupAgainstExisting(batch, existing, Seq("k"))
+      .collect().map(_.getString(1)).toSet
+    // exact filter
+    val bf = existing.stat.bloomFilter("k", 300, 0.01)
+    val got = Sinks.bloomDedupAgainstExisting(batch, existing, "k", bf,
+      pruneExistingByCandidates = false, maxCandidateBroadcastBytes = 64L << 20)
+      .collect().map(_.getString(1)).toSet
+    assert(got == plain)
+    // superset filter (covers keys the table does NOT hold): those rows
+    // become candidates, the exact join re-verifies, result unchanged
+    val superset = existing.unionByName(
+      (5000L until 5500L).map(i => s"key-$i").toDF("k"))
+    val bfSuper = superset.stat.bloomFilter("k", 800, 0.01)
+    val gotSuper = Sinks.bloomDedupAgainstExisting(batch, existing, "k", bfSuper,
+      pruneExistingByCandidates = true, maxCandidateBroadcastBytes = 64L << 20)
+      .collect().map(_.getString(1)).toSet
+    assert(gotSuper == plain, "superset filter must not change the result")
+  }
+
   test("bloomDedup fails fast when the filter would exceed maxFilterBytes") {
     val s = spark; import s.implicits._
     val existing = Seq("a", "b").toDF("k")
