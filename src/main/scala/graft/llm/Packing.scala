@@ -69,8 +69,23 @@ object Packing {
     val base = df.select(col(idCol), nTokens.cast("long").as("n_tokens"),
       sk.as("__sk"), conv(substring(sk, 1, prefixChars), 16, 10)
         .cast("long").as("__b"))
+      // ONE corpus scan: both consumers (the per-bucket totals and the
+      // within-bucket window) need hashpartitioning(__b) — make that
+      // requirement explicit here so the two subtrees share the literal
+      // same exchange (ReuseExchange, plan-asserted) instead of each
+      // re-scanning and re-tokenizing the corpus
+      .repartition(col("__b"))
+    // the totals aggregate references __sk and the id through semantic
+    // no-ops (length(md5-hex) >= 0 and a cast-to-string comparison are
+    // always true): without them column pruning strips both from THIS
+    // branch's copy of the exchange subtree, the subtrees stop being
+    // identical, and ReuseExchange falls apart into a second corpus
+    // scan+tokenize (same trap, same fix as keywordScores — the plan
+    // test pins it)
     val bucketOffsets = base.groupBy(col("__b"))
-      .agg(sum(col("n_tokens")).as("__bt"))
+      .agg(sum(when(length(col("__sk")) >= 0 &&
+          coalesce(col(idCol).cast("string"), lit("")) >= "",
+        col("n_tokens"))).as("__bt"))
       .withColumn("__boff", coalesce(sum(col("__bt")).over(
         Window.orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

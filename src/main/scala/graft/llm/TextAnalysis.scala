@@ -329,12 +329,23 @@ object TextAnalysis {
                          rareDenom: Long = 100,
                          vocabBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
     require(rareDenom >= 1, s"rareDenom must be >= 1: $rareDenom")
-    val tf = df
+    // Same ONE-corpus-pass construction as keywordScores (see the long
+    // comment there): the sentinel `""` term keeps every branch's copy
+    // of the (id, term) exchange subtree IDENTICAL (no branch-local
+    // isnotnull inference or pruning), and every consumer references the
+    // grouped columns through semantic no-ops, so the scoring join's
+    // left side, the vocabulary aggregate and the total-token count all
+    // ride ONE exchange (ReusedExchange, plan-asserted in the spec)
+    // instead of three scans+tokenizes of the corpus.
+    val tf0 = df
       .select(col(idCol).as("id"),
-        explode(tokens(lower(coalesce(col(textCol), lit(""))))).as("term"))
+        explode(concat(array(lit("")),
+          tokens(lower(coalesce(col(textCol), lit("")))))).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
-    val total = vocab.agg(sum(col("cnt")).as("total_toks"))
+    val tf = tf0.where(when(col("tf") >= 1, length(col("term")) > 0))
+    val vocab = tf.groupBy(col("term"))
+      .agg(sum(when(col("tf") >= 1, col("tf"))).as("cnt"))
+    val total = tf.agg(sum(when(col("tf") >= 1, col("tf"))).as("total_toks"))
     val vocabHinted =
       if (vocab.queryExecution.optimizedPlan.stats.sizeInBytes <= vocabBroadcastMaxBytes)
         broadcast(vocab)

@@ -48,11 +48,19 @@ class PackingSpec extends SparkTestBase {
   }
 
   test("the corpus-sized window is bucket-partitioned (no global sort of " +
-    "the input); only the tiny bucket-offset frame sees a global window") {
+    "the input); bucket totals ride the SAME exchange (one scan+tokenize); " +
+    "only the tiny bucket-offset frame sees a global window") {
     val out = Packing.packSequences(docs, "doc_id", nTok, budget = 64)
-    val plan = out.queryExecution.optimizedPlan.toString
-    assert(plan.contains("windowspecdefinition(__b"),
-      s"main cumulative sum must partition by bucket:\n$plan")
+    val opt = out.queryExecution.optimizedPlan.toString
+    assert(opt.contains("windowspecdefinition(__b"),
+      s"main cumulative sum must partition by bucket:\n$opt")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange"),
+      s"bucket totals must reuse the repartition(__b) exchange:\n$plan")
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly one corpus scan, got $scans in:\n$plan")
     // determinism guard: same output twice
     assert(out.collect().map(_.toSeq).toSet ==
       Packing.packSequences(docs, "doc_id", nTok, budget = 64)

@@ -243,6 +243,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r2.getLong(1) == 0L && r2.isNullAt(6))
   }
 
+  test("unigramFamiliarity plan: one corpus scan — scoring join, vocab and " +
+    "total all ride the reused (id, term) exchange") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 40L).map(i => (i, s"alpha beta word$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramFamiliarity(docs, "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly one corpus scan, got $scans in:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"expected the (id, term) exchange to be reused in:\n$plan")
+  }
+
   test("unigramFamiliarity: hand-computed integer sums and ratios") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
