@@ -43,6 +43,16 @@ object SparkEntry {
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
   @volatile private var lastIvfCentroids: Array[Array[Double]] = _
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+  @volatile private var lastPqCodebooks: Array[Array[Array[Double]]] = _
+  private def pqCodebooks(s: SparkSession, dir: String, m: Int,
+                          ksub: Int): Array[Array[Array[Double]]] = {
+    val cbs = pqCache.getOrElseUpdate(s"$dir|$m|$ksub",
+      Similarity.fitPqCodebooks(t(s, dir, "embeddings"), m, ksub, dim = 64))
+    lastPqCodebooks = cbs
+    cbs
+  }
   private def ivfCentroids(s: SparkSession, dir: String, nlist: Int): Array[Array[Double]] = {
     val cs = ivfCache.getOrElseUpdate(s"$dir|$nlist",
       Similarity.fitCentroids(t(s, dir, "embeddings"), nlist))
@@ -404,6 +414,13 @@ object SparkEntry {
       // rare-token mass, all integer sums (ln() would drift across
       // libms; monotone surrogate keeps the ranking)
       TextAnalysis.unigramFamiliarity(t(s, dir, "documents"), "doc_id", "text")),
+    "d30_temperature_mix" -> ((s, dir) =>
+      // T5-style temperature-smoothed mixing at alpha=0.5: floor(sqrt(n))
+      // integer weights keep the rate math engine-exact; the skewed lang
+      // column (en dominates) is the realistic multilingual shape
+      graft.llm.Sampling.temperatureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", totalTarget = 300, salt = "temp9")),
     "d03_lang_scores" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(col("text"))
         .map { case (name, c) => c.as(name) }
@@ -665,6 +682,16 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopKLiteral(emb, emb.filter(col("vec_id") < 10), k = 5,
         ivfCentroids(s, dir, 16), nprobe = 4)
+    }),
+    "s08_pq_adc_topk" -> ((s, dir) => {
+      // product quantization + asymmetric distance: 4 subspaces x 8
+      // centroids over dim 64 — corpus rows become 4 small codes, a
+      // query's distance is 4 table lookups summed (no per-pair vector
+      // math); codebooks fit here, frozen, mirrored into the oracle as
+      // literals (the s04 pattern)
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        pqCodebooks(s, dir, m = 4, ksub = 8))
     }),
     "s05_embedding_neardups" -> ((s, dir) =>
       // near-dup pair surface under the oracle: multi-probe bucketed
@@ -1073,6 +1100,18 @@ object SparkEntry {
   /** DuckDB twin of Similarity's squared-L2 fold against a literal
     * centroid (same left-to-right accumulation; (x-c)*(x-c) evaluated
     * twice on both sides). */
+  /** Exact DOUBLE literals for DuckDB: a bare decimal literal is typed
+    * DECIMAL, and the list-literal common-type unification + cast to
+    * DOUBLE[] can land 1 ulp off the Java double the Spark side computes
+    * with (observed on fitted-codebook components). An exponent suffix
+    * makes the parser produce a DOUBLE directly — correctly-rounded, so
+    * the literal IS the Java double, bit for bit. */
+  private def duckDoubleLit(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+  private def duckDoubleList(c: Array[Double]): String =
+    c.map(duckDoubleLit).mkString("([", ",", "]::DOUBLE[])")
   private def duckSqDist(v: String, c: String) =
     s"list_reduce(list_transform(range(1, len($v)+1), i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])), (x,y) -> x+y)"
 
@@ -1439,6 +1478,25 @@ object SparkEntry {
         |    AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS oov_rate
         |FROM tf JOIN vocab USING (term), tot
         |GROUP BY 1, total_toks""".stripMargin,
+    "d30_temperature_mix" ->
+      // rates derived FROM THE DATA in SQL by the same integer-exact
+      // path: w = floor(sqrt(n)) (IEEE sqrt is correctly rounded), exact
+      // BIGINT products, ONE final double division, same rateThreshold
+      // floor(rate * 2^32) clamp, same salted md5 order
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt FROM c),
+        |tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS W FROM w),
+        |r AS (SELECT lang, n, least(CAST(1.0 AS DOUBLE),
+        |    CAST(300 * wt AS DOUBLE) / CAST(W * n AS DOUBLE)) AS rate
+        |  FROM w, tot)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE rate >= 1.0
+        |   OR substr(md5('temp9|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      < printf('%08x',
+        |          least(CAST(floor(rate * 4294967296.0) AS BIGINT),
+        |                4294967295))""".stripMargin,
     "d02_quality" -> {
       // All features over t = lower(text), matching the Spark side exactly.
       val toks = "list_filter(string_split(t, ' '), x -> x != '')"
@@ -1848,7 +1906,7 @@ object SparkEntry {
       else {
         val nlist = cents.length
         val dl = cents.map { c =>
-          duckSqDist("embedding", s"([${c.mkString(",")}]::DOUBLE[])")
+          duckSqDist("embedding", duckDoubleList(c))
         }.mkString("[", ",\n", "]")
         val cos = duckCos("p.embedding", "a.embedding")
         s"""WITH al AS (SELECT vec_id, embedding, $dl AS dl FROM embeddings),
@@ -1868,6 +1926,44 @@ object SparkEntry {
            |WHERE rnk <= 5""".stripMargin
       }
     },
+    "s08_pq_adc_topk" -> {
+      // Mirrors pqTopK with the codebooks the s08 query fit: same
+      // per-subspace literal squared-L2 lists (the dl lists double as
+      // the corpus-side code assignment AND the query-side ADC tables),
+      // same first-match argmin, same left-to-right j-ascending sum.
+      val cbs = Option(lastPqCodebooks).getOrElse(
+        Array.empty[Array[Array[Double]]])
+      if (cbs.isEmpty)
+        """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS corpus_id,
+          |CAST(NULL AS DOUBLE) AS adist, CAST(NULL AS INTEGER) AS rank WHERE FALSE""".stripMargin
+      else {
+        val m = cbs.length
+        val sub = cbs(0)(0).length
+        def sliceStr(j: Int) = s"list_slice(embedding, ${j * sub + 1}, ${(j + 1) * sub})"
+        val dlCols = cbs.zipWithIndex.map { case (cb, j) =>
+          val dl = cb.map(c =>
+            duckSqDist(sliceStr(j), duckDoubleList(c)))
+            .mkString("[", ",\n", "]")
+          s"$dl AS dl$j"
+        }.mkString(",\n")
+        val codeCols = (0 until m)
+          .map(j => s"(list_position(dl$j, list_min(dl$j)) - 1) AS c$j")
+          .mkString(", ")
+        val adist = (0 until m)
+          .map(j => s"q.dl$j[e.c$j + 1]")
+          .reduce((a, b) => s"($a + $b)")
+        s"""WITH al AS (SELECT vec_id, $dlCols FROM embeddings),
+           |e AS (SELECT vec_id, $codeCols FROM al),
+           |q AS (SELECT * FROM al WHERE vec_id < 10)
+           |SELECT query_id, corpus_id, adist, CAST(rnk AS INTEGER) AS rank FROM (
+           |  SELECT q.vec_id AS query_id, e.vec_id AS corpus_id,
+           |    $adist AS adist,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY $adist ASC, e.vec_id ASC) AS rnk
+           |  FROM e JOIN q ON e.vec_id != q.vec_id)
+           |WHERE rnk <= 5""".stripMargin
+      }
+    },
     "s04_ivf_topk" -> {
       // Mirrors ivfTopKLiteral with the centroids the s04 query fit (see
       // ivfCentroids): same distance-list literals -> same argmin cell
@@ -1883,7 +1979,7 @@ object SparkEntry {
       else {
         val nlist = cents.length
         val dl = cents.map { c =>
-          duckSqDist("embedding", s"([${c.mkString(",")}]::DOUBLE[])")
+          duckSqDist("embedding", duckDoubleList(c))
         }.mkString("[", ",\n", "]")
         val cos = duckCos("p.embedding", "a.embedding")
         s"""WITH al AS (SELECT vec_id, embedding, $dl AS dl FROM embeddings),

@@ -122,6 +122,45 @@ object Sampling {
       .where(col("__rk") <= lit(maxCut) && col("__rk") <= cutoff).drop("__rk")
   }
 
+  /** Temperature-smoothed corpus mixing (the T5/multilingual sampling
+    * rule, Raffel et al. JMLR'20 §3.4.3 / Conneau & Lample '19): sample
+    * stratum i with probability ∝ n_i^alpha so the head is flattened
+    * and the tail upsampled relative to proportional sampling. This
+    * implementation fixes alpha = 0.5 (temperature 2, the common
+    * operating point) because n^0.5 has a CROSS-ENGINE-EXACT form:
+    * weights are floor(sqrt(n)) — IEEE sqrt is correctly rounded
+    * everywhere — so weight sums and the T·w / (W·n) rate products stay
+    * in INTEGER space until one final IEEE division, and a DuckDB/any-
+    * engine twin derives bit-identical rates from the data alone
+    * (general alpha needs pow(), which drifts across libms; for other
+    * temperatures compute rates upstream and call stratifiedHashSample
+    * directly).
+    *
+    * `totalTarget` is the expected output size; per-stratum rate_i =
+    * min(1, totalTarget·w_i / (W·n_i)) with w_i = floor(sqrt(n_i)),
+    * W = Σw. Rows keep/drop by the same salted-hash order as the rest
+    * of the sampling family — deterministic, partitioning-independent,
+    * engine-portable.
+    *
+    * Scale shape: one count aggregate (O(#strata) rows to the driver,
+    * composition math driver-side by design like mixTake) plus one
+    * map-side filter — no shuffle of data rows, no sort. */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
+                        totalTarget: Long, salt: String = "graft"): DataFrame = {
+    require(totalTarget >= 1, s"totalTarget must be >= 1: $totalTarget")
+    val counts = df
+      .groupBy(col(strataCol).cast("string").as("__stratum"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "input has no rows")
+    val weights = counts.map { case (s, n) => s -> math.sqrt(n.toDouble).toLong }
+    val wSum = weights.values.sum
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, (totalTarget * weights(s)).toDouble / (wSum * n).toDouble)
+    }
+    stratifiedHashSample(df, keyCol, strataCol, rates, defaultRate = 0.0, salt)
+  }
+
   def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
                            rates: Map[String, Double], defaultRate: Double,
                            salt: String = "graft"): DataFrame = {

@@ -517,6 +517,96 @@ object Similarity {
     ivfTopKLiteral(corpus, queries, k,
       fitCentroids(corpus, nlist, vecCol, seed), nprobe, idCol, vecCol)
 
+  // ---- Product quantization (Jégou, Douze & Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI'11) ----------------
+
+  /** Fit PQ codebooks: the vector splits into `m` contiguous subspaces
+    * of dim/m dims; each subspace gets its own `ksub`-centroid KMeans
+    * codebook (distributed fit via Spark ML, like fitCentroids — run on
+    * a sample at 100TB scale, frozen as literals afterward). Returns
+    * codebooks(j)(c) = centroid c of subspace j. */
+  def fitPqCodebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+                     vecCol: String = "embedding",
+                     seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).toArray.map { j =>
+      fitCentroids(
+        corpus.select(slice(col(vecCol), j * sub + 1, sub).as(vecCol)),
+        ksub, vecCol, seed + j)
+    }
+  }
+
+  /** Map-side PQ encoding: each row gains `__c0..__c{m-1}` — the index
+    * of its nearest codebook centroid per subspace (the same literal
+    * squared-L2 fold + first-match argmin as assignCells, per slice).
+    * An m-byte code replaces dim·4 bytes of floats — at m=4 over a
+    * 64-dim float vector that is a 64× compression of the scan payload,
+    * which is the whole point: ADC scans codes, not vectors. */
+  private[graft] def withPqCodes(df: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      vecCol: String): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val staged = codebooks.zipWithIndex.foldLeft(df) { case (d, (cb, j)) =>
+      d.withColumn(s"__dl$j", org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.VectorLiteralFold(
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            slice(col(vecCol), j * sub + 1, sub)),
+          cb.map(_.toSeq).toSeq, squared = true)))
+    }
+    val coded = codebooks.indices.foldLeft(staged) { case (d, j) =>
+      d.withColumn(s"__c$j",
+        (array_position(col(s"__dl$j"), array_min(col(s"__dl$j"))) - 1)
+          .cast("int"))
+    }
+    codebooks.indices.foldLeft(coded)((d, j) => d.drop(s"__dl$j"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: queries stay full-
+    * precision; each query precomputes per-subspace distance TABLES to
+    * every codebook centroid (m·ksub literal folds, map-side, once per
+    * query), and a corpus row's approximate squared L2 is m table
+    * LOOKUPS summed — no per-pair vector arithmetic at all. This is the
+    * memory-bandwidth regime of billion-scale ANN: the scan touches
+    * m-byte codes instead of dim·4-byte vectors, queries broadcast.
+    * Compose with the IVF layout (writeIvfLayout over an encoded corpus)
+    * for IVF-PQ: partition pruning cuts WHICH codes scan, PQ cuts the
+    * bytes per code. Output: (query_id, corpus_id, adist, rank) —
+    * adist ASC (it is a distance), ties by corpus_id. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             codebooks: Array[Array[Array[Double]]],
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val coded = withPqCodes(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol)),
+      codebooks, vecCol).drop(vecCol)
+    val tabled = codebooks.zipWithIndex.foldLeft(
+      queries.select(col(idCol).as("query_id"), col(vecCol))) {
+      case (d, (cb, j)) =>
+        d.withColumn(s"__tl$j", org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.VectorLiteralFold(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              slice(col(vecCol), j * sub + 1, sub)),
+            cb.map(_.toSeq).toSeq, squared = true)))
+    }.drop(vecCol)
+    // left-to-right j-ascending sum — the order the oracle mirrors
+    val adist = codebooks.indices
+      .map(j => element_at(col(s"__tl$j"), col(s"__c$j") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("corpus_id").asc)
+    coded.crossJoin(broadcast(tabled))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adist"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all (id1 < id2) pairs with cosine >=
     * threshold, bucketed by SRP so only near-bucket pairs are compared.
     * One side fans out to its multi-probe buckets (Hamming <= probeRadius),

@@ -123,6 +123,35 @@ class SamplingSpec extends SparkTestBase {
     assert(byG == Map(1 -> 20, 2 -> 20), s"got $byG")
   }
 
+  test("temperatureSample: sqrt smoothing upsamples the tail relative to " +
+    "the head; rates match the integer-exact formula; deterministic") {
+    val s = spark; import s.implicits._
+    // head stratum 400 rows, tail 25: proportional rates would be equal;
+    // sqrt weights w=20/5, W=25 -> rate_head = min(1, 100*20/(25*400)) = 0.2,
+    // rate_tail = min(1, 100*5/(25*25)) = 0.8 -> tail KEEP RATE 4x head
+    val rows = (1L to 400L).map(i => (i, "head")) ++
+      (401L to 425L).map(i => (i, "tail"))
+    val df = rows.toDF("id", "g")
+    val out = Sampling.temperatureSample(df, "id", "g", totalTarget = 100,
+      salt = "t")
+    val byG = out.collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val headRate = byG.getOrElse("head", 0).toDouble / 400
+    val tailRate = byG.getOrElse("tail", 0).toDouble / 25
+    assert(tailRate > 2 * headRate,
+      s"sqrt smoothing must upsample the tail: head=$headRate tail=$tailRate")
+    // exact-rate replay: the kept sets are exactly the hash-threshold sets
+    val expHead = Sampling.hashSample(df.where($"g" === "head"), "id", 0.2, "t")
+      .collect().map(_.getLong(0)).toSet
+    val expTail = Sampling.hashSample(df.where($"g" === "tail"), "id", 0.8, "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.collect().map(_.getLong(0)).toSet == expHead ++ expTail)
+    // deterministic + partitioning-independent
+    assert(Sampling.temperatureSample(df.repartition(7), "id", "g", 100, "t")
+      .collect().map(_.getLong(0)).toSet == expHead ++ expTail)
+    intercept[IllegalArgumentException](
+      Sampling.temperatureSample(df, "id", "g", totalTarget = 0))
+  }
+
   test("rateThreshold: hex space endpoints and monotonicity") {
     assert(Sampling.rateThreshold(0.0) == "00000000")
     assert(Sampling.rateThreshold(1.0) == "ffffffff")

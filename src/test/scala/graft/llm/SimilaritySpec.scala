@@ -310,6 +310,68 @@ class SimilaritySpec extends SparkTestBase {
     assert(withNull.select(Similarity.dotInt(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("PQ: codes hit the obvious codebook cells on separated data; ADC " +
+    "distance equals the hand-assembled table-lookup sum") {
+    val s = spark; import s.implicits._
+    // dim 4, m=2 subspaces of 2; two well-separated blobs per subspace so
+    // the fitted ksub=2 codebooks are unambiguous
+    val rows = Seq(
+      (0L, Array(0f, 0f, 10f, 10f)), (1L, Array(0.1f, -0.1f, 10.1f, 9.9f)),
+      (2L, Array(10f, 10f, 0f, 0f)), (3L, Array(9.9f, 10.1f, 0.1f, -0.1f)))
+    val df = rows.toDF("vec_id", "embedding").cache()
+    val cbs = Similarity.fitPqCodebooks(df, m = 2, ksub = 2, dim = 4)
+    val coded = Similarity.withPqCodes(df, cbs, "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    // ids 0/1 share both cells; 2/3 share both cells; the two groups differ
+    assert(coded(0L) == coded(1L) && coded(2L) == coded(3L) && coded(0L) != coded(2L))
+    val out = Similarity.pqTopK(df, df.where($"vec_id" === 0L), k = 3, cbs)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // the twin (id 1) must rank 1; hand-assemble its ADC distance
+    assert(out.head._1 == 1L, s"got $out")
+    def sq(q: Array[Float], c: Array[Double]): Double =
+      q.zip(c).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val q = rows.head._2
+    val (c0, c1) = coded(1L)
+    val exp = sq(q.slice(0, 2), cbs(0)(c0).toArray) + sq(q.slice(2, 4), cbs(1)(c1))
+    assert(math.abs(out.head._2 - exp) < 1e-9, s"adist ${out.head._2} != $exp")
+  }
+
+  test("PQ top-10 overlap vs exact brute force >= 6/10 on clustered vectors " +
+    "(4x16 codebooks over dim 64)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val centers = Array.fill(40)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 40; m <- 0 until 8) yield
+      ((c * 8 + m).toLong, centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    val df = rows.toDF("vec_id", "embedding").cache()
+    val queries = df.filter(col("vec_id") % 32 === 0)
+    val cbs = Similarity.fitPqCodebooks(df, m = 4, ksub = 16, dim = dim)
+    val pq = Similarity.pqTopK(df, queries, k = 10, cbs)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // brute force ranks by cosine DESC; on this corpus vectors are not
+    // normalized, so compare against exact L2 ranking instead: compute
+    // it from the same frame with the full-precision distance
+    val exact = df.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+      .crossJoin(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("d", Similarity.dotFast(col("cv"), col("cv"))
+        - lit(2.0) * Similarity.dotFast(col("cv"), col("qv"))
+        + Similarity.dotFast(col("qv"), col("qv")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("d").asc, col("corpus_id").asc)))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("corpus_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val overlaps = pq.keys.map(_._1).toSeq.distinct.map { q =>
+      val a = (1 to 10).flatMap(i => pq.get((q, i))).toSet
+      val b = (1 to 10).flatMap(i => exact.get((q, i))).toSet
+      (a intersect b).size
+    }
+    assert(overlaps.forall(_ >= 6), s"PQ overlaps vs exact L2: $overlaps")
+  }
+
   test("cosine of identical vectors is 1.0 exactly enough") {
     val s = spark; import s.implicits._
     val df = Seq(Tuple1(Array(0.3f, -0.4f, 0.5f))).toDF("v")
