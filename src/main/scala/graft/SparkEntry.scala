@@ -745,6 +745,35 @@ object SparkEntry {
       Similarity.bruteForceTopKOnQuantized(probed,
         Similarity.quantizeForStorage(emb.where(col("vec_id") === 0)), k = 5)
     }),
+    "m22_ivfpq_layout" -> ((s, dir) => {
+      // IVF-PQ: the composed billion-scale layout — the corpus persists
+      // as (id, cell, 4 code ints), NO raw vectors on disk; IVF
+      // partition pruning picks WHICH cell dirs scan, PQ codes cut the
+      // BYTES per scanned row, ADC scores the survivors from query-side
+      // lookup tables
+      val emb = t(s, dir, "embeddings")
+      val cents = ivfCentroids(s, dir, 16)
+      val cbs = pqCodebooks(s, dir, m = 4, ksub = 8)
+      val path = tmpQueryDir("m22-ivfpq").toString + "/layout"
+      val coded = Similarity.withPqCodes(emb.select(col("vec_id"),
+        col("embedding")), cbs, "embedding")
+      Similarity.assignCells(coded, cents, "embedding").drop("embedding")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      val qVec = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val cells = cents.zipWithIndex.map { case (c, i) =>
+        var acc = 0.0
+        var j = 0
+        while (j < qVec.length) {
+          val d = qVec(j) - c(j); acc += d * d; j += 1
+        }
+        (acc, i)
+      }.sortBy { case (d, i) => (d, i) }.take(4).map(_._2).toSeq
+      val probed = Similarity.readIvfCells(s, path, cells)
+      Similarity.pqTopKOnCodes(probed, emb.where(col("vec_id") === 0),
+        k = 5, cbs)
+    }),
     "m20_ivf_layout" -> ((s, dir) => {
       // IVF twin of m19: corpus written PARTITIONED BY CELL
       // (writeIvfLayout), query 0's 4 nearest of 16 cells ranked
@@ -1893,6 +1922,56 @@ object SparkEntry {
          |    ON qq.bucket = c.bucket AND qq.vec_id != c.vec_id
          |  WHERE qq.n2 > 0 AND c.n2 > 0)
          |WHERE rnk <= 5""".stripMargin
+    },
+    "m22_ivfpq_layout" -> {
+      // m20's probe formulation composed with s08's code/table lists:
+      // cell assignment + probe ranking from the IVF centroid literals,
+      // ADC distance from the PQ codebook literals, both restricted to
+      // query 0 and its 4 probed cells
+      val cents = Option(lastIvfCentroids).getOrElse(Array.empty[Array[Double]])
+      val cbs = Option(lastPqCodebooks).getOrElse(
+        Array.empty[Array[Array[Double]]])
+      if (cents.isEmpty || cbs.isEmpty)
+        """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS corpus_id,
+          |CAST(NULL AS DOUBLE) AS adist, CAST(NULL AS INTEGER) AS rank WHERE FALSE""".stripMargin
+      else {
+        val nlist = cents.length
+        val m = cbs.length
+        val sub = cbs(0)(0).length
+        val dl = cents.map(c => duckSqDist("embedding", duckDoubleList(c)))
+          .mkString("[", ",\n", "]")
+        def sliceStr(j: Int) = s"list_slice(embedding, ${j * sub + 1}, ${(j + 1) * sub})"
+        val dlCols = cbs.zipWithIndex.map { case (cb, j) =>
+          val l = cb.map(c => duckSqDist(sliceStr(j), duckDoubleList(c)))
+            .mkString("[", ",\n", "]")
+          s"$l AS dl$j"
+        }.mkString(",\n")
+        val codeCols = (0 until m)
+          .map(j => s"(list_position(dl$j, list_min(dl$j)) - 1) AS c$j")
+          .mkString(", ")
+        val adist = (0 until m)
+          .map(j => s"q.dl$j[a.c$j + 1]")
+          .reduce((x, y) => s"($x + $y)")
+        val qDls = (0 until m).map(j => s"dl$j").mkString(", ")
+        s"""WITH al AS (SELECT vec_id, embedding, $dl AS dl, $dlCols FROM embeddings),
+           |a AS (SELECT vec_id, (list_position(dl, list_min(dl)) - 1) AS cell,
+           |        $codeCols FROM al),
+           |p AS (SELECT vec_id, cell FROM (
+           |  SELECT vec_id, r.cell,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dl[(r.cell)::INT + 1] ASC, r.cell ASC) AS rn
+           |  FROM (SELECT * FROM al WHERE vec_id = 0) ql
+           |  CROSS JOIN (SELECT unnest(range(0, $nlist)) AS cell) r)
+           |  WHERE rn <= 4),
+           |q AS (SELECT vec_id, $qDls FROM al WHERE vec_id = 0)
+           |SELECT query_id, corpus_id, adist, CAST(rnk AS INTEGER) AS rank FROM (
+           |  SELECT q.vec_id AS query_id, a.vec_id AS corpus_id, $adist AS adist,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY $adist ASC, a.vec_id ASC) AS rnk
+           |  FROM a JOIN p ON a.cell = p.cell
+           |  JOIN q ON q.vec_id = p.vec_id AND a.vec_id != q.vec_id)
+           |WHERE rnk <= 5""".stripMargin
+      }
     },
     "m20_ivf_layout" -> {
       // s04's formulation restricted to query 0: the layout round-trip

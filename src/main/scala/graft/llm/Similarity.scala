@@ -577,13 +577,25 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              codebooks: Array[Array[Array[Double]]],
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding"): DataFrame =
+    pqTopKOnCodes(
+      withPqCodes(corpus.select(col(idCol), col(vecCol)), codebooks, vecCol)
+        .drop(vecCol),
+      queries, k, codebooks, idCol, vecCol)
+
+  /** ADC scoring over an ALREADY-ENCODED corpus (`__c0..__c{m-1}` from
+    * withPqCodes — e.g. a persisted codes-only layout where the raw
+    * vectors were never written): the billion-scale read path scans m
+    * small ints per row and nothing else. */
+  def pqTopKOnCodes(codedCorpus: DataFrame, queries: DataFrame, k: Int,
+                    codebooks: Array[Array[Array[Double]]],
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val m = codebooks.length
     val sub = codebooks(0)(0).length
-    val coded = withPqCodes(
-      corpus.select(col(idCol).as("corpus_id"), col(vecCol)),
-      codebooks, vecCol).drop(vecCol)
+    val coded = codedCorpus.select(
+      (col(idCol).as("corpus_id") +:
+        codebooks.indices.map(j => col(s"__c$j"))): _*)
     val tabled = codebooks.zipWithIndex.foldLeft(
       queries.select(col(idCol).as("query_id"), col(vecCol))) {
       case (d, (cb, j)) =>

@@ -43,6 +43,40 @@ class IvfSpec extends SparkTestBase {
       "cell filter did not register as a partition filter")
   }
 
+  test("IVF-PQ layout: codes-only schema on disk (no vectors), probe read " +
+    "prunes cell partitions, ADC over pruned codes == ADC over the same " +
+    "cells in memory") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = tmpDir("ivfpq-layout") + "/corpus"
+    val cents = Similarity.fitCentroids(emb, nlist = 8)
+    val cbs = Similarity.fitPqCodebooks(emb, m = 4, ksub = 8, dim = 64)
+    val coded = Similarity.withPqCodes(
+      emb.select(col("vec_id"), col("embedding")), cbs, "embedding")
+    Similarity.assignCells(coded, cents, "embedding").drop("embedding")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // codes-only on disk: id + m code columns + the cell partition key
+    val full = spark.read.parquet(path)
+    assert(full.columns.toSet ==
+      Set("vec_id", "__c0", "__c1", "__c2", "__c3", "cell"),
+      s"raw vectors must not persist: ${full.columns.toSeq}")
+    assert(full.count() == emb.count())
+    val probe = Similarity.readIvfCells(spark, path, Seq(0, 1))
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected 2 pruned partitions, scanned ${scan.selectedPartitions.partitionCount}")
+    // ADC over the pruned read == ADC over the equivalent in-memory slice
+    val queries = emb.filter(col("vec_id") === 0)
+    val inMem = Similarity.assignCells(coded, cents, "embedding")
+      .where(col("cell").isin(0, 1))
+    def res(d: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopKOnCodes(d, queries, k = 5, cbs)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(res(probe) == res(inMem))
+  }
+
   test("ivfTopK recall vs brute force improves with nprobe") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
