@@ -421,6 +421,28 @@ object SparkEntry {
       graft.llm.Sampling.temperatureSample(
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "lang", totalTarget = 300, salt = "temp9")),
+    "d31_pii_scrub" -> ((s, dir) => {
+      // PII scrub (emails/creds/IPs/phones/SSNs) as a portable
+      // regexp_count/replace chain (llm.Pii). The synthetic corpus has
+      // no PII shapes, so the demo input plants deterministic
+      // doc_id-derived PII fields — the SAME expressions in both
+      // engines — and the scrub itself is the thing under test
+      // (non-zero per-category counts + hash-matched redacted text)
+      val pii = t(s, dir, "documents").select(col("doc_id"), concat_ws(" ",
+        col("text"),
+        concat(lit("contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com")),
+        when(col("doc_id") % 3 === 0, concat(lit("call 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))),
+        when(col("doc_id") % 5 === 0, concat(lit("host 10.0."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string"))),
+        when(col("doc_id") % 7 === 0, concat(lit("api_key=sk_"),
+          col("doc_id").cast("string"), lit("x9"))),
+        when(col("doc_id") % 11 === 0, concat(lit("ssn 123-45-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))).as("text"))
+      graft.llm.Pii.scrub(pii, "doc_id", "text")
+    }),
     "d03_lang_scores" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(col("text"))
         .map { case (name, c) => c.as(name) }
@@ -1526,6 +1548,23 @@ object SparkEntry {
         |      < printf('%08x',
         |          least(CAST(floor(rate * 4294967296.0) AS BIGINT),
         |                4294967295))""".stripMargin,
+    "d31_pii_scrub" ->
+      // staged CTE chain generated from the SAME Pii rule table the
+      // Spark side runs (patterns cannot drift); input synthesis
+      // mirrors the Spark expressions operator-for-operator
+      graft.llm.Pii.scrubOracleSql(
+        """SELECT doc_id, concat_ws(' ', text,
+          |  'contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com',
+          |  CASE WHEN doc_id % 3 = 0 THEN 'call 415-555-' ||
+          |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END,
+          |  CASE WHEN doc_id % 5 = 0 THEN 'host 10.0.' ||
+          |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+          |    CAST(doc_id % 100 AS VARCHAR) END,
+          |  CASE WHEN doc_id % 7 = 0 THEN 'api_key=sk_' ||
+          |    CAST(doc_id AS VARCHAR) || 'x9' END,
+          |  CASE WHEN doc_id % 11 = 0 THEN 'ssn 123-45-' ||
+          |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END
+          |) AS text FROM documents""".stripMargin, "doc_id"),
     "d02_quality" -> {
       // All features over t = lower(text), matching the Spark side exactly.
       val toks = "list_filter(string_split(t, ' '), x -> x != '')"
