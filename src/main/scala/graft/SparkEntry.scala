@@ -443,6 +443,21 @@ object SparkEntry {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0")))).as("text"))
       graft.llm.Pii.scrub(pii, "doc_id", "text")
     }),
+    "d32_decontam_refresh" -> ((s, dir) => {
+      // bench-key snapshot lifecycle: v1 = stale eval set (doc_id%7),
+      // v2 = refreshed (doc_id%5). The reader pins the LATEST snapshot,
+      // so v1-only keys are retired by construction — the oracle flags
+      // against the %5 eval set ALONE; any leakage of v1 keys into the
+      // live set would change n_hits and fail the hash compare
+      val docs = t(s, dir, "documents")
+      val store = tmpQueryDir("d32-benchkeys").toString + "/keys"
+      Dedup.writeBenchKeysSnapshot(docs.where(col("doc_id") % 7 === 0),
+        "text", store, k = 8)
+      Dedup.writeBenchKeysSnapshot(docs.where(col("doc_id") % 5 === 0),
+        "text", store, k = 8)
+      Dedup.contaminationFlagsAgainstKeys(docs,
+        Dedup.readBenchKeysLatest(s, store, k = 8), "doc_id", "text", k = 8)
+    }),
     "d03_lang_scores" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(col("text"))
         .map { case (name, c) => c.as(name) }
@@ -1548,6 +1563,25 @@ object SparkEntry {
         |      < printf('%08x',
         |          least(CAST(floor(rate * 4294967296.0) AS BIGINT),
         |                4294967295))""".stripMargin,
+    "d32_decontam_refresh" ->
+      // d23's formulation with the bench side = the REFRESHED eval set
+      // only (doc_id % 5): proves the versioned reader retired the v1
+      // (doc_id % 7) keys — a union of both snapshots would inflate
+      // n_hits on every %7-overlapping doc
+      """WITH toks AS (SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '), x -> x != '') AS g
+        |       FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         CASE WHEN len(g) < 8 THEN [md5(array_to_string(g, ' '))]
+        |              ELSE list_transform(range(1, len(g) - 6),
+        |                     i -> md5(array_to_string(g[i:i+7], ' '))) END)) AS h
+        |       FROM toks),
+        |bk AS (SELECT DISTINCT h FROM sh WHERE doc_id % 5 = 0),
+        |hits AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |         FROM sh s JOIN bk USING (h) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |       coalesce(h.n_hits, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
     "d31_pii_scrub" ->
       // staged CTE chain generated from the SAME Pii rule table the
       // Spark side runs (patterns cannot drift); input synthesis

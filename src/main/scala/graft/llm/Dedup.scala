@@ -610,6 +610,97 @@ object Dedup {
     df.select(col("__sh"))
   }
 
+  // ---- versioned bench-key store --------------------------------------
+  //
+  // writeBenchKeys alone grows a mutable flat table: refreshing an eval
+  // set either overwrites history or (append mode) accumulates stale keys
+  // forever — retired benchmark questions keep flagging clean training
+  // docs. The versioned store mirrors RunState's checkpoint contract at
+  // dataset granularity: each refresh is an immutable snapshot directory
+  // `version=N` (written to a dot-temp dir, then atomically renamed, so a
+  // crashed writer never leaves a readable half-snapshot), readers pin
+  // the newest version (keys absent from it are retired by construction),
+  // and prune deletes all but the newest `retain` snapshots exactly like
+  // RunState.commit's checkpoint pruning.
+  //
+  // The Hive-style `version=N` directory name makes the store a plain
+  // partitioned parquet table: the versioned reader goes through
+  // partition discovery, so pinning a version prunes at the FILE LISTING
+  // — a 100 TB-pipeline store with years of snapshots reads exactly one.
+
+  /** List snapshot versions at `path`, oldest→newest. FS-only (no Spark
+    * session) so CLI tooling can call it like RunState. */
+  def benchKeyVersions(conf: org.apache.hadoop.conf.Configuration,
+                       path: String): Seq[Long] = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(conf)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("version="))
+      .map(_.getPath.getName.stripPrefix("version=").toLong).sorted
+  }
+
+  /** Write the next immutable bench-key snapshot (distinct shingle keys of
+    * `bench`, shingle-width-stamped like [[writeBenchKeys]]) and return
+    * its version number. Temp-write + atomic rename: a concurrent reader
+    * sees either the previous latest or the complete new snapshot. */
+  def writeBenchKeysSnapshot(bench: DataFrame, textCol: String, path: String,
+                             k: Int = 8): Long = {
+    val conf = bench.sparkSession.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(conf)
+    val next = benchKeyVersions(conf, path).lastOption.getOrElse(0L) + 1L
+    val tmp = new org.apache.hadoop.fs.Path(base, s".tmp-version-$next")
+    contaminationShingles(bench, None, textCol, k)
+      .select(col("__sh")).distinct()
+      .withColumn("shingle_k", lit(k))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val dest = new org.apache.hadoop.fs.Path(base, s"version=$next")
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(
+        s"bench-key snapshot rename failed: $tmp -> $dest (concurrent writer?)")
+    next
+  }
+
+  /** Read one pinned snapshot (default: the newest — the only one whose
+    * keys are live; anything older is retired). Same shingle-width
+    * fail-fast as [[readBenchKeys]]. The version filter is a partition
+    * filter: only that snapshot's files are listed or read. */
+  def readBenchKeysLatest(spark: org.apache.spark.sql.SparkSession,
+                          path: String, k: Int = 8,
+                          version: Option[Long] = None): DataFrame = {
+    val vs = benchKeyVersions(spark.sparkContext.hadoopConfiguration, path)
+    require(vs.nonEmpty, s"no bench-key snapshots at $path — write one with " +
+      "writeBenchKeysSnapshot before decontaminating against the store")
+    val pin = version.getOrElse(vs.last)
+    require(vs.contains(pin),
+      s"bench-key version $pin not present at $path (have: ${vs.mkString(",")})")
+    val df = spark.read.parquet(path).where(col("version") === pin)
+    require(df.schema.exists(_.name == "shingle_k"),
+      s"bench-key store at $path has no shingle_k column — not written by " +
+        "writeBenchKeysSnapshot")
+    val bad = df.where(col("shingle_k") =!= k).limit(1).collect()
+    require(bad.isEmpty,
+      s"bench-key snapshot version=$pin at $path was written with " +
+        s"shingle_k=${bad.head.getAs[Int]("shingle_k")}, reader expects k=$k — " +
+        "mismatched widths silently report every shard clean")
+    df.select(col("__sh"))
+  }
+
+  /** Delete all but the newest `retain` snapshots; returns the versions
+    * removed (oldest→newest). FS-only, mirroring RunState's prune. */
+  def pruneBenchKeys(conf: org.apache.hadoop.conf.Configuration,
+                     path: String, retain: Int): Seq[Long] = {
+    require(retain >= 1, s"retain must be >= 1: $retain")
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(conf)
+    val doomed = benchKeyVersions(conf, path).dropRight(retain)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"version=$v"), true)
+    }
+    doomed
+  }
+
   /** Winnowing-overlap near-dup pairs — the plagiarism-detector join the
     * winnowing fingerprints (TextAnalysis.winnowingMinima) exist for:
     * docs sharing fingerprints are candidate pairs, scored by fingerprint

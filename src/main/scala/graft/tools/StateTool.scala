@@ -15,6 +15,11 @@ import graft.core.RunState
   *   sbt "runMain graft.tools.StateTool versions <stateDir>"
   *   sbt "runMain graft.tools.StateTool unset    <stateDir> <key>"
   *   sbt "runMain graft.tools.StateTool prune    <stateDir> <retain>"
+  *
+  * Bench-key snapshot stores (llm.Dedup.writeBenchKeysSnapshot) get the
+  * same treatment — list and prune are pure-FS, no Spark session:
+  *   sbt "runMain graft.tools.StateTool benchkeys       <storeDir>"
+  *   sbt "runMain graft.tools.StateTool benchkeys-prune <storeDir> <retain>"
   */
 object StateTool {
 
@@ -45,9 +50,27 @@ object StateTool {
       val before = rs.checkpoints.size
       rs.commit()
       println(s"pruned $dir: $before -> ${rs.checkpoints.size} checkpoints (retain $n)")
+    case "benchkeys" :: dir :: Nil =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(conf)
+      val vs = graft.llm.Dedup.benchKeyVersions(conf, dir)
+      if (vs.isEmpty) println(s"no bench-key snapshots at $dir")
+      else vs.foreach { v =>
+        val p = new org.apache.hadoop.fs.Path(base, s"version=$v")
+        val sum = fs.getContentSummary(p)
+        val live = if (v == vs.last) "\tLIVE" else ""
+        println(s"version=$v\tfiles=${sum.getFileCount}\tbytes=${sum.getLength}$live")
+      }
+    case "benchkeys-prune" :: dir :: retain :: Nil =>
+      val removed = graft.llm.Dedup.pruneBenchKeys(
+        new org.apache.hadoop.conf.Configuration(), dir, retain.toInt)
+      println(s"pruned $dir: removed versions " +
+        s"[${removed.mkString(",")}] (retain ${retain.toInt})")
     case _ =>
       System.err.println(
-        "usage: StateTool print|versions <dir> | get|unset <dir> <key> | prune <dir> <retain>")
+        "usage: StateTool print|versions <dir> | get|unset <dir> <key> | " +
+          "prune <dir> <retain> | benchkeys <dir> | benchkeys-prune <dir> <retain>")
       sys.exit(2)
   }
 }

@@ -154,6 +154,59 @@ class DedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("shingle_k"))
   }
 
+  test("bench-key snapshots: versions increment, latest read retires " +
+    "replaced keys, pinned read prunes partitions") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val v1set = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val v2set = Seq((2L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val store = tmpDir("benchkeys-ver") + "/keys"
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Dedup.writeBenchKeysSnapshot(v1set, "text", store, k = 3) == 1L)
+    assert(Dedup.writeBenchKeysSnapshot(v2set, "text", store, k = 3) == 2L)
+    assert(Dedup.benchKeyVersions(conf, store) == Seq(1L, 2L))
+    // latest == v2's keys alone (v1's retired); pinning v1 still works
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getString(0)).toSet
+    val latest = Dedup.readBenchKeysLatest(spark, store, k = 3)
+    val flat = tmpDir("bk-flat") + "/f"
+    Dedup.writeBenchKeys(v2set, "text", flat, k = 3)
+    assert(keys(latest) == keys(Dedup.readBenchKeys(spark, flat, k = 3)))
+    assert(keys(latest).intersect(keys(
+      Dedup.readBenchKeysLatest(spark, store, k = 3, version = Some(1L)))).isEmpty)
+    // the pinned read lists exactly one snapshot's partitions
+    val scans = latest.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty &&
+      scans.head.selectedPartitions.partitionCount == 1,
+      "version pin must prune at the file listing")
+  }
+
+  test("bench-key snapshots: prune retains newest, missing/mismatched " +
+    "reads fail fast") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("benchkeys-prune") + "/keys"
+    val conf = spark.sparkContext.hadoopConfiguration
+    (1 to 3).foreach { i =>
+      Dedup.writeBenchKeysSnapshot(
+        Seq((i.toLong, s"doc number $i words")).toDF("doc_id", "text"),
+        "text", store, k = 3)
+    }
+    assert(Dedup.pruneBenchKeys(conf, store, retain = 1) == Seq(1L, 2L))
+    assert(Dedup.benchKeyVersions(conf, store) == Seq(3L))
+    // reading a pruned version is an explicit error, not an empty frame
+    val gone = intercept[IllegalArgumentException](
+      Dedup.readBenchKeysLatest(spark, store, k = 3, version = Some(1L)))
+    assert(gone.getMessage.contains("not present"))
+    // empty store and shingle-width mismatch both fail fast
+    val none = intercept[IllegalArgumentException](
+      Dedup.readBenchKeysLatest(spark, tmpDir("bk-empty") + "/nope", k = 3))
+    assert(none.getMessage.contains("no bench-key snapshots"))
+    val badK = intercept[IllegalArgumentException](
+      Dedup.readBenchKeysLatest(spark, store, k = 8))
+    assert(badK.getMessage.contains("shingle_k"))
+  }
+
   test("simhashBits: identical docs equal; near docs close; different docs far") {
     val sigs = docs.select(col("doc_id"), Dedup.simhashBits(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -48,6 +48,28 @@ class StateToolSpec extends AnyFunSuite {
     assert(after.get("k").contains("6"), "prune must preserve the latest state")
   }
 
+  test("benchkeys lists snapshot versions with the newest marked LIVE; " +
+    "benchkeys-prune retires the oldest") {
+    // the store contract is directory-level (version=N dirs of parquet
+    // files); the listing/prune path is pure-FS, so a fabricated layout
+    // exercises it without a SparkSession — same as Dedup.benchKeyVersions
+    val d = dir() + "/keys"
+    (1 to 3).foreach { v =>
+      val p = java.nio.file.Paths.get(d, s"version=$v")
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.writeString(p.resolve("part-0.parquet"), s"stub$v")
+    }
+    val listed = captureOut(StateTool.main(Array("benchkeys", d))).trim.split("\n").toSeq
+    assert(listed.size == 3)
+    assert(listed.head.startsWith("version=1\tfiles=1"))
+    assert(listed.last.startsWith("version=3") && listed.last.endsWith("\tLIVE"))
+    assert(!listed.head.endsWith("LIVE"))
+    val pruned = captureOut(StateTool.main(Array("benchkeys-prune", d, "2")))
+    assert(pruned.contains("removed versions [1]"))
+    val after = captureOut(StateTool.main(Array("benchkeys", d))).trim.split("\n").toSeq
+    assert(after.size == 2 && after.head.startsWith("version=2"))
+  }
+
   test("versions lists checkpoint files oldest first") {
     val d = dir()
     val rs = new RunState(d)
