@@ -342,6 +342,73 @@ object ScaleBench {
       else if (kwPlan.contains("SortMergeJoin")) "smj"
       else "other"
 
+    // ---- repetition signals + mix sampling at the 544k corpus ----------
+    // Repetition (d22) is pure map-side — exchanges recorded from the
+    // executed plan, not assumed — so cost is the per-row n-gram kernel
+    // and halving the rows should roughly halve the time (the near-
+    // linear proof; both runs pay the same full-file scan, so the ratio
+    // sits slightly under 2). Mix sampling (d24): composition math is
+    // driver-side O(#strata) by design; the DATA pass must be exactly
+    // one exchange (the per-stratum WindowGroupLimit rank shuffle).
+    // exchanges are counted from the FINAL plan string after execution:
+    // under AQE the physical tree is an AdaptiveSparkPlanExec wrapper
+    // whose children a plan-tree collect does not descend into, so a
+    // node-collect silently reports 0 (same reason the kw section above
+    // splits on "== Initial Plan ==")
+    def shuffleCount(qe: org.apache.spark.sql.execution.QueryExecution): Int =
+      "Exchange (hash|range|single)".r
+        .findAllIn(qe.executedPlan.toString.split("== Initial Plan ==").head)
+        .size
+    val tRep = System.nanoTime()
+    val repQe = TextAnalysis.repetitionReport(corpus, "doc_id", "text")
+      .queryExecution
+    val nRep = repQe.executedPlan.execute().count()
+    val repSecs = secs(tRep)
+    val repExchanges = shuffleCount(repQe)
+    val tRepH = System.nanoTime()
+    val nRepH = TextAnalysis.repetitionReport(
+        corpus.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      .queryExecution.executedPlan.execute().count()
+    val repHalfSecs = secs(tRepH)
+
+    // skewed lang assignment from doc_id (en-dominant, the d24/d30
+    // shape), taken over the documented at-scale projection — (key,
+    // strata) only, survivors semi-join back by id — so the one
+    // exchange and the per-stratum sort move ids, never text (the
+    // cutoffs here are ~200k per stratum, far past
+    // spark.sql.window.group.limit.threshold=1000, so there is no
+    // map-side WindowGroupLimit heap at this shape by design —
+    // recorded, not hidden)
+    val langed = corpus.select(col("doc_id")).withColumn("lang",
+      element_at(array(Seq("en", "en", "en", "en", "en", "en",
+          "zh", "zh", "de", "fr").map(lit): _*),
+        (pmod(col("doc_id"), lit(10)) + 1).cast("int")))
+    val tMix = System.nanoTime()
+    val mixed = graft.llm.Sampling.mixTake(langed, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.1),
+      salt = "scale9")
+    val mixQe = mixed.queryExecution
+    val nMix = mixQe.executedPlan.execute().count()
+    val mixSecs = secs(tMix)
+    val mixExchanges = shuffleCount(mixQe)
+    val mixGroupLimit =
+      if (mixQe.executedPlan.toString.split("== Initial Plan ==").head
+            .contains("WindowGroupLimit")) 1 else 0
+    // …and the join-back leg: survivors (ids only) semi-join the wide
+    // corpus — AQE should see ~360k ids and broadcast them, so the text
+    // column never enters an exchange at all
+    val tMixJ = System.nanoTime()
+    val mixJoined = corpus.join(mixed.select("doc_id"), Seq("doc_id"), "left_semi")
+    val nMixJ = mixJoined.count()
+    val mixJoinSecs = secs(tMixJ)
+    require(nMixJ == nMix, s"semi-join-back lost rows: $nMixJ vs $nMix")
+    val mixJoinKind = {
+      val p = mixJoined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      if (p.contains("BroadcastHashJoin")) "broadcast"
+      else if (p.contains("SortMergeJoin")) "smj" else "other"
+    }
+
     // ---- float vs int8 brute-force similarity -------------------------
     // The base embeddings replicated with a small per-copy perturbation
     // (copies aren't bit-identical), 20 queries, k=10, BOTH layouts
@@ -408,6 +475,11 @@ object ScaleBench {
       s""""sess_unsalted_secs":$sessUSecs,"sess_salted_secs":$sessSSecs,""" +
       s""""sess_sessions":$nSessions,""" +
       s""""kw_secs":$kwSecs,"kw_rows":$nKw,"kw_df_join":"$kwJoin",""" +
+      s""""rep_secs":$repSecs,"rep_rows":$nRep,"rep_exchanges":$repExchanges,""" +
+      s""""rep_half_secs":$repHalfSecs,"rep_half_rows":$nRepH,""" +
+      s""""mix_secs":$mixSecs,"mix_rows":$nMix,"mix_exchanges":$mixExchanges,""" +
+      s""""mix_window_group_limit":$mixGroupLimit,""" +
+      s""""mix_join_secs":$mixJoinSecs,"mix_join":"$mixJoinKind",""" +
       s""""vec_corpus":$nVecs,"vec_float_secs":$simFSecs,""" +
       s""""vec_int8_secs":$simQSecs,"vec_topk_rows":$nSimF,""" +
       s""""vec_float_bytes":$floatBytes,"vec_int8_bytes":$int8Bytes,""" +

@@ -68,6 +68,29 @@ object Sampling {
       .where(col("__rk") <= n).drop("__rk")
   }
 
+  /** Embedding-diversity take (the SemDeDup-adjacent curation step):
+    * partition the embedding space into Voronoi cells over frozen
+    * centroids (Similarity.assignCells — map-side argmin over centroid
+    * literals, zero exchange) and take `nPerCell` docs per cell in the
+    * salted-hash order of [[stratifiedTake]]. A plain hash sample
+    * preserves the corpus's density skew (dominant semantic clusters
+    * stay dominant); the per-cell take flattens it — dense regions
+    * downsample hard, sparse regions survive (near-)whole.
+    *
+    * Scale shape: cell assignment rides the scan; nPerCell is small by
+    * construction so stratifiedTake's map-side WindowGroupLimit heap
+    * applies and each task forwards at most nlist·nPerCell rows into
+    * the one exchange. Output is (id, cell) only — embeddings never
+    * shuffle; join survivors back by id (mixTake's documented at-scale
+    * shape). */
+  def diversityTake(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]], nPerCell: Int,
+                    salt: String = "graft"): DataFrame =
+    stratifiedTake(
+      Similarity.assignCells(emb, centroids, vecCol)
+        .select(col(idCol), col("cell")),
+      idCol, "cell", nPerCell, salt)
+
   /** Deterministic corpus-MIX sampling — downsample to a target
     * composition (the data-mixing step of a training pipeline: e.g. 50%
     * web / 30% code / 20% academic). `targets` are relative weights
@@ -81,9 +104,16 @@ object Sampling {
     *
     * Scale shape: one count aggregate (O(#strata) rows to the driver —
     * composition math is driver-side by design, like Fork's counts) plus
-    * one windowed take whose rank filter pushes map-side
-    * (WindowGroupLimit) — no stratum ever fully sorts through one
-    * partition's memory. */
+    * ONE windowed-take exchange (measured: mix_exchanges=1 in
+    * SCALE_BENCH.json). The rank filter pushes map-side (a
+    * WindowGroupLimit top-k heap before the shuffle) only when the
+    * largest cutoff is within spark.sql.window.group.limit.threshold
+    * (default 1000) — Spark rightly refuses a map-side top-200k heap,
+    * so corpus-scale mixes run the per-stratum sort instead. That sort
+    * is over whatever columns `df` carries: at real scale pass the
+    * (key, strata) PROJECTION and semi-join the survivors back, so the
+    * exchange and sort move ids, never text/embeddings — the shape
+    * SCALE_BENCH's mix_* rows measure. */
   def mixTake(df: DataFrame, keyCol: String, strataCol: String,
               targets: Map[String, Double], salt: String = "graft"): DataFrame = {
     require(targets.nonEmpty, "targets must not be empty")

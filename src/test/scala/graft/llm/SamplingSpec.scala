@@ -78,6 +78,29 @@ class SamplingSpec extends SparkTestBase {
       s"expected map-side WindowGroupLimit:\n$plan")
   }
 
+  test("diversityTake flattens density skew: dense cell capped at n, " +
+    "sparse cell kept whole; deterministic across partitioning") {
+    val s = spark; import s.implicits._
+    // 50 points near the origin, 3 near (10,10): a plain 16% sample
+    // would keep ~8 dense / ~0.5 sparse; the per-cell take keeps 5 + 3
+    val dense = (1L to 50L).map(i =>
+      (i, Array(0.1f * (i % 5), 0.1f * (i % 7))))
+    val sparse = (101L to 103L).map(i => (i, Array(10f, 10f)))
+    val emb = (dense ++ sparse).toDF("vec_id", "embedding")
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val out = Sampling.diversityTake(emb, "vec_id", "embedding", cents,
+      nPerCell = 5, salt = "d")
+    val perCell = out.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perCell == Map(0 -> 5L, 1 -> 3L), s"got $perCell")
+    val ids = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.diversityTake(emb.repartition(7), "vec_id",
+        "embedding", cents, nPerCell = 5, salt = "d")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids2, "must be partitioning-independent")
+    assert(sparse.map(_._1).toSet.subsetOf(ids), "sparse cell kept whole")
+  }
+
   test("mixTake: exact target composition, bottleneck stratum kept whole, " +
     "deterministic, absent strata dropped, bad specs rejected") {
     val s = spark; import s.implicits._
