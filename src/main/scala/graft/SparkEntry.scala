@@ -458,6 +458,22 @@ object SparkEntry {
       Dedup.contaminationFlagsAgainstKeys(docs,
         Dedup.readBenchKeysLatest(s, store, k = 8), "doc_id", "text", k = 8)
     }),
+    "d34_diversity_take" -> ((s, dir) =>
+      // embedding-diversity sampling: Voronoi cells over the SAME frozen
+      // 16-centroid set the IVF family uses, nPerCell=20 by salted-hash
+      // order — flattens semantic density skew instead of preserving it
+      // like a plain hash sample
+      graft.llm.Sampling.diversityTake(t(s, dir, "embeddings"), "vec_id",
+        "embedding", ivfCentroids(s, dir, 16), nPerCell = 20, salt = "div9")),
+    "d33_canonical_quality" -> ((s, dir) =>
+      // d09's clusters with a production keeper rule: canonical = the
+      // LONGEST doc in the cluster (ties -> min id), not the min id —
+      // same LSH/CC machinery, different argmax, so the oracle
+      // cross-checks the decision layer in isolation
+      Dedup.canonicalByQuality(t(s, dir, "documents"), "doc_id", "text",
+        quality = length(col("text")).cast("long"),
+        threshold = 0.5, k = 3, numHashes = 12, bands = 4,
+        maxBucketSize = Some(docBucketCap(s, dir)))),
     "d03_lang_scores" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(col("text"))
         .map { case (name, c) => c.as(name) }
@@ -729,6 +745,19 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
         pqCodebooks(s, dir, m = 4, ksub = 8))
+    }),
+    "s09_bm25_topk" -> ((s, dir) => {
+      // BM25 retrieval with the house log-free rational idf: 3 probe
+      // queries derived from the corpus itself (first 4 tokens of docs
+      // 0-2 — a more-like-this harvest); the float term-sum is a
+      // term-sorted left fold, so both engines add in the same order
+      val docs = t(s, dir, "documents")
+      val queries = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(lower(col("text"))), 1, 4),
+            " ").as("qtext"))
+      TextAnalysis.bm25TopK(docs, queries, "doc_id", "text",
+        "query_id", "qtext", k = 5)
     }),
     "s05_embedding_neardups" -> ((s, dir) =>
       // near-dup pair surface under the oracle: multi-probe bucketed
@@ -1563,6 +1592,44 @@ object SparkEntry {
         |      < printf('%08x',
         |          least(CAST(floor(rate * 4294967296.0) AS BIGINT),
         |                4294967295))""".stripMargin,
+    "d34_diversity_take" -> {
+      // same centroid literals + argmin as the s04/m20 family, then the
+      // d19 windowed take per cell in the same salted md5 order
+      val cents = Option(lastIvfCentroids).getOrElse(Array.empty[Array[Double]])
+      if (cents.isEmpty)
+        """SELECT CAST(NULL AS BIGINT) AS vec_id,
+          |CAST(NULL AS INTEGER) AS cell WHERE FALSE""".stripMargin
+      else {
+        val dl = cents.map(c => duckSqDist("embedding", duckDoubleList(c)))
+          .mkString("[", ",\n", "]")
+        s"""WITH al AS (SELECT vec_id, $dl AS dl FROM embeddings),
+           |a AS (SELECT vec_id,
+           |  CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell
+           |  FROM al)
+           |SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+           |    ORDER BY substr(md5('div9' || '|' || CAST(vec_id AS VARCHAR)), 1, 8) ASC,
+           |             vec_id ASC) AS rk
+           |  FROM a) WHERE rk <= 20""".stripMargin
+      }
+    },
+    "d33_canonical_quality" ->
+      // d09's recursive-closure clusters, but the keeper is the argmax of
+      // len(text) (ties -> min id) — a DELIBERATELY different decision
+      // rule than d09's MIN(id), cross-checking the canonical-selection
+      // layer against the same component structure
+      s"""WITH RECURSIVE ${duckLshPairsCte()},
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ndpairs
+         |          UNION ALL SELECT id2, id1 FROM ndpairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         |SELECT id, cluster,
+         |  (row_number() OVER (PARTITION BY cluster
+         |     ORDER BY len(d.text) DESC, id ASC) = 1) AS keep
+         |FROM cl JOIN documents d ON cl.id = d.doc_id""".stripMargin,
     "d32_decontam_refresh" ->
       // d23's formulation with the bench side = the REFRESHED eval set
       // only (doc_id % 5): proves the versioned reader retired the v1
@@ -2078,6 +2145,17 @@ object SparkEntry {
            |WHERE rnk <= 5""".stripMargin
       }
     },
+    "s09_bm25_topk" ->
+      // generated from the SAME k1/b literals and expression tree as the
+      // Spark side (TextAnalysis.bm25OracleSql); queries mirror the
+      // first-4-token derivation
+      TextAnalysis.bm25OracleSql(
+        "SELECT doc_id, text FROM documents",
+        """SELECT doc_id AS query_id,
+          |array_to_string(list_filter(string_split(lower(text), ' '),
+          |  x -> x != '')[1:4], ' ') AS qtext
+          |FROM documents WHERE doc_id < 3""".stripMargin,
+        k = 5),
     "s08_pq_adc_topk" -> {
       // Mirrors pqTopK with the codebooks the s08 query fit: same
       // per-subspace literal squared-L2 lists (the dl lists double as

@@ -1224,6 +1224,37 @@ object Dedup {
     cc.withColumn("keep", col("id") === col("cluster"))
   }
 
+  /** Quality-aware canonical selection: [[nearDupClusters]] keeps the MIN
+    * id per component — deterministic but arbitrary. A production dedup
+    * keeps the BEST copy (longest text, highest quality score, freshest
+    * crawl): canonical = argmax of `quality` within the cluster, ties
+    * broken by min id. `quality` is any deterministic Column over `df`'s
+    * rows (length(text), a d02 feature, a model score column…).
+    *
+    * Scale shape: identical to nearDupClusters through CC; then one
+    * (id ⋈ id) hash join against the 2-column (id, quality) projection
+    * of the corpus (column-pruned scan — text never joins) and one
+    * window over `cluster` carrying ~24-byte rows (every row is kept
+    * and FLAGGED, like nearDupClusters, so the window computes fully —
+    * no top-k prune applies; the shuffled payload is ids+scores only). */
+  def canonicalByQuality(df: DataFrame, idCol: String, textCol: String,
+                         quality: Column,
+                         threshold: Double, k: Int = 3,
+                         numHashes: Int = 12, bands: Int = 4,
+                         maxBucketSize: Option[Int] = None): DataFrame = {
+    val (pairs, caches) = nearDupPairsLazy(df, idCol, textCol, threshold,
+      k, numHashes, bands, maxBucketSize)
+    val cc = connectedComponents(pairs)
+    caches.foreach(_.unpersist(blocking = true))
+    val scored = df.select(col(idCol).as("id"), quality.as("__q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("__q").desc, col("id").asc)
+    cc.join(scored, Seq("id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .drop("__q")
+  }
+
   /** Portable 64-bit token hash: the first 16 hex chars of md5 assembled
     * from two 32-bit halves (hex-parse of the full 16 would overflow a
     * signed long). Bit-identical in any engine with md5 — the property an

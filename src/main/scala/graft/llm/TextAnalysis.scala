@@ -303,6 +303,110 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** BM25 top-k retrieval — the "mine docs relevant to a probe query"
+    * curation step (targeted-domain harvesting, more-like-this
+    * expansion). Okapi BM25 with the house log-free idf surrogate:
+    * idf_r(t) = (N − df + 0.5)/(df + 0.5) — the same rational ratio
+    * inside classic BM25's ln(), dropped because ln() drifts across
+    * libms ([[keywordScores]]' reasoning); it is monotone in 1/df so
+    * per-term ordering is preserved, and the tf saturation / length
+    * normalization (k1, b) are untouched. All inputs to the score are
+    * integers (tf, df, dl, N, Σdl); the score is a fixed IEEE
+    * expression tree both engines evaluate identically, and the
+    * per-(query,doc) SUM over terms — float addition is not
+    * associative, so a plain SUM would be partition-order-dependent —
+    * is a left-to-right fold over the term-sorted score array,
+    * mirrored by DuckDB's list(s ORDER BY term) + list_reduce.
+    *
+    * Scale shape: the corpus tokenizes in two pruned scans (a map-side
+    * 1-row stats aggregate for N/avgdl, and the term explode); only
+    * rows whose term appears in a QUERY survive past the explode (a
+    * broadcast semi-join directly on the scan output), so the (doc,
+    * term) exchange carries query-term rows only — at 100 TB with a
+    * 100-term query sheet that is a vanishing fraction of the corpus.
+    * df/stats/query frames are all broadcast; the one wide exchange is
+    * the per-query top-k window, map-side-pruned (WindowGroupLimit,
+    * k small). Docs sharing no term with a query are simply not
+    * retrieved (standard BM25 behavior). Output: (query_id, doc_id,
+    * score, rank). */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame,
+               docIdCol: String, textCol: String,
+               queryIdCol: String, queryTextCol: String, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(tokens(lower(col(queryTextCol))))).as("term"))
+    val corpusToks = corpus.select(col(docIdCol).as("doc_id"),
+      tokens(lower(col(textCol))).as("__t"))
+    val stats = corpusToks.agg(count(lit(1)).as("n"),
+      sum(size(col("__t")).cast("long")).as("tot"))
+    val tf = corpusToks
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        ((col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+        ((col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") /
+              (col("tot").cast("double") / col("n").cast("double"))))))
+    val folded = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("term"), col("__s").as("s")))),
+          x => x.getField("s")),
+        lit(0.0), (acc, x) => acc + x).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    folded.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** The DuckDB twin of [[bm25TopK]], generated with the SAME k1/b
+    * literals and the SAME expression tree so the two engines cannot
+    * drift (the Pii.scrubOracleSql pattern). `corpusSql` yields
+    * (doc_id, text); `queriesSql` yields (query_id, qtext). */
+  def bm25OracleSql(corpusSql: String, queriesSql: String, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): String = {
+    val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+    val qtoks = "list_filter(string_split(lower(qtext), ' '), x -> x != '')"
+    s"""WITH dt AS (SELECT doc_id, $toks AS g FROM ($corpusSql)),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(len(g)) AS BIGINT) AS tot FROM dt),
+       |qt AS (SELECT query_id, unnest(list_distinct($qtoks)) AS term
+       |       FROM ($queriesSql)),
+       |ex AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS dl, unnest(g) AS term
+       |       FROM dt),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+       |         MAX(dl) AS dl
+       |       FROM ex WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |pt AS (SELECT q.query_id, t.doc_id, t.term,
+       |         ((CAST(st.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+       |           (CAST(d.df AS DOUBLE) + 0.5)) *
+       |         ((CAST(t.tf AS DOUBLE) * ($k1 + 1.0)) /
+       |           (CAST(t.tf AS DOUBLE) + $k1 *
+       |             (1.0 - $b + $b * CAST(t.dl AS DOUBLE) /
+       |               (CAST(st.tot AS DOUBLE) / CAST(st.n AS DOUBLE))))) AS s
+       |       FROM tf t JOIN dfq d USING (term) JOIN qt q USING (term), st),
+       |fold AS (SELECT query_id, doc_id,
+       |           list_reduce(list(s ORDER BY term), (x, y) -> x + y) AS score
+       |         FROM pt GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score, CAST(rk AS INTEGER) AS rank FROM (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rk
+       |  FROM fold) WHERE rk <= $k""".stripMargin
+  }
+
   /** Unigram-LM familiarity scoring — the corpus-frequency quality
     * filter (the CCNet/Gopher "does this look like the corpus" signal)
     * expressed WITHOUT logarithms so it is bit-exact across engines: a

@@ -154,6 +154,30 @@ class DedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("shingle_k"))
   }
 
+  test("canonicalByQuality keeps the best copy (argmax quality), " +
+    "not the min id; ties fall back to min id") {
+    val s = spark; import s.implicits._
+    val near = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog indeed it does"),
+      (3L, "completely unrelated text about oceans and tides entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.canonicalByQuality(near, "doc_id", "text",
+        quality = length(col("text")).cast("long"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // cluster label is still the min id; the KEEPER is the longer doc 2
+    assert(out == Set((1L, 1L, false), (2L, 1L, true)), s"got $out")
+    // min-id semantics as the tie-break: identical lengths keep doc 1
+    val tied = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val t2 = Dedup.canonicalByQuality(tied, "doc_id", "text",
+        quality = length(col("text")).cast("long"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(t2 == Set((1L, true), (2L, false)), s"got $t2")
+  }
+
   test("bench-key snapshots: versions increment, latest read retires " +
     "replaced keys, pinned read prunes partitions") {
     val s = spark; import s.implicits._

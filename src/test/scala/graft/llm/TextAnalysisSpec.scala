@@ -10,6 +10,34 @@ class TextAnalysisSpec extends SparkTestBase {
     Seq(Tuple1(text)).toDF("text")
   }
 
+  test("bm25TopK ranks by term rarity, tf saturation and length " +
+    "normalization; non-matching docs absent; k respected") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "spark query engine"),                 // both query terms, short
+      (2L, "spark spark spark query filler words padding here now"), // tf-saturated + long
+      (3L, "spark only here"),                    // one common term
+      (4L, "query only text"),                    // one rarer term? (equal df here)
+      (5L, "nothing relevant at all")             // no overlap -> absent
+    ).toDF("doc_id", "text")
+    val queries = Seq((10L, "spark query")).toDF("query_id", "qtext")
+    val out = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text",
+        "query_id", "qtext", k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toList.sortBy(_._2)
+    // doc 1 has both terms in a 3-token doc: best; doc 5 never appears;
+    // only k=3 rows come back
+    assert(out.size == 3, s"got $out")
+    assert(out.head == (1L, 1), s"got $out")
+    assert(!out.exists(_._1 == 5L))
+    // determinism across partitioning (the sorted fold, not sum order)
+    val a = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text",
+      "query_id", "qtext", k = 5).collect().map(_.toSeq).toSet
+    val b = TextAnalysis.bm25TopK(corpus.repartition(7), queries,
+      "doc_id", "text", "query_id", "qtext", k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("tokens drops empty splits (multiple spaces)") {
     val r = one("a  b   c").select(TextAnalysis.tokens(col("text"))).head().getSeq[String](0)
     assert(r == Seq("a", "b", "c"))
