@@ -128,4 +128,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("s09: BM25 semi-joins the broadcast query terms BELOW the " +
+    "(doc, term) aggregation — only query-term rows shuffle") {
+    val p = plan("s09_bm25_topk")
+    // the left-semi term filter must be a broadcast join (never shuffles
+    // the exploded corpus for it) and sit under the tf groupBy exchange
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"query-term prune missing or not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val semiIdx = p.indexOf("LeftSemi")
+    val aggIdx = p.indexOf("partial_count")
+    assert(semiIdx >= 0 && aggIdx >= 0 && semiIdx > aggIdx,
+      "semi-join should appear below (deeper than) the tf aggregation " +
+        s"in the plan tree print:\n$p")
+  }
+
+  test("d34: diversity take — cell assignment rides the scan (no " +
+    "exchange before the window) and the rank prunes map-side") {
+    val p = plan("d34_diversity_take")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-cell take lost the map-side top-k heap:\n$p")
+    // embeddings feed exactly one scan and never shuffle: the only
+    // exchange is the (id, cell) window partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one exchange (the cell window):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
