@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Pii, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation on the documents + embeddings
@@ -9,13 +9,18 @@ import org.apache.spark.sql.functions._
   *
   *   1. quality gate (token count, uniqueness ratio, repetition
   *      signals) — all map-side;
-  *   2. benchmark decontamination (persisted bench-key state);
+  *   2. benchmark decontamination (VERSIONED bench-key snapshots — an
+  *      eval-set refresh retires the old keys by construction);
   *   3. exact dedup (normalized-md5 fingerprint, min-id keeper);
-  *   4. MinHash-LSH near-dup clustering, non-keepers dropped;
+  *   4. MinHash-LSH near-dup clustering with the PRODUCTION keeper:
+  *      canonical = longest copy, not min id (canonicalByQuality);
   *   5. deterministic mix sampling to a target language composition;
-  *   6. winnowing-overlap cross-check (independent signal);
-  *   7. embedding near-dup clusters (multi-probe SRP) on the vector side;
-  *   8. curated corpus written with stats.
+  *   6. PII scrub — redaction counts kept as quality telemetry;
+  *   7. sequence packing into fixed token budgets (training-ready);
+  *   8. winnowing-overlap cross-check (independent signal);
+  *   9. embedding near-dup clusters + per-cell diversity take on the
+  *      vector side;
+  *  10. curated + packed corpora written with stats.
   *
   * Run: sbt "runMain graft.examples.CurationExample [sfDir] [outDir]"
   */
@@ -40,40 +45,63 @@ object CurationExample {
           .where(col("top_2gram_ratio") > 0.5).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
 
-    // decontamination: every ~97th doc plays the eval set; its shingle
-    // keys persist once (cross-run state) and the corpus is screened
-    Dedup.writeBenchKeys(docs.where(col("doc_id") % 97 === 0), "text",
-      s"$outDir/bench_keys")
+    // decontamination against the VERSIONED bench-key store: snapshot 1
+    // is the live eval set; a later refresh writes snapshot 2 and this
+    // same reader silently retires the replaced keys (readers always pin
+    // the newest version)
+    Dedup.writeBenchKeysSnapshot(docs.where(col("doc_id") % 97 === 0),
+      "text", s"$outDir/bench_keys")
     val clean = qual.join(
       Dedup.contaminationFlagsAgainstKeys(qual,
-          Dedup.readBenchKeys(spark, s"$outDir/bench_keys"), "doc_id", "text")
+          Dedup.readBenchKeysLatest(spark, s"$outDir/bench_keys"),
+          "doc_id", "text")
         .where(col("contaminated")).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
 
     val exact = Dedup.exactDedup(clean, "text", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nearDrop = Dedup.nearDupClusters(exact, "doc_id", "text", threshold = 0.5)
+    // production keeper: keep the LONGEST copy of each near-dup cluster
+    // (canonicalByQuality), not the arbitrary min id
+    val nearDrop = Dedup.canonicalByQuality(exact, "doc_id", "text",
+        quality = length(col("text")).cast("long"), threshold = 0.5)
       .where(!col("keep")).select(col("id").as("doc_id"))
     val deduped = exact.join(nearDrop, Seq("doc_id"), "left_anti")
     // deterministic mix: largest corpus at 50% en / 25% zh / 25% de
-    val curated = graft.llm.Sampling.mixTake(deduped, "doc_id", "lang",
-        Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25))
+    val mixed = graft.llm.Sampling.mixTake(deduped, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25))
+    // PII scrub: redacted text replaces raw; per-category counts stay
+    // as quality telemetry columns
+    val scrubbed = Pii.scrub(mixed, "doc_id", "text")
+    val curated = mixed.drop("text")
+      .join(scrubbed.withColumnRenamed("redacted_text", "text"), Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
+    // training-ready packing: fixed 2048-token sequences over the
+    // curated corpus in deterministic salted order
+    graft.llm.Packing.packSequences(
+        curated.select(col("doc_id"), col("text")), "doc_id",
+        TextAnalysis.tokenCount(col("text")).cast("long"), budget = 2048)
+      .write.mode("overwrite").parquet(s"$outDir/packed")
 
     // independent overlap signal on the curated set (audit, not a filter)
     val overlap = Dedup.winnowingOverlapPairs(curated, "doc_id", "text",
       minSim = 0.3, maxBucketSize = Some(64)).count()
 
-    // embedding-side near-dup clusters
+    // embedding-side near-dup clusters + diversity take: dense semantic
+    // regions downsample to 32 per Voronoi cell, sparse ones survive
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val embClusters = Dedup.connectedComponents(
       Similarity.embeddingNearDups(emb, threshold = 0.40, dim = 64))
       .count()
+    val diverse = graft.llm.Sampling.diversityTake(emb, "vec_id",
+      "embedding", Similarity.fitCentroids(emb, nlist = 8), nPerCell = 32)
+      .count()
 
     val total = docs.count(); val kept = curated.count()
+    val redactions = curated.agg(sum(col("n_redacted"))).head().getLong(0)
     println(s"[curation-example] input=$total quality+deduped=$kept " +
-      s"residual_overlap_pairs=$overlap embedding_cluster_members=$embClusters out=$outDir")
+      s"pii_redactions=$redactions residual_overlap_pairs=$overlap " +
+      s"embedding_cluster_members=$embClusters diversity_kept=$diverse out=$outDir")
     spark.stop()
   }
 }
