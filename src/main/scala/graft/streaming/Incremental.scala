@@ -221,7 +221,12 @@ object Incremental {
     * checkpoint's persisted query id). The bench keys re-read per batch
     * is deliberate: the table is small (eval sets), the read is one
     * pruned scan, and a refreshed bench set takes effect on the next
-    * batch without restarting the stream. */
+    * batch without restarting the stream. Both bench-key layouts work:
+    * a flat [[graft.llm.Dedup.writeBenchKeys]] table, or the VERSIONED
+    * snapshot store ([[graft.llm.Dedup.writeBenchKeysSnapshot]]) — in
+    * which case each batch pins the newest snapshot, so an eval-set
+    * refresh RETIRES the replaced keys at the next batch, not just
+    * adds to them. */
   def decontaminateStream(stream: DataFrame, idCol: String, textCol: String,
                           benchKeysPath: String, outPath: String,
                           checkpointDir: String, k: Int = 8,
@@ -230,8 +235,12 @@ object Incremental {
     lazy val ckToken = checkpointQueryToken(stream.sparkSession, checkpointDir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val keys = graft.llm.Dedup.readBenchKeys(batch.sparkSession,
-          benchKeysPath, k)
+        val sp = batch.sparkSession
+        val versioned = graft.llm.Dedup.benchKeyVersions(
+          sp.sparkContext.hadoopConfiguration, benchKeysPath).nonEmpty
+        val keys =
+          if (versioned) graft.llm.Dedup.readBenchKeysLatest(sp, benchKeysPath, k)
+          else graft.llm.Dedup.readBenchKeys(sp, benchKeysPath, k)
         graft.llm.Dedup.contaminationFlagsAgainstKeys(batch, keys,
             idCol, textCol, k, minHits)
           .write.mode("overwrite")

@@ -241,6 +241,40 @@ class DedupStreamSpec extends SparkTestBase {
     assert(dirs.size == 2, s"got $dirs")
   }
 
+  test("decontaminateStream over the VERSIONED store: each batch pins the " +
+    "newest snapshot, so a refresh RETIRES replaced keys mid-stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("decon-ver").toString
+    val (keysPath, outPath) = (s"$base/keys", s"$base/out")
+    val evalA = "alpha beta gamma delta epsilon zeta eta theta"
+    val evalB = "totally clean document content here"
+    graft.llm.Dedup.writeBenchKeysSnapshot(
+      Seq((0L, evalA)).toDF("doc_id", "text"), "text", keysPath, k = 3)
+
+    def runOnce(ck: String, docs: (String, String)*): Unit = {
+      val input = MemoryStream[(String, String)]
+      input.addData(docs: _*)
+      val q = Incremental.decontaminateStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        keysPath, outPath, s"$base/$ck", k = 3)
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    runOnce("ck1", ("t1", evalA), ("t2", evalB))
+    val out1 = spark.read.parquet(outPath)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(out1 == Map("t1" -> true, "t2" -> false), s"got $out1")
+    // snapshot 2 REPLACES the eval set: A's keys must retire, not union
+    graft.llm.Dedup.writeBenchKeysSnapshot(
+      Seq((1L, evalB)).toDF("doc_id", "text"), "text", keysPath, k = 3)
+    runOnce("ck2", ("t3", evalA), ("t4", evalB))
+    val out2 = spark.read.parquet(outPath)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!out2("t3"), s"retired v1 keys still flagging: $out2")
+    assert(out2("t4"), s"refreshed keys not live: $out2")
+  }
+
   test("incrementalDedupStream dedups micro-batches against persisted state across runs") {
     val s = spark
     import s.implicits._
