@@ -409,6 +409,49 @@ object ScaleBench {
       else if (p.contains("SortMergeJoin")) "smj" else "other"
     }
 
+    // ---- round-9 text surfaces at the 544k corpus ----------------------
+    // PII scrub: a negative-heavy workload by construction (the corpus
+    // has no PII shapes) — which is the realistic regime: redaction cost
+    // at scale is regex SCAN cost, matches are rare. Zero exchanges
+    // recorded like d22.
+    val tPii = System.nanoTime()
+    val piiQe = graft.llm.Pii.scrub(corpus, "doc_id", "text").queryExecution
+    val nPii = piiQe.executedPlan.execute().count()
+    val piiSecs = secs(tPii)
+    val piiExchanges = shuffleCount(piiQe)
+
+    // span-level boilerplate removal over the dup-heavy corpus: the
+    // replicated clusters make most 4-gram spans corpus-frequent, so
+    // this measures the machinery at its worst shape (nearly every doc
+    // gets cut) — 60M-gram flagging, windowed merge, map-side rebuild
+    val tSpan = System.nanoTime()
+    val spanOut = graft.llm.Dedup.removeBoilerplateSpans(
+      corpus, "doc_id", "text", width = 4, maxDocFreq = 2)
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("cut"),
+        sum(col("n_removed")).as("toks_removed"))
+      .head()
+    val spanRmSecs = secs(tSpan)
+    val (spanDocs, spanCut, spanToks) =
+      (spanOut.getLong(0), spanOut.getLong(1), spanOut.getLong(2))
+
+    // BM25 retrieval with a 20-probe query sheet: only query-term rows
+    // survive the explode (broadcast semi-join), so the exchange carries
+    // a fraction of the corpus even at this width
+    val tBm = System.nanoTime()
+    val bmQueries = corpus.where(col("doc_id") % 100000 === 0)
+      .limit(20)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.llm.TextAnalysis.tokens(lower(col("text"))),
+          1, 4), " ").as("qtext"))
+    val nBm = graft.llm.TextAnalysis.bm25TopK(corpus, bmQueries,
+      "doc_id", "text", "query_id", "qtext", k = 10).count()
+    val bmSecs = secs(tBm)
+    // d33 canonical-by-quality is NOT re-run here: its dominant cost IS
+    // the LSH+CC already measured above (lsh_secs + cc_secs); the keeper
+    // adds one id-join on a 2-column projection and one ~24-byte-row
+    // window — noted instead of burning another full CC pass.
+
     // ---- float vs int8 brute-force similarity -------------------------
     // The base embeddings replicated with a small per-copy perturbation
     // (copies aren't bit-identical), 20 queries, k=10, BOTH layouts
@@ -480,6 +523,10 @@ object ScaleBench {
       s""""mix_secs":$mixSecs,"mix_rows":$nMix,"mix_exchanges":$mixExchanges,""" +
       s""""mix_window_group_limit":$mixGroupLimit,""" +
       s""""mix_join_secs":$mixJoinSecs,"mix_join":"$mixJoinKind",""" +
+      s""""pii_secs":$piiSecs,"pii_rows":$nPii,"pii_exchanges":$piiExchanges,""" +
+      s""""span_secs":$spanRmSecs,"span_docs":$spanDocs,"span_cut":$spanCut,""" +
+      s""""span_toks_removed":$spanToks,""" +
+      s""""bm25_secs":$bmSecs,"bm25_rows":$nBm,""" +
       s""""vec_corpus":$nVecs,"vec_float_secs":$simFSecs,""" +
       s""""vec_int8_secs":$simQSecs,"vec_topk_rows":$nSimF,""" +
       s""""vec_float_bytes":$floatBytes,"vec_int8_bytes":$int8Bytes,""" +
