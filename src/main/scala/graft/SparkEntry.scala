@@ -465,6 +465,18 @@ object SparkEntry {
       // like a plain hash sample
       graft.llm.Sampling.diversityTake(t(s, dir, "embeddings"), "vec_id",
         "embedding", ivfCentroids(s, dir, 16), nPerCell = 20, salt = "div9")),
+    "d35_decontam_spans" -> ((s, dir) => {
+      // surgical decontamination: cut the SPANS matching the eval set's
+      // 8-shingles (same %97 eval set as d23) instead of dropping whole
+      // docs — the d27 machinery with the bench-key store as the flag set
+      val docs = t(s, dir, "documents")
+      val store = tmpQueryDir("d35-benchkeys").toString + "/keys"
+      Dedup.writeBenchKeysSnapshot(docs.where(col("doc_id") % 97 === 0),
+        "text", store, k = 8)
+      Dedup.decontaminateSpans(docs,
+        "doc_id", "text", Dedup.readBenchKeysLatest(s, store, k = 8),
+        width = 8)
+    }),
     "d33_canonical_quality" -> ((s, dir) =>
       // d09's clusters with a production keeper rule: canonical = the
       // LONGEST doc in the cluster (ties -> min id), not the min id —
@@ -1613,6 +1625,39 @@ object SparkEntry {
            |  FROM a) WHERE rk <= 20""".stripMargin
       }
     },
+    "d35_decontam_spans" ->
+      // d27's reconstruction with the flag set = the %97 eval set's
+      // 8-shingle keys (d23's bk CTE) instead of corpus-frequent grams
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |bk AS (SELECT DISTINCT h FROM (
+        |  SELECT unnest(list_distinct(
+        |    CASE WHEN len(g) < 8 THEN [md5(array_to_string(g, ' '))]
+        |         ELSE list_transform(range(1, len(g) - 6),
+        |                i -> md5(array_to_string(g[i:i+7], ' '))) END)) AS h
+        |  FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS g
+        |        FROM documents WHERE doc_id % 97 = 0))),
+        |g0 AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(tk) - 8 + 1, 0)),
+        |      i -> {'pos': i,
+        |            'gram': md5(lower(array_to_string(tk[i+1:i+8], ' ')))})) AS u
+        |  FROM toks),
+        |gp AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0),
+        |st AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS starts
+        |  FROM gp JOIN bk ON gp.gram = bk.h GROUP BY 1),
+        |j AS (SELECT t.doc_id, tk,
+        |    COALESCE(starts, CAST([] AS BIGINT[])) AS starts
+        |  FROM toks t LEFT JOIN st USING (doc_id)),
+        |k AS (SELECT doc_id, tk,
+        |    list_transform(list_filter(range(0, len(tk)),
+        |      p -> len(list_filter(starts, s -> p >= s AND p <= s + 7)) = 0),
+        |      p -> tk[p+1]) AS kept
+        |  FROM j)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+        |FROM k""".stripMargin,
     "d33_canonical_quality" ->
       // d09's recursive-closure clusters, but the keeper is the argmax of
       // len(text) (ties -> min id) — a DELIBERATELY different decision

@@ -814,16 +814,8 @@ object Dedup {
                              hotBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
     require(width >= 1, s"width must be >= 1: $width")
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1: $maxDocFreq")
-    val toks = df.select(col(idCol).as("__id"),
-      TextAnalysis.tokens(col(textCol)).as("__toks"))
-    // gram keys are case-normalized; docs shorter than `width` emit no
-    // grams (sequence(0, negative) would count DOWN — guard it)
-    val gramArr = when(size(col("__toks")) < width,
-        array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(col("__toks")) - width),
-        i => md5(lower(concat_ws(" ", slice(col("__toks"), i + lit(1), lit(width)))))))
-    val grams = toks
-      .select(col("__id"), posexplode(gramArr).as(Seq("__pos", "__gram")))
+    val toks = spanToks(df, idCol, textCol)
+    val grams = spanGrams(toks, width)
     val hot = grams.groupBy(col("__gram"))
       .agg(countDistinct(col("__id")).as("__df"))
       .where(col("__df") > maxDocFreq).select(col("__gram"))
@@ -831,7 +823,70 @@ object Dedup {
       if (hot.queryExecution.optimizedPlan.stats.sizeInBytes <= hotBroadcastMaxBytes)
         broadcast(hot)
       else hot
-    val starts = grams.join(hotHinted, Seq("__gram"))
+    cutFlaggedSpans(toks, grams, hotHinted, width, idCol)
+  }
+
+  /** Surgical span-level DECONTAMINATION — the composition of the d27
+    * span machinery with the bench-key state: instead of dropping a
+    * contaminated document wholesale ([[contaminationFlags]] /
+    * [[contaminationFlagsAgainstKeys]]), cut ONLY the spans that match a
+    * benchmark shingle and keep the rest of the document (the pass a
+    * pipeline runs when contaminated docs are too valuable to discard —
+    * a long article quoting one eval question loses the quote, not the
+    * article). `benchKeys` is a frame of md5 shingle keys in `__sh` —
+    * [[readBenchKeys]] / [[readBenchKeysLatest]] output — and `width`
+    * MUST equal the shingle width the keys were written with (the
+    * readers fail fast on a mismatch, so read with `k = width`). The
+    * gram construction here is bit-identical to the bench shingles
+    * (case-normalized, space-joined, md5), which is what makes the
+    * composition sound. Docs shorter than `width` tokens emit no grams
+    * and pass through uncut — screen those with the doc-level flags.
+    *
+    * Scale shape: identical to [[removeBoilerplateSpans]] except the
+    * flag set arrives pre-built (no corpus frequency pass): one
+    * tokenize, (16-byte md5, id, pos) triples are the only shuffle,
+    * bench keys broadcast under a plan-stats guard, rebuild is
+    * map-side. Output: (idCol, n_tokens, n_removed, cleaned_text). */
+  def decontaminateSpans(df: DataFrame, idCol: String, textCol: String,
+                         benchKeys: DataFrame, width: Int = 8,
+                         benchBroadcastMaxBytes: Long = 512L << 20): DataFrame = {
+    require(width >= 1, s"width must be >= 1: $width")
+    val toks = spanToks(df, idCol, textCol)
+    val grams = spanGrams(toks, width)
+    val keys = benchKeys.select(col("__sh").as("__gram"))
+    val keysHinted =
+      if (keys.queryExecution.optimizedPlan.stats.sizeInBytes <= benchBroadcastMaxBytes)
+        broadcast(keys)
+      else keys
+    cutFlaggedSpans(toks, grams, keysHinted, width, idCol)
+  }
+
+  private def spanToks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+
+  /** (__id, __pos, __gram) triples: case-normalized md5 keys of `width`-
+    * token spans. Docs shorter than `width` emit no grams (sequence(0,
+    * negative) would count DOWN — guard it). The lower() sits INSIDE the
+    * md5 over the space-joined span, which distributes over the join —
+    * exactly [[shinglesFromTokens]] over lowercased tokens, so these keys
+    * are interchangeable with the bench-shingle keys at equal width. */
+  private def spanGrams(toks: DataFrame, width: Int): DataFrame = {
+    val gramArr = when(size(col("__toks")) < width,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("__toks")) - width),
+        i => md5(lower(concat_ws(" ", slice(col("__toks"), i + lit(1), lit(width)))))))
+    toks.select(col("__id"), posexplode(gramArr).as(Seq("__pos", "__gram")))
+  }
+
+  /** Shared cut path: positions covered by any flagged span start are
+    * removed, survivors (original case) re-join. Deterministic and
+    * partitioning-independent — flagged starts are sorted distinct
+    * positions and the keep-filter is a pure predicate over them. */
+  private def cutFlaggedSpans(toks: DataFrame, grams: DataFrame,
+                              flagged: DataFrame, width: Int,
+                              idCol: String): DataFrame = {
+    val starts = grams.join(flagged, Seq("__gram"))
       .groupBy(col("__id"))
       .agg(array_sort(collect_set(col("__pos"))).as("__starts"))
     val covered: Column => Column = p =>

@@ -154,6 +154,27 @@ class DedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("shingle_k"))
   }
 
+  test("decontaminateSpans cuts only bench-matching spans (case-normalized " +
+    "match, original case kept); clean and short docs untouched") {
+    val s = spark; import s.implicits._
+    val bench = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val keysPath = tmpDir("despan") + "/keys"
+    Dedup.writeBenchKeys(bench, "text", keysPath, k = 3)
+    val train = Seq(
+      // the eval quote sits at positions 3-6; matching is case-normalized
+      (1L, "Intro Words here ALPHA beta GAMMA delta Closing remark"),
+      (2L, "totally unrelated clean content right here"),
+      (3L, "al be")                                   // < width: passes through
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(train, "doc_id", "text",
+        Dedup.readBenchKeys(spark, keysPath, k = 3), width = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((9L, 4L, "Intro Words here Closing remark")), s"got $out")
+    assert(out(2L)._2 == 0L && out(2L)._3 == "totally unrelated clean content right here")
+    assert(out(3L) == ((2L, 0L, "al be")))
+  }
+
   test("canonicalByQuality keeps the best copy (argmax quality), " +
     "not the min id; ties fall back to min id") {
     val s = spark; import s.implicits._
