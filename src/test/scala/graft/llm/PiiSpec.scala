@@ -67,7 +67,7 @@ class PiiSpec extends SparkTestBase {
     "case-insensitive with separator does") {
     val r0 = scrubOne("the token bucket rate")
     assert(counts(r0)("cred") == 0L)
-    val r1 = scrubOne("API-KEY = sk_live_abc123")
+    val r1 = scrubOne("API-KEY = demo_value_abc123")
     assert(counts(r1)("cred") == 1L)
     assert(redacted(r1) == "<CRED>")
   }
