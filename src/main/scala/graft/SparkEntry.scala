@@ -486,6 +486,28 @@ object SparkEntry {
         quality = length(col("text")).cast("long"),
         threshold = 0.5, k = 3, numHashes = 12, bands = 4,
         maxBucketSize = Some(docBucketCap(s, dir)))),
+    "d36_importance_select" -> ((s, dir) =>
+      // DSIR-style targeted selection: rank the raw corpus by the
+      // rational mean-frequency surrogate of p_target/p_raw (target =
+      // the 'en' sub-corpus), take the top 200 — the selection plans as
+      // TakeOrderedAndProject, not a global sort
+      TextAnalysis.importanceScores(t(s, dir, "documents"), "doc_id",
+          "text", isTarget = col("lang") === "en")
+        .orderBy(col("ratio").desc, col("id").asc).limit(200)),
+    "d37_novelty" -> ((s, dir) =>
+      // inter-doc originality: fraction of a doc's distinct 4-token
+      // grams that no other doc contains (d27's gram keys, so a novelty
+      // bar composes with span removal); df aggregates map-side — no
+      // ubiquitous-gram window straggler
+      TextAnalysis.noveltyScores(t(s, dir, "documents"), "doc_id", "text",
+        width = 4)),
+    "d38_vocab_oov" -> ((s, dir) =>
+      // tokenizer-prep coverage study: top-20 vocabulary by corpus count
+      // (ties lexicographic; 20 of the corpus's 31 distinct terms, so
+      // OOV mass is non-trivial), per-doc OOV rate against it; the
+      // vocab cut is TakeOrdered + broadcast, never a global sort
+      TextAnalysis.vocabOovRates(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 20)),
     "d03_lang_scores" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(col("text"))
         .map { case (name, c) => c.as(name) }
@@ -784,6 +806,13 @@ object SparkEntry {
         Similarity.embeddingNearDups(t(s, dir, "embeddings"),
           threshold = 0.40, dim = 64, planes = srpPlanes(s, dir), probeRadius = 1))
         .withColumn("keep", col("id") === col("cluster"))),
+    "s10_semdedup" -> ((s, dir) =>
+      // SemDeDup: semantic dedup scoped to the SAME frozen 16-centroid
+      // cells the IVF family uses — within-cell cos>=0.40 neighborhoods
+      // keep the example farthest from the centroid (ties min id), via
+      // the deterministic dominated rule (no iteration, no RNG)
+      Similarity.semdedupPrune(t(s, dir, "embeddings"),
+        ivfCentroids(s, dir, 16), threshold = 0.40)),
     "s03_srp_buckets" -> ((s, dir) =>
       // LSH bucket histogram — certifies srpBucket itself (and would catch
       // a degenerate-weights regression as a 2-bucket histogram)
@@ -1658,6 +1687,70 @@ object SparkEntry {
         |  CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
         |  COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
         |FROM k""".stripMargin,
+    "d36_importance_select" ->
+      // same one-exchange arithmetic as d29 plus the conditional target
+      // masses: integer tf/cnt/tcnt sums, ratio = two exact double
+      // casts, one product each side, one division; selection = ORDER BY
+      // ratio DESC, id LIMIT — ties break on id in both engines
+      """WITH tf AS (SELECT doc_id, (lang = 'en') AS is_target, term,
+        |    CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(list_filter(string_split(lower(text), ' '),
+        |            x -> x <> '')) AS term
+        |        FROM documents) GROUP BY 1, 2, 3),
+        |vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt,
+        |    CAST(SUM(CASE WHEN is_target THEN tf ELSE 0 END) AS BIGINT) AS tcnt
+        |  FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_toks,
+        |    CAST(SUM(tcnt) AS BIGINT) AS target_toks FROM vocab)
+        |SELECT doc_id AS id, n_tokens, target_mass, raw_mass, ratio FROM (
+        |  SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(tf * tcnt) AS BIGINT) AS target_mass,
+        |    CAST(SUM(tf * cnt) AS BIGINT) AS raw_mass,
+        |    (CAST(SUM(tf * tcnt) AS DOUBLE) * CAST(total_toks AS DOUBLE)) /
+        |    (CAST(SUM(tf * cnt) AS DOUBLE) * CAST(target_toks AS DOUBLE)) AS ratio
+        |  FROM tf JOIN vocab USING (term), tot
+        |  GROUP BY 1, total_toks, target_toks)
+        |ORDER BY ratio DESC, id LIMIT 200""".stripMargin,
+    "d37_novelty" ->
+      // d27's gram keys (text lowered before the split here, so no inner
+      // lower() — same bytes under md5), distinct per doc via DISTINCT,
+      // df = 1 marks corpus-unique grams; one ratio, one division
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |g0 AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(tk) - 4 + 1, 0)),
+        |      i -> md5(array_to_string(tk[i+1:i+4], ' ')))) AS gram
+        |  FROM toks),
+        |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |dfreq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM g GROUP BY 1)
+        |SELECT g.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS unique_grams,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM g JOIN dfreq USING (gram) GROUP BY 1""".stripMargin,
+    "d38_vocab_oov" ->
+      // vocabulary = top-20 terms by (cnt DESC, term ASC) — the same
+      // deterministic cut TakeOrdered makes; OOV mass via the same
+      // left join + null test
+      """WITH tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split(lower(text), ' '),
+        |            x -> x <> '')) AS term
+        |        FROM documents) GROUP BY 1, 2),
+        |vc AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt
+        |  FROM tf GROUP BY 1),
+        |vocab AS (SELECT term FROM vc ORDER BY cnt DESC, term LIMIT 20)
+        |SELECT tf.doc_id AS id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.term IS NULL THEN tf ELSE 0 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  CAST(SUM(CASE WHEN v.term IS NULL THEN tf ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(tf) AS DOUBLE) AS oov_rate
+        |FROM tf LEFT JOIN vocab v ON tf.term = v.term
+        |GROUP BY 1""".stripMargin,
     "d33_canonical_quality" ->
       // d09's recursive-closure clusters, but the keeper is the argmax of
       // len(text) (ties -> min id) — a DELIBERATELY different decision
@@ -2289,6 +2382,34 @@ object SparkEntry {
          |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
          |SELECT id, MIN(r) AS cluster, (id = MIN(r)) AS keep
          |FROM reach GROUP BY id""".stripMargin,
+    "s10_semdedup" -> {
+      // s04's literal-centroid cell assignment (same distance lists ->
+      // same argmin), then the dominated rule verbatim: a row is dropped
+      // iff a same-cell neighbor at cos >= 0.40 is farther from the
+      // centroid (ties: smaller id). Populated by the s10 query run
+      // (ivfCentroids populate-then-dump contract).
+      val cents = Option(lastIvfCentroids).getOrElse(Array.empty[Array[Double]])
+      if (cents.isEmpty)
+        """SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS INTEGER) AS cell,
+          |CAST(NULL AS BOOLEAN) AS keep WHERE FALSE""".stripMargin
+      else {
+        val dl = cents.map(c => duckSqDist("embedding", duckDoubleList(c)))
+          .mkString("[", ",\n", "]")
+        val cos = duckCos("x.embedding", "y.embedding")
+        s"""WITH al AS (SELECT vec_id, embedding, $dl AS dl FROM embeddings),
+           |a AS (SELECT vec_id, embedding,
+           |        CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell,
+           |        list_min(dl) AS cdist FROM al),
+           |dom AS (SELECT x.vec_id AS id FROM a x JOIN a y
+           |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+           |  WHERE $cos >= 0.40
+           |    AND (y.cdist > x.cdist OR
+           |         (y.cdist = x.cdist AND y.vec_id < x.vec_id))
+           |  GROUP BY 1)
+           |SELECT a.vec_id AS id, a.cell, (dom.id IS NULL) AS keep
+           |FROM a LEFT JOIN dom ON a.vec_id = dom.id""".stripMargin
+      }
+    },
     "q15_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |COUNT(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,

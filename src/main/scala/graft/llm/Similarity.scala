@@ -655,4 +655,63 @@ object Similarity {
     // before returning (session hygiene — see Dedup.materializeAndRelease)
     Dedup.materializeAndRelease(pairs, v)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication scoped to K-means cells. Embeddings are assigned to
+    * their nearest frozen centroid map-side ([[assignCells]]'
+    * construction); within each cell, rows whose pairwise cosine
+    * reaches `threshold` form semantic-duplicate neighborhoods, and
+    * each neighborhood keeps the example FARTHEST from the cell
+    * centroid (the paper's keeper — lowest centroid similarity retains
+    * the "hardest" exemplar), ties broken by min id. The decision is
+    * the deterministic dominated rule: drop x iff some same-cell y has
+    * cos(x,y) ≥ threshold and (y.cdist, y.id) beats (x.cdist, x.id) —
+    * no iteration, no RNG, reproducible under any partitioning.
+    *
+    * This differs from [[embeddingNearDups]] (SRP-bucketed pair
+    * SURFACE) in both scope and output: cells are semantic regions, not
+    * hash buckets, and the output is a per-row keep DECISION — the
+    * frame a curation pipeline left-semi-joins against.
+    *
+    * Scale shape: cell assignment and centroid distance are one
+    * codegen'd literal fold per row (no join, no shuffle); the only
+    * shuffle is the within-cell self-join, O(Σ|cell|²) pairs — nlist
+    * MUST scale with the corpus (the paper runs ~100k clusters at 10⁸
+    * docs; target |cell| ≈ corpus/nlist in the low thousands). Vectors
+    * enter that one equi-join and nothing else; the dominated set is
+    * ids only. Output: (id, cell, keep). */
+  def semdedupPrune(df: DataFrame, centroids: Array[Array[Double]],
+                    threshold: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assigned = df
+      .withColumn("__dl", centroidDistances(col(vecCol), centroids))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        (array_position(col("__dl"), array_min(col("__dl"))) - 1)
+          .cast("int").as("cell"),
+        array_min(col("__dl")).as("cdist"),
+        normFast(col(vecCol)).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cell"), col("id"), col("vec"),
+      col("nrm"), col("cdist"))
+    val b = assigned.select(col("cell"), col("id").as("id2"),
+      col("vec").as("vec2"), col("nrm").as("nrm2"),
+      col("cdist").as("cdist2"))
+    val dominated = a.join(b, Seq("cell"))
+      .where(col("id") =!= col("id2"))
+      // zero-norm guard: same construction as embeddingNearDups (null
+      // never dominates)
+      .withColumn("score", nanvl(
+        try_divide(dotFast(col("vec"), col("vec2")),
+          col("nrm") * col("nrm2")),
+        lit(null).cast("double")))
+      .where(col("score") >= threshold &&
+        (col("cdist2") > col("cdist") ||
+          (col("cdist2") === col("cdist") && col("id2") < col("id"))))
+      .select(col("id")).distinct()
+    val out = assigned.select(col("id"), col("cell"))
+      .join(dominated.withColumn("__dom", lit(1)), Seq("id"), "left")
+      .withColumn("keep", col("__dom").isNull)
+      .select(col("id"), col("cell"), col("keep"))
+    Dedup.materializeAndRelease(out, assigned)
+  }
 }

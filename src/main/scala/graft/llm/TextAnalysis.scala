@@ -467,6 +467,160 @@ object TextAnalysis {
         col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** DSIR-style targeted-data selection scores (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling")
+    * without logarithms: rank raw-corpus documents by how much they look
+    * like a TARGET sub-corpus (the rows where `isTarget` holds — a
+    * curated domain, a language, a quality tier). The unigram importance
+    * weight p_target(doc)/p_raw(doc) is replaced by its rational
+    * mean-frequency surrogate
+    *
+    *   ratio = (Σ tf·tcnt / target_toks) / (Σ tf·cnt / total_toks)
+    *
+    * (mean target-corpus frequency over mean raw-corpus frequency of the
+    * doc's tokens) — a monotone stand-in for the likelihood ratio that
+    * both engines compute bit-identically: integer masses, two exact
+    * double casts, one product each side, one division. ln()-based
+    * per-token log-likelihoods would drift across libms (the d29/d18
+    * lesson). Selection = ORDER BY ratio DESC, id LIMIT n, which Spark
+    * plans as TakeOrderedAndProject — no global sort at any scale.
+    *
+    * Scale shape: identical to [[unigramFamiliarity]] — ONE corpus
+    * tokenize; vocabulary (with its conditional target counts riding the
+    * same aggregate), the totals row and the scoring join's left side
+    * all consume one reused (id, is_target, term) exchange; vocab is
+    * broadcast-hinted under a plan-stats guard with AQE as the at-scale
+    * mechanism. `target_mass` ≤ n_tokens(doc)·n_tokens(target): the
+    * BIGINT headroom note on unigramFamiliarity applies unchanged.
+    *
+    * The target predicate must select a non-empty sub-corpus — with
+    * target_toks = 0 every ratio is 0/0 (NaN, no rows selected).
+    * Output: (id, n_tokens, target_mass, raw_mass, ratio). */
+  def importanceScores(df: DataFrame, idCol: String, textCol: String,
+                       isTarget: Column,
+                       vocabBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
+    val tf0 = df
+      .select(col(idCol).as("id"),
+        coalesce(isTarget.cast("boolean"), lit(false)).as("is_target"),
+        explode(concat(array(lit("")),
+          tokens(lower(coalesce(col(textCol), lit("")))))).as("term"))
+      .groupBy(col("id"), col("is_target"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tf = tf0.where(when(col("tf") >= 1, length(col("term")) > 0))
+    val vocab = tf.groupBy(col("term"))
+      .agg(sum(when(col("tf") >= 1, col("tf"))).as("cnt"),
+        sum(when(col("is_target"), col("tf")).otherwise(lit(0L))).as("tcnt"))
+    val totals = tf.agg(
+      sum(when(col("tf") >= 1, col("tf"))).as("total_toks"),
+      sum(when(col("is_target"), col("tf")).otherwise(lit(0L))).as("target_toks"))
+    val vocabHinted =
+      if (vocab.queryExecution.optimizedPlan.stats.sizeInBytes <= vocabBroadcastMaxBytes)
+        broadcast(vocab)
+      else vocab
+    tf.join(vocabHinted, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("tcnt")).as("target_mass"),
+        sum(col("tf") * col("cnt")).as("raw_mass"),
+        max(col("total_toks")).as("__total"),
+        max(col("target_toks")).as("__target"))
+      .withColumn("ratio",
+        (col("target_mass").cast("double") * col("__total").cast("double")) /
+          (col("raw_mass").cast("double") * col("__target").cast("double")))
+      .select(col("id"), col("n_tokens"), col("target_mass"),
+        col("raw_mass"), col("ratio"))
+  }
+
+  /** Corpus-novelty scores: for each document, the fraction of its
+    * DISTINCT `width`-token grams that appear in NO other document.
+    * The inter-document complement of [[repetitionSignals]] (which is
+    * intra-doc): a doc full of corpus-wide boilerplate scores near 0, a
+    * doc of fresh text near 1 — the "originality" axis used to
+    * up-weight novel data and as a cheap memorization-risk proxy
+    * (low-novelty docs are the ones models reproduce verbatim).
+    * Gram keys are the d27 span keys (case-normalized, space-joined,
+    * md5) at the same width, so a novelty threshold composes with the
+    * span-removal pass over one shared vocabulary of shapes.
+    *
+    * Scale shape: ONE corpus tokenize; the distinct-(id, gram) frame is
+    * built by groupBy so the (id, gram) exchange is the only shuffle of
+    * gram bytes, REUSED by both the doc-frequency aggregate and the
+    * scoring join's left side ([[keywordScores]]' sentinel-guard
+    * construction, plan-asserted); doc frequency aggregates with
+    * map-side combine (no window — a ubiquitous gram would make a
+    * single-partition window straggle at 10⁹ docs); the df frame is
+    * broadcast-hinted under a plan-stats guard with AQE as the at-scale
+    * mechanism. Docs shorter than `width` tokens emit no grams and no
+    * row (same contract as d27).
+    *
+    * Output: (id, n_grams, unique_grams, novelty). */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+                    width: Int = 4,
+                    dfBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
+    require(width >= 1, s"width must be >= 1: $width")
+    val toks = tokens(lower(coalesce(col(textCol), lit(""))))
+    val gramArr = when(size(toks) < width, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - width),
+        i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(width))))))
+    val g0 = df.select(col(idCol).as("id"), explode(gramArr).as("gram"))
+      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val g = g0.where(when(col("cnt") >= 1, length(col("gram")) > 0))
+    val dfreq = g.groupBy(col("gram"))
+      .agg(count(when(col("cnt") >= 1, lit(1))).as("df"))
+    val dfreqHinted =
+      if (dfreq.queryExecution.optimizedPlan.stats.sizeInBytes <= dfBroadcastMaxBytes)
+        broadcast(dfreq)
+      else dfreq
+    g.join(dfreqHinted, Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("unique_grams"))
+      .withColumn("novelty",
+        col("unique_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Tokenizer-prep vocabulary induction + per-document OOV rates: build
+    * the top-`vocabSize` term vocabulary (by corpus count, ties broken
+    * lexicographically — fully deterministic, no sampling) and report
+    * each document's out-of-vocabulary token mass against it. This is
+    * the coverage study run before committing to a tokenizer vocab
+    * size: sweep `vocabSize`, watch the corpus-level OOV mass fall.
+    * Differs from [[unigramFamiliarity]]'s rare-token mass (a relative
+    * frequency bar) in that the vocabulary is an explicit SIZE-bounded
+    * artifact — the thing a tokenizer trainer actually ships.
+    *
+    * Scale shape: ONE corpus tokenize; the (id, term) exchange feeds
+    * both the vocabulary aggregate and the scoring join (sentinel-guard
+    * reuse, plan-asserted). The vocabulary cut is orderBy+limit, which
+    * Spark plans as TakeOrderedAndProject — per-partition top-V then a
+    * V-row driver merge, no global sort — and the resulting ≤V-row
+    * frame joins by explicit broadcast (it is small by construction).
+    * Output: (id, n_tokens, oov_tokens, oov_rate). */
+  def vocabOovRates(df: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    val tf0 = df
+      .select(col(idCol).as("id"),
+        explode(concat(array(lit("")),
+          tokens(lower(coalesce(col(textCol), lit(""))))))
+          .as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = tf0.where(when(col("tf") >= 1, length(col("term")) > 0))
+    val vocab = tf.groupBy(col("term"))
+      .agg(sum(when(col("tf") >= 1, col("tf"))).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tf.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(lit(0L)))
+          .as("oov_tokens"))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     winnowingMinima(charGramHashes(lower(text), k), w)
 }

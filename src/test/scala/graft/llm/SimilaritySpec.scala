@@ -378,4 +378,36 @@ class SimilaritySpec extends SparkTestBase {
     val c = df.select(Similarity.cosine(col("v"), col("v"))).head().getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("semdedupPrune: within-cell duplicate neighborhoods keep the row " +
+    "farthest from the centroid; zero vectors never dominate or drop; " +
+    "partitioning-independent") {
+    val s = spark; import s.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val rows = Seq(
+      (1L, Array(1f, 0f)),   // cell 0, cdist 0 — dominated by 2 (same dir)
+      (2L, Array(2f, 0f)),   // cell 0, cdist 1 — the keeper (farthest)
+      (3L, Array(0f, 1f)),   // cell 1, alone -> keep
+      (99L, Array(0f, 0f))   // zero norm: cos NaN -> null, untouched
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semdedupPrune(rows, cents, threshold = 0.40)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((0, false)), s"got ${out(1L)}")
+    assert(out(2L) == ((0, true)), s"got ${out(2L)}")
+    assert(out(3L) == ((1, true)), s"got ${out(3L)}")
+    assert(out(99L)._2, s"zero vector must survive: got ${out(99L)}")
+    // equidistant ties break to min id: both at cdist 0 from centroid 1
+    val tied = Seq((5L, Array(0f, 1f)), (6L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val t = Similarity.semdedupPrune(tied, cents, threshold = 0.40)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(t == Map(5L -> true, 6L -> false), s"got $t")
+    // deterministic under any partitioning (the dominated rule iterates
+    // nothing and samples nothing)
+    val a = Similarity.semdedupPrune(rows, cents, 0.40)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.semdedupPrune(rows.repartition(7), cents, 0.40)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

@@ -297,4 +297,112 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1L) == ((3L, 7L, 1L, 7.0 / 3.0, 1.0 / 3.0)), s"got ${out(1L)}")
     assert(out(2L) == ((2L, 4L, 1L, 2.0, 0.5)), s"got ${out(2L)}")
   }
+
+  test("importanceScores: hand-computed masses and ratio; target doc " +
+    "outranks off-target") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a a b", true), (2L, "a c", false))
+      .toDF("doc_id", "text", "tgt")
+    // tf: d1 {a:2,b:1} target, d2 {a:1,c:1}; vocab: a(cnt 3,tcnt 2),
+    // b(1,1), c(1,0); total=5, target=3
+    // d1: tmass 2*2+1*1=5, rmass 2*3+1*1=7, ratio (5*5)/(7*3)=25/21
+    // d2: tmass 1*2+1*0=2, rmass 1*3+1*1=4, ratio (2*5)/(4*3)=5/6
+    val out = TextAnalysis.importanceScores(df, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((3L, 5L, 7L, 25.0 / 21.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 2L, 4L, 5.0 / 6.0)), s"got ${out(2L)}")
+    assert(out(1L)._4 > out(2L)._4)
+  }
+
+  test("importanceScores plan: one corpus scan — vocab with target masses, " +
+    "totals and scoring join all ride the reused (id, is_target, term) exchange") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 40L).map(i => (i, s"alpha beta word$i", i <= 10L))
+      .toDF("doc_id", "text", "tgt")
+    val out = TextAnalysis.importanceScores(docs, "doc_id", "text", col("tgt"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly one corpus scan, got $scans in:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"expected the tokenized exchange to be reused in:\n$plan")
+  }
+
+  test("noveltyScores: distinct grams per doc, df=1 uniqueness; " +
+    "short docs emit no row") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "a b c"),     // grams: "a b", "b c"
+      (2L, "a b x"),     // grams: "a b", "b x"
+      (3L, "a b a b"),   // grams: "a b", "b a", "a b" -> distinct {a b, b a}
+      (4L, "solo")       // 1 token < width -> no grams, no row
+    ).toDF("doc_id", "text")
+    // df("a b")=3, df("b c")=df("b x")=df("b a")=1
+    val out = TextAnalysis.noveltyScores(df, "doc_id", "text", width = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"got ${out.keySet}")
+    assert(out(1L) == ((2L, 1L, 0.5)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 0.5)), s"got ${out(2L)}")
+    assert(out(3L) == ((2L, 1L, 0.5)), s"got ${out(3L)}")
+    // an all-boilerplate doc scores 0
+    val bp = Seq((1L, "x y z"), (2L, "x y z w")).toDF("doc_id", "text")
+    val o2 = TextAnalysis.noveltyScores(bp, "doc_id", "text", width = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(o2(1L) == 0.0, s"got ${o2(1L)}")  // both grams shared with doc 2
+  }
+
+  test("noveltyScores plan: one corpus scan — doc-frequency aggregate and " +
+    "scoring join ride the reused (id, gram) exchange") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 40L).map(i => (i, s"alpha beta gamma word$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScores(docs, "doc_id", "text", width = 2)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly one corpus scan, got $scans in:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"expected the (id, gram) exchange to be reused in:\n$plan")
+  }
+
+  test("vocabOovRates: deterministic top-V cut (count desc, term asc) and " +
+    "hand-computed OOV mass") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a a b z"), (2L, "a c")).toDF("doc_id", "text")
+    // counts: a=3, b=1, c=1, z=1; V=2 -> vocab {a, b} (ties lexicographic)
+    val out = TextAnalysis.vocabOovRates(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)), s"got ${out(1L)}")  // z OOV
+    assert(out(2L) == ((2L, 1L, 0.5)), s"got ${out(2L)}")   // c OOV
+    // partitioning independence of the cut (TakeOrdered merge is global)
+    val o2 = TextAnalysis.vocabOovRates(df.repartition(7), "doc_id", "text",
+        vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(o2 == out)
+    // growing V can only shrink OOV mass
+    val o3 = TextAnalysis.vocabOovRates(df, "doc_id", "text", vocabSize = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(o3(1L) == 0L && o3(2L) == 0L, s"got $o3")
+  }
+
+  test("vocabOovRates plan: vocabulary cut is TakeOrderedAndProject (no " +
+    "global sort) and joins by broadcast") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 40L).map(i => (i, s"alpha beta word$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabOovRates(docs, "doc_id", "text", vocabSize = 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected the vocab cut to plan as TakeOrderedAndProject in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the <=V-row vocab to join by broadcast in:\n$plan")
+  }
 }
