@@ -25,6 +25,17 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.ts as epoch-MICROS bigint, robust to both parquet encodings
+    * the test generator has shipped: TIMESTAMP(NANOS), which the session's
+    * legacy nanosAsLong flag surfaces as bigint nanos (exact integer div),
+    * and TIMESTAMP(MICROS), which arrives as an (NTZ) timestamp — under
+    * the UTC session zone its unix_micros equals DuckDB's epoch_us over
+    * the same naive values, so the oracles hold for either encoding. */
+  private def tsMicros(df: DataFrame): Column = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+    case _ => unix_micros(col("ts").cast("timestamp"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q05_region_revenue")(spark, "/root/testdata/sf0.001")
@@ -546,8 +557,8 @@ object SparkEntry {
       // streaming flatMapGroupsWithState sessionize — one shuffle on the
       // key serves both window passes and the rollup
       graft.operators.Sessionize.sessions(
-        t(s, dir, "events")
-          .select(col("user_id"), expr("ts div 1000").as("tus")),
+        { val ev = t(s, dir, "events")
+          ev.select(col("user_id"), tsMicros(ev).as("tus")) },
         "user_id", "tus", gap = 1800000000L)
         .select(col("user_id"), col("session_seq"),
           col("start_ts").as("start_us"), col("end_ts").as("end_us"),
@@ -560,8 +571,8 @@ object SparkEntry {
       // same independent DuckDB oracle — no partition ever sorts one
       // user's full history
       graft.operators.Sessionize.sessionsSalted(
-        t(s, dir, "events")
-          .select(col("user_id"), expr("ts div 1000").as("tus")),
+        { val ev = t(s, dir, "events")
+          ev.select(col("user_id"), tsMicros(ev).as("tus")) },
         "user_id", "tus", gap = 1800000000L, rangeWidth = 86400000000L)
         .select(col("user_id"), col("session_seq"),
           col("start_ts").as("start_us"), col("end_ts").as("end_us"),
@@ -947,8 +958,9 @@ object SparkEntry {
       // time; the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the
       // semantics (inclusive <=, latest-wins, null when no prior order)
       // are certified against an independent implementation.
-      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("ets"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.select(col("event_id"), col("user_id"),
+        timestamp_micros(tsMicros(ev0)).as("ets"))
       // one right row per (key, time): equal-timestamp duplicates have no
       // defined "latest" (mirrored in the oracle's pre-aggregate)
       val ord = t(s, dir, "orders")
@@ -968,8 +980,9 @@ object SparkEntry {
       // strictly < left time). Both run the same merge-union plan as q16;
       // the oracle recomputes each via DuckDB scalar subqueries (an
       // independent latest-within-bound formulation).
-      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("ets"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.select(col("event_id"), col("user_id"),
+        timestamp_micros(tsMicros(ev0)).as("ets"))
       val ord = t(s, dir, "orders")
         .groupBy(col("o_custkey"), col("o_orderdate"))
         .agg(max(col("o_orderkey")).as("asof_tol"))
@@ -1086,9 +1099,8 @@ object SparkEntry {
       val ckpt = tmpQueryDir("m18-ckpt").toString
       val windowed = (df: org.apache.spark.sql.DataFrame) =>
         Incremental.windowedCounts(
-          // ts arrives as nanos (legacy nanosAsLong); `div` keeps the
-          // micros conversion in exact integer arithmetic
-          df.withColumn("ets", timestamp_micros(expr("ts div 1000"))),
+          // exact integer micros under either ts encoding (tsMicros)
+          df.withColumn("ets", timestamp_micros(tsMicros(df))),
           "ets", "2 days", "1 day", Seq("event_type"))
         .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n"))
