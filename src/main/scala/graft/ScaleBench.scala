@@ -447,6 +447,29 @@ object ScaleBench {
     val nBm = graft.llm.TextAnalysis.bm25TopK(corpus, bmQueries,
       "doc_id", "text", "query_id", "qtext", k = 10).count()
     val bmSecs = secs(tBm)
+
+    // d37 novelty at the dup-heavy shape: replication makes nearly every
+    // 4-gram corpus-shared, so the doc-frequency aggregate is dominated
+    // by high-df keys — all map-side combined (no window), the regime a
+    // ubiquitous-boilerplate corpus produces at 10^9 docs
+    val tNov = System.nanoTime()
+    val novAgg = graft.llm.TextAnalysis.noveltyScores(
+        corpus, "doc_id", "text", width = 4)
+      .agg(count(lit(1)).as("n"), avg(col("novelty")).as("avg")).head()
+    val novSecs = secs(tNov)
+    val (novRows, novAvg) = (novAgg.getLong(0), novAgg.getDouble(1))
+
+    // d36 importance selection: full-corpus scoring, top-200 cut — the
+    // selection must plan as TakeOrderedAndProject (per-partition top-n
+    // + driver merge), never a global sort of 544k scored docs
+    val tImp = System.nanoTime()
+    val impDf = graft.llm.TextAnalysis.importanceScores(
+        corpus, "doc_id", "text", isTarget = col("doc_id") % 7 === 0)
+      .orderBy(col("ratio").desc, col("id").asc).limit(200)
+    val nImp = impDf.count()
+    val impSecs = secs(tImp)
+    val impTakeOrdered = impDf.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject")
     // d33 canonical-by-quality is NOT re-run here: its dominant cost IS
     // the LSH+CC already measured above (lsh_secs + cc_secs); the keeper
     // adds one id-join on a 2-column projection and one ~24-byte-row
@@ -491,6 +514,23 @@ object ScaleBench {
     val simQSecs = secs(tSimQ)
     require(nSimF == nSimQ, s"top-k cardinality diverged: $nSimQ vs $nSimF")
 
+    // s10 SemDeDup over the replicated vectors: nlist scales with the
+    // corpus (128 cells over ~80k vectors keeps |cell| in the hundreds,
+    // the paper's within-cell O(|cell|^2) contract); the 40-replica
+    // families sit nearly on top of each other (perturbation 1e-3), so
+    // at cos>=0.95 each family collapses to its farthest-from-centroid
+    // exemplar — dropped ~ corpus minus one keeper per family per cell
+    val tSemFit = System.nanoTime()
+    val semCents = graft.llm.Similarity.fitCentroids(vecs, nlist = 128)
+    val semFitSecs = secs(tSemFit)
+    val tSem = System.nanoTime()
+    val semAgg = graft.llm.Similarity.semdedupPrune(vecs, semCents,
+        threshold = 0.95)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("dropped")).head()
+    val semSecs = secs(tSem)
+    val (semRows, semDropped) = (semAgg.getLong(0), semAgg.getLong(1))
+
     val line =
       s"""{"metric":"scale_dedup","unit":"sec","sf":"$sfDir","docs":$nDocs,""" +
       s""""gen_secs":$genSecs,"exact_secs":$exactSecs,"exact_groups":$nExactGroups,""" +
@@ -527,6 +567,11 @@ object ScaleBench {
       s""""span_secs":$spanRmSecs,"span_docs":$spanDocs,"span_cut":$spanCut,""" +
       s""""span_toks_removed":$spanToks,""" +
       s""""bm25_secs":$bmSecs,"bm25_rows":$nBm,""" +
+      s""""nov_secs":$novSecs,"nov_rows":$novRows,"nov_avg":$novAvg,""" +
+      s""""imp_secs":$impSecs,"imp_rows":$nImp,""" +
+      s""""imp_take_ordered":$impTakeOrdered,""" +
+      s""""sem_fit_secs":$semFitSecs,"sem_secs":$semSecs,""" +
+      s""""sem_rows":$semRows,"sem_dropped":$semDropped,""" +
       s""""vec_corpus":$nVecs,"vec_float_secs":$simFSecs,""" +
       s""""vec_int8_secs":$simQSecs,"vec_topk_rows":$nSimF,""" +
       s""""vec_float_bytes":$floatBytes,"vec_int8_bytes":$int8Bytes,""" +
