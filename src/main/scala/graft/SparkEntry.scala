@@ -519,6 +519,19 @@ object SparkEntry {
       // vocab cut is TakeOrdered + broadcast, never a global sort
       TextAnalysis.vocabOovRates(t(s, dir, "documents"), "doc_id", "text",
         vocabSize = 20)),
+    "d39_filter_funnel" -> ((s, dir) =>
+      // C4/Gopher-style gate chain with first-failing-rule attribution:
+      // predicates are SHARED SQL strings over a portable feature
+      // vector (the oracle is generated from the same gate table), the
+      // whole thing one map-side projection — zero exchanges
+      graft.llm.Filters.funnel(t(s, dir, "documents"), "doc_id", "text")),
+    "d40_stratum_overlap" -> ((s, dir) =>
+      // cross-stratum contamination matrix over the d27/d35 span keys:
+      // distinct 8-shingle overlap + Jaccard for every lang pair,
+      // zero-overlap pairs included — the corpus-level audit the
+      // per-doc decontamination operators drill into
+      graft.llm.Dedup.stratumOverlap(t(s, dir, "documents"), "text",
+        "lang", width = 8)),
     "d03_lang_scores" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(col("text"))
         .map { case (name, c) => c.as(name) }
@@ -1763,6 +1776,37 @@ object SparkEntry {
         |    CAST(SUM(tf) AS DOUBLE) AS oov_rate
         |FROM tf LEFT JOIN vocab v ON tf.term = v.term
         |GROUP BY 1""".stripMargin,
+    "d39_filter_funnel" ->
+      // GENERATED from the same gate table as the Spark side (the Pii
+      // pattern): gate predicates are spliced verbatim, features are the
+      // audited DuckDB twins of the Spark feature columns
+      graft.llm.Filters.funnelOracleSql(
+        "SELECT doc_id, text FROM documents", "doc_id"),
+    "d40_stratum_overlap" ->
+      // d37's gram construction carrying lang instead of doc_id; full
+      // matrix via a totals self-cross, zero-overlap pairs kept; one
+      // integer division for jaccard
+      """WITH toks AS (SELECT lang AS stratum,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |g0 AS (SELECT stratum,
+        |    unnest(list_transform(range(0, greatest(len(tk) - 8 + 1, 0)),
+        |      i -> md5(array_to_string(tk[i+1:i+8], ' ')))) AS gram
+        |  FROM toks),
+        |g AS (SELECT DISTINCT stratum, gram FROM g0),
+        |tot AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM g GROUP BY 1),
+        |sh AS (SELECT a.stratum AS sa, b.stratum AS sb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM g a JOIN g b USING (gram)
+        |  WHERE a.stratum < b.stratum GROUP BY 1, 2)
+        |SELECT ta.stratum AS stratum_a, tb.stratum AS stratum_b,
+        |  ta.n AS n_a, tb.n AS n_b,
+        |  CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) /
+        |    CAST(ta.n + tb.n - COALESCE(sh.n_shared, 0) AS DOUBLE) AS jaccard
+        |FROM tot ta JOIN tot tb ON ta.stratum < tb.stratum
+        |LEFT JOIN sh ON sh.sa = ta.stratum AND sh.sb = tb.stratum""".stripMargin,
     "d33_canonical_quality" ->
       // d09's recursive-closure clusters, but the keeper is the argmax of
       // len(text) (ties -> min id) — a DELIBERATELY different decision

@@ -1367,4 +1367,79 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Cross-stratum contamination matrix: for every unordered pair of
+    * strata (source, language, crawl snapshot, train-vs-eval split …),
+    * the count of distinct case-normalized `width`-token shingles
+    * present in BOTH, with set-Jaccard — the corpus-level view of what
+    * [[decontaminate]] decides per document. A high off-diagonal cell
+    * is how "split A leaked into split B" shows up BEFORE any training
+    * run; the diagonal-free full matrix (zero-overlap pairs included)
+    * is the audit artifact.
+    *
+    * Keys are the d27/d35 span keys (md5 over the lowercased space-
+    * joined window) so a suspicious cell drills straight down to the
+    * span-level operators over the same vocabulary of shapes. Docs
+    * shorter than `width` tokens contribute nothing (d37's contract).
+    *
+    * Scale shape: ONE corpus tokenize; (stratum, gram) pairs dedup via
+    * groupBy (map-side combine — only 16-byte-keyed hash rows shuffle,
+    * never text); per-stratum totals and the shared-gram equi-join both
+    * consume that frame; a ubiquitous gram contributes at most
+    * |strata|² join rows, so no key can straggle; the final matrix
+    * assembly crosses two ≤|strata|-row aggregates (broadcast by
+    * construction). Jaccard is one division of exact integer counts —
+    * bit-stable cross-engine.
+    *
+    * Output: (stratum_a, stratum_b, n_a, n_b, n_shared, jaccard),
+    * stratum_a < stratum_b. */
+  def stratumOverlap(df: DataFrame, textCol: String, strataCol: String,
+                     width: Int = 8): DataFrame = {
+    val (out, sg) = stratumOverlapLazy(df, textCol, strataCol, width)
+    materializeAndRelease(out, sg)
+  }
+
+  /** [[stratumOverlap]] before materialization: (matrix, the persisted
+    * (stratum, gram) frame the caller must release) — plan-introspection
+    * seam, same contract as [[winnowingOverlapPairsLazy]]. */
+  private[graft] def stratumOverlapLazy(
+      df: DataFrame, textCol: String, strataCol: String,
+      width: Int): (DataFrame, DataFrame) = {
+    require(width >= 1, s"width must be >= 1: $width")
+    val toks = df.select(col(strataCol).cast("string").as("__stratum"),
+      TextAnalysis.tokens(lower(coalesce(col(textCol), lit("")))).as("__toks"))
+    val gramArr = when(size(col("__toks")) < width,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("__toks")) - width),
+        i => md5(concat_ws(" ", slice(col("__toks"), i + lit(1), lit(width))))))
+    // persist the distinct (stratum, gram) frame: hash keys only (never
+    // text), consumed FOUR times below (totals twice via the cross,
+    // both sides of the shared-gram join) — without it the corpus would
+    // tokenize four times (plan-guarded in PlanAuditSpec)
+    val sg = toks.select(col("__stratum"), explode(gramArr).as("__gram"))
+      .groupBy(col("__stratum"), col("__gram")).agg(count(lit(1)).as("__c"))
+      .select(col("__stratum"), col("__gram"),
+        when(col("__c") >= 1, lit(1)).as("__one"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = sg.groupBy(col("__stratum"))
+      .agg(sum(col("__one")).as("n"))
+    val shared = sg.as("a")
+      .join(sg.select(col("__stratum").as("__sb"), col("__gram")).as("b"),
+        Seq("__gram"))
+      .where(col("__stratum") < col("__sb"))
+      .groupBy(col("__stratum"), col("__sb"))
+      .agg(count(lit(1)).as("n_shared"))
+    val pairs = totals.select(col("__stratum").as("stratum_a"), col("n").as("n_a"))
+      .crossJoin(totals.select(col("__stratum").as("stratum_b"), col("n").as("n_b")))
+      .where(col("stratum_a") < col("stratum_b"))
+    val out = pairs
+      .join(shared.select(col("__stratum").as("stratum_a"),
+        col("__sb").as("stratum_b"), col("n_shared")),
+        Seq("stratum_a", "stratum_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+    (out, sg)
+  }
+
 }

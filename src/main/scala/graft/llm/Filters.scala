@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C4/Gopher-style rule-based document filtering with per-rule attrition
+  * accounting — the gate chain every pretraining pipeline runs FIRST
+  * (before dedup and model-based scoring), and whose per-rule drop
+  * counts are the funnel dashboard operators watch when a crawl batch
+  * goes bad.
+  *
+  * Drift-proofing follows the [[Pii]] pattern, taken one step further:
+  * the gates are predicate STRINGS over a fixed feature vector, written
+  * in the comparison/boolean subset that Spark SQL and DuckDB parse
+  * identically — the same string compiles in both engines
+  * (`expr(predicate)` here, spliced verbatim into the oracle CTE there),
+  * so a gate cannot mean two things. The features themselves are
+  * integer counts over explicit ASCII regex classes (the portability
+  * contract documented on [[Pii]]: no `\d`/`\w`/`\s` shorthands, no
+  * lookaround) plus the house whitespace tokenizer — each audited once,
+  * here and in the generated SQL twin.
+  *
+  * Ratio gates are integer cross-multiplications (`n_sym * 10 >
+  * n_chars * 3`, i.e. symbol ratio > 0.3) — never a division, so empty
+  * docs produce exact 0>0 comparisons instead of engine-dependent
+  * NaN/null orderings.
+  *
+  * The verdict is the FIRST failing gate (gates apply in order, like
+  * [[Pii.defaultRules]]): attrition attributes each doc to exactly one
+  * rule, which is what makes the funnel counts sum to the corpus size.
+  *
+  * Scale shape: one projection over the scan — zero exchanges, zero
+  * joins; at 100 TB this runs entirely inside the parquet scan stage
+  * (plan-guarded in the spec). Funnel counts are a ~|gates|-row
+  * aggregate over the verdict column.
+  */
+object Filters {
+
+  /** One ordered gate: `predicate` is a boolean SQL expression over the
+    * feature columns (`n_tokens`, `max_tok_len`, `n_chars`, `n_sym`,
+    * `n_upper`, `n_alpha`, `ends_sentence`), restricted to the
+    * Spark/DuckDB-common subset: comparisons, integer arithmetic,
+    * AND/OR/NOT. A doc is dropped by the first gate whose predicate
+    * holds. */
+  final case class Gate(name: String, predicate: String)
+
+  /** The default gate chain, in application order. Thresholds are the
+    * common public-pipeline ballpark (C4 drops <5-word pages; Gopher
+    * bounds symbol ratios and word lengths); the POINT is the ordered
+    * attribution machinery, not the exact constants. */
+  val defaultGates: Seq[Gate] = Seq(
+    Gate("too_short", "n_tokens < 5"),
+    Gate("long_token", "max_tok_len > 25"),
+    Gate("symbolic", "n_sym * 10 > n_chars * 3"),
+    Gate("shouting", "n_upper * 2 > n_alpha"),
+    Gate("no_terminal_punct", "NOT ends_sentence"))
+
+  /** Feature columns both engines compute from `text` identically.
+    * `max_tok_len` is null for tokenless docs (list_max of an empty
+    * list) — every default gate referencing it is then non-true in both
+    * engines (SQL three-valued logic), which `too_short` makes moot by
+    * catching tokenless docs first. */
+  private def features(textCol: Column): Seq[(String, Column)] = {
+    val toks = TextAnalysis.tokens(textCol)
+    Seq(
+      "n_tokens" -> size(toks).cast("long"),
+      "max_tok_len" -> array_max(transform(toks, t => length(t))).cast("long"),
+      "n_chars" -> length(textCol).cast("long"),
+      "n_sym" -> regexp_count(textCol, lit("[^A-Za-z0-9 ]")).cast("long"),
+      "n_upper" -> regexp_count(textCol, lit("[A-Z]")).cast("long"),
+      "n_alpha" -> regexp_count(textCol, lit("[A-Za-z]")).cast("long"),
+      "ends_sentence" -> (regexp_count(rtrim(textCol), lit("[.!?]$")) > 0))
+  }
+
+  /** Per-doc gate outcomes: the feature vector plus `verdict` = name of
+    * the first failing gate, or 'kept'. One map-side projection. */
+  def funnel(df: DataFrame, idCol: String, textCol: String,
+             gates: Seq[Gate] = defaultGates): DataFrame = {
+    require(gates.nonEmpty, "at least one gate required")
+    require(gates.map(_.name).distinct.size == gates.size,
+      s"duplicate gate names: ${gates.map(_.name)}")
+    require(!gates.exists(_.name == "kept"), "'kept' is the pass verdict")
+    val feats = features(col(textCol))
+    val featured = df.select(col(idCol).as("id") +:
+      feats.map { case (n, c) => c.as(n) }: _*)
+    val verdict = coalesce(
+      gates.map(g => when(expr(g.predicate), lit(g.name))) :+ lit("kept"): _*)
+    featured.withColumn("verdict", verdict)
+  }
+
+  /** DuckDB twin of [[funnel]], generated from the SAME gate table and
+    * the same feature definitions so the engines cannot drift.
+    * `fromSql` supplies the input relation with `idCol` and `text`. */
+  def funnelOracleSql(fromSql: String, idCol: String,
+                      gates: Seq[Gate] = defaultGates): String = {
+    val featSql = Seq(
+      "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens",
+      "CAST(list_max(list_transform(list_filter(string_split(text, ' '), " +
+        "x -> x <> ''), x -> len(x))) AS BIGINT) AS max_tok_len",
+      "CAST(length(text) AS BIGINT) AS n_chars",
+      "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_sym",
+      "CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper",
+      "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha",
+      "(len(regexp_extract_all(rtrim(text), '[.!?]$')) > 0) AS ends_sentence")
+    val cases = gates.map(g => s"WHEN ${g.predicate} THEN '${g.name}'")
+    s"""WITH f AS (SELECT $idCol AS id,
+       |    ${featSql.mkString(",\n    ")}
+       |  FROM ($fromSql))
+       |SELECT id, n_tokens, max_tok_len, n_chars, n_sym, n_upper, n_alpha,
+       |  ends_sentence,
+       |  CASE ${cases.mkString(" ")} ELSE 'kept' END AS verdict
+       |FROM f""".stripMargin
+  }
+}

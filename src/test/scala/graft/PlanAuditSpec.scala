@@ -100,6 +100,36 @@ class PlanAuditSpec extends SparkTestBase {
       s"scan not pruned to the two used columns:\n$p")
   }
 
+  test("d39: filter funnel is one scan, no shuffle, pruned to " +
+    "(doc_id, text)") {
+    val p = plan("d39_filter_funnel")
+    assert("FileScan".r.findAllIn(p).length == 1)
+    assert(!p.contains("Exchange"), s"funnel must be map-side:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to the two used columns:\n$p")
+  }
+
+  test("d40: stratum overlap scans (text, lang) once — every other " +
+    "consumer reads the persisted hash-key frame; no cartesian on the " +
+    "gram join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (out, sg) = graft.llm.Dedup.stratumOverlapLazy(
+      docs, "text", "lang", 8)
+    try {
+      out.collect()
+      val p = out.queryExecution.executedPlan.toString
+      // every consumer (totals x2 via the cross, both shared-join sides)
+      // must read the persisted hash-key frame — the cache materializes
+      // the corpus tokenize exactly once by construction (FileScan
+      // string counts are useless here: each InMemoryTableScan prints
+      // its cached-definition subtree, and AQE prints initial + final)
+      assert("InMemoryTableScan".r.findAllIn(p).length >= 3,
+        s"consumers should read the cached sg frame:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"gram join must stay an equi-join:\n$p")
+    } finally { sg.unpersist(blocking = true); () }
+  }
+
   test("d23: decontamination broadcasts the bench keys; the zero-hit " +
     "rejoin scans ids only") {
     val p = plan("d23_decontaminate")

@@ -536,4 +536,33 @@ class DedupSpec extends SparkTestBase {
     assert(out(7L)._3 == "tail", s"got ${out(7L)}")
     assert(run(docs.repartition(5)) == out, "partitioning independence")
   }
+
+  test("stratumOverlap: hand-computed full matrix — distinct shingles per " +
+    "stratum, zero-overlap pairs kept, short docs contribute nothing") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c", "sx"),   // sx grams: {a b, b c}
+      (2L, "a b", "sx"),     // adds nothing new ({a b} already in sx)
+      (3L, "b c d", "sy"),   // sy grams: {b c, c d}
+      (4L, "q r", "sz"),     // sz grams: {q r}
+      (5L, "solo", "sz")     // 1 token < width -> no grams
+    ).toDF("doc_id", "text", "lang")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.stratumOverlap(d, "text", "lang", width = 2)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val out = run(docs)
+    assert(out.keySet == Set(("sx", "sy"), ("sx", "sz"), ("sy", "sz")),
+      s"got ${out.keySet}")
+    assert(out(("sx", "sy")) == ((2L, 2L, 1L, 1.0 / 3.0)), // share {b c}
+      s"got ${out(("sx", "sy"))}")
+    assert(out(("sx", "sz")) == ((2L, 1L, 0L, 0.0)), s"got ${out(("sx", "sz"))}")
+    assert(out(("sy", "sz")) == ((2L, 1L, 0L, 0.0)), s"got ${out(("sy", "sz"))}")
+    assert(run(docs.repartition(7)) == out, "partitioning independence")
+    // case-normalized keys: "A B C" shares everything with "a b c"
+    val cased = Seq((1L, "A B c", "u"), (2L, "a b C", "v"))
+      .toDF("doc_id", "text", "lang")
+    val o2 = run(cased)
+    assert(o2(("u", "v")) == ((2L, 2L, 2L, 1.0)), s"got ${o2(("u", "v"))}")
+  }
 }

@@ -1,0 +1,91 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class FiltersSpec extends SparkTestBase {
+
+  private def verdicts(docs: Seq[(Long, String)]): Map[Long, String] = {
+    val s = spark; import s.implicits._
+    Filters.funnel(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("id"), col("verdict"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("each default gate catches its own shape; clean docs keep") {
+    val out = verdicts(Seq(
+      (1L, "too few words."),                                        // 3 toks
+      (2L, "a doc with one gigantic " +
+        "pneumonoultramicroscopicsilicovolcanoconiosisword in it."), // 45-char token
+      (3L, "@@@ ### $$$ %%% ^^^ &&& !!! ??? ((( ))) mostly symbols aaaaaaaa" +
+        "aaaaaaaaaaaaaaa here."),                                    // sym ratio
+      (4L, "THIS ENTIRE DOCUMENT IS SHOUTING AT THE READER VERY LOUDLY."),
+      (5L, "this one just trails off with no terminal punctuation at all"),
+      (6L, "This document is a perfectly ordinary paragraph of prose. " +
+        "It ends like a sentence should end.")))
+    assert(out(1L) == "too_short", s"got ${out(1L)}")
+    assert(out(2L) == "long_token", s"got ${out(2L)}")
+    assert(out(3L) == "symbolic", s"got ${out(3L)}")
+    assert(out(4L) == "shouting", s"got ${out(4L)}")
+    assert(out(5L) == "no_terminal_punct", s"got ${out(5L)}")
+    assert(out(6L) == "kept", s"got ${out(6L)}")
+  }
+
+  test("verdict is the FIRST failing gate: a doc failing several gates " +
+    "attributes to the earliest, so funnel counts sum to corpus size") {
+    // 2 tokens AND all-caps AND no terminal punct -> too_short wins
+    val out = verdicts(Seq((1L, "HELLO THERE")))
+    assert(out(1L) == "too_short", s"got ${out(1L)}")
+    // long token AND shouting -> long_token (earlier) wins
+    val out2 = verdicts(Seq(
+      (2L, "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAA LOUD BROKEN TOKEN DOC HERE.")))
+    assert(out2(2L) == "long_token", s"got ${out2(2L)}")
+  }
+
+  test("feature vector is hand-exact; empty doc: null max_tok_len gates " +
+    "skip under three-valued logic and too_short catches it") {
+    val s = spark; import s.implicits._
+    val r = Filters.funnel(Seq((1L, "Ab c3 d!")).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    // toks: Ab, c3, d! -> 3; max len 2; chars 8; sym: ! -> 1;
+    // upper: A -> 1; alpha: A,b,c,d -> 4; ends with ! -> true
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("max_tok_len") == 2L)
+    assert(r.getAs[Long]("n_chars") == 8L)
+    assert(r.getAs[Long]("n_sym") == 1L)
+    assert(r.getAs[Long]("n_upper") == 1L)
+    assert(r.getAs[Long]("n_alpha") == 4L)
+    assert(r.getAs[Boolean]("ends_sentence"))
+    assert(r.getAs[String]("verdict") == "too_short")
+    val e = Filters.funnel(Seq((2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").head()
+    assert(e.isNullAt(e.fieldIndex("max_tok_len")))
+    assert(e.getAs[String]("verdict") == "too_short")
+  }
+
+  test("funnel plan: one projection over the scan — zero exchanges") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 50L).map(i => (i, s"doc number $i with text."))
+      .toDF("doc_id", "text")
+    val out = Filters.funnel(docs, "doc_id", "text")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"funnel must be map-side:\n$p")
+  }
+
+  test("gate table is validated: empty, duplicate names, reserved 'kept'") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Filters.funnel(df, "doc_id", "text", gates = Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Filters.funnel(df, "doc_id", "text", gates = Seq(
+        Filters.Gate("a", "n_tokens < 1"), Filters.Gate("a", "n_chars < 1")))
+    }
+    intercept[IllegalArgumentException] {
+      Filters.funnel(df, "doc_id", "text", gates = Seq(
+        Filters.Gate("kept", "n_tokens < 1")))
+    }
+  }
+}
