@@ -519,6 +519,18 @@ object SparkEntry {
       // vocab cut is TakeOrdered + broadcast, never a global sort
       TextAnalysis.vocabOovRates(t(s, dir, "documents"), "doc_id", "text",
         vocabSize = 20)),
+    "d41_bpe_pairs" -> ((s, dir) =>
+      // distributed BPE merge statistics: the corpus contributes ONE
+      // word-count aggregate; the pair explode rides the vocabulary
+      // weighted by word frequency; cut = TakeOrdered(50) on
+      // (count desc, pair asc)
+      TextAnalysis.bpePairStats(t(s, dir, "documents"), "text", topK = 50)),
+    "s11_stratum_centroids" -> ((s, dir) =>
+      // semantic drift matrix: per-lang centroid cosine from EXACT
+      // integer dimension sums (floor(x*2^20+0.5) quantization), one
+      // embeddings pass; cosine of sum vectors == cosine of means
+      Similarity.stratumCentroidMatrix(t(s, dir, "embeddings"),
+        t(s, dir, "documents"), "vec_id", "doc_id", "lang")),
     "d39_filter_funnel" -> ((s, dir) =>
       // C4/Gopher-style gate chain with first-failing-rule attribution:
       // predicates are SHARED SQL strings over a portable feature
@@ -1776,6 +1788,37 @@ object SparkEntry {
         |    CAST(SUM(tf) AS DOUBLE) AS oov_rate
         |FROM tf LEFT JOIN vocab v ON tf.term = v.term
         |GROUP BY 1""".stripMargin,
+    "d41_bpe_pairs" ->
+      // same two-stage shape: word counts once, pairs over the vocab;
+      // range(1, length(w)) is empty for single-char words (matching the
+      // Spark sequence guard); substr(w, i, 2) == Column.substr(i, 2)
+      """WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+        |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |          x -> x <> '')) AS w
+        |        FROM documents) GROUP BY 1),
+        |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wf
+        |  FROM wc, unnest(range(1, length(w))) AS t(i))
+        |SELECT pair, CAST(SUM(wf) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "s11_stratum_centroids" -> {
+      // exact integer dim sums under the same floor(x*2^20 + 0.5)
+      // write-out, centroid list rebuilt in ordinal order, cosine via
+      // the shared ordered-fold duckCos — doubles hash-match
+      val cos = duckCos("a.vec", "b.vec")
+      s"""WITH j AS (SELECT d.lang AS stratum, e.embedding
+         |    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |q AS (SELECT stratum, i AS pos,
+         |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+         |      * 1048576.0 + 0.5) AS BIGINT) AS qv
+         |  FROM j, unnest(range(1, len(embedding) + 1)) AS t(i)),
+         |s AS (SELECT stratum, pos, CAST(SUM(qv) AS BIGINT) AS sv,
+         |    CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY 1, 2),
+         |v AS (SELECT stratum, list(CAST(sv AS DOUBLE) ORDER BY pos) AS vec,
+         |    MAX(c) AS n FROM s GROUP BY 1)
+         |SELECT a.stratum AS stratum_a, b.stratum AS stratum_b,
+         |  a.n AS n_a, b.n AS n_b, $cos AS cos
+         |FROM v a JOIN v b ON a.stratum < b.stratum""".stripMargin
+    },
     "d39_filter_funnel" ->
       // GENERATED from the same gate table as the Spark side (the Pii
       // pattern): gate predicates are spliced verbatim, features are the

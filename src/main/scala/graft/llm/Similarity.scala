@@ -714,4 +714,71 @@ object Similarity {
       .select(col("id"), col("cell"), col("keep"))
     Dedup.materializeAndRelease(out, assigned)
   }
+
+  /** Per-stratum semantic centroid similarity matrix: the embedding-space
+    * complement of the lexical [[Dedup.stratumOverlap]] — how close two
+    * sub-corpora (languages, sources, crawl snapshots) sit in embedding
+    * space, the drift dashboard for "did this month's crawl move".
+    *
+    * Exactness is the design constraint (the oracle hash-compares the
+    * doubles): a naive mean-of-floats depends on partition summation
+    * order, so dimensions are first quantized to integers — floor(x·2^
+    * `scaleBits` + 0.5), the [[quantizeInt8]] half-up rounding written
+    * out — and SUMMED exactly as BIGINTs. Cosine is scale-invariant, so
+    * the centroid cosine equals the cosine of the raw SUM vectors: the
+    * count divisions never happen and the only floating-point work is
+    * one deterministic ordered fold per stratum pair over |dim|
+    * products (the s09 sorted-fold contract; both engines fold the same
+    * 64 doubles left-to-right).
+    *
+    * Scale shape: ONE pass over the embeddings — the per-(stratum, dim)
+    * integer sums AND the stratum counts ride a single map-side-combined
+    * aggregate of |strata|·dim rows; the matrix assembly crosses a
+    * ≤|strata|-row frame with itself (broadcast by construction). At
+    * 544k-doc scale the exchange carries |strata|·64 longs per
+    * partition, nothing else.
+    *
+    * Output: (stratum_a, stratum_b, n_a, n_b, cos), stratum_a <
+    * stratum_b. A stratum of all-zero vectors yields NaN cosines
+    * (0/0) — pair it with the zero-norm guards upstream if the corpus
+    * can contain failed embeds. */
+  def stratumCentroidMatrix(embs: DataFrame, strata: DataFrame,
+                            vecIdCol: String, strataIdCol: String,
+                            strataCol: String, vecCol: String = "embedding",
+                            scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 40,
+      s"scaleBits out of range: $scaleBits")
+    val scale = java.lang.Math.scalb(1.0, scaleBits) // exact power of two
+    val joined = embs.select(col(vecIdCol).as("__id"), col(vecCol).as("__v"))
+      .join(strata.select(col(strataIdCol).as("__id"),
+        col(strataCol).cast("string").as("__stratum")), Seq("__id"))
+    val q = joined.select(col("__stratum"),
+      posexplode(transform(col("__v"),
+        x => floor(x.cast("double") * lit(scale) + lit(0.5)).cast("long")))
+        .as(Seq("__pos", "__q")))
+    // one aggregate carries both the dim sums and (via any fixed dim's
+    // row count) the stratum sizes — embeddings are scanned exactly once
+    val sums = q.groupBy(col("__stratum"), col("__pos"))
+      .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__c"))
+    // both cross sides read this <=|strata|-row frame: persist it so the
+    // embeddings scan+aggregate runs once (the d40 lesson)
+    val vecs = sums.groupBy(col("__stratum"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__s")))),
+          s => s.getField("__s").cast("double")).as("__vec"),
+        max(col("__c")).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val aa = vecs.select(col("__stratum").as("stratum_a"),
+      col("__vec").as("__va"), col("__n").as("n_a"))
+    val bb = vecs.select(col("__stratum").as("stratum_b"),
+      col("__vec").as("__vb"), col("__n").as("n_b"))
+    val out = aa.crossJoin(bb).where(col("stratum_a") < col("stratum_b"))
+      .withColumn("cos", dot(col("__va"), col("__vb")) /
+        (sqrt(dot(col("__va"), col("__va"))) *
+          sqrt(dot(col("__vb"), col("__vb")))))
+      .select(col("stratum_a"), col("stratum_b"), col("n_a"), col("n_b"),
+        col("cos"))
+    Dedup.materializeAndRelease(out, vecs)
+  }
 }

@@ -623,4 +623,36 @@ object TextAnalysis {
 
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     winnowingMinima(charGramHashes(lower(text), k), w)
+
+  /** Distributed BPE pair statistics: corpus-weighted counts of adjacent
+    * character pairs — the inner-loop statistic of BPE vocabulary
+    * induction (Sennrich et al. 2016), whose most frequent pair is the
+    * next merge. The classic scaling trick is structural here: the
+    * corpus contributes ONE word-count aggregate (map-side combined;
+    * only distinct words shuffle), and the quadratic-ish pair explode
+    * runs over the VOCABULARY weighted by word frequency — at 100 TB
+    * the vocab is millions of rows where the corpus is trillions, so
+    * the expensive stage rides the small frame. The cut is
+    * (count desc, pair asc) via orderBy+limit — TakeOrderedAndProject,
+    * never a global sort.
+    *
+    * Single-character words contribute no pairs (the sequence guard —
+    * Spark's sequence(1, 0) would count DOWN). A word of n chars
+    * contributes n-1 pairs including repeats ("aaa" counts "aa" twice),
+    * the exact multiset BPE training uses.
+    * Output: (pair, n), the top-`topK` merge candidates. */
+  def bpePairStats(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val wc = df
+      .select(explode(tokens(lower(coalesce(col(textCol), lit("")))))
+        .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    val pairArr = when(length(col("w")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2))))
+    wc.select(col("wf"), explode(pairArr).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topK)
+  }
 }

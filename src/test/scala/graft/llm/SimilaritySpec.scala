@@ -379,6 +379,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("stratumCentroidMatrix: hand-exact integer sums, cosine of sum " +
+    "vectors, counts per stratum, partitioning independence") {
+    val s = spark; import s.implicits._
+    val embs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),  // stratum u: sums (2^20, 2^20)
+      (3L, Array(1f, 0f))                        // stratum v: sums (2^20, 0)
+    ).toDF("vec_id", "embedding")
+    val strata = Seq((1L, "u"), (2L, "u"), (3L, "v"))
+      .toDF("doc_id", "lang")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      Similarity.stratumCentroidMatrix(e, strata, "vec_id", "doc_id", "lang")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val out = run(embs)
+    assert(out.keySet == Set(("u", "v")))
+    val (na, nb, cos) = out(("u", "v"))
+    assert((na, nb) == ((2L, 1L)))
+    // cos((1,1),(1,0)) = 1/sqrt(2), computed exactly as the fold does
+    assert(math.abs(cos - 1.0 / math.sqrt(2.0)) < 1e-15, s"got $cos")
+    assert(run(embs.repartition(7)) == out, "exact integer sums make the " +
+      "matrix independent of partitioning")
+  }
+
   test("semdedupPrune: within-cell duplicate neighborhoods keep the row " +
     "farthest from the centroid; zero vectors never dominate or drop; " +
     "partitioning-independent") {

@@ -391,6 +391,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(o3(1L) == 0L && o3(2L) == 0L, s"got $o3")
   }
 
+  test("bpePairStats: frequency-weighted adjacent pairs over the vocab, " +
+    "repeats inside a word count, single-char words contribute nothing, " +
+    "deterministic tie order") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "ab ab ccc a"), (2L, "AB x")).toDF("doc_id", "text")
+    // word counts (lowered): ab=3, ccc=1, a=1, x=1
+    // pairs: ab -> "ab" x3; ccc -> "cc","cc" -> 2*1; a, x -> none
+    val out = TextAnalysis.bpePairStats(df, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(out == List(("ab", 3L), ("cc", 2L)), s"got $out")
+    // topK truncates on (n desc, pair asc)
+    val top1 = TextAnalysis.bpePairStats(df, "text", topK = 1)
+      .collect().map(r => r.getString(0)).toList
+    assert(top1 == List("ab"))
+    // the cut plans as TakeOrderedAndProject (no global sort)
+    val q = TextAnalysis.bpePairStats(df, "text", topK = 5)
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("vocabOovRates plan: vocabulary cut is TakeOrderedAndProject (no " +
     "global sort) and joins by broadcast") {
     val s = spark; import s.implicits._
