@@ -531,6 +531,48 @@ object ScaleBench {
     val semSecs = secs(tSem)
     val (semRows, semDropped) = (semAgg.getLong(0), semAgg.getLong(1))
 
+    // d39 filter funnel: pure map-side gate chain — should track the
+    // scan near-linearly (the d22 shape) even at the 544k corpus; the
+    // d39 corpus-tuned gates (the defaults' no-punctuation gate would
+    // attribute all of this synthetic corpus to one bucket)
+    val tFun = System.nanoTime()
+    val funAgg = graft.llm.Filters.funnel(corpus, "doc_id", "text",
+        gates = Seq(
+          graft.llm.Filters.Gate("too_short", "n_tokens < 24"),
+          graft.llm.Filters.Gate("thin", "n_chars < 180"),
+          graft.llm.Filters.Gate("stubby", "max_tok_len < 8")))
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val funSecs = secs(tFun)
+    val funKept = funAgg.getOrElse("kept", 0L)
+    val funDocs = funAgg.values.sum
+
+    // d41 BPE pair stats: the corpus pass is one word-count aggregate;
+    // the pair explode rides the (replication-invariant) vocabulary —
+    // near-flat in corpus size is the claim to verify
+    val tBpe = System.nanoTime()
+    val bpeRows = graft.llm.TextAnalysis.bpePairStats(corpus, "text", 50)
+      .count()
+    val bpeSecs = secs(tBpe)
+
+    // d40 stratum overlap at 8 synthetic strata: replicas of every base
+    // doc land in all strata (doc_id % 8), so the shared-gram join runs
+    // at its heaviest (near-total overlap, jaccard ~ 1)
+    val tSo = System.nanoTime()
+    val soRows = graft.llm.Dedup.stratumOverlap(
+      corpus.withColumn("stratum", (col("doc_id") % 8).cast("string")),
+      "text", "stratum", width = 8).count()
+    val soSecs = secs(tSo)
+
+    // s11 centroid matrix over the 80k replicated vectors, 8 strata:
+    // one embeddings pass, exchange carries |strata| x 64 longs
+    val tCent = System.nanoTime()
+    val centRows = graft.llm.Similarity.stratumCentroidMatrix(
+      vecs, vecs.select(col("vec_id"),
+        (col("vec_id") % 8).cast("string").as("stratum")),
+      "vec_id", "vec_id", "stratum").count()
+    val centSecs = secs(tCent)
+
     val line =
       s"""{"metric":"scale_dedup","unit":"sec","sf":"$sfDir","docs":$nDocs,""" +
       s""""gen_secs":$genSecs,"exact_secs":$exactSecs,"exact_groups":$nExactGroups,""" +
@@ -572,6 +614,11 @@ object ScaleBench {
       s""""imp_take_ordered":$impTakeOrdered,""" +
       s""""sem_fit_secs":$semFitSecs,"sem_secs":$semSecs,""" +
       s""""sem_rows":$semRows,"sem_dropped":$semDropped,""" +
+      s""""funnel_secs":$funSecs,"funnel_docs":$funDocs,""" +
+      s""""funnel_kept":$funKept,""" +
+      s""""bpe_secs":$bpeSecs,"bpe_rows":$bpeRows,""" +
+      s""""so_secs":$soSecs,"so_pairs":$soRows,""" +
+      s""""cent_secs":$centSecs,"cent_pairs":$centRows,""" +
       s""""vec_corpus":$nVecs,"vec_float_secs":$simFSecs,""" +
       s""""vec_int8_secs":$simQSecs,"vec_topk_rows":$nSimF,""" +
       s""""vec_float_bytes":$floatBytes,"vec_int8_bytes":$int8Bytes,""" +

@@ -25,6 +25,17 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** d39's corpus-tuned gate chain (shared by the query and its
+    * generated oracle): the synthetic corpus is lowercase punctuation-
+    * free word-salad, so the library defaults would attribute every doc
+    * to one gate — tuning the chain to the corpus IS the operator's
+    * normal usage. `stubby` (no 8-char word) proxies lexical richness
+    * here. */
+  private val d39Gates = Seq(
+    graft.llm.Filters.Gate("too_short", "n_tokens < 24"),
+    graft.llm.Filters.Gate("thin", "n_chars < 180"),
+    graft.llm.Filters.Gate("stubby", "max_tok_len < 8"))
+
   /** events.ts as epoch-MICROS bigint, robust to both parquet encodings
     * the test generator has shipped: TIMESTAMP(NANOS), which the session's
     * legacy nanosAsLong flag surfaces as bigint nanos (exact integer div),
@@ -535,8 +546,13 @@ object SparkEntry {
       // C4/Gopher-style gate chain with first-failing-rule attribution:
       // predicates are SHARED SQL strings over a portable feature
       // vector (the oracle is generated from the same gate table), the
-      // whole thing one map-side projection — zero exchanges
-      graft.llm.Filters.funnel(t(s, dir, "documents"), "doc_id", "text")),
+      // whole thing one map-side projection — zero exchanges. The chain
+      // here is corpus-TUNED (the operator's normal usage — the
+      // synthetic word-salad has no punctuation/case, so the default
+      // chain would drop everything at one gate): 66/65/43 docs fall at
+      // the three gates, 326 keep (sf0.01)
+      graft.llm.Filters.funnel(t(s, dir, "documents"), "doc_id", "text",
+        gates = d39Gates)),
     "d40_stratum_overlap" -> ((s, dir) =>
       // cross-stratum contamination matrix over the d27/d35 span keys:
       // distinct 8-shingle overlap + Jaccard for every lang pair,
@@ -1824,7 +1840,7 @@ object SparkEntry {
       // pattern): gate predicates are spliced verbatim, features are the
       // audited DuckDB twins of the Spark feature columns
       graft.llm.Filters.funnelOracleSql(
-        "SELECT doc_id, text FROM documents", "doc_id"),
+        "SELECT doc_id, text FROM documents", "doc_id", gates = d39Gates),
     "d40_stratum_overlap" ->
       // d37's gram construction carrying lang instead of doc_id; full
       // matrix via a totals self-cross, zero-overlap pairs kept; one

@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
   * tables — the LLM-ops counterpart of IngestExample (same flow the
   * oracle-gated m14 query verifies, here in user-facing form):
   *
+  *   0. rule-based filter funnel (C4/Gopher gate chain) with per-rule
+  *      attrition counts — the first stage of every real pipeline;
   *   1. quality gate (token count, uniqueness ratio, repetition
   *      signals) — all map-side;
   *   2. benchmark decontamination (VERSIONED bench-key snapshots — an
@@ -31,7 +33,22 @@ object CurationExample {
       java.nio.file.Files.createTempDirectory("graft-curation").toString)
     val spark = graft.core.GraftSession.local("graft-curation-example")
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    // stage 0: the rule funnel — keep survivors, log the attrition by
+    // first failing gate (the funnel dashboard every crawl batch gets).
+    // Gates are corpus-tuned, as in real use: the synthetic corpus has
+    // no punctuation or case, so the library defaults would attribute
+    // every doc to the terminal-punctuation gate
+    val verdicts = graft.llm.Filters.funnel(raw, "doc_id", "text",
+      gates = Seq(
+        graft.llm.Filters.Gate("too_short", "n_tokens < 12"),
+        graft.llm.Filters.Gate("stubby", "max_tok_len < 8")))
+    verdicts.groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+      .collect().sortBy(r => -r.getLong(1))
+      .foreach(r => println(s"[funnel] ${r.getString(0)}: ${r.getLong(1)}"))
+    val docs = raw.join(
+      verdicts.where(col("verdict") === "kept").select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
     val toks = TextAnalysis.tokens(lower(col("text")))
     val qual = docs
       .withColumn("__nt", size(toks).cast("long"))
