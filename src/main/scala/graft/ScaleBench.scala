@@ -448,6 +448,22 @@ object ScaleBench {
       "doc_id", "text", "query_id", "qtext", k = 10).count()
     val bmSecs = secs(tBm)
 
+    // the persisted inverted-index path: tokenize the corpus ONCE into
+    // the term-bucketed postings layout (build cost amortizes over every
+    // later query batch), then the SAME 20-query sheet probes only the
+    // partition dirs its terms hash into — at a real 100TB corpus the
+    // scan path re-pays bm25_secs per batch while this path pays
+    // bm25_idx_probe_secs
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-bm25").toString + "/layout"
+    val tIdxBuild = System.nanoTime()
+    graft.llm.TextAnalysis.writeBm25Layout(corpus, idxPath,
+      "doc_id", "text", termBuckets = 64)
+    val bmIdxBuildSecs = secs(tIdxBuild)
+    val tIdxProbe = System.nanoTime()
+    val nBmIdx = graft.llm.TextAnalysis.bm25TopKIndexed(spark, idxPath,
+      bmQueries, "query_id", "qtext", k = 10).count()
+    val bmIdxProbeSecs = secs(tIdxProbe)
+
     // d37 novelty at the dup-heavy shape: replication makes nearly every
     // 4-gram corpus-shared, so the doc-frequency aggregate is dominated
     // by high-df keys — all map-side combined (no window), the regime a
@@ -609,6 +625,8 @@ object ScaleBench {
       s""""span_secs":$spanRmSecs,"span_docs":$spanDocs,"span_cut":$spanCut,""" +
       s""""span_toks_removed":$spanToks,""" +
       s""""bm25_secs":$bmSecs,"bm25_rows":$nBm,""" +
+      s""""bm25_idx_build_secs":$bmIdxBuildSecs,""" +
+      s""""bm25_idx_probe_secs":$bmIdxProbeSecs,"bm25_idx_rows":$nBmIdx,""" +
       s""""nov_secs":$novSecs,"nov_rows":$novRows,"nov_avg":$novAvg,""" +
       s""""imp_secs":$impSecs,"imp_rows":$nImp,""" +
       s""""imp_take_ordered":$impTakeOrdered,""" +

@@ -845,6 +845,23 @@ object SparkEntry {
       TextAnalysis.bm25TopK(docs, queries, "doc_id", "text",
         "query_id", "qtext", k = 5)
     }),
+    "s12_bm25_indexed" -> ((s, dir) => {
+      // s09's retrieval through the PERSISTED inverted-index layout:
+      // build writeBm25Layout once (the 100TB corpus tokenizes once),
+      // then probe reads only the partition dirs the query terms hash
+      // into — same oracle as s09 because the two paths are bit-exact
+      // by construction (shared score tree + term-sorted fold)
+      val docs = t(s, dir, "documents")
+      val queries = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(lower(col("text"))), 1, 4),
+            " ").as("qtext"))
+      val path = tmpQueryDir("s12-bm25").toString + "/layout"
+      TextAnalysis.writeBm25Layout(docs, path, "doc_id", "text",
+        termBuckets = 32)
+      TextAnalysis.bm25TopKIndexed(s, path, queries, "query_id", "qtext",
+        k = 5)
+    }),
     "s05_embedding_neardups" -> ((s, dir) =>
       // near-dup pair surface under the oracle: multi-probe bucketed
       // self-join, pairs within Hamming<=1 buckets scored by cosine;
@@ -2402,6 +2419,18 @@ object SparkEntry {
       // generated from the SAME k1/b literals and expression tree as the
       // Spark side (TextAnalysis.bm25OracleSql); queries mirror the
       // first-4-token derivation
+      TextAnalysis.bm25OracleSql(
+        "SELECT doc_id, text FROM documents",
+        """SELECT doc_id AS query_id,
+          |array_to_string(list_filter(string_split(lower(text), ' '),
+          |  x -> x != '')[1:4], ' ') AS qtext
+          |FROM documents WHERE doc_id < 3""".stripMargin,
+        k = 5),
+    "s12_bm25_indexed" ->
+      // identical formulation to s09: the indexed path is bit-exact vs
+      // the corpus-scan path (shared score expression + sorted fold;
+      // the layout's df/N/Σdl snapshot IS this corpus), so one oracle
+      // serves both
       TextAnalysis.bm25OracleSql(
         "SELECT doc_id, text FROM documents",
         """SELECT doc_id AS query_id,

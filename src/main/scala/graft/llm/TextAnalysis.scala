@@ -351,13 +351,31 @@ object TextAnalysis {
     val scored = tf.join(broadcast(dfreq), Seq("term"))
       .join(broadcast(qterms), Seq("term"))
       .crossJoin(broadcast(stats))
-      .withColumn("__s",
-        ((col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))) *
-        ((col("tf").cast("double") * (lit(k1) + lit(1.0))) /
-          (col("tf").cast("double") + lit(k1) *
-            (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") /
-              (col("tot").cast("double") / col("n").cast("double"))))))
+      .withColumn("__s", bm25TermScore(col("tf"), col("df"), col("dl"),
+        col("n"), col("tot"), k1, b))
+    bm25RankTopK(scored, k)
+  }
+
+  /** The BM25 per-(doc, term) score as ONE fixed expression tree, shared
+    * by [[bm25TopK]] (n/tot ride the broadcast stats frame) and
+    * [[bm25TopKIndexed]] (n/tot are literals frozen at layout-build
+    * time) so the two paths cannot drift by even a rounding: same
+    * inputs → bit-identical IEEE result. */
+  private def bm25TermScore(tf: Column, df: Column, dl: Column,
+                            n: Column, tot: Column,
+                            k1: Double, b: Double): Column =
+    ((n.cast("double") - df.cast("double") + lit(0.5)) /
+      (df.cast("double") + lit(0.5))) *
+    ((tf.cast("double") * (lit(k1) + lit(1.0))) /
+      (tf.cast("double") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * dl.cast("double") /
+          (tot.cast("double") / n.cast("double")))))
+
+  /** Shared tail of both BM25 paths: fold per-(query, doc) term scores
+    * in TERM-SORTED left-to-right order (float addition is not
+    * associative — a plain SUM would be partition-order-dependent) and
+    * keep the per-query top k by (score desc, doc_id asc). */
+  private def bm25RankTopK(scored: DataFrame, k: Int): DataFrame = {
     val folded = scored.groupBy(col("query_id"), col("doc_id"))
       .agg(aggregate(
         transform(array_sort(collect_list(struct(col("term"), col("__s").as("s")))),
@@ -368,6 +386,101 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id").asc)
     folded.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** The hash bucket a term's postings live in — pmod(xxhash64) so the
+    * SAME Catalyst expression plans probes (no hand-rolled driver twin
+    * to drift out of sync with codegen). */
+  def bm25TermBucket(term: Column, termBuckets: Int): Column =
+    pmod(xxhash64(term), lit(termBuckets.toLong)).cast("int")
+
+  /** Persisted inverted-index layout for BM25 — the retrieval twin of
+    * the SRP/IVF ANN layouts ([[graft.llm.Similarity.writeSrpLayout]]):
+    * [[bm25TopK]] re-tokenizes and re-explodes the WHOLE corpus on every
+    * query batch (measured 46.5s/query-batch at the 544k-doc corpus —
+    * fine once, wrong as a serving path), while a 100 TB corpus
+    * tokenizes ONCE here and every later query batch reads only the
+    * partition directories its terms hash into.
+    *
+    * Layout under `path`:
+    *   - `postings/` — (term, doc_id, tf, dl, df) partitioned by
+    *     `tbucket` = pmod(xxhash64(term), termBuckets). df is
+    *     denormalized onto every posting row (parquet dictionary-encodes
+    *     the repetition away) so a probe is ONE pruned scan with zero
+    *     corpus-side joins. Bucketing by term hash — not raw `term` —
+    *     keeps the directory count fixed at termBuckets instead of
+    *     |vocabulary| (a 100 TB corpus has 10^8+ distinct terms; 10^8
+    *     dirs would melt the file listing).
+    *   - `stats/` — one row (n, tot, term_buckets): the corpus-frozen
+    *     N / Σdl the score needs, plus the bucket count stamped so a
+    *     probe planned with a different termBuckets fails fast instead
+    *     of silently scanning wrong partitions (the sig_format guard
+    *     pattern from incremental dedup).
+    *
+    * Scale shape: one corpus tokenize + explode, one (doc_id, term)
+    * exchange for tf, one (term) exchange for df, then a repartition by
+    * tbucket so each bucket directory gets one file per owning task
+    * (the writeIvfLayout small-file-storm note — salt the repartition
+    * key at 100 TB for more files/bucket). The df join is term-to-term
+    * and both sides come off the same tf frame. */
+  def writeBm25Layout(corpus: DataFrame, path: String,
+                      docIdCol: String = "doc_id",
+                      textCol: String = "text",
+                      termBuckets: Int = 64): Unit = {
+    require(termBuckets >= 1, s"termBuckets must be >= 1: $termBuckets")
+    val corpusToks = corpus.select(col(docIdCol).as("doc_id"),
+      tokens(lower(col(textCol))).as("__t"))
+    val tf = corpusToks
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("tbucket", bm25TermBucket(col("term"), termBuckets))
+      .repartition(col("tbucket"))
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$path/postings")
+    corpusToks.agg(count(lit(1)).as("n"),
+        sum(size(col("__t")).cast("long")).as("tot"))
+      .withColumn("term_buckets", lit(termBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k over a [[writeBm25Layout]] index: bit-exact the same
+    * (query_id, doc_id, score, rank) rows as [[bm25TopK]] over the
+    * corpus the layout froze (same score expression via
+    * [[bm25TermScore]], same term-sorted fold via [[bm25RankTopK]]; df
+    * and N/Σdl are the layout's snapshot — an index is a snapshot), but
+    * the corpus is never re-tokenized: the probe reads ONLY the
+    * partition directories the query terms hash into (`tbucket IN`
+    * is a partition filter — plan-guarded in TextAnalysisSpec), then a
+    * broadcast join on the exact terms trims bucket co-residents.
+    *
+    * Probe planning collects the query-term bucket set driver-side —
+    * query sheets are small by construction (a retrieval batch, not a
+    * corpus), and the buckets are computed with the SAME
+    * [[bm25TermBucket]] Catalyst expression that bucketed the build, so
+    * there is no hand-rolled hash twin to drift. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                      path: String, queries: DataFrame,
+                      queryIdCol: String, queryTextCol: String, k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val st = spark.read.parquet(s"$path/stats").head()
+    val (n, tot, termBuckets) =
+      (st.getAs[Long]("n"), st.getAs[Long]("tot"), st.getAs[Int]("term_buckets"))
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(tokens(lower(col(queryTextCol))))).as("term"))
+    val buckets = qterms
+      .select(bm25TermBucket(col("term"), termBuckets).as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("tbucket").isin(buckets: _*))
+    val scored = postings.join(broadcast(qterms), Seq("term"))
+      .withColumn("__s", bm25TermScore(col("tf"), col("df"), col("dl"),
+        lit(n), lit(tot), k1, b))
+    bm25RankTopK(scored, k)
   }
 
   /** The DuckDB twin of [[bm25TopK]], generated with the SAME k1/b

@@ -38,6 +38,62 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("bm25TopKIndexed over writeBm25Layout: bit-exact vs the corpus-scan " +
+    "path on real docs; probe scan is partition-pruned to query-term buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val s = spark; import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val queries = docs.where(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextAnalysis.tokens(lower(col("text"))), 1, 4), " ")
+          .as("qtext"))
+    val path = tmpDir("bm25-layout")
+    TextAnalysis.writeBm25Layout(docs, path, "doc_id", "text", termBuckets = 16)
+    val indexed = TextAnalysis.bm25TopKIndexed(spark, path, queries,
+      "query_id", "qtext", k = 5)
+    val scan = TextAnalysis.bm25TopK(docs, queries, "doc_id", "text",
+      "query_id", "qtext", k = 5)
+    // bit-exact: same rows INCLUDING the float score (same expression
+    // tree, same term-sorted fold, same integer inputs)
+    assert(indexed.collect().map(_.toSeq).toSet == scan.collect().map(_.toSeq).toSet)
+    // the probe reads only the buckets the query terms hash into (the
+    // broadcast join makes the plan adaptive — AQE wraps subtrees in
+    // QueryStageExec leaves, so descend through them to the scans)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.flatMap {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case _ => Nil
+    }.toSeq
+    val fileScan = allScans(indexed.queryExecution.executedPlan)
+      .filter(_.schema.fieldNames.contains("term")).head
+    val qbuckets = queries
+      .select(explode(array_distinct(TextAnalysis.tokens(lower(col("qtext"))))).as("t"))
+      .select(TextAnalysis.bm25TermBucket(col("t"), 16)).distinct().count()
+    assert(fileScan.selectedPartitions.partitionCount <= qbuckets,
+      s"probe scanned ${fileScan.selectedPartitions.partitionCount} partitions, " +
+        s"expected <= $qbuckets query-term buckets")
+    val scanStr = fileScan.toString
+    assert(scanStr.contains("PartitionFilters") && scanStr.contains("tbucket"),
+      "tbucket filter did not register as a partition filter")
+  }
+
+  test("writeBm25Layout stamps term_buckets; empty-overlap query returns " +
+    "zero rows from a pruned scan") {
+    val s = spark; import s.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val path = tmpDir("bm25-empty")
+    TextAnalysis.writeBm25Layout(corpus, path, termBuckets = 4)
+    val st = spark.read.parquet(s"$path/stats").head()
+    assert(st.getAs[Int]("term_buckets") == 4)
+    assert(st.getAs[Long]("n") == 2L && st.getAs[Long]("tot") == 4L)
+    val noHit = Seq((9L, "zeta omicron")).toDF("query_id", "qtext")
+    assert(TextAnalysis.bm25TopKIndexed(spark, path, noHit,
+      "query_id", "qtext", k = 3).count() == 0L)
+  }
+
   test("tokens drops empty splits (multiple spaces)") {
     val r = one("a  b   c").select(TextAnalysis.tokens(col("text"))).head().getSeq[String](0)
     assert(r == Seq("a", "b", "c"))
