@@ -418,6 +418,15 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", TextAnalysis.tokenCount(col("text")).cast("long"),
         budget = 2048)),
+    "d42_shard_assign" -> ((s, dir) =>
+      // deterministic training-shard assignment: shard + in-shard pos
+      // are pure functions of (salt, doc_id) — map-side shard id, one
+      // exchange for the within-shard row_number; re-runs and the
+      // DuckDB twin produce byte-identical shard layouts
+      graft.llm.Packing.shardAssign(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", TextAnalysis.tokenCount(col("text")).cast("long"),
+        nShards = 8, salt = "s42")),
     "d27_boilerplate_spans" -> ((s, dir) =>
       // exact-substring (span) dedup inside docs: 4-token spans seen in
       // > 2 docs are boilerplate; covered positions are cut and the
@@ -1611,6 +1620,15 @@ object SparkEntry {
         |  (start_tok + GREATEST(n_tokens - 1, 0)) // 2048
         |    - (start_tok // 2048) + 1 AS spans
         |FROM cum""".stripMargin,
+    "d42_shard_assign" ->
+      // generated with the same (nShards, salt) literals; DuckDB builds
+      // the 32-bit hash value digit-by-digit (no base-16 conv there)
+      graft.llm.Packing.shardAssignOracleSql(
+        """SELECT doc_id,
+          |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+          |    AS BIGINT) AS n_tokens
+          |FROM documents""".stripMargin,
+        "doc_id", nShards = 8, salt = "s42"),
     "d27_boilerplate_spans" ->
       // same gram keys (case-normalized md5 over 4-token joins), same
       // df > 2 bar, same position-predicate reconstruction

@@ -106,6 +106,79 @@ object Packing {
         col("seq"), col("seq_off"), col("spans"))
   }
 
+  /** Deterministic training-shard assignment — the step that turns a
+    * curated corpus into N reproducible shard files (the WebDataset /
+    * TFRecord-shard layout every trainer streams): each doc gets a
+    * `shard` in [0, nShards) and a dense 0-based `pos` inside that
+    * shard, both pure functions of (salt, id), so a re-run on different
+    * partitioning — or a different engine — produces byte-identical
+    * shard contents in byte-identical order.
+    *
+    * Mechanism: `v` = the first 8 hex chars of the sampling hash
+    * ([[Sampling.sampleKey]]) as an integer uniform in [0, 2^32);
+    * `shard` = (v * nShards) div 2^32 — the exact integer form of
+    * floor(v / 2^32 * nShards), no doubles anywhere. `pos` orders by
+    * (full hash, id) within the shard.
+    *
+    * Scale shape: the shard id is MAP-SIDE (a codegen'd expression in
+    * the scan stage); the only exchange is hashpartitioning(shard) for
+    * the within-shard row_number, and every shard sorts only its own
+    * 1/nShards slice in parallel — uniform hash means no hot shard, so
+    * no salting needed. To materialize, `repartition(col("shard"))` +
+    * `sortWithinPartitions("__sk")` and write one file per shard (the
+    * Sinks.sortedBulkLoad pattern). */
+  def shardAssign(df: DataFrame, idCol: String, nTokens: Column,
+                  nShards: Int, salt: String = "graft"): DataFrame = {
+    require(nShards >= 1 && nShards <= (1 << 20),
+      s"nShards must be in [1, 2^20]: $nShards")
+    val reserved = Seq("__sk", "__v")
+    reserved.foreach(r => require(!df.columns.contains(r),
+      s"input already has a '$r' column; rename it before shardAssign()"))
+    val base = df.select(col(idCol), nTokens.cast("long").as("n_tokens"),
+        Sampling.sampleKey(col(idCol), salt).as("__sk"))
+      // sampleKey IS the first 8 hex chars — one conv covers it all
+      .withColumn("__v", conv(col("__sk"), 16, 10).cast("long"))
+      .withColumn("shard",
+        expr(s"CAST((__v * $nShards) div 4294967296 AS INT)"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__sk").asc, col(idCol).asc)
+    base.withColumn("pos", row_number().over(w) - 1)
+      .select(col(idCol), col("shard"), col("pos"), col("n_tokens"))
+  }
+
+  /** Per-shard balance report over a [[shardAssign]] result: (shard,
+    * n_docs, n_tokens) — the sanity check a shard-writing job runs
+    * before committing (a skewed report means the hash column was fed
+    * a non-unique id). One tiny aggregate, map-side combined. */
+  def shardStats(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** DuckDB twin of [[shardAssign]], generated with the same literals
+    * (the Pii.scrubOracleSql pattern). DuckDB has no base-16 `conv`, so
+    * the hex value is assembled digit-by-digit with strpos over the hex
+    * alphabet — integer arithmetic end to end, bit-identical to the
+    * Spark side. `corpusSql` must yield (id, n_tokens). */
+  def shardAssignOracleSql(corpusSql: String, idCol: String,
+                           nShards: Int, salt: String): String = {
+    val hexVal = (1 to 8).map { i =>
+      val scale = 1L << (4 * (8 - i))
+      s"(strpos('0123456789abcdef', substr(sk, $i, 1)) - 1) * CAST($scale AS BIGINT)"
+    }.mkString(" + ")
+    s"""WITH hashed AS (SELECT $idCol, n_tokens,
+       |    substr(md5('$salt' || '|' || CAST($idCol AS VARCHAR)), 1, 8)
+       |      AS sk
+       |  FROM ($corpusSql)),
+       |sharded AS (SELECT $idCol, n_tokens, sk,
+       |    CAST(($hexVal) * $nShards // 4294967296 AS INTEGER) AS shard
+       |  FROM hashed)
+       |SELECT $idCol, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY sk, $idCol)
+       |    - 1 AS INTEGER) AS pos,
+       |  n_tokens
+       |FROM sharded""".stripMargin
+  }
+
   /** The one-global-window reference formulation — O(corpus) through a
     * single task's sort; kept as the semantic spec for the parity test,
     * never for production. */

@@ -67,6 +67,52 @@ class PackingSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("shardAssign: shard ids in range and balanced, pos dense 0..n-1 per " +
+    "shard, deterministic across partitioning, stats reconcile") {
+    val nShards = 8
+    val ref = Packing.shardAssign(docs, "doc_id", nTok, nShards, salt = "t")
+      .collect().map(_.toSeq).toSet
+    val re = Packing.shardAssign(docs.repartition(7), "doc_id", nTok,
+      nShards, salt = "t")
+    assert(re.collect().map(_.toSeq).toSet == ref,
+      "shard layout changed under repartitioning")
+    val rows = ref.toSeq.map(r => (r(1).asInstanceOf[Int],
+      r(2).asInstanceOf[Int], r(3).asInstanceOf[Long]))
+    assert(rows.size == 200)
+    assert(rows.forall { case (sh, _, _) => sh >= 0 && sh < nShards })
+    // dense in-shard positions: each shard's pos set is exactly 0..n-1
+    rows.groupBy(_._1).foreach { case (sh, g) =>
+      assert(g.map(_._2).sorted == (0 until g.size),
+        s"shard $sh positions not dense")
+    }
+    // uniform hash balance: with 200 docs over 8 shards no shard should
+    // be empty or hold more than 3x the fair share
+    val sizes = rows.groupBy(_._1).map(_._2.size)
+    assert(sizes.size == nShards && sizes.max <= 75, s"skewed: $sizes")
+    // stats reconcile with the assignment
+    val stats = Packing.shardStats(
+        Packing.shardAssign(docs, "doc_id", nTok, nShards, salt = "t"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.groupBy(_._1).foreach { case (sh, g) =>
+      assert(stats(sh) == (g.size.toLong, g.map(_._3).sum))
+    }
+    // different salt -> different layout (the epoch lever)
+    val other = Packing.shardAssign(docs, "doc_id", nTok, nShards, salt = "u")
+      .collect().map(_.toSeq).toSet
+    assert(other != ref)
+  }
+
+  test("shardAssign: nShards=1 puts everything in shard 0 in global hash " +
+    "order; bad nShards rejected") {
+    val one = Packing.shardAssign(docs, "doc_id", nTok, 1, salt = "t").collect()
+    assert(one.forall(_.getInt(1) == 0))
+    assert(one.map(_.getInt(2)).sorted.toSeq == (0 until 200))
+    intercept[IllegalArgumentException](
+      Packing.shardAssign(docs, "doc_id", nTok, 0))
+    intercept[IllegalArgumentException](
+      Packing.shardAssign(docs.withColumn("__v", lit(1)), "doc_id", nTok, 4))
+  }
+
   test("bad specs rejected; reserved columns rejected") {
     intercept[IllegalArgumentException](
       Packing.packSequences(docs, "doc_id", nTok, budget = 0))
