@@ -450,19 +450,36 @@ object ScaleBench {
 
     // the persisted inverted-index path: tokenize the corpus ONCE into
     // the term-bucketed postings layout (build cost amortizes over every
-    // later query batch), then the SAME 20-query sheet probes only the
-    // partition dirs its terms hash into — at a real 100TB corpus the
-    // scan path re-pays bm25_secs per batch while this path pays
-    // bm25_idx_probe_secs
+    // later query batch). Two probe shapes, win/lose regimes stated
+    // honestly (the d20 bloom lesson):
+    //   - WIDE: the same 20-query sheet (~80 distinct terms) — terms
+    //     hash into most of the 256 buckets, pruning is weak, and the
+    //     postings table has more rows than the corpus has docs; this
+    //     shape can LOSE to the scan path and the numbers say so;
+    //   - NARROW (the serving shape): ONE 4-term query probes <=4 of
+    //     256 partition dirs — the regime the layout exists for.
+    //     bm25_scan1_secs re-runs the corpus-scan path on the same
+    //     single query for the apples comparison.
     val idxPath = java.nio.file.Files.createTempDirectory("graft-bm25").toString + "/layout"
     val tIdxBuild = System.nanoTime()
     graft.llm.TextAnalysis.writeBm25Layout(corpus, idxPath,
-      "doc_id", "text", termBuckets = 64)
+      "doc_id", "text", termBuckets = 256)
     val bmIdxBuildSecs = secs(tIdxBuild)
     val tIdxProbe = System.nanoTime()
     val nBmIdx = graft.llm.TextAnalysis.bm25TopKIndexed(spark, idxPath,
       bmQueries, "query_id", "qtext", k = 10).count()
     val bmIdxProbeSecs = secs(tIdxProbe)
+    val oneQuery = bmQueries.limit(1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    oneQuery.count()
+    val tScan1 = System.nanoTime()
+    val nBmScan1 = graft.llm.TextAnalysis.bm25TopK(corpus, oneQuery,
+      "doc_id", "text", "query_id", "qtext", k = 10).count()
+    val bmScan1Secs = secs(tScan1)
+    val tIdx1 = System.nanoTime()
+    val nBmIdx1 = graft.llm.TextAnalysis.bm25TopKIndexed(spark, idxPath,
+      oneQuery, "query_id", "qtext", k = 10).count()
+    val bmIdx1Secs = secs(tIdx1)
 
     // d37 novelty at the dup-heavy shape: replication makes nearly every
     // 4-gram corpus-shared, so the doc-frequency aggregate is dominated
@@ -627,6 +644,8 @@ object ScaleBench {
       s""""bm25_secs":$bmSecs,"bm25_rows":$nBm,""" +
       s""""bm25_idx_build_secs":$bmIdxBuildSecs,""" +
       s""""bm25_idx_probe_secs":$bmIdxProbeSecs,"bm25_idx_rows":$nBmIdx,""" +
+      s""""bm25_scan1_secs":$bmScan1Secs,"bm25_scan1_rows":$nBmScan1,""" +
+      s""""bm25_idx1_secs":$bmIdx1Secs,"bm25_idx1_rows":$nBmIdx1,""" +
       s""""nov_secs":$novSecs,"nov_rows":$novRows,"nov_avg":$novAvg,""" +
       s""""imp_secs":$impSecs,"imp_rows":$nImp,""" +
       s""""imp_take_ordered":$impTakeOrdered,""" +

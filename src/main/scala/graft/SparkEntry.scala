@@ -418,6 +418,12 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", TextAnalysis.tokenCount(col("text")).cast("long"),
         budget = 2048)),
+    "d43_bigram_coherence" -> ((s, dir) =>
+      // second-order familiarity: common words in corpus-rare ORDER
+      // score low; integer bigram/lead masses off ONE corpus pass, one
+      // double division
+      TextAnalysis.bigramCoherence(t(s, dir, "documents"),
+        "doc_id", "text")),
     "d42_shard_assign" -> ((s, dir) =>
       // deterministic training-shard assignment: shard + in-shard pos
       // are pure functions of (salt, doc_id) — map-side shard id, one
@@ -1620,6 +1626,33 @@ object SparkEntry {
         |  (start_tok + GREATEST(n_tokens - 1, 0)) // 2048
         |    - (start_tok // 2048) + 1 AS spans
         |FROM cum""".stripMargin,
+    "d43_bigram_coherence" ->
+      // identical integer arithmetic: per-(doc,bigram) tf, corpus bigram
+      // counts, lead-token masses derived FROM the bigram vocabulary;
+      // one IEEE division at the end
+      """WITH dt AS (SELECT doc_id AS id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS g
+        |  FROM documents),
+        |bgl AS (SELECT id,
+        |    unnest(list_transform(range(1, len(g)),
+        |      i -> g[i] || ' ' || g[i + 1])) AS bg
+        |  FROM dt),
+        |tf AS (SELECT id, bg, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM bgl GROUP BY 1, 2),
+        |vocab AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS cnt
+        |  FROM tf GROUP BY 1),
+        |ld AS (SELECT split_part(bg, ' ', 1) AS w1,
+        |    CAST(SUM(cnt) AS BIGINT) AS lcnt
+        |  FROM vocab GROUP BY 1)
+        |SELECT tf.id,
+        |  CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(tf * cnt) AS BIGINT) AS bigram_mass,
+        |  CAST(SUM(tf * lcnt) AS BIGINT) AS lead_mass,
+        |  CAST(SUM(tf * cnt) AS DOUBLE) / CAST(SUM(tf * lcnt) AS DOUBLE)
+        |    AS cond_score
+        |FROM tf JOIN vocab USING (bg)
+        |  JOIN ld ON split_part(tf.bg, ' ', 1) = ld.w1
+        |GROUP BY 1""".stripMargin,
     "d42_shard_assign" ->
       // generated with the same (nShards, salt) literals; DuckDB builds
       // the 32-bit hash value digit-by-digit (no base-16 conv there)

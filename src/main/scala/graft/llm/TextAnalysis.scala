@@ -580,6 +580,66 @@ object TextAnalysis {
         col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Bigram-LM familiarity — the second-order twin of
+    * [[unigramFamiliarity]] (the CCNet-style "does this read like the
+    * corpus" filter, one Markov order up): a doc of common WORDS in
+    * nonsense ORDER scores high on unigram familiarity but low here,
+    * because its adjacent pairs are corpus-rare. Per doc-bigram the
+    * conditional familiarity is c(w1 w2)/c(w1 ·) — how often the corpus
+    * continues w1 with w2, against everything it continues w1 with —
+    * and the doc score folds those into the mass ratio
+    *
+    *   cond_score = (Σ tf·cnt) / (Σ tf·lcnt)   ∈ (0, 1]
+    *
+    * (cnt = corpus count of the bigram, lcnt = corpus count of bigrams
+    * sharing its first token). Integer masses, ONE double division —
+    * the log-free house arithmetic (per-bigram float sums would be
+    * partition-order-dependent and ln() drifts across libms).
+    *
+    * Scale shape: the d29 one-corpus-pass construction verbatim — the
+    * sentinel `""` bigram keeps the (id, bigram) exchange subtree
+    * identical across consumers, so the scoring join's left side AND
+    * the bigram vocabulary ride ONE exchange (plan-asserted); the
+    * lead-token table derives from the already-tiny vocabulary, never
+    * from the corpus; both side tables broadcast under a plan-stats
+    * guard with AQE as the at-scale mechanism. Mass overflow headroom:
+    * tf·lcnt ≤ n_bigrams(doc)·n_bigrams(corpus) — the
+    * unigramFamiliarity BIGINT note applies unchanged.
+    *
+    * Docs with fewer than two tokens have no bigrams and emit no row
+    * (mirrored by the oracle). Output: (id, n_bigrams, bigram_mass,
+    * lead_mass, cond_score). */
+  def bigramCoherence(df: DataFrame, idCol: String, textCol: String,
+                      vocabBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
+    val toks = tokens(lower(coalesce(col(textCol), lit(""))))
+    val nPairs = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(toks, lit(1), nPairs), slice(toks, lit(2), nPairs),
+      (a, b) => concat_ws(" ", a, b))
+    val tf0 = df
+      .select(col(idCol).as("id"),
+        explode(concat(array(lit("")), bigrams)).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("tf"))
+    val tf = tf0.where(when(col("tf") >= 1, length(col("bg")) > 0))
+    val vocab = tf.groupBy(col("bg"))
+      .agg(sum(when(col("tf") >= 1, col("tf"))).as("cnt"))
+    val lead = vocab.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cnt")).as("lcnt"))
+    val hintOk =
+      vocab.queryExecution.optimizedPlan.stats.sizeInBytes <= vocabBroadcastMaxBytes
+    val vocabHinted = if (hintOk) broadcast(vocab) else vocab
+    val leadHinted = if (hintOk) broadcast(lead) else lead
+    tf.join(vocabHinted, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(leadHinted, Seq("w1"))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("cnt")).as("bigram_mass"),
+        sum(col("tf") * col("lcnt")).as("lead_mass"))
+      .withColumn("cond_score",
+        col("bigram_mass").cast("double") / col("lead_mass").cast("double"))
+  }
+
   /** DSIR-style targeted-data selection scores (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling")
     * without logarithms: rank raw-corpus documents by how much they look

@@ -354,6 +354,45 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2L) == ((2L, 4L, 1L, 2.0, 0.5)), s"got ${out(2L)}")
   }
 
+  test("bigramCoherence: hand-computed masses; <2-token docs emit no row") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    // vocab: "a b"=3, "b a"=1, "b c"=1; lead: a->3, b->2
+    val out = TextAnalysis.bigramCoherence(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((3L, 7L, 8L, 7.0 / 8.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 4L, 5L, 0.8)), s"got ${out(2L)}")
+  }
+
+  test("bigramCoherence: common words in scrambled order score lower than " +
+    "the same words in corpus order") {
+    val s = spark; import s.implicits._
+    val df = ((1L to 10L).map(i => (i, "u v w")) :+ (11L, "w v u"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCoherence(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(11L) < out(1L) / 2,
+      s"scrambled ${out(11L)} should be well below in-order ${out(1L)}")
+  }
+
+  test("bigramCoherence plan: one corpus scan — scoring join and bigram " +
+    "vocab ride the reused (id, bigram) exchange; lead table derives from " +
+    "the vocab, not the corpus") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 40L).map(i => (i, s"alpha beta word$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCoherence(docs, "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly one corpus scan, got $scans in:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"expected the (id, bigram) exchange to be reused in:\n$plan")
+  }
+
   test("importanceScores: hand-computed masses and ratio; target doc " +
     "outranks off-target") {
     val s = spark; import s.implicits._
