@@ -418,12 +418,32 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", TextAnalysis.tokenCount(col("text")).cast("long"),
         budget = 2048)),
+    "d44_chunk_windows" -> ((s, dir) =>
+      // retrieval chunking: overlapping 32-token windows every 24
+      // tokens, deterministic (id, chunk_idx) identity — pure map-side
+      // explode inside the scan stage, no exchange at any scale
+      TextAnalysis.chunkWindows(t(s, dir, "documents"),
+        "doc_id", "text", width = 32, stride = 24)),
     "d43_bigram_coherence" -> ((s, dir) =>
       // second-order familiarity: common words in corpus-rare ORDER
       // score low; integer bigram/lead masses off ONE corpus pass, one
       // double division
       TextAnalysis.bigramCoherence(t(s, dir, "documents"),
         "doc_id", "text")),
+    "m23_shard_layout" -> ((s, dir) => {
+      // d42's assignment MATERIALIZED as the trainer-facing layout (one
+      // dir per shard, pos-ordered files) and read back — proves the
+      // write path round-trips; same oracle as d42 because the layout
+      // is exactly the assignment
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val assigned = graft.llm.Packing.shardAssign(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        nShards = 8, salt = "s42")
+      val path = tmpQueryDir("m23-shards").toString + "/layout"
+      graft.llm.Packing.writeShardLayout(assigned, path)
+      s.read.parquet(path)
+        .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"))
+    }),
     "d42_shard_assign" -> ((s, dir) =>
       // deterministic training-shard assignment: shard + in-shard pos
       // are pure functions of (salt, doc_id) — map-side shard id, one
@@ -1626,6 +1646,20 @@ object SparkEntry {
         |  (start_tok + GREATEST(n_tokens - 1, 0)) // 2048
         |    - (start_tok // 2048) + 1 AS spans
         |FROM cum""".stripMargin,
+    "d44_chunk_windows" ->
+      // same tokenization, same starts (range is end-exclusive like
+      // sequence(0, size-1) is end-inclusive: both stop below len),
+      // same clamped slice; list_slice bounds are inclusive 1-based
+      """WITH dt AS (SELECT doc_id AS id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS g
+        |  FROM documents),
+        |st AS (SELECT id, g, unnest(range(0, len(g), 24)) AS s
+        |  FROM dt WHERE len(g) > 0)
+        |SELECT id, CAST(s // 24 AS INTEGER) AS chunk_idx,
+        |  CAST(s AS INTEGER) AS start_tok,
+        |  CAST(LEAST(32, len(g) - s) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(g, s + 1, s + 32), ' ') AS chunk_text
+        |FROM st""".stripMargin,
     "d43_bigram_coherence" ->
       // identical integer arithmetic: per-(doc,bigram) tf, corpus bigram
       // counts, lead-token masses derived FROM the bigram vocabulary;
@@ -1653,6 +1687,14 @@ object SparkEntry {
         |FROM tf JOIN vocab USING (bg)
         |  JOIN ld ON split_part(tf.bg, ' ', 1) = ld.w1
         |GROUP BY 1""".stripMargin,
+    "m23_shard_layout" ->
+      // the layout IS the d42 assignment — one oracle serves both
+      graft.llm.Packing.shardAssignOracleSql(
+        """SELECT doc_id,
+          |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+          |    AS BIGINT) AS n_tokens
+          |FROM documents""".stripMargin,
+        "doc_id", nShards = 8, salt = "s42"),
     "d42_shard_assign" ->
       // generated with the same (nShards, salt) literals; DuckDB builds
       // the 32-bit hash value digit-by-digit (no base-16 conv there)

@@ -154,6 +154,18 @@ object Packing {
     assigned.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
 
+  /** Materialize a [[shardAssign]] result as the on-disk shard layout a
+    * trainer streams: one directory per shard, rows inside each file in
+    * `pos` order (repartition by shard + sortWithinPartitions — the
+    * Sinks.sortedBulkLoad shape), so a reader consumes shard k in the
+    * deterministic order without sorting. One file per shard at this
+    * scale; at 100 TB salt the repartition key and cut `pos` ranges per
+    * salt for bounded file sizes (the writeIvfLayout note). */
+  def writeShardLayout(assigned: DataFrame, path: String): Unit =
+    assigned.repartition(col("shard"))
+      .sortWithinPartitions(col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** DuckDB twin of [[shardAssign]], generated with the same literals
     * (the Pii.scrubOracleSql pattern). DuckDB has no base-16 `conv`, so
     * the hex value is assembled digit-by-digit with strpos over the hex

@@ -580,6 +580,40 @@ object TextAnalysis {
         col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Overlapping token-window chunking — the doc→passage step in front
+    * of every retrieval/embedding index (RAG corpora, passage-level
+    * BM25/ANN): each doc yields chunks of up to `width` tokens starting
+    * every `stride` tokens, so consecutive chunks overlap by
+    * width − stride tokens and no token is lost. Chunk identity is
+    * (id, chunk_idx) with chunk_idx = start/stride — deterministic, so
+    * re-chunking after an upstream change touches only changed docs.
+    *
+    * Pure map-side: tokenize, generate starts, explode, slice — a
+    * codegen'd expression chain inside the scan stage, no exchange at
+    * any scale (chunking 100 TB is exactly as parallel as reading it).
+    * Zero-token docs emit no chunk; a doc shorter than `width` emits
+    * one chunk with all its tokens. Output: (id, chunk_idx, start_tok,
+    * n_tokens, chunk_text). */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   width: Int, stride: Int): DataFrame = {
+    require(width >= 1, s"width must be >= 1: $width")
+    require(stride >= 1 && stride <= width,
+      s"stride must be in [1, width=$width]: $stride")
+    val toks = tokens(lower(coalesce(col(textCol), lit(""))))
+    df.select(col(idCol).as("id"), toks.as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col("id"), col("__t"),
+        explode(sequence(lit(0), size(col("__t")) - 1, lit(stride)))
+          .as("start_tok"))
+      .select(col("id"),
+        (col("start_tok") / stride).cast("int").as("chunk_idx"),
+        col("start_tok"),
+        least(lit(width), size(col("__t")) - col("start_tok"))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("__t"), col("start_tok") + 1, lit(width)), " ")
+          .as("chunk_text"))
+  }
+
   /** Bigram-LM familiarity — the second-order twin of
     * [[unigramFamiliarity]] (the CCNet-style "does this read like the
     * corpus" filter, one Markov order up): a doc of common WORDS in

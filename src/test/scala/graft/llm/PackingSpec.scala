@@ -113,6 +113,29 @@ class PackingSpec extends SparkTestBase {
       Packing.shardAssign(docs.withColumn("__v", lit(1)), "doc_id", nTok, 4))
   }
 
+  test("writeShardLayout: one file per shard dir, rows inside each file " +
+    "already in pos order, round-trip preserves the assignment") {
+    val nShards = 4
+    val assigned = Packing.shardAssign(docs, "doc_id", nTok, nShards, salt = "t")
+    val path = tmpDir("shard-layout") + "/layout"
+    Packing.writeShardLayout(assigned, path)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.length == nShards, s"expected $nShards shard dirs")
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: expected one file per shard")
+      // in-file order IS pos order: a trainer streams the file as-is
+      val pos = spark.read.parquet(files.head.getPath)
+        .select(col("pos")).collect().map(_.getInt(0)).toSeq
+      assert(pos == (0 until pos.size), s"${d.getName} not pos-ordered: $pos")
+    }
+    val back = spark.read.parquet(path)
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"))
+      .collect().map(_.toSeq).toSet
+    assert(back == assigned.collect().map(_.toSeq).toSet)
+  }
+
   test("bad specs rejected; reserved columns rejected") {
     intercept[IllegalArgumentException](
       Packing.packSequences(docs, "doc_id", nTok, budget = 0))

@@ -354,6 +354,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(2L) == ((2L, 4L, 1L, 2.0, 0.5)), s"got ${out(2L)}")
   }
 
+  test("chunkWindows: overlap math on a known doc; short docs one chunk; " +
+    "empty docs none; full token coverage; bad specs rejected") {
+    val s = spark; import s.implicits._
+    // 7 tokens, width 4 stride 3 -> starts 0, 3, 6
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWindows(df, "doc_id", "text", width = 4,
+        stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getString(4))).sortBy(t => (t._1, t._2)).toList
+    assert(out == List(
+      (1L, 0, 0, 4L, "t0 t1 t2 t3"),
+      (1L, 1, 3, 4L, "t3 t4 t5 t6"),
+      (1L, 2, 6, 1L, "t6"),
+      (2L, 0, 0, 2L, "a b")), s"got $out")
+    // every token index is covered by at least one chunk
+    val covered = out.filter(_._1 == 1L)
+      .flatMap(c => c._3 until (c._3 + c._4.toInt)).toSet
+    assert(covered == (0 until 7).toSet)
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkWindows(df, "doc_id", "text", width = 0, stride = 1))
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkWindows(df, "doc_id", "text", width = 4, stride = 5))
+  }
+
   test("bigramCoherence: hand-computed masses; <2-token docs emit no row") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
