@@ -81,6 +81,16 @@ object SparkEntry {
     lastIvfCentroids = cs
     cs
   }
+  private val qmCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[Double], Double)]
+  @volatile private var lastQualityModel: (Array[Double], Double) = _
+  private def qualityModel(s: SparkSession, dir: String): (Array[Double], Double) = {
+    val m = qmCache.getOrElseUpdate(dir,
+      graft.llm.Filters.fitQualityModel(t(s, dir, "documents"), "text",
+        col("lang") === "en"))
+    lastQualityModel = m
+    m
+  }
 
   /** Operating points DERIVED from corpus stats, not hardcoded: a fixed
     * bucket cap drops progressively more legitimate pairs at 100× corpus,
@@ -879,6 +889,15 @@ object SparkEntry {
             " ").as("qtext"))
       TextAnalysis.bm25TopK(docs, queries, "doc_id", "text",
         "query_id", "qtext", k = 5)
+    }),
+    "s13_quality_classifier" -> ((s, dir) => {
+      // learned quality filter: LR fit distributed over the funnel's
+      // numeric features (weak label: lang=en), coefficients FROZEN as
+      // literals (the fitCentroids contract), scoring a pure map-side
+      // margin fold — no sigmoid, margins are monotone in probability
+      val (w, b) = qualityModel(s, dir)
+      graft.llm.Filters.qualityMargin(t(s, dir, "documents"),
+        "doc_id", "text", w, b)
     }),
     "s12_bm25_indexed" -> ((s, dir) => {
       // s09's retrieval through the PERSISTED inverted-index layout:
@@ -2519,6 +2538,15 @@ object SparkEntry {
           |  x -> x != '')[1:4], ' ') AS qtext
           |FROM documents WHERE doc_id < 3""".stripMargin,
         k = 5),
+    "s13_quality_classifier" -> {
+      // generated from the SAME frozen coefficients the query fit
+      // (populate-then-dump ordering: Verify runs queries first); same
+      // left-to-right margin fold, bit-identical doubles
+      val (w, b) = Option(lastQualityModel)
+        .getOrElse((Array.fill(6)(0.0), 0.0))
+      graft.llm.Filters.qualityMarginOracleSql(
+        "SELECT doc_id, text FROM documents", "doc_id", w, b)
+    },
     "s12_bm25_indexed" ->
       // identical formulation to s09: the indexed path is bit-exact vs
       // the corpus-scan path (shared score expression + sorted fold;

@@ -88,6 +88,89 @@ object Filters {
     featured.withColumn("verdict", verdict)
   }
 
+  /** The numeric slice of [[features]] used by the learned classifier,
+    * with `max_tok_len` nulls (tokenless docs) coalesced to 0 so the
+    * feature vector is total. Shared by fit and scoring so the model
+    * can never see a different feature definition than the scorer. */
+  private def numericFeatures(textCol: Column): Seq[(String, Column)] =
+    features(textCol).collect {
+      case (n @ "max_tok_len", c) => n -> coalesce(c, lit(0L))
+      case (n, c) if n != "ends_sentence" => n -> c
+    }
+
+  /** Fit a logistic-regression quality classifier over the funnel's
+    * numeric features — the learned stand-in for hand-tuned gate
+    * thresholds (the fastText-classifier role in public pipelines:
+    * GPT-3's quality LR, RedPajama's fasttext filter — here over
+    * interpretable surface features instead of bag-of-words). The fit
+    * is distributed (Spark ML L-BFGS); the result is a frozen
+    * (coefficients, intercept) pair to ship as literals, exactly the
+    * [[Similarity.fitCentroids]] freeze pattern — at 100 TB you fit on
+    * a sample and score the corpus map-side with [[qualityMargin]].
+    * `label` is any boolean weak-label expression (a curated subset
+    * flag, a source-level prior). */
+  def fitQualityModel(df: DataFrame, textCol: String, label: Column,
+                      maxIter: Int = 50, regParam: Double = 0.01)
+      : (Array[Double], Double) = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = numericFeatures(col(textCol))
+    val data = df.select(
+      coalesce(label.cast("double"), lit(0.0)).as("__label"),
+      array_to_vector(array(feats.map(_._2.cast("double")): _*)).as("__feat"))
+    val m = new LogisticRegression().setFeaturesCol("__feat")
+      .setLabelCol("__label").setMaxIter(maxIter).setRegParam(regParam)
+      .fit(data)
+    (m.coefficients.toArray, m.intercept)
+  }
+
+  /** Score every doc with a frozen [[fitQualityModel]] result: margin =
+    * intercept + w·features as ONE left-to-right literal fold (no
+    * sigmoid — exp() drifts across libms, and the margin is monotone in
+    * the probability, so thresholding is equivalent), `pred` = margin >
+    * 0. Pure map-side codegen'd arithmetic in the scan stage. Output:
+    * (id, the feature columns, margin, pred). */
+  def qualityMargin(df: DataFrame, idCol: String, textCol: String,
+                    weights: Array[Double], intercept: Double): DataFrame = {
+    val feats = numericFeatures(col(textCol))
+    require(weights.length == feats.size,
+      s"expected ${feats.size} weights (one per numeric feature), got ${weights.length}")
+    val featured = df.select(col(idCol).as("id") +:
+      feats.map { case (n, c) => c.as(n) }: _*)
+    val margin = feats.map(_._1).zip(weights).foldLeft(lit(intercept)) {
+      case (acc, (name, w)) => acc + lit(w) * col(name).cast("double")
+    }
+    featured.withColumn("margin", margin).withColumn("pred", col("margin") > 0.0)
+  }
+
+  /** DuckDB twin of [[qualityMargin]], generated from the SAME frozen
+    * literals (Double.toString round-trips through strtod) and the same
+    * left-to-right fold, so both engines emit bit-identical margins. */
+  def qualityMarginOracleSql(fromSql: String, idCol: String,
+                             weights: Array[Double], intercept: Double): String = {
+    val featSql = Seq(
+      "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens",
+      "CAST(COALESCE(list_max(list_transform(list_filter(string_split(text, ' '), " +
+        "x -> x <> ''), x -> len(x))), 0) AS BIGINT) AS max_tok_len",
+      "CAST(length(text) AS BIGINT) AS n_chars",
+      "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_sym",
+      "CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper",
+      "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha")
+    val names = Seq("n_tokens", "max_tok_len", "n_chars", "n_sym",
+      "n_upper", "n_alpha")
+    require(weights.length == names.size)
+    val margin = names.zip(weights).foldLeft(s"CAST(${intercept} AS DOUBLE)") {
+      case (acc, (n, w)) =>
+        s"($acc + CAST($w AS DOUBLE) * CAST($n AS DOUBLE))"
+    }
+    s"""WITH f AS (SELECT $idCol AS id,
+       |    ${featSql.mkString(",\n    ")}
+       |  FROM ($fromSql))
+       |SELECT id, n_tokens, max_tok_len, n_chars, n_sym, n_upper, n_alpha,
+       |  $margin AS margin, ($margin > 0.0) AS pred
+       |FROM f""".stripMargin
+  }
+
   /** DuckDB twin of [[funnel]], generated from the SAME gate table and
     * the same feature definitions so the engines cannot drift.
     * `fromSql` supplies the input relation with `idCol` and `text`. */

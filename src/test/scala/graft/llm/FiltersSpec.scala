@@ -73,6 +73,42 @@ class FiltersSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"funnel must be map-side:\n$p")
   }
 
+  test("qualityMargin: hand-computed left-to-right fold for fixed weights; " +
+    "map-side plan; weight arity enforced") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "Hi there."), (2L, "")).toDF("doc_id", "text")
+    // features doc1: n_tokens=2, max_tok_len=6, n_chars=9, n_sym=1
+    // (the '.'), n_upper=1, n_alpha=7; doc2: all 0
+    val w = Array(0.5, -0.25, 0.125, 1.0, -1.0, 0.0625)
+    val out = Filters.qualityMargin(df, "doc_id", "text", w, intercept = 2.0)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      ((r.getDouble(7), r.getBoolean(8)))).toMap
+    val m1 = ((((((2.0 + 0.5 * 2) + -0.25 * 6) + 0.125 * 9) + 1.0 * 1)
+      + -1.0 * 1) + 0.0625 * 7)
+    assert(rows(1L) == ((m1, m1 > 0)), s"got ${rows(1L)} want $m1")
+    assert(rows(2L) == ((2.0, true)))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"qualityMargin must be map-side:\n$p")
+    intercept[IllegalArgumentException] {
+      Filters.qualityMargin(df, "doc_id", "text", Array(1.0), 0.0)
+    }
+  }
+
+  test("fitQualityModel separates an obviously separable weak label and " +
+    "the frozen scorer agrees with the model's sign") {
+    val s = spark; import s.implicits._
+    // long clean docs labeled true, short ones false — linearly separable
+    // on n_tokens alone
+    val docs = ((1L to 30L).map(i => (i, ("word " * 40).trim, true)) ++
+      (31L to 60L).map(i => (i, "a b", false))).toDF("doc_id", "text", "good")
+    val (w, b) = Filters.fitQualityModel(docs, "text", col("good"))
+    assert(w.length == 6)
+    val scored = Filters.qualityMargin(docs, "doc_id", "text", w, b)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    (1L to 30L).foreach(i => assert(scored(i), s"doc $i should score positive"))
+    (31L to 60L).foreach(i => assert(!scored(i), s"doc $i should score negative"))
+  }
+
   test("gate table is validated: empty, duplicate names, reserved 'kept'") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "x")).toDF("doc_id", "text")
