@@ -481,6 +481,39 @@ object ScaleBench {
       oneQuery, "query_id", "qtext", k = 10).count()
     val bmIdx1Secs = secs(tIdx1)
 
+    // d42 shard assignment at 128 shards: shard id is map-side, the
+    // only exchange is hashpartitioning(shard) for the in-shard
+    // row_number — wall-clock should track a plain count of the corpus
+    val tShard = System.nanoTime()
+    val shardStats = graft.llm.Packing.shardStats(
+      graft.llm.Packing.shardAssign(corpus, "doc_id",
+        graft.llm.TextAnalysis.tokenCount(col("text")).cast("long"),
+        nShards = 128))
+      .agg(count(lit(1)).as("n"), max(col("n_docs")).as("mx"),
+        min(col("n_docs")).as("mn")).head()
+    val shardSecs = secs(tShard)
+    val (shardN, shardMax, shardMin) =
+      (shardStats.getLong(0), shardStats.getLong(1), shardStats.getLong(2))
+
+    // d44 chunking: pure map-side explode — the count aggregates the
+    // chunks without materializing text, so this measures the
+    // tokenize+slice arithmetic itself
+    val tChunk = System.nanoTime()
+    val nChunks = graft.llm.TextAnalysis.chunkWindows(corpus,
+      "doc_id", "text", width = 64, stride = 48).count()
+    val chunkSecs = secs(tChunk)
+
+    // d43 bigram coherence: the one corpus pass carries (id, bigram)
+    // pairs — heavier keys than d29's unigrams but the same single
+    // reused exchange; replication keeps the bigram vocabulary small
+    // relative to the pair stream, the 10^9-doc regime
+    val tBig = System.nanoTime()
+    val bigAgg = graft.llm.TextAnalysis.bigramCoherence(corpus,
+        "doc_id", "text")
+      .agg(count(lit(1)).as("n"), avg(col("cond_score")).as("avg")).head()
+    val bigSecs = secs(tBig)
+    val (bigRows, bigAvg) = (bigAgg.getLong(0), bigAgg.getDouble(1))
+
     // d37 novelty at the dup-heavy shape: replication makes nearly every
     // 4-gram corpus-shared, so the doc-frequency aggregate is dominated
     // by high-df keys — all map-side combined (no window), the regime a
@@ -646,6 +679,10 @@ object ScaleBench {
       s""""bm25_idx_probe_secs":$bmIdxProbeSecs,"bm25_idx_rows":$nBmIdx,""" +
       s""""bm25_scan1_secs":$bmScan1Secs,"bm25_scan1_rows":$nBmScan1,""" +
       s""""bm25_idx1_secs":$bmIdx1Secs,"bm25_idx1_rows":$nBmIdx1,""" +
+      s""""shard_secs":$shardSecs,"shard_n":$shardN,""" +
+      s""""shard_max_docs":$shardMax,"shard_min_docs":$shardMin,""" +
+      s""""chunk_secs":$chunkSecs,"chunk_rows":$nChunks,""" +
+      s""""bigram_secs":$bigSecs,"bigram_rows":$bigRows,"bigram_avg":$bigAvg,""" +
       s""""nov_secs":$novSecs,"nov_rows":$novRows,"nov_avg":$novAvg,""" +
       s""""imp_secs":$impSecs,"imp_rows":$nImp,""" +
       s""""imp_take_ordered":$impTakeOrdered,""" +
