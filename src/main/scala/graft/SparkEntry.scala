@@ -784,6 +784,15 @@ object SparkEntry {
       Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, k = 3, numHashes = 12, bands = 4,
         maxBucketSize = Some(docBucketCap(s, dir)))),
+    "d45_leak_split" -> ((s, dir) =>
+      // eval hygiene for the split itself: near-dup CLUSTER reps decide
+      // the train/heldout side, so a heldout doc can never have a
+      // near-copy in train; singletons (the vast majority) coalesce to
+      // themselves and the side rule is the deterministic hash cut
+      Dedup.leakFreeSplit(t(s, dir, "documents"), "doc_id", "text",
+        heldoutRate = 0.25, salt = "split7", threshold = 0.5, k = 3,
+        numHashes = 12, bands = 4,
+        maxBucketSize = Some(docBucketCap(s, dir)))),
     "d12_string_clusters" -> ((s, dir) =>
       // d09's clustering with STRING document keys (the real-world id
       // shape: UUIDs/URLs) — ids map to dense numeric surrogates inside
@@ -2123,6 +2132,26 @@ object SparkEntry {
          |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
          |SELECT id, MIN(r) AS cluster, (id = MIN(r)) AS keep
          |FROM reach GROUP BY id""".stripMargin,
+    "d45_leak_split" ->
+      // d09's recursive transitive closure for the cluster reps, then
+      // the corpus LEFT JOINs the labels (singletons coalesce to their
+      // own id) and the side is the same salted-md5 threshold cut the
+      // sampling family uses — thresholds generated by rateThreshold
+      s"""WITH RECURSIVE ${duckLshPairsCte()},
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ndpairs
+         |          UNION ALL SELECT id2, id1 FROM ndpairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |  COALESCE(cl.cluster, d.doc_id) AS rep,
+         |  CASE WHEN substr(md5('split7|'
+         |      || CAST(COALESCE(cl.cluster, d.doc_id) AS VARCHAR)), 1, 8)
+         |    < '${graft.llm.Sampling.rateThreshold(0.25)}' THEN 'heldout'
+         |    ELSE 'train' END AS side
+         |FROM documents d LEFT JOIN cl ON cl.id = d.doc_id""".stripMargin,
     "d12_string_clusters" ->
       // d09's recursive-closure oracle over string keys: MIN(varchar) is
       // lexicographic, matching the surrogate translation's keeper choice

@@ -18,11 +18,16 @@ import org.apache.spark.sql.functions._
   *      canonical = longest copy, not min id (canonicalByQuality);
   *   5. deterministic mix sampling to a target language composition;
   *   6. PII scrub — redaction counts kept as quality telemetry;
-  *   7. sequence packing into fixed token budgets (training-ready);
-  *   8. winnowing-overlap cross-check (independent signal);
-  *   9. embedding near-dup clusters + per-cell diversity take on the
+  *   7. leakage-free train/heldout split (near-dup cluster reps decide
+  *      the side — a heldout doc can never have a near-copy in train);
+  *   8. sequence packing into fixed token budgets (training-ready);
+  *   9. reproducible shard layout (one pos-ordered file per shard);
+  *  10. learned quality audit (LR fit distributed, frozen-literal
+  *      margin scoring);
+  *  11. winnowing-overlap cross-check (independent signal);
+  *  12. embedding near-dup clusters + per-cell diversity take on the
   *      vector side;
-  *  10. curated + packed corpora written with stats.
+  *  13. curated + packed + sharded corpora written with stats.
   *
   * Run: sbt "runMain graft.examples.CurationExample [sfDir] [outDir]"
   */
@@ -93,12 +98,38 @@ object CurationExample {
       .join(scrubbed.withColumnRenamed("redacted_text", "text"), Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
-    // training-ready packing: fixed 2048-token sequences over the
-    // curated corpus in deterministic salted order
+
+    // leakage-free train/heldout split: near-dup cluster reps decide
+    // the side, so a heldout doc can never have a near-copy in train
+    val split = Dedup.leakFreeSplit(curated, "doc_id", "text",
+      heldoutRate = 0.1, salt = "epoch0", threshold = 0.5)
+    val train = curated.join(
+      split.where(col("side") === "train").select(col("doc_id")),
+      Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val heldoutN = split.where(col("side") === "heldout").count()
+
+    // training-ready packing: fixed 2048-token sequences over the TRAIN
+    // side in deterministic salted order
     graft.llm.Packing.packSequences(
-        curated.select(col("doc_id"), col("text")), "doc_id",
+        train.select(col("doc_id"), col("text")), "doc_id",
         TextAnalysis.tokenCount(col("text")).cast("long"), budget = 2048)
       .write.mode("overwrite").parquet(s"$outDir/packed")
+
+    // reproducible shard layout: one pos-ordered file per shard dir —
+    // the form a trainer streams without sorting
+    graft.llm.Packing.writeShardLayout(
+      graft.llm.Packing.shardAssign(train, "doc_id",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        nShards = 8, salt = "epoch0"),
+      s"$outDir/shards")
+
+    // learned quality audit: LR over the funnel features (weak label =
+    // corpus-majority language), frozen coefficients, map-side margins
+    val (qw, qb) = graft.llm.Filters.fitQualityModel(docs, "text",
+      col("lang") === "en")
+    val qualityPos = graft.llm.Filters.qualityMargin(train, "doc_id",
+      "text", qw, qb).where(col("pred")).count()
 
     // independent overlap signal on the curated set (audit, not a filter)
     val overlap = Dedup.winnowingOverlapPairs(curated, "doc_id", "text",
@@ -115,8 +146,10 @@ object CurationExample {
       .count()
 
     val total = docs.count(); val kept = curated.count()
+    val trainN = train.count()
     val redactions = curated.agg(sum(col("n_redacted"))).head().getLong(0)
     println(s"[curation-example] input=$total quality+deduped=$kept " +
+      s"train=$trainN heldout=$heldoutN quality_margin_pos=$qualityPos " +
       s"pii_redactions=$redactions residual_overlap_pairs=$overlap " +
       s"embedding_cluster_members=$embClusters diversity_kept=$diverse out=$outDir")
     spark.stop()

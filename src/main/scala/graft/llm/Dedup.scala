@@ -1310,6 +1310,42 @@ object Dedup {
       .drop("__q")
   }
 
+  /** Leakage-free train/heldout split — eval hygiene for the split
+    * itself: a plain per-doc hash split leaks whenever two NEAR-DUP
+    * docs land on opposite sides (the heldout copy is effectively in
+    * the training set), so the split key here is the near-dup CLUSTER
+    * representative, not the doc: every member of a component shares
+    * its rep and therefore its side, and singletons are their own rep.
+    * The side decision is the deterministic [[Sampling.sampleKey]] <
+    * threshold rule — reproducible across runs, engines, partitionings.
+    *
+    * Scale shape: LSH + connected components exactly as
+    * [[nearDupClusters]] (only ids ride the CC iterations), then ONE
+    * (id ⋈ id) left join of the id-projected corpus against the
+    * cluster labels (docs outside the pair graph — the vast majority —
+    * coalesce to themselves) and a map-side hash comparison for the
+    * side. Output: (id, rep, side ∈ {train, heldout}). */
+  def leakFreeSplit(df: DataFrame, idCol: String, textCol: String,
+                    heldoutRate: Double, salt: String,
+                    threshold: Double, k: Int = 3,
+                    numHashes: Int = 12, bands: Int = 4,
+                    maxBucketSize: Option[Int] = None): DataFrame = {
+    require(heldoutRate >= 0 && heldoutRate <= 1,
+      s"heldoutRate must be in [0,1]: $heldoutRate")
+    val (pairs, caches) = nearDupPairsLazy(df, idCol, textCol, threshold,
+      k, numHashes, bands, maxBucketSize)
+    val cc = connectedComponents(pairs).select(col("id"), col("cluster"))
+    caches.foreach(_.unpersist(blocking = true))
+    val cut = Sampling.rateThreshold(heldoutRate)
+    df.select(col(idCol))
+      .join(cc, df(idCol) === cc("id"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("rep"))
+      .withColumn("side",
+        when(Sampling.sampleKey(col("rep"), salt) < lit(cut), lit("heldout"))
+          .otherwise(lit("train")))
+  }
+
   /** Portable 64-bit token hash: the first 16 hex chars of md5 assembled
     * from two 32-bit halves (hex-parse of the full 16 would overflow a
     * signed long). Bit-identical in any engine with md5 — the property an

@@ -397,10 +397,14 @@ object TextAnalysis {
   /** Persisted inverted-index layout for BM25 — the retrieval twin of
     * the SRP/IVF ANN layouts ([[graft.llm.Similarity.writeSrpLayout]]):
     * [[bm25TopK]] re-tokenizes and re-explodes the WHOLE corpus on every
-    * query batch (measured 46.5s/query-batch at the 544k-doc corpus —
-    * fine once, wrong as a serving path), while a 100 TB corpus
-    * tokenizes ONCE here and every later query batch reads only the
-    * partition directories its terms hash into.
+    * query batch (SCALE_BENCH.json at the 544k-doc corpus: 26.4s per
+    * 20-query batch, 8.0s even for a single 4-term query — fine once,
+    * wrong as a serving path), while a 100 TB corpus tokenizes ONCE
+    * here (10.4s build at 544k) and every later query batch reads only
+    * the partition directories its terms hash into (2.4s for the
+    * single-query probe — the narrow shape is the win regime; a
+    * many-query sheet whose terms cover most buckets degrades toward a
+    * full postings scan, measured 22.6s for 20 queries/80 terms).
     *
     * Layout under `path`:
     *   - `postings/` — (term, doc_id, tf, dl, df) partitioned by

@@ -175,6 +175,27 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L) == ((2L, 0L, "al be")))
   }
 
+  test("leakFreeSplit: every near-dup cluster member shares a side; " +
+    "singletons are their own rep; extreme rates degenerate; bad rate rejected") {
+    val out = Dedup.leakFreeSplit(docs, "doc_id", "text",
+        heldoutRate = 0.5, salt = "t", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 5)
+    val byId = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    // 1, 2, 5 are dups (exact modulo case/ws): one rep, one side
+    assert(Set(byId(1L), byId(2L), byId(5L)).size == 1,
+      s"cluster split across sides: $byId")
+    // 4 is a singleton: its own rep
+    assert(byId(4L)._1 == 4L)
+    // rate 0 -> all train; rate 1 -> all heldout
+    assert(Dedup.leakFreeSplit(docs, "doc_id", "text", 0.0, "t", 0.5)
+      .collect().forall(_.getString(2) == "train"))
+    assert(Dedup.leakFreeSplit(docs, "doc_id", "text", 1.0, "t", 0.5)
+      .collect().forall(_.getString(2) == "heldout"))
+    intercept[IllegalArgumentException](
+      Dedup.leakFreeSplit(docs, "doc_id", "text", 1.5, "t", 0.5))
+  }
+
   test("canonicalByQuality keeps the best copy (argmax quality), " +
     "not the min id; ties fall back to min id") {
     val s = spark; import s.implicits._
