@@ -383,6 +383,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), decimalSum(col("value"), 2).as("sum_value"))
     }),
 
+    "m24_stream_funnel" -> ((s, dir) => {
+      // the d39 gate chain as a STREAMING stage: stateless curation
+      // transforms drop into a checkpointed AvailableNow file stream
+      // unchanged (one micro-batch = one map-side projection), so the
+      // batch oracle gates the streaming path's output verbatim
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = tmpQueryDir("m24-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        src.resolve("documents.parquet"))
+      val out = tmpQueryDir("m24-sink").toString
+      val ckpt = tmpQueryDir("m24-ckpt").toString
+      Incremental.runAvailableNow(s, src.toString, schema, "parquet",
+        df => graft.llm.Filters.funnel(df, "doc_id", "text",
+          gates = d39Gates),
+        out, ckpt).awaitTermination()
+      s.read.parquet(out)
+    }),
+
     // ---- training-data ops ----------------------------------------------
     "d01_exact_dedup" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -784,6 +803,32 @@ object SparkEntry {
       Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, k = 3, numHashes = 12, bands = 4,
         maxBucketSize = Some(docBucketCap(s, dir)))),
+    "d46_source_scorecard" -> ((s, dir) => {
+      // per-source operational report (the "data card" every curation
+      // run publishes): doc/token volume, corpus-wide exact-dup share,
+      // PII incidence — one scan, one fp window (dup keeper), one
+      // source aggregate; pii-any is the rule table's patterns OR'd,
+      // cheap relative to the full sequential scrub
+      val docs = t(s, dir, "documents")
+      val piiAny = graft.llm.Pii.defaultRules
+        .map(r => regexp_count(col("text"), lit(r.pattern)) > 0)
+        .reduce(_ || _)
+      val base = docs.select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+        Dedup.exactKey(col("text")).as("fp"),
+        piiAny.cast("long").as("has_pii"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      base
+        .withColumn("is_dup",
+          (col("doc_id") =!= min(col("doc_id")).over(w)).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          (sum(col("n_toks")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_tokens"),
+          sum(col("is_dup")).as("dup_docs"),
+          sum(col("has_pii")).as("pii_docs"))
+    }),
     "d45_leak_split" -> ((s, dir) =>
       // eval hygiene for the split itself: near-dup CLUSTER reps decide
       // the train/heldout side, so a heldout doc can never have a
@@ -898,6 +943,23 @@ object SparkEntry {
             " ").as("qtext"))
       TextAnalysis.bm25TopK(docs, queries, "doc_id", "text",
         "query_id", "qtext", k = 5)
+    }),
+    "s14_rerank_retrieval" -> ((s, dir) => {
+      // two-stage retrieval: BM25 top-20 lexical candidates (recall),
+      // exact-cosine re-rank to top-5 (precision) — the candidate
+      // frame is tiny so no crossJoin forms and the corpus joins once
+      // on corpus_id; vec_id aligns with doc_id in the testdata
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val queries = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(lower(col("text"))), 1, 4),
+            " ").as("qtext"))
+      val cands = TextAnalysis.bm25TopK(docs, queries, "doc_id", "text",
+          "query_id", "qtext", k = 20)
+        .select(col("query_id"), col("doc_id").as("corpus_id"))
+      Similarity.rerankTopK(cands, emb,
+        emb.where(col("vec_id") < 3), k = 5)
     }),
     "s13_quality_classifier" -> ((s, dir) => {
       // learned quality filter: LR fit distributed over the funnel's
@@ -1979,6 +2041,11 @@ object SparkEntry {
       // audited DuckDB twins of the Spark feature columns
       graft.llm.Filters.funnelOracleSql(
         "SELECT doc_id, text FROM documents", "doc_id", gates = d39Gates),
+    "m24_stream_funnel" ->
+      // the streaming path must equal the batch funnel row-for-row —
+      // d39's generated oracle gates it unchanged
+      graft.llm.Filters.funnelOracleSql(
+        "SELECT doc_id, text FROM documents", "doc_id", gates = d39Gates),
     "d40_stratum_overlap" ->
       // d37's gram construction carrying lang instead of doc_id; full
       // matrix via a totals self-cross, zero-overlap pairs kept; one
@@ -2132,6 +2199,30 @@ object SparkEntry {
          |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
          |SELECT id, MIN(r) AS cluster, (id = MIN(r)) AS keep
          |FROM reach GROUP BY id""".stripMargin,
+    "d46_source_scorecard" -> {
+      // same fingerprint (d01's normalized md5), same OR of the rule
+      // table's patterns (regexp_matches ≡ regexp_count > 0), same
+      // window-min dup rule, one double division per source
+      val piiAny = graft.llm.Pii.defaultRules
+        .map(r => s"regexp_matches(text, '${r.pattern.replace("'", "''")}')")
+        .mkString(" OR ")
+      s"""WITH base AS (SELECT source, doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      AS BIGINT) AS n_toks,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |    CASE WHEN $piiAny THEN 1 ELSE 0 END AS has_pii
+         |  FROM documents),
+         |dup AS (SELECT *, CASE WHEN doc_id != MIN(doc_id) OVER (PARTITION BY fp)
+         |    THEN 1 ELSE 0 END AS is_dup FROM base)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS mean_tokens,
+         |  CAST(SUM(is_dup) AS BIGINT) AS dup_docs,
+         |  CAST(SUM(has_pii) AS BIGINT) AS pii_docs
+         |FROM dup GROUP BY 1""".stripMargin
+    },
     "d45_leak_split" ->
       // d09's recursive transitive closure for the cluster reps, then
       // the corpus LEFT JOINs the labels (singletons coalesce to their
@@ -2567,6 +2658,28 @@ object SparkEntry {
           |  x -> x != '')[1:4], ' ') AS qtext
           |FROM documents WHERE doc_id < 3""".stripMargin,
         k = 5),
+    "s14_rerank_retrieval" -> {
+      // the s09 BM25 formulation at k=20 embedded as a subquery-CTE,
+      // then the s01 cosine construction over the surviving pairs —
+      // self-pairs excluded like perQueryTopK
+      val bm = TextAnalysis.bm25OracleSql(
+        "SELECT doc_id, text FROM documents",
+        """SELECT doc_id AS query_id,
+          |array_to_string(list_filter(string_split(lower(text), ' '),
+          |  x -> x != '')[1:4], ' ') AS qtext
+          |FROM documents WHERE doc_id < 3""".stripMargin,
+        k = 20)
+      val cos = duckCos("q.embedding", "c.embedding")
+      s"""SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT b.query_id, b.doc_id AS corpus_id, $cos AS score,
+         |    row_number() OVER (PARTITION BY b.query_id
+         |      ORDER BY $cos DESC, b.doc_id) AS rnk
+         |  FROM ($bm) b
+         |  JOIN embeddings c ON c.vec_id = b.doc_id
+         |  JOIN embeddings q ON q.vec_id = b.query_id
+         |  WHERE b.query_id != b.doc_id)
+         |WHERE rnk <= 5""".stripMargin
+    },
     "s13_quality_classifier" -> {
       // generated from the SAME frozen coefficients the query fit
       // (populate-then-dump ordering: Verify runs queries first); same

@@ -229,6 +229,31 @@ object Similarity {
       .select("query_id", "corpus_id", "score", "rank")
   }
 
+  /** Second-stage re-rank over an EXPLICIT candidate list — the tail of
+    * the classic two-stage retrieval (cheap lexical recall → exact
+    * vector precision): `cands` is (query_id, corpus_id) from any
+    * first-stage retriever (BM25 top-n, an ANN probe, a rules engine),
+    * and this scores each surviving pair by exact cosine and keeps the
+    * per-query top k. Same score arithmetic, self-exclusion and
+    * NaN/zero-norm hygiene as [[bruteForceTopK]] (shared perQueryTopK
+    * tail), so a candidate list covering the whole corpus degenerates
+    * to brute force exactly.
+    *
+    * Scale shape: candidates are (queries × n) rows — tiny next to the
+    * corpus — so the corpus-side join hashes on corpus_id with the
+    * candidate side broadcast (AQE sizes it), the query-vector join is
+    * an explicit broadcast, and no crossJoin ever forms. */
+  def rerankTopK(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
+                 k: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+      normFast(col(vecCol)).as("cnorm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      normFast(col(vecCol)).as("qnorm"))
+    perQueryTopK(cands.select(col("query_id"), col("corpus_id"))
+      .join(c, Seq("corpus_id")).join(broadcast(q), Seq("query_id")), k)
+  }
+
   /** Auto-size the SRP plane count from corpus size: enough planes that
     * the EXPECTED bucket occupancy is ~targetBucketSize (corpus/2^planes),
     * clamped to [4, 30]. Per-query candidate cost at Hamming-radius-1

@@ -113,6 +113,24 @@ class SimilaritySpec extends SparkTestBase {
       "zero vector must not pair with bucket-mates")
   }
 
+  test("rerankTopK over the FULL candidate list equals bruteForceTopK " +
+    "bit-exactly; a partial list restricts results to it") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+    val allCands = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(emb.select(col("vec_id").as("corpus_id")))
+    val rer = Similarity.rerankTopK(allCands, emb, queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(rer == brute, "full-list rerank must degenerate to brute force")
+    val s = spark; import s.implicits._
+    val partial = Seq((0L, 7L), (0L, 8L), (0L, 9L)).toDF("query_id", "corpus_id")
+    val out = Similarity.rerankTopK(partial, emb, queries, k = 5).collect()
+    assert(out.nonEmpty &&
+      out.forall(r => Set(7L, 8L, 9L).contains(r.getLong(1))))
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic tie-break") {
     val s = spark; import s.implicits._
     // query 0 = (1,0); corpus: 1=(2,0) cos=1, 2=(1,1) cos=.707, 3=(0,1) cos=0
