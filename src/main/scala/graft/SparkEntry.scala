@@ -803,6 +803,14 @@ object SparkEntry {
       Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, k = 3, numHashes = 12, bands = 4,
         maxBucketSize = Some(docBucketCap(s, dir)))),
+    "d47_repeat_schedule" -> ((s, dir) =>
+      // data-constrained repeat plan: 40+-token docs train 2 epochs,
+      // the rest 1; each (epoch, doc) gets a fresh deterministic order
+      // key so no epoch replays another's shuffle — map-side explode
+      graft.llm.Packing.repeatSchedule(t(s, dir, "documents"),
+        "doc_id",
+        when(TextAnalysis.tokenCount(col("text")) >= 40, 2).otherwise(1),
+        salt = "rep1")),
     "d46_source_scorecard" -> ((s, dir) => {
       // per-source operational report (the "data card" every curation
       // run publishes): doc/token volume, corpus-wide exact-dup share,
@@ -2199,6 +2207,19 @@ object SparkEntry {
          |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
          |SELECT id, MIN(r) AS cluster, (id = MIN(r)) AS keep
          |FROM reach GROUP BY id""".stripMargin,
+    "d47_repeat_schedule" ->
+      // same tier CASE, same unnest(range(0, ne)) epochs, same
+      // md5(salt|epoch|id) order key
+      """WITH base AS (SELECT doc_id,
+        |    CASE WHEN len(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) >= 40 THEN 2 ELSE 1 END AS ne
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(range(0, ne)) AS epoch
+        |  FROM base WHERE ne > 0)
+        |SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+        |  substr(md5('rep1' || '|' || CAST(epoch AS VARCHAR) || '|'
+        |    || CAST(doc_id AS VARCHAR)), 1, 8) AS order_key
+        |FROM e""".stripMargin,
     "d46_source_scorecard" -> {
       // same fingerprint (d01's normalized md5), same OR of the rule
       // table's patterns (regexp_matches ≡ regexp_count > 0), same

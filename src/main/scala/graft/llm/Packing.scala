@@ -154,6 +154,28 @@ object Packing {
     assigned.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
 
+  /** Epoch repetition schedule — the data-constrained-scaling repeat
+    * plan (Muennighoff et al. 2023: under a token budget, repeating
+    * good data up to ~4 epochs beats adding bad data): each doc emits
+    * one row per epoch it participates in, with a fresh deterministic
+    * ORDER KEY per (epoch, doc) — md5(salt|epoch|id) — so every epoch
+    * replays a DIFFERENT shuffle order without a rand() anywhere (the
+    * same-order-every-epoch trap), and downstream [[shardAssign]] /
+    * [[packSequences]] compose per epoch off the key. `epochs` is any
+    * non-negative int expression over the row (a quality-tier CASE, a
+    * per-source policy); rows with 0 epochs drop out of training by
+    * construction. Pure map-side explode. Output: (id, epoch,
+    * order_key). */
+  def repeatSchedule(df: DataFrame, idCol: String, epochs: Column,
+                     salt: String = "graft"): DataFrame =
+    df.select(col(idCol), epochs.cast("int").as("__ne"))
+      .where(col("__ne") > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0), col("__ne") - 1)).as("epoch"))
+      .withColumn("order_key",
+        substring(md5(concat_ws("|", lit(salt),
+          col("epoch").cast("string"), col(idCol).cast("string"))), 1, 8))
+
   /** Materialize a [[shardAssign]] result as the on-disk shard layout a
     * trainer streams: one directory per shard, rows inside each file in
     * `pos` order (repartition by shard + sortWithinPartitions — the

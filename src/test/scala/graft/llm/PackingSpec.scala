@@ -136,6 +136,23 @@ class PackingSpec extends SparkTestBase {
     assert(back == assigned.collect().map(_.toSeq).toSet)
   }
 
+  test("repeatSchedule: per-doc epoch counts honored, 0-epoch docs drop, " +
+    "each epoch's order is a distinct deterministic permutation") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 2), (2L, 1), (3L, 0)).toDF("doc_id", "ne")
+    val out = Packing.repeatSchedule(df, "doc_id", col("ne"), salt = "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.map(t => (t._1, t._2)).toSet ==
+      Set((1L, 0), (1L, 1), (2L, 0)), s"got ${out.toSeq}")
+    // epoch 0 and epoch 1 give doc 1 different order keys (fresh
+    // shuffle per epoch), and keys are stable across invocations
+    val k = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(k(0) != k(1))
+    val again = Packing.repeatSchedule(df, "doc_id", col("ne"), salt = "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(again == out.toSet)
+  }
+
   test("bad specs rejected; reserved columns rejected") {
     intercept[IllegalArgumentException](
       Packing.packSequences(docs, "doc_id", nTok, budget = 0))
