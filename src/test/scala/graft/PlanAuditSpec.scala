@@ -153,6 +153,52 @@ class PlanAuditSpec extends SparkTestBase {
     } finally { f0.unpersist(blocking = true); () }
   }
 
+  test("d42: shard id is map-side — the ONLY exchange is " +
+    "hashpartitioning(shard) for the in-shard window") {
+    val p = plan("d42_shard_assign")
+    assert(p.contains("Exchange hashpartitioning(shard"),
+      s"in-shard window must partition by shard:\n$p")
+    assert("Exchange hashpartitioning\\((?!shard)".r.findFirstIn(p).isEmpty,
+      s"unexpected exchange on a non-shard key:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d44: chunking is one pruned scan, zero exchanges") {
+    val p = plan("d44_chunk_windows")
+    assert("FileScan".r.findAllIn(p).length == 1)
+    assert(!p.contains("Exchange"), s"chunking must be map-side:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to the two used columns:\n$p")
+  }
+
+  test("d47: repeat schedule is one pruned scan, zero exchanges") {
+    val p = plan("d47_repeat_schedule")
+    assert("FileScan".r.findAllIn(p).length == 1)
+    assert(!p.contains("Exchange"), s"repeat schedule must be map-side:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to the two used columns:\n$p")
+  }
+
+  test("d46: scorecard is one scan through the fp window into the " +
+    "source aggregate — exchanges only on fp and source") {
+    val p = plan("d46_source_scorecard")
+    assert("FileScan".r.findAllIn(p).length == 1)
+    assert(p.contains("Exchange hashpartitioning(fp"),
+      s"dup window must partition by fp:\n$p")
+    assert(p.contains("Exchange hashpartitioning(source"),
+      s"report aggregate must partition by source:\n$p")
+    assert("Exchange hashpartitioning\\((?!fp|source)".r.findFirstIn(p).isEmpty,
+      s"unexpected exchange on another key:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s14: rerank joins stay equi/broadcast — no cartesian ever forms") {
+    val p = plan("s14_rerank_retrieval")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate/vector joins should broadcast the small side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("s07: quantized top-k broadcasts queries like the float tier") {
     val p = plan("s07_quantized_topk")
     assert(p.contains("BroadcastNestedLoopJoin"))
