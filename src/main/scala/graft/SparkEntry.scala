@@ -969,6 +969,23 @@ object SparkEntry {
       Similarity.rerankTopK(cands, emb,
         emb.where(col("vec_id") < 3), k = 5)
     }),
+    "m25_bm25_versioned" -> ((s, dir) => {
+      // index refresh retires the stale snapshot BY CONSTRUCTION: v1 is
+      // built from half the corpus, v2 from all of it, and the probe
+      // pins the newest — any v1 leakage (wrong df/N/Σdl) would shift
+      // scores and fail the full-corpus oracle hash
+      val docs = t(s, dir, "documents")
+      val queries = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(lower(col("text"))), 1, 4),
+            " ").as("qtext"))
+      val store = tmpQueryDir("m25-bm25").toString + "/store"
+      TextAnalysis.writeBm25Snapshot(docs.where(col("doc_id") % 2 === 0),
+        store, termBuckets = 32)
+      TextAnalysis.writeBm25Snapshot(docs, store, termBuckets = 32)
+      TextAnalysis.bm25TopKIndexedLatest(s, store, queries,
+        "query_id", "qtext", k = 5)
+    }),
     "s13_quality_classifier" -> ((s, dir) => {
       // learned quality filter: LR fit distributed over the funnel's
       // numeric features (weak label: lang=en), coefficients FROZEN as
@@ -2701,6 +2718,17 @@ object SparkEntry {
          |  WHERE b.query_id != b.doc_id)
          |WHERE rnk <= 5""".stripMargin
     },
+    "m25_bm25_versioned" ->
+      // the FULL-corpus s09 formulation: correct only if the probe read
+      // the v2 snapshot alone — v1's half-corpus df/N/Σdl would produce
+      // different scores
+      TextAnalysis.bm25OracleSql(
+        "SELECT doc_id, text FROM documents",
+        """SELECT doc_id AS query_id,
+          |array_to_string(list_filter(string_split(lower(text), ' '),
+          |  x -> x != '')[1:4], ' ') AS qtext
+          |FROM documents WHERE doc_id < 3""".stripMargin,
+        k = 5),
     "s13_quality_classifier" -> {
       // generated from the SAME frozen coefficients the query fit
       // (populate-then-dump ordering: Verify runs queries first); same

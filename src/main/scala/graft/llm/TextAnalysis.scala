@@ -487,6 +487,33 @@ object TextAnalysis {
     bm25RankTopK(scored, k)
   }
 
+  /** [[writeBm25Layout]] through the versioned [[LayoutStore]]: each
+    * index rebuild lands as an immutable `version=N` snapshot (dot-temp
+    * + atomic rename — no torn probe ever sees new postings with old
+    * stats), and [[bm25TopKIndexedLatest]] pins the newest, so a
+    * refreshed corpus RETIRES the stale index by construction (the
+    * bench-key snapshot contract applied to a layout). Returns the new
+    * version. */
+  def writeBm25Snapshot(corpus: DataFrame, path: String,
+                        docIdCol: String = "doc_id",
+                        textCol: String = "text",
+                        termBuckets: Int = 64): Long =
+    LayoutStore.writeSnapshot(
+      corpus.sparkSession.sparkContext.hadoopConfiguration, path)(
+      tmp => writeBm25Layout(corpus, tmp, docIdCol, textCol, termBuckets))
+
+  /** Probe a [[writeBm25Snapshot]] store: resolves the pinned version's
+    * path (default newest) and runs [[bm25TopKIndexed]] against it. */
+  def bm25TopKIndexedLatest(spark: org.apache.spark.sql.SparkSession,
+                            path: String, queries: DataFrame,
+                            queryIdCol: String, queryTextCol: String,
+                            k: Int, k1: Double = 1.2, b: Double = 0.75,
+                            version: Option[Long] = None): DataFrame =
+    bm25TopKIndexed(spark,
+      LayoutStore.snapshotPath(spark.sparkContext.hadoopConfiguration,
+        path, version),
+      queries, queryIdCol, queryTextCol, k, k1, b)
+
   /** The DuckDB twin of [[bm25TopK]], generated with the SAME k1/b
     * literals and the SAME expression tree so the two engines cannot
     * drift (the Pii.scrubOracleSql pattern). `corpusSql` yields

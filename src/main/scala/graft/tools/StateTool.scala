@@ -20,6 +20,10 @@ import graft.core.RunState
   * same treatment — list and prune are pure-FS, no Spark session:
   *   sbt "runMain graft.tools.StateTool benchkeys       <storeDir>"
   *   sbt "runMain graft.tools.StateTool benchkeys-prune <storeDir> <retain>"
+  * and versioned layout stores (llm.LayoutStore — e.g. the BM25
+  * postings index via TextAnalysis.writeBm25Snapshot) likewise:
+  *   sbt "runMain graft.tools.StateTool layouts       <storeDir>"
+  *   sbt "runMain graft.tools.StateTool layouts-prune <storeDir> <retain>"
   */
 object StateTool {
 
@@ -67,10 +71,28 @@ object StateTool {
         new org.apache.hadoop.conf.Configuration(), dir, retain.toInt)
       println(s"pruned $dir: removed versions " +
         s"[${removed.mkString(",")}] (retain ${retain.toInt})")
+    case "layouts" :: dir :: Nil =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(conf)
+      val vs = graft.llm.LayoutStore.versions(conf, dir)
+      if (vs.isEmpty) println(s"no layout snapshots at $dir")
+      else vs.foreach { v =>
+        val p = new org.apache.hadoop.fs.Path(base, s"version=$v")
+        val sum = fs.getContentSummary(p)
+        val live = if (v == vs.last) "\tLIVE" else ""
+        println(s"version=$v\tfiles=${sum.getFileCount}\tbytes=${sum.getLength}$live")
+      }
+    case "layouts-prune" :: dir :: retain :: Nil =>
+      val removed = graft.llm.LayoutStore.prune(
+        new org.apache.hadoop.conf.Configuration(), dir, retain.toInt)
+      println(s"pruned $dir: removed versions " +
+        s"[${removed.mkString(",")}] (retain ${retain.toInt})")
     case _ =>
       System.err.println(
         "usage: StateTool print|versions <dir> | get|unset <dir> <key> | " +
-          "prune <dir> <retain> | benchkeys <dir> | benchkeys-prune <dir> <retain>")
+          "prune <dir> <retain> | benchkeys <dir> | benchkeys-prune <dir> <retain> | " +
+          "layouts <dir> | layouts-prune <dir> <retain>")
       sys.exit(2)
   }
 }

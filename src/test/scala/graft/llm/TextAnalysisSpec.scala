@@ -80,6 +80,39 @@ class TextAnalysisSpec extends SparkTestBase {
       "tbucket filter did not register as a partition filter")
   }
 
+  test("versioned BM25 store: snapshots increment, latest probe retires " +
+    "the stale index, pinned probe still reads it, prune keeps newest, " +
+    "failed build leaves no readable version") {
+    val s = spark; import s.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val half = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val full = half.union(Seq((3L, "beta delta"), (4L, "alpha beta gamma"))
+      .toDF("doc_id", "text"))
+    val store = tmpDir("bm25-store") + "/store"
+    assert(TextAnalysis.writeBm25Snapshot(half, store, termBuckets = 4) == 1L)
+    assert(TextAnalysis.writeBm25Snapshot(full, store, termBuckets = 4) == 2L)
+    assert(LayoutStore.versions(conf, store) == Seq(1L, 2L))
+    val q = Seq((9L, "beta")).toDF("query_id", "qtext")
+    val latest = TextAnalysis.bm25TopKIndexedLatest(spark, store, q,
+      "query_id", "qtext", k = 10)
+    // the newest snapshot knows all four docs; the stale one only two
+    assert(latest.select(col("doc_id")).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+    val pinned = TextAnalysis.bm25TopKIndexedLatest(spark, store, q,
+      "query_id", "qtext", k = 10, version = Some(1L))
+    assert(pinned.select(col("doc_id")).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+    // a crashing build leaves only a dot-temp — no new readable version
+    intercept[RuntimeException](LayoutStore.writeSnapshot(conf, store)(
+      _ => throw new RuntimeException("boom")))
+    assert(LayoutStore.versions(conf, store) == Seq(1L, 2L))
+    assert(LayoutStore.prune(conf, store, retain = 1) == Seq(1L))
+    assert(LayoutStore.versions(conf, store) == Seq(2L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25TopKIndexedLatest(spark, store, q,
+        "query_id", "qtext", k = 10, version = Some(1L)))
+  }
+
   test("writeBm25Layout stamps term_buckets; empty-overlap query returns " +
     "zero rows from a pruned scan") {
     val s = spark; import s.implicits._

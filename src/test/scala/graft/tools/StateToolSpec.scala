@@ -70,6 +70,23 @@ class StateToolSpec extends AnyFunSuite {
     assert(after.size == 2 && after.head.startsWith("version=2"))
   }
 
+  test("layouts lists layout-store versions with the newest LIVE; " +
+    "layouts-prune retires the oldest") {
+    val d = dir() + "/store"
+    (1 to 3).foreach { v =>
+      val p = java.nio.file.Paths.get(d, s"version=$v", "postings")
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.writeString(p.resolve("part-0.parquet"), s"stub$v")
+    }
+    val listed = captureOut(StateTool.main(Array("layouts", d))).trim.split("\n").toSeq
+    assert(listed.size == 3)
+    assert(listed.last.startsWith("version=3") && listed.last.endsWith("\tLIVE"))
+    val pruned = captureOut(StateTool.main(Array("layouts-prune", d, "1")))
+    assert(pruned.contains("removed versions [1,2]"))
+    val after = captureOut(StateTool.main(Array("layouts", d))).trim.split("\n").toSeq
+    assert(after.size == 1 && after.head.startsWith("version=3"))
+  }
+
   test("versions lists checkpoint files oldest first") {
     val d = dir()
     val rs = new RunState(d)
