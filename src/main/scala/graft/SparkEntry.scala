@@ -1100,6 +1100,33 @@ object SparkEntry {
       Similarity.pqTopKOnCodes(probed, emb.where(col("vec_id") === 0),
         k = 5, cbs)
     }),
+    "m26_ivf_versioned" -> ((s, dir) => {
+      // m20 through the generic LayoutStore: v1 holds only half the
+      // vectors, v2 all of them; the probe pins the newest — a stale
+      // read would be missing half of every probed cell's rows
+      val emb = t(s, dir, "embeddings")
+      val cents = ivfCentroids(s, dir, 16)
+      val store = tmpQueryDir("m26-ivf").toString + "/store"
+      val conf = s.sparkContext.hadoopConfiguration
+      graft.llm.LayoutStore.writeSnapshot(conf, store)(tmp =>
+        Similarity.writeIvfLayout(emb.where(col("vec_id") % 2 === 0),
+          cents, tmp))
+      graft.llm.LayoutStore.writeSnapshot(conf, store)(tmp =>
+        Similarity.writeIvfLayout(emb, cents, tmp))
+      val path = graft.llm.LayoutStore.snapshotPath(conf, store)
+      val qVec = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val cells = cents.zipWithIndex.map { case (c, i) =>
+        var acc = 0.0
+        var j = 0
+        while (j < qVec.length) {
+          val d = qVec(j) - c(j); acc += d * d; j += 1
+        }
+        (acc, i)
+      }.sortBy { case (d, i) => (d, i) }.take(4).map(_._2).toSeq
+      val probed = Similarity.readIvfCells(s, path, cells)
+      Similarity.bruteForceTopK(probed, emb.where(col("vec_id") === 0), k = 5)
+    }),
     "m20_ivf_layout" -> ((s, dir) => {
       // IVF twin of m19: corpus written PARTITIONED BY CELL
       // (writeIvfLayout), query 0's 4 nearest of 16 cells ranked
@@ -1438,6 +1465,40 @@ object SparkEntry {
   // are bit-identical to Spark's `aggregate` (verified numerically).
   private def duckDot(a: String, b: String) =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x,y) -> x+y)"
+  /** Shared by m20 and m26 (the versioned-store twin probes the same
+    * full-corpus layout): s04's formulation restricted to query 0 — the
+    * layout round-trip must surface exactly the corpus rows assigned to
+    * the query's 4 nearest cells (same centroid literals, same
+    * argmin/probe ordering), scored by the same cosine. */
+  private def ivfLayoutOracleSql: String = {
+    val cents = Option(lastIvfCentroids).getOrElse(Array.empty[Array[Double]])
+    if (cents.isEmpty)
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS corpus_id,
+        |CAST(NULL AS DOUBLE) AS score, CAST(NULL AS INTEGER) AS rank WHERE FALSE""".stripMargin
+    else {
+      val nlist = cents.length
+      val dl = cents.map { c =>
+        duckSqDist("embedding", duckDoubleList(c))
+      }.mkString("[", ",\n", "]")
+      val cos = duckCos("p.embedding", "a.embedding")
+      s"""WITH al AS (SELECT vec_id, embedding, $dl AS dl FROM embeddings),
+         |a AS (SELECT vec_id, embedding,
+         |        (list_position(dl, list_min(dl)) - 1) AS cell FROM al),
+         |p AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT vec_id, embedding, r.cell,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dl[(r.cell)::INT + 1] ASC, r.cell ASC) AS rn
+         |  FROM (SELECT * FROM al WHERE vec_id = 0) ql
+         |  CROSS JOIN (SELECT unnest(range(0, $nlist)) AS cell) r)
+         |  WHERE rn <= 4)
+         |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS corpus_id, $cos AS score,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY $cos DESC, a.vec_id) AS rnk
+         |  FROM a JOIN p ON a.cell = p.cell AND p.vec_id != a.vec_id)
+         |WHERE rnk <= 5""".stripMargin
+    }
+  }
+
   private def duckCos(q: String, c: String) =
     s"${duckDot(q, c)} / (sqrt(${duckDot(q, q)}) * sqrt(${duckDot(c, c)}))"
   private def duckSrpBucket(vec: String, dim: Int, planes: Int): String = {
@@ -2653,38 +2714,12 @@ object SparkEntry {
            |WHERE rnk <= 5""".stripMargin
       }
     },
-    "m20_ivf_layout" -> {
-      // s04's formulation restricted to query 0: the layout round-trip
-      // must surface exactly the corpus rows assigned to the query's 4
-      // nearest cells (same centroid literals, same argmin/probe
-      // ordering), scored by the same cosine
-      val cents = Option(lastIvfCentroids).getOrElse(Array.empty[Array[Double]])
-      if (cents.isEmpty)
-        """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS corpus_id,
-          |CAST(NULL AS DOUBLE) AS score, CAST(NULL AS INTEGER) AS rank WHERE FALSE""".stripMargin
-      else {
-        val nlist = cents.length
-        val dl = cents.map { c =>
-          duckSqDist("embedding", duckDoubleList(c))
-        }.mkString("[", ",\n", "]")
-        val cos = duckCos("p.embedding", "a.embedding")
-        s"""WITH al AS (SELECT vec_id, embedding, $dl AS dl FROM embeddings),
-           |a AS (SELECT vec_id, embedding,
-           |        (list_position(dl, list_min(dl)) - 1) AS cell FROM al),
-           |p AS (SELECT vec_id, embedding, cell FROM (
-           |  SELECT vec_id, embedding, r.cell,
-           |    row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY dl[(r.cell)::INT + 1] ASC, r.cell ASC) AS rn
-           |  FROM (SELECT * FROM al WHERE vec_id = 0) ql
-           |  CROSS JOIN (SELECT unnest(range(0, $nlist)) AS cell) r)
-           |  WHERE rn <= 4)
-           |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank FROM (
-           |  SELECT p.vec_id AS query_id, a.vec_id AS corpus_id, $cos AS score,
-           |    row_number() OVER (PARTITION BY p.vec_id ORDER BY $cos DESC, a.vec_id) AS rnk
-           |  FROM a JOIN p ON a.cell = p.cell AND p.vec_id != a.vec_id)
-           |WHERE rnk <= 5""".stripMargin
-      }
-    },
+    "m20_ivf_layout" -> ivfLayoutOracleSql,
+    "m26_ivf_versioned" ->
+      // m20's full-corpus formulation: correct only if the probe read
+      // the v2 snapshot alone — the v1 half-corpus layout is missing
+      // half the cells' rows, which would drop retrieved neighbors
+      ivfLayoutOracleSql,
     "s09_bm25_topk" ->
       // generated from the SAME k1/b literals and expression tree as the
       // Spark side (TextAnalysis.bm25OracleSql); queries mirror the
