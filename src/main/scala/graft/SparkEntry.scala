@@ -811,6 +811,13 @@ object SparkEntry {
         "doc_id",
         when(TextAnalysis.tokenCount(col("text")) >= 40, 2).otherwise(1),
         salt = "rep1")),
+    "d48_distribution_drift" -> ((s, dir) =>
+      // term-distribution drift between two corpus slices (en vs rest):
+      // top movers by exact integer cross-multiplied |cnt_a·nb − cnt_b·na|
+      // plus the corpus-level TVD in one final division — only distinct
+      // terms ever shuffle, the cut is TakeOrderedAndProject
+      TextAnalysis.distributionDrift(t(s, dir, "documents"), "text",
+        col("lang") === "en", topK = 20)),
     "d46_source_scorecard" -> ((s, dir) => {
       // per-source operational report (the "data card" every curation
       // run publishes): doc/token volume, corpus-wide exact-dup share,
@@ -968,6 +975,24 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id").as("corpus_id"))
       Similarity.rerankTopK(cands, emb,
         emb.where(col("vec_id") < 3), k = 5)
+    }),
+    "s15_rrf_fusion" -> ((s, dir) => {
+      // hybrid retrieval: BM25 top-10 lexical list + exact-cosine top-10
+      // dense list, combined by reciprocal-rank fusion (1/(60+rank) —
+      // ranks fuse where raw score scales can't). Corpus-independent:
+      // both inputs are (queries x 10) rows; the fused window is tiny
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val queries = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(lower(col("text"))), 1, 4),
+            " ").as("qtext"))
+      val lex = TextAnalysis.bm25TopK(docs, queries, "doc_id", "text",
+          "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("doc_id").as("corpus_id"), col("rank"))
+      val sem = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 3), k = 10)
+      Similarity.rrfFuse(lex, sem, k = 5)
     }),
     "m25_bm25_versioned" -> ((s, dir) => {
       // index refresh retires the stale snapshot BY CONSTRUCTION: v1 is
@@ -2298,6 +2323,30 @@ object SparkEntry {
         |  substr(md5('rep1' || '|' || CAST(epoch AS VARCHAR) || '|'
         |    || CAST(doc_id AS VARCHAR)), 1, 8) AS order_key
         |FROM e""".stripMargin,
+    "d48_distribution_drift" ->
+      // same tokenize, same CASE counts, same integer cross-multiplied
+      // drift numerator, ONE double division for TVD at the end (sum
+      // casts to BIGINT — DuckDB sums integers into HUGEINT)
+      """WITH ex AS (SELECT
+        |    unnest(list_filter(string_split(lower(coalesce(text, '')), ' '),
+        |      x -> x != '')) AS term,
+        |    (lang = 'en') AS a
+        |  FROM documents),
+        |c AS (SELECT term,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+        |  FROM ex GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+        |    CAST(SUM(cnt_b) AS BIGINT) AS nb FROM c),
+        |w AS (SELECT term, cnt_a, cnt_b, na, nb,
+        |    abs(cnt_a * nb - cnt_b * na) AS drift_num FROM c, t),
+        |s AS (SELECT CAST(SUM(drift_num) AS BIGINT) AS tvd_num FROM w)
+        |SELECT term, cnt_a, cnt_b, na, nb, drift_num,
+        |  CAST(tvd_num AS DOUBLE) /
+        |    (CAST(2 AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tvd
+        |FROM w, s
+        |ORDER BY drift_num DESC, term ASC
+        |LIMIT 20""".stripMargin,
     "d46_source_scorecard" -> {
       // same fingerprint (d01's normalized md5), same OR of the rule
       // table's patterns (regexp_matches ≡ regexp_count > 0), same
@@ -2751,6 +2800,45 @@ object SparkEntry {
          |  JOIN embeddings c ON c.vec_id = b.doc_id
          |  JOIN embeddings q ON q.vec_id = b.query_id
          |  WHERE b.query_id != b.doc_id)
+         |WHERE rnk <= 5""".stripMargin
+    },
+    "s15_rrf_fusion" -> {
+      // the s09 BM25 formulation at k=10 and the s01 cosine construction
+      // at k=10 (vec_id < 3), full-outer-joined per (query, doc); the
+      // fused score is CAST(1 AS DOUBLE)/(60+rank) per list summed in
+      // fixed lexical+semantic order — integer ranks in, one IEEE
+      // division each, bit-identical across engines
+      val bm = TextAnalysis.bm25OracleSql(
+        "SELECT doc_id, text FROM documents",
+        """SELECT doc_id AS query_id,
+          |array_to_string(list_filter(string_split(lower(text), ' '),
+          |  x -> x != '')[1:4], ' ') AS qtext
+          |FROM documents WHERE doc_id < 3""".stripMargin,
+        k = 10)
+      val cos = duckCos("q.embedding", "c.embedding")
+      val part = (r: String) =>
+        s"coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST($r AS DOUBLE)), CAST(0 AS DOUBLE))"
+      s"""WITH lex AS ($bm),
+         |sem AS (
+         |  SELECT query_id, corpus_id, CAST(rnk AS INTEGER) AS rank FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
+         |    FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+         |    WHERE q.vec_id != c.vec_id)
+         |  WHERE rnk <= 10)
+         |SELECT query_id, corpus_id, rank_lex, rank_sem, rrf,
+         |       CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT query_id, corpus_id, rank_lex, rank_sem, rrf,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, corpus_id ASC) AS rnk
+         |  FROM (
+         |    SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         |           coalesce(l.doc_id, s.corpus_id) AS corpus_id,
+         |           CAST(l.rank AS INTEGER) AS rank_lex,
+         |           CAST(s.rank AS INTEGER) AS rank_sem,
+         |           ${part("l.rank")} + ${part("s.rank")} AS rrf
+         |    FROM lex l FULL OUTER JOIN sem s
+         |      ON s.query_id = l.query_id AND s.corpus_id = l.doc_id))
          |WHERE rnk <= 5""".stripMargin
     },
     "m25_bm25_versioned" ->

@@ -159,9 +159,19 @@ object Filters {
     val names = Seq("n_tokens", "max_tok_len", "n_chars", "n_sym",
       "n_upper", "n_alpha")
     require(weights.length == names.size)
-    val margin = names.zip(weights).foldLeft(s"CAST(${intercept} AS DOUBLE)") {
+    // Exponent-suffixed double literals: a bare decimal literal is typed
+    // DECIMAL in DuckDB, whose cast to DOUBLE can land 1 ulp off the
+    // Java double for 17-significant-digit coefficients (observed on a
+    // sf0.001 fit: -0.0019617645090045086 parsed to ...4508). The
+    // exponent suffix makes the parser produce a correctly-rounded
+    // DOUBLE directly — the literal IS the Java double, bit for bit.
+    def dlit(d: Double): String = {
+      val s = d.toString
+      if (s.contains('E') || s.contains('e')) s else s + "e0"
+    }
+    val margin = names.zip(weights).foldLeft(s"CAST(${dlit(intercept)} AS DOUBLE)") {
       case (acc, (n, w)) =>
-        s"($acc + CAST($w AS DOUBLE) * CAST($n AS DOUBLE))"
+        s"($acc + CAST(${dlit(w)} AS DOUBLE) * CAST($n AS DOUBLE))"
     }
     s"""WITH f AS (SELECT $idCol AS id,
        |    ${featSql.mkString(",\n    ")}

@@ -254,6 +254,45 @@ object Similarity {
       .join(c, Seq("corpus_id")).join(broadcast(q), Seq("query_id")), k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two ranked
+    * retrieval lists — the standard hybrid-search combiner: a document's
+    * fused score is Σ 1/(k0 + rank) over the lists that retrieved it, so
+    * agreement between retrievers dominates any single retriever's raw
+    * score scale (BM25 floats and cosine floats are not comparable;
+    * ranks are). k0=60 is the paper's constant. Inputs are any two
+    * (query_id, corpus_id, rank) frames — BM25 top-n, an ANN probe, a
+    * rules engine; a doc missing from one list contributes 0 from it.
+    *
+    * Determinism: rank is an integer, so 1.0/(k0+rank) is one IEEE
+    * division of exact operands and the two-term sum has a fixed
+    * left-to-right order (lexical + semantic) — bit-identical across
+    * engines, no float-sum associativity hazard. Ties (same fused score)
+    * break by corpus_id.
+    *
+    * Scale shape: both inputs are (queries × n) rows — the corpus never
+    * enters this operator; cost is independent of corpus size, the
+    * upstream retrievers carry the scale. The join is per-(query, doc)
+    * equi; the top-k window partitions by query over ≤ 2n rows and
+    * map-side-prunes (WindowGroupLimit). */
+  def rrfFuse(lexical: DataFrame, semantic: DataFrame, k: Int,
+              k0: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(k0 >= 1, s"k0 must be >= 1: $k0")
+    val l = lexical.select(col("query_id"), col("corpus_id"),
+      col("rank").cast("int").as("rank_lex"))
+    val r = semantic.select(col("query_id"), col("corpus_id"),
+      col("rank").cast("int").as("rank_sem"))
+    def part(rank: Column) =
+      coalesce(lit(1.0) / (lit(k0).cast("double") + rank.cast("double")), lit(0.0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("corpus_id").asc)
+    l.join(r, Seq("query_id", "corpus_id"), "full_outer")
+      .withColumn("rrf", part(col("rank_lex")) + part(col("rank_sem")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "rank_lex", "rank_sem", "rrf", "rank")
+  }
+
   /** Auto-size the SRP plane count from corpus size: enough planes that
     * the EXPECTED bucket occupancy is ~targetBucketSize (corpus/2^planes),
     * clamped to [4, 30]. Per-query candidate cost at Hamming-radius-1

@@ -893,4 +893,57 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(topK)
   }
+
+  /** Term-distribution drift between two corpus slices — the monitoring
+    * view a pipeline publishes when a crawl refresh, a new source, or a
+    * filter change lands: which terms moved, and by how much in total
+    * (total-variation distance). `sideA` is any boolean expression over
+    * the input (source = 'x', a snapshot-date predicate, lang = 'en').
+    *
+    * All drift arithmetic is EXACT integer cross-multiplication —
+    * |cnt_a·nb − cnt_b·na| avoids per-term divisions whose rounding
+    * differs nowhere but whose SUM would be partition-order-dependent;
+    * the bigint sum is order-free, and TVD = Σ/(2·na·nb) is computed in
+    * ONE final division. Overflow bound: cnt·n < 2^63 holds through
+    * ~3×10^9 tokens per side; beyond that (a 100 TB corpus is ~10^13
+    * tokens) drift-monitor on per-source/per-shard slices or a d16
+    * deterministic sample — the statistic is an estimate of the same
+    * TVD and the integer exactness is preserved within the slice.
+    *
+    * Scale shape: one corpus tokenize with map-side combine into a
+    * vocabulary-sized (term, cnt_a, cnt_b) frame — the corpus never
+    * shuffles, only distinct terms do; totals and the global TVD
+    * numerator are 1-row aggregates over that tiny frame riding
+    * broadcast cross joins; the top-`topK` movers cut is
+    * (drift_num desc, term asc) orderBy+limit — TakeOrderedAndProject,
+    * never a global sort.
+    *
+    * Output: (term, cnt_a, cnt_b, na, nb, drift_num, tvd) — the topK
+    * movers, each carrying the corpus-level scalars. */
+  def distributionDrift(df: DataFrame, textCol: String, sideA: Column,
+                        topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val counts = df
+      .select(col(textCol).as("__text"), sideA.as("__a"))
+      .select(explode(tokens(lower(coalesce(col("__text"), lit("")))))
+        .as("term"), col("__a"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("cnt_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.agg(sum(col("cnt_a")).as("na"),
+      sum(col("cnt_b")).as("nb"))
+    val withNum = counts.crossJoin(broadcast(totals))
+      .withColumn("drift_num",
+        abs(col("cnt_a") * col("nb") - col("cnt_b") * col("na")))
+    val tvdNum = withNum.agg(sum(col("drift_num")).as("__tvd_num"))
+    val out = withNum.crossJoin(broadcast(tvdNum))
+      .withColumn("tvd", col("__tvd_num").cast("double") /
+        (lit(2.0) * col("na").cast("double") * col("nb").cast("double")))
+      .select(col("term"), col("cnt_a"), col("cnt_b"), col("na"), col("nb"),
+        col("drift_num"), col("tvd"))
+      .orderBy(col("drift_num").desc, col("term").asc)
+      .limit(topK)
+    graft.llm.Dedup.materializeAndRelease(out, counts)
+  }
 }

@@ -451,4 +451,41 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("rrfFuse: agreement dominates, single-list docs contribute one term") {
+    val s = spark; import s.implicits._
+    // query 1: doc 10 is rank 3 lexical AND rank 3 semantic; doc 11 is
+    // rank 1 lexical only; doc 12 is rank 1 semantic only. RRF puts the
+    // agreed doc first: 2/63 > 1/61.
+    val lex = Seq((1L, 11L, 1), (1L, 10L, 3)).toDF("query_id", "corpus_id", "rank")
+    val sem = Seq((1L, 12L, 1), (1L, 10L, 3)).toDF("query_id", "corpus_id", "rank")
+    val out = Similarity.rrfFuse(lex, sem, k = 5).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(4), r.getInt(5)))
+    assert(out.map(_._1).toSeq == Seq(10L, 11L, 12L), s"got ${out.toSeq}")
+    assert(math.abs(out(0)._2 - 2.0 / 63) < 1e-15)
+    assert(math.abs(out(1)._2 - 1.0 / 61) < 1e-15)
+    // 11 and 12 have the SAME fused score — tie broke by corpus_id
+    assert(out(1)._2 == out(2)._2 && out(1)._1 < out(2)._1)
+    assert(out.map(_._3).toSeq == Seq(1, 2, 3))
+  }
+
+  test("rrfFuse: k caps per query, missing ranks surface as nulls") {
+    val s = spark; import s.implicits._
+    val lex = Seq.tabulate(8)(i => (1L, i.toLong, i + 1))
+      .toDF("query_id", "corpus_id", "rank")
+    val sem = Seq((1L, 100L, 1), (2L, 7L, 1)).toDF("query_id", "corpus_id", "rank")
+    val out = Similarity.rrfFuse(lex, sem, k = 3)
+    val q1 = out.where(col("query_id") === 1).collect()
+    assert(q1.length == 3)
+    // per-query top-3 by fused score: doc 0 (lex rank 1, 1/61) ties the
+    // sem-only doc 100 (sem rank 1, 1/61) — tie breaks by corpus_id —
+    // then doc 1 (lex rank 2, 1/62)
+    val q1top = out.where(col("query_id") === 1).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.isNullAt(2), r.isNullAt(3)))
+    assert(q1top.toSeq == Seq((0L, false, true), (100L, true, false),
+      (1L, false, true)), s"got ${q1top.toSeq}")
+    // query 2 exists only in the semantic list — still fused, rank 1
+    val q2 = out.where(col("query_id") === 2).collect()
+    assert(q2.length == 1 && q2(0).getLong(1) == 7L && q2(0).getInt(5) == 1)
+  }
 }

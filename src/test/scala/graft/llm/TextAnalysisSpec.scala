@@ -579,4 +579,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected the <=V-row vocab to join by broadcast in:\n$plan")
   }
+
+  test("distributionDrift: exact cross-multiplied movers and a hand-checked TVD") {
+    val s = spark; import s.implicits._
+    // side A: {a:2, b:1} (na=3); side B: {a:1, b:2, c:1} (nb=4)
+    val df = Seq(("A", "a a b"), ("B", "a b b c")).toDF("side", "text")
+    val out = TextAnalysis.distributionDrift(df, "text",
+      col("side") === "A", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    // drift_num: a = |2*4-1*3| = 5, c = |0*4-1*3| = 3, b = |1*4-2*3| = 2
+    assert(out.map(t => (t._1, t._6)).toSeq ==
+      Seq(("a", 5L), ("c", 3L), ("b", 2L)), s"got ${out.toSeq}")
+    assert(out.forall(t => t._4 == 3L && t._5 == 4L))
+    // TVD = sum/(2*na*nb) = 10/24, equal to the direct 0.5*sum|p-q| = 5/12
+    assert(math.abs(out(0)._7 - 5.0 / 12) < 1e-15)
+    // topK truncates below the vocab size deterministically
+    val top1 = TextAnalysis.distributionDrift(df, "text",
+      col("side") === "A", topK = 1).collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "a")
+  }
 }
