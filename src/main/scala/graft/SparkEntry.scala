@@ -818,6 +818,18 @@ object SparkEntry {
       // terms ever shuffle, the cut is TakeOrderedAndProject
       TextAnalysis.distributionDrift(t(s, dir, "documents"), "text",
         col("lang") === "en", topK = 20)),
+    "d49_length_batches" -> ((s, dir) => {
+      // inference-time dynamic batching: band by token length, fill
+      // 8-doc batches longest-first within each (band, shard) — 2
+      // deterministic shards per band exercise the hot-band salting the
+      // operator ships for real length distributions; report per-batch
+      // pad-to-longest waste (all integer)
+      val docs = t(s, dir, "documents")
+      graft.llm.Packing.batchStats(
+        graft.llm.Packing.lengthBucketBatches(docs, "doc_id",
+          TextAnalysis.tokenCount(col("text")).cast("long"),
+          batchSize = 8, bandWidth = 32, saltShards = 2, salt = "lb1"))
+    }),
     "d46_source_scorecard" -> ((s, dir) => {
       // per-source operational report (the "data card" every curation
       // run publishes): doc/token volume, corpus-wide exact-dup share,
@@ -2347,6 +2359,17 @@ object SparkEntry {
         |FROM w, s
         |ORDER BY drift_num DESC, term ASC
         |LIMIT 20""".stripMargin,
+    "d49_length_batches" ->
+      // generated from the SAME literals (batchSize/bandWidth/shards/
+      // salt) — the shardAssign digit-assembled hash, the same
+      // (n_tokens desc, id) fill order, the same integer waste formula
+      graft.llm.Packing.lengthBucketOracleSql(
+        """SELECT doc_id,
+          |CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+          |  AS BIGINT) AS n_tokens
+          |FROM documents""".stripMargin,
+        "doc_id", batchSize = 8, bandWidth = 32, saltShards = 2,
+        salt = "lb1"),
     "d46_source_scorecard" -> {
       // same fingerprint (d01's normalized md5), same OR of the rule
       // table's patterns (regexp_matches ≡ regexp_count > 0), same

@@ -213,6 +213,106 @@ object Packing {
        |FROM sharded""".stripMargin
   }
 
+  /** Length-bucketed batch assignment — the dynamic-batching step an
+    * inference/eval pipeline runs so a batch's padded cost tracks its
+    * real token mass: pad-to-longest wastes `Σ(max_len − len)` per
+    * batch, so batching SIMILAR lengths together (band by length, fill
+    * fixed-size batches longest-first within the band) is the standard
+    * mitigation. Every assignment is a pure function of (salt, id,
+    * n_tokens): `bucket` = n_tokens div `bandWidth`; within a bucket,
+    * docs order by (n_tokens desc, id) and fill batches of `batchSize`
+    * — reproducible across runs, engines and partitioning, no rand().
+    *
+    * Scale shape: bucket and shard ids are MAP-SIDE codegen'd
+    * expressions in the scan stage; the one exchange is
+    * hashpartitioning(bucket, shard) for the within-bucket row_number.
+    * A popular length band (real corpora concentrate mass in a few
+    * bands) would make that window's partition a straggler, so
+    * `saltShards` > 1 splits each band into deterministic sub-shards
+    * via the [[shardAssign]] hash — batch identity becomes (bucket,
+    * shard, batch_idx) and each shard sorts only its own slice (the
+    * salted-sessionize trade: more, smaller batches at the shard
+    * boundaries in exchange for no hot partition). The downstream
+    * [[batchStats]] aggregate needs no second exchange — clustering by
+    * (bucket, shard) already satisfies the (bucket, shard, batch_idx)
+    * grouping.
+    *
+    * Output: (`idCol`, n_tokens, bucket, shard, batch_idx). */
+  def lengthBucketBatches(df: DataFrame, idCol: String, nTokens: Column,
+                          batchSize: Int, bandWidth: Long,
+                          saltShards: Int = 1,
+                          salt: String = "graft"): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    require(bandWidth >= 1, s"bandWidth must be >= 1: $bandWidth")
+    require(saltShards >= 1 && saltShards <= (1 << 20),
+      s"saltShards must be in [1, 2^20]: $saltShards")
+    val reserved = Seq("__sk", "__v", "__rn")
+    reserved.foreach(r => require(!df.columns.contains(r),
+      s"input already has a '$r' column; rename it before lengthBucketBatches()"))
+    val base = df.select(col(idCol), nTokens.cast("long").as("n_tokens"),
+        Sampling.sampleKey(col(idCol), salt).as("__sk"))
+      .withColumn("bucket", expr(s"n_tokens div ${bandWidth}L"))
+      .withColumn("shard",
+        if (saltShards == 1) lit(0)
+        else expr(s"CAST((CAST(conv(__sk, 16, 10) AS BIGINT) * $saltShards)" +
+          " div 4294967296 AS INT)"))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("n_tokens").desc, col(idCol).asc)
+    base.withColumn("__rn", row_number().over(w))
+      .withColumn("batch_idx", expr(s"CAST((__rn - 1) div $batchSize AS INT)"))
+      .select(col(idCol), col("n_tokens"), col("bucket"), col("shard"),
+        col("batch_idx"))
+  }
+
+  /** Per-batch padding report over a [[lengthBucketBatches]] result:
+    * pad-to-longest cost per batch — `pad_waste` = n_docs·max_tokens −
+    * sum_tokens, all integer, the number every batching dashboard
+    * tracks. Rides the assignment's (bucket, shard) clustering — no
+    * extra exchange. */
+  def batchStats(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("bucket"), col("shard"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_waste",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+
+  /** DuckDB twin of [[lengthBucketBatches]] + [[batchStats]], generated
+    * with the same literals ([[shardAssignOracleSql]]'s pattern,
+    * including its digit-assembled base-16 hash). `corpusSql` must
+    * yield (id, n_tokens). */
+  def lengthBucketOracleSql(corpusSql: String, idCol: String,
+                            batchSize: Int, bandWidth: Long,
+                            saltShards: Int, salt: String): String = {
+    val hexVal = (1 to 8).map { i =>
+      val scale = 1L << (4 * (8 - i))
+      s"(strpos('0123456789abcdef', substr(sk, $i, 1)) - 1) * CAST($scale AS BIGINT)"
+    }.mkString(" + ")
+    val shardSql =
+      if (saltShards == 1) "0"
+      else s"CAST(($hexVal) * $saltShards // 4294967296 AS INTEGER)"
+    s"""WITH hashed AS (SELECT $idCol, n_tokens,
+       |    substr(md5('$salt' || '|' || CAST($idCol AS VARCHAR)), 1, 8)
+       |      AS sk
+       |  FROM ($corpusSql)),
+       |assigned AS (SELECT $idCol, n_tokens,
+       |    n_tokens // $bandWidth AS bucket,
+       |    $shardSql AS shard
+       |  FROM hashed),
+       |batched AS (SELECT *,
+       |    CAST((row_number() OVER (PARTITION BY bucket, shard
+       |      ORDER BY n_tokens DESC, $idCol ASC) - 1) // $batchSize
+       |      AS INTEGER) AS batch_idx
+       |  FROM assigned)
+       |SELECT bucket, shard, batch_idx,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+       |    AS pad_waste
+       |FROM batched GROUP BY 1, 2, 3""".stripMargin
+  }
+
   /** The one-global-window reference formulation — O(corpus) through a
     * single task's sort; kept as the semantic spec for the parity test,
     * never for production. */

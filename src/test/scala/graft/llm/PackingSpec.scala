@@ -161,4 +161,75 @@ class PackingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Packing.packSequences(docs.withColumn("__b", lit(1)), "doc_id", nTok, 64))
   }
+
+  test("lengthBucketBatches: bands honored, batches fill longest-first and " +
+    "cap at batchSize, waste matches the hand formula") {
+    val assigned = Packing.lengthBucketBatches(docs, "doc_id", nTok,
+      batchSize = 4, bandWidth = 10)
+    val rows = assigned.collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) / 10, s"bucket mismatch: $r")
+      assert(r.getInt(3) == 0, "saltShards=1 must put everything in shard 0")
+    }
+    // within a (bucket, batch): no doc is longer than any doc of the
+    // PREVIOUS batch (longest-first fill)
+    val byBucket = rows.groupBy(_.getLong(2))
+    byBucket.foreach { case (_, rs) =>
+      val batches = rs.groupBy(_.getInt(4)).toSeq.sortBy(_._1)
+      batches.foreach { case (_, b) => assert(b.length <= 4) }
+      batches.sliding(2).foreach {
+        case Seq((_, prev), (_, next)) =>
+          assert(next.map(_.getLong(1)).max <= prev.map(_.getLong(1)).min,
+            "later batch holds a longer doc than an earlier one")
+        case _ => ()
+      }
+      // only the LAST batch of a bucket may be partial
+      batches.dropRight(1).foreach { case (_, b) => assert(b.length == 4) }
+    }
+    val stats = Packing.batchStats(assigned).collect()
+    val statKey = stats.map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    byBucket.foreach { case (bucket, rs) =>
+      rs.groupBy(_.getInt(4)).foreach { case (batch, b) =>
+        val lens = b.map(_.getLong(1))
+        val got = statKey((bucket, 0, batch))
+        assert(got == ((lens.length.toLong, lens.max, lens.sum,
+          lens.length * lens.max - lens.sum)), s"stats mismatch at $bucket/$batch")
+      }
+    }
+    // deterministic under partitioning
+    val b = Packing.lengthBucketBatches(docs.repartition(7), "doc_id", nTok,
+      batchSize = 4, bandWidth = 10).collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == b)
+  }
+
+  test("lengthBucketBatches: saltShards splits bands deterministically and " +
+    "the stats aggregate adds no second exchange") {
+    val sharded = Packing.lengthBucketBatches(docs, "doc_id", nTok,
+      batchSize = 4, bandWidth = 10, saltShards = 4)
+    val rows = sharded.collect()
+    assert(rows.map(_.getInt(3)).distinct.length > 1,
+      "expected docs spread over multiple shards")
+    assert(rows.forall(r => r.getInt(3) >= 0 && r.getInt(3) < 4))
+    // same doc -> same shard regardless of partitioning (pure hash fn)
+    val again = Packing.lengthBucketBatches(docs.repartition(5), "doc_id",
+      nTok, batchSize = 4, bandWidth = 10, saltShards = 4)
+      .collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == again)
+    // ONE exchange total: batchStats' (bucket, shard, batch_idx) grouping
+    // is satisfied by the window's (bucket, shard) clustering
+    val stats = Packing.batchStats(sharded)
+    stats.collect()
+    val plan = stats.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 exchange, got $shuffles in:\n$plan")
+    intercept[IllegalArgumentException](
+      Packing.lengthBucketBatches(docs, "doc_id", nTok, 0, 10))
+    intercept[IllegalArgumentException](
+      Packing.lengthBucketBatches(docs, "doc_id", nTok, 4, 0))
+    intercept[IllegalArgumentException](
+      Packing.lengthBucketBatches(docs.withColumn("__rn", lit(1)),
+        "doc_id", nTok, 4, 10))
+  }
 }
