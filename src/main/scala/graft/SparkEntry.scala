@@ -830,6 +830,21 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long"),
           batchSize = 8, bandWidth = 32, saltShards = 2, salt = "lb1"))
     }),
+    "d50_heavy_hitters" -> ((s, dir) => {
+      // per-language top terms through the Misra-Gries sketch aggregate:
+      // bounded memory per group (64 counters), partial-merged map-side,
+      // only sketches shuffle. capacity > the synthetic vocab, so the
+      // sketch is in its EXACT regime and the oracle gates it bit-for-bit
+      val docs = t(s, dir, "documents")
+      docs.select(col("lang"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.FrequentItems
+          .frequentItems(col("term"), capacity = 64).as("items"))
+        .select(col("lang"), explode(col("items")).as("it"))
+        .select(col("lang"), col("it.term").as("term"),
+          col("it.count").as("cnt"))
+    }),
     "d46_source_scorecard" -> ((s, dir) => {
       // per-source operational report (the "data card" every curation
       // run publishes): doc/token volume, corpus-wide exact-dup share,
@@ -2370,6 +2385,16 @@ object SparkEntry {
           |FROM documents""".stripMargin,
         "doc_id", batchSize = 8, bandWidth = 32, saltShards = 2,
         salt = "lb1"),
+    "d50_heavy_hitters" ->
+      // exact-regime oracle: capacity (64) exceeds the distinct-term
+      // count, so the sketch IS the exact multiset count — plain
+      // lang x term GROUP BY
+      """SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT lang,
+        |        unnest(list_filter(string_split(lower(text), ' '),
+        |          x -> x != '')) AS term
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
     "d46_source_scorecard" -> {
       // same fingerprint (d01's normalized md5), same OR of the rule
       // table's patterns (regexp_matches ≡ regexp_count > 0), same

@@ -18,6 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     over gram hashes (the output of `graft_chargram_md5`)
   *   - `graft_avro_encode(struct, schemaJson)` / `graft_avro_decode(bytes,
   *     schemaJson)` — schema-registry payload codec through Tungsten
+  *   - `graft_frequent_items(term, capacity)` — Misra-Gries heavy-hitters
+  *     aggregate (bounded-memory top terms; exact below capacity)
   *
   * Wire-up is the standard public mechanism:
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
@@ -102,6 +104,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.llm.Similarity.srpBucketExpr(args(0),
         litInt("graft_srp_bucket", "dim", args(1)),
         litInt("graft_srp_bucket", "planes", args(2)))
+    }
+    inject("graft_frequent_items", classOf[FrequentItems],
+      "graft_frequent_items(term, capacity) - Misra-Gries heavy-hitters " +
+        "aggregate: array<struct<term,count>>, exact when capacity >= " +
+        "distinct terms, undercount bounded by N/(capacity+1) otherwise") { args =>
+      arity("graft_frequent_items", 2, args)
+      // the analyzer wraps a bare AggregateFunction into its
+      // AggregateExpression, same as built-in registry entries
+      FrequentItems(args(0), litInt("graft_frequent_items", "capacity", args(1)))
     }
     inject("graft_avro_encode", classOf[AvroEncode],
       "graft_avro_encode(struct, schemaJson) - Avro-binary encode a struct") { args =>
