@@ -1038,6 +1038,36 @@ object SparkEntry {
       TextAnalysis.bm25TopKIndexedLatest(s, store, queries,
         "query_id", "qtext", k = 5)
     }),
+    "m27_layout_compacted" -> ((s, dir) => {
+      // small-file maintenance proven content-preserving: build the BM25
+      // snapshot FRAGMENTED (a salted repartition writes many files per
+      // tbucket dir — the accretion shape a long-lived index reaches),
+      // compact through the generic LayoutStore walk (one file per
+      // partition dir, new immutable version), probe the pinned-newest —
+      // any row lost/duplicated in the rewrite fails the s09 oracle hash
+      val docs = t(s, dir, "documents")
+      val queries = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(lower(col("text"))), 1, 4),
+            " ").as("qtext"))
+      val store = tmpQueryDir("m27-compact").toString + "/store"
+      val conf = s.sparkContext.hadoopConfiguration
+      graft.llm.LayoutStore.writeSnapshot(conf, store) { tmp =>
+        TextAnalysis.writeBm25Layout(docs, tmp, termBuckets = 32)
+        // fragment the postings in place: rewrite with random
+        // parallelism so every bucket dir holds several small files
+        val frag = s.read.parquet(s"$tmp/postings").repartition(8)
+        frag.write.mode("overwrite").partitionBy("tbucket")
+          .parquet(s"$tmp/postings_frag")
+        val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/postings"), true)
+        fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/postings_frag"),
+          new org.apache.hadoop.fs.Path(s"$tmp/postings"))
+      }
+      graft.llm.LayoutStore.compactSnapshot(s, store)
+      TextAnalysis.bm25TopKIndexedLatest(s, store, queries,
+        "query_id", "qtext", k = 5)
+    }),
     "s13_quality_classifier" -> ((s, dir) => {
       // learned quality filter: LR fit distributed over the funnel's
       // numeric features (weak label: lang=en), coefficients FROZEN as
@@ -2893,6 +2923,17 @@ object SparkEntry {
       // the FULL-corpus s09 formulation: correct only if the probe read
       // the v2 snapshot alone — v1's half-corpus df/N/Σdl would produce
       // different scores
+      TextAnalysis.bm25OracleSql(
+        "SELECT doc_id, text FROM documents",
+        """SELECT doc_id AS query_id,
+          |array_to_string(list_filter(string_split(lower(text), ' '),
+          |  x -> x != '')[1:4], ' ') AS qtext
+          |FROM documents WHERE doc_id < 3""".stripMargin,
+        k = 5),
+    "m27_layout_compacted" ->
+      // the FULL-corpus s09 formulation: correct only if the compacted
+      // rewrite preserved the exact posting multiset and stats — a
+      // dropped/duplicated posting row shifts tf/df and fails the hash
       TextAnalysis.bm25OracleSql(
         "SELECT doc_id, text FROM documents",
         """SELECT doc_id AS query_id,

@@ -62,6 +62,65 @@ object LayoutStore {
     s"$path/version=$pin"
   }
 
+  /** Compact the newest snapshot into a NEW snapshot — the small-file
+    * maintenance job every long-lived 100 TB layout needs: incremental
+    * rebuilds and wide write parallelism accrete many small files per
+    * partition directory, and at cloud-store latencies the per-file
+    * open cost comes to dominate probe reads (the classic small-file
+    * problem). This rewrites every sub-table of the pinned snapshot
+    * with one task per partition value (`maxRecordsPerFile` caps
+    * oversized partitions), preserving the exact row multiset, schema
+    * and partition directory structure — and lands it as the next
+    * `version=N` via the same dot-temp + atomic rename, so probes
+    * either read the old fragmented snapshot or the new compacted one,
+    * never a half-rewritten directory. The retired original stays until
+    * [[prune]].
+    *
+    * Generic over layout shape (the m26 contract): sub-tables are the
+    * snapshot's child directories; partition columns are discovered
+    * from their `col=value` directory chains, so BM25 postings+stats,
+    * IVF cells, SRP buckets and shard layouts all compact through this
+    * one path with no per-layout code. Returns the new version. */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      maxRecordsPerFile: Long = 4L * 1024 * 1024): Long = {
+    require(maxRecordsPerFile >= 1,
+      s"maxRecordsPerFile must be >= 1: $maxRecordsPerFile")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(snapshotPath(conf, path))
+    val fs = src.getFileSystem(conf)
+    def visible(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    // walk col=value directory chains to recover the partition spec
+    def partCols(dir: org.apache.hadoop.fs.Path): Seq[String] = {
+      val kids = fs.listStatus(dir)
+        .filter(st => st.isDirectory && visible(st) &&
+          st.getPath.getName.contains("="))
+      if (kids.isEmpty) Seq.empty
+      else {
+        val k = kids.head.getPath
+        k.getName.split("=", 2)(0) +: partCols(k)
+      }
+    }
+    writeSnapshot(conf, path) { tmp =>
+      fs.listStatus(src).filter(st => st.isDirectory && visible(st))
+        .foreach { sub =>
+          val name = sub.getPath.getName
+          val df = spark.read.parquet(sub.getPath.toString)
+          val parts = partCols(sub.getPath)
+          val w = (if (parts.isEmpty) df.coalesce(1)
+                   else df.repartition(parts.map(
+                     org.apache.spark.sql.functions.col): _*))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", maxRecordsPerFile)
+          (if (parts.isEmpty) w else w.partitionBy(parts: _*))
+            .parquet(s"$tmp/$name")
+        }
+    }
+  }
+
   /** Delete all but the newest `retain` snapshots; returns the versions
     * removed (oldest→newest). FS-only, mirroring RunState's prune. */
   def prune(conf: org.apache.hadoop.conf.Configuration,

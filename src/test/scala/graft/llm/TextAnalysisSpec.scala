@@ -113,6 +113,56 @@ class TextAnalysisSpec extends SparkTestBase {
         "query_id", "qtext", k = 10, version = Some(1L)))
   }
 
+  test("LayoutStore.compactSnapshot: generic sub-table walk rewrites to one " +
+    "file per partition dir, preserves rows/schema/pruning, lands as a new " +
+    "version") {
+    val s = spark; import s.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val store = tmpDir("layout-compact") + "/store"
+    // a fragmented layout: partitioned sub-table written with random
+    // parallelism (many files per k= dir) + an unpartitioned stats table
+    val data = (1L to 400L).map(i => (i, (i % 4).toInt, s"row$i"))
+      .toDF("id", "k", "payload")
+    assert(LayoutStore.writeSnapshot(conf, store) { tmp =>
+      data.repartition(8).write.partitionBy("k").parquet(s"$tmp/data")
+      Seq((400L, "v1")).toDF("n", "tag")
+        .repartition(3).write.parquet(s"$tmp/stats")
+    } == 1L)
+    def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case d if d.isDirectory => parquetFiles(d)
+        case f if f.getName.endsWith(".parquet") => Seq(f)
+        case _ => Seq.empty
+      }
+    val fragmented = parquetFiles(new java.io.File(s"$store/version=1/data"))
+    assert(fragmented.length > 4,
+      s"expected a fragmented layout, got ${fragmented.length} files")
+    assert(LayoutStore.compactSnapshot(spark, store) == 2L)
+    val v2 = s"$store/version=2"
+    // one file per k= dir, one for the unpartitioned stats table
+    val kDirs = new java.io.File(s"$v2/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("k="))
+    assert(kDirs.length == 4)
+    kDirs.foreach(d => assert(parquetFiles(d).length == 1,
+      s"${d.getName} not compacted: ${parquetFiles(d).length} files"))
+    assert(parquetFiles(new java.io.File(s"$v2/stats")).length == 1)
+    // exact row multisets and schema survive (partition col reads back
+    // at the end of the schema — normalize by name)
+    assert(spark.read.parquet(s"$v2/data").select("id", "k", "payload")
+      .collect().map(_.toSeq).toSet ==
+      data.collect().map(_.toSeq).toSet)
+    assert(spark.read.parquet(s"$v2/stats").collect().map(_.toSeq).toSet ==
+      Set(Seq(400L, "v1")))
+    // partition pruning still engages on the compacted layout
+    val probe = spark.read.parquet(s"$v2/data").where(col("k") === 2)
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 1,
+      "compacted layout lost partition pruning")
+  }
+
   test("writeBm25Layout stamps term_buckets; empty-overlap query returns " +
     "zero rows from a pruned scan") {
     val s = spark; import s.implicits._
