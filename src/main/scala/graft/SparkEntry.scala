@@ -830,6 +830,17 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long"),
           batchSize = 8, bandWidth = 32, saltShards = 2, salt = "lb1"))
     }),
+    "d51_budget_select" -> ((s, dir) =>
+      // budgeted data selection: rank by an integer quality signal
+      // (distinct-token count — lexical richness), cut at a 15k-token
+      // budget; the global running total is the two-phase banded prefix
+      // sum (approx-quantile bands, map-side band assignment), never a
+      // single-task global sort
+      graft.llm.Packing.budgetSelect(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        size(array_distinct(TextAnalysis.tokens(lower(col("text")))))
+          .cast("long"),
+        budget = 15000L)),
     "d50_heavy_hitters" -> ((s, dir) => {
       // per-language top terms through the Misra-Gries sketch aggregate:
       // bounded memory per group (64 counters), partial-merged map-side,
@@ -2415,6 +2426,24 @@ object SparkEntry {
           |FROM documents""".stripMargin,
         "doc_id", batchSize = 8, bandWidth = 32, saltShards = 2,
         salt = "lb1"),
+    "d51_budget_select" ->
+      // the one-global-window formulation: exclusive running token sum
+      // in (score desc, id) order, whole-doc-fits selection rule —
+      // integer end to end
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(list_distinct(list_filter(string_split(lower(text), ' '),
+        |      x -> x != ''))) AS BIGINT) AS score,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, score, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum_before,
+        |  (COALESCE(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + n_tokens <= 15000) AS selected
+        |FROM f""".stripMargin,
     "d50_heavy_hitters" ->
       // exact-regime oracle: capacity (64) exceeds the distinct-term
       // count, so the sketch IS the exact multiset count — plain

@@ -213,6 +213,90 @@ object Packing {
        |FROM sharded""".stripMargin
   }
 
+  /** Token-budget data selection — "take the best documents until the
+    * budget is spent", the selection rule of budgeted pretraining runs
+    * (rank by a quality signal, cut at N tokens): every doc gets its
+    * exclusive running token total `cum_before` in (score desc, id asc)
+    * order and `selected` = whether the WHOLE doc fits inside `budget`.
+    * All cut arithmetic is integer, so the decision is engine-exact;
+    * `score` is any orderable expression (an integer signal keeps the
+    * ordering itself engine-exact too — the d51 oracle uses one).
+    *
+    * Scale shape: the global running sum is the [[packSequences]]
+    * two-phase prefix sum, re-keyed by SCORE instead of shuffle hash:
+    * score bands come from distributed approximate quantiles of the
+    * score column (driver holds only `bands` doubles, frozen as an
+    * array literal; band = #edges above the score, a map-side HOF).
+    * Bands partition the (score desc, id) order contiguously — equal
+    * scores share a band by construction — so per-band totals (a tiny
+    * aggregate) take exclusive offsets over a `bands`-row window, the
+    * within-band cumsum runs under Window.partitionBy(band), and the
+    * two consumers share ONE corpus exchange (the keywordScores
+    * ReuseExchange contract). Band EDGES need not be reproducible
+    * across runs for the OUTPUT to be: any contiguous banding yields
+    * the same global cumsum — only band ids shift, and they are not
+    * in the output.
+    *
+    * Output: (`idCol`, score, n_tokens, cum_before, selected). */
+  def budgetSelect(df: DataFrame, idCol: String, nTokens: Column,
+                   score: Column, budget: Long, bands: Int = 64,
+                   quantileRelErr: Double = 0.01): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(bands >= 1 && bands <= 4096, s"bands must be in [1, 4096]: $bands")
+    val reserved = Seq("__band", "__bt", "__boff", "__score")
+    reserved.foreach(r => require(!df.columns.contains(r),
+      s"input already has a '$r' column; rename it before budgetSelect()"))
+    val scored0 = df.select(col(idCol), nTokens.cast("long").as("n_tokens"),
+      score.as("score"))
+    val edges: Array[Double] =
+      if (bands == 1) Array.empty
+      else scored0.stat.approxQuantile("score",
+        (1 until bands).map(_.toDouble / bands).toArray, quantileRelErr)
+    // band = how many edges sit ABOVE this score — 0 is the best band,
+    // and equal scores always land in the same band (a pure function of
+    // score), so bands slice the (score desc, id) order contiguously
+    val edgeArr = array(edges.map(e => lit(e)): _*)
+    val band =
+      if (edges.isEmpty) lit(0)
+      else size(filter(edgeArr, e => e > col("score").cast("double")))
+    val base = scored0.withColumn("__band", band)
+      .repartition(col("__band"))
+    // semantic no-op references keep this branch's exchange subtree
+    // identical to the window's (the packSequences ReuseExchange note)
+    val bandTotals = base.groupBy(col("__band"))
+      .agg(sum(when(col("n_tokens") >= 0L &&
+          coalesce(col(idCol).cast("string"), lit("")) >= "" &&
+          coalesce(col("score").cast("string"), lit("")) >= "",
+        col("n_tokens"))).as("__bt"))
+      .withColumn("__boff", coalesce(sum(col("__bt")).over(
+        Window.orderBy(col("__band"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__band"), col("__boff"))
+    val w = Window.partitionBy(col("__band"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(bandTotals), Seq("__band"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + col("__boff"))
+      .withColumn("selected", col("cum_before") + col("n_tokens") <= budget)
+      .select(col(idCol), col("score"), col("n_tokens"), col("cum_before"),
+        col("selected"))
+  }
+
+  /** The one-global-window reference twin of [[budgetSelect]] — the
+    * semantic spec for the parity test, never for production. */
+  private[graft] def budgetSelectGlobal(df: DataFrame, idCol: String,
+      nTokens: Column, score: Column, budget: Long): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), nTokens.cast("long").as("n_tokens"),
+        score.as("score"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("selected", col("cum_before") + col("n_tokens") <= budget)
+      .select(col(idCol), col("score"), col("n_tokens"), col("cum_before"),
+        col("selected"))
+  }
+
   /** Length-bucketed batch assignment — the dynamic-batching step an
     * inference/eval pipeline runs so a batch's padded cost tracks its
     * real token mass: pad-to-longest wastes `Σ(max_len − len)` per

@@ -162,6 +162,46 @@ class PackingSpec extends SparkTestBase {
       Packing.packSequences(docs.withColumn("__b", lit(1)), "doc_id", nTok, 64))
   }
 
+  test("budgetSelect == the single-global-window formulation at any " +
+    "partitioning and band count") {
+    val score = nTok * 7 % 13 // an integer signal with heavy ties
+    val ref = Packing.budgetSelectGlobal(docs, "doc_id", nTok, score,
+      budget = 2000).collect().map(_.toSeq).toSet
+    for (parts <- Seq(1, 7); bands <- Seq(1, 4, 64)) {
+      val got = Packing.budgetSelect(docs.repartition(parts), "doc_id",
+        nTok, score, budget = 2000, bands = bands)
+        .collect().map(_.toSeq).toSet
+      assert(got == ref, s"banded prefix sum diverged at parts=$parts bands=$bands")
+    }
+  }
+
+  test("budgetSelect: whole-doc-fits rule at the budget boundary; zero " +
+    "budget selects only zero-token docs; guards") {
+    val s = spark; import s.implicits._
+    val tiny = Seq((1L, 10L, 100L), (2L, 10L, 60L), (3L, 9L, 50L),
+      (4L, 0L, 8L)).toDF("doc_id", "n", "sc")
+    // order: sc desc -> 1 (cum 0), 2 (cum 10), 3 (cum 20), 4 (cum 29)
+    val out = Packing.budgetSelect(tiny, "doc_id", col("n"), col("sc"),
+      budget = 25, bands = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(out == Map(1L -> (0L, true), 2L -> (10L, true),
+      3L -> (20L, false), 4L -> (29L, false)), s"got $out")
+    // doc 3 does NOT fit (20+9 > 25) even though 5 tokens of budget
+    // remain — the whole-doc rule, no partial docs
+    val zero = Packing.budgetSelect(tiny, "doc_id", col("n"), col("sc"),
+      budget = 0).collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(zero == Map(1L -> false, 2L -> false, 3L -> false, 4L -> false),
+      "budget 0 admits nothing here (doc 4 is zero-token but 30 tokens " +
+        "of better-scored docs precede it)")
+    intercept[IllegalArgumentException](
+      Packing.budgetSelect(tiny, "doc_id", col("n"), col("sc"), -1))
+    intercept[IllegalArgumentException](
+      Packing.budgetSelect(tiny, "doc_id", col("n"), col("sc"), 5, bands = 0))
+    intercept[IllegalArgumentException](
+      Packing.budgetSelect(tiny.withColumn("__band", lit(1)), "doc_id",
+        col("n"), col("sc"), 5))
+  }
+
   test("lengthBucketBatches: bands honored, batches fill longest-first and " +
     "cap at batchSize, waste matches the hand formula") {
     val assigned = Packing.lengthBucketBatches(docs, "doc_id", nTok,
