@@ -1014,6 +1014,14 @@ object SparkEntry {
       Similarity.rerankTopK(cands, emb,
         emb.where(col("vec_id") < 3), k = 5)
     }),
+    "s16_truncated_rerank" -> ((s, dir) => {
+      // Matryoshka two-stage: 16-of-64-dim cosine recalls 20 candidates
+      // per query (4x narrower arrays in the scan), exact full-dim
+      // cosine re-ranks to top-5 over queries x 20 rows only
+      val emb = t(s, dir, "embeddings")
+      Similarity.truncatedRerankTopK(emb, emb.filter(col("vec_id") < 10),
+        k = 5, prefixDims = 16, candidates = 20)
+    }),
     "s15_rrf_fusion" -> ((s, dir) => {
       // hybrid retrieval: BM25 top-10 lexical list + exact-cosine top-10
       // dense list, combined by reciprocal-rank fusion (1/(60+rank) —
@@ -2907,6 +2915,32 @@ object SparkEntry {
          |  JOIN embeddings c ON c.vec_id = b.doc_id
          |  JOIN embeddings q ON q.vec_id = b.query_id
          |  WHERE b.query_id != b.doc_id)
+         |WHERE rnk <= 5""".stripMargin
+    },
+    "s16_truncated_rerank" -> {
+      // stage 1 is the s01 construction over embedding[1:16] at k=20,
+      // stage 2 the s14 rerank shape: full-dim cosine over the
+      // surviving pairs, self-pairs excluded like perQueryTopK
+      val cosT = duckCos("q.embedding", "c.embedding")
+      val cos = duckCos("q.embedding", "c.embedding")
+      s"""WITH tv AS (SELECT vec_id, embedding[1:16] AS embedding
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $cosT DESC, c.vec_id) AS rnk
+         |    FROM tv c CROSS JOIN (SELECT * FROM tv WHERE vec_id < 10) q
+         |    WHERE q.vec_id != c.vec_id)
+         |  WHERE rnk <= 20)
+         |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT b.query_id, b.corpus_id, $cos AS score,
+         |    row_number() OVER (PARTITION BY b.query_id
+         |      ORDER BY $cos DESC, b.corpus_id) AS rnk
+         |  FROM cand b
+         |  JOIN embeddings c ON c.vec_id = b.corpus_id
+         |  JOIN embeddings q ON q.vec_id = b.query_id
+         |  WHERE b.query_id != b.corpus_id)
          |WHERE rnk <= 5""".stripMargin
     },
     "s15_rrf_fusion" -> {

@@ -254,6 +254,37 @@ object Similarity {
       .join(c, Seq("corpus_id")).join(broadcast(q), Seq("query_id")), k)
   }
 
+  /** Truncated-dimension two-stage retrieval — the Matryoshka pattern
+    * (Kusupati et al. 2022: embeddings trained so a PREFIX of the
+    * dimensions is itself a usable embedding): stage 1 scores the
+    * corpus on only the first `prefixDims` dimensions (per-pair cost
+    * drops by dims/prefixDims — the arrays in flight are 4× smaller at
+    * 16-of-64) and keeps `candidates` per query; stage 2 re-scores just
+    * those by exact full-dimension cosine via [[rerankTopK]]. With
+    * `prefixDims` = the full dimension and `candidates` ≥ the corpus,
+    * this degenerates to [[bruteForceTopK]] BIT-EXACTLY (same shared
+    * scoring tail) — the recall knob is explicit, not hidden.
+    *
+    * Scale shape: stage 1 is the same broadcast-queries map-side scan
+    * as brute force, just on narrower arrays (at 10⁹ vectors swap it
+    * for an IVF/SRP probe over the truncated column — the layouts
+    * compose); stage 2 touches `queries × candidates` rows only. */
+  def truncatedRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                          prefixDims: Int, candidates: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1: $prefixDims")
+    require(candidates >= k,
+      s"candidates ($candidates) must be >= k ($k) — stage 2 only re-orders")
+    val tc = corpus.select(col(idCol),
+      slice(col(vecCol), 1, prefixDims).as(vecCol))
+    val tq = queries.select(col(idCol),
+      slice(col(vecCol), 1, prefixDims).as(vecCol))
+    val cands = bruteForceTopK(tc, tq, candidates, idCol, vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    rerankTopK(cands, corpus, queries, k, idCol, vecCol)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two ranked
     * retrieval lists — the standard hybrid-search combiner: a document's
     * fused score is Σ 1/(k0 + rank) over the lists that retrieved it, so

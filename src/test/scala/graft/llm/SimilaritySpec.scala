@@ -452,6 +452,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("truncatedRerankTopK: full-prefix/full-candidate run degenerates to " +
+    "brute force bit-exactly; truncated stage keeps k per query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val ref = Similarity.bruteForceTopK(emb, q, k = 5)
+      .collect().map(_.toSeq).toSet
+    val degen = Similarity.truncatedRerankTopK(emb, q, k = 5,
+      prefixDims = 64, candidates = emb.count().toInt)
+      .collect().map(_.toSeq).toSet
+    assert(degen == ref, "full-dim full-candidate run must equal brute force")
+    val out = Similarity.truncatedRerankTopK(emb, q, k = 5,
+      prefixDims = 16, candidates = 20).collect()
+    val perQ = out.groupBy(_.getLong(0))
+    assert(perQ.size == 5 && perQ.values.forall(_.length == 5))
+    perQ.values.foreach(rows =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    // stage-2 scores are EXACT full-dim cosines: every reported (q, c)
+    // score matches the brute-force score for that pair
+    val bfAll = Similarity.bruteForceTopK(emb, q, k = emb.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach(r => assert(bfAll((r.getLong(0), r.getLong(1))) == r.getDouble(2)))
+    intercept[IllegalArgumentException](
+      Similarity.truncatedRerankTopK(emb, q, k = 5, prefixDims = 16,
+        candidates = 3))
+  }
+
   test("rrfFuse: agreement dominates, single-list docs contribute one term") {
     val s = spark; import s.implicits._
     // query 1: doc 10 is rank 3 lexical AND rank 3 semantic; doc 11 is
