@@ -40,6 +40,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // bucketed-table queries (m28) saveAsTable into a throwaway warehouse
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
     // local-iteration conf overrides, ';'-separated (conf VALUES may
     // legitimately contain commas — extraJavaOptions, extensions lists):

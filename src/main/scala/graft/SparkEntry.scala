@@ -1057,6 +1057,28 @@ object SparkEntry {
       TextAnalysis.bm25TopKIndexedLatest(s, store, queries,
         "query_id", "qtext", k = 5)
     }),
+    "m28_bucketed_join" -> ((s, dir) => {
+      // the co-located-join layout: both sides bucketed by the join key
+      // (16 matching buckets, key-sorted files), so the recurring
+      // fact-x-dim join runs SHUFFLE-FREE — zero Exchange with broadcast
+      // off, plan-pinned in the spec; the q03 aggregation on top proves
+      // the layout content-preserving under q03's own oracle shape
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      graft.sinks.Sinks.writeBucketedTable(
+        o.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority")),
+        "m28_orders_b", "o_custkey", buckets = 16)
+      graft.sinks.Sinks.writeBucketedTable(
+        c.select(col("c_custkey"), col("c_mktsegment")),
+        "m28_customer_b", "c_custkey", buckets = 16)
+      val bo = s.table("m28_orders_b")
+      val bc = s.table("m28_customer_b")
+      bo.join(bc, bo("o_custkey") === bc("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          decimalSum(col("o_totalprice"), 2).as("total_price"))
+    }),
     "m27_layout_compacted" -> ((s, dir) => {
       // small-file maintenance proven content-preserving: build the BM25
       // snapshot FRAGMENTED (a salted repartition writes many files per
@@ -2993,6 +3015,13 @@ object SparkEntry {
           |  x -> x != '')[1:4], ' ') AS qtext
           |FROM documents WHERE doc_id < 3""".stripMargin,
         k = 5),
+    "m28_bucketed_join" ->
+      // q03's formulation verbatim: the bucketed layout must reproduce
+      // the exact join+aggregate a plain scan yields
+      s"""SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+         |${dsum("o_totalprice", 2, "total_price")}
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
     "m27_layout_compacted" ->
       // the FULL-corpus s09 formulation: correct only if the compacted
       // rewrite preserved the exact posting multiset and stats — a

@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores TIMESTAMP(NANOS): read as bigint nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table queries (m28) saveAsTable into a throwaway warehouse
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

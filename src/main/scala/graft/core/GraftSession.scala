@@ -12,6 +12,11 @@ import org.apache.spark.sql.SparkSession
   * or rely on AQE's initial partition num).
   */
 object GraftSession {
+  // session-scoped warehouse for bucketed/catalog tables (saveAsTable):
+  // one temp dir per JVM so local runs never accrete ./spark-warehouse
+  private lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+
   def builder(appName: String = "graft", master: String = "local[32]",
               shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
@@ -31,6 +36,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // TIMESTAMP(NANOS) parquet (e.g. the events table) reads as bigint nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {

@@ -231,4 +231,30 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected exactly one exchange (the cell window):\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("m28: matching bucketed tables join with ZERO exchange (broadcast " +
+    "disabled — the co-located layout, not the planner, removes the shuffle)") {
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE's plan printing hides the final shape until execution; the
+      // static plan is what the guard reads
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = SparkEntry.queries("m28_bucketed_join")(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      val joinIdx = p.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a sort-merge join over buckets:\n$p")
+      // no exchange anywhere below the join: both scans are bucketed
+      assert(!p.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(p.contains("SelectedBucketsCount"),
+        s"scans are not bucket-aware:\n$p")
+      // and the layout round-trips the data (the oracle also gates this)
+      assert(df.collect().nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
