@@ -639,6 +639,148 @@ object ScaleBench {
       "vec_id", "vec_id", "stratum").count()
     val centSecs = secs(tCent)
 
+    // ---- wave-4/5 surfaces at the 544k corpus / 80k vectors ------------
+
+    // d48 drift between the even/odd corpus halves: ONE tokenize with
+    // map-side combine — only distinct terms shuffle, so the op should
+    // track the scan
+    val tDrift = System.nanoTime()
+    val driftTop = TextAnalysis.distributionDrift(corpus, "text",
+      col("doc_id") % 2 === 0, topK = 20).collect()
+    val driftSecs = secs(tDrift)
+    val driftTvd = driftTop.head.getDouble(6)
+
+    // d49 length batching: hot bands (synthetic lengths concentrate)
+    // split over 16 deterministic shards; ONE exchange end to end
+    val tBatch = System.nanoTime()
+    val batchStatsDf = graft.llm.Packing.batchStats(
+      graft.llm.Packing.lengthBucketBatches(corpus, "doc_id",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        batchSize = 32, bandWidth = 32, saltShards = 16))
+    val nBatches = batchStatsDf.count()
+    val batchSecs = secs(tBatch)
+    val batchExchanges = shuffleCount(batchStatsDf.queryExecution)
+
+    // d50 heavy hitters where the sketch actually earns its keep: top
+    // 8-char-gram fingerprints over ~80M gram instances with a
+    // HIGH-cardinality key space — the exact path shuffles every
+    // distinct gram into a full groupBy + top-k, the sketch shuffles
+    // one 64-counter map per partition
+    val grams = corpus.select(
+      explode(TextAnalysis.charGramHashes(lower(col("text")), 8)).as("g"))
+    val tHhSketch = System.nanoTime()
+    val hhSketch = grams.agg(graft.functions.FrequentItems
+      .frequentItems(col("g"), capacity = 64).as("it")).head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    val hhSketchSecs = secs(tHhSketch)
+    val tHhExact = System.nanoTime()
+    val hhExact = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("g").asc).limit(50).collect()
+    val hhExactSecs = secs(tHhExact)
+    // MG guarantees presence above N/(cap+1) and bounded undercount —
+    // NOT rank order among near-ties (this corpus replicates whole docs,
+    // so hundreds of grams tie near the top); record the overlap between
+    // the sketch's survivors and the exact top-50 as the fidelity metric
+    val hhExactSet = hhExact.map(_.getString(0)).toSet
+    val hhOverlap = hhSketch.count(r => hhExactSet.contains(r.getString(0)))
+
+    // s16 truncated rerank vs the full-dim brute force above (same
+    // 80k corpus, same 20 queries): stage 1 pays 16/64ths of the
+    // multiplies, stage 2 re-scores 40 rows per query
+    val tTr = System.nanoTime()
+    val nTr = graft.llm.Similarity.truncatedRerankTopK(vecs,
+      vecs.where(isQuery), k = 10, prefixDims = 16, candidates = 40).count()
+    val trSecs = secs(tTr)
+    require(nTr == nSimF, s"truncated top-k cardinality diverged: $nTr vs $nSimF")
+
+    // m27 compaction: a fragmented BM25 snapshot (32 files per bucket
+    // dir — the accretion shape) vs its compacted successor, same probe
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val compStore = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString + "/store"
+    graft.llm.LayoutStore.writeSnapshot(hconf, compStore) { tmp =>
+      TextAnalysis.writeBm25Layout(corpus, tmp, termBuckets = 64)
+      val frag = spark.read.parquet(s"$tmp/postings").repartition(32)
+      frag.write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$tmp/postings_frag")
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/postings"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/postings_frag"),
+        new org.apache.hadoop.fs.Path(s"$tmp/postings"))
+    }
+    def countParquetFiles(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(hconf)
+      val it = fs.listFiles(path, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val fragFiles = countParquetFiles(s"$compStore/version=1/postings")
+    val probeQ = Seq(("table value part hash", 1L))
+    val probeDf = spark.createDataFrame(probeQ).toDF("qtext", "query_id")
+    val tProbeFrag = System.nanoTime()
+    val nProbeFrag = TextAnalysis.bm25TopKIndexedLatest(spark, compStore,
+      probeDf, "query_id", "qtext", k = 10).count()
+    val probeFragSecs = secs(tProbeFrag)
+    val tCompact = System.nanoTime()
+    graft.llm.LayoutStore.compactSnapshot(spark, compStore)
+    val compactSecs = secs(tCompact)
+    val compFiles = countParquetFiles(s"$compStore/version=2/postings")
+    val tProbeComp = System.nanoTime()
+    val nProbeComp = TextAnalysis.bm25TopKIndexedLatest(spark, compStore,
+      probeDf, "query_id", "qtext", k = 10).count()
+    val probeCompSecs = secs(tProbeComp)
+    require(nProbeFrag == nProbeComp,
+      s"compaction changed probe cardinality: $nProbeComp vs $nProbeFrag")
+
+    // d51 budget select over the 544k corpus: banded prefix sum, no
+    // single-task global sort; budget = ~half the corpus token mass
+    val tBud = System.nanoTime()
+    val budAgg = graft.llm.Packing.budgetSelect(corpus, "doc_id",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        size(array_distinct(TextAnalysis.tokens(lower(col("text")))))
+          .cast("long"),
+        budget = 20000000L)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("sel")).head()
+    val budSecs = secs(tBud)
+    val (budRows, budSelected) = (budAgg.getLong(0), budAgg.getLong(1))
+
+    // m28 bucketed vs plain co-located join at corpus scale (broadcast
+    // and AQE off so the measured delta is the layout's): the recurring
+    // fact-x-dim join with 32 matching buckets runs with ZERO exchange
+    val facts = corpus.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+    val dims = corpus.select(col("doc_id"), (col("doc_id") % 7).as("label"))
+    val tBktBuild = System.nanoTime()
+    graft.sinks.Sinks.writeBucketedTable(facts, "sb_facts", "doc_id", 32)
+    graft.sinks.Sinks.writeBucketedTable(dims, "sb_dims", "doc_id", 32)
+    val bktBuildSecs = secs(tBktBuild)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val (bktJoinSecs, plainJoinSecs, bktExchanges, nJoin) =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val bj = spark.table("sb_facts")
+          .join(spark.table("sb_dims"), "doc_id")
+          .groupBy(col("label")).agg(sum(col("n_toks")).as("t"))
+        val tBkt = System.nanoTime()
+        val nB = bj.count()
+        val bktS = secs(tBkt)
+        val pj = facts.join(dims, "doc_id")
+          .groupBy(col("label")).agg(sum(col("n_toks")).as("t"))
+        val tPlain = System.nanoTime()
+        val nP = pj.count()
+        val plainS = secs(tPlain)
+        require(nB == nP, s"bucketed join row count diverged: $nB vs $nP")
+        (bktS, plainS, shuffleCount(bj.queryExecution), nB)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+
     val line =
       s"""{"metric":"scale_dedup","unit":"sec","sf":"$sfDir","docs":$nDocs,""" +
       s""""gen_secs":$genSecs,"exact_secs":$exactSecs,"exact_groups":$nExactGroups,""" +
@@ -696,6 +838,20 @@ object ScaleBench {
       s""""vec_corpus":$nVecs,"vec_float_secs":$simFSecs,""" +
       s""""vec_int8_secs":$simQSecs,"vec_topk_rows":$nSimF,""" +
       s""""vec_float_bytes":$floatBytes,"vec_int8_bytes":$int8Bytes,""" +
+      s""""drift_secs":$driftSecs,"drift_tvd":$driftTvd,""" +
+      s""""lb_secs":$batchSecs,"lb_batches":$nBatches,""" +
+      s""""lb_exchanges":$batchExchanges,""" +
+      s""""hh_sketch_secs":$hhSketchSecs,"hh_exact_secs":$hhExactSecs,""" +
+      s""""hh_sketch_size":${hhSketch.length},"hh_overlap_50":$hhOverlap,""" +
+      s""""tr_secs":$trSecs,"tr_rows":$nTr,""" +
+      s""""compact_frag_files":$fragFiles,"compact_files":$compFiles,""" +
+      s""""compact_secs":$compactSecs,""" +
+      s""""compact_probe_frag_secs":$probeFragSecs,""" +
+      s""""compact_probe_secs":$probeCompSecs,""" +
+      s""""bud_secs":$budSecs,"bud_rows":$budRows,"bud_selected":$budSelected,""" +
+      s""""bjoin_build_secs":$bktBuildSecs,"bjoin_bucketed_secs":$bktJoinSecs,""" +
+      s""""bjoin_plain_secs":$plainJoinSecs,"bjoin_exchanges":$bktExchanges,""" +
+      s""""bjoin_rows":$nJoin,""" +
       s""""total_secs":${secs(t0)}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_BENCH.json"), line + "\n")

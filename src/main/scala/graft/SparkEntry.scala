@@ -402,6 +402,31 @@ object SparkEntry {
       s.read.parquet(out)
     }),
 
+    "m29_stream_heavy_hitters" -> ((s, dir) => {
+      // d50's Misra-Gries sketch as a STREAMING aggregation: the
+      // TypedImperativeAggregate's serialize/merge ride the state store
+      // across micro-batches (complete-mode memory sink), and the batch
+      // oracle gates the streamed result verbatim — exact regime, so
+      // arrival order across micro-batches cannot matter
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = tmpQueryDir("m29-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        src.resolve("documents.parquet"))
+      val name = "m29_hh_" + src.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")
+      Incremental.runAggregateAvailableNow(s, src.toString, schema,
+        "parquet",
+        df => df.select(col("lang"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+          .groupBy(col("lang"))
+          .agg(graft.functions.FrequentItems
+            .frequentItems(col("term"), capacity = 64).as("items")),
+        name)
+        .select(col("lang"), explode(col("items")).as("it"))
+        .select(col("lang"), col("it.term").as("term"),
+          col("it.count").as("cnt"))
+    }),
+
     // ---- training-data ops ----------------------------------------------
     "d01_exact_dedup" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1013,6 +1038,17 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id").as("corpus_id"))
       Similarity.rerankTopK(cands, emb,
         emb.where(col("vec_id") < 3), k = 5)
+    }),
+    "s17_ann_recall" -> ((s, dir) => {
+      // the ANN acceptance gauge: per-query recall@10 of the SRP
+      // multi-probe path against exact brute-force ground truth —
+      // integer hit counts off one equi-join, ONE division per query
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+      val approx = Similarity.annTopK(emb, q, k = 10,
+        dim = 64, planes = srpPlanes(s, dir), probeRadius = 1)
+      Similarity.annRecallAtK(approx, exact)
     }),
     "s16_truncated_rerank" -> ((s, dir) => {
       // Matryoshka two-stage: 16-of-64-dim cosine recalls 20 candidates
@@ -2474,6 +2510,16 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    + n_tokens <= 15000) AS selected
         |FROM f""".stripMargin,
+    "m29_stream_heavy_hitters" ->
+      // d50's exact-regime oracle verbatim: capacity exceeds the vocab,
+      // so the streamed sketch must reproduce the exact multiset counts
+      // regardless of micro-batch boundaries
+      """SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT lang,
+        |        unnest(list_filter(string_split(lower(text), ' '),
+        |          x -> x != '')) AS term
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
     "d50_heavy_hitters" ->
       // exact-regime oracle: capacity (64) exceeds the distinct-term
       // count, so the sketch IS the exact multiset count — plain
@@ -2938,6 +2984,38 @@ object SparkEntry {
          |  JOIN embeddings q ON q.vec_id = b.query_id
          |  WHERE b.query_id != b.doc_id)
          |WHERE rnk <= 5""".stripMargin
+    },
+    "s17_ann_recall" -> {
+      // the s01 exact construction at k=10 left-joined by the s02 probe
+      // construction at k=10 (same lastSrpPlanes), counted per query
+      val planes = lastSrpPlanes
+      val bucket = duckSrpBucket("embedding", 64, planes)
+      val cos = duckCos("q.embedding", "c.embedding")
+      s"""WITH v AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |pq AS (SELECT vec_id, embedding,
+         |        unnest(${duckProbes("bucket", planes)}) AS bucket
+         |      FROM v WHERE vec_id < 10),
+         |ap AS (SELECT query_id, corpus_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
+         |  FROM v c JOIN pq q
+         |    ON q.bucket = c.bucket AND q.vec_id != c.vec_id)
+         |  WHERE rnk <= 10),
+         |ex AS (SELECT query_id, corpus_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
+         |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+         |  WHERE q.vec_id != c.vec_id)
+         |  WHERE rnk <= 10)
+         |SELECT ex.query_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN ap.corpus_id IS NULL THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN ap.corpus_id IS NULL THEN 0 ELSE 1 END)
+         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ap.query_id = ex.query_id AND ap.corpus_id = ex.corpus_id
+         |GROUP BY 1""".stripMargin
     },
     "s16_truncated_rerank" -> {
       // stage 1 is the s01 construction over embedding[1:16] at k=20,

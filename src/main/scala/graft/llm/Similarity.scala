@@ -254,6 +254,32 @@ object Similarity {
       .join(c, Seq("corpus_id")).join(broadcast(q), Seq("query_id")), k)
   }
 
+  /** Recall@k evaluation of an approximate retrieval list against exact
+    * ground truth — the acceptance gauge every ANN deployment runs
+    * before (and periodically after) switching a probe path on: per
+    * query, what fraction of the TRUE top-k did the approximate list
+    * surface. Inputs are any two (query_id, corpus_id) frames —
+    * typically [[annTopK]]/[[ivfTopK]]/a layout probe vs
+    * [[bruteForceTopK]] on a query SAMPLE (ground truth is O(corpus)
+    * per query, so at 100 TB it's computed for a few hundred held-out
+    * queries, not the live sheet — the standard practice).
+    *
+    * Counts are integers off one equi-join; `recall` is ONE division.
+    * Queries absent from `approx` score 0; queries absent from `exact`
+    * (no ground truth) don't appear. Output: (query_id, n_exact,
+    * n_hit, recall). */
+  def annRecallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("corpus_id"),
+      lit(1L).as("__hit"))
+    exact.select(col("query_id"), col("corpus_id"))
+      .join(a, Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+  }
+
   /** Truncated-dimension two-stage retrieval — the Matryoshka pattern
     * (Kusupati et al. 2022: embeddings trained so a PREFIX of the
     * dimensions is itself a usable embedding): stage 1 scores the

@@ -56,6 +56,32 @@ object Incremental {
       .start()
   }
 
+  /** Incremental file-source AGGREGATION: process-available-then-stop
+    * with a complete-mode memory sink — the "refresh a serving snapshot
+    * from whatever landed" shape (a stats table, a top-terms board).
+    * Unlike [[runAvailableNow]]'s stateless append, the aggregation
+    * carries STATE across micro-batches through the state store — which
+    * is what makes a custom [[org.apache.spark.sql.catalyst.expressions
+    * .aggregate.TypedImperativeAggregate]] (the d50 Misra–Gries sketch)
+    * streaming-capable: its serialize/merge are exactly what the store
+    * replays (m29 gates the streamed sketch under d50's batch oracle).
+    * Returns the final in-memory table; `queryName` must be unique per
+    * concurrent run (it names the sink table). */
+  def runAggregateAvailableNow(spark: SparkSession, sourceDir: String,
+                               schema: StructType, format: String,
+                               agg: DataFrame => DataFrame,
+                               queryName: String): DataFrame = {
+    val src = spark.readStream.schema(schema).format(format).load(sourceDir)
+    agg(src).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Watermarked tumbling-window aggregation — capability the reference
     * lacks (SURVEY §2.12); exposed as a standard transform. */
   def windowedCounts(df: DataFrame, tsCol: String, watermark: String,

@@ -90,4 +90,32 @@ class FrequentItemsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       FrequentItems.frequentItems(col("term"), 0))
   }
+
+  test("streaming: sketch state accumulates across micro-batches through " +
+    "the state store (complete mode)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[String]
+    val agg = input.toDF().toDF("term")
+      .groupBy().agg(FrequentItems.frequentItems(col("term"), 8).as("it"))
+      .select(explode(col("it")).as("x"))
+      .select(col("x.term"), col("x.count"))
+    val q = agg.writeStream.format("memory").queryName("fi_stream_out")
+      .outputMode("complete").start()
+    try {
+      input.addData("a", "a", "b")
+      q.processAllAvailable()
+      val b1 = spark.table("fi_stream_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(b1 == Map("a" -> 2L, "b" -> 1L), s"batch 1: $b1")
+      // second micro-batch MERGES into the stored sketch (serialize/
+      // deserialize round-trip through the state store), not a restart
+      input.addData("a", "c", "c", "c")
+      q.processAllAvailable()
+      val b2 = spark.table("fi_stream_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(b2 == Map("a" -> 3L, "c" -> 3L, "b" -> 1L), s"batch 2: $b2")
+    } finally q.stop()
+  }
 }

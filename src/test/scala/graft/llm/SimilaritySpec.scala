@@ -452,6 +452,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("annRecallAtK: hand-built lists score exactly; ground truth vs " +
+    "itself is 1.0 everywhere; unretrieved queries score 0") {
+    val s = spark; import s.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
+      .toDF("query_id", "corpus_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L))
+      .toDF("query_id", "corpus_id")
+    val got = Similarity.annRecallAtK(approx, exact)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // q1: 2 of 3 true neighbors surfaced (the spurious 99 neither helps
+    // nor hurts); q2 never retrieved -> recall 0
+    assert(got == Map(1L -> (3L, 2L, 2.0 / 3), 2L -> (1L, 0L, 0.0)),
+      s"got $got")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 5)
+    val self = Similarity.annRecallAtK(bf, bf).collect()
+    assert(self.length == 5 && self.forall(_.getDouble(3) == 1.0))
+  }
+
   test("truncatedRerankTopK: full-prefix/full-candidate run degenerates to " +
     "brute force bit-exactly; truncated stage keeps k per query") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
