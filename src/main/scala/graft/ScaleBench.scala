@@ -754,8 +754,10 @@ object ScaleBench {
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
     val dims = corpus.select(col("doc_id"), (col("doc_id") % 7).as("label"))
     val tBktBuild = System.nanoTime()
-    graft.sinks.Sinks.writeBucketedTable(facts, "sb_facts", "doc_id", 32)
-    graft.sinks.Sinks.writeBucketedTable(dims, "sb_dims", "doc_id", 32)
+    graft.sinks.Sinks.writeBucketed(facts, "sb_facts", Seq("doc_id"),
+      numBuckets = 32, sortCols = Seq("doc_id"))
+    graft.sinks.Sinks.writeBucketed(dims, "sb_dims", Seq("doc_id"),
+      numBuckets = 32, sortCols = Seq("doc_id"))
     val bktBuildSecs = secs(tBktBuild)
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")

@@ -855,6 +855,12 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long"),
           batchSize = 8, bandWidth = 32, saltShards = 2, salt = "lb1"))
     }),
+    "d52_skew_profile" -> ((s, dir) =>
+      // the pre-shuffle skew card for events.user_id at 32 reducers:
+      // exact per-key count quartiles (the q19 percentile contract),
+      // max/mean ratio, and the integer-exact suggested salt factor
+      graft.operators.Skew.keyProfile(t(s, dir, "events"),
+        Seq("user_id"), partitions = 32)),
     "d51_budget_select" -> ((s, dir) =>
       // budgeted data selection: rank by an integer quality signal
       // (distinct-token count — lexical richness), cut at a 15k-token
@@ -1101,13 +1107,15 @@ object SparkEntry {
       // the layout content-preserving under q03's own oracle shape
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
-      graft.sinks.Sinks.writeBucketedTable(
+      graft.sinks.Sinks.writeBucketed(
         o.select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice"), col("o_orderpriority")),
-        "m28_orders_b", "o_custkey", buckets = 16)
-      graft.sinks.Sinks.writeBucketedTable(
+        "m28_orders_b", Seq("o_custkey"), numBuckets = 16,
+        sortCols = Seq("o_custkey"))
+      graft.sinks.Sinks.writeBucketed(
         c.select(col("c_custkey"), col("c_mktsegment")),
-        "m28_customer_b", "c_custkey", buckets = 16)
+        "m28_customer_b", Seq("c_custkey"), numBuckets = 16,
+        sortCols = Seq("c_custkey"))
       val bo = s.table("m28_orders_b")
       val bc = s.table("m28_customer_b")
       bo.join(bc, bo("o_custkey") === bc("c_custkey"))
@@ -2492,6 +2500,25 @@ object SparkEntry {
           |FROM documents""".stripMargin,
         "doc_id", batchSize = 8, bandWidth = 32, saltShards = 2,
         salt = "lb1"),
+    "d52_skew_profile" ->
+      // same quantile_cont quartiles, same double mean/ratio expression
+      // order, same integer-ceil salt formula (// is DuckDB's integral
+      // division)
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(MAX(n) AS BIGINT) AS max_n,
+        |    quantile_cont(n, 0.25) AS q25,
+        |    quantile_cont(n, 0.5) AS q50,
+        |    quantile_cont(n, 0.75) AS q75
+        |  FROM c)
+        |SELECT n_keys, n_rows, max_n, q25, q50, q75,
+        |  CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS mean_n,
+        |  CAST(max_n AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE) AS skew_ratio,
+        |  (max_n * 32 + n_rows - 1) // n_rows AS salt_suggest
+        |FROM s""".stripMargin,
     "d51_budget_select" ->
       // the one-global-window formulation: exclusive running token sum
       // in (score desc, id) order, whole-doc-fits selection rule —

@@ -17,22 +17,29 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Misra–Gries heavy-hitters sketch as a native Catalyst aggregate — the
   * bounded-memory "top terms" operator a 100 TB corpus needs where an
   * exact `GROUP BY term` would shuffle billions of distinct keys: the
-  * sketch keeps at most `capacity` counters per group, updates are O(1)
-  * amortized, and partial aggregation works map-side like any other
-  * aggregate (this is a [[TypedImperativeAggregate]], so it rides
+  * sketch keeps fewer than 2·`capacity` counters per group, updates are
+  * O(1) amortized (batched purge at the 2x watermark — the textbook
+  * per-miss decrement-all costs O(capacity) per row and loses to the
+  * exact aggregate on high-cardinality streams, measured in ScaleBench),
+  * and partial aggregation works map-side like any other aggregate
+  * (this is a [[TypedImperativeAggregate]], so it rides
   * ObjectHashAggregate with partial merge — the corpus never shuffles,
-  * only ≤`capacity`-entry sketches do).
+  * only sketch-sized maps do).
   *
-  * Guarantees (Misra & Gries 1982; merge rule from Agarwal et al. 2013):
-  * every reported count is an UNDERCOUNT by at most N/(capacity+1)
-  * (N = stream length), and any term with true frequency >
-  * N/(capacity+1) is guaranteed present in the sketch. When `capacity`
-  * >= the number of DISTINCT terms in the group, no eviction ever fires
-  * and the result is the EXACT multiset count, independent of arrival
-  * and merge order — the regime the DuckDB oracle gates bit-for-bit.
-  * Below that, counts depend (within the error bound) on partition
-  * order; callers wanting reproducible approximate runs fix the
-  * partitioning upstream.
+  * Guarantees (Misra & Gries 1982; batched purge per the Frequent-Items
+  * literature, merge rule from Agarwal et al. 2013): every reported
+  * count is an UNDERCOUNT by at most N/(capacity+1) (N = stream
+  * length; each purge's δ is absorbed in full by its top capacity+1
+  * entries, so Σδ ≤ N/(capacity+1)), and any term with true frequency
+  * > N/(capacity+1) is guaranteed present. When the number of DISTINCT
+  * terms in the group is < 2·capacity, no purge ever fires and the
+  * result is the EXACT multiset count, independent of arrival and
+  * merge order — the regime the DuckDB oracle gates bit-for-bit. Below
+  * that, counts depend (within the error bound) on partition order;
+  * callers wanting reproducible approximate runs fix the partitioning
+  * upstream. Rank fidelity among near-ties is NOT guaranteed — an
+  * adversarially tied key space (ScaleBench's replicated-doc grams)
+  * reorders survivors within the error band.
   *
   * Output: array<struct<term,count>> sorted by (count desc, term asc) —
   * deterministic for any fixed final counter set. Null inputs are
@@ -69,19 +76,19 @@ case class FrequentItems(
       buffer.get(key) match {
         case Some(c) => buffer.update(key, c + 1L)
         case None =>
-          if (buffer.size < capacity) {
-            // the input UTF8String may point into a reused row buffer —
-            // copy before retaining it across rows
-            buffer.update(key.copy(), 1L)
-          } else {
-            // classic MG eviction: the new key and every counter give up
-            // one occurrence; zeroed counters leave the sketch
-            val dead = mutable.ArrayBuffer.empty[UTF8String]
-            buffer.foreach { case (k, c) =>
-              if (c == 1L) dead += k else buffer.update(k, c - 1L)
-            }
-            dead.foreach(buffer.remove)
-          }
+          // the input UTF8String may point into a reused row buffer —
+          // copy before retaining it across rows
+          buffer.update(key.copy(), 1L)
+          // batched purge (the DataSketches-style amortization of the
+          // textbook decrement-all, which costs O(capacity) per MISS and
+          // makes high-cardinality streams slower than the exact
+          // aggregate they're meant to beat): let the map grow to
+          // 2·capacity, then subtract the (capacity+1)-th largest count
+          // from everything in one pass. The top capacity+1 entries each
+          // absorb the full δ, so Σδ ≤ N/(capacity+1) — the classic MG
+          // bound survives, and eviction work amortizes to O(1) per row
+          // (each purge removes ≥ capacity entries).
+          if (buffer.size >= capacity * 2) FrequentItems.purge(buffer, capacity)
       }
     }
     buffer
@@ -93,19 +100,10 @@ case class FrequentItems(
     other.foreach { case (k, c) =>
       buffer.update(k, buffer.getOrElse(k, 0L) + c)
     }
-    if (buffer.size > capacity) {
-      // subtract the (capacity+1)-th largest count from everything and
-      // drop the non-positive — the summed-sketch form of the same
-      // decrement rule, preserving the N/(capacity+1) undercount bound
-      val counts = buffer.values.toArray
-      java.util.Arrays.sort(counts)
-      val thresh = counts(counts.length - 1 - capacity)
-      val dead = mutable.ArrayBuffer.empty[UTF8String]
-      buffer.foreach { case (k, c) =>
-        if (c - thresh <= 0L) dead += k else buffer.update(k, c - thresh)
-      }
-      dead.foreach(buffer.remove)
-    }
+    // same batched rule at the same 2x watermark: merged partials purge
+    // only when they genuinely overflow, so the exact regime (distinct
+    // keys < capacity — no purge ever fires anywhere) is preserved
+    if (buffer.size >= capacity * 2) FrequentItems.purge(buffer, capacity)
     buffer
   }
 
@@ -162,6 +160,20 @@ case class FrequentItems(
 }
 
 object FrequentItems {
+  /** Subtract the (capacity+1)-th largest count from every entry and drop
+    * the non-positive. Shared by update (at the 2x watermark) and merge. */
+  private[functions] def purge(buffer: mutable.HashMap[UTF8String, Long],
+                               capacity: Int): Unit = {
+    val counts = buffer.values.toArray
+    java.util.Arrays.sort(counts)
+    val thresh = counts(counts.length - 1 - capacity)
+    val dead = mutable.ArrayBuffer.empty[UTF8String]
+    buffer.foreach { case (k, c) =>
+      if (c - thresh <= 0L) dead += k else buffer.update(k, c - thresh)
+    }
+    dead.foreach(buffer.remove)
+  }
+
   val resultType: DataType = ArrayType(StructType(Seq(
     StructField("term", StringType, nullable = false),
     StructField("count", LongType, nullable = false))), containsNull = false)

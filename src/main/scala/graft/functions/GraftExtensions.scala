@@ -107,8 +107,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     inject("graft_frequent_items", classOf[FrequentItems],
       "graft_frequent_items(term, capacity) - Misra-Gries heavy-hitters " +
-        "aggregate: array<struct<term,count>>, exact when capacity >= " +
-        "distinct terms, undercount bounded by N/(capacity+1) otherwise") { args =>
+        "aggregate: array<struct<term,count>>, exact while distinct terms " +
+        "< 2*capacity, undercount bounded by N/(capacity+1) otherwise") { args =>
       arity("graft_frequent_items", 2, args)
       // the analyzer wraps a bare AggregateFunction into its
       // AggregateExpression, same as built-in registry entries

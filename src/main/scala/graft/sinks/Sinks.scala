@@ -37,34 +37,6 @@ object Sinks {
     w.format(cfg.format).save(path)
   }
 
-  /** Bucketed-table sink — the co-located-join layout for a join key a
-    * pipeline hits every run (facts joined to the same dimension daily,
-    * an id-keyed enrichment): both sides written with `bucketBy(n, key)`
-    * + `sortBy(key)` land rows in hash-aligned, key-sorted files, and
-    * every later join on that key is SHUFFLE-FREE — the sort-merge join
-    * reads both sides' matching buckets with zero Exchange in the plan
-    * (PlanAuditSpec pins it with broadcast disabled). At 100 TB this
-    * converts the recurring fact-×-dim shuffle — usually the single
-    * biggest repeated network cost in a scheduled pipeline — into a
-    * one-time write-side cost that amortizes across every downstream
-    * run. Bucket counts must MATCH across the tables meant to co-join
-    * (Spark only elides the exchange on equal bucketing).
-    *
-    * Uses the session catalog (`saveAsTable` — bucket metadata lives in
-    * the catalog, plain `.parquet(path)` cannot carry it); the
-    * warehouse dir is session-scoped. */
-  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
-                         buckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    require(buckets >= 1, s"buckets must be >= 1: $buckets")
-    require(table.matches("[A-Za-z0-9_]+"), s"unqualified table name only: $table")
-    val sorts = if (sortCols.isEmpty) Seq(bucketCol) else sortCols
-    df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, bucketCol)
-      .sortBy(sorts.head, sorts.tail: _*)
-      .format("parquet")
-      .saveAsTable(table)
-  }
-
   /** Sequence-file sink (key/value Text pairs, optional compression) —
     * reference FileSink.java:155-181 (`saveAsNewAPIHadoopFile` with
     * SequenceFileOutputFormat + LZ4). Distributed write, no driver data

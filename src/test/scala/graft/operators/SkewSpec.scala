@@ -64,4 +64,24 @@ class SkewSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS bkt_right")
     }
   }
+
+  test("keyProfile: hand-checked distribution stats and the integer-exact " +
+    "salt suggestion") {
+    val s = spark; import s.implicits._
+    // counts per key: a=6, b=2, c=2, d=2 -> 12 rows over 4 keys
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(2)("d")).map(Tuple1(_)).toDF("k")
+    val r = Skew.keyProfile(df, Seq("k"), partitions = 4).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 12L && r.getLong(2) == 6L)
+    // sorted counts [2,2,2,6]: q25 = 2, q50 = 2, q75 = 2 + 0.25*(6-2) = 3
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 2.0 && r.getDouble(5) == 3.0)
+    assert(r.getDouble(6) == 3.0, "mean = 12/4")
+    assert(r.getDouble(7) == 2.0, "skew ratio = max/mean = 6/3")
+    // hot key holds 6 rows; an average reducer at 4 partitions holds 3 ->
+    // salt 2; at 1 partition the key underfills the single reducer -> 1
+    assert(r.getLong(8) == 2L)
+    val r1 = Skew.keyProfile(df, Seq("k"), partitions = 1).head()
+    assert(r1.getLong(8) == 1L)
+    intercept[IllegalArgumentException](Skew.keyProfile(df, Seq("k"), 0))
+  }
 }
