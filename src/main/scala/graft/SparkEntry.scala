@@ -855,6 +855,16 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long"),
           batchSize = 8, bandWidth = 32, saltShards = 2, salt = "lb1"))
     }),
+    "d53_semantic_dispersion" -> ((s, dir) => {
+      // embedding-collapse monitor: per-label mean squared distance from
+      // the stratum centroid, exact integers (floor(x*2^12+0.5) — 12
+      // bits keeps n*sum_sq inside BIGINT at bench scale) into ONE
+      // double division; one embeddings pass, |strata|x64 longs shuffle
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDispersion(emb,
+        emb.select(col("vec_id"), col("label")),
+        "vec_id", "vec_id", "label", scaleBits = 12)
+    }),
     "d52_skew_profile" -> ((s, dir) =>
       // the pre-shuffle skew card for events.user_id at 32 reducers:
       // exact per-key count quartiles (the q19 percentile contract),
@@ -1331,6 +1341,17 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), col("width"), col("height"),
           round(col("mean_luma"), 3).as("mean_luma"), col("phash"))),
+    "m30_phash_neardups" -> ((s, dir) =>
+      // perceptual image dedup: decode -> 8x8 average-hash -> Hamming-
+      // band pairing (the d05 machinery on the image fingerprint). The
+      // fixture set carries a hand-constructed near-dup of image 1 (one
+      // 8x8 cell flipped -> Hamming EXACTLY 1); every other pair is
+      // >= 32 bits apart, so the oracle is the single derived pair
+      Multimodal.phashNearDupPairs(
+        Multimodal.extractImageFeatures(s,
+          MediaFixtures.mediaWithVariants(s)
+            .where(col("media_type") === "image")).toDF(),
+        maxHamming = 4)),
     "m16_audio_features" -> ((s, dir) =>
       // REAL audio decode gated by the oracle: constant-tone WAV ->
       // javax.sound decode -> frame-count duration, exact 0.5 mean
@@ -2500,6 +2521,27 @@ object SparkEntry {
           |FROM documents""".stripMargin,
         "doc_id", batchSize = 8, bandWidth = 32, saltShards = 2,
         salt = "lb1"),
+    "d53_semantic_dispersion" ->
+      // same floor(x*2^12 + 0.5) write-out as the s11 family, same
+      // one-aggregate shape; HUGEINT sums cast to BIGINT, one double
+      // division in the same left-to-right order
+      """WITH q AS (SELECT CAST(label AS VARCHAR) AS stratum, i AS pos,
+        |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |      * 4096.0 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |s AS (SELECT stratum, pos, CAST(SUM(qv) AS BIGINT) AS sv,
+        |    CAST(SUM(qv * qv) AS BIGINT) AS sq,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM q GROUP BY 1, 2),
+        |f AS (SELECT stratum, MAX(c) AS n,
+        |    CAST(SUM(sq) AS BIGINT) AS sum_sq,
+        |    CAST(SUM(sv * sv) AS BIGINT) AS cent_sq
+        |  FROM s GROUP BY 1)
+        |SELECT stratum, n, sum_sq, cent_sq,
+        |  CAST(n * sum_sq - cent_sq AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 4096.0 * 4096.0)
+        |    AS dispersion
+        |FROM f""".stripMargin,
     "d52_skew_profile" ->
       // same quantile_cont quartiles, same double mean/ratio expression
       // order, same integer-ceil salt formula (// is DuckDB's integral
@@ -3336,6 +3378,13 @@ object SparkEntry {
         |  (2::BIGINT, 16::INTEGER, 16::INTEGER, 127.5::DOUBLE,  'ffffffff00000000'),
         |  (3::BIGINT, 32::INTEGER,  8::INTEGER, 63.75::DOUBLE,  '0303030303030303')
         |) AS t(media_id, width, height, mean_luma, phash)""".stripMargin,
+    "m30_phash_neardups" ->
+      // hand-derived from the fixture construction: image 6 is image 1
+      // with cell (0,0) flipped -> phash f0f0f0f0f0f0f0f1 vs
+      // f0f0f0f0f0f0f0f0, Hamming 1; images 2 (ffffffff00000000) and 3
+      // (0303030303030303) sit >= 32 bits from everything else
+      """SELECT * FROM (VALUES (1::BIGINT, 6::BIGINT, 1::INTEGER))
+        |AS t(id1, id2, hamming)""".stripMargin,
     "m16_audio_features" ->
       // 4000 frames @ 8000 Hz = 500 ms; constant 16384/32768 = 0.5 mean
       // amplitude; fingerprint = md5 prefix of the (00 40)*4000 PCM bytes

@@ -158,4 +158,18 @@ object MediaFixtures {
         (_, _) => 0xffffff))),
     ).toDF("media_id", "media_type", "content")
   }
+
+  /** [[media]] plus a NEAR-DUPLICATE of image 1 — the same vertical split
+    * with exactly one 8×8 cell (cx=0, cy=0 — pixels x<2, y<2) flipped
+    * white. 33 of 64 cells white → mean ≈ 131.48, so whites stay above
+    * and blacks below: phash = image 1's with bit 0 set
+    * (f0f0f0f0f0f0f0f1), Hamming distance EXACTLY 1 — the perceptual
+    * near-dup pair the m30 oracle hand-derives. */
+  def mediaWithVariants(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media(spark).unionByName(Seq(
+      (6L, "image",
+        png(16, 16, (x, y) => if (x >= 8 || (x < 2 && y < 2)) 0xffffff else 0x000000))
+    ).toDF("media_id", "media_type", "content"))
+  }
 }

@@ -95,6 +95,48 @@ object Multimodal {
     }
   }
 
+  /** Perceptual near-duplicate image pairs over the 8×8 average-hash —
+    * the media twin of the d05 text SimHash: re-encoded, slightly
+    * cropped or lightly edited copies land within a few phash bits of
+    * the original, so pairing on small Hamming distance catches the
+    * duplicates an exact byte hash can't. Same Hamming-band LSH shape
+    * as the text tier: the 64-bit hex hash splits into four 16-bit
+    * band keys, candidates equi-join on any shared band (only
+    * (band, id, two 32-bit halves) rows shuffle — never image bytes),
+    * and the exact distance filters survivors. Pigeonhole: a pair
+    * within Hamming 3 ALWAYS shares a band; distance-4 pairs are found
+    * unless all four differing bits land in four distinct bands (the
+    * same recall contract as d05, stated not hidden).
+    *
+    * Input: an [[extractImageFeatures]] frame (error rows — null phash
+    * — drop out). Output: (id1, id2, hamming), id1 < id2, deduped
+    * across bands. Hex parses as two 32-bit halves (conv of the full
+    * 16 chars would overflow signed BIGINT for hashes ≥ 2^63). */
+  def phashNearDupPairs(features: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"maxHamming must be in [0, 64]: $maxHamming")
+    import org.apache.spark.sql.functions._
+    val base = features
+      .where(col("phash").isNotNull)
+      .select(col("media_id"), col("phash"),
+        conv(substring(col("phash"), 1, 8), 16, 10).cast("long").as("__hi"),
+        conv(substring(col("phash"), 9, 8), 16, 10).cast("long").as("__lo"))
+    val banded = base.select(col("media_id"), col("__hi"), col("__lo"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("phash"), b * 4 + 1, 4)): _*)).as(Seq("__band", "__key")))
+    val a = banded.select(col("__band"), col("__key"),
+      col("media_id").as("id1"), col("__hi").as("__h1"), col("__lo").as("__l1"))
+    val b = banded.select(col("__band"), col("__key"),
+      col("media_id").as("id2"), col("__hi").as("__h2"), col("__lo").as("__l2"))
+    a.join(b, Seq("__band", "__key"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (bit_count(col("__h1").bitwiseXOR(col("__h2"))) +
+          bit_count(col("__l1").bitwiseXOR(col("__l2")))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Mean Rec.601 luma over every pixel + the 8x8 average-hash (manual box
     * pooling, cross-JVM-stable). Shared by the image and video kernels so a
     * frame's fingerprint is comparable to a still image's. */

@@ -902,4 +902,52 @@ object Similarity {
         col("cos"))
     Dedup.materializeAndRelease(out, vecs)
   }
+
+  /** Per-stratum semantic dispersion — the collapse monitor for an
+    * embedding corpus: mean squared distance from the stratum centroid,
+    * E|x|² − |x̄|², per source/language/snapshot. A source whose
+    * dispersion drifts toward 0 is collapsing onto one template (SEO
+    * farms, boilerplate mirrors); one drifting up is losing topical
+    * focus. Same exact-integer construction as
+    * [[stratumCentroidMatrix]]: dimensions quantize to
+    * floor(x·2^scaleBits + 0.5) longs, ONE embeddings pass aggregates
+    * per-(stratum, dim) sums + per-stratum sums of squares (map-side
+    * combined; only |strata|·dims longs shuffle), and the dispersion is
+    * (n·Σ|x_q|² − |Σx_q|²) / (n²·2^(2·scaleBits)) — exact integers into
+    * ONE double division, partition-order independent by construction.
+    *
+    * Overflow bound: |Σx_q| per dim < n·2^scaleBits·max|x|, and its
+    * square times dims must stay below 2^63 — at the default 20 bits
+    * and unit-normalized embeddings that is n ≲ 10⁵ per stratum per
+    * dim-square; larger strata drop scaleBits (dispersion is scale-free
+    * in the limit) or shard the stratum and pool n·disp + counts.
+    *
+    * Output: (stratum, n, sum_sq, cent_sq, dispersion). */
+  def semanticDispersion(embs: DataFrame, strata: DataFrame,
+                         vecIdCol: String, strataIdCol: String,
+                         strataCol: String, vecCol: String = "embedding",
+                         scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 40,
+      s"scaleBits out of range: $scaleBits")
+    val scale = java.lang.Math.scalb(1.0, scaleBits)
+    val joined = embs.select(col(vecIdCol).as("__id"), col(vecCol).as("__v"))
+      .join(strata.select(col(strataIdCol).as("__id"),
+        col(strataCol).cast("string").as("stratum")), Seq("__id"))
+    val q = joined.select(col("stratum"),
+      posexplode(transform(col("__v"),
+        x => floor(x.cast("double") * lit(scale) + lit(0.5)).cast("long")))
+        .as(Seq("__pos", "__q")))
+    val perDim = q.groupBy(col("stratum"), col("__pos"))
+      .agg(sum(col("__q")).as("__s"),
+        sum(col("__q") * col("__q")).as("__sq"),
+        count(lit(1)).as("__c"))
+    perDim.groupBy(col("stratum"))
+      .agg(max(col("__c")).as("n"),
+        sum(col("__sq")).as("sum_sq"),
+        sum(col("__s") * col("__s")).as("cent_sq"))
+      .withColumn("dispersion",
+        (col("n") * col("sum_sq") - col("cent_sq")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double") *
+            lit(scale) * lit(scale)))
+  }
 }

@@ -195,4 +195,44 @@ class MultimodalSpec extends SparkTestBase {
         "a" -> (_ => ()), "c" -> (_ => ()), "new" -> (_ => ())), reloaded)
     assert(ordered.map(_._1) == Seq("new", "a", "c"))
   }
+
+  test("phashNearDupPairs: fixture near-dup found at Hamming 1; pigeonhole " +
+    "recall boundary; error rows drop") {
+    val s = spark; import s.implicits._
+    // real decode path over the fixture set (image 6 = image 1 with one
+    // 8x8 cell flipped)
+    val feats = Multimodal.extractImageFeatures(s,
+      MediaFixtures.mediaWithVariants(s)
+        .where(org.apache.spark.sql.functions.col("media_type") === "image")).toDF()
+    val pairs = Multimodal.phashNearDupPairs(feats, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 6L, 1)), s"got ${pairs.toSeq}")
+    // synthetic hash frames pin the band-LSH recall contract:
+    // <=3 differing bits always share a band (pigeonhole over 4 bands);
+    // 4 bits spread over all 4 bands is the documented miss
+    def hashes(rows: (Long, String)*) =
+      rows.toSeq.toDF("media_id", "phash")
+    val found = Multimodal.phashNearDupPairs(
+      hashes(10L -> "0000000000000000", 11L -> "0000000000000007"), 4)
+      .collect()
+    assert(found.length == 1 && found.head.getInt(2) == 3)
+    val missed = Multimodal.phashNearDupPairs(
+      hashes(10L -> "0000000000000000", 11L -> "0001000100010001"), 4)
+      .collect()
+    assert(missed.isEmpty,
+      "4 bits in 4 distinct bands must miss — the documented recall edge")
+    // a pair past maxHamming sharing a band is filtered by the exact check
+    val filtered = Multimodal.phashNearDupPairs(
+      hashes(10L -> "0000000000000000", 11L -> "000000000000ffff"), 4)
+      .collect()
+    assert(filtered.isEmpty, "shared-band candidate past the cutoff must drop")
+    // null phash (decode errors) never pairs
+    val withErr = Multimodal.phashNearDupPairs(
+      Seq((10L, Some("0000000000000000")), (11L, Option.empty[String]))
+        .toDF("media_id", "phash"), 64)
+      .collect()
+    assert(withErr.isEmpty)
+    intercept[IllegalArgumentException](
+      Multimodal.phashNearDupPairs(feats, maxHamming = 65))
+  }
 }

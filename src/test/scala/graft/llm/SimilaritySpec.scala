@@ -452,6 +452,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("semanticDispersion: hand-checked variance, singleton stratum is 0, " +
+    "partition-order independent") {
+    val s = spark; import s.implicits._
+    // A: (1,0) and (3,0) -> centroid (2,0), mean sq dist = 1.0 exactly
+    // (integer-valued coords quantize exactly at any scale)
+    val embs = Seq((1L, Array(1f, 0f)), (2L, Array(3f, 0f)),
+      (3L, Array(5f, 5f))).toDF("vec_id", "embedding")
+    val strata = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("id", "st")
+    val out = Similarity.semanticDispersion(embs, strata,
+      "vec_id", "id", "st", scaleBits = 12)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    assert(out == Map("A" -> (2L, 1.0), "B" -> (1L, 0.0)), s"got $out")
+    val again = Similarity.semanticDispersion(embs.repartition(5), strata,
+      "vec_id", "id", "st", scaleBits = 12)
+      .collect().map(_.toSeq).toSet
+    assert(again == Similarity.semanticDispersion(embs, strata,
+      "vec_id", "id", "st", scaleBits = 12).collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException](Similarity.semanticDispersion(
+      embs, strata, "vec_id", "id", "st", scaleBits = 0))
+  }
+
   test("annRecallAtK: hand-built lists score exactly; ground truth vs " +
     "itself is 1.0 everywhere; unretrieved queries score 0") {
     val s = spark; import s.implicits._
