@@ -1055,6 +1055,27 @@ object SparkEntry {
       Similarity.rerankTopK(cands, emb,
         emb.where(col("vec_id") < 3), k = 5)
     }),
+    "s18_ivf_tuning" -> ((s, dir) => {
+      // the recall-vs-cost tuning curve an IVF deployment reads before
+      // picking nprobe: mean recall@10 against exact ground truth at
+      // nprobe 1, 2 and 4 of 16 cells — each point is the s17 gauge
+      // over an s04-family probe; integer hit totals, ONE division per
+      // point. Recall must rise with nprobe (more cells scanned)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+      val cents = ivfCentroids(s, dir, 16)
+      Seq(1, 2, 4).map { np =>
+        Similarity.annRecallAtK(
+            Similarity.ivfTopKLiteral(emb, q, k = 10, cents, nprobe = np),
+            exact)
+          .agg(sum(col("n_hit")).as("hits"),
+            sum(col("n_exact")).as("truths"))
+          .select(lit(np).as("nprobe"), col("hits"), col("truths"),
+            (col("hits").cast("double") / col("truths").cast("double"))
+              .as("recall"))
+      }.reduce(_.unionByName(_))
+    }),
     "s17_ann_recall" -> ((s, dir) => {
       // the ANN acceptance gauge: per-query recall@10 of the SRP
       // multi-probe path against exact brute-force ground truth —
@@ -3053,6 +3074,63 @@ object SparkEntry {
          |  JOIN embeddings q ON q.vec_id = b.query_id
          |  WHERE b.query_id != b.doc_id)
          |WHERE rnk <= 5""".stripMargin
+    },
+    "s18_ivf_tuning" -> {
+      // the s04 probe construction instantiated at nprobe 1/2/4 over
+      // shared cell-assignment CTEs, each gauged against the shared s01
+      // exact top-10, UNION ALL'd — same centroid literals as s04
+      val cents = Option(lastIvfCentroids).getOrElse(Array.empty[Array[Double]])
+      if (cents.isEmpty)
+        """SELECT CAST(NULL AS INTEGER) AS nprobe, CAST(NULL AS BIGINT) AS hits,
+          |CAST(NULL AS BIGINT) AS truths, CAST(NULL AS DOUBLE) AS recall
+          |WHERE FALSE""".stripMargin
+      else {
+        val nlist = cents.length
+        val dl = cents.map(c => duckSqDist("embedding", duckDoubleList(c)))
+          .mkString("[", ",\n", "]")
+        val cos = duckCos("p.embedding", "a.embedding")
+        val cosEx = duckCos("q.embedding", "c.embedding")
+        val perNp = Seq(1, 2, 4).map { np =>
+          s"""p$np AS (SELECT vec_id, embedding, cell FROM (
+             |  SELECT vec_id, embedding, r.cell,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY dl[(r.cell)::INT + 1] ASC, r.cell ASC) AS rn
+             |  FROM (SELECT * FROM al WHERE vec_id < 10) ql
+             |  CROSS JOIN (SELECT unnest(range(0, $nlist)) AS cell) r)
+             |  WHERE rn <= $np),
+             |ap$np AS (SELECT query_id, corpus_id FROM (
+             |  SELECT p.vec_id AS query_id, a.vec_id AS corpus_id,
+             |    row_number() OVER (PARTITION BY p.vec_id
+             |      ORDER BY $cos DESC, a.vec_id) AS rnk
+             |  FROM a JOIN p$np p ON a.cell = p.cell AND p.vec_id != a.vec_id)
+             |  WHERE rnk <= 10),
+             |r$np AS (SELECT
+             |    CAST(SUM(CASE WHEN ap$np.corpus_id IS NULL THEN 0 ELSE 1 END)
+             |      AS BIGINT) AS hits,
+             |    CAST(COUNT(*) AS BIGINT) AS truths
+             |  FROM ex LEFT JOIN ap$np
+             |    ON ap$np.query_id = ex.query_id
+             |   AND ap$np.corpus_id = ex.corpus_id)""".stripMargin
+        }.mkString(",\n")
+        val selects = Seq(1, 2, 4).map { np =>
+          s"""SELECT $np::INTEGER AS nprobe, hits, truths,
+             |  CAST(hits AS DOUBLE) / CAST(truths AS DOUBLE) AS recall
+             |FROM r$np""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH al AS (SELECT vec_id, embedding, $dl AS dl FROM embeddings),
+           |a AS (SELECT vec_id, embedding,
+           |        (list_position(dl, list_min(dl)) - 1) AS cell FROM al),
+           |ex AS (SELECT query_id, corpus_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY $cosEx DESC, c.vec_id) AS rnk
+           |  FROM embeddings c CROSS JOIN
+           |    (SELECT * FROM embeddings WHERE vec_id < 10) q
+           |  WHERE q.vec_id != c.vec_id)
+           |  WHERE rnk <= 10),
+           |$perNp
+           |$selects""".stripMargin
+      }
     },
     "s17_ann_recall" -> {
       // the s01 exact construction at k=10 left-joined by the s02 probe

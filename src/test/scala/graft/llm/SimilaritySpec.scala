@@ -452,6 +452,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("ivf recall curve: probing ALL cells recovers brute force exactly " +
+    "(recall 1.0), fewer cells never increase recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+    val cents = Similarity.fitCentroids(emb, nlist = 8)
+    def meanRecall(np: Int): Double = {
+      val r = Similarity.annRecallAtK(
+        Similarity.ivfTopKLiteral(emb, q, k = 5, cents, nprobe = np), exact)
+        .agg(sum(col("n_hit")).cast("double") / sum(col("n_exact")).cast("double"))
+        .head().getDouble(0)
+      r
+    }
+    assert(meanRecall(8) == 1.0, "all-cell probe must equal brute force")
+    val curve = Seq(1, 2, 4, 8).map(meanRecall)
+    assert(curve.sliding(2).forall { case Seq(a, b) => a <= b },
+      s"recall must be non-decreasing in nprobe: $curve")
+  }
+
   test("semanticDispersion: hand-checked variance, singleton stratum is 0, " +
     "partition-order independent") {
     val s = spark; import s.implicits._
