@@ -855,6 +855,20 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long"),
           batchSize = 8, bandWidth = 32, saltShards = 2, salt = "lb1"))
     }),
+    "m31_profile_drift" -> ((s, dir) => {
+      // cross-run drift monitoring through the versioned store: run 1
+      // profiles the even half, run 2 REFRESHES with the %4!=0 slice,
+      // and the current full corpus drifts against the pinned-newest —
+      // any v1 leakage shifts cnt_b/nb and fails the oracle hash (the
+      // m25/m26 retirement contract on a statistics snapshot)
+      val docs = t(s, dir, "documents")
+      val store = tmpQueryDir("m31-profile").toString + "/store"
+      TextAnalysis.writeTermProfileSnapshot(
+        docs.where(col("doc_id") % 2 === 0), "text", store)
+      TextAnalysis.writeTermProfileSnapshot(
+        docs.where(col("doc_id") % 4 =!= 0), "text", store)
+      TextAnalysis.driftAgainstProfile(s, docs, "text", store, topK = 20)
+    }),
     "d53_semantic_dispersion" -> ((s, dir) => {
       // embedding-collapse monitor: per-label mean squared distance from
       // the stratum centroid, exact integers (floor(x*2^12+0.5) — 12
@@ -2542,6 +2556,33 @@ object SparkEntry {
           |FROM documents""".stripMargin,
         "doc_id", batchSize = 8, bandWidth = 32, saltShards = 2,
         salt = "lb1"),
+    "m31_profile_drift" ->
+      // side A = the full corpus, side B = the REFRESHED (%4 != 0)
+      // profile slice alone — correct only if the probe pinned version
+      // 2; the d48 arithmetic with full-outer zero-fill
+      """WITH ca AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM (
+        |    SELECT unnest(list_filter(string_split(lower(coalesce(text, '')),
+        |      ' '), x -> x != '')) AS term FROM documents)
+        |  GROUP BY 1),
+        |cb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM (
+        |    SELECT unnest(list_filter(string_split(lower(coalesce(text, '')),
+        |      ' '), x -> x != '')) AS term FROM documents
+        |    WHERE doc_id % 4 != 0)
+        |  GROUP BY 1),
+        |j AS (SELECT coalesce(ca.term, cb.term) AS term,
+        |    coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+        |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+        |    CAST(SUM(cnt_b) AS BIGINT) AS nb FROM j),
+        |w AS (SELECT term, cnt_a, cnt_b, na, nb,
+        |    abs(cnt_a * nb - cnt_b * na) AS drift_num FROM j, t),
+        |s AS (SELECT CAST(SUM(drift_num) AS BIGINT) AS tvd_num FROM w)
+        |SELECT term, cnt_a, cnt_b, na, nb, drift_num,
+        |  CAST(tvd_num AS DOUBLE) /
+        |    (CAST(2 AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tvd
+        |FROM w, s
+        |ORDER BY drift_num DESC, term ASC
+        |LIMIT 20""".stripMargin,
     "d53_semantic_dispersion" ->
       // same floor(x*2^12 + 0.5) write-out as the s11 family, same
       // one-aggregate shape; HUGEINT sums cast to BIGINT, one double

@@ -930,6 +930,16 @@ object TextAnalysis {
       .groupBy(col("term"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("cnt_a"),
         sum(when(col("__a"), 0L).otherwise(1L)).as("cnt_b"))
+    driftCore(counts, topK)
+  }
+
+  /** Shared tail of [[distributionDrift]] and [[driftAgainstProfile]]:
+    * from a (term, cnt_a, cnt_b) frame, the exact cross-multiplied
+    * movers + corpus TVD. The counts frame persists (three consumers:
+    * totals, TVD numerator, the movers cut). */
+  private def driftCore(counts0: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val counts = counts0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = counts.agg(sum(col("cnt_a")).as("na"),
       sum(col("cnt_b")).as("nb"))
@@ -945,5 +955,50 @@ object TextAnalysis {
       .orderBy(col("drift_num").desc, col("term").asc)
       .limit(topK)
     graft.llm.Dedup.materializeAndRelease(out, counts)
+  }
+
+  /** The vocabulary-sized (term, cnt) profile [[driftAgainstProfile]]
+    * compares against — one tokenize with map-side combine. */
+  def termProfile(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(lower(coalesce(col(textCol), lit("")))))
+        .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** Persist a [[termProfile]] as the next immutable snapshot of a
+    * [[LayoutStore]] — the cross-RUN form of [[distributionDrift]]: a
+    * scheduled pipeline writes its corpus's term profile each run and
+    * the next run drifts against the pinned-newest snapshot, so "did
+    * this crawl move" needs no access to last month's corpus, only to
+    * its vocabulary-sized profile. Returns the new version. */
+  def writeTermProfileSnapshot(df: DataFrame, textCol: String,
+                               path: String): Long =
+    LayoutStore.writeSnapshot(
+      df.sparkSession.sparkContext.hadoopConfiguration, path) { tmp =>
+      termProfile(df, textCol).write.mode("overwrite")
+        .parquet(s"$tmp/terms")
+    }
+
+  /** Drift of `df`'s term distribution against the newest persisted
+    * profile snapshot (side A = current corpus, side B = the snapshot):
+    * same exact integer cross-multiplication and single-division TVD as
+    * [[distributionDrift]], with terms absent from one side counting 0
+    * there (full-outer join of two vocabulary-sized frames — the corpus
+    * itself never joins). A refreshed profile RETIRES the old one by
+    * construction: the probe pins the newest version, and the m31
+    * oracle (built from the refresh slice alone) fails on any stale-
+    * version leakage. */
+  def driftAgainstProfile(spark: org.apache.spark.sql.SparkSession,
+                          df: DataFrame, textCol: String, path: String,
+                          topK: Int,
+                          version: Option[Long] = None): DataFrame = {
+    val snap = LayoutStore.snapshotPath(
+      spark.sparkContext.hadoopConfiguration, path, version)
+    val current = termProfile(df, textCol)
+      .select(col("term"), col("cnt").as("cnt_a"))
+    val profile = spark.read.parquet(s"$snap/terms")
+      .select(col("term"), col("cnt").as("cnt_b"))
+    driftCore(current.join(profile, Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b")), topK)
   }
 }

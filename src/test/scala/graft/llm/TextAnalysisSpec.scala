@@ -630,6 +630,35 @@ class TextAnalysisSpec extends SparkTestBase {
       s"expected the <=V-row vocab to join by broadcast in:\n$plan")
   }
 
+  test("driftAgainstProfile: newest snapshot pins, stale retires, both " +
+    "sides zero-fill") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("profile-store") + "/store"
+    assert(TextAnalysis.writeTermProfileSnapshot(
+      Seq("a a b").toDF("text"), "text", store) == 1L)
+    assert(TextAnalysis.writeTermProfileSnapshot(
+      Seq("a b b c").toDF("text"), "text", store) == 2L)
+    val cur = Seq("a a b d").toDF("text") // a:2 b:1 d:1, na=4
+    // vs v2 {a:1,b:2,c:1} (nb=4): every term drifts |.|=4; c zero-fills
+    // side A, d zero-fills side B; tvd = 16/(2*4*4) = 0.5
+    val v2 = TextAnalysis.driftAgainstProfile(s, cur, "text", store, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(5), r.getDouble(6)))
+    assert(v2.map(t => (t._1, t._4)).toSeq ==
+      Seq(("a", 4L), ("b", 4L), ("c", 4L), ("d", 4L)), s"got ${v2.toSeq}")
+    assert(v2.find(_._1 == "c").get._2 == 0L, "c absent from current -> cnt_a 0")
+    assert(v2.find(_._1 == "d").get._3 == 0L, "d absent from profile -> cnt_b 0")
+    assert(v2.forall(_._5 == 0.5))
+    // pinning the RETIRED v1 {a:2,b:1} (nb=3) gives different rows —
+    // proof the default probe really read the newest snapshot
+    val v1 = TextAnalysis.driftAgainstProfile(s, cur, "text", store, 10,
+      version = Some(1L))
+      .collect().map(r => (r.getString(0), r.getLong(5), r.getDouble(6)))
+    assert(v1.map(t => (t._1, t._2)).toSeq ==
+      Seq(("d", 3L), ("a", 2L), ("b", 1L)), s"got ${v1.toSeq}")
+    assert(v1.forall(_._3 == 0.25))
+  }
+
   test("distributionDrift: exact cross-multiplied movers and a hand-checked TVD") {
     val s = spark; import s.implicits._
     // side A: {a:2, b:1} (na=3); side B: {a:1, b:2, c:1} (nb=4)
