@@ -869,6 +869,24 @@ object SparkEntry {
         docs.where(col("doc_id") % 4 =!= 0), "text", store)
       TextAnalysis.driftAgainstProfile(s, docs, "text", store, topK = 20)
     }),
+    "d54_calibrated_quality" -> ((s, dir) => {
+      // per-source percentile calibration of an integer quality score
+      // (permille unique-token ratio): the histogram takes the only
+      // window (<=1001 rows per source), docs join the calibrated rows
+      // back by (source, score) broadcast — exact percent_rank with no
+      // per-doc sort; oracle is DuckDB's NATIVE percent_rank() window,
+      // an independent formulation
+      val docs = t(s, dir, "documents")
+      val toks = TextAnalysis.tokens(lower(coalesce(col("text"), lit(""))))
+      val scored = docs
+        .select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_toks"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"))
+        .select(col("doc_id"), col("source"),
+          when(col("n_toks") === 0L, lit(0L))
+            .otherwise(expr("(1000 * n_uniq) div n_toks")).as("score"))
+      graft.llm.Filters.calibrateScores(scored, "doc_id", "source", "score")
+    }),
     "d53_semantic_dispersion" -> ((s, dir) => {
       // embedding-collapse monitor: per-label mean squared distance from
       // the stratum centroid, exact integers (floor(x*2^12+0.5) — 12
@@ -2583,6 +2601,27 @@ object SparkEntry {
         |FROM w, s
         |ORDER BY drift_num DESC, term ASC
         |LIMIT 20""".stripMargin,
+    "d54_calibrated_quality" ->
+      // the INDEPENDENT formulation: DuckDB's native percent_rank()
+      // window over the raw docs — the Spark side never sorts docs
+      // (histogram + broadcast join-back); (rank-1)/(n-1) is one
+      // integer-to-double division on both engines, bit-identical
+      """WITH f AS (SELECT doc_id AS id, source AS strata,
+        |    CASE WHEN n_toks = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE (1000 * n_uniq) // n_toks END AS score
+        |  FROM (SELECT doc_id, source,
+        |      CAST(len(list_filter(string_split(lower(coalesce(text, '')),
+        |        ' '), x -> x != '')) AS BIGINT) AS n_toks,
+        |      CAST(len(list_distinct(list_filter(string_split(
+        |        lower(coalesce(text, '')), ' '), x -> x != ''))) AS BIGINT)
+        |        AS n_uniq
+        |    FROM documents))
+        |SELECT id, strata, score,
+        |  CAST(rank() OVER w - 1 AS BIGINT) AS n_below,
+        |  CAST(count(*) OVER (PARTITION BY strata) AS BIGINT) AS n_stratum,
+        |  percent_rank() OVER w AS pct
+        |FROM f
+        |WINDOW w AS (PARTITION BY strata ORDER BY score)""".stripMargin,
     "d53_semantic_dispersion" ->
       // same floor(x*2^12 + 0.5) write-out as the s11 family, same
       // one-aggregate shape; HUGEINT sums cast to BIGINT, one double

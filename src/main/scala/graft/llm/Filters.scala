@@ -181,6 +181,51 @@ object Filters {
        |FROM f""".stripMargin
   }
 
+  /** Per-stratum percentile calibration of an integer quality score —
+    * the normalization step before a single global keep-threshold can
+    * be applied across heterogeneous sources (a raw score of 700 means
+    * different things on Wikipedia vs a web crawl; its within-source
+    * percentile is comparable). Emits SQL-standard `percent_rank`
+    * ((rank−1)/(n−1), 0.0 for a singleton stratum) without ever
+    * sorting the documents: the score HISTOGRAM (one hash aggregate,
+    * ≤ |strata|·|score domain| rows — ~10³ per source for a permille
+    * score) takes the only window, and docs join the calibrated rows
+    * back by (stratum, score) via broadcast. At 100 TB the per-doc
+    * path is scan → map-side partial agg → one broadcast-hash join;
+    * a 90%-of-corpus mega-source costs the same as a tiny one because
+    * only its ≤1001 histogram rows ever sit in a window frame — the
+    * d26 bucketed-prefix-sum insight applied to ranks. `scoreCol`
+    * must be integral (exact tie semantics; float scores tie only
+    * bit-exactly, which is a lie at calibration granularity).
+    * Output: (id, strata, score, n_below, n_stratum, pct). */
+  def calibrateScores(df: DataFrame, idCol: String, strataCol: String,
+                      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val integral = Set("byte", "short", "int", "integer", "long", "bigint")
+    val dt = df.schema(scoreCol).dataType.typeName
+    require(integral.contains(dt.toLowerCase),
+      s"calibrateScores needs an integral score column, got $scoreCol: $dt")
+    val hist = df.groupBy(col(strataCol).as("strata"),
+        col(scoreCol).cast("long").as("score"))
+      .agg(count(lit(1)).as("__cnt"))
+    // distinct (strata, score) rows: the RANGE-default cumulative frame
+    // is tie-free here by construction
+    val wCum = Window.partitionBy(col("strata")).orderBy(col("score"))
+    val wAll = Window.partitionBy(col("strata"))
+    val ranked = hist
+      .withColumn("n_below", sum(col("__cnt")).over(wCum) - col("__cnt"))
+      .withColumn("n_stratum", sum(col("__cnt")).over(wAll))
+      .withColumn("pct", when(col("n_stratum") === 1L, lit(0.0))
+        .otherwise(col("n_below").cast("double") /
+          (col("n_stratum") - lit(1L)).cast("double")))
+      .drop("__cnt")
+    df.select(col(idCol).as("id"), col(strataCol).as("strata"),
+        col(scoreCol).cast("long").as("score"))
+      .join(broadcast(ranked), Seq("strata", "score"))
+      .select(col("id"), col("strata"), col("score"), col("n_below"),
+        col("n_stratum"), col("pct"))
+  }
+
   /** DuckDB twin of [[funnel]], generated from the SAME gate table and
     * the same feature definitions so the engines cannot drift.
     * `fromSql` supplies the input relation with `idCol` and `text`. */

@@ -109,6 +109,47 @@ class FiltersSpec extends SparkTestBase {
     (31L to 60L).foreach(i => assert(!scored(i), s"doc $i should score negative"))
   }
 
+  test("calibrateScores: hand-checked percent_rank with ties and a " +
+    "singleton stratum; matches Spark's own window percent_rank") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "a", 30L), (5L, "b", 5L)).toDF("id", "src", "q")
+    val out = Filters.calibrateScores(df, "id", "src", "q")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // a: ties at 10 share n_below=0; 20 has 2 below of n-1=3; 30 is max
+    assert(out(1L) == ((0L, 4L, 0.0)) && out(2L) == ((0L, 4L, 0.0)))
+    assert(out(3L) == ((2L, 4L, 2.0 / 3.0)), s"got ${out(3L)}")
+    assert(out(4L) == ((3L, 4L, 1.0)))
+    assert(out(5L) == ((0L, 1L, 0.0)), "singleton stratum pins pct 0.0")
+    // bit-identical to the engine's own sorting formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("q"))
+    val direct = df.select(col("id"), percent_rank().over(w).as("pr"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.forall { case (id, (_, _, pct)) => pct == direct(id) })
+  }
+
+  test("calibrateScores plan: docs join the histogram by BROADCAST and " +
+    "no window touches the per-doc frame; float scores rejected") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("id", "src", "q")
+    val plan = Filters.calibrateScores(df, "id", "src", "q")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the histogram side broadcast in:\n$plan")
+    // the only Window sits below the join's broadcast (histogram) side:
+    // its child chain must contain the hash aggregate, never the raw scan
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && plan.indexOf("BroadcastExchange") < winIdx,
+      s"window must be on the broadcast (histogram) branch:\n$plan")
+    val bad = Seq((1L, "a", 1.5)).toDF("id", "src", "q")
+    val e = intercept[IllegalArgumentException](
+      Filters.calibrateScores(bad, "id", "src", "q"))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("gate table is validated: empty, duplicate names, reserved 'kept'") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "x")).toDF("doc_id", "text")
