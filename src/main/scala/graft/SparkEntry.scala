@@ -91,6 +91,16 @@ object SparkEntry {
     lastQualityModel = m
     m
   }
+  private val bowCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Array[Double], Double)]
+  @volatile private var lastBowModel: (Array[Double], Double) = _
+  private def bowModel(s: SparkSession, dir: String): (Array[Double], Double) = {
+    val m = bowCache.getOrElseUpdate(dir,
+      graft.llm.Filters.fitHashedBowModel(t(s, dir, "documents"), "text",
+        col("lang") === "en", dim = 64))
+    lastBowModel = m
+    m
+  }
 
   /** Operating points DERIVED from corpus stats, not hardcoded: a fixed
     * bucket cap drops progressively more legitimate pairs at 100× corpus,
@@ -1086,6 +1096,17 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id").as("corpus_id"))
       Similarity.rerankTopK(cands, emb,
         emb.where(col("vec_id") < 3), k = 5)
+    }),
+    "s19_bow_classifier" -> ((s, dir) => {
+      // the fastText/CCNet-shaped quality classifier: LR over HASHED
+      // bag-of-words (64 feature-hash buckets — fixed feature space, no
+      // vocabulary dict) fit distributed on the lang=en weak label,
+      // coefficients frozen as literals; scoring is ONE aggregate-HOF
+      // fold per doc in the scan stage (margin is linear in bucket
+      // counts, so the count vector never materializes)
+      val (w, b) = bowModel(s, dir)
+      graft.llm.Filters.hashedBowMargin(t(s, dir, "documents"),
+        "doc_id", "text", w, b)
     }),
     "s18_ivf_tuning" -> ((s, dir) => {
       // the recall-vs-cost tuning curve an IVF deployment reads before
@@ -3345,6 +3366,15 @@ object SparkEntry {
       val (w, b) = Option(lastQualityModel)
         .getOrElse((Array.fill(6)(0.0), 0.0))
       graft.llm.Filters.qualityMarginOracleSql(
+        "SELECT doc_id, text FROM documents", "doc_id", w, b)
+    },
+    "s19_bow_classifier" -> {
+      // same populate-then-dump contract over the 64 hashed-BoW
+      // coefficients: strpos hex assembly replays the term hash,
+      // list_reduce(list_prepend(...)) replays the left fold
+      val (w, b) = Option(lastBowModel)
+        .getOrElse((Array.fill(64)(0.0), 0.0))
+      graft.llm.Filters.hashedBowMarginOracleSql(
         "SELECT doc_id, text FROM documents", "doc_id", w, b)
     },
     "s12_bm25_indexed" ->

@@ -181,6 +181,106 @@ object Filters {
        |FROM f""".stripMargin
   }
 
+  /** Term → feature bucket for the hashed bag-of-words classifier:
+    * first 8 md5 hex digits of (salt|term) → 32-bit int → mod dim.
+    * The [[graft.llm.Sampling.sampleKey]] hash recipe applied to TERMS,
+    * so the DuckDB twin replays it with the same strpos hex assembly as
+    * shardAssignOracleSql. */
+  private def bowBucket(term: Column, dim: Int, salt: String): Column =
+    (conv(substring(md5(concat_ws("|", lit(salt), term)), 1, 8), 16, 10)
+      .cast("long") % dim).cast("int")
+
+  /** Fit a logistic regression over HASHED bag-of-words features — the
+    * actual fastText/CCNet-classifier shape (term-level evidence, not
+    * surface counts like [[fitQualityModel]]): each token hashes into
+    * one of `dim` buckets ([[bowBucket]]) and the feature vector is the
+    * per-doc bucket count. Feature hashing is what makes this work at
+    * corpus scale — the feature space is FIXED at `dim` regardless of
+    * vocabulary size, there is no vocabulary dict to build, broadcast,
+    * or version, and an unseen term at scoring time lands in a trained
+    * bucket instead of out-of-vocabulary. Fit is distributed (Spark ML
+    * L-BFGS); per-doc vectors are built map-side by HOFs (no explode,
+    * no exchange — O(dim · n_tokens) per doc, fine for a fit SAMPLE;
+    * at 100 TB fit on a sample and score the corpus with
+    * [[hashedBowMargin]]). Returns frozen (weights[dim], intercept). */
+  def fitHashedBowModel(df: DataFrame, textCol: String, label: Column,
+                        dim: Int = 64, salt: String = "bow1",
+                        maxIter: Int = 50, regParam: Double = 0.01)
+      : (Array[Double], Double) = {
+    require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096]: $dim")
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val toks = TextAnalysis.tokens(lower(coalesce(col(textCol), lit(""))))
+    val bkts = transform(toks, t => bowBucket(t, dim, salt))
+    val counts = transform(sequence(lit(0), lit(dim - 1)),
+      i => size(filter(bkts, b => b === i)).cast("double"))
+    val data = df.select(
+      coalesce(label.cast("double"), lit(0.0)).as("__label"),
+      array_to_vector(counts).as("__feat"))
+    val m = new LogisticRegression().setFeaturesCol("__feat")
+      .setLabelCol("__label").setMaxIter(maxIter).setRegParam(regParam)
+      .fit(data)
+    (m.coefficients.toArray, m.intercept)
+  }
+
+  /** Score every doc with a frozen [[fitHashedBowModel]]: margin =
+    * intercept + Σ_tokens weights[bucket(token)], folded LEFT-TO-RIGHT
+    * over the token list (margin is linear in bucket counts, so the
+    * count vector never materializes — one codegen'd `aggregate` HOF
+    * per doc in the scan stage, zero exchanges, and the weight array
+    * rides the plan as a dim-sized literal). No sigmoid (exp() drifts
+    * across libms; the margin is monotone in the probability). Output:
+    * (id, n_tokens, margin, pred). */
+  def hashedBowMargin(df: DataFrame, idCol: String, textCol: String,
+                      weights: Array[Double], intercept: Double,
+                      salt: String = "bow1"): DataFrame = {
+    val dim = weights.length
+    require(dim >= 2, s"need at least 2 weights, got $dim")
+    val wLit = array(weights.map(lit): _*)
+    val toks = TextAnalysis.tokens(lower(coalesce(col(textCol), lit(""))))
+    val margin = aggregate(toks, lit(intercept),
+      (acc, t) => acc + element_at(wLit, bowBucket(t, dim, salt) + 1))
+    df.select(col(idCol).as("id"), size(toks).cast("long").as("n_tokens"),
+        margin.as("margin"))
+      .withColumn("pred", col("margin") > 0.0)
+  }
+
+  /** DuckDB twin of [[hashedBowMargin]], generated from the SAME frozen
+    * literals: tokens → 8-hex md5 keys → strpos hex assembly mod dim →
+    * weight list lookups, left-folded from the intercept via
+    * list_reduce(list_prepend(b, ...)) in the SAME order as Spark's
+    * `aggregate`. Weight literals are exponent-suffixed ([[dlit]]'s
+    * correctly-rounded-DOUBLE contract). */
+  def hashedBowMarginOracleSql(fromSql: String, idCol: String,
+                               weights: Array[Double], intercept: Double,
+                               salt: String = "bow1"): String = {
+    val dim = weights.length
+    require(dim >= 2, s"need at least 2 weights, got $dim")
+    def dlit(d: Double): String = {
+      val s = d.toString
+      if (s.contains('E') || s.contains('e')) s else s + "e0"
+    }
+    val hexVal = (1 to 8).map { i =>
+      val scale = 1L << (4 * (8 - i))
+      s"(strpos('0123456789abcdef', substr(sk, $i, 1)) - 1) * CAST($scale AS BIGINT)"
+    }.mkString(" + ")
+    val wList = weights.map(w => s"CAST(${dlit(w)} AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""WITH f AS (SELECT $idCol AS id,
+       |    list_filter(string_split(lower(coalesce(text, '')), ' '),
+       |      x -> x != '') AS toks
+       |  FROM ($fromSql)),
+       |m AS (SELECT id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_prepend(CAST(${dlit(intercept)} AS DOUBLE),
+       |      list_transform(
+       |        list_transform(toks,
+       |          t -> substr(md5('$salt' || '|' || t), 1, 8)),
+       |        sk -> ($wList)[CAST(($hexVal) % $dim AS INTEGER) + 1])),
+       |      (a, x) -> a + x) AS margin
+       |  FROM f)
+       |SELECT id, n_tokens, margin, (margin > 0.0) AS pred FROM m""".stripMargin
+  }
+
   /** Per-stratum percentile calibration of an integer quality score —
     * the normalization step before a single global keep-threshold can
     * be applied across heterogeneous sources (a raw score of 700 means

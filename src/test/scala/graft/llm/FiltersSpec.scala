@@ -109,6 +109,51 @@ class FiltersSpec extends SparkTestBase {
     (31L to 60L).foreach(i => assert(!scored(i), s"doc $i should score negative"))
   }
 
+  test("hashedBowMargin: margin equals a JVM-side replay of the bucket " +
+    "hash and left fold; empty doc scores exactly the intercept") {
+    val s = spark; import s.implicits._
+    val w = Array.tabulate(8)(i => (i + 1) * 0.125)
+    val b = -0.5
+    def bucket(term: String, dim: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bow1|$term".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % dim).toInt
+    }
+    val docs = Seq((1L, "Alpha beta beta gamma"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+    val out = Filters.hashedBowMargin(docs, "doc_id", "text", w, b)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val expect1 = Seq("alpha", "beta", "beta", "gamma")
+      .foldLeft(b)((acc, t) => acc + w(bucket(t, 8)))
+    assert(out(1L) == ((4L, expect1)), s"got ${out(1L)} want $expect1")
+    assert(out(2L) == ((0L, b)) && out(3L) == ((0L, b)),
+      "tokenless docs fold nothing: margin is the bare intercept")
+  }
+
+  test("hashedBowMargin plan is map-side (zero exchanges); " +
+    "fitHashedBowModel separates a separable label and the frozen " +
+    "scorer agrees in sign") {
+    val s = spark; import s.implicits._
+    val plan = Filters.hashedBowMargin(
+      Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text",
+      Array(0.1, 0.2), 0.0).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+    // two disjoint vocabularies => linearly separable bucket counts
+    val good = (0 until 40).map(i => (i.toLong, "solid prose words here", 1))
+    val bad = (40 until 80).map(i => (i.toLong, "zz9 qqq7 xxx8 kkk3", 0))
+    val df = (good ++ bad).toDF("doc_id", "text", "y")
+    val (w, b) = Filters.fitHashedBowModel(df, "text", col("y") === 1,
+      dim = 16)
+    assert(w.length == 16)
+    val scored = Filters.hashedBowMargin(df, "doc_id", "text", w, b)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert((0 until 40).forall(i => scored(i.toLong)) &&
+      (40 until 80).forall(i => !scored(i.toLong)),
+      "frozen margins must separate the two vocabularies")
+  }
+
   test("calibrateScores: hand-checked percent_rank with ties and a " +
     "singleton stratum; matches Spark's own window percent_rank") {
     val s = spark; import s.implicits._
