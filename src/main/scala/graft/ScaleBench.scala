@@ -783,6 +783,56 @@ object ScaleBench {
         spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       }
 
+    // ---- wave-6 surfaces at the 544k corpus ----------------------------
+    // m31 cross-run profile drift: persist the even half's term profile
+    // (a vocabulary-sized snapshot), then drift the FULL corpus against
+    // the pinned version — probe cost is one corpus tokenize plus a
+    // vocab-x-vocab full-outer join; the previous corpus never rescans
+    val profStore = java.nio.file.Files
+      .createTempDirectory("graft-prof").toString + "/store"
+    val tProfW = System.nanoTime()
+    TextAnalysis.writeTermProfileSnapshot(
+      corpus.where(col("doc_id") % 2 === 0), "text", profStore)
+    val profWriteSecs = secs(tProfW)
+    val tProfD = System.nanoTime()
+    val profTop = TextAnalysis.driftAgainstProfile(spark, corpus, "text",
+      profStore, topK = 20).collect()
+    val profDriftSecs = secs(tProfD)
+    val profTvd = profTop.head.getDouble(6)
+
+    // d54 calibration at 32 strata: the histogram (<=1001 rows/stratum)
+    // takes the only window, docs re-join by broadcast — the per-doc
+    // path is scan -> partial agg -> broadcast join, so wall-clock
+    // should track the tokenize
+    val tCal = System.nanoTime()
+    val calToksC = TextAnalysis.tokens(lower(coalesce(col("text"), lit(""))))
+    val calQe = graft.llm.Filters.calibrateScores(
+      corpus.select(col("doc_id"),
+          concat(lit("src"), (col("doc_id") % 32).cast("string")).as("src"),
+          size(calToksC).cast("long").as("n_toks"),
+          size(array_distinct(calToksC)).cast("long").as("n_uniq"))
+        .select(col("doc_id"), col("src"),
+          when(col("n_toks") === 0L, lit(0L))
+            .otherwise(expr("(1000 * n_uniq) div n_toks")).as("score")),
+      "doc_id", "src", "score").queryExecution
+    val nCal = calQe.executedPlan.execute().count()
+    val calSecs = secs(tCal)
+
+    // s19 hashed-BoW classifier: fit on a 10% sample (the 100TB
+    // contract), score the full corpus — scoring is the map-side
+    // aggregate-HOF fold, zero exchanges recorded like d22
+    val tBowFit = System.nanoTime()
+    val (bwW, bwB) = graft.llm.Filters.fitHashedBowModel(
+      corpus.where(col("doc_id") % 10 === 0), "text",
+      length(col("text")) > 800, dim = 64)
+    val bowFitSecs = secs(tBowFit)
+    val tBowScore = System.nanoTime()
+    val bowQe = graft.llm.Filters.hashedBowMargin(corpus, "doc_id",
+      "text", bwW, bwB).queryExecution
+    val nBow = bowQe.executedPlan.execute().count()
+    val bowScoreSecs = secs(tBowScore)
+    val bowExchanges = shuffleCount(bowQe)
+
     val line =
       s"""{"metric":"scale_dedup","unit":"sec","sf":"$sfDir","docs":$nDocs,""" +
       s""""gen_secs":$genSecs,"exact_secs":$exactSecs,"exact_groups":$nExactGroups,""" +
@@ -854,6 +904,11 @@ object ScaleBench {
       s""""bjoin_build_secs":$bktBuildSecs,"bjoin_bucketed_secs":$bktJoinSecs,""" +
       s""""bjoin_plain_secs":$plainJoinSecs,"bjoin_exchanges":$bktExchanges,""" +
       s""""bjoin_rows":$nJoin,""" +
+      s""""prof_write_secs":$profWriteSecs,"prof_drift_secs":$profDriftSecs,""" +
+      s""""prof_tvd":$profTvd,""" +
+      s""""cal_secs":$calSecs,"cal_rows":$nCal,""" +
+      s""""bow_fit_secs":$bowFitSecs,"bow_score_secs":$bowScoreSecs,""" +
+      s""""bow_rows":$nBow,"bow_exchanges":$bowExchanges,""" +
       s""""total_secs":${secs(t0)}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_BENCH.json"), line + "\n")

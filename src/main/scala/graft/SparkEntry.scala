@@ -91,6 +91,35 @@ object SparkEntry {
     lastQualityModel = m
     m
   }
+  /** Shared by the m31 (batch) and m32 (streaming) drift probes: side A
+    * = the full corpus, side B = the REFRESHED (%4 != 0) profile slice
+    * alone — correct only if the probe pinned version 2; the d48
+    * arithmetic with full-outer zero-fill. */
+  private val profileDriftOracleSql: String =
+    """WITH ca AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM (
+      |    SELECT unnest(list_filter(string_split(lower(coalesce(text, '')),
+      |      ' '), x -> x != '')) AS term FROM documents)
+      |  GROUP BY 1),
+      |cb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM (
+      |    SELECT unnest(list_filter(string_split(lower(coalesce(text, '')),
+      |      ' '), x -> x != '')) AS term FROM documents
+      |    WHERE doc_id % 4 != 0)
+      |  GROUP BY 1),
+      |j AS (SELECT coalesce(ca.term, cb.term) AS term,
+      |    coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+      |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+      |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
+      |    CAST(SUM(cnt_b) AS BIGINT) AS nb FROM j),
+      |w AS (SELECT term, cnt_a, cnt_b, na, nb,
+      |    abs(cnt_a * nb - cnt_b * na) AS drift_num FROM j, t),
+      |s AS (SELECT CAST(SUM(drift_num) AS BIGINT) AS tvd_num FROM w)
+      |SELECT term, cnt_a, cnt_b, na, nb, drift_num,
+      |  CAST(tvd_num AS DOUBLE) /
+      |    (CAST(2 AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tvd
+      |FROM w, s
+      |ORDER BY drift_num DESC, term ASC
+      |LIMIT 20""".stripMargin
+
   private val bowCache =
     scala.collection.concurrent.TrieMap.empty[String, (Array[Double], Double)]
   @volatile private var lastBowModel: (Array[Double], Double) = _
@@ -878,6 +907,53 @@ object SparkEntry {
       TextAnalysis.writeTermProfileSnapshot(
         docs.where(col("doc_id") % 4 =!= 0), "text", store)
       TextAnalysis.driftAgainstProfile(s, docs, "text", store, topK = 20)
+    }),
+    "m32_stream_drift" -> ((s, dir) => {
+      // m31's cross-run drift monitor as a STREAMING stage: each ingest
+      // micro-batch drifts against the pinned-newest profile snapshot,
+      // re-pinned per batch so a profile refresh takes effect without a
+      // stream restart. One AvailableNow batch over the full table here,
+      // so the batch oracle gates the streamed output verbatim (the m24
+      // contract); same two-version store as m31 proves v2 pinning
+      // through the foreachBatch path
+      val docs = t(s, dir, "documents")
+      val store = tmpQueryDir("m32-prof").toString + "/store"
+      TextAnalysis.writeTermProfileSnapshot(
+        docs.where(col("doc_id") % 2 === 0), "text", store)
+      TextAnalysis.writeTermProfileSnapshot(
+        docs.where(col("doc_id") % 4 =!= 0), "text", store)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = tmpQueryDir("m32-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        src.resolve("documents.parquet"))
+      val out = tmpQueryDir("m32-sink").toString
+      val ckpt = tmpQueryDir("m32-ckpt").toString
+      Incremental.profileDriftStream(
+        s.readStream.schema(schema).parquet(src.toString),
+        "text", store, out, ckpt, topK = 20).awaitTermination()
+      s.read.parquet(out)
+        .select("term", "cnt_a", "cnt_b", "na", "nb", "drift_num", "tvd")
+    }),
+    "m33_centroid_drift" -> ((s, dir) => {
+      // semantic drift across runs — the vector-side twin of m31: run 1
+      // snapshots the even half's per-label rational centroids, run 2
+      // REFRESHES with the %4!=0 slice, and the full corpus drifts
+      // against the pinned-newest — per-label squared centroid shift,
+      // integer-exact cross-multiplication into ONE double division
+      // (the d53 quantization contract); stale-version leakage shifts
+      // n_b and fails the hash
+      val emb = t(s, dir, "embeddings")
+      val strata = emb.select(col("vec_id"), col("label"))
+      val store = tmpQueryDir("m33-cent").toString + "/store"
+      Similarity.writeCentroidSnapshot(
+        emb.where(col("vec_id") % 2 === 0),
+        strata, "vec_id", "vec_id", "label", store, scaleBits = 12)
+      Similarity.writeCentroidSnapshot(
+        emb.where(col("vec_id") % 4 =!= 0),
+        strata, "vec_id", "vec_id", "label", store, scaleBits = 12)
+      Similarity.centroidDriftAgainstSnapshot(s, emb, strata,
+        "vec_id", "vec_id", "label", store, scaleBits = 12)
     }),
     "d54_calibrated_quality" -> ((s, dir) => {
       // per-source percentile calibration of an integer quality score
@@ -2595,33 +2671,40 @@ object SparkEntry {
           |FROM documents""".stripMargin,
         "doc_id", batchSize = 8, bandWidth = 32, saltShards = 2,
         salt = "lb1"),
-    "m31_profile_drift" ->
-      // side A = the full corpus, side B = the REFRESHED (%4 != 0)
-      // profile slice alone — correct only if the probe pinned version
-      // 2; the d48 arithmetic with full-outer zero-fill
-      """WITH ca AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM (
-        |    SELECT unnest(list_filter(string_split(lower(coalesce(text, '')),
-        |      ' '), x -> x != '')) AS term FROM documents)
-        |  GROUP BY 1),
-        |cb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM (
-        |    SELECT unnest(list_filter(string_split(lower(coalesce(text, '')),
-        |      ' '), x -> x != '')) AS term FROM documents
-        |    WHERE doc_id % 4 != 0)
-        |  GROUP BY 1),
-        |j AS (SELECT coalesce(ca.term, cb.term) AS term,
-        |    coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
-        |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
-        |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS na,
-        |    CAST(SUM(cnt_b) AS BIGINT) AS nb FROM j),
-        |w AS (SELECT term, cnt_a, cnt_b, na, nb,
-        |    abs(cnt_a * nb - cnt_b * na) AS drift_num FROM j, t),
-        |s AS (SELECT CAST(SUM(drift_num) AS BIGINT) AS tvd_num FROM w)
-        |SELECT term, cnt_a, cnt_b, na, nb, drift_num,
-        |  CAST(tvd_num AS DOUBLE) /
-        |    (CAST(2 AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS tvd
-        |FROM w, s
-        |ORDER BY drift_num DESC, term ASC
-        |LIMIT 20""".stripMargin,
+    "m31_profile_drift" -> profileDriftOracleSql,
+    "m32_stream_drift" ->
+      // the streaming path writes the SAME rows as m31's batch path
+      // (one AvailableNow micro-batch over the full table, pinned v2
+      // profile), so the batch oracle gates it verbatim — the m24
+      // contract
+      profileDriftOracleSql,
+    "m33_centroid_drift" ->
+      // both centroids re-derived from embeddings slices (side B = the
+      // refreshed %4!=0 slice alone — v2 pinning is the tested
+      // contract); the d53 quantization (floor(x*2^12+0.5)), BIGINT
+      // cross-multiplied per-dim diffs, HUGEINT square sums mirroring
+      // Spark's DECIMAL(38,0), one double division by the exact
+      // (na*nb)^2 * 2^24 denominator
+      """WITH q AS (SELECT CAST(label AS VARCHAR) AS stratum, vec_id,
+        |    i AS pos,
+        |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |      * 4096.0 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |a AS (SELECT stratum, pos, CAST(SUM(qv) AS BIGINT) AS sa,
+        |    CAST(COUNT(*) AS BIGINT) AS na
+        |  FROM q GROUP BY 1, 2),
+        |b AS (SELECT stratum, pos, CAST(SUM(qv) AS BIGINT) AS sb,
+        |    CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM q WHERE vec_id % 4 != 0 GROUP BY 1, 2),
+        |d AS (SELECT a.stratum, na, nb, (sa * nb - sb * na) AS dd
+        |  FROM a JOIN b ON a.stratum = b.stratum AND a.pos = b.pos),
+        |g AS (SELECT stratum, MAX(na) AS n_a, MAX(nb) AS n_b,
+        |    SUM(CAST(dd AS HUGEINT) * CAST(dd AS HUGEINT)) AS num
+        |  FROM d GROUP BY 1)
+        |SELECT stratum, n_a, n_b,
+        |  CAST(num AS DOUBLE) /
+        |    (CAST(n_a * n_b * n_a * n_b AS DOUBLE) * 16777216.0) AS shift_sq
+        |FROM g""".stripMargin,
     "d54_calibrated_quality" ->
       // the INDEPENDENT formulation: DuckDB's native percent_rank()
       // window over the raw docs — the Spark side never sorts docs

@@ -923,6 +923,95 @@ object Similarity {
     * in the limit) or shard the stratum and pool n·disp + counts.
     *
     * Output: (stratum, n, sum_sq, cent_sq, dispersion). */
+  /** Exact per-(stratum, dim) quantized coordinate sums — the rational
+    * centroid (s/n per dim) both [[writeCentroidSnapshot]] and
+    * [[centroidDriftAgainstSnapshot]] are built from. Same
+    * floor(x·2^scaleBits + 0.5) integer write-out as
+    * [[semanticDispersion]]: one embeddings pass, |strata|·dims longs
+    * on the exchange. */
+  private def stratumCoordSums(embs: DataFrame, strata: DataFrame,
+                               vecIdCol: String, strataIdCol: String,
+                               strataCol: String, vecCol: String,
+                               scaleBits: Int): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 40,
+      s"scaleBits out of range: $scaleBits")
+    val scale = java.lang.Math.scalb(1.0, scaleBits)
+    embs.select(col(vecIdCol).as("__id"), col(vecCol).as("__v"))
+      .join(strata.select(col(strataIdCol).as("__id"),
+        col(strataCol).cast("string").as("stratum")), Seq("__id"))
+      .select(col("stratum"),
+        posexplode(transform(col("__v"),
+          x => floor(x.cast("double") * lit(scale) + lit(0.5)).cast("long")))
+          .as(Seq("pos", "__q")))
+      .groupBy(col("stratum"), col("pos"))
+      .agg(sum(col("__q")).as("s"), count(lit(1)).as("n"))
+  }
+
+  /** Persist the per-stratum rational centroids (quantized coordinate
+    * sums + counts, NOT divided — exactness survives storage) as the
+    * next immutable [[LayoutStore]] snapshot: the vector-side twin of
+    * [[TextAnalysis.writeTermProfileSnapshot]]. A scheduled embedding
+    * pipeline snapshots its centroids each run; the next run measures
+    * semantic drift against the pinned version without touching last
+    * run's vectors. Returns the new version. */
+  def writeCentroidSnapshot(embs: DataFrame, strata: DataFrame,
+                            vecIdCol: String, strataIdCol: String,
+                            strataCol: String, path: String,
+                            vecCol: String = "embedding",
+                            scaleBits: Int = 12): Long =
+    LayoutStore.writeSnapshot(
+      embs.sparkSession.sparkContext.hadoopConfiguration, path) { tmp =>
+      stratumCoordSums(embs, strata, vecIdCol, strataIdCol, strataCol,
+          vecCol, scaleBits)
+        .write.mode("overwrite").parquet(s"$tmp/centroids")
+    }
+
+  /** Semantic drift of the CURRENT corpus's per-stratum centroids
+    * against a persisted [[writeCentroidSnapshot]] (pinned-newest, or
+    * an explicit `version`): per stratum, the squared L2 distance
+    * between the two centroids — a stratum whose centroid walks is
+    * changing meaning (a crawl source turning into spam, an embedding
+    * model regression), the alarm [[semanticDispersion]]'s collapse
+    * signal doesn't ring. Exact to the last bit: per-dim difference
+    * numerator sa·nb − sb·na is BIGINT-exact cross-multiplication, its
+    * squares sum in DECIMAL(38,0)/HUGEINT, and ONE double division by
+    * the exactly-representable (na·nb)²·2^(2·scaleBits) lands both
+    * engines on the identical double ((na·nb)² stays under 2^53 and the
+    * scale factor is a power of two, so the denominator is exact).
+    * Strata must appear on BOTH sides (inner join; a born/dead stratum
+    * has no drift to measure — report presence via the d46 scorecard
+    * instead). Only snapshot rows and |strata|·dims sums move; the
+    * previous corpus never rescans. Output: (stratum, n_a, n_b,
+    * shift_sq). */
+  def centroidDriftAgainstSnapshot(spark: org.apache.spark.sql.SparkSession,
+                                   embs: DataFrame, strata: DataFrame,
+                                   vecIdCol: String, strataIdCol: String,
+                                   strataCol: String, path: String,
+                                   vecCol: String = "embedding",
+                                   scaleBits: Int = 12,
+                                   version: Option[Long] = None): DataFrame = {
+    val snap = LayoutStore.snapshotPath(
+      spark.sparkContext.hadoopConfiguration, path, version)
+    val scaleSq = java.lang.Math.scalb(1.0, 2 * scaleBits)
+    val cur = stratumCoordSums(embs, strata, vecIdCol, strataIdCol,
+      strataCol, vecCol, scaleBits)
+      .select(col("stratum"), col("pos"), col("s").as("sa"), col("n").as("na"))
+    val ref = spark.read.parquet(s"$snap/centroids")
+      .select(col("stratum"), col("pos"), col("s").as("sb"), col("n").as("nb"))
+    cur.join(ref, Seq("stratum", "pos"))
+      .select(col("stratum"), col("na"), col("nb"),
+        (col("sa") * col("nb") - col("sb") * col("na")).as("__d"))
+      .groupBy(col("stratum"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum((col("__d").cast("decimal(19,0)") *
+          col("__d").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__num"))
+      .select(col("stratum"), col("n_a"), col("n_b"),
+        (col("__num").cast("double") /
+          ((col("n_a") * col("n_b") * col("n_a") * col("n_b"))
+            .cast("double") * lit(scaleSq))).as("shift_sq"))
+  }
+
   def semanticDispersion(embs: DataFrame, strata: DataFrame,
                          vecIdCol: String, strataIdCol: String,
                          strataCol: String, vecCol: String = "embedding",

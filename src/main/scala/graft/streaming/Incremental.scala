@@ -277,6 +277,38 @@ object Incremental {
       .start()
   }
 
+  /** Streaming DRIFT MONITORING — per micro-batch, drift the batch's
+    * term distribution against the pinned-newest persisted term-profile
+    * snapshot ([[graft.llm.TextAnalysis.writeTermProfileSnapshot]]) and
+    * write the batch's top-k movers + corpus TVD, one overwrite-keyed
+    * partition per batch (the [[decontaminateStream]] idempotent-replay
+    * discipline: a crashed batch replays under ITS key and replaces its
+    * own half-write). The snapshot re-pin per batch is deliberate and
+    * cheap — the profile is vocabulary-sized, its read is one pruned
+    * scan — and it means a profile REFRESH (this month's crawl becomes
+    * the new reference) takes effect on the next batch without
+    * restarting the stream, retiring the old reference by construction.
+    * The per-batch TVD against a stable reference is the alert signal
+    * ("this ingest hour looks nothing like the corpus"); per-term
+    * movers say why. */
+  def profileDriftStream(stream: DataFrame, textCol: String,
+                         profilePath: String, outPath: String,
+                         checkpointDir: String, topK: Int = 20)
+      : StreamingQuery = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    lazy val ckToken = checkpointQueryToken(stream.sparkSession, checkpointDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.TextAnalysis.driftAgainstProfile(batch.sparkSession,
+            batch, textCol, profilePath, topK)
+          .write.mode("overwrite")
+          .parquet(s"$outPath/batch_key=$ckToken-$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   private[graft] def processIncrementalBatch(
       batch: DataFrame, batchKey: String, idCol: String, textCol: String,
       statePath: String, outPath: String, threshold: Double,

@@ -492,6 +492,41 @@ class SimilaritySpec extends SparkTestBase {
       embs, strata, "vec_id", "id", "st", scaleBits = 0))
   }
 
+  test("centroidDriftAgainstSnapshot: hand-checked shift, newest snapshot " +
+    "pins and retires, ref-only strata drop") {
+    val s = spark; import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("cent-snap").toString + "/store"
+    val strata = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "x"))
+      .toDF("id", "st")
+    // v1 reference: x = {(1,0)} centroid (1,0); y = {(5,5)}
+    assert(Similarity.writeCentroidSnapshot(
+      Seq((1L, Array(1f, 0f)), (3L, Array(5f, 5f)))
+        .toDF("vec_id", "embedding"),
+      strata, "vec_id", "id", "st", store, scaleBits = 4) == 1L)
+    // v2 reference: x = {(3,0)} centroid (3,0) — a refresh
+    assert(Similarity.writeCentroidSnapshot(
+      Seq((4L, Array(3f, 0f))).toDF("vec_id", "embedding"),
+      strata, "vec_id", "id", "st", store, scaleBits = 4) == 2L)
+    // current: x = {(1,0),(0,1)} centroid (0.5, 0.5); y absent from v2
+    val cur = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val v2 = Similarity.centroidDriftAgainstSnapshot(s, cur, strata,
+      "vec_id", "id", "st", store, scaleBits = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // vs v2 centroid (3,0): diff (-2.5, 0.5) -> shift_sq = 6.5; y
+    // (ref-only in v2? y absent) must not appear
+    assert(v2 == Map("x" -> ((2L, 1L, 6.5))), s"got $v2")
+    // pinning the RETIRED v1 yields the v1 shift — proof the default
+    // really read the newest: vs (1,0) diff (-0.5, 0.5) -> 0.5; y is
+    // ref-only (no current vectors) and drops via the inner join
+    val v1 = Similarity.centroidDriftAgainstSnapshot(s, cur, strata,
+      "vec_id", "id", "st", store, scaleBits = 4, version = Some(1L))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(v1 == Map("x" -> 0.5), s"got $v1")
+  }
+
   test("annRecallAtK: hand-built lists score exactly; ground truth vs " +
     "itself is 1.0 everywhere; unretrieved queries score 0") {
     val s = spark; import s.implicits._

@@ -275,6 +275,50 @@ class DedupStreamSpec extends SparkTestBase {
     assert(out2("t4"), s"refreshed keys not live: $out2")
   }
 
+  test("profileDriftStream: per-batch drift against the pinned profile; " +
+    "a mid-stream refresh re-pins on the NEXT batch without restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("drift-stream").toString
+    val (profPath, outPath) = (s"$base/profile", s"$base/out")
+    graft.llm.TextAnalysis.writeTermProfileSnapshot(
+      Seq("a a b").toDF("text"), "text", profPath) // v1: {a:2, b:1}
+
+    def runOnce(ck: String, docs: String*): Unit = {
+      val input = MemoryStream[String]
+      input.addData(docs: _*)
+      val q = Incremental.profileDriftStream(input.toDF().toDF("text"),
+        "text", profPath, outPath, s"$base/$ck", topK = 10)
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    // batch vs v1: {a:1, b:1, c:2} (na=4) vs {a:2, b:1} (nb=3):
+    // a |1*3-2*4|=5, b |3-4|=1, c |6-0|=6 -> tvd 12/(2*4*3) = 0.5
+    runOnce("ck1", "a b c", "c")
+    val out1 = spark.read.parquet(outPath)
+      .collect().map(r => r.getString(0) -> ((r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(out1 == Map("c" -> ((6L, 0.5)), "a" -> ((5L, 0.5)),
+      "b" -> ((1L, 0.5))), s"got $out1")
+    // refresh the reference mid-deployment: the next batch pins v2
+    // without a stream restart, retiring v1 (c stops being novel, a
+    // becomes novel). Run-2 rows are the na=2 ones (batch {a:1, c:1}).
+    graft.llm.TextAnalysis.writeTermProfileSnapshot(
+      Seq("c c b").toDF("text"), "text", profPath) // v2: {c:2, b:1}
+    runOnce("ck2", "a c")
+    // vs v2 (nb=3): a |1*3-0|=3, c |1*3-2*2|=1, b |0-1*2|=2
+    val v2rows = spark.read.parquet(outPath)
+      .where(org.apache.spark.sql.functions.col("na") === 2L).collect()
+    assert(v2rows.forall(_.getLong(4) == 3L),
+      s"run-2 batch must drift against v2: ${v2rows.mkString(",")}")
+    val byTerm = v2rows.map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(byTerm == Map("a" -> 3L, "c" -> 1L, "b" -> 2L), s"got $byTerm")
+    // batch-keyed layout: one partition per committed batch, two runs
+    val dirs = new java.io.File(outPath).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("batch_key=")).toSet
+    assert(dirs.size == 2, s"got $dirs")
+  }
+
   test("incrementalDedupStream dedups micro-batches against persisted state across runs") {
     val s = spark
     import s.implicits._
