@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   *
   *   0. rule-based filter funnel (C4/Gopher gate chain) with per-rule
   *      attrition counts — the first stage of every real pipeline;
-  *   1. quality gate (token count, uniqueness ratio, repetition
-  *      signals) — all map-side;
+  *   1. quality gate (per-source CALIBRATED percentile cut on the
+  *      uniqueness score — comparable across heterogeneous sources —
+  *      plus absolute floors and repetition signals);
   *   2. benchmark decontamination (VERSIONED bench-key snapshots — an
   *      eval-set refresh retires the old keys by construction);
   *   3. exact dedup (normalized-md5 fingerprint, min-id keeper);
@@ -22,12 +23,17 @@ import org.apache.spark.sql.functions._
   *      the side — a heldout doc can never have a near-copy in train);
   *   8. sequence packing into fixed token budgets (training-ready);
   *   9. reproducible shard layout (one pos-ordered file per shard);
-  *  10. learned quality audit (LR fit distributed, frozen-literal
-  *      margin scoring);
+  *  10. learned quality audit (surface-feature LR and hashed
+  *      bag-of-words LR, both fit distributed and scored as frozen-
+  *      literal map-side margins);
   *  11. winnowing-overlap cross-check (independent signal);
   *  12. embedding near-dup clusters + per-cell diversity take on the
   *      vector side;
-  *  13. curated + packed + sharded corpora written with stats.
+  *  13. curated + packed + sharded corpora written with stats;
+  *  14. monitoring references published for the NEXT run (term-profile
+  *      + centroid snapshots, m31/m33) and the curation-shift TVD
+  *      reported for THIS run (how far curation moved the corpus
+  *      distribution from raw).
   *
   * Run: sbt "runMain graft.examples.CurationExample [sfDir] [outDir]"
   */
@@ -55,7 +61,22 @@ object CurationExample {
       verdicts.where(col("verdict") === "kept").select(col("id").as("doc_id")),
       Seq("doc_id"), "left_semi")
     val toks = TextAnalysis.tokens(lower(col("text")))
+    // per-source CALIBRATED quality cut: a raw uniqueness score means
+    // different things on different sources, so the keep-threshold is a
+    // within-source percentile (drop each source's bottom quintile) —
+    // exact percent_rank, computed from the score histogram, no per-doc
+    // sort anywhere
+    val calKeep = graft.llm.Filters.calibrateScores(
+      docs.select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("__nt"),
+          size(array_distinct(toks)).cast("long").as("__nu"))
+        .select(col("doc_id"), col("source"),
+          when(col("__nt") === 0L, lit(0L))
+            .otherwise(expr("(1000 * __nu) div __nt")).as("score")),
+      "doc_id", "source", "score")
+      .where(col("pct") >= 0.2).select(col("id").as("doc_id"))
     val qual = docs
+      .join(calKeep, Seq("doc_id"), "left_semi")
       .withColumn("__nt", size(toks).cast("long"))
       .withColumn("__ur",
         size(array_distinct(toks)).cast("double") / col("__nt").cast("double"))
@@ -130,6 +151,25 @@ object CurationExample {
       col("lang") === "en")
     val qualityPos = graft.llm.Filters.qualityMargin(train, "doc_id",
       "text", qw, qb).where(col("pred")).count()
+    // the term-level sibling: hashed bag-of-words LR (fixed 64-bucket
+    // feature space, no vocabulary dict), scored as one map-side fold
+    val (bw, bb) = graft.llm.Filters.fitHashedBowModel(docs, "text",
+      col("lang") === "en")
+    val bowPos = graft.llm.Filters.hashedBowMargin(train, "doc_id",
+      "text", bw, bb).where(col("pred")).count()
+
+    // publish this run's MONITORING REFERENCES: the curated corpus's
+    // term profile and per-language centroids become the pinned-newest
+    // snapshots the NEXT run drifts against (m31/m33) — and this run
+    // reports its own drift vs the RAW corpus as the curation-shift
+    // audit (how much did curation move the distribution?)
+    TextAnalysis.writeTermProfileSnapshot(raw, "text",
+      s"$outDir/term_profile")
+    val curationShift = TextAnalysis.driftAgainstProfile(spark, curated,
+      "text", s"$outDir/term_profile", topK = 5)
+      .agg(max(col("tvd"))).head().getDouble(0)
+    TextAnalysis.writeTermProfileSnapshot(curated, "text",
+      s"$outDir/term_profile")
 
     // independent overlap signal on the curated set (audit, not a filter)
     val overlap = Dedup.winnowingOverlapPairs(curated, "doc_id", "text",
@@ -144,12 +184,18 @@ object CurationExample {
     val diverse = graft.llm.Sampling.diversityTake(emb, "vec_id",
       "embedding", Similarity.fitCentroids(emb, nlist = 8), nPerCell = 32)
       .count()
+    // vector-side monitoring reference for the next run (m33): the
+    // per-label rational centroids of this run's embedding corpus
+    Similarity.writeCentroidSnapshot(emb,
+      emb.select(col("vec_id"), col("label")), "vec_id", "vec_id",
+      "label", s"$outDir/centroids")
 
     val total = docs.count(); val kept = curated.count()
     val trainN = train.count()
     val redactions = curated.agg(sum(col("n_redacted"))).head().getLong(0)
     println(s"[curation-example] input=$total quality+deduped=$kept " +
       s"train=$trainN heldout=$heldoutN quality_margin_pos=$qualityPos " +
+      s"bow_margin_pos=$bowPos curation_shift_tvd=$curationShift " +
       s"pii_redactions=$redactions residual_overlap_pairs=$overlap " +
       s"embedding_cluster_members=$embClusters diversity_kept=$diverse out=$outDir")
     spark.stop()
