@@ -955,6 +955,13 @@ object SparkEntry {
       Similarity.centroidDriftAgainstSnapshot(s, emb, strata,
         "vec_id", "vec_id", "label", store, scaleBits = 12)
     }),
+    "d55_mix_shards" -> ((s, dir) =>
+      // mix-preserving shards: every shard gets an exactly-equal (±1)
+      // slice of every source — round-robin on the banded per-stratum
+      // position, never a stratum-wide sort; the oracle is the naive
+      // single-window formulation the banded form must equal bit-for-bit
+      graft.llm.Packing.shardAssignBalanced(t(s, dir, "documents"),
+        "doc_id", "source", nShards = 16, salt = "mix1")),
     "d54_calibrated_quality" -> ((s, dir) => {
       // per-source percentile calibration of an integer quality score
       // (permille unique-token ratio): the histogram takes the only
@@ -2705,6 +2712,19 @@ object SparkEntry {
         |  CAST(num AS DOUBLE) /
         |    (CAST(n_a * n_b * n_a * n_b AS DOUBLE) * 16777216.0) AS shift_sq
         |FROM g""".stripMargin,
+    "d55_mix_shards" ->
+      // the naive formulation: ONE window per stratum — the Spark side
+      // computes the identical positions via the banded two-phase
+      // prefix count (band offsets + within-band row_number)
+      """WITH f AS (SELECT doc_id AS id, source AS strata,
+        |    substr(md5('mix1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS sk
+        |  FROM documents)
+        |SELECT id, strata,
+        |  CAST(row_number() OVER w - 1 AS BIGINT) AS pos_s,
+        |  CAST((row_number() OVER w - 1) % 16 AS INTEGER) AS shard
+        |FROM f
+        |WINDOW w AS (PARTITION BY strata ORDER BY sk, id)""".stripMargin,
     "d54_calibrated_quality" ->
       // the INDEPENDENT formulation: DuckDB's native percent_rank()
       // window over the raw docs — the Spark side never sorts docs

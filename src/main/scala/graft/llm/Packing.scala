@@ -146,6 +146,57 @@ object Packing {
       .select(col(idCol), col("shard"), col("pos"), col("n_tokens"))
   }
 
+  /** Mix-preserving shard assignment: every shard receives an EXACTLY
+    * equal (±1) slice of every stratum — the property a trainer needs
+    * when it streams shards sequentially (a shard must be a microcosm
+    * of the corpus mix, or the early training steps see a skewed
+    * distribution). [[shardAssign]]'s uniform hash gives this only in
+    * expectation; here the stratum-wide position in deterministic
+    * (sampleKey, id) order is taken mod nShards — round-robin within
+    * stratum, so counts per (stratum, shard) differ by at most 1 BY
+    * CONSTRUCTION, not by luck.
+    *
+    * Scale shape: the naive form is one window over each full stratum
+    * (a single-task sort of a mega-stratum at 100 TB). This is the
+    * [[packSequences]] banded two-phase prefix count instead: band =
+    * first `prefixChars` hex chars of the hash key (a PREFIX of the
+    * sort key, so band order is sort order), per-(stratum, band)
+    * counts take a window over the tiny O(|strata|·16^prefixChars)
+    * frame, and each doc's stratum position is its within-band
+    * row_number plus the band offset — the only per-doc window sees
+    * one (stratum, band) slice (uniform hash ⇒ bounded), and the
+    * offset frame joins back by broadcast. Bit-identical to the naive
+    * single-window form (unit-pinned). Output: (id, strata, pos_s,
+    * shard). */
+  def shardAssignBalanced(df: DataFrame, idCol: String, strataCol: String,
+                          nShards: Int, salt: String = "graft",
+                          prefixChars: Int = 2): DataFrame = {
+    require(nShards >= 1 && nShards <= (1 << 20),
+      s"nShards must be in [1, 2^20]: $nShards")
+    require(prefixChars >= 1 && prefixChars <= 4,
+      s"prefixChars must be in [1, 4]: $prefixChars")
+    val reserved = Seq("__sk", "__band", "__bn", "__off")
+    reserved.foreach(r => require(!df.columns.contains(r),
+      s"input already has a '$r' column; rename it before shardAssignBalanced()"))
+    val base = df.select(col(idCol).as("id"),
+        col(strataCol).cast("string").as("strata"),
+        Sampling.sampleKey(col(idCol), salt).as("__sk"))
+      .withColumn("__band", substring(col("__sk"), 1, prefixChars))
+    val offsets = base.groupBy(col("strata"), col("__band"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off",
+        sum(col("__bn")).over(Window.partitionBy(col("strata"))
+          .orderBy(col("__band"))) - col("__bn"))
+      .drop("__bn")
+    val wIn = Window.partitionBy(col("strata"), col("__band"))
+      .orderBy(col("__sk").asc, col("id").asc)
+    base.withColumn("__rn", row_number().over(wIn) - 1)
+      .join(broadcast(offsets), Seq("strata", "__band"))
+      .withColumn("pos_s", col("__rn") + col("__off"))
+      .withColumn("shard", (col("pos_s") % nShards).cast("int"))
+      .select(col("id"), col("strata"), col("pos_s"), col("shard"))
+  }
+
   /** Per-shard balance report over a [[shardAssign]] result: (shard,
     * n_docs, n_tokens) — the sanity check a shard-writing job runs
     * before committing (a skewed report means the hash column was fed

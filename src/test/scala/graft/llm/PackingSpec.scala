@@ -102,6 +102,50 @@ class PackingSpec extends SparkTestBase {
     assert(other != ref)
   }
 
+  test("shardAssignBalanced: every (stratum, shard) count within 1 BY " +
+    "CONSTRUCTION on a skewed mix; banded == naive single window; " +
+    "prefixChars invariant; reserved columns rejected") {
+    val s = spark; import s.implicits._
+    // heavily skewed mix: 160 'web', 30 'wiki', 10 'code'
+    val mixed = (0 until 200).map { i =>
+      (i.toLong, if (i < 160) "web" else if (i < 190) "wiki" else "code")
+    }.toDF("doc_id", "src")
+    val out = Packing.shardAssignBalanced(mixed, "doc_id", "src",
+      nShards = 8, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3)))
+    assert(out.length == 200)
+    // exact mix preservation: per (stratum, shard) counts differ <= 1
+    out.groupBy(_._2).foreach { case (st, g) =>
+      val byShard = g.groupBy(_._4).map(_._2.size)
+      assert(byShard.max - byShard.min <= 1,
+        s"stratum $st skewed across shards: $byShard")
+    }
+    // 10 'code' docs round-robin over 8 shards: two shards get 2, the
+    // rest 1 — no shard ever holds 3
+    assert(out.filter(_._2 == "code").groupBy(_._4).forall(_._2.size <= 2))
+    // banded two-phase == the naive one-window-per-stratum formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("__k"), col("doc_id"))
+    val naive = mixed
+      .withColumn("__k", Sampling.sampleKey(col("doc_id"), "t"))
+      .withColumn("pos_s", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("src"), col("pos_s"),
+        (col("pos_s") % 8).cast("int").as("shard"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(out.toSet == naive, "banded form diverged from the naive window")
+    // band width cannot change the answer (prefix of the sort key)
+    val p1 = Packing.shardAssignBalanced(mixed, "doc_id", "src",
+      nShards = 8, salt = "t", prefixChars = 1)
+      .collect().map(_.toSeq).toSet
+    assert(p1 == out.map(t => Seq(t._1, t._2, t._3, t._4)).toSet)
+    val e = intercept[IllegalArgumentException](
+      Packing.shardAssignBalanced(mixed.withColumn("__sk", lit("x")),
+        "doc_id", "src", 8))
+    assert(e.getMessage.contains("__sk"))
+  }
+
   test("shardAssign: nShards=1 puts everything in shard 0 in global hash " +
     "order; bad nShards rejected") {
     val one = Packing.shardAssign(docs, "doc_id", nTok, 1, salt = "t").collect()
