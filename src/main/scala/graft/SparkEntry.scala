@@ -955,6 +955,20 @@ object SparkEntry {
       Similarity.centroidDriftAgainstSnapshot(s, emb, strata,
         "vec_id", "vec_id", "label", store, scaleBits = 12)
     }),
+    "d56_profile_familiarity" -> ((s, dir) => {
+      // serving-time familiarity: the full corpus scored against the
+      // PINNED frozen reference vocabulary (v2 = the %4!=0 slice — the
+      // m31 retirement contract), not against itself; novel/rare mass
+      // per doc, integers off one (id, term) exchange
+      val docs = t(s, dir, "documents")
+      val store = tmpQueryDir("d56-prof").toString + "/store"
+      TextAnalysis.writeTermProfileSnapshot(
+        docs.where(col("doc_id") % 2 === 0), "text", store)
+      TextAnalysis.writeTermProfileSnapshot(
+        docs.where(col("doc_id") % 4 =!= 0), "text", store)
+      TextAnalysis.familiarityAgainstProfile(s, docs, "doc_id", "text",
+        store)
+    }),
     "d55_mix_shards" -> ((s, dir) =>
       // mix-preserving shards: every shard gets an exactly-equal (±1)
       // slice of every source — round-robin on the banded per-stratum
@@ -2711,6 +2725,36 @@ object SparkEntry {
         |SELECT stratum, n_a, n_b,
         |  CAST(num AS DOUBLE) /
         |    (CAST(n_a * n_b * n_a * n_b AS DOUBLE) * 16777216.0) AS shift_sq
+        |FROM g""".stripMargin,
+    "d56_profile_familiarity" ->
+      // reference vocabulary re-derived from the refresh slice alone
+      // (v2 pinning is the tested contract); LEFT join so absent terms
+      // carry cnt NULL -> novel mass; novel ⊆ rare by 0 < ref_total
+      """WITH prof AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split(lower(coalesce(text, '')),
+        |      ' '), x -> x != '')) AS term FROM documents
+        |    WHERE doc_id % 4 != 0)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS ref_total FROM prof),
+        |tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id AS id, unnest(list_filter(string_split(
+        |      lower(coalesce(text, '')), ' '), x -> x != '')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |j AS (SELECT id, tf.tf, prof.cnt, ref_total
+        |  FROM tf LEFT JOIN prof USING (term), tot),
+        |g AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(tf * coalesce(cnt, 0)) AS BIGINT) AS ref_mass,
+        |    CAST(SUM(CASE WHEN cnt IS NULL THEN tf ELSE 0 END) AS BIGINT)
+        |      AS novel_tokens,
+        |    CAST(SUM(CASE WHEN coalesce(cnt, 0) * 100 < ref_total
+        |      THEN tf ELSE 0 END) AS BIGINT) AS rare_tokens
+        |  FROM j GROUP BY 1)
+        |SELECT id, n_tokens, ref_mass, novel_tokens, rare_tokens,
+        |  CAST(ref_mass AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS mean_ref_freq,
+        |  CAST(novel_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS novel_rate
         |FROM g""".stripMargin,
     "d55_mix_shards" ->
       // the naive formulation: ONE window per stratum — the Spark side

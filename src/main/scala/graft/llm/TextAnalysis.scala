@@ -1001,4 +1001,55 @@ object TextAnalysis {
       .select(col("term"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b")), topK)
   }
+
+  /** Cross-run familiarity: score INCOMING docs against the FROZEN
+    * reference vocabulary of a persisted [[writeTermProfileSnapshot]]
+    * (pinned-newest, or an explicit `version`) — the serving-time form
+    * of [[unigramFamiliarity]], whose vocabulary is the batch itself.
+    * The distinction matters operationally: an ingest filter must judge
+    * a document by what the CORPUS looks like, not by what this hour's
+    * batch looks like (a batch of spam is perfectly familiar to
+    * itself), and against a frozen reference a term can be absent —
+    * `novel_tokens` counts that mass (novel ⊆ rare: an absent term has
+    * cnt 0 < ref_total). All integer sums off one (id, term) exchange,
+    * profile broadcast under the same plan-stats guard as
+    * [[unigramFamiliarity]] (best-effort; AQE is the at-scale
+    * mechanism), two per-doc IEEE divisions. Tokenless docs emit no
+    * row (no terms to score — same contract as unigramFamiliarity).
+    * Output: (id, n_tokens, ref_mass, novel_tokens, rare_tokens,
+    * mean_ref_freq, novel_rate). */
+  def familiarityAgainstProfile(spark: org.apache.spark.sql.SparkSession,
+                                df: DataFrame, idCol: String,
+                                textCol: String, path: String,
+                                rareDenom: Long = 100,
+                                version: Option[Long] = None,
+                                vocabBroadcastMaxBytes: Long = 64L << 20)
+      : DataFrame = {
+    require(rareDenom >= 1, s"rareDenom must be >= 1: $rareDenom")
+    val snap = LayoutStore.snapshotPath(
+      spark.sparkContext.hadoopConfiguration, path, version)
+    val profile = spark.read.parquet(s"$snap/terms")
+      .select(col("term"), col("cnt"))
+    val total = profile.agg(sum(col("cnt")).as("ref_total"))
+    val tf = df.select(col(idCol).as("id"),
+        explode(tokens(lower(coalesce(col(textCol), lit(""))))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val profHinted =
+      if (profile.queryExecution.optimizedPlan.stats.sizeInBytes
+          <= vocabBroadcastMaxBytes) broadcast(profile)
+      else profile
+    tf.join(profHinted, Seq("term"), "left_outer")
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * coalesce(col("cnt"), lit(0L))).as("ref_mass"),
+        sum(when(col("cnt").isNull, col("tf")).otherwise(lit(0L)))
+          .as("novel_tokens"),
+        sum(when(coalesce(col("cnt"), lit(0L)) * rareDenom < col("ref_total"),
+          col("tf")).otherwise(lit(0L))).as("rare_tokens"))
+      .withColumn("mean_ref_freq",
+        col("ref_mass").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("novel_rate",
+        col("novel_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
 }

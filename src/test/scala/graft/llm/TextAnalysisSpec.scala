@@ -659,6 +659,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(v1.forall(_._3 == 0.25))
   }
 
+  test("familiarityAgainstProfile: hand-checked novel/rare mass vs the " +
+    "pinned snapshot; retired v1 probe; tokenless docs emit no row") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("fam-store") + "/store"
+    TextAnalysis.writeTermProfileSnapshot(
+      Seq("a a b").toDF("text"), "text", store)   // v1 {a:2,b:1} tot 3
+    TextAnalysis.writeTermProfileSnapshot(
+      Seq("a b b c").toDF("text"), "text", store) // v2 {a:1,b:2,c:1} tot 4
+    val cur = Seq((1L, "a a d b"), (2L, "c c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.familiarityAgainstProfile(s, cur, "doc_id",
+      "text", store)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(6)))).toMap
+    // doc1 vs v2: n=4, mass 2*1+0+1*2=4, novel {d}=1, rare {d}=1
+    // (a,b have cnt*100 >= tot=4), novel_rate 0.25
+    assert(out(1L) == ((4L, 4L, 1L, 1L, 0.25)), s"got ${out(1L)}")
+    // doc2: c is IN v2 (cnt 1): mass 2, nothing novel
+    assert(out(2L) == ((2L, 2L, 0L, 0L, 0.0)), s"got ${out(2L)}")
+    assert(!out.contains(3L), "tokenless doc must emit no row")
+    // pinned RETIRED v1: c is absent there -> all of doc2 is novel
+    val v1 = TextAnalysis.familiarityAgainstProfile(s, cur, "doc_id",
+      "text", store, version = Some(1L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(v1(2L) == ((0L, 2L)), s"got ${v1(2L)}")
+  }
+
   test("distributionDrift: exact cross-multiplied movers and a hand-checked TVD") {
     val s = spark; import s.implicits._
     // side A: {a:2, b:1} (na=3); side B: {a:1, b:2, c:1} (nb=4)
