@@ -120,6 +120,20 @@ object SparkEntry {
       |ORDER BY drift_num DESC, term ASC
       |LIMIT 20""".stripMargin
 
+  /** Shared by d55 (assignment) and m34 (materialized layout): the
+    * naive one-window-per-stratum formulation the banded two-phase
+    * prefix count must equal bit-for-bit. */
+  private val mixShardsOracleSql: String =
+    """WITH f AS (SELECT doc_id AS id, source AS strata,
+      |    substr(md5('mix1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |      AS sk
+      |  FROM documents)
+      |SELECT id, strata,
+      |  CAST(row_number() OVER w - 1 AS BIGINT) AS pos_s,
+      |  CAST((row_number() OVER w - 1) % 16 AS INTEGER) AS shard
+      |FROM f
+      |WINDOW w AS (PARTITION BY strata ORDER BY sk, id)""".stripMargin
+
   private val bowCache =
     scala.collection.concurrent.TrieMap.empty[String, (Array[Double], Double)]
   @volatile private var lastBowModel: (Array[Double], Double) = _
@@ -523,6 +537,19 @@ object SparkEntry {
       // double division
       TextAnalysis.bigramCoherence(t(s, dir, "documents"),
         "doc_id", "text")),
+    "m34_balanced_shard_layout" -> ((s, dir) => {
+      // d55's mix-preserving assignment MATERIALIZED with mix-LOCAL
+      // in-shard order (sorted by round-robin turn, then stratum — any
+      // contiguous read window carries the corpus mix) and read back;
+      // same oracle as d55 because the layout IS the assignment
+      val assigned = graft.llm.Packing.shardAssignBalanced(
+        t(s, dir, "documents"), "doc_id", "source", nShards = 16,
+        salt = "mix1")
+      val path = tmpQueryDir("m34-shards").toString + "/layout"
+      graft.llm.Packing.writeBalancedShardLayout(assigned, 16, path)
+      s.read.parquet(path)
+        .select(col("id"), col("strata"), col("pos_s"), col("shard"))
+    }),
     "m23_shard_layout" -> ((s, dir) => {
       // d42's assignment MATERIALIZED as the trainer-facing layout (one
       // dir per shard, pos-ordered files) and read back — proves the
@@ -2756,19 +2783,12 @@ object SparkEntry {
         |  CAST(novel_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
         |    AS novel_rate
         |FROM g""".stripMargin,
-    "d55_mix_shards" ->
-      // the naive formulation: ONE window per stratum — the Spark side
-      // computes the identical positions via the banded two-phase
-      // prefix count (band offsets + within-band row_number)
-      """WITH f AS (SELECT doc_id AS id, source AS strata,
-        |    substr(md5('mix1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8)
-        |      AS sk
-        |  FROM documents)
-        |SELECT id, strata,
-        |  CAST(row_number() OVER w - 1 AS BIGINT) AS pos_s,
-        |  CAST((row_number() OVER w - 1) % 16 AS INTEGER) AS shard
-        |FROM f
-        |WINDOW w AS (PARTITION BY strata ORDER BY sk, id)""".stripMargin,
+    "d55_mix_shards" -> mixShardsOracleSql,
+    "m34_balanced_shard_layout" ->
+      // the materialized layout round-trips the d55 assignment exactly
+      // (in-shard sort order is invisible to the order-insensitive
+      // compare) — one oracle serves both
+      mixShardsOracleSql,
     "d54_calibrated_quality" ->
       // the INDEPENDENT formulation: DuckDB's native percent_rank()
       // window over the raw docs — the Spark side never sorts docs

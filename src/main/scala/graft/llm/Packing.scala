@@ -197,6 +197,29 @@ object Packing {
       .select(col("id"), col("strata"), col("pos_s"), col("shard"))
   }
 
+  /** Materialize a [[shardAssignBalanced]] result with MIX-LOCAL
+    * in-shard order: within each shard dir, rows sort by (turn =
+    * pos_s div nShards, strata) — one round-robin "turn" holds at most
+    * one doc of each stratum, so ANY contiguous read window of width
+    * k·|strata| contains each stratum's share ±1. A trainer that
+    * streams a shard front-to-back (or restarts mid-shard) therefore
+    * sees the corpus mix at window granularity, not just at
+    * whole-shard granularity — the property that makes mid-epoch
+    * checkpoint resume unbiased. Same one-file-per-shard write shape
+    * as [[writeShardLayout]]. */
+  def writeBalancedShardLayout(assigned: DataFrame, nShards: Int,
+                               path: String): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    // shard leads the sort so the partitioned write's required ordering
+    // is already satisfied and V1Writes inserts no re-sort of its own
+    // (a writer-inserted sort keys only on the partition column and
+    // would clobber the (turn, strata) order)
+    assigned.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), expr(s"pos_s div $nShards"),
+        col("strata"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Per-shard balance report over a [[shardAssign]] result: (shard,
     * n_docs, n_tokens) — the sanity check a shard-writing job runs
     * before committing (a skewed report means the hash column was fed

@@ -180,6 +180,38 @@ class PackingSpec extends SparkTestBase {
     assert(back == assigned.collect().map(_.toSeq).toSet)
   }
 
+  test("writeBalancedShardLayout: in-file order is (turn, strata) — any " +
+    "contiguous window carries the mix — and the round-trip preserves " +
+    "the assignment") {
+    val s = spark; import s.implicits._
+    val nShards = 4
+    val mixed = (0 until 120).map { i =>
+      (i.toLong, if (i < 80) "web" else if (i < 110) "wiki" else "code")
+    }.toDF("doc_id", "src")
+    val assigned = Packing.shardAssignBalanced(mixed, "doc_id", "src",
+      nShards, salt = "t")
+    val path = tmpDir("bal-layout") + "/layout"
+    Packing.writeBalancedShardLayout(assigned, nShards, path)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.length == nShards)
+    dirs.foreach { d =>
+      val rows = spark.read.parquet(d.getPath)
+        .select(col("pos_s"), col("strata")).collect()
+        .map(r => (r.getLong(0) / nShards, r.getString(1))).toSeq
+      assert(rows == rows.sorted,
+        s"${d.getName} not in (turn, strata) order: $rows")
+      // mix-local: within one turn, at most one doc per stratum
+      rows.groupBy(identity).foreach { case (k, g) =>
+        assert(g.size == 1, s"${d.getName}: duplicate $k in a turn")
+      }
+    }
+    val back = spark.read.parquet(path)
+      .select(col("id"), col("strata"), col("pos_s"), col("shard"))
+      .collect().map(_.toSeq).toSet
+    assert(back == assigned.collect().map(_.toSeq).toSet)
+  }
+
   test("repeatSchedule: per-doc epoch counts honored, 0-epoch docs drop, " +
     "each epoch's order is a distinct deterministic permutation") {
     val s = spark; import s.implicits._
