@@ -982,6 +982,18 @@ object SparkEntry {
       Similarity.centroidDriftAgainstSnapshot(s, emb, strata,
         "vec_id", "vec_id", "label", store, scaleBits = 12)
     }),
+    "d57_drift_by_source" -> ((s, dir) => {
+      // drift attribution: per-source TVD against the pinned reference
+      // (v2 = %4!=0 slice) — reference-only mass folded in closed form,
+      // so the join is only (source-terms LEFT profile)
+      val docs = t(s, dir, "documents")
+      val store = tmpQueryDir("d57-prof").toString + "/store"
+      TextAnalysis.writeTermProfileSnapshot(
+        docs.where(col("doc_id") % 2 === 0), "text", store)
+      TextAnalysis.writeTermProfileSnapshot(
+        docs.where(col("doc_id") % 4 =!= 0), "text", store)
+      TextAnalysis.driftBySource(s, docs, "source", "text", store)
+    }),
     "d56_profile_familiarity" -> ((s, dir) => {
       // serving-time familiarity: the full corpus scored against the
       // PINNED frozen reference vocabulary (v2 = the %4!=0 slice — the
@@ -2752,6 +2764,35 @@ object SparkEntry {
         |SELECT stratum, n_a, n_b,
         |  CAST(num AS DOUBLE) /
         |    (CAST(n_a * n_b * n_a * n_b AS DOUBLE) * 16777216.0) AS shift_sq
+        |FROM g""".stripMargin,
+    "d57_drift_by_source" ->
+      // per-stratum TVD vs the refresh-slice reference; the
+      // reference-only mass enters via nb - sum(matched cb), never a
+      // stratum x vocabulary expansion
+      """WITH prof AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+        |    SELECT unnest(list_filter(string_split(lower(coalesce(text, '')),
+        |      ' '), x -> x != '')) AS term FROM documents
+        |    WHERE doc_id % 4 != 0)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM prof),
+        |cur AS (SELECT stratum, term, CAST(COUNT(*) AS BIGINT) AS ca FROM (
+        |    SELECT source AS stratum, unnest(list_filter(string_split(
+        |      lower(coalesce(text, '')), ' '), x -> x != '')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |nas AS (SELECT stratum, CAST(SUM(ca) AS BIGINT) AS na FROM cur
+        |  GROUP BY 1),
+        |j AS (SELECT c.stratum, c.ca, coalesce(p.cb, 0) AS cb, na, nb
+        |  FROM cur c JOIN nas USING (stratum) LEFT JOIN prof p
+        |    USING (term), tot),
+        |g AS (SELECT stratum, MAX(na) AS na, MAX(nb) AS nb,
+        |    CAST(SUM(abs(ca * nb - cb * na)) AS BIGINT)
+        |      + MAX(na) * (MAX(nb) - CAST(SUM(cb) AS BIGINT)) AS drift_num
+        |  FROM j GROUP BY 1)
+        |SELECT stratum, na, nb, drift_num,
+        |  CAST(drift_num AS DOUBLE) /
+        |    (CAST(2.0 AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |    AS tvd
         |FROM g""".stripMargin,
     "d56_profile_familiarity" ->
       // reference vocabulary re-derived from the refresh slice alone

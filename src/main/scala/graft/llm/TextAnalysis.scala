@@ -1018,6 +1018,47 @@ object TextAnalysis {
     * row (no terms to score — same contract as unigramFamiliarity).
     * Output: (id, n_tokens, ref_mass, novel_tokens, rare_tokens,
     * mean_ref_freq, novel_rate). */
+  /** Per-stratum drift ATTRIBUTION against a pinned profile snapshot —
+    * the actionable form of [[driftAgainstProfile]]'s corpus-level TVD:
+    * when the alarm fires, this says WHICH source moved (one crawl
+    * domain turning over its vocabulary reads as mild corpus drift but
+    * extreme single-source drift). Per stratum s: TVD_s between the
+    * stratum's term distribution and the reference, via the same exact
+    * integer cross-multiplication — with the reference-only mass folded
+    * in CLOSED FORM (Σ_{t∉cur_s} cb = nb − Σ_{t∈cur_s} cb), so the join
+    * is only (stratum-terms LEFT profile): no stratum × vocabulary
+    * expansion ever materializes. One (stratum, term) exchange; profile
+    * broadcast under the d56 plan-stats guard; ONE double division per
+    * stratum. Output: (stratum, na, nb, drift_num, tvd). */
+  def driftBySource(spark: org.apache.spark.sql.SparkSession,
+                    df: DataFrame, strataCol: String, textCol: String,
+                    path: String, version: Option[Long] = None,
+                    vocabBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
+    val snap = LayoutStore.snapshotPath(
+      spark.sparkContext.hadoopConfiguration, path, version)
+    val profile = spark.read.parquet(s"$snap/terms")
+      .select(col("term"), col("cnt").as("cb"))
+    val nbDf = profile.agg(sum(col("cb")).as("nb"))
+    val cur = df.select(col(strataCol).cast("string").as("stratum"),
+        explode(tokens(lower(coalesce(col(textCol), lit(""))))).as("term"))
+      .groupBy(col("stratum"), col("term")).agg(count(lit(1)).as("ca"))
+    val nas = cur.groupBy(col("stratum")).agg(sum(col("ca")).as("na"))
+    val profHinted =
+      if (profile.queryExecution.optimizedPlan.stats.sizeInBytes
+          <= vocabBroadcastMaxBytes) broadcast(profile)
+      else profile
+    val cb0 = coalesce(col("cb"), lit(0L))
+    cur.join(profHinted, Seq("term"), "left_outer")
+      .join(broadcast(nas), Seq("stratum"))
+      .crossJoin(broadcast(nbDf))
+      .groupBy(col("stratum"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        (sum(abs(col("ca") * col("nb") - cb0 * col("na"))) +
+          max(col("na")) * (max(col("nb")) - sum(cb0))).as("drift_num"))
+      .withColumn("tvd", col("drift_num").cast("double") /
+        (lit(2.0) * col("na").cast("double") * col("nb").cast("double")))
+  }
+
   def familiarityAgainstProfile(spark: org.apache.spark.sql.SparkSession,
                                 df: DataFrame, idCol: String,
                                 textCol: String, path: String,

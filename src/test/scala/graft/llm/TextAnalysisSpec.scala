@@ -687,6 +687,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(v1(2L) == ((0L, 2L)), s"got ${v1(2L)}")
   }
 
+  test("driftBySource: per-stratum TVD vs the pinned profile; a disjoint " +
+    "source reads exactly 1.0; closed-form reference-only mass") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("dbs-store") + "/store"
+    TextAnalysis.writeTermProfileSnapshot(
+      Seq("a b b c").toDF("text"), "text", store) // {a:1,b:2,c:1} nb=4
+    val cur = Seq(("X", "a a b"), ("Y", "d")).toDF("src", "text")
+    val out = TextAnalysis.driftBySource(s, cur, "src", "text", store)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    // X {a:2,b:1} na=3: |2*4-1*3|+|1*4-2*3| = 7, ref-only c: 3*(4-3)=3
+    assert(out("X") == ((3L, 4L, 10L, 10.0 / 24.0)), s"got ${out("X")}")
+    // Y {d:1} na=1 is DISJOINT from the reference: TVD must be exactly 1
+    assert(out("Y") == ((1L, 4L, 8L, 1.0)), s"got ${out("Y")}")
+  }
+
   test("distributionDrift: exact cross-multiplied movers and a hand-checked TVD") {
     val s = spark; import s.implicits._
     // side A: {a:2, b:1} (na=3); side B: {a:1, b:2, c:1} (nb=4)
