@@ -982,6 +982,13 @@ object SparkEntry {
       Similarity.centroidDriftAgainstSnapshot(s, emb, strata,
         "vec_id", "vec_id", "label", store, scaleBits = 12)
     }),
+    "d58_edit_neardups" -> ((s, dir) =>
+      // character-level near-dups: PassJoin segment blocking is LOSSLESS
+      // (pigeonhole + sound start windows), the banded threshold verify
+      // owns precision — so the result is identical to the naive
+      // quadratic join the oracle states (plus its own lossless
+      // char-frequency prunes)
+      Dedup.editNearDupPairs(t(s, dir, "documents"), "doc_id", "text", k = 8)),
     "d57_drift_by_source" -> ((s, dir) => {
       // drift attribution: per-source TVD against the pinned reference
       // (v2 = %4!=0 slice) — reference-only mass folded in closed form,
@@ -2765,6 +2772,21 @@ object SparkEntry {
         |  CAST(num AS DOUBLE) /
         |    (CAST(n_a * n_b * n_a * n_b AS DOUBLE) * 16777216.0) AS shift_sq
         |FROM g""".stripMargin,
+    "d58_edit_neardups" ->
+      // independent formulation: naive pairwise join with three LOSSLESS
+      // prunes (|Δlen|, |Δspaces|, |Δ'e'-count| — each edit moves any
+      // single-char frequency by at most 1, so all are <= the distance)
+      // and DuckDB's own full-DP levenshtein
+      """WITH d AS (SELECT doc_id, text, length(text) AS l,
+        |    length(text) - length(replace(text, ' ', '')) AS sp,
+        |    length(text) - length(replace(text, 'e', '')) AS ec
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  AND abs(a.l - b.l) <= 8 AND abs(a.sp - b.sp) <= 8
+        |  AND abs(a.ec - b.ec) <= 8
+        |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
     "d57_drift_by_source" ->
       // per-stratum TVD vs the refresh-slice reference; the
       // reference-only mass enters via nb - sum(matched cb), never a

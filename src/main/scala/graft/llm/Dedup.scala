@@ -783,6 +783,121 @@ object Dedup {
     materializeAndRelease(scored, f0)
   }
 
+  /** Edit-distance near-dup pairs: every unordered doc pair within
+    * Levenshtein distance `k`, EXACTLY — the character-level detector the
+    * token-set family can't express (MinHash/SimHash/winnowing all see
+    * token multisets; two docs differing by a handful of character typos
+    * per word look dissimilar to shingles but are trivially close in edit
+    * space — the classic record-linkage / OCR-noise shape).
+    *
+    * Blocking is PassJoin-style segment pigeonhole (Li, Deng & Feng,
+    * "PassJoin: A Partition-based Method for Similarity Joins", SIGMOD'11;
+    * the reference engine has no equivalent): each string partitions into
+    * k+1 even segments; k edits can fall strictly inside at most k of
+    * them, so any pair within distance k shares at least one indexed
+    * segment VERBATIM, at a start position bounded by three sound
+    * windows — (a) alignment arithmetic: |s-pi| + |s-(pi+Δ)| <= k, (b)
+    * leftmost-preserved pigeonhole: segments before the leftmost intact
+    * one each hold an edit, so the suffix budget is k-i, (c) substring
+    * bounds. The blocking is LOSSLESS (a superset of the true pair set);
+    * the exact verify owns precision, so the result is identical to the
+    * naive quadratic join — which is exactly how the oracle states it.
+    *
+    * Scale shape: probes/index rows are O(k^2)-ish per doc (segments x
+    * in-window starts, windows shrink with both i and the length gap) and
+    * only (segment ~ len/(k+1) chars, id) tuples shuffle — never the
+    * text. Candidates dedup to unordered id pairs BEFORE texts re-join,
+    * and the verify is Spark's threshold form `levenshtein(a, b, k)`
+    * (banded O(k·n), -1 above k) — never the full O(n^2) DP. Probe
+    * target lengths semi-join against the lengths actually present, so
+    * a sparse length histogram pays nothing. Docs shorter than k+1
+    * chars can't host k+1 non-empty segments; they pair via a broadcast
+    * length-window join instead (sound: a partner must be <= 2k chars) —
+    * route a degenerate shorter-than-k corpus through [[exactDedup]]
+    * first, the broadcast side is assumed small. `maxBucketSize` caps
+    * adversarial (position, length, segment) mega-buckets like the LSH
+    * cap — opt-in, because a cap trades the lossless guarantee for
+    * bounded work.
+    *
+    * Output: (id_a, id_b, dist), id_a < id_b, dist <= k. */
+  def editNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, maxBucketSize: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val m = k + 1
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+        length(col(textCol)).cast("int").as("__l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val longs = base.where(col("__l") > k)
+    // even partition of a length-l string: the first (m - l%m) segments
+    // get floor(l/m) chars, the last l%m get one more
+    def segLen(l: Column, i: Column): Column =
+      floor(l / m).cast("int") +
+        when(i >= lit(m) - pmod(l, lit(m)), 1).otherwise(0)
+    def segStart(l: Column, i: Column): Column =
+      (i * floor(l / m).cast("int") +
+        greatest(lit(0), i - (lit(m) - pmod(l, lit(m)).cast("int")))).cast("int")
+    val idx = longs
+      .select(col("__id").as("__idxId"), col("__l").as("__idxL"), col("__t"),
+        explode(sequence(lit(0), lit(k))).as("__i"))
+      .select(col("__idxId"), col("__idxL"), col("__i").as("__idxI"),
+        col("__t").substr(segStart(col("__idxL"), col("__i")) + 1,
+          segLen(col("__idxL"), col("__i"))).as("__idxSeg"))
+    val idxCapped = maxBucketSize match {
+      case Some(_) =>
+        capBuckets(idx.withColumn("__bk",
+            concat_ws("|", col("__idxI"), col("__idxL"), col("__idxSeg"))),
+          "__bk", maxBucketSize).drop("__bk")
+      case None => idx
+    }
+    val lens = longs.select(col("__l").as("__cl")).distinct()
+    val probes = longs
+      .select(col("__id").as("__prbId"), col("__t"), col("__l"),
+        explode(sequence(greatest(lit(m), col("__l") - k), col("__l"))).as("__cl"))
+      .join(broadcast(lens), Seq("__cl"), "left_semi")
+      .select(col("__prbId"), col("__t"), col("__l"), col("__cl"),
+        explode(sequence(lit(0), lit(k))).as("__i"))
+      .withColumn("__li", segLen(col("__cl"), col("__i")))
+      .withColumn("__pi", segStart(col("__cl"), col("__i")))
+      .withColumn("__d", col("__l") - col("__cl"))
+      .withColumn("__half", floor((lit(k) - col("__d")) / 2).cast("int"))
+      .withColumn("__lo", greatest(lit(0), col("__pi") - col("__half"),
+        col("__pi") + col("__d") - (lit(k) - col("__i"))))
+      .withColumn("__hi", least(col("__l") - col("__li"),
+        col("__pi") + col("__d") + col("__half"),
+        col("__pi") + col("__d") + (lit(k) - col("__i"))))
+      .where(col("__lo") <= col("__hi"))
+      .select(col("__prbId"), col("__cl"), col("__i"), col("__li"), col("__t"),
+        explode(sequence(col("__lo"), col("__hi"))).as("__s"))
+      .select(col("__prbId"), col("__cl"), col("__i"),
+        col("__t").substr(col("__s") + 1, col("__li")).as("__seg"))
+    val mainCands = probes.join(idxCapped,
+        col("__i") === col("__idxI") &&
+          col("__cl") === col("__idxL") && col("__seg") === col("__idxSeg"))
+      .where(col("__prbId") =!= col("__idxId"))
+      .select(least(col("__prbId"), col("__idxId")).as("id_a"),
+        greatest(col("__prbId"), col("__idxId")).as("id_b"))
+    // strings of <= k chars: no k+1 non-empty segments exist, but any
+    // within-k partner is <= 2k chars — a broadcast length-window join
+    // over two tiny slices
+    val shorts = base.where(col("__l") <= k)
+      .select(col("__id").as("__sid"), col("__l").as("__sl"))
+    val shortCands = broadcast(shorts)
+      .join(base.select(col("__id").as("__oid"), col("__l").as("__ol"))
+          .where(col("__ol") <= 2 * k),
+        col("__ol") <= col("__sl") + k && col("__ol") >= col("__sl") - k &&
+          (col("__ol") > lit(k) || col("__sid") < col("__oid")) &&
+          col("__sid") =!= col("__oid"))
+      .select(least(col("__sid"), col("__oid")).as("id_a"),
+        greatest(col("__sid"), col("__oid")).as("id_b"))
+    val verified = mainCands.unionByName(shortCands).distinct()
+      .join(base.select(col("__id").as("id_a"), col("__t").as("__ta")), Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__t").as("__tb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), k).cast("long"))
+      .where(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+    materializeAndRelease(verified, base)
+  }
+
   /** Span-level boilerplate removal — exact-substring dedup INSIDE
     * documents, the step document-level detectors can't do (Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better", ACL'22:

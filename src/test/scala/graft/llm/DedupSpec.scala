@@ -586,4 +586,50 @@ class DedupSpec extends SparkTestBase {
     val o2 = run(cased)
     assert(o2(("u", "v")) == ((2L, 2L, 2L, 1.0)), s"got ${o2(("u", "v"))}")
   }
+
+  test("editNearDupPairs: hand-checked pairs, threshold boundary, short-" +
+    "string path") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),  // dist 0 to 1
+      (3L, "the quick brown fox jumps over the lazy catt"), // dist 4 to 1
+      (4L, "a completely different sentence about engines"),
+      (5L, "ab"),                                           // short path
+      (6L, "abcd"),                                         // dist 2 to 5
+      (7L, "xxxxyyyyzzzz")                                  // dist > 4 to all
+    ).toDF("doc_id", "text")
+    val out = Dedup.editNearDupPairs(df, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 0L, (1L, 3L) -> 4L, (2L, 3L) -> 4L,
+      (5L, 6L) -> 2L), s"got $out")
+  }
+
+  test("editNearDupPairs: equals the naive quadratic join on a seeded " +
+    "random corpus (lossless blocking)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val alpha = "ab "
+    val rows = (1L to 80L).map { i =>
+      val n = rnd.nextInt(41) // includes lengths 0..k (short path)
+      (i, (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val df = rows.toDF("doc_id", "text")
+    val k = 3
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toSet
+    val a = df.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val b = df.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    val naive = pairSet(a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .where(col("dist") <= k).select("id_a", "id_b", "dist"))
+    val got = pairSet(Dedup.editNearDupPairs(df, "doc_id", "text", k))
+    assert(naive.nonEmpty, "degenerate fixture: no close pairs")
+    assert(got == naive,
+      s"missed=${naive -- got} extra=${got -- naive}")
+    // partitioning independence
+    val got7 = pairSet(Dedup.editNearDupPairs(df.repartition(7),
+      "doc_id", "text", k))
+    assert(got7 == naive)
+  }
 }
