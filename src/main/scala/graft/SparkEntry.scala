@@ -4,7 +4,7 @@ import graft.convert.Validator
 import graft.functions.Functions._
 import graft.llm.{Dedup, MediaFixtures, Multimodal, Similarity, TextAnalysis}
 import graft.model.SchemaBridge
-import graft.operators.Fork
+import graft.operators.{Fork, WeightedQuantiles}
 import graft.streaming.Incremental
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -982,6 +982,16 @@ object SparkEntry {
       Similarity.centroidDriftAgainstSnapshot(s, emb, strata,
         "vec_id", "vec_id", "label", store, scaleBits = 12)
     }),
+    "d59_weighted_quantiles" -> ((s, dir) =>
+      // doc-length quantiles by TOKEN MASS per source: where the token
+      // budget actually sits in length space (the unweighted median lies
+      // once sizes skew). Type-1 multiset quantile, one exchange, exact
+      // by the dyadic-p contract — the oracle materializes the expanded
+      // multiset and asks DuckDB's native quantile_disc
+      WeightedQuantiles.weightedQuantiles(
+        t(s, dir, "documents").select(col("source"), col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("w")),
+        "source", "n_chars", "w")),
     "d58_edit_neardups" -> ((s, dir) =>
       // character-level near-dups: PassJoin segment blocking is LOSSLESS
       // (pigeonhole + sound start windows), the banded threshold verify
@@ -2772,6 +2782,21 @@ object SparkEntry {
         |  CAST(num AS DOUBLE) /
         |    (CAST(n_a * n_b * n_a * n_b AS DOUBLE) * 16777216.0) AS shift_sq
         |FROM g""".stripMargin,
+    "d59_weighted_quantiles" ->
+      // independent formulation: brute-force expansion (each row unnested
+      // weight times) + DuckDB's NATIVE quantile_disc — no shared
+      // cumulative-window code path with the Spark side
+      """WITH w AS (SELECT source, n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+        |      AS BIGINT) AS wt
+        |  FROM documents),
+        |e AS (SELECT source, n_chars FROM w, UNNEST(range(wt)))
+        |SELECT source,
+        |  quantile_disc(n_chars, 0.25) AS wq25,
+        |  quantile_disc(n_chars, 0.5) AS wq50,
+        |  quantile_disc(n_chars, 0.75) AS wq75,
+        |  CAST(COUNT(*) AS BIGINT) AS total_weight
+        |FROM e GROUP BY source""".stripMargin,
     "d58_edit_neardups" ->
       // independent formulation: naive pairwise join with three LOSSLESS
       // prunes (|Δlen|, |Δspaces|, |Δ'e'-count| — each edit moves any
