@@ -117,6 +117,22 @@ object ScaleBench {
       "text", maxHamming = 3, chunks = 6, maxBucketSize = Some(cap)).count()
     val simCSecs = secs(tSimC)
 
+    // ---- edit-distance near-dups (PassJoin segment blocking) -------------
+    // The character-level detector on the same skewed corpus, k=4 (the
+    // typo/OCR regime): cold replicas differ only in the trailing " rev N"
+    // token, so within-base pairs sit at distance <= ~3 and the verify
+    // keeps almost all of them; the verbatim mega-clusters hit identical
+    // (i, len, segment) keys 2500 deep and the bucket cap hands them to
+    // exact dedup — the same contract as the LSH/SimHash caps. Numbers to
+    // watch: pair count stays within-base-bounded (no quadratic bleed
+    // across bases) and the runtime is probe-explode + banded verify, not
+    // any O(n^2) term.
+    val tEdit = System.nanoTime()
+    val editK = 4
+    val nEditPairs = Dedup.editNearDupPairs(corpus, "doc_id", "text",
+      k = editK, maxBucketSize = Some(cap)).count()
+    val editSecs = secs(tEdit)
+
     // ---- non-equi joins at scale: range, interval overlap, as-of --------
     // Heavy-tailed interval lengths (log-uniform 2^0..2^27 over a 4e10
     // span — mean >> median, the hazard RangeJoin's doc calls out): the
@@ -842,6 +858,7 @@ object ScaleBench {
       s""""winnow_secs":$winSecs,"winnow_fps":$nFps,""" +
       s""""simhash_secs":$simSecs,"simhash_pairs":$nSimPairs,""" +
       s""""simhash_comb_secs":$simCSecs,"simhash_comb_pairs":$nSimCPairs,""" +
+      s""""edit_secs":$editSecs,"edit_pairs":$nEditPairs,"edit_k":$editK,""" +
       s""""rj_secs":$rjSecs,"rj_matches":$rjMatches,"rj_bin_width":$binW,""" +
       s""""rj_blowup":$blowup,"ov_secs":$ovSecs,"ov_matches":$ovMatches,""" +
       s""""asof_secs":$asofSecs,"asof_rows":$asofRows,""" +

@@ -4,7 +4,7 @@ import graft.convert.Validator
 import graft.functions.Functions._
 import graft.llm.{Dedup, MediaFixtures, Multimodal, Similarity, TextAnalysis}
 import graft.model.SchemaBridge
-import graft.operators.{Fork, WeightedQuantiles}
+import graft.operators.{Fork, RobustStats, WeightedQuantiles}
 import graft.streaming.Incremental
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -982,6 +982,28 @@ object SparkEntry {
       Similarity.centroidDriftAgainstSnapshot(s, emb, strata,
         "vec_id", "vec_id", "label", store, scaleBits = 12)
     }),
+    "m35_edit_incremental" -> ((s, dir) => {
+      // daily-shard edit-dedup against the versioned segment index: v2
+      // (the %3!=0 slice) retires v1 — the probe pins newest, the oracle
+      // re-derives from the refresh slice alone, so stale-version leakage
+      // fails the hash (the m31/d56 pinning contract)
+      val docs = t(s, dir, "documents")
+      val store = tmpQueryDir("m35-editidx").toString + "/store"
+      Dedup.writeEditIndexSnapshot(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", 8, store)
+      Dedup.writeEditIndexSnapshot(
+        docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text", 8, store)
+      Dedup.editDupFlags(s, docs.where(col("doc_id") % 3 === 0),
+        "doc_id", "text", store)
+    }),
+    "d60_robust_outliers" -> ((s, dir) =>
+      // per-source median/MAD + Hampel-rule outlier counts: the robust
+      // "is this doc length plausible for its source" gate a mean/stddev
+      // z-score can't be (one scrape artifact drags its source's mean).
+      // Integer values -> halves/quarters -> every comparison exact; the
+      // oracle uses DuckDB's NATIVE median
+      RobustStats.robustOutlierStats(
+        t(s, dir, "documents"), "source", "n_chars")),
     "d59_weighted_quantiles" -> ((s, dir) =>
       // doc-length quantiles by TOKEN MASS per source: where the token
       // budget actually sits in length space (the unweighted median lies
@@ -2782,6 +2804,41 @@ object SparkEntry {
         |  CAST(num AS DOUBLE) /
         |    (CAST(n_a * n_b * n_a * n_b AS DOUBLE) * 16777216.0) AS shift_sq
         |FROM g""".stripMargin,
+    "m35_edit_incremental" ->
+      // reference re-derived from the REFRESH slice alone (%3 != 0) —
+      // the v2-pinning contract; naive batch x reference minimum with
+      // the d58 lossless char-frequency prunes
+      """WITH h AS (SELECT text, length(text) AS l,
+        |    length(text) - length(replace(text, ' ', '')) AS sp,
+        |    length(text) - length(replace(text, 'e', '')) AS ec
+        |  FROM documents WHERE doc_id % 3 != 0),
+        |b AS (SELECT doc_id, text, length(text) AS l,
+        |    length(text) - length(replace(text, ' ', '')) AS sp,
+        |    length(text) - length(replace(text, 'e', '')) AS ec
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |hits AS (SELECT b.doc_id,
+        |    CAST(MIN(levenshtein(b.text, h.text)) AS BIGINT) AS md
+        |  FROM b JOIN h ON abs(b.l - h.l) <= 8 AND abs(b.sp - h.sp) <= 8
+        |    AND abs(b.ec - h.ec) <= 8
+        |  WHERE levenshtein(b.text, h.text) <= 8
+        |  GROUP BY 1)
+        |SELECT b.doc_id, md IS NOT NULL AS edit_dup,
+        |  coalesce(md, -1) AS min_dist
+        |FROM b LEFT JOIN hits USING (doc_id)""".stripMargin,
+    "d60_robust_outliers" ->
+      // independent formulation: DuckDB's native median at both levels
+      """WITH med AS (SELECT source, CAST(median(n_chars) AS DOUBLE) AS med
+        |  FROM documents GROUP BY 1),
+        |dev AS (SELECT d.source, abs(d.n_chars - m.med) AS dv, m.med
+        |  FROM documents d JOIN med m USING (source)),
+        |mad AS (SELECT source, CAST(median(dv) AS DOUBLE) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.source, MAX(dev.med) AS med, MAX(a.mad) AS mad,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) FILTER (WHERE dv > 3.5 * a.mad) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev JOIN mad a USING (source)
+        |GROUP BY dev.source""".stripMargin,
     "d59_weighted_quantiles" ->
       // independent formulation: brute-force expansion (each row unnested
       // weight times) + DuckDB's NATIVE quantile_disc — no shared

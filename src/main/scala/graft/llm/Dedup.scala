@@ -805,8 +805,10 @@ object Dedup {
     *
     * Scale shape: probes/index rows are O(k^2)-ish per doc (segments x
     * in-window starts, windows shrink with both i and the length gap) and
-    * only (segment ~ len/(k+1) chars, id) tuples shuffle — never the
-    * text. Candidates dedup to unordered id pairs BEFORE texts re-join,
+    * only 16-byte (xxhash64(i, len, segment), id) tuples shuffle — never
+    * the text, never even the segment characters (a hash collision just
+    * adds a candidate the verify rejects, so losslessness is untouched).
+    * Candidates dedup to unordered id pairs BEFORE texts re-join,
     * and the verify is Spark's threshold form `levenshtein(a, b, k)`
     * (banded O(k·n), -1 above k) — never the full O(n^2) DP. Probe
     * target lengths semi-join against the lengths actually present, so
@@ -823,56 +825,17 @@ object Dedup {
   def editNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int, maxBucketSize: Option[Int] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val m = k + 1
     val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
         length(col(textCol)).cast("int").as("__l"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val longs = base.where(col("__l") > k)
-    // even partition of a length-l string: the first (m - l%m) segments
-    // get floor(l/m) chars, the last l%m get one more
-    def segLen(l: Column, i: Column): Column =
-      floor(l / m).cast("int") +
-        when(i >= lit(m) - pmod(l, lit(m)), 1).otherwise(0)
-    def segStart(l: Column, i: Column): Column =
-      (i * floor(l / m).cast("int") +
-        greatest(lit(0), i - (lit(m) - pmod(l, lit(m)).cast("int")))).cast("int")
-    val idx = longs
-      .select(col("__id").as("__idxId"), col("__l").as("__idxL"), col("__t"),
-        explode(sequence(lit(0), lit(k))).as("__i"))
-      .select(col("__idxId"), col("__idxL"), col("__i").as("__idxI"),
-        col("__t").substr(segStart(col("__idxL"), col("__i")) + 1,
-          segLen(col("__idxL"), col("__i"))).as("__idxSeg"))
-    val idxCapped = maxBucketSize match {
-      case Some(_) =>
-        capBuckets(idx.withColumn("__bk",
-            concat_ws("|", col("__idxI"), col("__idxL"), col("__idxSeg"))),
-          "__bk", maxBucketSize).drop("__bk")
-      case None => idx
-    }
+    val idxCapped = capEditSegments(editSegments(longs, k), maxBucketSize)
     val lens = longs.select(col("__l").as("__cl")).distinct()
-    val probes = longs
-      .select(col("__id").as("__prbId"), col("__t"), col("__l"),
-        explode(sequence(greatest(lit(m), col("__l") - k), col("__l"))).as("__cl"))
-      .join(broadcast(lens), Seq("__cl"), "left_semi")
-      .select(col("__prbId"), col("__t"), col("__l"), col("__cl"),
-        explode(sequence(lit(0), lit(k))).as("__i"))
-      .withColumn("__li", segLen(col("__cl"), col("__i")))
-      .withColumn("__pi", segStart(col("__cl"), col("__i")))
-      .withColumn("__d", col("__l") - col("__cl"))
-      .withColumn("__half", floor((lit(k) - col("__d")) / 2).cast("int"))
-      .withColumn("__lo", greatest(lit(0), col("__pi") - col("__half"),
-        col("__pi") + col("__d") - (lit(k) - col("__i"))))
-      .withColumn("__hi", least(col("__l") - col("__li"),
-        col("__pi") + col("__d") + col("__half"),
-        col("__pi") + col("__d") + (lit(k) - col("__i"))))
-      .where(col("__lo") <= col("__hi"))
-      .select(col("__prbId"), col("__cl"), col("__i"), col("__li"), col("__t"),
-        explode(sequence(col("__lo"), col("__hi"))).as("__s"))
-      .select(col("__prbId"), col("__cl"), col("__i"),
-        col("__t").substr(col("__s") + 1, col("__li")).as("__seg"))
-    val mainCands = probes.join(idxCapped,
-        col("__i") === col("__idxI") &&
-          col("__cl") === col("__idxL") && col("__seg") === col("__idxSeg"))
+    // probing DOWNWARD only (targets no longer than the probe) meets each
+    // unordered pair exactly once, with equal lengths met from both ends
+    // and folded by the distinct below
+    val probes = editProbes(longs, k, lens, upward = false)
+    val mainCands = probes.join(idxCapped, Seq("__key"))
       .where(col("__prbId") =!= col("__idxId"))
       .select(least(col("__prbId"), col("__idxId")).as("id_a"),
         greatest(col("__prbId"), col("__idxId")).as("id_b"))
@@ -896,6 +859,169 @@ object Dedup {
       .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
     materializeAndRelease(verified, base)
+  }
+
+  // ---- PassJoin machinery shared by the pair and incremental forms ------
+
+  /** Even partition of a length-l string into m = k+1 segments: the first
+    * (m - l%m) get floor(l/m) chars, the last l%m one more. */
+  private def editSegLen(l: Column, i: Column, m: Int): Column =
+    floor(l / m).cast("int") +
+      when(i >= lit(m) - pmod(l, lit(m)), 1).otherwise(0)
+
+  private def editSegStart(l: Column, i: Column, m: Int): Column =
+    (i * floor(l / m).cast("int") +
+      greatest(lit(0), i - (lit(m) - pmod(l, lit(m)).cast("int")))).cast("int")
+
+  /** Segment-index rows (__idxId, __key) of a (__id, __t, __l) frame,
+    * where __key = xxhash64(segment index, string length, segment text) —
+    * ONE 8-byte join key instead of a (i, len, ~len/(k+1)-char substring)
+    * triple. A hash collision only ADDS a candidate pair that the exact
+    * verify rejects, so the lossless-superset guarantee is untouched,
+    * while the blocking shuffle carries 16 bytes/row instead of the
+    * segment characters (the r9 ScaleBench re-measure: 327s -> see
+    * edit_secs — the raw-substring join was the whole cost). Callers
+    * pre-filter to `__l > k` (shorter strings can't host k+1 non-empty
+    * segments and take the length-window path instead). */
+  private def editSegments(base: DataFrame, k: Int): DataFrame =
+    base
+      .select(col("__id").as("__idxId"), col("__l").as("__idxL"), col("__t"),
+        explode(sequence(lit(0), lit(k))).as("__i"))
+      .select(col("__idxId"),
+        xxhash64(col("__i"), col("__idxL"),
+          col("__t").substr(editSegStart(col("__idxL"), col("__i"), k + 1) + 1,
+            editSegLen(col("__idxL"), col("__i"), k + 1))).as("__key"))
+
+  private def capEditSegments(idx: DataFrame,
+                              maxBucketSize: Option[Int]): DataFrame =
+    capBuckets(idx, "__key", maxBucketSize)
+
+  /** Probe substrings (__prbId, __cl, __i, __seg): for each (__id, __t,
+    * __l) row, every substring that could equal segment __i of an indexed
+    * length-__cl string within distance k. Start windows are the
+    * intersection of three SOUND bounds (Δ = probe len − target len, any
+    * sign): alignment arithmetic |s−pi| + |s−(pi+Δ)| <= k, the
+    * leftmost-preserved suffix budget |s−(pi+Δ)| <= k−i, and substring
+    * range. `upward = true` extends target lengths ABOVE the probe's own
+    * (the two-frame incremental form, where the indexed side may be
+    * longer); the self-join pair form probes downward only and meets each
+    * pair once. Target lengths semi-join against the lengths actually
+    * indexed, so a sparse length histogram pays nothing. */
+  private def editProbes(base: DataFrame, k: Int, lens: DataFrame,
+                         upward: Boolean): DataFrame = {
+    val m = k + 1
+    val hiLen = if (upward) col("__l") + k else col("__l")
+    base
+      .select(col("__id").as("__prbId"), col("__t"), col("__l"),
+        explode(sequence(greatest(lit(m), col("__l") - k), hiLen)).as("__cl"))
+      .join(broadcast(lens), Seq("__cl"), "left_semi")
+      .select(col("__prbId"), col("__t"), col("__l"), col("__cl"),
+        explode(sequence(lit(0), lit(k))).as("__i"))
+      .withColumn("__li", editSegLen(col("__cl"), col("__i"), m))
+      .withColumn("__pi", editSegStart(col("__cl"), col("__i"), m))
+      .withColumn("__d", col("__l") - col("__cl"))
+      .withColumn("__half", floor((lit(k) - abs(col("__d"))) / 2).cast("int"))
+      .withColumn("__lo", greatest(lit(0),
+        col("__pi") + least(col("__d"), lit(0)) - col("__half"),
+        col("__pi") + col("__d") - (lit(k) - col("__i"))))
+      .withColumn("__hi", least(col("__l") - col("__li"),
+        col("__pi") + greatest(col("__d"), lit(0)) + col("__half"),
+        col("__pi") + col("__d") + (lit(k) - col("__i"))))
+      .where(col("__lo") <= col("__hi"))
+      .select(col("__prbId"), col("__cl"), col("__i"), col("__li"), col("__t"),
+        explode(sequence(col("__lo"), col("__hi"))).as("__s"))
+      .select(col("__prbId"),
+        xxhash64(col("__i"), col("__cl"),
+          col("__t").substr(col("__s") + 1, col("__li"))).as("__key"))
+  }
+
+  /** Persist an edit-dedup SEGMENT INDEX snapshot of a reference corpus
+    * through the versioned [[LayoutStore]] (atomic rename, newest-pin —
+    * the same lifecycle as the signature/profile stores): `segs` holds
+    * the (i, l, segment, id) PassJoin index for docs longer than k,
+    * `texts` the (id, text, l) verify data (an edit-distance verify needs
+    * the actual characters — unlike MinHash, where the signature IS the
+    * verify data), `meta` pins k (a probe with a different k would be
+    * silently unsound; [[editDupFlags]] reads k from the snapshot).
+    * Returns the written version. */
+  def writeEditIndexSnapshot(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, path: String): Long = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+      length(col(textCol)).cast("int").as("__l"))
+    LayoutStore.writeSnapshot(
+      spark.sparkContext.hadoopConfiguration, path) { tmp =>
+      base.select(col("__id").as("id"), col("__t").as("text"),
+          col("__l").as("l"))
+        .write.mode("overwrite").parquet(s"$tmp/texts")
+      editSegments(base.where(col("__l") > k), k)
+        .select(col("__idxId").as("id"), col("__key").as("key"))
+        .write.mode("overwrite").parquet(s"$tmp/segs")
+      spark.range(1).select(lit(k).as("k"))
+        .write.mode("overwrite").parquet(s"$tmp/meta")
+    }
+  }
+
+  /** Incremental edit-distance dedup: flag each batch doc within
+    * Levenshtein k of ANY doc in a [[writeEditIndexSnapshot]] reference —
+    * the mode a 100TB pipeline actually runs (a daily shard probes the
+    * accumulated index; the historical corpus is never re-segmented, and
+    * history text is read only for the candidate verify joins). Cost is
+    * ∝ batch: O(k²)-ish probe substrings per BATCH doc equi-join the
+    * stored segments; probing runs UPWARD AND downward in length (the
+    * history match may be longer or shorter — the self-join's
+    * one-direction trick doesn't apply across frames). History docs of
+    * <= k chars can't be segmented and join by length window instead
+    * (broadcast; degenerate short-heavy references belong in exact dedup).
+    * Blocking stays LOSSLESS, so `edit_dup`/`min_dist` are exactly the
+    * naive batch × reference answer; `maxBucketSize` caps reference
+    * mega-buckets at the usual precision-for-boundedness trade. Within-
+    * batch duplicates are out of scope by design — compose with
+    * [[editNearDupPairs]] (the [[incrementalDedup]] contract).
+    *
+    * Output: (idCol, edit_dup, min_dist) — min_dist is the true minimum
+    * distance when <= k, else -1. */
+  def editDupFlags(spark: org.apache.spark.sql.SparkSession,
+                   batch: DataFrame, idCol: String, textCol: String,
+                   path: String, version: Option[Long] = None,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
+    val snap = LayoutStore.snapshotPath(
+      spark.sparkContext.hadoopConfiguration, path, version)
+    val k = spark.read.parquet(s"$snap/meta").head().getInt(0)
+    val histTexts = spark.read.parquet(s"$snap/texts")
+    val segs = capEditSegments(
+      spark.read.parquet(s"$snap/segs")
+        .select(col("id").as("__idxId"), col("key").as("__key")),
+      maxBucketSize)
+    val b = batch.select(col(idCol).as("__id"), col(textCol).as("__t"),
+        length(col(textCol)).cast("int").as("__l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lens = histTexts.where(col("l") > k)
+      .select(col("l").as("__cl")).distinct()
+    val candsA = editProbes(b, k, lens, upward = true)
+      .join(segs, Seq("__key"))
+      .select(col("__prbId").as("__bid"), col("__idxId").as("__hid"))
+    val histShorts = histTexts.where(col("l") <= k)
+      .select(col("id").as("__hid"), col("l").as("__hl"))
+    val candsB = b.select(col("__id").as("__bid"), col("__l").as("__bl"))
+      .join(broadcast(histShorts), abs(col("__bl") - col("__hl")) <= k)
+      .select(col("__bid"), col("__hid"))
+    val hits = candsA.unionByName(candsB).distinct()
+      .join(b.select(col("__id").as("__bid"), col("__t").as("__bt")),
+        Seq("__bid"))
+      .join(histTexts.select(col("id").as("__hid"), col("text").as("__ht")),
+        Seq("__hid"))
+      .withColumn("__dist",
+        levenshtein(col("__bt"), col("__ht"), k).cast("long"))
+      .where(col("__dist") >= 0)
+      .groupBy(col("__bid")).agg(min(col("__dist")).as("__md"))
+    val out = b.select(col("__id").as("__bid"))
+      .join(hits, Seq("__bid"), "left_outer")
+      .select(col("__bid").as(idCol),
+        col("__md").isNotNull.as("edit_dup"),
+        coalesce(col("__md"), lit(-1L)).as("min_dist"))
+    materializeAndRelease(out, b)
   }
 
   /** Span-level boilerplate removal — exact-substring dedup INSIDE

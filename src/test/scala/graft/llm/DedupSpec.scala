@@ -632,4 +632,64 @@ class DedupSpec extends SparkTestBase {
       "doc_id", "text", k))
     assert(got7 == naive)
   }
+
+  test("editDupFlags: newest snapshot pins the reference, k comes from " +
+    "the snapshot meta, short history docs take the length-window path") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("editidx") + "/store"
+    // v1 reference would match batch doc 20; the v2 REFRESH retires it
+    Dedup.writeEditIndexSnapshot(
+      Seq((1L, "an utterly unrelated reference document")).toDF("id", "t"),
+      "id", "t", k = 4, path = store)
+    Dedup.writeEditIndexSnapshot(Seq(
+        (2L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "abc")  // l <= k: the broadcast length-window path
+      ).toDF("id", "t"), "id", "t", k = 4, path = store)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dogs"), // dist 1 to 2
+      (11L, "abcde"),                                        // dist 2 to 3
+      (12L, "something else entirely different here"),       // no match
+      (20L, "an utterly unrelated reference document")       // only in v1
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDupFlags(s, batch, "doc_id", "text", store)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(out == Map(10L -> ((true, 1L)), 11L -> ((true, 2L)),
+      12L -> ((false, -1L)), 20L -> ((false, -1L))), s"got $out")
+    // the retired v1 stays addressable by explicit pin
+    val v1 = Dedup.editDupFlags(s, batch, "doc_id", "text", store,
+      version = Some(1L)).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v1 == Map(10L -> false, 11L -> false, 12L -> false, 20L -> true),
+      s"got $v1")
+  }
+
+  test("editDupFlags: equals the naive batch x reference join on a " +
+    "seeded random corpus (bidirectional windows are lossless)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(1234)
+    val alpha = "ab "
+    def mk(n: Int, idBase: Long) = (1 to n).map { i =>
+      val len = rnd.nextInt(41)
+      (idBase + i,
+        (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val hist = mk(60, 1000L).toDF("doc_id", "text")
+    val batch = mk(40, 2000L).toDF("doc_id", "text")
+    val k = 3
+    val store = tmpDir("editidx-rand") + "/store"
+    Dedup.writeEditIndexSnapshot(hist, "doc_id", "text", k, store)
+    val got = Dedup.editDupFlags(s, batch, "doc_id", "text", store)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2)))).toMap
+    val naive = batch.as("b").crossJoin(hist.as("h"))
+      .withColumn("d", levenshtein(col("b.text"), col("h.text")).cast("long"))
+      .groupBy(col("b.doc_id"))
+      .agg(min(when(col("d") <= k, col("d"))).as("md"))
+      .collect().map(r => r.getLong(0) ->
+        ((!r.isNullAt(1), if (r.isNullAt(1)) -1L else r.getLong(1)))).toMap
+    assert(got.exists(_._2._1), "degenerate fixture: no dup flagged")
+    assert(got == naive,
+      s"diff=${(got.toSet -- naive.toSet) ++ (naive.toSet -- got.toSet)}")
+  }
 }
