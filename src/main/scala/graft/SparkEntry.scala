@@ -982,6 +982,31 @@ object SparkEntry {
       Similarity.centroidDriftAgainstSnapshot(s, emb, strata,
         "vec_id", "vec_id", "label", store, scaleBits = 12)
     }),
+    "m36_stream_edit_dedup" -> ((s, dir) => {
+      // m35's ingest-time filter as a STREAMING stage: each micro-batch
+      // probes the pinned-newest edit index (re-pinned per batch — an
+      // index refresh, even a k retune, needs no stream restart). One
+      // AvailableNow batch over the %3==0 slice here, so the m35 batch
+      // oracle gates the streamed output verbatim (the m24/m32 contract)
+      val docs = t(s, dir, "documents")
+      val store = tmpQueryDir("m36-editidx").toString + "/store"
+      Dedup.writeEditIndexSnapshot(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", 8, store)
+      Dedup.writeEditIndexSnapshot(
+        docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text", 8, store)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = tmpQueryDir("m36-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        src.resolve("documents.parquet"))
+      val out = tmpQueryDir("m36-sink").toString
+      val ckpt = tmpQueryDir("m36-ckpt").toString
+      Incremental.editDedupStream(
+        s.readStream.schema(schema).parquet(src.toString)
+          .where(col("doc_id") % 3 === 0),
+        "doc_id", "text", store, out, ckpt).awaitTermination()
+      s.read.parquet(out).select("doc_id", "edit_dup", "min_dist")
+    }),
     "m35_edit_incremental" -> ((s, dir) => {
       // daily-shard edit-dedup against the versioned segment index: v2
       // (the %3!=0 slice) retires v1 — the probe pins newest, the oracle
@@ -1208,6 +1233,15 @@ object SparkEntry {
     "s01_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    "s20_mmr_rerank" -> ((s, dir) => {
+      // MMR diversified rerank: greedy λ=2/3 selection from the top-50
+      // integer-dot candidates of query vec 0 — everything integer
+      // (2·rel − max selected-sim), so selection and tie-breaks are
+      // bit-exact; the oracle replays the greedy loop as chained CTEs
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrRerankQuantized(emb, emb.where(col("vec_id") === 0),
+        pool = 50, take = 8)
     }),
     "s07_quantized_topk" -> ((s, dir) => {
       // the int8 tier: same brute-force shape as s01 but every vector in
@@ -1695,6 +1729,32 @@ object SparkEntry {
           col("l_linenumber"), col("ship_us"))
     }),
 
+    "q21_blame_supplier" -> ((s, dir) => {
+      // the TPC-H Q21 plan shape: correlated EXISTS + NOT EXISTS over the
+      // same fact table, decorrelated into one equi-key left-semi and one
+      // left-anti self-join (both with the != residual) — the classic
+      // optimizer stressor. "Late" = shipped > 60 days after the order
+      // date; blame suppliers who were the ONLY late supplier in a
+      // multi-supplier order
+      val l = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") >
+            expr("o_orderdate + INTERVAL 60 DAYS")).as("late"))
+      val others = l.select(col("l_orderkey").as("o_key"),
+        col("l_suppkey").as("o_supp"), col("late").as("o_late"))
+      l.where(col("late"))
+        .join(others,
+          col("l_orderkey") === col("o_key") &&
+            col("l_suppkey") =!= col("o_supp"), "left_semi")
+        .join(others.where(col("o_late")),
+          col("l_orderkey") === col("o_key") &&
+            col("l_suppkey") =!= col("o_supp"), "left_anti")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey")).limit(25)
+    }),
     "q20_interval_overlap" -> ((s, dir) => {
       // interval x interval overlap join (60-day windows around the top-30
       // order dates, split into two rank bands): same binned equi-join as
@@ -2804,6 +2864,27 @@ object SparkEntry {
         |  CAST(num AS DOUBLE) /
         |    (CAST(n_a * n_b * n_a * n_b AS DOUBLE) * 16777216.0) AS shift_sq
         |FROM g""".stripMargin,
+    "m36_stream_edit_dedup" ->
+      // the streaming path writes the SAME rows as m35's batch path
+      // (one AvailableNow batch over the slice) — gated by the identical
+      // independent formulation
+      """WITH h AS (SELECT text, length(text) AS l,
+        |    length(text) - length(replace(text, ' ', '')) AS sp,
+        |    length(text) - length(replace(text, 'e', '')) AS ec
+        |  FROM documents WHERE doc_id % 3 != 0),
+        |b AS (SELECT doc_id, text, length(text) AS l,
+        |    length(text) - length(replace(text, ' ', '')) AS sp,
+        |    length(text) - length(replace(text, 'e', '')) AS ec
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |hits AS (SELECT b.doc_id,
+        |    CAST(MIN(levenshtein(b.text, h.text)) AS BIGINT) AS md
+        |  FROM b JOIN h ON abs(b.l - h.l) <= 8 AND abs(b.sp - h.sp) <= 8
+        |    AND abs(b.ec - h.ec) <= 8
+        |  WHERE levenshtein(b.text, h.text) <= 8
+        |  GROUP BY 1)
+        |SELECT b.doc_id, md IS NOT NULL AS edit_dup,
+        |  coalesce(md, -1) AS min_dist
+        |FROM b LEFT JOIN hits USING (doc_id)""".stripMargin,
     "m35_edit_incremental" ->
       // reference re-derived from the REFRESH slice alone (%3 != 0) —
       // the v2-pinning contract; naive batch x reference minimum with
@@ -3300,6 +3381,51 @@ object SparkEntry {
          |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
          |  WHERE q.vec_id != c.vec_id)
          |WHERE rnk <= 5""".stripMargin
+    },
+    "s20_mmr_rerank" -> {
+      // the greedy MMR loop unrolled as chained CTEs (one per rank, all
+      // integer arithmetic): selN picks the argmax of 2*rel - max
+      // selected-sim among the not-yet-selected, ties by id — the exact
+      // procedural definition, replayed declaratively
+      def ld(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, len($a.q) + 1), " +
+          s"i -> $a.q[i] * $b.q[i])) AS BIGINT)"
+      val take = 8
+      val steps = (2 to take).map { r =>
+        s"""sel$r AS MATERIALIZED (SELECT $r AS rank, c.id, c.rel,
+           |    2 * c.rel - (SELECT MAX(s.d) FROM sims s
+           |      WHERE s.ia = c.id
+           |        AND s.ib IN (SELECT id FROM selall${r - 1})) AS mmr
+           |  FROM cand c WHERE c.id NOT IN (SELECT id FROM selall${r - 1})
+           |  ORDER BY mmr DESC, c.id LIMIT 1),
+           |selall$r AS MATERIALIZED (SELECT id FROM selall${r - 1}
+           |  UNION ALL SELECT id FROM sel$r),""".stripMargin
+      }.mkString("\n")
+      s"""WITH s AS MATERIALIZED (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+         |    / CAST(127 AS DOUBLE) AS scale FROM embeddings),
+         |qv AS MATERIALIZED (SELECT vec_id,
+         |  CASE WHEN scale > 0
+         |    THEN list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+         |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+         |  FROM s),
+         |n AS MATERIALIZED (SELECT vec_id, q,
+         |  CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))
+         |    AS BIGINT) AS n2 FROM qv),
+         |cand AS MATERIALIZED (SELECT c.vec_id AS id, c.q AS q, ${ld("qq", "c")} AS rel
+         |  FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id = 0 AND n2 > 0) qq
+         |  WHERE c.vec_id != 0 AND c.n2 > 0
+         |  ORDER BY rel DESC, c.vec_id LIMIT 50),
+         |sims AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib, ${ld("a", "b")} AS d
+         |  FROM cand a JOIN cand b ON a.id != b.id),
+         |sel1 AS MATERIALIZED (SELECT 1 AS rank, id, rel, 2 * rel AS mmr FROM cand
+         |  ORDER BY mmr DESC, id LIMIT 1),
+         |selall1 AS MATERIALIZED (SELECT id FROM sel1),
+         |$steps
+         |final AS MATERIALIZED (${(1 to take).map(r => s"SELECT * FROM sel$r")
+            .mkString(" UNION ALL ")})
+         |SELECT rank, id AS vec_id, rel, mmr FROM final""".stripMargin
     },
     "s07_quantized_topk" -> {
       // int8 symmetric quantization replayed in SQL: same per-vector
@@ -3957,6 +4083,22 @@ object SparkEntry {
         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate < e.ts
         |   ORDER BY o.o_orderdate DESC LIMIT 1) AS asof_strict
         |FROM events e""".stripMargin,
+    "q21_blame_supplier" ->
+      // independent formulation: the correlated EXISTS / NOT EXISTS form
+      // itself — DuckDB decorrelates on its own
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait FROM (
+        |  SELECT DISTINCT a.l_orderkey, a.l_suppkey FROM l a
+        |  WHERE a.late
+        |    AND EXISTS (SELECT 1 FROM l b
+        |      WHERE b.l_orderkey = a.l_orderkey
+        |        AND b.l_suppkey != a.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM l c
+        |      WHERE c.l_orderkey = a.l_orderkey
+        |        AND c.l_suppkey != a.l_suppkey AND c.late))
+        |GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 25""".stripMargin,
     "q20_interval_overlap" ->
       // the naive inequality-overlap formulation the binned operator must
       // reproduce exactly

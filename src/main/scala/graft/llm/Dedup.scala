@@ -855,13 +855,26 @@ object Dedup {
     val verified = mainCands.unionByName(shortCands).distinct()
       .join(base.select(col("__id").as("id_a"), col("__t").as("__ta")), Seq("id_a"))
       .join(base.select(col("__id").as("id_b"), col("__t").as("__tb")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), k).cast("long"))
+      .withColumn("dist",
+        levenshteinWithin(col("__ta"), col("__tb"), k).cast("long"))
       .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
     materializeAndRelease(verified, base)
   }
 
   // ---- PassJoin machinery shared by the pair and incremental forms ------
+
+  /** Codegen'd thresholded Levenshtein (native expression,
+    * [[graft.functions.LevenshteinWithin]]): same contract as Spark's
+    * `levenshtein(a, b, k)` (distance if <= k, else -1) but with common
+    * prefix/suffix stripping and a true (2k+1)-band DP — the verify loop
+    * where candidates share almost all of their text collapses from a
+    * full n x m table to a few banded cells. */
+  def levenshteinWithin(a: Column, b: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.LevenshteinWithin(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b), k))
 
   /** Even partition of a length-l string into m = k+1 segments: the first
     * (m - l%m) get floor(l/m) chars, the last l%m one more. */
@@ -1013,7 +1026,7 @@ object Dedup {
       .join(histTexts.select(col("id").as("__hid"), col("text").as("__ht")),
         Seq("__hid"))
       .withColumn("__dist",
-        levenshtein(col("__bt"), col("__ht"), k).cast("long"))
+        levenshteinWithin(col("__bt"), col("__ht"), k).cast("long"))
       .where(col("__dist") >= 0)
       .groupBy(col("__bid")).agg(min(col("__dist")).as("__md"))
     val out = b.select(col("__id").as("__bid"))

@@ -134,6 +134,78 @@ object Similarity {
       .select(keep :+ col("q") :+ dotInt(col("q"), col("q")).as("n2"): _*)
   }
 
+  /** MMR (maximal marginal relevance) diversified rerank over the int8
+    * layout — the standard retrieval answer to "the top-k are 10 copies
+    * of the same document": greedily select `take` results from the
+    * top-`pool` relevance candidates, each step maximizing
+    * 2·rel(c) − max over already-selected s of sim(c, s) — the λ=2/3
+    * (relevance-leaning) MMR objective λ·rel − (1−λ)·sim cleared of its
+    * denominator so EVERYTHING STAYS INTEGER — rel and sim are
+    * the exact int8 dot products, so selection and every tie-break
+    * (by id) are bit-exact across engines; rank 1 has no diversity term).
+    *
+    * Scale shape: the relevance scan and top-`pool` cut are distributed
+    * (map-side integer dots + TakeOrderedAndProject over the corpus; the
+    * single query broadcasts). The greedy loop itself runs on the
+    * COLLECTED pool — `pool` is a query-time constant (tens), the same
+    * query-sheet boundedness as bm25TopKIndexed's probe planning, and
+    * the pool×pool similarity matrix is computed in-process from the
+    * collected codes (pool² integer dots — thousands of ops, cheaper
+    * than planning a 50-row distributed self-join).
+    *
+    * Output: (rank, idCol, rel, mmr). */
+  def mmrRerankQuantized(corpus: DataFrame, query: DataFrame,
+                         pool: Int, take: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(take >= 1 && pool >= take,
+      s"need pool >= take >= 1, got pool=$pool take=$take")
+    val spark = corpus.sparkSession
+    val c = quantizeForStorage(corpus, idCol, vecCol)
+    val q = quantizeForStorage(query, idCol, vecCol)
+      .where(col("n2") > 0)
+      .select(col(idCol).as("__qid"), col("q").as("__qq"))
+    val cand = c.where(col("n2") > 0)
+      .crossJoin(broadcast(q))
+      .where(col(idCol) =!= col("__qid"))
+      .select(col(idCol), col("q"), dotInt(col("q"), col("__qq")).as("rel"))
+      .orderBy(col("rel").desc, col(idCol)).limit(pool)
+      .collect() // bounded by pool — a query-time constant
+    val n = cand.length
+    val ids = cand.map(_.getLong(0))
+    val codes = cand.map(_.getSeq[Byte](1).toArray)
+    val rel = cand.map(_.getLong(2))
+    def dot(i: Int, j: Int): Long = {
+      var s = 0L; var d = 0
+      val a = codes(i); val b = codes(j)
+      while (d < a.length) { s += a(d).toLong * b(d).toLong; d += 1 }
+      s
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var r = 1
+    while (r <= math.min(take, n)) {
+      var best = -1; var bestScore = Long.MinValue
+      var i = 0
+      while (i < n) {
+        if (!selected.contains(i)) {
+          val div = if (selected.isEmpty) 0L else selected.map(dot(i, _)).max
+          val score = 2L * rel(i) - div
+          if (score > bestScore ||
+            (score == bestScore && best >= 0 && ids(i) < ids(best))) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      picked += ((r, ids(best), rel(best), bestScore))
+      selected += best
+      r += 1
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("rank", idCol, "rel", "mmr")
+  }
+
   /** The int8 form of [[writeSrpLayout]] — the two 100TB levers fused:
     * rows bucket from the FLOAT vector (bucketing precision and storage
     * precision are independent choices; the weights fold is bit-identical

@@ -309,6 +309,34 @@ object Incremental {
       .start()
   }
 
+  /** Streaming INGEST-TIME edit-dedup — per micro-batch, flag each doc
+    * within Levenshtein k of the pinned-newest
+    * [[graft.llm.Dedup.writeEditIndexSnapshot]] reference index and write
+    * the (id, edit_dup, min_dist) decisions, one overwrite-keyed
+    * partition per batch (the [[decontaminateStream]] idempotent-replay
+    * discipline). The snapshot re-pins PER BATCH, so an index refresh
+    * takes effect on the next micro-batch without a stream restart — and
+    * since k travels inside the snapshot's meta, a refresh may even
+    * retune k with the same zero-restart contract. This is the filter a
+    * 100TB ingest actually runs: the reference index is built once per
+    * refresh cycle; each arriving shard pays only its own probe cost. */
+  def editDedupStream(stream: DataFrame, idCol: String, textCol: String,
+                      indexPath: String, outPath: String,
+                      checkpointDir: String,
+                      maxBucketSize: Option[Int] = None): StreamingQuery = {
+    lazy val ckToken = checkpointQueryToken(stream.sparkSession, checkpointDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Dedup.editDupFlags(batch.sparkSession, batch, idCol,
+            textCol, indexPath, maxBucketSize = maxBucketSize)
+          .write.mode("overwrite")
+          .parquet(s"$outPath/batch_key=$ckToken-$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   private[graft] def processIncrementalBatch(
       batch: DataFrame, batchKey: String, idCol: String, textCol: String,
       statePath: String, outPath: String, threshold: Double,

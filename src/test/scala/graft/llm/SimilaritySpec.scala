@@ -610,4 +610,45 @@ class SimilaritySpec extends SparkTestBase {
     val q2 = out.where(col("query_id") === 2).collect()
     assert(q2.length == 1 && q2(0).getLong(1) == 7L && q2(0).getInt(5) == 1)
   }
+
+  test("mmrRerankQuantized: matches an independently-replayed greedy over " +
+    "the collected int8 codes; rank 1 is the pure-relevance argmax") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val (pool, take) = (20, 6)
+    val got = Similarity.mmrRerankQuantized(df,
+        df.where(org.apache.spark.sql.functions.col("vec_id") === 0L),
+        pool, take)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    // independent replay: quantize via the library, dot/select in plain
+    // Scala re-written from the definition
+    val q = Similarity.quantizeForStorage(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Byte](1).toArray, r.getLong(2)))).toMap
+    def dot(a: Array[Byte], b: Array[Byte]): Long =
+      a.zip(b).map { case (x, y) => x.toLong * y.toLong }.sum
+    val (qq, _) = q(0L)
+    val cand = q.toSeq.filter { case (id, (_, n2)) => id != 0L && n2 > 0 }
+      .map { case (id, (code, _)) => (id, code, dot(code, qq)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(pool)
+    var sel = Vector.empty[(Long, Array[Byte])]
+    val expect = (1 to take).map { r =>
+      val scored = cand.filter(c => !sel.exists(_._1 == c._1)).map {
+        case (id, code, rel) =>
+          val div = if (sel.isEmpty) 0L else sel.map(s => dot(code, s._2)).max
+          (id, rel, 2L * rel - div)
+      }
+      val (id, rel, mmr) = scored.minBy { case (id, _, m) => (-m, id) }
+      sel = sel :+ ((id, cand.find(_._1 == id).get._2))
+      (r, id, rel, mmr)
+    }
+    assert(got == expect, s"got $got want $expect")
+    val relMax = cand.head
+    assert(got.head == ((1, relMax._1, relMax._3, 2 * relMax._3)))
+    assert(got.map(_._2).distinct.size == take, "selected ids must be distinct")
+  }
 }

@@ -363,4 +363,46 @@ class DedupStreamSpec extends SparkTestBase {
       .select("id").collect().map(_.getString(0)).toSet
     assert(stateIds == Set("a1", "b1", "c1"))
   }
+
+  test("editDedupStream: per-batch flags against the pinned edit index; a " +
+    "mid-stream refresh re-pins — and retunes k — without restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("edit-stream").toString
+    val (idxPath, outPath) = (s"$base/index", s"$base/out")
+    graft.llm.Dedup.writeEditIndexSnapshot(
+      Seq((1L, "aaaa bbbb cccc")).toDF("id", "t"), "id", "t",
+      k = 2, path = idxPath)
+
+    def runOnce(ck: String, docs: (Long, String)*): Unit = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(docs: _*)
+      val q = Incremental.editDedupStream(
+        input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", idxPath, outPath, s"$base/$ck")
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    runOnce("ck1",
+      (10L, "aaaa bbbb cccd"),   // dist 1 <= 2 -> dup
+      (11L, "aaaa xxxx cccc"))   // dist 4 > 2  -> keep
+    val out1 = spark.read.parquet(outPath)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(out1 == Map(10L -> ((true, 1L)), 11L -> ((false, -1L))),
+      s"got $out1")
+    // refresh mid-deployment: new reference AND a wider k=4 — the next
+    // batch must pin BOTH (under the retired v1, doc 13 would read dist 0)
+    graft.llm.Dedup.writeEditIndexSnapshot(
+      Seq((2L, "aaaa xxxx cccc")).toDF("id", "t"), "id", "t",
+      k = 4, path = idxPath)
+    runOnce("ck2",
+      (12L, "aaaa xxxx cccz"),   // dist 1 to the v2 reference
+      (13L, "aaaa bbbb cccc"))   // dist 4 to v2 (0 to the RETIRED v1)
+    val out2 = spark.read.parquet(outPath)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(out2(12L) == ((true, 1L)) && out2(13L) == ((true, 4L)),
+      s"got $out2")
+  }
 }
