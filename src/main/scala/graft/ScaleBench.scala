@@ -208,6 +208,29 @@ object ScaleBench {
     val (incSecs1k, kept1k) = incRun(1000)
     val (incSecs4k, kept4k) = incRun(4000)
 
+    // ---- incremental EDIT dedup: the same cost-∝-batch contract ---------
+    // The 544k corpus's PassJoin segment index persists once (the
+    // amortized refresh-cycle cost), then a 1k trailing-edited shard
+    // probes it: only the batch explodes into O(k²) probe substrings; the
+    // history side contributes its stored 16-byte (key, id) rows to one
+    // equi-join plus text for the candidate verify. The shard's " rev 1z"
+    // suffix sits ONE edit from each cold source's " rev 1" replica (and
+    // ~7 from the suffixless hot docs), so cold probes flag dup at dist 1
+    // and hot probes exercise the reject path at k=4.
+    val tEIdx = System.nanoTime()
+    val editIdxPath = corpusPath + "_editidx"
+    Dedup.writeEditIndexSnapshot(corpus, "doc_id", "text", editK, editIdxPath)
+    val editIdxSecs = secs(tEIdx)
+    val editShard = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 1000)
+      .select((col("doc_id") + 910000000L).as("doc_id"),
+        concat(col("text"), lit(" rev 1z")).as("text"))
+    val tEProbe = System.nanoTime()
+    val editProbeDups = Dedup.editDupFlags(spark, editShard, "doc_id",
+        "text", editIdxPath, maxBucketSize = Some(cap))
+      .where(col("edit_dup")).count()
+    val editProbeSecs = secs(tEProbe)
+
     // ---- bloom anti-join vs plain anti-join against the big target ------
     // The dedup-against-existing shape the bloom path exists for: the
     // existing-keys side too big to broadcast, so the plain anti-join
@@ -859,6 +882,8 @@ object ScaleBench {
       s""""simhash_secs":$simSecs,"simhash_pairs":$nSimPairs,""" +
       s""""simhash_comb_secs":$simCSecs,"simhash_comb_pairs":$nSimCPairs,""" +
       s""""edit_secs":$editSecs,"edit_pairs":$nEditPairs,"edit_k":$editK,""" +
+      s""""edit_idx_secs":$editIdxSecs,"edit_probe_secs":$editProbeSecs,""" +
+      s""""edit_probe_dups":$editProbeDups,""" +
       s""""rj_secs":$rjSecs,"rj_matches":$rjMatches,"rj_bin_width":$binW,""" +
       s""""rj_blowup":$blowup,"ov_secs":$ovSecs,"ov_matches":$ovMatches,""" +
       s""""asof_secs":$asofSecs,"asof_rows":$asofRows,""" +

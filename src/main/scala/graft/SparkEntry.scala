@@ -1021,6 +1021,13 @@ object SparkEntry {
       Dedup.editDupFlags(s, docs.where(col("doc_id") % 3 === 0),
         "doc_id", "text", store)
     }),
+    "d61_vocab_growth" -> ((s, dir) =>
+      // Heaps'-law gauge: exact vocabulary size of the first 1..10 tenths
+      // (id-mod buckets). Never expands the corpus B-fold: vocabulary
+      // growth is the cumulative histogram of each term's FIRST-SEEN
+      // bucket — one (term) exchange; the oracle states the naive
+      // per-tenth distinct-count form
+      TextAnalysis.vocabGrowth(t(s, dir, "documents"), "doc_id", "text")),
     "d60_robust_outliers" -> ((s, dir) =>
       // per-source median/MAD + Hampel-rule outlier counts: the robust
       // "is this doc length plausible for its source" gate a mean/stddev
@@ -2906,6 +2913,21 @@ object SparkEntry {
         |SELECT b.doc_id, md IS NOT NULL AS edit_dup,
         |  coalesce(md, -1) AS min_dist
         |FROM b LEFT JOIN hits USING (doc_id)""".stripMargin,
+    "d61_vocab_growth" ->
+      // independent formulation: the naive per-tenth distinct counts over
+      // the exploded sub-corpora (the B-fold expansion the Spark side's
+      // first-seen-bucket histogram avoids)
+      """WITH tok AS (SELECT doc_id, doc_id % 10 AS b,
+        |    unnest(list_filter(string_split(lower(coalesce(text, '')),
+        |      ' '), x -> x != '')) AS term
+        |  FROM documents),
+        |t AS (SELECT unnest(range(1, 11)) AS tenth)
+        |SELECT tenth,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT term) AS BIGINT) AS vocab
+        |FROM t JOIN tok ON tok.b < t.tenth
+        |GROUP BY 1""".stripMargin,
     "d60_robust_outliers" ->
       // independent formulation: DuckDB's native median at both levels
       """WITH med AS (SELECT source, CAST(median(n_chars) AS DOUBLE) AS med

@@ -70,6 +70,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "integral arrays (the int8-quantized similarity scorer)") { args =>
       arity("graft_dot_product_int", 2, args); DotProductInt(args(0), args(1))
     }
+    inject("graft_levenshtein_within", classOf[LevenshteinWithin],
+      "graft_levenshtein_within(a, b, k) - Levenshtein distance if <= k " +
+        "else -1 (banded DP with common prefix/suffix stripping; k must " +
+        "be an integer literal)") { args =>
+      arity("graft_levenshtein_within", 3, args)
+      LevenshteinWithin(args(0), args(1),
+        litInt("graft_levenshtein_within", "k", args(2)))
+    }
     inject("graft_simhash", classOf[SimhashBits],
       "graft_simhash(hashes) - 64-bit SimHash over an array of token hashes") { args =>
       arity("graft_simhash", 1, args); SimhashBits(args(0))

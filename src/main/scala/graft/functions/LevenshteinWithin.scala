@@ -26,9 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class LevenshteinWithin(left: Expression, right: Expression, k: Int)
   extends BinaryExpression {
 
+  private def ok(dt: DataType): Boolean =
+    dt == StringType || dt == org.apache.spark.sql.types.NullType
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == StringType &&
-      k >= 0) TypeCheckResult.TypeCheckSuccess
+    if (ok(left.dataType) && ok(right.dataType) && k >= 0)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires two string inputs and k >= 0, got " +
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}, k=$k")

@@ -824,6 +824,17 @@ object Dedup {
     * Output: (id_a, id_b, dist), id_a < id_b, dist <= k. */
   def editNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int, maxBucketSize: Option[Int] = None): DataFrame = {
+    val (verified, base) = editNearDupPairsLazy(df, idCol, textCol, k,
+      maxBucketSize)
+    materializeAndRelease(verified, base)
+  }
+
+  /** Lazy form of [[editNearDupPairs]] (un-materialized plan + the
+    * persisted base it reads) for plan-audit tests — the public wrapper
+    * checkpoints, which replaces the plan with an RDD scan. */
+  private[graft] def editNearDupPairsLazy(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxBucketSize: Option[Int] = None): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1: $k")
     val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
         length(col(textCol)).cast("int").as("__l"))
@@ -859,7 +870,7 @@ object Dedup {
         levenshteinWithin(col("__ta"), col("__tb"), k).cast("long"))
       .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
-    materializeAndRelease(verified, base)
+    (verified, base)
   }
 
   // ---- PassJoin machinery shared by the pair and incremental forms ------

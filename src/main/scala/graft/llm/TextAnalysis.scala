@@ -1093,4 +1093,39 @@ object TextAnalysis {
       .withColumn("novel_rate",
         col("novel_tokens").cast("double") / col("n_tokens").cast("double"))
   }
+
+  /** Heaps'-law vocabulary growth curve: exact distinct-vocabulary size,
+    * token and doc counts of the first 1/B, 2/B, ..., B/B of the corpus
+    * (deterministic id-mod buckets) — the "is new data still adding new
+    * language?" gauge that decides whether the next crawl is worth
+    * ingesting. The obvious formulation expands every (doc, term) pair
+    * into all the tenths containing it (a B-fold blow-up of the token
+    * exchange); this one never expands: vocabulary growth is the
+    * cumulative histogram of each term's FIRST-SEEN bucket (a term is in
+    * tenth i's vocabulary iff min-bucket < i), so the corpus pays ONE
+    * (term) exchange for the min-bucket aggregate plus one tiny
+    * per-bucket count frame, and the cumulation runs over B rows.
+    * Docs with zero tokens don't count toward n_docs (they contribute
+    * no language). Output: (tenth, n_docs, n_tokens, vocab), B rows. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val tok = df.select(
+      pmod(col(idCol), lit(buckets)).cast("int").as("__b"),
+      col(idCol).as("__id"),
+      explode(tokens(lower(coalesce(col(textCol), lit(""))))).as("__term"))
+    val newVocab = tok.groupBy(col("__term")).agg(min(col("__b")).as("__fb"))
+      .groupBy(col("__fb")).agg(count(lit(1)).as("__nv"))
+    val perBucket = tok.groupBy(col("__b")).agg(count(lit(1)).as("__nt"),
+      countDistinct(col("__id")).as("__nd"))
+    val tenths = df.sparkSession.range(1, buckets + 1)
+      .select(col("id").as("tenth"))
+    val vocab = tenths.join(newVocab, col("__fb") < col("tenth"))
+      .groupBy(col("tenth")).agg(sum(col("__nv")).as("vocab"))
+    tenths.join(perBucket, col("__b") < col("tenth"))
+      .groupBy(col("tenth"))
+      .agg(sum(col("__nd")).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+      .join(vocab, Seq("tenth"))
+      .select(col("tenth"), col("n_docs"), col("n_tokens"), col("vocab"))
+  }
 }

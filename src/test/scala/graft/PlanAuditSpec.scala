@@ -257,4 +257,19 @@ class PlanAuditSpec extends SparkTestBase {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("d58: the PassJoin candidate join is a hash-key equi join — no " +
+    "cartesian anywhere, the only nested-loop is the bounded short-" +
+    "string broadcast path") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (verified, base) = graft.llm.Dedup.editNearDupPairsLazy(
+      docs, "doc_id", "text", k = 8)
+    try {
+      val p = verified.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p)
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+        "exactly one BNLJ: the <= k-char short path")
+      assert(p.contains("__key"), "candidate join must ride the hashed segment key")
+    } finally base.unpersist(blocking = true)
+  }
 }

@@ -20,6 +20,12 @@ class GraftExtensionsSpec extends SparkTestBase {
         |                             array(CAST(3 AS TINYINT), CAST(4 AS TINYINT))) AS di""".stripMargin)
       .head()
     assert(i.getLong(0) == 381L - 8L)
+    val lv = spark.sql(
+      """SELECT graft_levenshtein_within('kitten', 'sitting', 3) AS d3,
+        |       graft_levenshtein_within('kitten', 'sitting', 2) AS d2,
+        |       graft_levenshtein_within(NULL, 'x', 2) AS dn""".stripMargin)
+      .head()
+    assert(lv.getInt(0) == 3 && lv.getInt(1) == -1 && lv.isNullAt(2), lv)
   }
 
   test("SQL results are bit-identical to the DataFrame-API twins") {

@@ -722,4 +722,29 @@ class TextAnalysisSpec extends SparkTestBase {
       col("side") === "A", topK = 1).collect()
     assert(top1.length == 1 && top1(0).getString(0) == "a")
   }
+
+  test("vocabGrowth: cumulative first-seen-bucket vocabulary equals the " +
+    "hand-checked naive sub-corpus distinct counts; tokenless docs drop") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (0L, "a b a"),     // bucket 0 (0%3): vocab {a,b}, 3 toks
+      (10L, ""),          // bucket 1 (10%3): tokenless -> not in n_docs
+      (1L, "b c"),       // bucket 1: adds {c}
+      (11L, "a c"),      // bucket 2 (11%3): adds nothing
+      (2L, "d")          // bucket 2: adds {d}
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(df, "doc_id", "text", buckets = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 3L, 2L)),   // docs {0}, 3 tokens, vocab {a,b}
+      2L -> ((2L, 5L, 3L)),   // + doc {1}, + 2 tokens, + {c}
+      3L -> ((4L, 8L, 4L))    // + docs {11,2}, + 3 tokens, + {d}
+    ), s"got $out")
+    // partitioning independence
+    val o7 = TextAnalysis.vocabGrowth(df.repartition(7), "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(o7 == out)
+  }
 }
