@@ -1021,6 +1021,12 @@ object SparkEntry {
       Dedup.editDupFlags(s, docs.where(col("doc_id") % 3 === 0),
         "doc_id", "text", store)
     }),
+    "d62_edit_canonical" -> ((s, dir) =>
+      // typo-variant dedup end-to-end: edit pairs -> connected
+      // components -> keep the LONGEST copy per cluster (ties min id) —
+      // canonicalByQuality's flow with the character-level detector
+      Dedup.editCanonical(t(s, dir, "documents"), "doc_id", "text",
+        quality = length(col("text")), k = 8)),
     "d61_vocab_growth" -> ((s, dir) =>
       // Heaps'-law gauge: exact vocabulary size of the first 1..10 tenths
       // (id-mod buckets). Never expands the corpus B-fold: vocabulary
@@ -2913,6 +2919,29 @@ object SparkEntry {
         |SELECT b.doc_id, md IS NOT NULL AS edit_dup,
         |  coalesce(md, -1) AS min_dist
         |FROM b LEFT JOIN hits USING (doc_id)""".stripMargin,
+    "d62_edit_canonical" ->
+      // naive edit pairs (the d58 formulation) -> recursive transitive
+      // closure (the d09 pattern) -> DuckDB's own window for the keep rule
+      """WITH RECURSIVE d AS (SELECT doc_id, text, length(text) AS l,
+        |    length(text) - length(replace(text, ' ', '')) AS sp,
+        |    length(text) - length(replace(text, 'e', '')) AS ec
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |    AND abs(a.l - b.l) <= 8 AND abs(a.sp - b.sp) <= 8
+        |    AND abs(a.ec - b.ec) <= 8
+        |  WHERE levenshtein(a.text, b.text) <= 8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM p
+        |          UNION ALL SELECT id2, id1 FROM p),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b),
+        |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+        |SELECT cl.id, cl.cluster,
+        |  row_number() OVER (PARTITION BY cl.cluster
+        |    ORDER BY length(dd.text) DESC, cl.id) = 1 AS keep
+        |FROM cl JOIN documents dd ON dd.doc_id = cl.id""".stripMargin,
     "d61_vocab_growth" ->
       // independent formulation: the naive per-tenth distinct counts over
       // the exploded sub-corpora (the B-fold expansion the Spark side's

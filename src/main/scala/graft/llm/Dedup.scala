@@ -1575,6 +1575,31 @@ object Dedup {
       .drop("__q")
   }
 
+  /** Quality-aware canonical selection over EDIT-distance components —
+    * the typo/OCR-variant dedup flow end-to-end: [[editNearDupPairs]]
+    * pairs (lazy, the cache discipline of [[canonicalByQuality]]) →
+    * connected components → keep the BEST copy per component (argmax
+    * `quality`, ties min id). The same flow as [[canonicalByQuality]]
+    * with the character-level detector underneath: token-set detectors
+    * cluster rewordings; this clusters the copies that differ by a few
+    * characters. Output: (id, cluster, keep) for every doc in the pair
+    * graph. */
+  def editCanonical(df: DataFrame, idCol: String, textCol: String,
+                    quality: Column, k: Int,
+                    maxBucketSize: Option[Int] = None): DataFrame = {
+    val (pairs, base) = editNearDupPairsLazy(df, idCol, textCol, k,
+      maxBucketSize)
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+    base.unpersist(blocking = true)
+    val scored = df.select(col(idCol).as("id"), quality.as("__q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("__q").desc, col("id").asc)
+    cc.join(scored, Seq("id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .drop("__q")
+  }
+
   /** Leakage-free train/heldout split — eval hygiene for the split
     * itself: a plain per-doc hash split leaks whenever two NEAR-DUP
     * docs land on opposite sides (the heldout copy is effectively in

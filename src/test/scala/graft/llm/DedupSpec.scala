@@ -692,4 +692,23 @@ class DedupSpec extends SparkTestBase {
     assert(got == naive,
       s"diff=${(got.toSet -- naive.toSet) ++ (naive.toSet -- got.toSet)}")
   }
+
+  test("editCanonical: keep the longest copy per edit component, ties min " +
+    "id; docs outside the pair graph don't appear") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "aaaa bbbb cccc"),
+      (2L, "aaaa bbbb cccc dd"),   // longest in cluster {1,2,3}
+      (3L, "aaaa bbbb cccx"),
+      (7L, "aaaa bbbb cccc dd"),   // exact dup of 2: tie -> min id (2)
+      (9L, "totally unrelated text here")  // singleton: absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.editCanonical(df, "doc_id", "text",
+        quality = org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")), k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(1L -> ((1L, false)), 2L -> ((1L, true)),
+      3L -> ((1L, false)), 7L -> ((1L, false))), s"got $out")
+  }
 }
