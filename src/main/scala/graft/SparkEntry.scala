@@ -1656,6 +1656,16 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), col("duration_ms"), col("sample_rate"),
           col("channels"), col("mean_amplitude"), col("fingerprint"))),
+    "m37_video_scenes" -> ((s, dir) =>
+      // shot-cut detection over the m17 frames: boundary where the
+      // consecutive-frame phash Hamming distance exceeds 8 — the fixture
+      // AVI's four frames all cut (three 32-bit flips), so four
+      // single-frame scenes; the oracle replays the window/cumsum
+      // algorithm in DuckDB over the same hand-derived frame literals
+      Multimodal.sceneSegments(
+        Multimodal.extractVideoFrames(s, MediaFixtures.media(s),
+          everyMs = 100L).toDF().where(col("error").isNull),
+        maxHamming = 8)),
     "m17_video_frames" -> ((s, dir) =>
       // REAL video decode gated by the oracle: a deterministic uncompressed
       // AVI (4 DIB frames at 10 fps) -> container parse -> per-sampled-frame
@@ -4068,6 +4078,29 @@ object SparkEntry {
       """SELECT 4::BIGINT AS media_id, 500::BIGINT AS duration_ms,
         |8000::INTEGER AS sample_rate, 1::INTEGER AS channels,
         |0.5::DOUBLE AS mean_amplitude, '8eea12095947b2e5' AS fingerprint""".stripMargin,
+    "m37_video_scenes" ->
+      // same hand-derived frame phashes as m17 (as signed 64-bit
+      // literals), scene algorithm replayed independently: lag ->
+      // boundary (bit_count(xor) > 8) -> running boundary count -> group
+      """WITH f(media_id, frame_index, frame_ts_ms, ph) AS (VALUES
+        |  (5::BIGINT, 0::INTEGER,   0::BIGINT, 0::BIGINT),
+        |  (5::BIGINT, 1::INTEGER, 100::BIGINT,
+        |     CAST(-1085102592571150096 AS BIGINT)),
+        |  (5::BIGINT, 2::INTEGER, 200::BIGINT,
+        |     CAST(-4294967296 AS BIGINT)),
+        |  (5::BIGINT, 3::INTEGER, 300::BIGINT, 0::BIGINT)),
+        |lagged AS (SELECT *, lag(ph) OVER
+        |    (PARTITION BY media_id ORDER BY frame_index) AS prev FROM f),
+        |b AS (SELECT *, CASE WHEN prev IS NULL
+        |    OR bit_count(xor(ph, prev)) > 8 THEN 1 ELSE 0 END AS nb
+        |  FROM lagged),
+        |sc AS (SELECT *, SUM(nb) OVER (PARTITION BY media_id
+        |    ORDER BY frame_index) - 1 AS scene_idx FROM b)
+        |SELECT media_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+        |  MIN(frame_index) AS start_frame, MAX(frame_index) AS end_frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  MIN(frame_ts_ms) AS start_ts_ms, MAX(frame_ts_ms) AS end_ts_ms
+        |FROM sc GROUP BY 1, 2""".stripMargin,
     "m17_video_frames" ->
       // Hand-derived from the fixture AVI (MediaFixtures.media id 5):
       // 10 fps -> ts = 100*i exactly; frames black / vertical split /

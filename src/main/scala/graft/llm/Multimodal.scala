@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -347,5 +347,46 @@ object Multimodal {
           }
         }
     }
+  }
+
+  /** Scene segmentation over sampled frames: a boundary wherever the
+    * consecutive-frame perceptual-hash Hamming distance exceeds
+    * `maxHamming` (the shot-cut detector every video-curation pipeline
+    * runs before sampling training frames — one frame per SCENE beats one
+    * per second of a static shot). Input is [[extractVideoFrames]] output
+    * (error rows excluded by the caller); the 64-bit hex phash splits
+    * into two 32-bit halves for overflow-free integer XOR. One window +
+    * one aggregate, both partitioned by media_id — frames of one clip
+    * are bounded, so the per-clip window is the right unit of
+    * parallelism at a 100TB video corpus (clips are many, frames per
+    * clip are not).
+    * Output: (media_id, scene_idx, start_frame, end_frame, n_frames,
+    * start_ts_ms, end_ts_ms). */
+  def sceneSegments(frames: DataFrame, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_index"))
+    def half(c: Column, from: Int): Column =
+      conv(substring(c, from, 8), 16, 10).cast("long")
+    val lagged = frames
+      .select(col("media_id"), col("frame_index"), col("frame_ts_ms"),
+        col("phash"))
+      .withColumn("__prev", lag(col("phash"), 1).over(w))
+    val ham =
+      bit_count(half(col("phash"), 1).bitwiseXOR(half(col("__prev"), 1))) +
+        bit_count(half(col("phash"), 9).bitwiseXOR(half(col("__prev"), 9)))
+    lagged
+      .withColumn("__b",
+        when(col("__prev").isNull || ham > maxHamming, 1).otherwise(0))
+      .withColumn("scene_idx",
+        sum(col("__b")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)) - 1)
+      .groupBy(col("media_id"), col("scene_idx"))
+      .agg(min(col("frame_index")).as("start_frame"),
+        max(col("frame_index")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        min(col("frame_ts_ms")).as("start_ts_ms"),
+        max(col("frame_ts_ms")).as("end_ts_ms"))
   }
 }

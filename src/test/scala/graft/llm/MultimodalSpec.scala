@@ -235,4 +235,27 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Multimodal.phashNearDupPairs(feats, maxHamming = 65))
   }
+
+  test("sceneSegments: static shots merge, cuts split, per-media windows " +
+    "are independent") {
+    val s = spark; import s.implicits._
+    // phash hex strings: 0, 1-bit flip (hamming 1 <= 8: same scene),
+    // then a 32-bit cut; second media is one static shot
+    val frames = Seq(
+      (1L, 0, 0L,   "0000000000000000"),
+      (1L, 1, 100L, "0000000000000001"),
+      (1L, 2, 200L, "f0f0f0f0f0f0f0f0"),
+      (1L, 3, 300L, "f0f0f0f0f0f0f0f1"),
+      (2L, 0, 0L,   "ffffffff00000000"),
+      (2L, 1, 100L, "ffffffff00000000")
+    ).toDF("media_id", "frame_index", "frame_ts_ms", "phash")
+    val out = Multimodal.sceneSegments(frames, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out == Map(
+      (1L, 0L) -> ((0, 1, 2L, 0L, 100L)),
+      (1L, 1L) -> ((2, 3, 2L, 200L, 300L)),
+      (2L, 0L) -> ((0, 1, 2L, 0L, 100L))), s"got $out")
+  }
 }
