@@ -1271,6 +1271,17 @@ object SparkEntry {
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
         dim = 64, planes = srpPlanes(s, dir), probeRadius = 1)
     }),
+    "s21_filtered_ann" -> ((s, dir) => {
+      // FILTERED vector search — ANN under a metadata predicate (the
+      // "English docs only" / "this tenant only" serving shape): the
+      // filter applies BEFORE cell assignment, so against the m20
+      // persisted layout it rides the same pruned scan as the partition
+      // filter instead of post-filtering a top-k that may come back empty
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKLiteral(emb.where(col("label") % 4 === 3),
+        emb.filter(col("vec_id") < 10), k = 5,
+        ivfCentroids(s, dir, 16), nprobe = 4)
+    }),
     "s04_ivf_topk" -> ((s, dir) => {
       // IVF ANN: map-side argmin cell assignment over the fitted literal
       // centroids; queries probe their 4 nearest of 16 cells (~25% of the
@@ -3923,6 +3934,37 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY q.vec_id
            |      ORDER BY $adist ASC, e.vec_id ASC) AS rnk
            |  FROM e JOIN q ON e.vec_id != q.vec_id)
+           |WHERE rnk <= 5""".stripMargin
+      }
+    },
+    "s21_filtered_ann" -> {
+      // s04's formulation with the metadata predicate on the corpus side
+      // of the probe join (pre-assignment, as the operator applies it)
+      val cents = Option(lastIvfCentroids).getOrElse(Array.empty[Array[Double]])
+      if (cents.isEmpty)
+        """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS corpus_id,
+          |CAST(NULL AS DOUBLE) AS score, CAST(NULL AS INTEGER) AS rank WHERE FALSE""".stripMargin
+      else {
+        val nlist = cents.length
+        val dl = cents.map { c =>
+          duckSqDist("embedding", duckDoubleList(c))
+        }.mkString("[", ",\n", "]")
+        val cos = duckCos("p.embedding", "a.embedding")
+        s"""WITH al AS (SELECT vec_id, label, embedding, $dl AS dl FROM embeddings),
+           |a AS (SELECT vec_id, embedding,
+           |        (list_position(dl, list_min(dl)) - 1) AS cell FROM al
+           |      WHERE label % 4 = 3),
+           |p AS (SELECT vec_id, embedding, cell FROM (
+           |  SELECT vec_id, embedding, r.cell,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dl[(r.cell)::INT + 1] ASC, r.cell ASC) AS rn
+           |  FROM (SELECT * FROM al WHERE vec_id < 10) ql
+           |  CROSS JOIN (SELECT unnest(range(0, $nlist)) AS cell) r)
+           |  WHERE rn <= 4)
+           |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank FROM (
+           |  SELECT p.vec_id AS query_id, a.vec_id AS corpus_id, $cos AS score,
+           |    row_number() OVER (PARTITION BY p.vec_id ORDER BY $cos DESC, a.vec_id) AS rnk
+           |  FROM a JOIN p ON a.cell = p.cell AND p.vec_id != a.vec_id)
            |WHERE rnk <= 5""".stripMargin
       }
     },
