@@ -1763,6 +1763,23 @@ object SparkEntry {
           col("l_linenumber"), col("ship_us"))
     }),
 
+    "q22_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS with grouping_id — the aggregation shape
+      // rollup (q12) and cube (q15) can't express: an arbitrary,
+      // non-hierarchical set list ((rf, ls), (ls), ()) skipping the (rf)
+      // level. SQL surface (the DataFrame API exposes only rollup/cube);
+      // Catalyst plans it as the same Expand + partial aggregate
+      val v = s"q22_lineitem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      t(s, dir, "lineitem").createOrReplaceTempView(v)
+      s.sql(
+        s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           |  coalesce(l_linestatus, 'ALL') AS ls,
+           |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           |  count(*) AS n, sum(l_quantity) AS qty
+           |FROM $v
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           |  (l_linestatus), ())""".stripMargin)
+    }),
     "q21_blame_supplier" -> ((s, dir) => {
       // the TPC-H Q21 plan shape: correlated EXISTS + NOT EXISTS over the
       // same fact table, decorrelated into one equi-key left-semi and one
@@ -4209,6 +4226,16 @@ object SparkEntry {
         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate < e.ts
         |   ORDER BY o.o_orderdate DESC LIMIT 1) AS asof_strict
         |FROM events e""".stripMargin,
+    "q22_grouping_sets" ->
+      // same set list; DuckDB's GROUPING() builds the same 2-bit id
+      // (left column = high bit, the shared SQL-standard convention)
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n, sum(l_quantity) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_linestatus), ())""".stripMargin,
     "q21_blame_supplier" ->
       // independent formulation: the correlated EXISTS / NOT EXISTS form
       // itself — DuckDB decorrelates on its own
