@@ -1021,6 +1021,12 @@ object SparkEntry {
       Dedup.editDupFlags(s, docs.where(col("doc_id") % 3 === 0),
         "doc_id", "text", store)
     }),
+    "d63_lsh_recall" -> ((s, dir) =>
+      // the band-miss-rate gauge: exact ground truth (lossless shared-
+      // shingle generator + exact Jaccard) vs the production LSH config;
+      // precision reads 1.0 by construction (the verify IS exact Jaccard)
+      Dedup.lshRecallGauge(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, maxBucketSize = Some(docBucketCap(s, dir)))),
     "d62_edit_canonical" -> ((s, dir) =>
       // typo-variant dedup end-to-end: edit pairs -> connected
       // components -> keep the LONGEST copy per cluster (ties min id) —
@@ -2790,6 +2796,34 @@ object SparkEntry {
     "d04_lsh_neardups" ->
       s"""WITH ${duckLshPairsCte()}
          |SELECT id1, id2, jaccard FROM ndpairs""".stripMargin,
+    "d63_lsh_recall" -> {
+      // ground truth = naive all-pairs exact Jaccard (the quadratic form
+      // the detector exists to avoid); found = the d04 LSH CTE verbatim
+      val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+      val shExpr =
+        s"""CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')]
+           | ELSE list_transform(range(0, len($toks) - 2),
+           |   i -> array_to_string(list_slice($toks, i+1, i+3), ' ')) END""".stripMargin
+      s"""WITH ${duckLshPairsCte()},
+         |d AS (SELECT doc_id, list_distinct($shExpr) AS sh FROM documents),
+         |truth AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+         |      THEN 0.0
+         |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+         |            AS DOUBLE) END >= 0.5),
+         |hit AS (SELECT * FROM truth SEMI JOIN ndpairs USING (id1, id2))
+         |SELECT n_true, n_found, n_hit,
+         |  CASE WHEN n_true = 0 THEN 1.0
+         |       ELSE CAST(n_hit AS DOUBLE) / n_true END AS recall,
+         |  CASE WHEN n_found = 0 THEN 1.0
+         |       ELSE CAST(n_hit AS DOUBLE) / n_found END AS precision
+         |FROM (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ndpairs) AS n_found,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)""".stripMargin
+    },
     "m14_curation_pipeline" ->
       // quality gate -> min-id exact dedup -> near-dup clusters over the
       // survivors (same pair CTE as d04/d09, parameterized on `ex`) ->

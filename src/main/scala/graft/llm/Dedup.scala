@@ -1575,6 +1575,52 @@ object Dedup {
       .drop("__q")
   }
 
+  /** Recall/precision gauge for the LSH near-dup detector — s17's role
+    * for the dedup stack: exact ground truth (every unordered pair with
+    * true shingle-Jaccard >= threshold; candidates come from a
+    * shared-shingle equi-join, a LOSSLESS generator since J >= t > 0
+    * implies at least one shared shingle) versus the banded LSH+verify
+    * pipeline at its production config. Because LSH's verify step uses
+    * the same exact Jaccard, precision is 1.0 by construction (reported,
+    * not assumed) and recall isolates exactly the BAND MISS RATE — the
+    * probability a true pair never collides in any band — plus whatever
+    * the bucket cap dropped. Run it on a sample at scale: the
+    * ground-truth generator is quadratic-prone by design (that is what
+    * LSH exists to avoid); the gauge tells you what the (numHashes,
+    * bands) choice is giving up before you commit it to a 100TB pass.
+    * Output: ONE row (n_true, n_found, n_hit, recall, precision). */
+  def lshRecallGauge(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, k: Int = 3, numHashes: Int = 12,
+                     bands: Int = 4,
+                     maxBucketSize: Option[Int] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("__id"), shinglesFromTokens(col("__toks"), k).as("__raw"))
+      .select(col("__id"), array_distinct(col("__raw")).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select(col("__id"), explode(col("__sh")).as("__s"))
+    val cands = ex.select(col("__id").as("id1"), col("__s"))
+      .join(ex.select(col("__id").as("id2"), col("__s")), Seq("__s"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val truth = cands
+      .join(sh.select(col("__id").as("id1"), col("__sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col("__id").as("id2"), col("__sh").as("sh2")), Seq("id2"))
+      .where(jaccard(col("sh1"), col("sh2")) >= threshold)
+      .select(col("id1"), col("id2"))
+    val found = nearDupPairs(df, idCol, textCol, threshold, k, numHashes,
+      bands, maxBucketSize).select(col("id1"), col("id2"))
+    val out = truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(truth.join(found, Seq("id1", "id2"), "left_semi")
+        .agg(count(lit(1)).as("n_hit")))
+      .withColumn("recall", when(col("n_true") === 0, 1.0)
+        .otherwise(col("n_hit").cast("double") / col("n_true")))
+      .withColumn("precision", when(col("n_found") === 0, 1.0)
+        .otherwise(col("n_hit").cast("double") / col("n_found")))
+    materializeAndRelease(out, sh)
+  }
+
   /** Quality-aware canonical selection over EDIT-distance components —
     * the typo/OCR-variant dedup flow end-to-end: [[editNearDupPairs]]
     * pairs (lazy, the cache discipline of [[canonicalByQuality]]) →

@@ -711,4 +711,23 @@ class DedupSpec extends SparkTestBase {
     assert(out == Map(1L -> ((1L, false)), 2L -> ((1L, true)),
       3L -> ((1L, false)), 7L -> ((1L, false))), s"got $out")
   }
+
+  test("lshRecallGauge: exact dups give recall 1.0; precision is 1.0 by " +
+    "construction (found is always a subset of truth)") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "totally different text about something else entirely")
+    ).toDF("doc_id", "text")
+    val r = Dedup.lshRecallGauge(df, "doc_id", "text", threshold = 0.5).head()
+    // exact dups collide in EVERY band: all 3 true pairs found
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 3L)), r)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0, r)
+    // the production-config gauge on the mixed fixture: found ⊆ truth
+    val m = Dedup.lshRecallGauge(docs, "doc_id", "text", threshold = 0.5).head()
+    assert(m.getLong(2) == m.getLong(1), s"precision must be 1: $m")
+    assert(m.getLong(2) <= m.getLong(0), m)
+  }
 }
