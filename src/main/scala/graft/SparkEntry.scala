@@ -1045,6 +1045,12 @@ object SparkEntry {
       // bucket — one (term) exchange; the oracle states the naive
       // per-tenth distinct-count form
       TextAnalysis.vocabGrowth(t(s, dir, "documents"), "doc_id", "text")),
+    "d64_winsorized_mean" -> ((s, dir) =>
+      // the robust location gauge that keeps mass information: clamp to
+      // the per-source IQR then average — dyadic percentiles keep every
+      // intermediate exactly representable (the d60/q19 convention)
+      RobustStats.winsorizedMean(
+        t(s, dir, "documents"), "source", "n_chars")),
     "d60_robust_outliers" -> ((s, dir) =>
       // per-source median/MAD + Hampel-rule outlier counts: the robust
       // "is this doc length plausible for its source" gate a mean/stddev
@@ -1774,6 +1780,21 @@ object SparkEntry {
           col("l_linenumber"), col("ship_us"))
     }),
 
+    "q23_small_quantity" -> ((s, dir) => {
+      // the TPC-H Q17 plan shape: a correlated SCALAR AGGREGATE subquery
+      // (per-part average) filtering the fact table, decorrelated into a
+      // grouped aggregate + equi-join — the third classic decorrelation
+      // pattern after q21's EXISTS pair. Exactness: avg = exact integer
+      // sum / exact count, then ONE division and ONE multiply — the same
+      // two IEEE ops in both engines on identical inputs
+      val l = t(s, dir, "lineitem")
+      val avgs = l.groupBy(col("l_partkey").as("pk"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      l.join(avgs, col("l_partkey") === col("pk"))
+        .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_small"), sum(col("l_quantity")).as("qty"))
+    }),
     "q22_grouping_sets" -> ((s, dir) => {
       // explicit GROUPING SETS with grouping_id — the aggregation shape
       // rollup (q12) and cube (q15) can't express: an arbitrary,
@@ -3035,6 +3056,18 @@ object SparkEntry {
         |  CAST(count(DISTINCT term) AS BIGINT) AS vocab
         |FROM t JOIN tok ON tok.b < t.tenth
         |GROUP BY 1""".stripMargin,
+    "d64_winsorized_mean" ->
+      // independent formulation: DuckDB's NATIVE quantile_cont for the
+      // band, its own LEAST/GREATEST clamp, SUM/COUNT mean
+      """WITH q AS (SELECT source,
+        |    CAST(quantile_cont(n_chars, 0.25) AS DOUBLE) AS lo,
+        |    CAST(quantile_cont(n_chars, 0.75) AS DOUBLE) AS hi
+        |  FROM documents GROUP BY 1)
+        |SELECT d.source, MAX(lo) AS lo, MAX(hi) AS hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(LEAST(GREATEST(d.n_chars, lo), hi)) / COUNT(*) AS wmean
+        |FROM documents d JOIN q USING (source)
+        |GROUP BY d.source""".stripMargin,
     "d60_robust_outliers" ->
       // independent formulation: DuckDB's native median at both levels
       """WITH med AS (SELECT source, CAST(median(n_chars) AS DOUBLE) AS med
@@ -4266,6 +4299,15 @@ object SparkEntry {
         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate < e.ts
         |   ORDER BY o.o_orderdate DESC LIMIT 1) AS asof_strict
         |FROM events e""".stripMargin,
+    "q23_small_quantity" ->
+      // independent formulation: the CORRELATED scalar subquery itself —
+      // DuckDB decorrelates on its own (the q21 contract)
+      """SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_small,
+        |  SUM(l_quantity) AS qty
+        |FROM lineitem a
+        |WHERE l_quantity < 0.5 * (SELECT AVG(b.l_quantity) FROM lineitem b
+        |  WHERE b.l_partkey = a.l_partkey)
+        |GROUP BY 1""".stripMargin,
     "q22_grouping_sets" ->
       // same set list; DuckDB's GROUPING() builds the same 2-bit id
       // (left column = high bit, the shared SQL-standard convention)

@@ -28,6 +28,31 @@ import org.apache.spark.sql.functions._
   * Output: (strataCol, med, mad, n, n_outliers). */
 object RobustStats {
 
+  /** Winsorized per-stratum mean: clamp every value into the stratum's
+    * [pLo, pHi] percentile band, then average — the robust location
+    * estimate that keeps the MASS information the median throws away
+    * while still bounding any single artifact's pull. Exactness needs
+    * DYADIC percentiles (default the IQR, 1/4 and 3/4): the interpolated
+    * quantile of integer values then lands on exact quarters under any
+    * evaluation order (a non-dyadic p like 0.05 is formula-order-
+    * dependent at the last ulp across engines), clamped values stay
+    * dyadic, their sum is exact, and the mean is ONE division.
+    * Output: (strataCol, lo, hi, n, wmean). */
+  def winsorizedMean(df: DataFrame, strataCol: String, valueCol: String,
+                     pLo: Double = 0.25, pHi: Double = 0.75): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi, s"bad band [$pLo, $pHi]")
+    val vals = df.select(col(strataCol), col(valueCol).cast("double").as("__v"))
+    val qs = vals.groupBy(col(strataCol))
+      .agg(expr(s"percentile(__v, $pLo)").as("lo"),
+        expr(s"percentile(__v, $pHi)").as("hi"))
+    vals.join(broadcast(qs), Seq(strataCol))
+      .withColumn("__w", least(greatest(col("__v"), col("lo")), col("hi")))
+      .groupBy(col(strataCol))
+      .agg(max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        count(lit(1)).as("n"),
+        (sum(col("__w")) / count(lit(1))).as("wmean"))
+  }
+
   def robustOutlierStats(df: DataFrame, strataCol: String, valueCol: String,
                          cutoff: Double = 3.5): DataFrame = {
     require(cutoff > 0, s"cutoff must be positive: $cutoff")

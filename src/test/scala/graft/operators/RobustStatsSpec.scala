@@ -33,4 +33,15 @@ class RobustStatsSpec extends SparkTestBase {
     assert(run(noisy, 1) == ((51.5, 25.5)), s"got ${run(noisy, 1)}")
     assert(run(noisy, 7) == ((51.5, 25.5)), "partitioning independence")
   }
+
+  test("winsorizedMean: IQR clamp gives the hand-computed exact mean; the " +
+    "artifact's pull is bounded by the band") {
+    val s = spark; import s.implicits._
+    val df = ((1L to 10L) :+ 1000L).map(("a", _)).toDF("src", "v")
+    val r = RobustStats.winsorizedMean(df, "src", "v").head()
+    // sorted {1..10, 1000}: p25 = 3.5, p75 = 8.5; clamped sum =
+    // 3*3.5 + (4+...+8) + 3*8.5 = 66 -> mean 6.0 exactly
+    assert((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      == ((3.5, 8.5, 11L, 6.0)), r)
+  }
 }
