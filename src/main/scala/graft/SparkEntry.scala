@@ -2,7 +2,7 @@ package graft
 
 import graft.convert.Validator
 import graft.functions.Functions._
-import graft.llm.{Dedup, MediaFixtures, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, MediaFixtures, Multimodal, Similarity, TextAnalysis, Web}
 import graft.model.SchemaBridge
 import graft.operators.{Fork, RobustStats, WeightedQuantiles}
 import graft.streaming.Incremental
@@ -1038,6 +1038,53 @@ object SparkEntry {
       // canonicalByQuality's flow with the character-level detector
       Dedup.editCanonical(t(s, dir, "documents"), "doc_id", "text",
         quality = length(col("text")), k = 8)),
+    "d68_url_curation" -> ((s, dir) => {
+      // C4/RefinedWeb-style URL/domain curation upstream of every text
+      // gate. The corpus carries no URL column, so the demo input plants
+      // a messy doc_id/source-derived URL — the SAME expression in both
+      // engines (the d31 convention) covering every normalization axis:
+      // scheme/host case, default vs real ports, trailing slash, param
+      // order, tracking params, fragments. Normalization + registrable
+      // domain + per-domain rollup + blocklist gate are the operators
+      // under test, implemented independently on each side.
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("http")),
+        lit("://"),
+        when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("www.")),
+        col("source"), lit(".ex"), (col("doc_id") % 7).cast("string"),
+        lit(".COM"),
+        when(col("doc_id") % 3 === 0, lit(":443"))
+          .otherwise(when(col("doc_id") % 5 === 0, lit(":80"))
+            .otherwise(lit(""))),
+        lit("/Docs/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("?b=2&a=1&utm_source=feed"))
+          .otherwise(lit("?a=1&b=2")),
+        when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit("")))
+      Web.domainRollup(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")).withColumn("url", url),
+        "url", col("n_chars"), blocklist = Seq("ex2.com", "ex5.com"))
+    }),
+    "d67_cardinality_monitor" -> ((s, dir) =>
+      // per-source + whole-run distinct-doc/distinct-term cardinality in
+      // one rollup pass. The oracle gates the EXACT regime bit-for-bit;
+      // the approximate=true HLL regime shares this schema and is
+      // ScaleBench's sketch-vs-exact row — its ±rsd error is documented,
+      // not gated (the d50 sketch contract)
+      TextAnalysis.cardinalityMonitor(t(s, dir, "documents"), "doc_id",
+        "text", "source")),
+    "d66_simhash_recall" -> ((s, dir) =>
+      // d63's role for the SIMHASH family, one row per blocking tier:
+      // truth is the UNCAPPED combination-key detector (pigeonhole-exact,
+      // no quadratic pass); each tier then runs at the production cap, so
+      // recall isolates exactly what the cap dropped on that tier's
+      // bucket space. The oracle's truth is scheme-INDEPENDENT brute
+      // force (the d21 statement), its tiers re-derive both blocking
+      // pipelines in SQL
+      Dedup.simhashRecallGauge(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bands = 4, chunks = 6,
+        maxBucketSize = Some(docBucketCap(s, dir)))),
     "d61_vocab_growth" -> ((s, dir) =>
       // Heaps'-law gauge: exact vocabulary size of the first 1..10 tenths
       // (id-mod buckets). Never expands the corpus B-fold: vocabulary
@@ -3018,6 +3065,83 @@ object SparkEntry {
         |SELECT b.doc_id, md IS NOT NULL AS edit_dup,
         |  coalesce(md, -1) AS min_dist
         |FROM b LEFT JOIN hits USING (doc_id)""".stripMargin,
+    "d68_url_curation" ->
+      // independent formulation: the same messy-URL synthesis (the d31
+      // convention), then DuckDB's own regexp/list toolchain re-derives
+      // canonical form and registrable domain stage by stage
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END)
+        |    || source || '.ex' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ':443'
+        |             WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END)
+        |    || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=feed'
+        |             ELSE '?a=1&b=2' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id, n_chars,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    regexp_replace(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM u),
+        |p AS (SELECT doc_id, n_chars, scheme,
+        |    regexp_extract(rest, '^([^/?]*)', 1) AS auth,
+        |    regexp_replace(rest, '^[^/?]*', '') AS aft
+        |  FROM n),
+        |h AS (SELECT doc_id, n_chars, scheme, aft,
+        |    lower(regexp_replace(auth, ':[0-9]+$', '')) AS host,
+        |    regexp_extract(auth, ':([0-9]+)$', 1) AS port
+        |  FROM p),
+        |pq AS (SELECT doc_id, n_chars, scheme, host,
+        |    CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+        |        OR (scheme = 'https' AND port = '443'))
+        |      THEN ':' || port ELSE '' END AS portpart,
+        |    CASE WHEN length(regexp_extract(aft, '^([^?]*)', 1)) > 1
+        |      THEN regexp_replace(regexp_extract(aft, '^([^?]*)', 1), '/$', '')
+        |      ELSE regexp_extract(aft, '^([^?]*)', 1) END AS path1,
+        |    regexp_extract(aft, '\?(.*)$', 1) AS q0
+        |  FROM h),
+        |qq AS (SELECT doc_id, n_chars, scheme, host, portpart,
+        |    CASE WHEN path1 = '' THEN '/' ELSE path1 END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(q0, '&'),
+        |      x -> x <> '' AND NOT starts_with(x, 'utm_')
+        |        AND NOT starts_with(x, 'fbclid=')
+        |        AND NOT starts_with(x, 'gclid='))), '&') AS q
+        |  FROM pq),
+        |c AS (SELECT doc_id, n_chars,
+        |    scheme || '://' || host || portpart || path ||
+        |      (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS norm,
+        |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM qq)
+        |SELECT domain,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT norm) AS BIGINT) AS n_urls,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_weight,
+        |  min(norm) AS min_url,
+        |  max(norm) AS max_url,
+        |  domain IN ('ex2.com', 'ex5.com') AS blocked
+        |FROM c GROUP BY domain""".stripMargin,
+    "d67_cardinality_monitor" ->
+      // independent formulation: DuckDB's own ROLLUP + count(DISTINCT);
+      // the [NULL] unnest arm mirrors explode_outer so tokenless docs
+      // still count toward distinct_docs
+      """WITH tok AS (SELECT source, doc_id,
+        |    unnest(CASE WHEN len(toks) = 0 THEN [CAST(NULL AS VARCHAR)]
+        |           ELSE toks END) AS term
+        |  FROM (SELECT source, doc_id,
+        |      list_filter(string_split(lower(coalesce(text, '')), ' '),
+        |        x -> x != '') AS toks
+        |    FROM documents))
+        |SELECT coalesce(source, '__all__') AS source,
+        |  CAST(GROUPING(source) AS INT) AS is_total,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_docs,
+        |  CAST(count(term) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT term) AS BIGINT) AS distinct_terms
+        |FROM tok GROUP BY ROLLUP(source)""".stripMargin,
     "d62_edit_canonical" ->
       // naive edit pairs (the d58 formulation) -> recursive transitive
       // closure (the d09 pattern) -> DuckDB's own window for the keep rule
@@ -3372,6 +3496,78 @@ object SparkEntry {
          |          i -> substr(x.sig, i, 1) != substr(y.sig, i, 1))) AS BIGINT) AS hamming
          |      FROM cands JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2)
          |SELECT id1, id2, hamming FROM p WHERE hamming <= 3""".stripMargin
+        .replace("CAPLIT", lastBucketCap.toString)
+    },
+    "d66_simhash_recall" -> {
+      // truth: scheme-independent brute-force all-pairs hamming (the d21
+      // statement). Tiers: the d14 4x16-bit band pipeline and the d21
+      // 6C3 combination-key pipeline, both capped — re-derived in SQL
+      // from the STRING signature (substr-concat keys; bit-string
+      // equality == the Spark side's packed-long equality at fixed
+      // widths). Heavy CTEs MATERIALIZED (DuckDB inlines by default and
+      // sh/tr/bp/cp are each read 2-3x).
+      val toks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+      val hs = s"list_transform($toks, t -> ('0x' || substr(md5(t),1,8))::BIGINT::HUGEINT * 4294967296" +
+        s" + ('0x' || substr(md5(t),9,8))::BIGINT)"
+      val bits = (63 to 0 by -1).map { j =>
+        val p = BigInt(1) << j
+        s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // $p) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      // same near-equal 64-bit split + combination enumeration as
+      // Dedup.simhashNearDupPairsCombined (chunks=6, agree=3)
+      val widths = (0 until 6).map(i => 64 / 6 + (if (i < 64 % 6) 1 else 0))
+      val starts = widths.scanLeft(0)(_ + _)
+      val comboKeys = (0 until 6).combinations(3).toSeq.zipWithIndex
+        .map { case (combo, ci) =>
+          val parts = combo
+            .map(i => s"substr(sig, ${starts(i) + 1}, ${widths(i)})")
+            .mkString(" || ")
+          s"'$ci|' || $parts"
+        }.mkString(", ")
+      s"""WITH sh AS MATERIALIZED (SELECT doc_id, $bits AS sig
+         |            FROM (SELECT doc_id, $hs AS hs FROM documents)),
+         |tr AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_filter(range(1, 65),
+         |    i -> substr(a.sig, i, 1) != substr(b.sig, i, 1))) <= 3),
+         |b0 AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+         |         b -> CAST(b AS VARCHAR) || '|' || substr(sig, CAST(b*16+1 AS BIGINT), 16))) AS band
+         |       FROM sh),
+         |bok AS (SELECT band FROM b0 GROUP BY band HAVING COUNT(*) <= CAPLIT),
+         |bf AS (SELECT b0.* FROM b0 JOIN bok USING (band)),
+         |bc AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |       FROM bf a JOIN bf b USING (band) WHERE a.doc_id < b.doc_id),
+         |bp AS MATERIALIZED (SELECT id1, id2 FROM bc
+         |  JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
+         |  WHERE len(list_filter(range(1, 65),
+         |    i -> substr(x.sig, i, 1) != substr(y.sig, i, 1))) <= 3),
+         |c0 AS (SELECT doc_id, unnest([$comboKeys]) AS band FROM sh),
+         |cok AS (SELECT band FROM c0 GROUP BY band HAVING COUNT(*) <= CAPLIT),
+         |cf AS (SELECT c0.* FROM c0 JOIN cok USING (band)),
+         |cc AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |       FROM cf a JOIN cf b USING (band) WHERE a.doc_id < b.doc_id),
+         |cp AS MATERIALIZED (SELECT id1, id2 FROM cc
+         |  JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
+         |  WHERE len(list_filter(range(1, 65),
+         |    i -> substr(x.sig, i, 1) != substr(y.sig, i, 1))) <= 3),
+         |sel AS (
+         |  SELECT 'band' AS tier,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_true,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bp) AS n_found,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bp SEMI JOIN tr
+         |       USING (id1, id2)) AS n_hit
+         |  UNION ALL
+         |  SELECT 'combined',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM tr),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cp),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cp SEMI JOIN tr
+         |       USING (id1, id2)))
+         |SELECT tier, n_true, n_found, n_hit,
+         |  CASE WHEN n_true = 0 THEN 1.0
+         |       ELSE CAST(n_hit AS DOUBLE) / n_true END AS recall,
+         |  CASE WHEN n_found = 0 THEN 1.0
+         |       ELSE CAST(n_hit AS DOUBLE) / n_found END AS precision
+         |FROM sel""".stripMargin
         .replace("CAPLIT", lastBucketCap.toString)
     },
     "d21_simhash_combined" -> {

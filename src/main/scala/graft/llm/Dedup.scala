@@ -1588,11 +1588,16 @@ object Dedup {
     * ground-truth generator is quadratic-prone by design (that is what
     * LSH exists to avoid); the gauge tells you what the (numHashes,
     * bands) choice is giving up before you commit it to a 100TB pass.
+    * The per-doc size frame joins back twice; it broadcasts ONLY while
+    * its plan-stats bound fits `sizesBroadcastMaxBytes` (the d18/d29
+    * guard pattern) — a caller who ignores the sample contract and
+    * passes the full corpus gets a shuffle join instead of a driver OOM.
     * Output: ONE row (n_true, n_found, n_hit, recall, precision). */
   def lshRecallGauge(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double, k: Int = 3, numHashes: Int = 12,
                      bands: Int = 4,
-                     maxBucketSize: Option[Int] = None): DataFrame = {
+                     maxBucketSize: Option[Int] = None,
+                     sizesBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
     val sh = df.select(col(idCol).as("__id"),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
       .select(col("__id"), shinglesFromTokens(col("__toks"), k).as("__raw"))
@@ -1605,14 +1610,18 @@ object Dedup {
     // c / (|A| + |B| - c) is one arithmetic comparison per pair
     val ex = sh.select(col("__id"), explode(col("__sh")).as("__s"))
     val sizes = sh.select(col("__id"), size(col("__sh")).as("__n"))
+    val hintSizes = sizes.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(sizesBroadcastMaxBytes)
+    def sized(as1: String, as2: String): DataFrame = {
+      val s = sizes.select(col("__id").as(as1), col("__n").as(as2))
+      if (hintSizes) broadcast(s) else s
+    }
     val truth = ex.select(col("__id").as("id1"), col("__s"))
       .join(ex.select(col("__id").as("id2"), col("__s")), Seq("__s"))
       .where(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("__c"))
-      .join(broadcast(sizes.select(col("__id").as("id1"),
-        col("__n").as("__n1"))), Seq("id1"))
-      .join(broadcast(sizes.select(col("__id").as("id2"),
-        col("__n").as("__n2"))), Seq("id2"))
+      .join(sized("id1", "__n1"), Seq("id1"))
+      .join(sized("id2", "__n2"), Seq("id2"))
       .where(col("__c").cast("double") /
         (col("__n1") + col("__n2") - col("__c")) >= threshold)
       .select(col("id1"), col("id2"))
@@ -1627,6 +1636,56 @@ object Dedup {
       .withColumn("precision", when(col("n_found") === 0, 1.0)
         .otherwise(col("n_hit").cast("double") / col("n_found")))
     materializeAndRelease(out, sh)
+  }
+
+  /** [[lshRecallGauge]]'s twin for the SIMHASH detector family — one row
+    * per blocking tier, so the documented band-tier recall drop at scale
+    * (the 4×16-bit chunks saturate: only 2^16 bucket values exist, the
+    * cap routes mega-buckets away, pairs silently drop) becomes a
+    * first-class measured number next to the combination-key tier that
+    * avoids it.
+    *
+    * Ground truth needs NO quadratic pass here (unlike Jaccard's): the
+    * chunk-combination detector run UNCAPPED is pigeonhole-EXACT — two
+    * signatures within `maxHamming` must agree on ≥ `chunks −
+    * maxHamming` pieces, so the uncapped key join provably generates
+    * every true pair, with C(6,3)-style key cardinality (2^33) keeping
+    * truth generation itself scalable. Each gauged tier then runs at its
+    * PRODUCTION `maxBucketSize`; recall isolates exactly what the cap
+    * (on that tier's bucket space) dropped. Precision is 1.0 by
+    * construction (every tier exact-Hamming-verifies its candidates) —
+    * reported, not assumed. Signatures are recomputed per pipeline
+    * (3×) — the gauge is an offline audit, run it before committing a
+    * (bands vs combination, cap) choice to a 100TB pass.
+    * Output: one row per tier — (tier, n_true, n_found, n_hit, recall,
+    * precision); tiers are 'band' and 'combined'. */
+  def simhashRecallGauge(df: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int = 3, bands: Int = 4,
+                         chunks: Int = 6,
+                         maxBucketSize: Option[Int] = None): DataFrame = {
+    val truth = simhashNearDupPairsCombined(df, idCol, textCol, maxHamming,
+        chunks, maxBucketSize = None)
+      .select(col("id1"), col("id2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tiers = Seq(
+      "band" -> simhashNearDupPairs(df, idCol, textCol, maxHamming, bands,
+        maxBucketSize),
+      "combined" -> simhashNearDupPairsCombined(df, idCol, textCol,
+        maxHamming, chunks, maxBucketSize))
+    val out = tiers.map { case (name, foundDf) =>
+      val found = foundDf.select(col("id1"), col("id2"))
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(truth.join(found, Seq("id1", "id2"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .select(lit(name).as("tier"), col("n_true"), col("n_found"),
+          col("n_hit"))
+    }.reduce(_.unionAll(_))
+      .withColumn("recall", when(col("n_true") === 0, 1.0)
+        .otherwise(col("n_hit").cast("double") / col("n_true")))
+      .withColumn("precision", when(col("n_found") === 0, 1.0)
+        .otherwise(col("n_hit").cast("double") / col("n_found")))
+    materializeAndRelease(out, truth)
   }
 
   /** Quality-aware canonical selection over EDIT-distance components —

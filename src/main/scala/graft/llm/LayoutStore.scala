@@ -104,7 +104,16 @@ object LayoutStore {
         k.getName.split("=", 2)(0) +: partCols(k)
       }
     }
-    writeSnapshot(conf, path) { tmp =>
+    // Partition values must round-trip BYTE-FOR-BYTE: default partition
+    // discovery re-infers `strata=01` as int 1 (or a date-like value as
+    // DATE), silently renaming directories and changing the read-back
+    // schema of the compacted snapshot. Pin inference off for the
+    // rewrite so every col=value chain is preserved as-written (string
+    // partition columns are what the layout writers emit anyway).
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferPrev = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    try writeSnapshot(conf, path) { tmp =>
       fs.listStatus(src).filter(st => st.isDirectory && visible(st))
         .foreach { sub =>
           val name = sub.getPath.getName
@@ -118,6 +127,11 @@ object LayoutStore {
           (if (parts.isEmpty) w else w.partitionBy(parts: _*))
             .parquet(s"$tmp/$name")
         }
+    } finally {
+      inferPrev match {
+        case Some(v) => spark.conf.set(inferKey, v)
+        case None => spark.conf.unset(inferKey)
+      }
     }
   }
 

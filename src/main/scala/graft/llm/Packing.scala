@@ -293,8 +293,15 @@ object Packing {
     * exclusive running token total `cum_before` in (score desc, id asc)
     * order and `selected` = whether the WHOLE doc fits inside `budget`.
     * All cut arithmetic is integer, so the decision is engine-exact;
-    * `score` is any orderable expression (an integer signal keeps the
+    * `score` must be a NUMERIC expression (band edges come from
+    * approxQuantile, which only accepts numeric columns — enforced
+    * up front instead of throwing mid-job; an integer signal keeps the
     * ordering itself engine-exact too — the d51 oracle uses one).
+    * Null-score rows are EXCLUDED from the output: a null can neither
+    * be banded (approxQuantile ignores it) nor deterministically ranked
+    * against real scores, so "unscored" explicitly means "not a
+    * selection candidate" — pre-coalesce a default if they should
+    * compete.
     *
     * Scale shape: the global running sum is the [[packSequences]]
     * two-phase prefix sum, re-keyed by SCORE instead of shuffle hash:
@@ -320,8 +327,16 @@ object Packing {
     val reserved = Seq("__band", "__bt", "__boff", "__score")
     reserved.foreach(r => require(!df.columns.contains(r),
       s"input already has a '$r' column; rename it before budgetSelect()"))
-    val scored0 = df.select(col(idCol), nTokens.cast("long").as("n_tokens"),
+    val scored1 = df.select(col(idCol), nTokens.cast("long").as("n_tokens"),
       score.as("score"))
+    scored1.schema("score").dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+      case other => throw new IllegalArgumentException(
+        s"budgetSelect score must be numeric (approxQuantile band edges), " +
+          s"got ${other.simpleString} — cast or rank-encode it first")
+    }
+    // null scores are not selection candidates (see scaladoc)
+    val scored0 = scored1.where(col("score").isNotNull)
     val edges: Array[Double] =
       if (bands == 1) Array.empty
       else scored0.stat.approxQuantile("score",

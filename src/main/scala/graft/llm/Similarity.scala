@@ -165,6 +165,15 @@ object Similarity {
     val q = quantizeForStorage(query, idCol, vecCol)
       .where(col("n2") > 0)
       .select(col(idCol).as("__qid"), col("q").as("__qq"))
+    // The greedy loop below pools rel scores into ONE top-`pool` cut, so a
+    // multi-row query frame would silently mix relevance scales (and
+    // duplicate candidate ids) across queries — enforce the documented
+    // single-query contract instead of mis-ranking. The frame is the
+    // query sheet (broadcast side), so the count is a trivial job.
+    val qRows = q.count()
+    require(qRows == 1,
+      s"mmrRerankQuantized expects exactly 1 non-zero query row, got $qRows" +
+        " (run one invocation per query, or use rrfFuse to combine queries)")
     val cand = c.where(col("n2") > 0)
       .crossJoin(broadcast(q))
       .where(col(idCol) =!= col("__qid"))
@@ -191,8 +200,11 @@ object Similarity {
         if (!selected.contains(i)) {
           val div = if (selected.isEmpty) 0L else selected.map(dot(i, _)).max
           val score = 2L * rel(i) - div
-          if (score > bestScore ||
-            (score == bestScore && best >= 0 && ids(i) < ids(best))) {
+          // `best < 0` seeds the argmax with the first unselected
+          // candidate even when its score equals Long.MinValue (the
+          // score > bestScore test alone would leave best = -1).
+          if (best < 0 || score > bestScore ||
+            (score == bestScore && ids(i) < ids(best))) {
             best = i; bestScore = score
           }
         }

@@ -1120,12 +1120,61 @@ object TextAnalysis {
       countDistinct(col("__id")).as("__nd"))
     val tenths = df.sparkSession.range(1, buckets + 1)
       .select(col("id").as("tenth"))
-    val vocab = tenths.join(newVocab, col("__fb") < col("tenth"))
-      .groupBy(col("tenth")).agg(sum(col("__nv")).as("vocab"))
-    tenths.join(perBucket, col("__b") < col("tenth"))
+    // LEFT joins onto the tenths frame: a tenth whose prefix buckets are
+    // all empty (sparse/clustered id space, tokenless leading slice)
+    // must still report a 0-row, not vanish — the curve's contract is
+    // exactly `buckets` rows.
+    val vocab = tenths.join(newVocab, col("__fb") < col("tenth"), "left")
       .groupBy(col("tenth"))
-      .agg(sum(col("__nd")).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+      .agg(coalesce(sum(col("__nv")), lit(0L)).as("vocab"))
+    tenths.join(perBucket, col("__b") < col("tenth"), "left")
+      .groupBy(col("tenth"))
+      .agg(coalesce(sum(col("__nd")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("__nt")), lit(0L)).as("n_tokens"))
       .join(vocab, Seq("tenth"))
       .select(col("tenth"), col("n_docs"), col("n_tokens"), col("vocab"))
+  }
+
+  /** Distinct-cardinality monitor — the one sketch family the monitor
+    * stack was missing: per-source AND whole-run distinct-doc /
+    * distinct-term cardinality in ONE rollup pass (the "did this crawl
+    * batch collapse to near-duplicate ids / is the vocabulary still
+    * growing" gauge next to d48's distribution drift).
+    *
+    * Two regimes behind one schema (the d50 sketch contract):
+    * `approximate = false` uses exact count(DISTINCT) — engine-exact,
+    * what the oracle gates bit-for-bit; `approximate = true` swaps in
+    * HyperLogLog++ (`approx_count_distinct`, relative error `rsd`) —
+    * the 100 TB configuration, because the exact distinct-term count
+    * plans as an Expand + full (term) exchange whose shuffle IS the
+    * bottleneck at corpus scale, while the HLL sketch merges as
+    * fixed-size partial aggregates through the same rollup (map-side
+    * partials, kilobytes per group, no term ever shuffles). Error is
+    * DOCUMENTED (±rsd), not gated — swap regimes, not schemas, when a
+    * run outgrows exact.
+    *
+    * Tokenless docs still count toward distinct_docs (explode_outer —
+    * their token row is null, which count/distinct-term ignore).
+    * Output: (source, is_total, distinct_docs, n_tokens,
+    * distinct_terms); per-source rows plus ONE `__all__` total row
+    * (is_total = 1) — the global distinct-term cardinality is NOT the
+    * sum of the per-source rows, which is why the rollup computes it
+    * in the same pass. */
+  def cardinalityMonitor(df: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String, approximate: Boolean = false,
+                         rsd: Double = 0.05): DataFrame = {
+    val ex = df.select(col(sourceCol).as("__src"), col(idCol).as("__id"),
+      explode_outer(tokens(lower(coalesce(col(textCol), lit("")))))
+        .as("__t"))
+    def distinct(c: Column): Column =
+      if (approximate) approx_count_distinct(c, rsd) else countDistinct(c)
+    ex.rollup(col("__src"))
+      .agg(grouping(col("__src")).cast("int").as("is_total"),
+        distinct(col("__id")).as("distinct_docs"),
+        count(col("__t")).as("n_tokens"),
+        distinct(col("__t")).as("distinct_terms"))
+      .select(coalesce(col("__src"), lit("__all__")).as("source"),
+        col("is_total"), col("distinct_docs"), col("n_tokens"),
+        col("distinct_terms"))
   }
 }

@@ -730,4 +730,16 @@ class DedupSpec extends SparkTestBase {
     assert(m.getLong(2) == m.getLong(1), s"precision must be 1: $m")
     assert(m.getLong(2) <= m.getLong(0), m)
   }
+
+  test("lshRecallGauge: the size-frame broadcast hint is plan-stats " +
+    "guarded — over the bound it degrades to a shuffle join, same result") {
+    val r = Dedup.lshRecallGauge(docs, "doc_id", "text", threshold = 0.5)
+      .head()
+    // sizesBroadcastMaxBytes=0 trips the guard for ANY input: the static
+    // hint is dropped and the join planning is left to AQE — the result
+    // must be identical (the hint is a perf choice, never semantics)
+    val guarded = Dedup.lshRecallGauge(docs, "doc_id", "text",
+      threshold = 0.5, sizesBroadcastMaxBytes = 0L).head()
+    assert(guarded.toSeq == r.toSeq, s"guarded=$guarded unguarded=$r")
+  }
 }

@@ -278,6 +278,24 @@ class PackingSpec extends SparkTestBase {
         col("n"), col("sc"), 5))
   }
 
+  test("budgetSelect: non-numeric score fails fast with a clear message; " +
+    "null-score rows are excluded, not null-propagated") {
+    val s = spark; import s.implicits._
+    val tiny = Seq((1L, 10L, "high"), (2L, 10L, "low"))
+      .toDF("doc_id", "n", "sc")
+    val e = intercept[IllegalArgumentException](
+      Packing.budgetSelect(tiny, "doc_id", col("n"), col("sc"), budget = 25))
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+    // a null score is "unscored" -> not a candidate; the ranked rows'
+    // cumsum is unaffected by the excluded row's tokens
+    val withNull = Seq((1L, 10L, Some(100L)), (2L, 999L, None),
+      (3L, 10L, Some(50L))).toDF("doc_id", "n", "sc")
+    val out = Packing.budgetSelect(withNull, "doc_id", col("n"), col("sc"),
+      budget = 25).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out == Map(1L -> ((0L, true)), 3L -> ((10L, true))), s"got $out")
+  }
+
   test("lengthBucketBatches: bands honored, batches fill longest-first and " +
     "cap at batchSize, waste matches the hand formula") {
     val assigned = Packing.lengthBucketBatches(docs, "doc_id", nTok,

@@ -651,4 +651,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.head == ((1, relMax._1, relMax._3, 2 * relMax._3)))
     assert(got.map(_._2).distinct.size == take, "selected ids must be distinct")
   }
+
+  test("mmrRerankQuantized: rejects a multi-row query frame (the greedy " +
+    "loop pools rel scores into ONE cut — mixing queries would mis-rank)") {
+    val s = spark; import s.implicits._
+    val df = (0L until 10L).map(i =>
+      (i, Array.fill(4)((i + 1).toFloat))).toDF("vec_id", "embedding")
+    val twoQueries = df.where(col("vec_id") < 2)
+    val e = intercept[IllegalArgumentException](
+      Similarity.mmrRerankQuantized(df, twoQueries, pool = 5, take = 2))
+    assert(e.getMessage.contains("exactly 1"), e.getMessage)
+    // an all-zero query quantizes away (n2 = 0) — also not "exactly 1"
+    val zeroQuery = df.where(col("vec_id") === 0)
+      .select(col("vec_id"), transform(col("embedding"), _ => lit(0.0f))
+        .as("embedding"))
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerankQuantized(df, zeroQuery, pool = 5, take = 2))
+  }
 }

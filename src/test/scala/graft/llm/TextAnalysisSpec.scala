@@ -163,6 +163,44 @@ class TextAnalysisSpec extends SparkTestBase {
       "compacted layout lost partition pruning")
   }
 
+  test("LayoutStore.compactSnapshot: string partition values like strata=01 " +
+    "round-trip byte-for-byte (no int/date re-inference renaming dirs)") {
+    val s = spark; import s.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val store = tmpDir("layout-compact-str") + "/store"
+    // zero-padded strata and a date-like shard value: default partition
+    // discovery would re-infer these as int 1 / DATE and rewrite the
+    // directory chain as strata=1 — exactly the corruption under test
+    val data = Seq((1L, "01", "2024-01-02"), (2L, "01", "2024-01-02"),
+      (3L, "10", "2024-01-02")).toDF("id", "strata", "shard")
+    assert(LayoutStore.writeSnapshot(conf, store) { tmp =>
+      data.repartition(4).write.partitionBy("strata", "shard")
+        .parquet(s"$tmp/data")
+    } == 1L)
+    assert(LayoutStore.compactSnapshot(spark, store) == 2L)
+    val dirs = new java.io.File(s"$store/version=2/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("strata=01", "strata=10"), s"got $dirs")
+    new java.io.File(s"$store/version=2/data").listFiles()
+      .filter(_.isDirectory).foreach { d =>
+        assert(d.listFiles().filter(_.isDirectory).map(_.getName).toSet ==
+          Set("shard=2024-01-02"), s"got ${d.listFiles().toSeq}")
+      }
+    // the conf tweak did not leak: the session-level inference flag is
+    // back to its pre-call value
+    assert(spark.conf.getOption(
+      "spark.sql.sources.partitionColumnTypeInference.enabled")
+      .forall(_ == "true"), "compactSnapshot leaked the inference conf")
+    // read-back rows identical (reader disables inference the same way
+    // a layout consumer of string partitions would)
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    spark.conf.set(inferKey, "false")
+    val back = try spark.read.parquet(s"$store/version=2/data")
+      .select("id", "strata", "shard").collect().map(_.toSeq).toSet
+    finally spark.conf.unset(inferKey)
+    assert(back == data.collect().map(_.toSeq).toSet, s"got $back")
+  }
+
   test("writeBm25Layout stamps term_buckets; empty-overlap query returns " +
     "zero rows from a pruned scan") {
     val s = spark; import s.implicits._
@@ -746,5 +784,27 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(o7 == out)
+  }
+
+  test("vocabGrowth: a tenth whose prefix buckets are all empty still " +
+    "reports a zero row — the curve always has `buckets` rows") {
+    val s = spark; import s.implicits._
+    // every id ≡ 2 (mod 3): buckets 0 and 1 are EMPTY, so tenths 1 and 2
+    // cover no docs at all and must report (0, 0, 0), not vanish
+    val df = Seq((2L, "a b"), (5L, "b c"), (8L, "d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(df, "doc_id", "text", buckets = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((0L, 0L, 0L)),
+      2L -> ((0L, 0L, 0L)),
+      3L -> ((3L, 5L, 4L))
+    ), s"got $out")
+    // fully empty corpus: still `buckets` rows of zeros
+    val empty = TextAnalysis.vocabGrowth(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(empty == Set((1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L)), s"got $empty")
   }
 }
