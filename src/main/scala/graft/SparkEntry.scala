@@ -1085,6 +1085,107 @@ object SparkEntry {
       Dedup.simhashRecallGauge(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3, bands = 4, chunks = 6,
         maxBucketSize = Some(docBucketCap(s, dir)))),
+
+    // ---- takedown / right-to-be-forgotten propagation (d65 family) ----
+    "d65_takedown_bm25" -> ((s, dir) => {
+      // deletion end-to-end on the BM25 serving index: v1 indexes the
+      // FULL corpus, the takedown pass propagates the revocation set
+      // (doc_id % 17 = 3) into v2 with closed-form df/N/Σdl repair — the
+      // corpus text is never re-tokenized — and the probe pins latest.
+      // The oracle is an INDEPENDENT from-scratch index of the scrubbed
+      // corpus: any surviving revoked posting or stale stat in v2 shifts
+      // scores/ranks and fails the hash — zero revoked content AND
+      // rebuild-identity in one gate
+      val docs = t(s, dir, "documents")
+      val store = tmpQueryDir("d65-bm25").toString + "/store"
+      TextAnalysis.writeBm25Snapshot(docs, store, termBuckets = 32)
+      graft.llm.Takedown.propagateBm25Snapshot(s, store,
+        docs.where(col("doc_id") % 17 === 3).select(col("doc_id")), "doc_id")
+      val queries = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(lower(col("text"))), 1, 4),
+            " ").as("qtext"))
+      TextAnalysis.bm25TopKIndexedLatest(s, store, queries,
+        "query_id", "qtext", k = 5)
+    }),
+    "m38_takedown_ivf" -> ((s, dir) => {
+      // deletion on the ANN serving layout: v1 = full-corpus IVF store
+      // (m26's shape), then the GENERIC row-keyed propagation drops the
+      // revoked vec_ids (vec_id % 9 = 4) into v2 — cell assignment is a
+      // pure per-row function of the frozen centroids, so the filter is
+      // rebuild-identical by construction; the probe pins latest. The
+      // oracle rebuilds from the scrubbed embeddings — a revoked vector
+      // surviving in any probed cell would enter top-k and fail the hash
+      val emb = t(s, dir, "embeddings")
+      val cents = ivfCentroids(s, dir, 16)
+      val store = tmpQueryDir("m38-ivf").toString + "/store"
+      val conf = s.sparkContext.hadoopConfiguration
+      graft.llm.LayoutStore.writeSnapshot(conf, store)(tmp =>
+        Similarity.writeIvfLayout(emb, cents, tmp))
+      // %5 bites: it revokes vectors that sit in the probe's top-k (the
+      // takedown must VISIBLY change the retrieved set, not just pass a
+      // vacuous filter); the query vector itself (vec_id 0) is exempted
+      graft.llm.Takedown.propagateLayoutSnapshot(s, store,
+        emb.where(col("vec_id") % 5 === 0 && col("vec_id") =!= 0)
+          .select(col("vec_id")), "vec_id")
+      val path = graft.llm.LayoutStore.snapshotPath(conf, store)
+      val qVec = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val cells = cents.zipWithIndex.map { case (c, i) =>
+        var acc = 0.0
+        var j = 0
+        while (j < qVec.length) {
+          val d = qVec(j) - c(j); acc += d * d; j += 1
+        }
+        (acc, i)
+      }.sortBy { case (d, i) => (d, i) }.take(4).map(_._2).toSeq
+      val probed = Similarity.readIvfCells(s, path, cells)
+      Similarity.bruteForceTopK(probed, emb.where(col("vec_id") === 0), k = 5)
+    }),
+    "m39_takedown_state" -> ((s, dir) => {
+      // deletion on the cross-run dedup MEMORY: d11's flow, but the
+      // persisted history state is scrubbed of the revocation set
+      // (doc_id % 11 = 2) before the new shard is flagged against it.
+      // Batch doc 10002 is an exact copy of revoked history doc 2 — it
+      // must now flag keep=true (the state no longer remembers the
+      // revoked text through its hashes); an unscrubbed fp/sig row
+      // would flip it to exact_dup and fail the oracle, which rebuilds
+      // history from the scrubbed ingest directly
+      val docs = t(s, dir, "documents")
+      val base = tmpQueryDir("m39-state").toString
+      val statePath = base + "/sigs"
+      Dedup.writeSignatureState(
+        Dedup.signatureState(docs.where(col("doc_id") < 250), "doc_id", "text"),
+        statePath, mode = "overwrite")
+      val scrubbed = base + "/sigs-scrubbed"
+      graft.llm.Takedown.scrubSignatureState(s, statePath,
+        docs.where(col("doc_id") % 11 === 2).select(col("doc_id")), "doc_id",
+        scrubbed)
+      val batch = docs.where(col("doc_id") >= 250)
+        .unionByName(docs.where(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.incrementalDedup(batch, Dedup.readSignatureState(s, scrubbed),
+        "doc_id", "text", threshold = 0.5)
+    }),
+    "m40_takedown_shards" -> ((s, dir) => {
+      // deletion on the training-shard layout: v1 = m23's layout in a
+      // versioned store; propagation drops revoked docs (doc_id % 13 =
+      // 5) and densely re-ranks pos by the retired snapshot's order —
+      // provably the same (sk, id) order shardAssign derives, so the
+      // oracle is simply d42's formulation over the scrubbed corpus
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val assigned = graft.llm.Packing.shardAssign(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        nShards = 8, salt = "s42")
+      val store = tmpQueryDir("m40-shards").toString + "/store"
+      val conf = s.sparkContext.hadoopConfiguration
+      graft.llm.LayoutStore.writeSnapshot(conf, store)(tmp =>
+        graft.llm.Packing.writeShardLayout(assigned, tmp))
+      graft.llm.Takedown.propagateShardSnapshot(s, store,
+        docs.where(col("doc_id") % 13 === 5).select(col("doc_id")), "doc_id")
+      s.read.parquet(graft.llm.LayoutStore.snapshotPath(conf, store))
+        .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"))
+    }),
     "d61_vocab_growth" -> ((s, dir) =>
       // Heaps'-law gauge: exact vocabulary size of the first 1..10 tenths
       // (id-mod buckets). Never expands the corpus B-fold: vocabulary
@@ -2097,7 +2198,13 @@ object SparkEntry {
     * layout round-trip must surface exactly the corpus rows assigned to
     * the query's 4 nearest cells (same centroid literals, same
     * argmin/probe ordering), scored by the same cosine. */
-  private def ivfLayoutOracleSql: String = {
+  private def ivfLayoutOracleSql: String =
+    ivfLayoutOracleSqlFor("SELECT vec_id, embedding FROM embeddings")
+
+  /** The m20/m26 formulation parameterized on the corpus source — the
+    * m38 takedown oracle passes the SCRUBBED corpus here, making the
+    * oracle an independent from-scratch rebuild of the probed layout. */
+  private def ivfLayoutOracleSqlFor(corpusSql: String): String = {
     val cents = Option(lastIvfCentroids).getOrElse(Array.empty[Array[Double]])
     if (cents.isEmpty)
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS corpus_id,
@@ -2108,7 +2215,7 @@ object SparkEntry {
         duckSqDist("embedding", duckDoubleList(c))
       }.mkString("[", ",\n", "]")
       val cos = duckCos("p.embedding", "a.embedding")
-      s"""WITH al AS (SELECT vec_id, embedding, $dl AS dl FROM embeddings),
+      s"""WITH al AS (SELECT vec_id, embedding, $dl AS dl FROM ($corpusSql)),
          |a AS (SELECT vec_id, embedding,
          |        (list_position(dl, list_min(dl)) - 1) AS cell FROM al),
          |p AS (SELECT vec_id, embedding, cell FROM (
@@ -2240,33 +2347,48 @@ object SparkEntry {
        |    FROM ($src)))""".stripMargin
   }
 
+  /** The d11 incremental-dedup formulation parameterized on the HISTORY
+    * ingest source — m39's takedown oracle passes the scrubbed ingest,
+    * making the oracle an independent rebuild of the scrubbed state. */
+  private def incrementalDedupOracleSql(histSql: String): String = {
+    val bandkeys = (0 until 4)
+      .map(b => s"md5('$b' || '|' || array_to_string(list_slice(sig, ${b * 3 + 1}, ${b * 3 + 3}), '|'))")
+      .mkString(", ")
+    s"""WITH
+       |h AS (${duckSigState(histSql)}),
+       |b AS (${duckSigState(
+           """SELECT doc_id, text FROM documents WHERE doc_id >= 250
+             |UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10""".stripMargin)}),
+       |hb AS (SELECT doc_id AS hist_id, unnest([$bandkeys]) AS band FROM h),
+       |bb AS (SELECT doc_id, unnest([$bandkeys]) AS band FROM b),
+       |cands AS (SELECT DISTINCT bb.doc_id, hb.hist_id FROM bb JOIN hb USING (band)),
+       |nearids AS (SELECT DISTINCT c.doc_id FROM cands c
+       |  JOIN b x ON x.doc_id = c.doc_id
+       |  JOIN h y ON y.doc_id = c.hist_id
+       |  WHERE CAST(len(list_filter(range(1, 13), i -> x.sig[i] = y.sig[i])) AS DOUBLE)
+       |    / CAST(len(x.sig) AS DOUBLE) >= 0.5),
+       |exactids AS (SELECT DISTINCT b.doc_id FROM b
+       |  JOIN (SELECT DISTINCT fp FROM h) hf USING (fp))
+       |SELECT b.doc_id,
+       |  b.doc_id IN (SELECT doc_id FROM exactids) AS exact_dup,
+       |  b.doc_id IN (SELECT doc_id FROM nearids) AS near_dup,
+       |  b.doc_id NOT IN (SELECT doc_id FROM exactids)
+       |    AND b.doc_id NOT IN (SELECT doc_id FROM nearids) AS keep
+       |FROM b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
-    "d11_incremental_dedup" -> {
-      val bandkeys = (0 until 4)
-        .map(b => s"md5('$b' || '|' || array_to_string(list_slice(sig, ${b * 3 + 1}, ${b * 3 + 3}), '|'))")
-        .mkString(", ")
-      s"""WITH
-         |h AS (${duckSigState("SELECT doc_id, text FROM documents WHERE doc_id < 250")}),
-         |b AS (${duckSigState(
-             """SELECT doc_id, text FROM documents WHERE doc_id >= 250
-               |UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 10""".stripMargin)}),
-         |hb AS (SELECT doc_id AS hist_id, unnest([$bandkeys]) AS band FROM h),
-         |bb AS (SELECT doc_id, unnest([$bandkeys]) AS band FROM b),
-         |cands AS (SELECT DISTINCT bb.doc_id, hb.hist_id FROM bb JOIN hb USING (band)),
-         |nearids AS (SELECT DISTINCT c.doc_id FROM cands c
-         |  JOIN b x ON x.doc_id = c.doc_id
-         |  JOIN h y ON y.doc_id = c.hist_id
-         |  WHERE CAST(len(list_filter(range(1, 13), i -> x.sig[i] = y.sig[i])) AS DOUBLE)
-         |    / CAST(len(x.sig) AS DOUBLE) >= 0.5),
-         |exactids AS (SELECT DISTINCT b.doc_id FROM b
-         |  JOIN (SELECT DISTINCT fp FROM h) hf USING (fp))
-         |SELECT b.doc_id,
-         |  b.doc_id IN (SELECT doc_id FROM exactids) AS exact_dup,
-         |  b.doc_id IN (SELECT doc_id FROM nearids) AS near_dup,
-         |  b.doc_id NOT IN (SELECT doc_id FROM exactids)
-         |    AND b.doc_id NOT IN (SELECT doc_id FROM nearids) AS keep
-         |FROM b""".stripMargin
-    },
+    "d11_incremental_dedup" ->
+      incrementalDedupOracleSql(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 250"),
+    "m39_takedown_state" ->
+      // the d11 formulation with history rebuilt DIRECTLY from the
+      // scrubbed ingest — if the Spark-side state scrub left any revoked
+      // (fp, sig) row behind, batch copies of revoked docs would flag
+      // dup and fail the hash
+      incrementalDedupOracleSql(
+        """SELECT doc_id, text FROM documents
+          |WHERE doc_id < 250 AND NOT (doc_id % 11 = 2)""".stripMargin),
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |${dsum("l_quantity", 2, "sum_qty")},
@@ -3939,6 +4061,33 @@ object SparkEntry {
       // the v2 snapshot alone — the v1 half-corpus layout is missing
       // half the cells' rows, which would drop retrieved neighbors
       ivfLayoutOracleSql,
+    "d65_takedown_bm25" ->
+      // independent FROM-SCRATCH index of the scrubbed corpus (s09's
+      // generated formulation over the post-takedown doc set): any
+      // revoked posting or stale df/N/Σdl surviving the propagation
+      // shifts scores and fails the hash
+      TextAnalysis.bm25OracleSql(
+        "SELECT doc_id, text FROM documents WHERE NOT (doc_id % 17 = 3)",
+        """SELECT doc_id AS query_id,
+          |array_to_string(list_filter(string_split(lower(text), ' '),
+          |  x -> x != '')[1:4], ' ') AS qtext
+          |FROM documents WHERE doc_id < 3""".stripMargin,
+        k = 5),
+    "m38_takedown_ivf" ->
+      // m20/m26's formulation rebuilt over the scrubbed embeddings — a
+      // revoked vector surviving in any probed cell would enter top-k
+      ivfLayoutOracleSqlFor(
+        """SELECT vec_id, embedding FROM embeddings
+          |WHERE NOT (vec_id % 5 = 0 AND vec_id != 0)""".stripMargin),
+    "m40_takedown_shards" ->
+      // d42's formulation over the scrubbed corpus: the re-ranked pos
+      // must equal the from-scratch row_number per shard
+      graft.llm.Packing.shardAssignOracleSql(
+        """SELECT doc_id,
+          |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+          |    AS BIGINT) AS n_tokens
+          |FROM documents WHERE NOT (doc_id % 13 = 5)""".stripMargin,
+        "doc_id", nShards = 8, salt = "s42"),
     "s09_bm25_topk" ->
       // generated from the SAME k1/b literals and expression tree as the
       // Spark side (TextAnalysis.bm25OracleSql); queries mirror the

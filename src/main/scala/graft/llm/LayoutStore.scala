@@ -62,6 +62,27 @@ object LayoutStore {
     s"$path/version=$pin"
   }
 
+  /** Hidden/temp dirs (`_spark_metadata`, dot-temps) are not sub-tables. */
+  private[llm] def visibleStatus(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+    val n = st.getPath.getName
+    !n.startsWith("_") && !n.startsWith(".")
+  }
+
+  /** Walk `col=value` directory chains to recover a table's partition
+    * spec (shared by [[compactSnapshot]] and Takedown's generic
+    * propagation walk). */
+  private[llm] def partitionCols(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val kids = fs.listStatus(dir)
+      .filter(st => st.isDirectory && visibleStatus(st) &&
+        st.getPath.getName.contains("="))
+    if (kids.isEmpty) Seq.empty
+    else {
+      val k = kids.head.getPath
+      k.getName.split("=", 2)(0) +: partitionCols(fs, k)
+    }
+  }
+
   /** Compact the newest snapshot into a NEW snapshot — the small-file
     * maintenance job every long-lived 100 TB layout needs: incremental
     * rebuilds and wide write parallelism accrete many small files per
@@ -89,21 +110,10 @@ object LayoutStore {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(snapshotPath(conf, path))
     val fs = src.getFileSystem(conf)
-    def visible(st: org.apache.hadoop.fs.FileStatus): Boolean = {
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    // walk col=value directory chains to recover the partition spec
-    def partCols(dir: org.apache.hadoop.fs.Path): Seq[String] = {
-      val kids = fs.listStatus(dir)
-        .filter(st => st.isDirectory && visible(st) &&
-          st.getPath.getName.contains("="))
-      if (kids.isEmpty) Seq.empty
-      else {
-        val k = kids.head.getPath
-        k.getName.split("=", 2)(0) +: partCols(k)
-      }
-    }
+    def visible(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      visibleStatus(st)
+    def partCols(dir: org.apache.hadoop.fs.Path): Seq[String] =
+      partitionCols(fs, dir)
     // Partition values must round-trip BYTE-FOR-BYTE: default partition
     // discovery re-infers `strata=01` as int 1 (or a date-like value as
     // DATE), silently renaming directories and changing the read-back

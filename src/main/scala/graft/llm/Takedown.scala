@@ -1,0 +1,218 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Takedown / right-to-be-forgotten propagation — the production
+  * deletion pass: given a revocation set (ids; URLs or fingerprints
+  * resolve to ids upstream via [[Web.normalizeUrl]] / exact keys), the
+  * corpus is scrubbed AND every derived versioned artifact re-lands as
+  * a NEW snapshot with the revoked content gone — because deleting from
+  * the corpus alone is not deletion: the content keeps serving from
+  * BM25 postings, ANN layouts, dedup signature state and shard layouts
+  * until each is re-snapshotted. Every propagator here writes
+  * `version=N+1` through the [[LayoutStore]] dot-temp + atomic-rename
+  * contract, so probes pin either the old complete snapshot or the new
+  * scrubbed one, never a half-write, and the retired version stays
+  * until [[LayoutStore.prune]] (auditable, then gone).
+  *
+  * Cost discipline: every propagator is cost-∝-INDEX (one filtered
+  * rewrite of the artifact), never cost-∝-corpus — the corpus text is
+  * never re-read, never re-tokenized, never re-embedded. The one
+  * deliberate exception is [[propagateBenchKeys]]: the bench-key store
+  * holds content HASHES with no doc provenance (by design — it must not
+  * leak eval text), so removal cannot be attributed per-key without the
+  * bench sheet; since that sheet is eval-sized, propagation IS a
+  * rebuild on the scrubbed sheet.
+  *
+  * Rebuild-equality contract (what the d65 oracle gates): after
+  * propagation, a probe of the new snapshot returns results
+  * hash-identical to the same probe of a from-scratch rebuild on the
+  * scrubbed input — surviving rows are byte-identical, derived stats
+  * (BM25 df/N/Σdl, shard `pos`) are adjusted in closed form, and no
+  * revoked id can appear in any probed result because its rows are
+  * simply not in the snapshot.
+  */
+object Takedown {
+
+  private def idsFrame(revoked: DataFrame, revokedIdCol: String): DataFrame =
+    revoked.select(col(revokedIdCol).as("__rid")).where(col("__rid").isNotNull)
+      .distinct()
+
+  /** The corpus-side scrub: drop every revoked id (left-anti — null ids
+    * and ids not present are no-ops). This is the frame all downstream
+    * REBUILDS would consume; the propagators below make those rebuilds
+    * unnecessary. */
+  def scrubCorpus(df: DataFrame, idCol: String, revoked: DataFrame,
+                  revokedIdCol: String): DataFrame =
+    df.join(idsFrame(revoked, revokedIdCol)
+      .select(col("__rid").as(idCol)), Seq(idCol), "left_anti")
+
+  /** Generic row-keyed layout propagation — IVF / SRP / quantized /
+    * PQ-codes layouts and any [[LayoutStore]] snapshot whose rows are
+    * self-contained per id: walk the pinned snapshot's sub-tables (or
+    * the root table, when the snapshot root itself is the partitioned
+    * table — the writeIvfLayout-in-store shape), left-anti each table
+    * that carries one of `idCols`, copy tables that don't (centroid/meta
+    * sheets), and land the result as the next version. Partition
+    * `col=value` chains round-trip byte-for-byte (inference pinned off,
+    * the compactSnapshot fix). Row-level filtering is EXACTLY
+    * rebuild-identical for these layouts because cell/bucket assignment
+    * is a pure per-row function of frozen centroids/planes.
+    *
+    * NOT for artifacts with cross-row derived stats — BM25's df/N/Σdl
+    * ([[propagateBm25Snapshot]]) and shard `pos` ranks
+    * ([[propagateShardSnapshot]]) have dedicated closed-form
+    * propagators; a plain row filter would leave their derived numbers
+    * stale. Returns the new version. */
+  def propagateLayoutSnapshot(spark: SparkSession, path: String,
+                              revoked: DataFrame, revokedIdCol: String,
+                              idCols: Seq[String] =
+                                Seq("vec_id", "doc_id", "id"),
+                              version: Option[Long] = None): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(
+      LayoutStore.snapshotPath(conf, path, version))
+    val fs = src.getFileSystem(conf)
+    val ids = idsFrame(revoked, revokedIdCol)
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferPrev = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    try LayoutStore.writeSnapshot(conf, path) { tmp =>
+      def rewrite(tableSrc: org.apache.hadoop.fs.Path, dest: String): Unit = {
+        val df = spark.read.parquet(tableSrc.toString)
+        val parts = LayoutStore.partitionCols(fs, tableSrc)
+        val filtered = idCols.find(df.columns.contains) match {
+          case Some(c) =>
+            df.join(ids.select(col("__rid").as(c)), Seq(c), "left_anti")
+          case None => df
+        }
+        val w = (if (parts.isEmpty) filtered
+                 else filtered.repartition(parts.map(col): _*))
+          .write.mode("overwrite")
+        (if (parts.isEmpty) w else w.partitionBy(parts: _*)).parquet(dest)
+      }
+      val kids = fs.listStatus(src)
+        .filter(st => st.isDirectory && LayoutStore.visibleStatus(st))
+      if (kids.isEmpty || kids.exists(_.getPath.getName.contains("=")))
+        rewrite(src, tmp) // the snapshot root IS the (partitioned) table
+      else kids.foreach(sub =>
+        rewrite(sub.getPath, s"$tmp/${sub.getPath.getName}"))
+    } finally {
+      inferPrev match {
+        case Some(v) => spark.conf.set(inferKey, v)
+        case None => spark.conf.unset(inferKey)
+      }
+    }
+  }
+
+  /** BM25 index propagation with closed-form stat repair — the artifact
+    * where a naive row filter is WRONG: scores read df (denormalized on
+    * every posting) and the corpus-frozen N/Σdl, all of which change
+    * when docs leave. From the index alone: removed postings give each
+    * term's df decrement and each removed doc's dl; survivors keep
+    * their tf/dl (per-doc quantities don't depend on other docs); the
+    * stats row adjusts by the removed doc count and token mass. The
+    * result is bit-identical to `writeBm25Snapshot` on the scrubbed
+    * corpus — without re-tokenizing a single byte of text. (One
+    * documented edge: a revoked doc with ZERO tokens never entered the
+    * postings, so its removal can't be seen from the index — its `n`
+    * contribution survives. Exact for any revoked doc with >= 1 token.)
+    *
+    * The per-term decrement frame is revoked-vocabulary-sized; it
+    * broadcasts only under `decBroadcastMaxBytes` (plan-stats guard,
+    * the d18/d29 pattern), else the join shuffles. Returns the new
+    * version. */
+  def propagateBm25Snapshot(spark: SparkSession, path: String,
+                            revoked: DataFrame, revokedIdCol: String,
+                            decBroadcastMaxBytes: Long = 64L << 20,
+                            version: Option[Long] = None): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = LayoutStore.snapshotPath(conf, path, version)
+    val ids = idsFrame(revoked, revokedIdCol).select(col("__rid").as("doc_id"))
+    val postings = spark.read.parquet(s"$src/postings")
+    val st = spark.read.parquet(s"$src/stats").head()
+    val removed = postings.join(ids, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val remStats = removed.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("tot"))
+      .head()
+    val dec0 = removed.groupBy(col("term")).agg(count(lit(1)).as("__rm"))
+    val dec =
+      if (dec0.queryExecution.optimizedPlan.stats.sizeInBytes
+          <= BigInt(decBroadcastMaxBytes)) broadcast(dec0)
+      else dec0
+    val survivors = postings.join(ids, Seq("doc_id"), "left_anti")
+      .join(dec, Seq("term"), "left")
+      .withColumn("df", col("df") - coalesce(col("__rm"), lit(0L)))
+      .drop("__rm")
+    val out = LayoutStore.writeSnapshot(conf, path) { tmp =>
+      survivors.repartition(col("tbucket"))
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$tmp/postings")
+      spark.range(1)
+        .select(lit(st.getAs[Long]("n") - remStats.getLong(0)).as("n"),
+          lit(st.getAs[Long]("tot") - remStats.getLong(1)).as("tot"),
+          lit(st.getAs[Int]("term_buckets")).as("term_buckets"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    }
+    removed.unpersist(blocking = true)
+    out
+  }
+
+  /** Shard-layout propagation ([[Packing.writeShardLayout]] inside a
+    * [[LayoutStore]] store): drop revoked docs, then densely re-rank
+    * `pos` WITHIN each shard by the retired snapshot's pos order.
+    * Because pos order is the (sk, id) order and sk is a pure function
+    * of (salt, id), surviving docs keep their relative order — the
+    * re-rank reproduces exactly the pos a from-scratch
+    * [[Packing.shardAssign]] on the scrubbed corpus would emit, without
+    * recomputing a single hash. Returns the new version. */
+  def propagateShardSnapshot(spark: SparkSession, path: String,
+                             revoked: DataFrame, revokedIdCol: String,
+                             idCol: String = "doc_id",
+                             version: Option[Long] = None): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = LayoutStore.snapshotPath(conf, path, version)
+    val ids = idsFrame(revoked, revokedIdCol).select(col("__rid").as(idCol))
+    val t = spark.read.parquet(src)
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
+    val reranked = t.join(ids, Seq(idCol), "left_anti")
+      .withColumn("pos", (row_number().over(w) - 1).cast("int"))
+    LayoutStore.writeSnapshot(conf, path)(tmp =>
+      Packing.writeShardLayout(reranked, tmp))
+  }
+
+  /** Signature-state scrub (the cross-run dedup memory,
+    * [[Dedup.writeSignatureState]]'s flat append table): every revoked
+    * doc's (fp, sig) row leaves, so no future batch can ever be flagged
+    * a duplicate OF revoked content — which is itself a leak (the state
+    * would keep "remembering" the revoked text through its hashes).
+    * The state table is append-mode flat, not versioned, so the scrub
+    * lands at `outPath` (typically a fresh dir the caller then swaps in
+    * via the RunState/publishRename primitive — in-place overwrite of a
+    * table being read is not atomic on any FS). Format stamp and
+    * column layout pass through untouched (readSignatureState
+    * re-validates on the way in). */
+  def scrubSignatureState(spark: SparkSession, statePath: String,
+                          revoked: DataFrame, revokedIdCol: String,
+                          outPath: String): Unit =
+    Dedup.readSignatureState(spark, statePath)
+      .join(idsFrame(revoked, revokedIdCol).select(col("__rid").as("id")),
+        Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(outPath)
+
+  /** Bench-key propagation — the documented rebuild case: the store
+    * holds distinct hashed shingles with NO doc provenance (deliberate:
+    * the store must not leak eval text), so a revoked doc's keys cannot
+    * be surgically removed without over-removing shingles that
+    * SURVIVING bench docs also contain. The bench sheet is eval-sized,
+    * so the correct propagation is simply the next snapshot built from
+    * the scrubbed sheet ([[scrubCorpus]] upstream): replaced keys
+    * retire by the readBenchKeysLatest pin, identically to a normal
+    * eval-set refresh (d32). Returns the new version. */
+  def propagateBenchKeys(scrubbedBench: DataFrame, textCol: String,
+                         path: String, k: Int = 8): Long =
+    Dedup.writeBenchKeysSnapshot(scrubbedBench, textCol, path, k)
+}

@@ -1,0 +1,165 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TakedownSpec extends SparkTestBase {
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  test("propagateBm25Snapshot: v2 is bit-identical to a from-scratch index " +
+    "of the scrubbed corpus; the retired v1 still serves the revoked doc") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "revoked secret document about spark"),
+      (3L, "data stages and more data"),
+      (4L, "an unrelated note")).toDF("doc_id", "text")
+    val revoked = Seq(2L).toDF("doc_id")
+    val store = tmpDir("takedown-bm25") + "/store"
+    assert(TextAnalysis.writeBm25Snapshot(docs, store, termBuckets = 8) == 1L)
+    assert(Takedown.propagateBm25Snapshot(spark, store, revoked, "doc_id") == 2L)
+    // versioned retirement: both snapshots live until prune
+    assert(LayoutStore.versions(conf, store) == Seq(1L, 2L))
+    val q = Seq((100L, "spark data")).toDF("query_id", "qtext")
+    val v1 = TextAnalysis.bm25TopKIndexedLatest(spark, store, q,
+      "query_id", "qtext", k = 10, version = Some(1L))
+    assert(v1.where(col("doc_id") === 2L).count() == 1,
+      "pinned v1 must still serve the revoked doc (auditable until prune)")
+    val v2 = TextAnalysis.bm25TopKIndexedLatest(spark, store, q,
+      "query_id", "qtext", k = 10)
+    assert(v2.where(col("doc_id") === 2L).count() == 0)
+    // rebuild-identity: the propagated index == writeBm25Snapshot on the
+    // scrubbed corpus, row for row (postings AND stats, not just top-k)
+    val rebuilt = tmpDir("takedown-bm25-rebuilt") + "/store"
+    TextAnalysis.writeBm25Snapshot(
+      Takedown.scrubCorpus(docs, "doc_id", revoked, "doc_id"),
+      rebuilt, termBuckets = 8)
+    def postings(path: String) = spark.read
+      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/postings")
+      .select("term", "doc_id", "tf", "dl", "df")
+      .collect().map(_.toSeq).toSet
+    def stats(path: String) = spark.read
+      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/stats")
+      .select("n", "tot", "term_buckets").head().toSeq
+    assert(postings(store) == postings(rebuilt))
+    assert(stats(store) == stats(rebuilt))
+  }
+
+  test("propagateLayoutSnapshot: generic walk filters id-keyed sub-tables, " +
+    "copies meta sheets, preserves string partition dirs, lands version=2") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("takedown-generic") + "/store"
+    val rows = Seq((1L, "01", 1.0), (2L, "01", 2.0), (3L, "10", 3.0))
+      .toDF("vec_id", "strata", "v")
+    assert(LayoutStore.writeSnapshot(conf, store) { tmp =>
+      rows.repartition(2).write.partitionBy("strata").parquet(s"$tmp/cells")
+      Seq(("model", 7L)).toDF("name", "n").write.parquet(s"$tmp/meta")
+    } == 1L)
+    assert(Takedown.propagateLayoutSnapshot(spark,
+      store, Seq(2L).toDF("vec_id"), "vec_id") == 2L)
+    assert(LayoutStore.versions(conf, store) == Seq(1L, 2L))
+    val v2 = LayoutStore.snapshotPath(conf, store)
+    val dirs = new java.io.File(s"$v2/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("strata=01", "strata=10"), s"got $dirs")
+    assert(spark.read.parquet(s"$v2/cells").select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // the meta sheet (no id column) copies through untouched
+    assert(spark.read.parquet(s"$v2/meta").collect().map(_.toSeq).toSet ==
+      Set(Seq("model", 7L)))
+    // v1 retains the revoked row until prune
+    assert(spark.read.parquet(s"$store/version=1/cells").select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("propagateLayoutSnapshot: a snapshot whose ROOT is the partitioned " +
+    "table (writeIvfLayout-in-store shape) filters in place") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("takedown-root") + "/store"
+    val emb = (0L until 20L).map(i =>
+      (i, Array.fill(4)((i % 5).toFloat + 1f))).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 1.0, 1.0, 1.0), Array(4.0, 4.0, 4.0, 4.0))
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      Similarity.writeIvfLayout(emb, cents, tmp))
+    Takedown.propagateLayoutSnapshot(spark, store,
+      Seq(3L, 7L).toDF("vec_id"), "vec_id")
+    val v2 = LayoutStore.snapshotPath(conf, store)
+    val ids = spark.read.parquet(v2).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 20L).toSet -- Set(3L, 7L), s"got $ids")
+    // cell= partition dirs survive for pruned probes
+    assert(new java.io.File(v2).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
+  }
+
+  test("propagateShardSnapshot: filtered + re-ranked pos equals a " +
+    "from-scratch shardAssign on the scrubbed corpus") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i word" * (i % 7 + 1).toInt))
+      .toDF("doc_id", "text")
+    val nTok = TextAnalysis.tokenCount(col("text")).cast("long")
+    val assigned = Packing.shardAssign(docs, "doc_id", nTok,
+      nShards = 4, salt = "tk")
+    val store = tmpDir("takedown-shards") + "/store"
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      Packing.writeShardLayout(assigned, tmp))
+    val revoked = docs.where(col("doc_id") % 6 === 1).select("doc_id")
+    assert(Takedown.propagateShardSnapshot(spark, store, revoked,
+      "doc_id") == 2L)
+    val got = spark.read
+      .parquet(LayoutStore.snapshotPath(conf, store))
+      .select("doc_id", "shard", "pos", "n_tokens")
+      .collect().map(_.toSeq).toSet
+    val want = Packing.shardAssign(
+      Takedown.scrubCorpus(docs, "doc_id", revoked, "doc_id"),
+      "doc_id", nTok, nShards = 4, salt = "tk")
+      .select("doc_id", "shard", "pos", "n_tokens")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("scrubSignatureState: revoked rows leave, format stamp survives, " +
+    "and a copy of revoked content flags keep=true against the scrub") {
+    val s = spark; import s.implicits._
+    val hist = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "revoked text that must be forgotten by the state"))
+      .toDF("doc_id", "text")
+    val base = tmpDir("takedown-state")
+    Dedup.writeSignatureState(
+      Dedup.signatureState(hist, "doc_id", "text"), s"$base/sigs",
+      mode = "overwrite")
+    Takedown.scrubSignatureState(spark, s"$base/sigs",
+      Seq(2L).toDF("doc_id"), "doc_id", s"$base/scrubbed")
+    val st = Dedup.readSignatureState(spark, s"$base/scrubbed")
+    assert(st.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(st.columns.contains("sig_format"))
+    // a re-ingest of the revoked text is NEW to the scrubbed state...
+    val batch = Seq((10L, "revoked text that must be forgotten by the state"),
+      (11L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val dec = Dedup.incrementalDedup(batch, st, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(dec == Map(10L -> true, 11L -> false), s"got $dec")
+  }
+
+  test("propagateBenchKeys: the rebuild case — next version carries only " +
+    "the scrubbed sheet's shingles; readers pin it; v1 retains") {
+    val s = spark; import s.implicits._
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "revoked eval prompt one two three four five"))
+      .toDF("doc_id", "text")
+    val store = tmpDir("takedown-bench") + "/keys"
+    assert(Dedup.writeBenchKeysSnapshot(bench, "text", store, k = 8) == 1L)
+    assert(Takedown.propagateBenchKeys(
+      Takedown.scrubCorpus(bench, "doc_id", Seq(2L).toDF("doc_id"), "doc_id"),
+      "text", store, k = 8) == 2L)
+    val flags = Dedup.contaminationFlagsAgainstKeys(bench,
+      Dedup.readBenchKeysLatest(spark, store, k = 8), "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags == Map(1L -> true, 2L -> false),
+      s"revoked doc's keys must be retired from the live set: $flags")
+    assert(Dedup.benchKeyVersions(conf, store) == Seq(1L, 2L))
+  }
+}
