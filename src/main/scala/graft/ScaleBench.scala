@@ -872,6 +872,74 @@ object ScaleBench {
     val bowScoreSecs = secs(tBowScore)
     val bowExchanges = shuffleCount(bowQe)
 
+    // ---- round-10 surfaces at the 544k corpus --------------------------
+    // d66 SimHash-tier recall gauge, on the EXACT-DEDUPED corpus (the
+    // gauge's contract at scale: verbatim mega-clusters belong to exact
+    // dedup — left in, even the uncapped truth generator would go
+    // quadratic inside the 2500-deep identical-signature buckets). The
+    // number this makes first-class: what the capped 4x16-bit band tier
+    // drops when its 2^16-value buckets saturate, vs the combination-key
+    // tier at the same cap.
+    val tSimRec = System.nanoTime()
+    val gaugeCorpus = Dedup.exactDedup(corpus, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    gaugeCorpus.count()
+    val simRec = Dedup.simhashRecallGauge(gaugeCorpus, "doc_id", "text",
+      maxHamming = 3, bands = 4, chunks = 6, maxBucketSize = Some(cap))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(4)))).toMap
+    gaugeCorpus.unpersist(blocking = true)
+    val simRecSecs = secs(tSimRec)
+    val (simRecTrue, simRecBand) = simRec("band")
+    val simRecComb = simRec("combined")._2
+
+    // d67 distinct-cardinality monitor: exact count(DISTINCT) rollup vs
+    // the HLL regime over the same 32-source split. At 100TB the exact
+    // distinct-term pass IS the bottleneck this row exists to avoid —
+    // locally the gap is modest (both pay the tokenize+explode); the
+    // claim worth committing is the sketch's error at its ±5% rsd.
+    val cardSrc = corpus.withColumn("src",
+      concat(lit("s"), (col("doc_id") % 32).cast("string")))
+    val tCardEx = System.nanoTime()
+    val cardExact = TextAnalysis.cardinalityMonitor(cardSrc, "doc_id",
+      "text", "src").where(col("is_total") === 1).head()
+    val cardExactSecs = secs(tCardEx)
+    val tCardHll = System.nanoTime()
+    val cardHll = TextAnalysis.cardinalityMonitor(cardSrc, "doc_id",
+      "text", "src", approximate = true, rsd = 0.05)
+      .where(col("is_total") === 1).head()
+    val cardHllSecs = secs(tCardHll)
+    val (cardExactTerms, cardHllTerms) =
+      (cardExact.getLong(4), cardHll.getLong(4))
+    val cardHllErr =
+      math.abs(cardHllTerms - cardExactTerms).toDouble / cardExactTerms
+
+    // d65 takedown propagation vs from-scratch rebuild on the BM25
+    // index: revoke 1% of docs, then (a) propagate with closed-form
+    // df/N/Σdl repair — reads only the index — vs (b) re-index the
+    // scrubbed corpus — pays the full tokenize+explode+aggs again. The
+    // gap is the production deletion-pass win and grows with text width
+    // (the index rows are a fraction of the corpus bytes).
+    val tdStore = java.nio.file.Files
+      .createTempDirectory("graft-td").toString + "/bm25"
+    val tTdBuild = System.nanoTime()
+    TextAnalysis.writeBm25Snapshot(corpus, tdStore, termBuckets = 64)
+    val tdBuildSecs = secs(tTdBuild)
+    val tdRevoked = corpus.where(col("doc_id") % 100 === 7)
+      .select(col("doc_id"))
+    val tdRevokedN = tdRevoked.count()
+    val tTdProp = System.nanoTime()
+    graft.llm.Takedown.propagateBm25Snapshot(spark, tdStore, tdRevoked,
+      "doc_id")
+    val tdPropSecs = secs(tTdProp)
+    val tdRebuildStore = java.nio.file.Files
+      .createTempDirectory("graft-td-rb").toString + "/bm25"
+    val tTdRebuild = System.nanoTime()
+    TextAnalysis.writeBm25Snapshot(
+      graft.llm.Takedown.scrubCorpus(corpus, "doc_id", tdRevoked, "doc_id"),
+      tdRebuildStore, termBuckets = 64)
+    val tdRebuildSecs = secs(tTdRebuild)
+
     val line =
       s"""{"metric":"scale_dedup","unit":"sec","sf":"$sfDir","docs":$nDocs,""" +
       s""""gen_secs":$genSecs,"exact_secs":$exactSecs,"exact_groups":$nExactGroups,""" +
@@ -951,6 +1019,14 @@ object ScaleBench {
       s""""cal_secs":$calSecs,"cal_rows":$nCal,""" +
       s""""bow_fit_secs":$bowFitSecs,"bow_score_secs":$bowScoreSecs,""" +
       s""""bow_rows":$nBow,"bow_exchanges":$bowExchanges,""" +
+      s""""simrec_secs":$simRecSecs,"simrec_true":$simRecTrue,""" +
+      s""""simrec_band_recall":$simRecBand,""" +
+      s""""simrec_comb_recall":$simRecComb,""" +
+      s""""card_exact_secs":$cardExactSecs,"card_hll_secs":$cardHllSecs,""" +
+      s""""card_exact_terms":$cardExactTerms,"card_hll_terms":$cardHllTerms,""" +
+      s""""card_hll_err":$cardHllErr,""" +
+      s""""td_build_secs":$tdBuildSecs,"td_prop_secs":$tdPropSecs,""" +
+      s""""td_rebuild_secs":$tdRebuildSecs,"td_revoked_docs":$tdRevokedN,""" +
       s""""total_secs":${secs(t0)}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_BENCH.json"), line + "\n")

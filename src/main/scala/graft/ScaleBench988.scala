@@ -1,0 +1,121 @@
+package graft
+
+import graft.llm.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** The ~988k-doc near-linearity confirmation run — [[ScaleBench]]'s
+  * corpus recipe at ~2x the default replication (cold 110x / hot 4500x vs
+  * 60x / 2500x), restricted to the detector surfaces whose scaling is the
+  * claim under test: exact dedup, capped LSH pairing, connected
+  * components, winnowing, both SimHash tiers, and the PassJoin edit
+  * family (previously only measured at 544k). A near-linear read: each
+  * stage's seconds and output cardinalities land at ~1.8-2.2x their
+  * SCALE_BENCH.json 544k rows. Writes SCALE_BENCH_988.json (one JSON
+  * line, same key names as the 544k artifact where the stages overlap).
+  *
+  * Run: sbt "runMain graft.ScaleBench988" — a timing artifact; do not
+  * run other Spark jobs or sbt test concurrently.
+  */
+object ScaleBench988 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val coldReps = sys.env.getOrElse("GRAFT_SCALE_COLD", "110").toInt
+    val hotReps = sys.env.getOrElse("GRAFT_SCALE_HOT", "4500").toInt
+    val spark = graft.core.GraftSession.local("graft-scale-bench-988")
+    val t0 = System.nanoTime()
+    def secs(since: Long): Double = (System.nanoTime() - since) / 1e9
+
+    // corpus: identical recipe to ScaleBench (same skew shape, same
+    // mega-cluster/near-clique mix) at the doubled replication factors
+    val gen = System.nanoTime()
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .repartition(64)
+    val replicated = base
+      .withColumn("__hot", col("doc_id") % 50 === 0)
+      .withColumn("__reps",
+        when(col("__hot"), lit(hotReps)).otherwise(lit(coldReps)))
+      .select(col("doc_id"), col("text"), col("__hot"),
+        explode(sequence(lit(0), col("__reps") - 1)).as("rep"))
+      .select((col("doc_id") * 100000 + col("rep")).as("doc_id"),
+        when(col("__hot"), col("text"))
+          .otherwise(concat(col("text"), lit(" rev "), col("rep").cast("string")))
+          .as("text"))
+    val corpusPath = java.nio.file.Files
+      .createTempDirectory("graft-scale-988").toString + "/corpus"
+    replicated.write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val nDocs = corpus.count()
+    val genSecs = secs(gen)
+
+    val tExact = System.nanoTime()
+    val nExactGroups = corpus
+      .select(Dedup.exactKey(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n"))
+      .count()
+    val exactSecs = secs(tExact)
+
+    val cap = 256
+    val tLsh = System.nanoTime()
+    val cands = Dedup.lshCandidatePairs(corpus, "doc_id", "text",
+      maxBucketSize = Some(cap))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCands = cands.count()
+    val lshSecs = secs(tLsh)
+
+    val tCc = System.nanoTime()
+    val cc = Dedup.connectedComponents(cands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nClusters = cc.select(col("cluster")).distinct().count()
+    val nClustered = cc.count()
+    val ccSecs = secs(tCc)
+    val ccRounds = Dedup.lastCcRounds
+    cands.unpersist(); cc.unpersist()
+
+    val tWin = System.nanoTime()
+    val nFps = corpus
+      .select(col("doc_id"), lower(col("text")).as("__t"))
+      .select(col("doc_id"),
+        TextAnalysis.charGramHashes(col("__t"), k = 8).as("__g"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnowingMinima(col("__g"), w = 4)).as("fp"))
+      .count()
+    val winSecs = secs(tWin)
+
+    val tSim = System.nanoTime()
+    val nSimPairs = Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = Some(cap)).count()
+    val simSecs = secs(tSim)
+    val tSimC = System.nanoTime()
+    val nSimCPairs = Dedup.simhashNearDupPairsCombined(corpus, "doc_id",
+      "text", maxHamming = 3, chunks = 6, maxBucketSize = Some(cap)).count()
+    val simCSecs = secs(tSimC)
+
+    // the round-9 edit family at 988k — the VERDICT r9 ask: PassJoin was
+    // only measured at 544k; near-linearity of segment blocking + the
+    // native banded verify is the claim
+    val tEdit = System.nanoTime()
+    val editK = 4
+    val nEditPairs = Dedup.editNearDupPairs(corpus, "doc_id", "text",
+      k = editK, maxBucketSize = Some(cap)).count()
+    val editSecs = secs(tEdit)
+
+    val line =
+      s"""{"metric":"scale_dedup_988","unit":"sec","sf":"$sfDir",""" +
+      s""""docs":$nDocs,"gen_secs":$genSecs,""" +
+      s""""exact_secs":$exactSecs,"exact_groups":$nExactGroups,""" +
+      s""""lsh_secs":$lshSecs,"lsh_cands":$nCands,"bucket_cap":$cap,""" +
+      s""""cc_secs":$ccSecs,"cc_clusters":$nClusters,"cc_nodes":$nClustered,""" +
+      s""""cc_rounds":$ccRounds,""" +
+      s""""winnow_secs":$winSecs,"winnow_fps":$nFps,""" +
+      s""""simhash_secs":$simSecs,"simhash_pairs":$nSimPairs,""" +
+      s""""simhash_comb_secs":$simCSecs,"simhash_comb_pairs":$nSimCPairs,""" +
+      s""""edit_secs":$editSecs,"edit_pairs":$nEditPairs,"edit_k":$editK,""" +
+      s""""total_secs":${secs(t0)}}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SCALE_BENCH_988.json"), line + "\n")
+    spark.stop()
+  }
+}

@@ -227,6 +227,40 @@ object SparkEntry {
   private def tmpQueryDir(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(tmpRoot, prefix)
 
+  /** d68/d69 messy-URL synthesis (the d31 planted-input convention): the
+    * corpus has no URL column, so both engines construct the SAME
+    * doc_id/source-derived URL covering every normalization axis —
+    * scheme/host case, default vs real ports, trailing slash, param
+    * order, tracking params, fragments. */
+  private def messyUrl: Column = concat(
+    when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("http")),
+    lit("://"),
+    when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("www.")),
+    col("source"), lit(".ex"), (col("doc_id") % 7).cast("string"),
+    lit(".COM"),
+    when(col("doc_id") % 3 === 0, lit(":443"))
+      .otherwise(when(col("doc_id") % 5 === 0, lit(":80"))
+        .otherwise(lit(""))),
+    lit("/Docs/"), (col("doc_id") % 50).cast("string"),
+    when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 2 === 0, lit("?b=2&a=1&utm_source=feed"))
+      .otherwise(lit("?a=1&b=2")),
+    when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** DuckDB twin of [[messyUrl]], same literals operator-for-operator. */
+  private val messyUrlSql: String =
+    """(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END)
+      |    || '://'
+      |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END)
+      |    || source || '.ex' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+      |    || (CASE WHEN doc_id % 3 = 0 THEN ':443'
+      |             WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END)
+      |    || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=feed'
+      |             ELSE '?a=1&b=2' END)
+      |    || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)""".stripMargin
+
   /** BPE-ish tokenizer regex (d13): alphanumeric/apostrophe runs or single
     * non-space symbols. Deliberately RE2-compatible (no lookarounds) so
     * the DuckDB oracle evaluates the IDENTICAL pattern. */
@@ -1047,24 +1081,79 @@ object SparkEntry {
       // order, tracking params, fragments. Normalization + registrable
       // domain + per-domain rollup + blocklist gate are the operators
       // under test, implemented independently on each side.
-      val url = concat(
-        when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("http")),
-        lit("://"),
-        when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("www.")),
-        col("source"), lit(".ex"), (col("doc_id") % 7).cast("string"),
-        lit(".COM"),
-        when(col("doc_id") % 3 === 0, lit(":443"))
-          .otherwise(when(col("doc_id") % 5 === 0, lit(":80"))
-            .otherwise(lit(""))),
-        lit("/Docs/"), (col("doc_id") % 50).cast("string"),
-        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
-        when(col("doc_id") % 2 === 0, lit("?b=2&a=1&utm_source=feed"))
-          .otherwise(lit("?a=1&b=2")),
-        when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit("")))
       Web.domainRollup(
         t(s, dir, "documents").select(col("doc_id"), col("source"),
-          col("n_chars")).withColumn("url", url),
+          col("n_chars")).withColumn("url", messyUrl),
         "url", col("n_chars"), blocklist = Seq("ex2.com", "ex5.com"))
+    }),
+    "d69_domain_cap" -> ((s, dir) =>
+      // C4/RefinedWeb's anti-domination rule over the same messy URLs:
+      // at most 40 docs per registrable domain, survivors chosen by the
+      // deterministic salted-hash order (never rand()) — the oracle
+      // re-ranks with DuckDB's own window over the same md5 key
+      Web.domainCap(
+        t(s, dir, "documents").select(col("doc_id"), col("source"))
+          .withColumn("url", messyUrl),
+        "doc_id", "url", maxPerDomain = 40, salt = "dc10")
+        .select(col("doc_id"), col("domain"), col("domain_rank"),
+          col("kept"))),
+    "d70_url_dedup" -> ((s, dir) =>
+      // the FIRST dedup pass of a crawl pipeline: refetches under
+      // trivially-different URLs collapse by canonical form BEFORE any
+      // content hashing. The planted URLs collide on purpose: dropping
+      // the %50 path discriminator makes ~10 docs share each canonical
+      // URL; keep the longest copy (ties min id)
+      Web.urlDedup(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+            col("n_chars"))
+          .withColumn("url", concat(
+            when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("http")),
+            lit("://www."), col("source"), lit(".ex"),
+            (col("doc_id") % 7).cast("string"), lit(".COM/item"),
+            when(col("doc_id") % 2 === 0, lit("?b=2&a=1&utm_source=x"))
+              .otherwise(lit("?a=1&b=2")))),
+        "doc_id", "url", quality = col("n_chars"))
+        .select(col("doc_id"), col("canonical_url"), col("keep"))),
+    "m41_stream_url" -> ((s, dir) => {
+      // the streaming ingest twin of d68's normalization: messy URLs
+      // normalize + domain-attribute INSIDE an AvailableNow file-source
+      // stream (pure map-side — no state store), proving the Web chain
+      // is stream-safe; the oracle is the batch normalization verbatim
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = tmpQueryDir("m41-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        src.resolve("documents.parquet"))
+      val out = tmpQueryDir("m41-sink").toString
+      val ckpt = tmpQueryDir("m41-ckpt").toString
+      val transform = (df: DataFrame) => {
+        val norm = Web.normalizeUrl(messyUrl)
+        df.select(col("doc_id"), col("source"))
+          .select(col("doc_id"), norm.as("url"),
+            Web.registrableDomain(norm).as("domain"))
+      }
+      Incremental.runAvailableNow(s, src.toString, schema, "parquet",
+        transform, out, ckpt).awaitTermination()
+      s.read.parquet(out)
+    }),
+    "q24_inactive_high_balance" -> ((s, dir) => {
+      // TPC-H Q22's plan shape: an UNCORRELATED scalar-aggregate
+      // threshold (exact decimal avg — the q01 convention) + a
+      // correlated NOT EXISTS anti-join against orders + final rollup.
+      // The oracle states the subquery form itself; Spark's side is the
+      // hand-decorrelated plan (broadcast 1-row threshold, left-anti on
+      // the distinct big-order custkeys)
+      val c = t(s, dir, "customer")
+      val thresh = c.where(col("c_acctbal") > 0)
+        .agg(decimalAvg(col("c_acctbal"), 2).as("__thr"))
+      c.crossJoin(broadcast(thresh))
+        .where(col("c_acctbal") > col("__thr"))
+        .join(t(s, dir, "orders").where(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          decimalSum(col("c_acctbal"), 2).as("total_bal"))
     }),
     "d67_cardinality_monitor" -> ((s, dir) =>
       // per-source + whole-run distinct-doc/distinct-term cardinality in
@@ -3191,20 +3280,9 @@ object SparkEntry {
       // independent formulation: the same messy-URL synthesis (the d31
       // convention), then DuckDB's own regexp/list toolchain re-derives
       // canonical form and registrable domain stage by stage
-      """WITH u AS (SELECT doc_id, n_chars,
-        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END)
-        |    || '://'
-        |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END)
-        |    || source || '.ex' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
-        |    || (CASE WHEN doc_id % 3 = 0 THEN ':443'
-        |             WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END)
-        |    || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
-        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
-        |    || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=feed'
-        |             ELSE '?a=1&b=2' END)
-        |    || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
-        |  FROM documents),
-        |n AS (SELECT doc_id, n_chars,
+      ("WITH u AS (SELECT doc_id, n_chars,\n" + messyUrlSql +
+        " AS url\n  FROM documents),\n" +
+      """n AS (SELECT doc_id, n_chars,
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
         |      AS scheme,
         |    regexp_replace(regexp_replace(url, '#.*$', ''),
@@ -3246,7 +3324,112 @@ object SparkEntry {
         |  min(norm) AS min_url,
         |  max(norm) AS max_url,
         |  domain IN ('ex2.com', 'ex5.com') AS blocked
-        |FROM c GROUP BY domain""".stripMargin,
+        |FROM c GROUP BY domain""".stripMargin),
+    "d69_domain_cap" ->
+      // DuckDB's own window re-ranks over the same md5 sample key; the
+      // domain chain is the host-only slice of the d68 normalization
+      ("WITH u AS (SELECT doc_id,\n" + messyUrlSql +
+        " AS url\n  FROM documents),\n" +
+      """d AS (SELECT doc_id,
+        |    regexp_extract(
+        |      lower(regexp_replace(
+        |        regexp_extract(
+        |          regexp_replace(regexp_replace(url, '#.*$', ''),
+        |            '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+        |          '^([^/?]*)', 1),
+        |        ':[0-9]+$', '')),
+        |      '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM u),
+        |r AS (SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY substr(md5('dc10' || '|' || CAST(doc_id AS VARCHAR)),
+        |        1, 8), doc_id) AS rnk
+        |  FROM d)
+        |SELECT doc_id, domain, CAST(rnk AS INTEGER) AS domain_rank,
+        |  rnk <= 40 AS kept
+        |FROM r""".stripMargin),
+    "d70_url_dedup" ->
+      // canonicalization re-derived compactly (this URL family has no
+      // ports/fragments/trailing slashes), then DuckDB's own keeper
+      // window over the canonical key
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END)
+        |    || '://www.' || source || '.ex' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.COM/item'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=x'
+        |             ELSE '?a=1&b=2' END) AS url
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(url, '^[A-Za-z]+://', '') AS rest
+        |  FROM u),
+        |c AS (SELECT doc_id, n_chars,
+        |    scheme || '://' || lower(regexp_extract(rest, '^([^/?]*)', 1))
+        |    || regexp_extract(rest, '^[^/?]*([^?]*)', 1)
+        |    || '?' || array_to_string(list_sort(list_filter(
+        |         string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |         x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&')
+        |      AS canonical_url
+        |  FROM r)
+        |SELECT doc_id, canonical_url,
+        |  row_number() OVER (PARTITION BY canonical_url
+        |    ORDER BY n_chars DESC, doc_id) = 1 AS keep
+        |FROM c""".stripMargin,
+    "m41_stream_url" ->
+      // the d68 normalization chain verbatim, per doc (the streamed
+      // transform must equal the batch transform row-for-row)
+      ("WITH u AS (SELECT doc_id,\n" + messyUrlSql +
+        " AS url\n  FROM documents),\n" +
+      """n AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    regexp_replace(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM u),
+        |p AS (SELECT doc_id, scheme,
+        |    regexp_extract(rest, '^([^/?]*)', 1) AS auth,
+        |    regexp_replace(rest, '^[^/?]*', '') AS aft
+        |  FROM n),
+        |h AS (SELECT doc_id, scheme, aft,
+        |    lower(regexp_replace(auth, ':[0-9]+$', '')) AS host,
+        |    regexp_extract(auth, ':([0-9]+)$', 1) AS port
+        |  FROM p),
+        |pq AS (SELECT doc_id, scheme, host,
+        |    CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+        |        OR (scheme = 'https' AND port = '443'))
+        |      THEN ':' || port ELSE '' END AS portpart,
+        |    CASE WHEN length(regexp_extract(aft, '^([^?]*)', 1)) > 1
+        |      THEN regexp_replace(regexp_extract(aft, '^([^?]*)', 1), '/$', '')
+        |      ELSE regexp_extract(aft, '^([^?]*)', 1) END AS path1,
+        |    regexp_extract(aft, '\?(.*)$', 1) AS q0
+        |  FROM h),
+        |qq AS (SELECT doc_id, scheme, host, portpart,
+        |    CASE WHEN path1 = '' THEN '/' ELSE path1 END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(q0, '&'),
+        |      x -> x <> '' AND NOT starts_with(x, 'utm_')
+        |        AND NOT starts_with(x, 'fbclid=')
+        |        AND NOT starts_with(x, 'gclid='))), '&') AS q
+        |  FROM pq)
+        |SELECT doc_id,
+        |  scheme || '://' || host || portpart || path ||
+        |    (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS url,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |FROM qq""".stripMargin),
+    "q24_inactive_high_balance" ->
+      // the CORRELATED/subquery statement itself — uncorrelated scalar
+      // avg threshold (exact decimal avg, the q01 convention) + NOT
+      // EXISTS; DuckDB decorrelates its way, the Spark side is the
+      // hand-decorrelated broadcast-threshold + left-anti plan
+      s"""SELECT c_mktsegment,
+         |  COUNT(*) AS n_cust,
+         |  ${dsum("c_acctbal", 2, "total_bal")}
+         |FROM customer c
+         |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2)))
+         |      AS DOUBLE) / COUNT(c_acctbal)
+         |    FROM customer WHERE c_acctbal > 0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+         |GROUP BY c_mktsegment""".stripMargin,
     "d67_cardinality_monitor" ->
       // independent formulation: DuckDB's own ROLLUP + count(DISTINCT);
       // the [NULL] unnest arm mirrors explode_outer so tokenless docs

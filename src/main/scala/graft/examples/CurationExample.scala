@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   *
   *   0. rule-based filter funnel (C4/Gopher gate chain) with per-rule
   *      attrition counts — the first stage of every real pipeline;
+  *   0.5 URL-level curation: canonical-URL dedup (refetch collapse,
+  *      keep-longest) + per-domain contribution cap (keepOnly →
+  *      WindowGroupLimit) — the crawl-side gates before any content
+  *      analysis;
   *   1. quality gate (per-source CALIBRATED percentile cut on the
   *      uniqueness score — comparable across heterogeneous sources —
   *      plus absolute floors and repetition signals);
@@ -33,7 +37,11 @@ import org.apache.spark.sql.functions._
   *  14. monitoring references published for the NEXT run (term-profile
   *      + centroid snapshots, m31/m33) and the curation-shift TVD
   *      reported for THIS run (how far curation moved the corpus
-  *      distribution from raw).
+  *      distribution from raw);
+  *  15. takedown: a post-publication revocation set scrubs the curated
+  *      corpus AND re-snapshots the derived artifacts (shard layout
+  *      pos re-rank, bench-key rebuild) — versioned retire-by-pin,
+  *      nothing corpus-sized rebuilds (d65/m38-m40).
   *
   * Run: sbt "runMain graft.examples.CurationExample [sfDir] [outDir]"
   */
@@ -57,9 +65,32 @@ object CurationExample {
     verdicts.groupBy(col("verdict")).agg(count(lit(1)).as("n"))
       .collect().sortBy(r => -r.getLong(1))
       .foreach(r => println(s"[funnel] ${r.getString(0)}: ${r.getLong(1)}"))
-    val docs = raw.join(
+    val funneled = raw.join(
       verdicts.where(col("verdict") === "kept").select(col("id").as("doc_id")),
       Seq("doc_id"), "left_semi")
+
+    // stage 0.5: URL-level curation — the crawl-side gates that run
+    // BEFORE any content analysis (this corpus has no URL column, so
+    // the messy URL is synthesized for the demo — the d68/d70
+    // convention): refetches collapse by CANONICAL URL keeping the
+    // longest copy, then no registrable domain may contribute more than
+    // 200 docs (keepOnly → the WindowGroupLimit plan, so a mega-domain
+    // never materializes its window)
+    val withUrls = funneled.withColumn("url", concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("http")),
+      lit("://WWW.ex"), (col("doc_id") % 7).cast("string"),
+      lit(".com/doc/"), (col("doc_id") % 25).cast("string"),
+      when(col("doc_id") % 2 === 0, lit("?b=2&a=1&utm_source=crawl"))
+        .otherwise(lit("?a=1&b=2"))))
+    val docs = graft.llm.Web.domainCap(
+        graft.llm.Web.urlDedup(withUrls, "doc_id", "url",
+            quality = col("n_chars"))
+          .where(col("keep")).drop("canonical_url", "keep"),
+        "doc_id", "url", maxPerDomain = 40, salt = "crawl0",
+        keepOnly = true)
+      .drop("url", "domain", "domain_rank", "kept")
+    println(s"[url-curation] ${funneled.count()} funneled -> " +
+      s"${docs.count()} after canonical-URL dedup + domain cap")
     val toks = TextAnalysis.tokens(lower(col("text")))
     // per-source CALIBRATED quality cut: a raw uniqueness score means
     // different things on different sources, so the keep-threshold is a
@@ -138,12 +169,16 @@ object CurationExample {
       .write.mode("overwrite").parquet(s"$outDir/packed")
 
     // reproducible shard layout: one pos-ordered file per shard dir —
-    // the form a trainer streams without sorting
-    graft.llm.Packing.writeShardLayout(
-      graft.llm.Packing.shardAssign(train, "doc_id",
-        TextAnalysis.tokenCount(col("text")).cast("long"),
-        nShards = 8, salt = "epoch0"),
-      s"$outDir/shards")
+    // the form a trainer streams without sorting. Written through the
+    // versioned store so a refresh (or a takedown, below) retires the
+    // old layout by the newest-pin instead of mutating it in place
+    graft.llm.LayoutStore.writeSnapshot(
+      spark.sparkContext.hadoopConfiguration, s"$outDir/shards")(tmp =>
+      graft.llm.Packing.writeShardLayout(
+        graft.llm.Packing.shardAssign(train, "doc_id",
+          TextAnalysis.tokenCount(col("text")).cast("long"),
+          nShards = 8, salt = "epoch0"),
+        tmp))
 
     // learned quality audit: LR over the funnel features (weak label =
     // corpus-majority language), frozen coefficients, map-side margins
@@ -189,6 +224,26 @@ object CurationExample {
     Similarity.writeCentroidSnapshot(emb,
       emb.select(col("vec_id"), col("label")), "vec_id", "vec_id",
       "label", s"$outDir/centroids")
+
+    // right-to-be-forgotten: a revocation set arrives AFTER publication.
+    // The curated corpus scrubs by left-anti, and every derived
+    // versioned artifact re-lands as a NEW snapshot with the revoked
+    // rows gone — nothing corpus-sized rebuilds: the shard layout
+    // filters + re-ranks pos in place (provably rebuild-identical), the
+    // bench-key store rebuilds from its eval-sized scrubbed sheet, and
+    // readers retire the old versions by the newest-pin
+    val revoked = curated.where(col("doc_id") % 151 === 3)
+      .select(col("doc_id"))
+    graft.llm.Takedown.scrubCorpus(curated, "doc_id", revoked, "doc_id")
+      .write.mode("overwrite").parquet(s"$outDir/curated_scrubbed")
+    val shardV = graft.llm.Takedown.propagateShardSnapshot(spark,
+      s"$outDir/shards", revoked, "doc_id")
+    val benchV = graft.llm.Takedown.propagateBenchKeys(
+      graft.llm.Takedown.scrubCorpus(
+        docs.where(col("doc_id") % 97 === 0), "doc_id", revoked, "doc_id"),
+      "text", s"$outDir/bench_keys")
+    println(s"[takedown] revoked=${revoked.count()} -> shards version=" +
+      s"$shardV, bench-keys version=$benchV (v1s retained until prune)")
 
     val total = docs.count(); val kept = curated.count()
     val trainN = train.count()

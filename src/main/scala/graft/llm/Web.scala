@@ -110,4 +110,58 @@ object Web {
         if (blocklist.isEmpty) lit(false)
         else col("domain").isin(blocklist: _*))
   }
+
+  /** Per-domain document cap — C4/RefinedWeb's anti-domination rule: no
+    * registrable domain may contribute more than `maxPerDomain` docs, so
+    * one crawl-happy host can't dominate the training mix. Survivors are
+    * chosen by deterministic salted-hash order ([[Sampling.sampleKey]],
+    * ties by id) — a stable pseudo-random per-domain sample, reproducible
+    * across runs/engines/partitionings, never `rand()`.
+    *
+    * Scale shape: domain is a scan-stage expression; the one exchange is
+    * hashpartitioning(domain) for the per-domain row_number window. With
+    * `keepOnly = true` the rank filter is applied INSIDE the operator,
+    * which Catalyst plans as WindowGroupLimit (per-partition top-k
+    * short-circuit, map-side pre-limit before the exchange — a
+    * mega-domain never materializes its full window; plan-guarded in
+    * PlanAuditSpec). The default emits audit columns instead — every row
+    * with (domain_rank, kept) — which costs the full window but is the
+    * shape attrition reporting wants. A domain hot enough to skew even
+    * the grouped limit is the d52 skew card's job.
+    *
+    * Output: input columns + (domain, domain_rank, kept); with
+    * `keepOnly` the kept column is constant true and rows over the cap
+    * are gone. */
+  def domainCap(df: DataFrame, idCol: String, urlCol: String,
+                maxPerDomain: Int, salt: String,
+                keepOnly: Boolean = false): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1: $maxPerDomain")
+    val norm = normalizeUrl(col(urlCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(Sampling.sampleKey(col(idCol), salt), col(idCol))
+    val ranked = df.withColumn("domain", registrableDomain(norm))
+      .withColumn("domain_rank", row_number().over(w))
+    if (keepOnly) ranked.where(col("domain_rank") <= maxPerDomain)
+      .withColumn("kept", lit(true))
+    else ranked.withColumn("kept", col("domain_rank") <= maxPerDomain)
+  }
+
+  /** Canonical-URL dedup — the FIRST dedup pass a crawl pipeline runs,
+    * before any content hashing: refetches of the same resource arrive
+    * under trivially-different URLs (case, params, fragments), and
+    * collapsing them by [[normalizeUrl]] is orders cheaper than
+    * content-level dedup (a short-string key, no tokenize/shingle).
+    * Keeps the BEST copy per canonical URL (argmax `quality`, ties min
+    * id — the canonicalByQuality rule on the URL key). One exchange:
+    * hashpartitioning(canonical_url) for the keeper window.
+    * Output: input columns + (canonical_url, keep). */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String,
+               quality: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_url"))
+      .orderBy(quality.desc, col(idCol).asc)
+    df.withColumn("canonical_url", normalizeUrl(col(urlCol)))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
 }

@@ -42,6 +42,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Sort ["), "full sort materialization instead of top-k")
   }
 
+  test("q24: 1-row threshold broadcast (never shuffles the fact side), " +
+    "anti-join on the filtered order keys, pushed order filter") {
+    val p = plan("q24_inactive_high_balance")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row scalar threshold must broadcast")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("GreaterThan(o_totalprice"),
+      "big-order filter should reach the orders scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("domainCap keepOnly: rank filter plans as WindowGroupLimit (per-" +
+    "partition top-k short-circuit; a mega-domain never materializes)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "concat('http://h', doc_id % 3, '.ex.com/p') AS url")
+    val p = graft.llm.Web.domainCap(docs, "doc_id", "url", 10, "pa",
+      keepOnly = true).queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.linesIterator.take(12).mkString("\n"))
+  }
+
   test("d01: single scan with partial aggregation (map-side md5+combine)") {
     val p = plan("d01_exact_dedup")
     assert("FileScan".r.findAllIn(p).length == 1)

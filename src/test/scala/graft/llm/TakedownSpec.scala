@@ -143,6 +143,43 @@ class TakedownSpec extends SparkTestBase {
     assert(dec == Map(10L -> true, 11L -> false), s"got $dec")
   }
 
+  test("takedown takes effect MID-STREAM: propagateBenchKeys lands while " +
+    "a decontamination stream is deployed; the next batch stops flagging " +
+    "the revoked eval doc — zero restart") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = tmpDir("takedown-stream")
+    val (keysPath, outPath) = (s"$base/keys", s"$base/out")
+    val evalA = "alpha beta gamma delta epsilon zeta eta theta"
+    val evalB = "totally clean reference answer sheet content here"
+    val bench = Seq((1L, evalA), (2L, evalB)).toDF("doc_id", "text")
+    Dedup.writeBenchKeysSnapshot(bench, "text", keysPath, k = 3)
+
+    def runOnce(ck: String, docs: (String, String)*): Unit = {
+      val input = MemoryStream[(String, String)]
+      input.addData(docs: _*)
+      val q = graft.streaming.Incremental.decontaminateStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        keysPath, outPath, s"$base/$ck", k = 3)
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    runOnce("ck1", ("t1", evalA), ("t2", evalB))
+    val out1 = spark.read.parquet(outPath)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(out1 == Map("t1" -> true, "t2" -> true), s"got $out1")
+    // doc 1's takedown lands as the next snapshot (scrub + rebuild);
+    // the deployed stream re-pins on its NEXT batch — no restart
+    assert(Takedown.propagateBenchKeys(
+      Takedown.scrubCorpus(bench, "doc_id", Seq(1L).toDF("doc_id"),
+        "doc_id"), "text", keysPath, k = 3) == 2L)
+    runOnce("ck2", ("t3", evalA), ("t4", evalB))
+    val out2 = spark.read.parquet(outPath)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!out2("t3"), s"revoked doc's keys still flagging: $out2")
+    assert(out2("t4"), s"surviving eval doc's keys must stay live: $out2")
+  }
+
   test("propagateBenchKeys: the rebuild case — next version carries only " +
     "the scrubbed sheet's shingles; readers pin it; v1 retains") {
     val s = spark; import s.implicits._

@@ -44,6 +44,33 @@ class WebSpec extends SparkTestBase {
     assert(got == Seq("ex3.com", "ex5.org", ""), got)
   }
 
+  test("domainCap: at most N kept per domain; rank order is the salted " +
+    "hash (not id); deterministic across partitionings") {
+    val s = spark; import s.implicits._
+    val df = (0L until 30L).map(i =>
+      (i, s"http://h${i % 2}.ex.org/p$i")).toDF("doc_id", "url") // one domain
+    val out = Web.domainCap(df, "doc_id", "url", maxPerDomain = 10,
+      salt = "t1")
+    assert(out.where(col("kept")).count() == 10)
+    assert(out.select("domain").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("ex.org"))
+    // deterministic: identical decisions under different partitioning
+    val a = out.select("doc_id", "domain_rank", "kept")
+      .collect().map(_.toSeq).toSet
+    val b = Web.domainCap(df.repartition(7), "doc_id", "url", 10, "t1")
+      .select("doc_id", "domain_rank", "kept")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // hash order, not id order: the kept set under a different salt differs
+    val c = Web.domainCap(df, "doc_id", "url", 10, "t2")
+      .where(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val aKept = out.where(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(aKept != (0L until 10L).toSet || c != aKept,
+      "cap order must depend on the salted hash, not plain id order")
+  }
+
   test("domainRollup: distinct canonical urls collapse messy variants; " +
     "blocklist gates by registrable domain; weights sum") {
     val s = spark; import s.implicits._
