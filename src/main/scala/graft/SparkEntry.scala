@@ -1136,6 +1136,24 @@ object SparkEntry {
         transform, out, ckpt).awaitTermination()
       s.read.parquet(out)
     }),
+    "d71_expanded_takedown" -> ((s, dir) => {
+      // the policy behind every real takedown: deleting the named doc
+      // while its near-copies keep serving is not deletion. The seed
+      // revocations (doc_id % 250 = 8) expand to their WHOLE near-dup
+      // clusters at the production LSH config; output is the per-doc
+      // revocation decision. Oracle = the d09 transitive closure with
+      // its own cluster-membership expansion
+      val docs = t(s, dir, "documents")
+      val expanded = graft.llm.Takedown.expandRevocations(docs, "doc_id",
+        "text", docs.where(col("doc_id") % 250 === 8).select(col("doc_id")),
+        "doc_id", threshold = 0.5,
+        maxBucketSize = Some(docBucketCap(s, dir)))
+      docs.select(col("doc_id"))
+        .join(expanded.withColumn("revoked", lit(true)), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"), coalesce(col("revoked"), lit(false))
+          .as("revoked"))
+    }),
     "q24_inactive_high_balance" -> ((s, dir) => {
       // TPC-H Q22's plan shape: an UNCORRELATED scalar-aggregate
       // threshold (exact decimal avg — the q01 convention) + a
@@ -3415,6 +3433,24 @@ object SparkEntry {
         |    (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS url,
         |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
         |FROM qq""".stripMargin),
+    "d71_expanded_takedown" ->
+      // the d09 recursive transitive closure, then DuckDB's own
+      // cluster-membership expansion of the seed set
+      s"""WITH RECURSIVE ${duckLshPairsCte()},
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ndpairs
+         |          UNION ALL SELECT id2, id1 FROM ndpairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         |clusters AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |seeds AS (SELECT doc_id AS id FROM documents WHERE doc_id % 250 = 8),
+         |rc AS (SELECT DISTINCT cluster FROM clusters
+         |       SEMI JOIN seeds USING (id)),
+         |rv AS (SELECT id FROM clusters SEMI JOIN rc USING (cluster)
+         |       UNION SELECT id FROM seeds)
+         |SELECT d.doc_id, d.doc_id IN (SELECT id FROM rv) AS revoked
+         |FROM documents d""".stripMargin,
     "q24_inactive_high_balance" ->
       // the CORRELATED/subquery statement itself — uncorrelated scalar
       // avg threshold (exact decimal avg, the q01 convention) + NOT

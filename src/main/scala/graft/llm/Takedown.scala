@@ -49,6 +49,72 @@ object Takedown {
     df.join(idsFrame(revoked, revokedIdCol)
       .select(col("__rid").as(idCol)), Seq(idCol), "left_anti")
 
+  /** Resolve a mixed revocation sheet to corpus ids — real takedown
+    * requests arrive as URLs and content hashes at least as often as
+    * ids: `byUrls` matches on CANONICAL form ([[Web.normalizeUrl]] both
+    * sides, so a request for `HTTP://ex.com/p?b=2&a=1#x` hits the doc
+    * stored under `http://ex.com/p?a=1&b=2`), `byFingerprints` on the
+    * exact-dedup content key ([[Dedup.exactKey]] of the submitted text —
+    * which catches EVERY verbatim copy under any id/url, the reason
+    * fingerprint takedown exists). Each sheet is request-sized, so the
+    * matches are semi-join probes of the corpus projection; the output
+    * is one distinct id frame to feed [[scrubCorpus]] and the
+    * propagators. Near-duplicate EXPANSION (revoke the whole near-dup
+    * cluster, not just verbatim copies) is [[expandRevocations]]. */
+  def resolveRevocations(corpus: DataFrame, idCol: String,
+                         byIds: Option[DataFrame] = None,
+                         byUrls: Option[(DataFrame, String, String)] = None,
+                         byFingerprints: Option[(DataFrame, String, String)] = None)
+      : DataFrame = {
+    // (the option-heavy signature keeps each modality independent)
+    val parts = Seq(
+      byIds.map(ids => ids.select(ids.columns.head).toDF("__rid")),
+      byUrls.map { case (sheet, sheetUrlCol, corpusUrlCol) =>
+        corpus.select(col(idCol).as("__rid"),
+            Web.normalizeUrl(col(corpusUrlCol)).as("__cu"))
+          .join(sheet.select(Web.normalizeUrl(col(sheetUrlCol)).as("__cu"))
+            .distinct(), Seq("__cu"), "left_semi")
+          .select(col("__rid"))
+      },
+      byFingerprints.map { case (sheet, sheetTextCol, corpusTextCol) =>
+        corpus.select(col(idCol).as("__rid"),
+            Dedup.exactKey(col(corpusTextCol)).as("__fp"))
+          .join(sheet.select(Dedup.exactKey(col(sheetTextCol)).as("__fp"))
+            .distinct(), Seq("__fp"), "left_semi")
+          .select(col("__rid"))
+      }).flatten
+    require(parts.nonEmpty,
+      "resolveRevocations needs at least one of byIds/byUrls/byFingerprints")
+    parts.reduce(_.unionByName(_)).where(col("__rid").isNotNull)
+      .distinct().select(col("__rid").as(idCol))
+  }
+
+  /** Near-duplicate EXPANSION of a revocation set — the policy question
+    * behind every real takedown: deleting the named doc while keeping
+    * its near-copies is not deletion. Expansion = the revoked ids'
+    * whole near-dup CLUSTERS ([[Dedup.nearDupClusters]] membership at
+    * the production LSH config): every doc sharing a cluster with any
+    * revoked doc joins the set (verbatim copies are a special case —
+    * exact-dup pairs are Jaccard-1 pairs). Cost is the standard LSH+CC
+    * pass over the corpus; ids not in any cluster expand to themselves.
+    * Returns the expanded distinct id frame. */
+  def expandRevocations(corpus: DataFrame, idCol: String, textCol: String,
+                        revokedIds: DataFrame, revokedIdCol: String,
+                        threshold: Double, k: Int = 3,
+                        numHashes: Int = 12, bands: Int = 4,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
+    val ids = idsFrame(revokedIds, revokedIdCol)
+    val clusters = Dedup.nearDupClusters(corpus, idCol, textCol, threshold,
+      k, numHashes, bands, maxBucketSize) // (id, cluster)
+    val revokedClusters = clusters
+      .join(ids.select(col("__rid").as("id")), Seq("id"), "left_semi")
+      .select(col("cluster")).distinct()
+    val viaClusters = clusters
+      .join(revokedClusters, Seq("cluster"), "left_semi")
+      .select(col("id").as("__rid"))
+    viaClusters.unionByName(ids).distinct().select(col("__rid").as(idCol))
+  }
+
   /** Generic row-keyed layout propagation — IVF / SRP / quantized /
     * PQ-codes layouts and any [[LayoutStore]] snapshot whose rows are
     * self-contained per id: walk the pinned snapshot's sub-tables (or
@@ -202,6 +268,49 @@ object Takedown {
       .join(idsFrame(revoked, revokedIdCol).select(col("__rid").as("id")),
         Seq("id"), "left_anti")
       .write.mode("overwrite").parquet(outPath)
+
+  /** Compliance audit — the verification pass AFTER a takedown: walk
+    * EVERY version of a [[LayoutStore]] store and count rows still
+    * carrying a revoked id, per (version, sub-table). The expected
+    * picture post-propagation is exactly what the snapshot contract
+    * promises: the newest version reads 0 everywhere, retired versions
+    * still show their counts (auditable until [[LayoutStore.prune]] —
+    * which this report is the input to). Driver-side loop over
+    * versions × sub-tables (file-listing scale; each cell is one
+    * semi-join count job) — an audit tool, not a data path.
+    * Output: (version, table, n_revoked) — one row per cell, including
+    * the zeros. */
+  def auditRevocations(spark: SparkSession, path: String,
+                       revoked: DataFrame, revokedIdCol: String,
+                       idCols: Seq[String] = Seq("vec_id", "doc_id", "id"))
+      : DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ids = idsFrame(revoked, revokedIdCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val rows = LayoutStore.versions(conf, path).flatMap { v =>
+      val vPath = new org.apache.hadoop.fs.Path(s"$path/version=$v")
+      val kids = fs.listStatus(vPath)
+        .filter(st => st.isDirectory && LayoutStore.visibleStatus(st))
+      val tables =
+        if (kids.isEmpty || kids.exists(_.getPath.getName.contains("=")))
+          Seq("." -> vPath)
+        else kids.map(k => k.getPath.getName -> k.getPath).toSeq
+      tables.map { case (name, tPath) =>
+        val df = spark.read.parquet(tPath.toString)
+        val n = idCols.find(df.columns.contains) match {
+          case Some(c) =>
+            df.join(ids.select(col("__rid").as(c)), Seq(c), "left_semi")
+              .count()
+          case None => 0L // no id column — nothing attributable
+        }
+        (v, name, n)
+      }
+    }
+    ids.unpersist(blocking = true)
+    import spark.implicits._
+    rows.toDF("version", "table", "n_revoked")
+  }
 
   /** Bench-key propagation — the documented rebuild case: the store
     * holds distinct hashed shingles with NO doc provenance (deliberate:

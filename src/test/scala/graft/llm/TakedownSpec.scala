@@ -143,6 +143,97 @@ class TakedownSpec extends SparkTestBase {
     assert(dec == Map(10L -> true, 11L -> false), s"got $dec")
   }
 
+  test("auditRevocations: newest version reads 0 everywhere, the retired " +
+    "version still shows its counts (the prune report)") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("takedown-audit") + "/store"
+    val rows = (1L to 10L).map(i => (i, s"row $i")).toDF("doc_id", "payload")
+    LayoutStore.writeSnapshot(conf, store) { tmp =>
+      rows.write.parquet(s"$tmp/data")
+      Seq(("meta", 1L)).toDF("name", "v").write.parquet(s"$tmp/meta")
+    }
+    val revoked = Seq(3L, 7L).toDF("doc_id")
+    Takedown.propagateLayoutSnapshot(spark, store, revoked, "doc_id")
+    val audit = Takedown.auditRevocations(spark, store, revoked, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(audit == Map((1L, "data") -> 2L, (1L, "meta") -> 0L,
+      (2L, "data") -> 0L, (2L, "meta") -> 0L), s"got $audit")
+  }
+
+  test("propagateLayoutSnapshot on the EDIT INDEX (which stores reference " +
+    "TEXT): revoked rows leave texts AND segs, meta's k survives, the " +
+    "probe stops flagging copies of revoked content") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("takedown-editidx") + "/store"
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "revoked reference text that must leave the index fully"))
+      .toDF("doc_id", "text")
+    assert(Dedup.writeEditIndexSnapshot(ref, "doc_id", "text", k = 3,
+      store) == 1L)
+    val batch = Seq(
+      (10L, "revoked reference text that must leave the index full"), // d1 of 2
+      (11L, "the quick brown fox jumps over the lazy dog tonite")) // d2 of 1
+      .toDF("doc_id", "text")
+    val before = Dedup.editDupFlags(spark, batch, "doc_id", "text", store)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(before == Map(10L -> true, 11L -> true), s"got $before")
+    assert(Takedown.propagateLayoutSnapshot(spark, store,
+      Seq(2L).toDF("doc_id"), "doc_id", idCols = Seq("id")) == 2L)
+    val v2 = LayoutStore.snapshotPath(conf, store)
+    assert(spark.read.parquet(s"$v2/texts").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(spark.read.parquet(s"$v2/segs").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // the k stamp copies through — a k-mismatch probe must still fail fast
+    assert(spark.read.parquet(s"$v2/meta").head().getInt(0) == 3)
+    val after = Dedup.editDupFlags(spark, batch, "doc_id", "text", store)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(after == Map(10L -> false, 11L -> true),
+      s"index still remembers revoked text: $after")
+  }
+
+  test("resolveRevocations: URL requests match by CANONICAL form, " +
+    "fingerprint requests catch every verbatim copy, ids pass through") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "http://ex.com/a?x=1&y=2", "doc one text"),
+      (2L, "http://ex.com/b", "Shared   Revoked Text"),
+      (3L, "http://other.org/c", "shared revoked text"), // verbatim copy of 2
+      (4L, "http://ex.com/d", "doc four text"),
+      (5L, "http://ex.com/e", "doc five text"))
+      .toDF("doc_id", "url", "text")
+    // the request URL is differently-messy: case, param order, fragment
+    val urlSheet = Seq("HTTP://EX.com/a?y=2&x=1#frag").toDF("req_url")
+    // the fingerprint request submits the text with different whitespace
+    val fpSheet = Seq("  shared revoked  TEXT ").toDF("req_text")
+    val ids = Takedown.resolveRevocations(corpus, "doc_id",
+      byIds = Some(Seq(5L).toDF("doc_id")),
+      byUrls = Some((urlSheet, "req_url", "url")),
+      byFingerprints = Some((fpSheet, "req_text", "text")))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 5L), s"got $ids")
+    intercept[IllegalArgumentException](
+      Takedown.resolveRevocations(corpus, "doc_id"))
+  }
+
+  test("expandRevocations: the seed's whole near-dup cluster joins the " +
+    "set; unclustered seeds expand to themselves") {
+    val s = spark; import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base), (2L, base + " rev"), (3L, base + " rev two"),
+      (4L, "completely different content about other things entirely"),
+      (5L, "another standalone document with its own words"))
+      .toDF("doc_id", "text")
+    val expanded = Takedown.expandRevocations(corpus, "doc_id", "text",
+      Seq(2L, 5L).toDF("doc_id"), "doc_id", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // 2's cluster {1,2,3} joins; 5 is a singleton -> itself; 4 untouched
+    assert(expanded == Set(1L, 2L, 3L, 5L), s"got $expanded")
+  }
+
   test("takedown takes effect MID-STREAM: propagateBenchKeys lands while " +
     "a decontamination stream is deployed; the next batch stops flagging " +
     "the revoked eval doc — zero restart") {

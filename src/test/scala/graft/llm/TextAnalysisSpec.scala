@@ -786,6 +786,41 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(o7 == out)
   }
 
+  test("cardinalityMonitor: exact regime matches hand counts incl. " +
+    "tokenless docs and the __all__ rollup; HLL regime is exact at tiny " +
+    "cardinalities and STREAMING-capable (complete-mode rollup == batch)") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "a b a", "s1"), (2L, "", "s1"), // tokenless: counts in docs
+      (3L, "b c", "s2"), (4L, "c d e", "s2"))
+      .toDF("doc_id", "text", "src")
+    def asMap(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val exact = asMap(TextAnalysis.cardinalityMonitor(df, "doc_id",
+      "text", "src"))
+    assert(exact == Map(
+      "s1" -> ((0, 2L, 3L, 2L)),      // docs {1,2}, 3 tokens, {a,b}
+      "s2" -> ((0, 2L, 5L, 4L)),      // docs {3,4}, 5 tokens, {b,c,d,e}
+      "__all__" -> ((1, 4L, 8L, 5L))  // global distinct != per-source sum
+    ), s"got $exact")
+    // HLL++ is exact at cardinalities far below 1/rsd² — same rows here
+    val hll = asMap(TextAnalysis.cardinalityMonitor(df, "doc_id",
+      "text", "src", approximate = true))
+    assert(hll == exact, s"got $hll")
+    // streaming twin: the HLL regime's partials merge through the state
+    // store (countDistinct can't — Spark rejects streaming DISTINCT),
+    // so the complete-mode streamed rollup must equal the batch rollup
+    val srcDir = tmpDir("card-stream")
+    df.write.mode("overwrite").parquet(srcDir)
+    val streamed = asMap(graft.streaming.Incremental
+      .runAggregateAvailableNow(spark, srcDir, df.schema, "parquet",
+        b => TextAnalysis.cardinalityMonitor(b, "doc_id", "text", "src",
+          approximate = true),
+        queryName = "card_stream_test"))
+    assert(streamed == hll, s"got $streamed")
+  }
+
   test("vocabGrowth: a tenth whose prefix buckets are all empty still " +
     "reports a zero row — the curve always has `buckets` rows") {
     val s = spark; import s.implicits._
