@@ -1154,6 +1154,46 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("revoked"), lit(false))
           .as("revoked"))
     }),
+    "q26_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15's plan shape: an aggregate VIEW (quarterly revenue per
+      // supplier) consumed twice — once for the global MAX scalar, once
+      // for the equality filter — then the dimension join. Revenue is
+      // the exact decimal sum, so the max-equality is engine-exact (ties
+      // all surface, deterministically). Spark side: the view computes
+      // once per consumer off one scan shape; the 1-row max broadcasts
+      val revenue = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(27,4)")).as("__rev"))
+      val maxRev = revenue.agg(max(col("__rev")).as("__max"))
+      revenue.crossJoin(broadcast(maxRev))
+        .where(col("__rev") === col("__max"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("__rev").cast("double").as("total_revenue"))
+    }),
+    "q25_national_balance_share" -> ((s, dir) => {
+      // TPC-H Q11's plan shape: GROUP BY + HAVING against a GLOBAL
+      // scalar aggregate. Cross-multiplied (sum*25 > total) so the
+      // comparison stays in exact DECIMAL on both engines — no
+      // fraction literal ever rounds. Spark side decorrelates by hand:
+      // the 1-row global broadcasts, the HAVING becomes a filter
+      val sup = t(s, dir, "supplier")
+      val global = sup
+        .agg(sum(col("s_acctbal").cast("decimal(27,2)")).as("__g"))
+      sup.join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("s_acctbal").cast("decimal(27,2)")).as("__s"),
+          count(lit(1)).as("n_suppliers"))
+        .crossJoin(broadcast(global))
+        .where(col("__s") * 25 > col("__g"))
+        .select(col("n_name"), col("__s").cast("double").as("total_bal"),
+          col("n_suppliers"))
+    }),
     "q24_inactive_high_balance" -> ((s, dir) => {
       // TPC-H Q22's plan shape: an UNCORRELATED scalar-aggregate
       // threshold (exact decimal avg — the q01 convention) + a
@@ -3451,6 +3491,30 @@ object SparkEntry {
          |       UNION SELECT id FROM seeds)
          |SELECT d.doc_id, d.doc_id IN (SELECT id FROM rv) AS revoked
          |FROM documents d""".stripMargin,
+    "q26_top_supplier" ->
+      // the CTE-view + scalar-max statement itself (Q15's WITH form)
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4)))
+        |      AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = (SELECT MAX(rev) FROM revenue)""".stripMargin,
+    "q25_national_balance_share" ->
+      // the HAVING-with-scalar-subquery statement itself; DuckDB plans
+      // it its own way, the Spark side is the broadcast-global filter
+      """SELECT n_name,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+        |    AS total_bal,
+        |  COUNT(*) AS n_suppliers
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n_name
+        |HAVING SUM(CAST(s_acctbal AS DECIMAL(27,2))) * 25 >
+        |  (SELECT SUM(CAST(s_acctbal AS DECIMAL(27,2))) FROM supplier)""".stripMargin,
     "q24_inactive_high_balance" ->
       // the CORRELATED/subquery statement itself — uncorrelated scalar
       // avg threshold (exact decimal avg, the q01 convention) + NOT

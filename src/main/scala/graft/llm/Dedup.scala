@@ -428,16 +428,22 @@ object Dedup {
     require(bands > maxHamming && 64 % bands == 0,
       s"bands ($bands) must exceed maxHamming ($maxHamming) for the " +
         "pigeonhole guarantee and divide 64 evenly")
+    simhashDetect(df, idCol, textCol, maxHamming, maxBucketSize,
+      simhashBandKeys(bands))
+  }
+
+  /** The 64/bands equal-width chunk keys of [[simhashNearDupPairs]]. */
+  private def simhashBandKeys(bands: Int): Column => Column = {
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    simhashDetect(df, idCol, textCol, maxHamming, maxBucketSize, sig =>
+    sig =>
       array((0 until bands).map { b =>
         // chunk b = string positions [b*width+1, (b+1)*width] of the bit
         // string = bits [63-b*width .. 64-(b+1)*width] of the packed long
         struct(lit(b.toByte).as("b"),
           shiftrightunsigned(sig, width * (bands - 1 - b))
             .bitwiseAND(lit(mask)).as("chunk"))
-      }: _*))
+      }: _*)
   }
 
   /** Web-scale SimHash blocking (Manku'07 §3's chunk-COMBINATION scheme):
@@ -468,6 +474,12 @@ object Dedup {
         "pigeonhole guarantee")
     require(chunks <= 16, s"chunks ($chunks) > 16 explodes combinatorially " +
       "(C(chunks, chunks-maxHamming) keys per doc)")
+    simhashDetect(df, idCol, textCol, maxHamming, maxBucketSize,
+      simhashComboKeys(chunks, maxHamming))
+  }
+
+  /** The Manku chunk-combination keys of [[simhashNearDupPairsCombined]]. */
+  private def simhashComboKeys(chunks: Int, maxHamming: Int): Column => Column = {
     val agree = chunks - maxHamming
     // near-equal split of the 64 bits: the first (64 mod chunks) chunks
     // are one bit wider
@@ -484,10 +496,10 @@ object Dedup {
         shiftleft(acc, widths(i)).bitwiseOR(chunkCol(sig, i))
       }
     val combos = (0 until chunks).combinations(agree).toSeq
-    simhashDetect(df, idCol, textCol, maxHamming, maxBucketSize, sig =>
+    sig =>
       array(combos.zipWithIndex.map { case (combo, ci) =>
         struct(lit(ci).as("c"), comboKey(sig, combo).as("bits"))
-      }: _*))
+      }: _*)
   }
 
   /** Shared SimHash detector core: signatures once, exploded blocking
@@ -504,9 +516,27 @@ object Dedup {
                             maxHamming: Int, maxBucketSize: Option[Int],
                             blockingKeys: Column => Column): DataFrame = {
     // persisted: feeds the exploded band frame AND both verify joins
-    val sigs = df.select(col(idCol).as("id"), md5TokenHashes(col(textCol)).as("__h"))
-      .select(col("id"), simhashPackedFromHashes(col("__h")).as("sig"))
+    val sigs = simhashSigs(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (verified, bandFrame) =
+      simhashDetectFromSigs(sigs, maxHamming, maxBucketSize, blockingKeys)
+    materializeAndRelease(verified, sigs, bandFrame)
+  }
+
+  /** (id, packed-64-bit sig) for every doc — the shared producer of the
+    * detector tiers and the recall gauge. */
+  private def simhashSigs(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), md5TokenHashes(col(textCol)).as("__h"))
+      .select(col("id"), simhashPackedFromHashes(col("__h")).as("sig"))
+
+  /** Detector core over a PRE-BUILT (id, sig) frame (persist it — three
+    * consumers); returns (verified pairs, the internally-persisted band
+    * frame for the caller to release after materialization). */
+  private def simhashDetectFromSigs(sigs: DataFrame, maxHamming: Int,
+                                    maxBucketSize: Option[Int],
+                                    blockingKeys: Column => Column)
+      : (DataFrame, DataFrame) = {
     val bandFrame = capBuckets(
       sigs.select(col("id"), explode(blockingKeys(col("sig"))).as("band")),
       "band", maxBucketSize)
@@ -521,7 +551,7 @@ object Dedup {
       .withColumn("hamming", hamming64(col("sig1"), col("sig2")).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
-    materializeAndRelease(verified, sigs, bandFrame)
+    (verified, bandFrame)
   }
 
   /** Benchmark DECONTAMINATION — the n-gram contamination check a
@@ -1654,25 +1684,28 @@ object Dedup {
     * PRODUCTION `maxBucketSize`; recall isolates exactly what the cap
     * (on that tier's bucket space) dropped. Precision is 1.0 by
     * construction (every tier exact-Hamming-verifies its candidates) —
-    * reported, not assumed. Signatures are recomputed per pipeline
-    * (3×) — the gauge is an offline audit, run it before committing a
-    * (bands vs combination, cap) choice to a 100TB pass.
+    * reported, not assumed. Signatures are computed ONCE and shared by
+    * all three pipelines (truth + both tiers) — the gauge is an offline
+    * audit, run it before committing a (bands vs combination, cap)
+    * choice to a 100TB pass.
     * Output: one row per tier — (tier, n_true, n_found, n_hit, recall,
     * precision); tiers are 'band' and 'combined'. */
   def simhashRecallGauge(df: DataFrame, idCol: String, textCol: String,
                          maxHamming: Int = 3, bands: Int = 4,
                          chunks: Int = 6,
                          maxBucketSize: Option[Int] = None): DataFrame = {
-    val truth = simhashNearDupPairsCombined(df, idCol, textCol, maxHamming,
-        chunks, maxBucketSize = None)
-      .select(col("id1"), col("id2"))
+    val sigs = simhashSigs(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (truthPairs, truthBands) = simhashDetectFromSigs(sigs, maxHamming,
+      maxBucketSize = None, simhashComboKeys(chunks, maxHamming))
+    val truth = truthPairs.select(col("id1"), col("id2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tiers = Seq(
-      "band" -> simhashNearDupPairs(df, idCol, textCol, maxHamming, bands,
-        maxBucketSize),
-      "combined" -> simhashNearDupPairsCombined(df, idCol, textCol,
-        maxHamming, chunks, maxBucketSize))
-    val out = tiers.map { case (name, foundDf) =>
+      "band" -> simhashDetectFromSigs(sigs, maxHamming, maxBucketSize,
+        simhashBandKeys(bands)),
+      "combined" -> simhashDetectFromSigs(sigs, maxHamming, maxBucketSize,
+        simhashComboKeys(chunks, maxHamming)))
+    val out = tiers.map { case (name, (foundDf, _)) =>
       val found = foundDf.select(col("id1"), col("id2"))
       truth.agg(count(lit(1)).as("n_true"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
@@ -1685,7 +1718,8 @@ object Dedup {
         .otherwise(col("n_hit").cast("double") / col("n_true")))
       .withColumn("precision", when(col("n_found") === 0, 1.0)
         .otherwise(col("n_hit").cast("double") / col("n_found")))
-    materializeAndRelease(out, truth)
+    materializeAndRelease(out, truth, truthBands, sigs,
+      tiers.head._2._2, tiers.last._2._2)
   }
 
   /** Quality-aware canonical selection over EDIT-distance components —

@@ -62,6 +62,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p.linesIterator.take(12).mkString("\n"))
   }
 
+  test("q25: the 1-row global broadcast + nation dim broadcast; grouped " +
+    "aggregation stays partial/map-side") {
+    val p = plan("q25_national_balance_share")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the global scalar must broadcast")
+    assert(p.contains("BroadcastHashJoin"), "nation should broadcast")
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q26: the date window reaches the lineitem scan; the 1-row max " +
+    "broadcasts; no cartesian product") {
+    val p = plan("q26_top_supplier")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate"), "shipdate window not pushed")
+    // the rev = (SELECT MAX...) equality plans as a broadcast HASH join
+    // on the 1-row max — even tighter than BNLJ
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "both the max scalar and the supplier dim should broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"))
+  }
+
   test("d01: single scan with partial aggregation (map-side md5+combine)") {
     val p = plan("d01_exact_dedup")
     assert("FileScan".r.findAllIn(p).length == 1)
