@@ -1136,6 +1136,89 @@ object SparkEntry {
         transform, out, ckpt).awaitTermination()
       s.read.parquet(out)
     }),
+    "m42_takedown_audit" -> ((s, dir) => {
+      // the compliance capstone: build v1, propagate the takedown into
+      // v2, then AUDIT every (version, sub-table) cell for surviving
+      // revoked rows. The oracle computes the expected picture from
+      // first principles: v1/postings holds exactly the revoked docs'
+      // distinct-term posting rows, v1/stats carries nothing
+      // id-attributable, and the v2 cells read 0 — the snapshot
+      // contract as an oracle-gated table
+      val docs = t(s, dir, "documents")
+      val store = tmpQueryDir("m42-audit").toString + "/store"
+      TextAnalysis.writeBm25Snapshot(docs, store, termBuckets = 32)
+      val revoked = docs.where(col("doc_id") % 17 === 3)
+        .select(col("doc_id"))
+      graft.llm.Takedown.propagateBm25Snapshot(s, store, revoked, "doc_id")
+      graft.llm.Takedown.auditRevocations(s, store, revoked, "doc_id")
+    }),
+    "m43_bm25_append" -> ((s, dir) => {
+      // growth twin of m25 (and inverse of d65): v1 indexes the even
+      // half, the odd half arrives as a BATCH and merges in closed form
+      // — df takes batch-local per-term increments, N/Σdl add, old
+      // postings never re-tokenize — and the probe pins the newest. Any
+      // merge error (a double-counted df, a missed unseen term, a stale
+      // Σdl) shifts scores and fails the full-corpus oracle hash
+      val docs = t(s, dir, "documents")
+      val queries = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(lower(col("text"))), 1, 4),
+            " ").as("qtext"))
+      val store = tmpQueryDir("m43-append").toString + "/store"
+      TextAnalysis.writeBm25Snapshot(docs.where(col("doc_id") % 2 === 0),
+        store, termBuckets = 32)
+      graft.llm.Ingest.appendBm25Snapshot(s, store,
+        docs.where(col("doc_id") % 2 =!= 0))
+      TextAnalysis.bm25TopKIndexedLatest(s, store, queries,
+        "query_id", "qtext", k = 5)
+    }),
+    "m44_ivf_append" -> ((s, dir) => {
+      // growth twin of m26: v1 lays out the even half, the odd half
+      // appends with cells assigned map-side against the SAME frozen
+      // centroid literals — appended rows land exactly where a
+      // from-scratch build would put them, old rows copy through with
+      // their persisted cell. The m20 probe over the pinned-newest
+      // must equal the full-corpus formulation
+      val emb = t(s, dir, "embeddings")
+      val cents = ivfCentroids(s, dir, 16)
+      val store = tmpQueryDir("m44-ivf").toString + "/store"
+      val conf = s.sparkContext.hadoopConfiguration
+      graft.llm.LayoutStore.writeSnapshot(conf, store)(tmp =>
+        Similarity.writeIvfLayout(emb.where(col("vec_id") % 2 === 0),
+          cents, tmp))
+      graft.llm.Ingest.appendIvfSnapshot(s, store,
+        emb.where(col("vec_id") % 2 =!= 0), cents)
+      val path = graft.llm.LayoutStore.snapshotPath(conf, store)
+      val qVec = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val cells = cents.zipWithIndex.map { case (c, i) =>
+        var acc = 0.0
+        var j = 0
+        while (j < qVec.length) {
+          val d = qVec(j) - c(j); acc += d * d; j += 1
+        }
+        (acc, i)
+      }.sortBy { case (d, i) => (d, i) }.take(4).map(_._2).toSeq
+      val probed = Similarity.readIvfCells(s, path, cells)
+      Similarity.bruteForceTopK(probed, emb.where(col("vec_id") === 0), k = 5)
+    }),
+    "d72_corpus_diff" -> ((s, dir) => {
+      // the change report that drives the incremental passes: previous
+      // vs current corpus version, one row per status with doc count
+      // and signed token-mass delta. Both sides project to (id, md5
+      // fingerprint, token count) BEFORE the one id-keyed full-outer
+      // join — text never enters the shuffle. The synthetic versions
+      // make all four statuses non-empty: %5 ids are new, %7 ids were
+      // dropped, %11 ids rewrote (an ' rev2' suffix — a CONTENT change
+      // under the exact-dedup key), the rest carried over verbatim
+      val docs = t(s, dir, "documents")
+      val prev = docs.where(col("doc_id") % 5 =!= 0)
+      val cur = docs.where(col("doc_id") % 7 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 2, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      graft.llm.Ingest.corpusDiff(prev, cur)
+    }),
     "d71_expanded_takedown" -> ((s, dir) => {
       // the policy behind every real takedown: deleting the named doc
       // while its near-copies keep serving is not deletion. The seed
@@ -3473,6 +3556,66 @@ object SparkEntry {
         |    (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS url,
         |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
         |FROM qq""".stripMargin),
+    "m42_takedown_audit" ->
+      // first-principles expected audit: v1/postings = the revoked
+      // docs' distinct-term posting-row count; every other cell 0
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_distinct(list_filter(
+        |      string_split(lower(coalesce(text, '')), ' '),
+        |      x -> x != ''))) AS term
+        |  FROM documents),
+        |rp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok
+        |  WHERE doc_id % 17 = 3)
+        |SELECT CAST(v AS BIGINT) AS version, tbl AS "table",
+        |  CAST(n AS BIGINT) AS n_revoked
+        |FROM (VALUES
+        |  (1, 'postings', (SELECT n FROM rp)),
+        |  (1, 'stats', 0),
+        |  (2, 'postings', 0),
+        |  (2, 'stats', 0)) t(v, tbl, n)""".stripMargin,
+    "m43_bm25_append" ->
+      // m25's full-corpus formulation verbatim: correct only if the
+      // closed-form merge produced exactly the df/N/Σdl a from-scratch
+      // build over the whole corpus carries
+      TextAnalysis.bm25OracleSql(
+        "SELECT doc_id, text FROM documents",
+        """SELECT doc_id AS query_id,
+          |array_to_string(list_filter(string_split(lower(text), ' '),
+          |  x -> x != '')[1:4], ' ') AS qtext
+          |FROM documents WHERE doc_id < 3""".stripMargin,
+        k = 5),
+    "m44_ivf_append" ->
+      // m20/m26's full-corpus formulation: correct only if appended
+      // rows landed in exactly the cells a from-scratch assignment
+      // derives and no old row was lost or re-assigned in the rewrite
+      ivfLayoutOracleSql,
+    "d72_corpus_diff" ->
+      // the same two synthetic versions re-derived, DuckDB's own
+      // full-outer join + d01's fingerprint twin deciding the status
+      """WITH o AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x != '')) AS BIGINT) AS ntok
+        |  FROM documents WHERE doc_id % 5 != 0),
+        |c0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 2 THEN text || ' rev2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 7 != 3),
+        |c AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x != '')) AS BIGINT) AS ntok
+        |  FROM c0),
+        |j AS (SELECT
+        |    CASE WHEN o.fp IS NULL THEN 'added'
+        |         WHEN c.fp IS NULL THEN 'removed'
+        |         WHEN o.fp = c.fp THEN 'unchanged'
+        |         ELSE 'changed' END AS status,
+        |    coalesce(c.ntok, 0) - coalesce(o.ntok, 0) AS d
+        |  FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(d) AS BIGINT) AS tok_delta
+        |FROM j GROUP BY status""".stripMargin,
     "d71_expanded_takedown" ->
       // the d09 recursive transitive closure, then DuckDB's own
       // cluster-membership expansion of the seed set

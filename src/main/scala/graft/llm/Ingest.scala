@@ -1,0 +1,196 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus growth — the append half of the corpus lifecycle
+  * ([[Takedown]] is the shrink half): a new document batch arrives and
+  * every derived versioned artifact re-lands as a NEW [[LayoutStore]]
+  * snapshot that INCLUDES the batch, without re-reading, re-tokenizing
+  * or re-embedding a byte of the existing corpus. At 100 TB the
+  * difference is the whole game: a from-scratch index rebuild pays the
+  * corpus-width tokenize/embed every refresh, while the append pays
+  * (a) the batch's own feature extraction and (b) one filtered rewrite
+  * of the index rows — the same cost-∝-index discipline every
+  * [[Takedown]] propagator holds, applied in the growth direction.
+  *
+  * Rebuild-equality contract (what the m43/m44 oracles gate): after an
+  * append, a probe of the new snapshot returns results hash-identical
+  * to the same probe of a from-scratch build on the unioned corpus —
+  * derived statistics (BM25 df/N/Σdl) are merged in CLOSED FORM from
+  * the old snapshot plus batch-local aggregates, and surviving old rows
+  * copy through byte-identically.
+  *
+  * Id discipline: appended ids must be DISJOINT from the snapshot's ids
+  * — that disjointness is exactly what makes the df/N/Σdl merge
+  * closed-form (a re-submitted id would need the old rows' retraction
+  * first, i.e. a [[Takedown.propagateBm25Snapshot]] then an append, or
+  * a rebuild). Both appenders fail fast on collision rather than
+  * silently double-counting.
+  */
+object Ingest {
+
+  private def maybeBroadcast(df: DataFrame, maxBytes: Long): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes
+        <= BigInt(maxBytes)) broadcast(df)
+    else df
+
+  /** Append a document batch to a [[TextAnalysis.writeBm25Snapshot]]
+    * store in closed form: the batch tokenizes ONCE; existing postings
+    * take a map-side `df += batch-term increment` (the batch's per-term
+    * distinct-doc counts, broadcast under a plan-stats guard — the
+    * [[Takedown.propagateBm25Snapshot]] `dec` pattern in reverse);
+    * batch postings take `df = old df + increment` where the old df for
+    * batch terms comes off ONE pruned, partially-aggregated pass over
+    * the postings (broadcast semi-join on the batch vocabulary — only
+    * batch-term rows reach the aggregate); stats merge by addition
+    * (N += batch docs, Σdl += batch token mass, term_buckets copies
+    * through so the probe's fail-fast stamp survives). No old text is
+    * ever touched; the one full pass over old postings is the same
+    * filtered-rewrite cost the takedown pays, and the written rows land
+    * re-clustered by tbucket exactly as [[TextAnalysis.writeBm25Layout]]
+    * lands them. Returns the new version. */
+  def appendBm25Snapshot(spark: SparkSession, path: String,
+                         newDocs: DataFrame,
+                         docIdCol: String = "doc_id",
+                         textCol: String = "text",
+                         batchBroadcastMaxBytes: Long = 64L << 20,
+                         version: Option[Long] = None): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = LayoutStore.snapshotPath(conf, path, version)
+    val postings = spark.read.parquet(s"$src/postings")
+    val st = spark.read.parquet(s"$src/stats").head()
+    val termBuckets = st.getAs[Int]("term_buckets")
+
+    val newToks = newDocs.select(col(docIdCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchIds = maybeBroadcast(
+      newToks.select(col("doc_id")).distinct(), batchBroadcastMaxBytes)
+    val collisions = postings.join(batchIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id")).limit(1).count()
+    if (collisions != 0L) newToks.unpersist(blocking = true)
+    require(collisions == 0L,
+      "appendBm25Snapshot: batch contains doc ids already present in the " +
+        "snapshot — retract them first (propagateBm25Snapshot) or rebuild")
+
+    // batch-local postings and per-term doc-count increments (the df
+    // delta disjointness makes exact)
+    val btf = newToks
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inc = maybeBroadcast(
+      btf.groupBy(col("term")).agg(count(lit(1)).as("__add")),
+      batchBroadcastMaxBytes)
+
+    // old df for exactly the batch's terms: pruned map-side semi-join,
+    // partial agg — batch-vocabulary-sized result, never |vocabulary|
+    val oldDfBatchTerms = maybeBroadcast(
+      postings.join(inc.select(col("term")), Seq("term"), "left_semi")
+        .groupBy(col("term")).agg(max(col("df")).as("__olddf")),
+      batchBroadcastMaxBytes)
+
+    val updatedOld = postings.join(inc, Seq("term"), "left")
+      .withColumn("df", col("df") + coalesce(col("__add"), lit(0L)))
+      .drop("__add")
+    val batchRows = btf.join(inc, Seq("term"))
+      .join(oldDfBatchTerms, Seq("term"), "left")
+      .withColumn("df", coalesce(col("__olddf"), lit(0L)) + col("__add"))
+      .withColumn("tbucket",
+        TextAnalysis.bm25TermBucket(col("term"), termBuckets))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("df"), col("tbucket"))
+
+    val batchStats = newToks.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("__t")).cast("long")), lit(0L)).as("tot")).head()
+    val cols = updatedOld.columns.map(col).toSeq
+    val out = LayoutStore.writeSnapshot(conf, path) { tmp =>
+      updatedOld.unionByName(batchRows.select(cols: _*))
+        .repartition(col("tbucket"))
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$tmp/postings")
+      spark.range(1)
+        .select(lit(st.getAs[Long]("n") + batchStats.getLong(0)).as("n"),
+          lit(st.getAs[Long]("tot") + batchStats.getLong(1)).as("tot"),
+          lit(termBuckets).as("term_buckets"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    }
+    btf.unpersist(blocking = true)
+    newToks.unpersist(blocking = true)
+    out
+  }
+
+  /** Append a vector batch to an IVF layout held in a [[LayoutStore]]
+    * ([[Similarity.writeIvfLayout]] per snapshot): the batch assigns
+    * cells MAP-SIDE against the same frozen centroid literals the
+    * layout was built with (cell assignment is a pure function of
+    * (vector, centroids) — appended rows land in exactly the cell a
+    * from-scratch build would put them in), existing rows copy through
+    * with their persisted cell untouched, and the union re-lands
+    * re-clustered by cell as a new snapshot. No distance is recomputed
+    * for a single old vector. Returns the new version. */
+  def appendIvfSnapshot(spark: SparkSession, path: String,
+                        newVecs: DataFrame,
+                        centroids: Array[Array[Double]],
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        batchBroadcastMaxBytes: Long = 64L << 20,
+                        version: Option[Long] = None): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = LayoutStore.snapshotPath(conf, path, version)
+    val old = spark.read.parquet(src)
+    val batchIds = maybeBroadcast(
+      newVecs.select(col(idCol)).distinct(), batchBroadcastMaxBytes)
+    val collisions = old.join(batchIds, Seq(idCol), "left_semi")
+      .select(col(idCol)).limit(1).count()
+    require(collisions == 0L,
+      "appendIvfSnapshot: batch contains vec ids already present in the " +
+        "snapshot — retract them first (propagateLayoutSnapshot) or rebuild")
+    val added = Similarity.assignCells(newVecs, centroids, vecCol)
+    val cols = old.columns.map(col).toSeq
+    LayoutStore.writeSnapshot(conf, path) { tmp =>
+      old.unionByName(added.select(cols: _*))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    }
+  }
+
+  /** Corpus snapshot diff — the change report that DRIVES the
+    * incremental passes above: given the previous and current corpus
+    * versions, one row per status in {added, removed, changed,
+    * unchanged} with the doc count and the signed token-mass delta
+    * (added docs contribute their full mass, removed docs their
+    * negation, changed docs the difference — the number an
+    * [[appendBm25Snapshot]] Σdl merge or a capacity plan consumes).
+    *
+    * Scale shape: each side projects to (id, 32-char content
+    * fingerprint, token count) BEFORE anything joins — text never
+    * enters the shuffle — then ONE id-keyed full-outer join and an
+    * O(4)-row aggregate. Content identity is the exact-dedup key
+    * ([[Dedup.exactKey]]: md5 over whitespace-normalized lowered text),
+    * so a formatting-only rewrite counts as changed exactly when the
+    * exact-dedup pass would stop collapsing the two versions. */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    def sig(df: DataFrame, fp: String, ntok: String): DataFrame =
+      df.select(col(idCol).as("__id"),
+        Dedup.exactKey(col(textCol)).as(fp),
+        size(TextAnalysis.tokens(lower(col(textCol)))).cast("long").as(ntok))
+    val o = sig(oldCorpus, "__ofp", "__ontok")
+    val n = sig(newCorpus, "__nfp", "__nntok")
+    o.join(n, Seq("__id"), "full_outer")
+      .withColumn("status",
+        when(col("__ofp").isNull, lit("added"))
+          .when(col("__nfp").isNull, lit("removed"))
+          .when(col("__ofp") === col("__nfp"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__nntok"), lit(0L))
+          - coalesce(col("__ontok"), lit(0L))).as("tok_delta"))
+  }
+}

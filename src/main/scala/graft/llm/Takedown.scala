@@ -234,7 +234,15 @@ object Takedown {
     * of (salt, id), surviving docs keep their relative order — the
     * re-rank reproduces exactly the pos a from-scratch
     * [[Packing.shardAssign]] on the scrubbed corpus would emit, without
-    * recomputing a single hash. Returns the new version. */
+    * recomputing a single hash. Returns the new version.
+    *
+    * NOT for mix-preserving layouts ([[Packing.shardAssignBalanced]]'s
+    * d55/m34 family): their shard identity balances per-stratum counts
+    * ±1-exactly, so removing docs CHANGES which shard a from-scratch
+    * rebuild assigns — a row filter can't reproduce that. Those layouts
+    * REBUILD on takedown (still cheap: the assignment consumes only
+    * (id, stratum, tokens) metadata, never text), landing as the next
+    * snapshot the same way. */
   def propagateShardSnapshot(spark: SparkSession, path: String,
                              revoked: DataFrame, revokedIdCol: String,
                              idCol: String = "doc_id",

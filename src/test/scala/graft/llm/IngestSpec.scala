@@ -1,0 +1,103 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class IngestSpec extends SparkTestBase {
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  test("appendBm25Snapshot: merged snapshot is bit-identical to a " +
+    "from-scratch index of the union; retired v1 still pins; collision " +
+    "fails fast") {
+    val s = spark; import s.implicits._
+    val base = Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "data stages and more data"),
+      (3L, "an unrelated note")).toDF("doc_id", "text")
+    val batch = Seq(
+      (4L, "spark data arrives in a batch"),   // overlaps base vocab
+      (5L, "entirely novel vocabulary here"),  // unseen terms: olddf = 0
+      (6L, "")).toDF("doc_id", "text")         // tokenless doc: counts in N
+    val store = tmpDir("ingest-bm25") + "/store"
+    assert(TextAnalysis.writeBm25Snapshot(base, store, termBuckets = 8) == 1L)
+    assert(Ingest.appendBm25Snapshot(spark, store, batch) == 2L)
+    assert(LayoutStore.versions(conf, store) == Seq(1L, 2L))
+    // v1 pinned must NOT know the batch
+    val q = Seq((100L, "spark data")).toDF("query_id", "qtext")
+    val v1 = TextAnalysis.bm25TopKIndexedLatest(spark, store, q,
+      "query_id", "qtext", k = 10, version = Some(1L))
+    assert(v1.where(col("doc_id") >= 4L).count() == 0)
+    // rebuild-identity: postings AND stats, row for row
+    val rebuilt = tmpDir("ingest-bm25-rebuilt") + "/store"
+    TextAnalysis.writeBm25Snapshot(base.unionByName(batch), rebuilt,
+      termBuckets = 8)
+    def postings(path: String) = spark.read
+      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/postings")
+      .select("term", "doc_id", "tf", "dl", "df")
+      .collect().map(_.toSeq).toSet
+    def stats(path: String) = spark.read
+      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/stats")
+      .select("n", "tot", "term_buckets").head().toSeq
+    assert(postings(store) == postings(rebuilt))
+    assert(stats(store) == stats(rebuilt))
+    // id collision: the closed-form merge would double-count — fail fast
+    val dup = Seq((2L, "resubmitted")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Ingest.appendBm25Snapshot(spark, store, dup))
+    assert(e.getMessage.contains("already present"))
+    // and the failed append left no new version behind
+    assert(LayoutStore.versions(conf, store) == Seq(1L, 2L))
+  }
+
+  test("appendIvfSnapshot: appended rows land in exactly the cells a " +
+    "from-scratch assignment derives; old rows copy through; collision " +
+    "fails fast") {
+    val s = spark; import s.implicits._
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val base = Seq(
+      (1L, Seq(0.1, 0.2)), (2L, Seq(9.0, 9.5))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (3L, Seq(0.3, -0.1)), (4L, Seq(11.0, 10.0))).toDF("vec_id", "embedding")
+    val store = tmpDir("ingest-ivf") + "/store"
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      Similarity.writeIvfLayout(base, cents, tmp))
+    assert(Ingest.appendIvfSnapshot(spark, store, batch, cents) == 2L)
+    def rows(path: String) = spark.read.parquet(path)
+      .select(col("vec_id"), col("cell").cast("int"))
+      .collect().map(_.toSeq).toSet
+    val fromScratch = tmpDir("ingest-ivf-rebuilt")
+    Similarity.writeIvfLayout(base.unionByName(batch), cents, fromScratch)
+    assert(rows(LayoutStore.snapshotPath(conf, store)) == rows(fromScratch))
+    // v1 pinned: only the base rows
+    assert(rows(LayoutStore.snapshotPath(conf, store, Some(1L)))
+      .map(_.head) == Set(1L, 2L))
+    val dup = Seq((1L, Seq(5.0, 5.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Ingest.appendIvfSnapshot(spark, store, dup, cents))
+    assert(e.getMessage.contains("already present"))
+  }
+
+  test("corpusDiff: all four statuses with exact counts and signed " +
+    "token-mass deltas; a whitespace-only rewrite is unchanged") {
+    val s = spark; import s.implicits._
+    val prev = Seq(
+      (1L, "alpha beta"),          // unchanged
+      (2L, "gamma  delta"),        // whitespace-only rewrite -> unchanged
+      (3L, "three word doc"),      // changed to one word: delta -2
+      (4L, "going away now")).toDF("doc_id", "text") // removed: delta -3
+    val cur = Seq(
+      (1L, "alpha beta"),
+      (2L, "gamma delta"),
+      (3L, "shrunk"),
+      (5L, "brand new doc here")).toDF("doc_id", "text") // added: delta +4
+    val out = Ingest.corpusDiff(prev, cur)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(
+      "unchanged" -> ((2L, 0L)),
+      "changed" -> ((1L, -2L)),
+      "removed" -> ((1L, -3L)),
+      "added" -> ((1L, 4L))))
+  }
+}
