@@ -1219,6 +1219,71 @@ object SparkEntry {
             .otherwise(col("text")))
       graft.llm.Ingest.corpusDiff(prev, cur)
     }),
+    "q27_qualified_suppliers" -> ((s, dir) => {
+      // TPC-H Q20's plan shape — the last classic decorrelation pattern:
+      // a semi-join chain whose inner member passes a CORRELATED
+      // scalar-aggregate threshold (supplier qualifies if, for some red
+      // part, its share of that part's total shipped quantity exceeds
+      // 20%). Hand-decorrelated: per-(part,supp) and per-part exact
+      // DECIMAL sums off ONE broadcast-semi-filtered scan,
+      // cross-multiplied compare (5*share > total — no fraction ever
+      // leaves decimal), distinct winners semi-join the dimension
+      val li = t(s, dir, "lineitem")
+      val red = t(s, dir, "part").where(col("p_name").like("%red%"))
+        .select(col("p_partkey"))
+      val flt = li
+        .join(broadcast(red), li("l_partkey") === red("p_partkey"),
+          "left_semi")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("decimal(27,2)").as("q"))
+      val perPS = flt.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("q")).as("ps_qty"))
+      val perP = flt.groupBy(col("l_partkey"))
+        .agg(sum(col("q")).as("p_qty"))
+      val winners = perPS.join(perP, Seq("l_partkey"))
+        .where(col("ps_qty") * 5 > col("p_qty"))
+        .select(col("l_suppkey")).distinct()
+      val sup = t(s, dir, "supplier")
+      sup.join(winners, sup("s_suppkey") === winners("l_suppkey"),
+          "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+    "d73_gap_fill" -> ((s, dir) => {
+      // time-series regularization: irregular per-user events resample
+      // onto an hourly grid, holes carried forward (LOCF). The operator
+      // never windows over raw events — per-bucket last via one
+      // partial-aggregating max(struct), grid via sequence-explode,
+      // LOCF over grid rows only
+      val ev = t(s, dir, "events").where(col("user_id") < 40)
+      graft.operators.GapFill.gapFillLocf(ev, "user_id", tsMicros(ev),
+        "value", bucketMicros = 3600000000L)
+    }),
+    "m45_zorder_layout" -> ((s, dir) => {
+      // Morton-curve clustered layout: lineitem written partitioned by
+      // interleaved (l_partkey, l_suppkey) bit-buckets, then a rectangle
+      // on BOTH keys reads only the bucket directories the driver-side
+      // cell enumeration admits (partition-pruned; plan-guarded in
+      // ZOrderSpec). The oracle is the plain rectangle scan — an
+      // unsound bucket set drops rows and fails the hash
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+      val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head()
+      val dims = Seq(
+        graft.sinks.ZOrder.Dim("l_partkey", b.getLong(0), b.getLong(1)),
+        graft.sinks.ZOrder.Dim("l_suppkey", b.getLong(2), b.getLong(3)))
+      val path = tmpQueryDir("m45-zorder").toString + "/layout"
+      graft.sinks.ZOrder.writeZOrderLayout(li, path, dims, bits = 5,
+        zBuckets = 64)
+      val rect = Seq(
+        (b.getLong(0), b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8),
+        (b.getLong(2), b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 4))
+      graft.sinks.ZOrder.readRect(s, path, dims, rect, bits = 5,
+          zBuckets = 64)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+    }),
     "d71_expanded_takedown" -> ((s, dir) => {
       // the policy behind every real takedown: deleting the named doc
       // while its near-copies keep serving is not deletion. The seed
@@ -3616,6 +3681,52 @@ object SparkEntry {
         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(d) AS BIGINT) AS tok_delta
         |FROM j GROUP BY status""".stripMargin,
+    "q27_qualified_suppliers" ->
+      // the CORRELATED form itself: scalar-aggregate threshold inside
+      // the HAVING of an IN-subquery — DuckDB decorrelates its own way,
+      // so two engines cross two independent decorrelation paths
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem l3
+        |  WHERE l_partkey IN
+        |    (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        |  GROUP BY l_partkey, l_suppkey
+        |  HAVING 5 * SUM(CAST(l_quantity AS DECIMAL(27,2))) >
+        |    (SELECT SUM(CAST(l_quantity AS DECIMAL(27,2)))
+        |     FROM lineitem l2 WHERE l2.l_partkey = l3.l_partkey))""".stripMargin,
+    "d73_gap_fill" ->
+      // the same grid re-derived: per-(user, hour-bucket) last
+      // observation by (tus, value) DESC row_number, generate_series
+      // grid per user, LOCF via IGNORE NULLS last_value
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value
+        |  FROM events WHERE user_id < 40),
+        |b AS (SELECT user_id, tus // 3600000000 AS bucket, value,
+        |    row_number() OVER (PARTITION BY user_id, tus // 3600000000
+        |      ORDER BY tus DESC, value DESC) AS rn
+        |  FROM e),
+        |lv AS (SELECT user_id, bucket, value FROM b WHERE rn = 1),
+        |sp AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |  FROM lv GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+        |  FROM sp),
+        |j AS (SELECT g.user_id, g.bucket, lv.value AS obs
+        |  FROM g LEFT JOIN lv ON g.user_id = lv.user_id
+        |    AND g.bucket = lv.bucket)
+        |SELECT user_id, bucket,
+        |  last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  obs IS NOT NULL AS observed
+        |FROM j""".stripMargin,
+    "m45_zorder_layout" ->
+      // the plain rectangle scan: correct only if the z-bucket
+      // enumeration admitted every directory holding a matching row
+      """WITH b AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+        |    min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem, b
+        |WHERE l_partkey BETWEEN pmin AND pmin + (pmax - pmin) // 8
+        |  AND l_suppkey BETWEEN smin AND smin + (smax - smin) // 4""".stripMargin,
     "d71_expanded_takedown" ->
       // the d09 recursive transitive closure, then DuckDB's own
       // cluster-membership expansion of the seed set
