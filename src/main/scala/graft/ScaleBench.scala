@@ -940,6 +940,65 @@ object ScaleBench {
       tdRebuildStore, termBuckets = 64)
     val tdRebuildSecs = secs(tTdRebuild)
 
+    // m43 append vs from-scratch re-index: index the 90% slice, then
+    // merge the 10% batch in CLOSED FORM (batch tokenizes, old postings
+    // take a map-side df bump, stats add). The from-scratch comparison
+    // is td_build_secs above — the SAME writeBm25Snapshot on the full
+    // corpus within this suite. The structural claim: append cost =
+    // batch tokenize + one index rewrite, never the corpus tokenize.
+    val apStore = java.nio.file.Files
+      .createTempDirectory("graft-ap").toString + "/bm25"
+    val apBatch = corpus.where(col("doc_id") % 10 === 3)
+    val apBatchN = apBatch.count()
+    val tApBuild = System.nanoTime()
+    TextAnalysis.writeBm25Snapshot(corpus.where(col("doc_id") % 10 =!= 3),
+      apStore, termBuckets = 64)
+    val apBuildSecs = secs(tApBuild)
+    val tApMerge = System.nanoTime()
+    graft.llm.Ingest.appendBm25Snapshot(spark, apStore, apBatch)
+    val apMergeSecs = secs(tApMerge)
+
+    // m45 z-order layout: lineitem clustered by Morton (l_partkey,
+    // l_suppkey) buckets; a both-dim rectangle reads only the admitted
+    // bucket directories vs the plain scan of the flat parquet (which
+    // still gets row-group pushdown — the honest local comparison; the
+    // structural win is the file-listing-level subset, zo_buckets_read
+    // of zo_buckets).
+    val liPath = s"$sfDir/lineitem.parquet"
+    val li = spark.read.parquet(liPath)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+    val lb = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val zDims = Seq(
+      graft.sinks.ZOrder.Dim("l_partkey", lb.getLong(0), lb.getLong(1)),
+      graft.sinks.ZOrder.Dim("l_suppkey", lb.getLong(2), lb.getLong(3)))
+    val zPath = java.nio.file.Files
+      .createTempDirectory("graft-zo").toString + "/layout"
+    val zBuckets = 64
+    val tZoWrite = System.nanoTime()
+    graft.sinks.ZOrder.writeZOrderLayout(li, zPath, zDims, bits = 5,
+      zBuckets = zBuckets)
+    val zoWriteSecs = secs(tZoWrite)
+    val zRect = Seq(
+      (lb.getLong(0), lb.getLong(0) + (lb.getLong(1) - lb.getLong(0)) / 8),
+      (lb.getLong(2), lb.getLong(2) + (lb.getLong(3) - lb.getLong(2)) / 4))
+    val zoBucketsRead = graft.sinks.ZOrder
+      .bucketsForRect(zDims, zRect, bits = 5, zBuckets = zBuckets).length
+    val tZoPruned = System.nanoTime()
+    val zoRows = graft.sinks.ZOrder
+      .readRect(spark, zPath, zDims, zRect, bits = 5, zBuckets = zBuckets)
+      .count()
+    val zoPrunedSecs = secs(tZoPruned)
+    val tZoPlain = System.nanoTime()
+    val zoPlainRows = li
+      .where(col("l_partkey").between(zRect(0)._1, zRect(0)._2) &&
+        col("l_suppkey").between(zRect(1)._1, zRect(1)._2))
+      .count()
+    val zoPlainSecs = secs(tZoPlain)
+    require(zoRows == zoPlainRows,
+      s"z-order pruned read dropped rows: $zoRows != $zoPlainRows")
+
     val line =
       s"""{"metric":"scale_dedup","unit":"sec","sf":"$sfDir","docs":$nDocs,""" +
       s""""gen_secs":$genSecs,"exact_secs":$exactSecs,"exact_groups":$nExactGroups,""" +
@@ -1027,6 +1086,11 @@ object ScaleBench {
       s""""card_hll_err":$cardHllErr,""" +
       s""""td_build_secs":$tdBuildSecs,"td_prop_secs":$tdPropSecs,""" +
       s""""td_rebuild_secs":$tdRebuildSecs,"td_revoked_docs":$tdRevokedN,""" +
+      s""""ap_build90_secs":$apBuildSecs,"ap_merge_secs":$apMergeSecs,""" +
+      s""""ap_batch_docs":$apBatchN,""" +
+      s""""zo_write_secs":$zoWriteSecs,"zo_pruned_secs":$zoPrunedSecs,""" +
+      s""""zo_plain_secs":$zoPlainSecs,"zo_rows":$zoRows,""" +
+      s""""zo_buckets_read":$zoBucketsRead,"zo_buckets":$zBuckets,""" +
       s""""total_secs":${secs(t0)}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_BENCH.json"), line + "\n")

@@ -1284,6 +1284,59 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity"))
     }),
+    "m46_shard_append" -> ((s, dir) => {
+      // growth on the training-shard layout (m40's inverse): v1 holds
+      // the even half; the odd half appends from METADATA only — old
+      // ids re-hash to their stored shard (drift fails fast), new ids
+      // hash in, pos re-ranks per shard. The oracle is d42's
+      // formulation over the FULL corpus: the merged layout must be
+      // bit-identical to a from-scratch assignment of the union
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val assigned = graft.llm.Packing.shardAssign(
+        docs.where(col("doc_id") % 2 === 0), "doc_id",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        nShards = 8, salt = "m46")
+      val store = tmpQueryDir("m46-shards").toString + "/store"
+      val conf = s.sparkContext.hadoopConfiguration
+      graft.llm.LayoutStore.writeSnapshot(conf, store)(tmp =>
+        graft.llm.Packing.writeShardLayout(assigned, tmp))
+      graft.llm.Ingest.appendShardSnapshot(s, store,
+        docs.where(col("doc_id") % 2 =!= 0), "doc_id",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        nShards = 8, salt = "m46")
+      s.read.parquet(graft.llm.LayoutStore.snapshotPath(conf, store))
+        .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"))
+    }),
+    "m47_stream_interval_join" -> ((s, dir) => {
+      // stream-stream attribution join END-TO-END under the oracle:
+      // views and clicks stream off the same file source, clicks join
+      // within 2 hours of a same-user view, watermarks bound the join
+      // state on both sides. Inner matches emit as both sides arrive —
+      // no watermark holdback — so over the closed input the result is
+      // the batch interval join, which the oracle states directly
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = tmpQueryDir("m47-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        src.resolve("events.parquet"))
+      val out = tmpQueryDir("m47-sink").toString
+      val ckpt = tmpQueryDir("m47-ckpt").toString
+      def side(tp: String, pre: String)(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("event_type") === tp)
+          .select(col("user_id").as(s"${pre}_user"),
+            col("event_id").as(s"${pre}_id"),
+            timestamp_micros(tsMicros(df)).as(s"${pre}_ets"))
+      Incremental.intervalJoinAvailableNow(s, src.toString, schema,
+        "parquet", side("view", "v"), side("click", "c"),
+        "v_user", "c_user", "v_ets", "c_ets",
+        maxGap = "2 hours", watermark = "4 hours", out, ckpt)
+        .awaitTermination()
+      s.read.parquet(out)
+        .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+          col("c_id").as("click_id"),
+          unix_micros(col("v_ets")).as("vts"),
+          unix_micros(col("c_ets")).as("cts"))
+    }),
     "d71_expanded_takedown" -> ((s, dir) => {
       // the policy behind every real takedown: deleting the named doc
       // while its near-copies keep serving is not deletion. The seed
@@ -3727,6 +3780,25 @@ object SparkEntry {
         |FROM lineitem, b
         |WHERE l_partkey BETWEEN pmin AND pmin + (pmax - pmin) // 8
         |  AND l_suppkey BETWEEN smin AND smin + (smax - smin) // 4""".stripMargin,
+    "m46_shard_append" ->
+      // d42's full-corpus formulation with m46's literals: correct only
+      // if the metadata-only merge reproduced the from-scratch
+      // assignment of the union exactly — shard AND pos
+      graft.llm.Packing.shardAssignOracleSql(
+        """SELECT doc_id,
+          |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+          |    AS BIGINT) AS n_tokens
+          |FROM documents""".stripMargin,
+        "doc_id", nShards = 8, salt = "m46"),
+    "m47_stream_interval_join" ->
+      // the batch interval join the closed-input stream must equal
+      """SELECT v.user_id AS user_id, v.event_id AS view_id,
+        |  c.event_id AS click_id,
+        |  epoch_us(v.ts) AS vts, epoch_us(c.ts) AS cts
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR""".stripMargin,
     "d71_expanded_takedown" ->
       // the d09 recursive transitive closure, then DuckDB's own
       // cluster-membership expansion of the seed set

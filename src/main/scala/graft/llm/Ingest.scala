@@ -158,6 +158,61 @@ object Ingest {
     }
   }
 
+  /** Append a batch to a shard layout ([[Packing.shardAssign]] +
+    * [[Packing.writeShardLayout]] in a [[LayoutStore]]): the layout IS
+    * its own assignment metadata — (id, shard, pos, n_tokens) — and
+    * shard identity is a pure hash of (salt, id), so growth re-derives
+    * the full assignment from layout-rows ∪ batch-metadata WITHOUT
+    * touching any text: old ids re-hash to their stored shard, new ids
+    * hash in, and `pos` re-ranks per shard in the same (sampleKey, id)
+    * order a from-scratch [[Packing.shardAssign]] on the union derives
+    * — bit-identically, which the m46 oracle gates. Cost ∝ index +
+    * batch; the batch's `nTokens` expression is the only corpus-side
+    * computation.
+    *
+    * (nShards, salt) must be the ORIGINAL build's values — a mismatch
+    * would silently reshuffle every doc, so the appender re-derives the
+    * stored shard of existing rows and fails fast on the first
+    * disagreement instead. */
+  def appendShardSnapshot(spark: SparkSession, path: String,
+                          newDocs: DataFrame, idCol: String,
+                          nTokens: org.apache.spark.sql.Column,
+                          nShards: Int, salt: String,
+                          batchBroadcastMaxBytes: Long = 64L << 20,
+                          version: Option[Long] = None): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = LayoutStore.snapshotPath(conf, path, version)
+    val old = spark.read.parquet(src)
+      .select(col(idCol), col("n_tokens"), col("shard").as("__oldShard"))
+    val batchIds = maybeBroadcast(
+      newDocs.select(col(idCol)).distinct(), batchBroadcastMaxBytes)
+    val collisions = old.join(batchIds, Seq(idCol), "left_semi")
+      .select(col(idCol)).limit(1).count()
+    require(collisions == 0L,
+      "appendShardSnapshot: batch contains ids already present in the " +
+        "snapshot — retract them first (propagateShardSnapshot) or rebuild")
+    val union = old.select(col(idCol), col("n_tokens"),
+        col("__oldShard").cast("int").as("__oldShard"))
+      .unionByName(newDocs
+        .select(col(idCol), nTokens.cast("long").as("n_tokens"),
+          lit(null).cast("int").as("__oldShard")))
+    val assigned = Packing.shardAssign(union, idCol, col("n_tokens"),
+        nShards, salt)
+      .join(union.select(col(idCol), col("__oldShard")), Seq(idCol))
+    val drift = assigned
+      .where(col("__oldShard").isNotNull &&
+        col("__oldShard") =!= col("shard"))
+      .limit(1).count()
+    require(drift == 0L,
+      s"appendShardSnapshot: recomputed shard disagrees with the stored " +
+        s"layout — (nShards=$nShards, salt=$salt) do not match the " +
+        "original build")
+    LayoutStore.writeSnapshot(conf, path)(tmp =>
+      Packing.writeShardLayout(
+        assigned.select(col(idCol), col("shard"), col("pos"),
+          col("n_tokens")), tmp))
+  }
+
   /** Corpus snapshot diff — the change report that DRIVES the
     * incremental passes above: given the previous and current corpus
     * versions, one row per status in {added, removed, changed,

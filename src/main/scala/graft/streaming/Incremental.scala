@@ -56,6 +56,44 @@ object Incremental {
       .start()
   }
 
+  /** Stream-stream event-time INTERVAL JOIN, process-available-then-stop:
+    * both sides read the same incremental file source, the right side
+    * joins within `[leftTs, leftTs + maxGap]` of a matching key, and the
+    * result appends to parquet. The attribution join every event
+    * pipeline runs (view→click, impression→conversion, request→error)
+    * expressed as Structured Streaming's watermarked stream-stream join:
+    * the time-range condition plus BOTH watermarks is what lets the
+    * state store evict a row once no future match can exist — without
+    * them the join state grows with the stream forever. Inner-join
+    * matches emit as soon as both sides arrive (no watermark holdback —
+    * unlike m18's append-mode windows), so over a closed input the
+    * result equals the batch join, which is exactly what the m47 oracle
+    * gates. `prepareLeft`/`prepareRight` must project DISTINCT column
+    * names (the join keeps both sides' columns). */
+  def intervalJoinAvailableNow(spark: SparkSession, sourceDir: String,
+                               schema: StructType, format: String,
+                               prepareLeft: DataFrame => DataFrame,
+                               prepareRight: DataFrame => DataFrame,
+                               leftKeyCol: String, rightKeyCol: String,
+                               leftTsCol: String, rightTsCol: String,
+                               maxGap: String, watermark: String,
+                               sinkPath: String, checkpointDir: String)
+      : StreamingQuery = {
+    def src = spark.readStream.schema(schema).format(format).load(sourceDir)
+    val l = prepareLeft(src).withWatermark(leftTsCol, watermark)
+    val r = prepareRight(src).withWatermark(rightTsCol, watermark)
+    val joined = l.join(r,
+      col(leftKeyCol) === col(rightKeyCol) &&
+        col(rightTsCol) >= col(leftTsCol) &&
+        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $maxGap"))
+    joined.writeStream
+      .format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Incremental file-source AGGREGATION: process-available-then-stop
     * with a complete-mode memory sink — the "refresh a serving snapshot
     * from whatever landed" shape (a stats table, a top-terms board).

@@ -78,6 +78,37 @@ class IngestSpec extends SparkTestBase {
     assert(e.getMessage.contains("already present"))
   }
 
+  test("appendShardSnapshot: metadata-only merge equals a from-scratch " +
+    "assignment of the union; wrong salt trips the drift guard") {
+    val s = spark; import s.implicits._
+    val base = Seq.tabulate(40)(i => (i.toLong, 10L + i))
+      .toDF("doc_id", "n_tokens")
+    val batch = Seq.tabulate(20)(i => (100L + i, 5L + i))
+      .toDF("doc_id", "n_tokens")
+    val store = tmpDir("ingest-shards") + "/store"
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      Packing.writeShardLayout(
+        Packing.shardAssign(base, "doc_id", col("n_tokens"), 4, "sA"), tmp))
+    assert(Ingest.appendShardSnapshot(spark, store, batch, "doc_id",
+      col("n_tokens"), 4, "sA") == 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("shard").cast("int"), col("pos"),
+        col("n_tokens"))
+      .collect().map(_.toSeq).toSet
+    val merged = rows(spark.read.parquet(
+      LayoutStore.snapshotPath(conf, store)))
+    val scratch = rows(Packing.shardAssign(base.unionByName(batch),
+      "doc_id", col("n_tokens"), 4, "sA"))
+    assert(merged == scratch)
+    // wrong salt: recomputed shards disagree with the stored layout
+    val more = Seq((999L, 3L)).toDF("doc_id", "n_tokens")
+    val e = intercept[IllegalArgumentException](
+      Ingest.appendShardSnapshot(spark, store, more, "doc_id",
+        col("n_tokens"), 4, "WRONG"))
+    assert(e.getMessage.contains("drift") ||
+      e.getMessage.contains("disagrees"))
+  }
+
   test("corpusDiff: all four statuses with exact counts and signed " +
     "token-mass deltas; a whitespace-only rewrite is unchanged") {
     val s = spark; import s.implicits._
