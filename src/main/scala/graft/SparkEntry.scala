@@ -1219,6 +1219,28 @@ object SparkEntry {
             .otherwise(col("text")))
       graft.llm.Ingest.corpusDiff(prev, cur)
     }),
+    "q28_promo_share" -> ((s, dir) => {
+      // TPC-H Q14's plan shape: a conditional-aggregation RATIO — the
+      // promo share of monthly revenue. Numerator and denominator are
+      // exact decimal sums off ONE broadcast-joined scan (part is the
+      // small dim; the CASE rides the same projection), and the percent
+      // is ONE double division on identical exact inputs (the
+      // decimalAvg contract), so the ratio is engine-exact
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(27,4)")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(27,4)"))) * 100)
+            .cast("double").as("promo100"),
+          sum(rev).cast("double").as("revenue"))
+        .select(col("month"),
+          (col("promo100") / col("revenue")).as("promo_share"),
+          col("revenue"))
+    }),
     "q27_qualified_suppliers" -> ((s, dir) => {
       // TPC-H Q20's plan shape — the last classic decorrelation pattern:
       // a semi-join chain whose inner member passes a CORRELATED
@@ -3734,6 +3756,19 @@ object SparkEntry {
         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(d) AS BIGINT) AS tok_delta
         |FROM j GROUP BY status""".stripMargin,
+    "q28_promo_share" ->
+      // same exact-decimal sums, same single double division
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |  CAST(100 * SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(27,4))
+        |      ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(27,4))) AS DOUBLE) AS promo_share,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
     "q27_qualified_suppliers" ->
       // the CORRELATED form itself: scalar-aggregate threshold inside
       // the HAVING of an IN-subquery — DuckDB decorrelates its own way,

@@ -123,40 +123,73 @@ object Ingest {
     out
   }
 
+  /** Generic row append into a partition-column layout snapshot: union
+    * PRE-ASSIGNED batch rows with the pinned snapshot's rows and
+    * re-land re-clustered by `partitionCol` as a new version. This is
+    * the growth twin of [[Takedown.propagateLayoutSnapshot]]'s filtered
+    * walk, for any layout whose partition key is a pure function of the
+    * row (IVF cells from frozen centroids, SRP buckets from
+    * (plane, dim)-derived weights, BM25 term buckets): old rows copy
+    * through with their persisted key untouched — nothing is
+    * recomputed for a single existing row — and batch rows land in
+    * exactly the directory a from-scratch build would put them in.
+    * Fails fast if the batch reuses an existing id. Returns the new
+    * version. */
+  def appendRowsSnapshot(spark: SparkSession, path: String,
+                         newRows: DataFrame, partitionCol: String,
+                         idCol: String,
+                         batchBroadcastMaxBytes: Long = 64L << 20,
+                         version: Option[Long] = None): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = LayoutStore.snapshotPath(conf, path, version)
+    val old = spark.read.parquet(src)
+    val batchIds = maybeBroadcast(
+      newRows.select(col(idCol)).distinct(), batchBroadcastMaxBytes)
+    val collisions = old.join(batchIds, Seq(idCol), "left_semi")
+      .select(col(idCol)).limit(1).count()
+    require(collisions == 0L,
+      "appendRowsSnapshot: batch contains ids already present in the " +
+        "snapshot — retract them first (propagateLayoutSnapshot) or rebuild")
+    val cols = old.columns.map(col).toSeq
+    LayoutStore.writeSnapshot(conf, path) { tmp =>
+      old.unionByName(newRows.select(cols: _*))
+        .repartition(col(partitionCol))
+        .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    }
+  }
+
   /** Append a vector batch to an IVF layout held in a [[LayoutStore]]
     * ([[Similarity.writeIvfLayout]] per snapshot): the batch assigns
     * cells MAP-SIDE against the same frozen centroid literals the
     * layout was built with (cell assignment is a pure function of
-    * (vector, centroids) — appended rows land in exactly the cell a
-    * from-scratch build would put them in), existing rows copy through
-    * with their persisted cell untouched, and the union re-lands
-    * re-clustered by cell as a new snapshot. No distance is recomputed
-    * for a single old vector. Returns the new version. */
+    * (vector, centroids)), then [[appendRowsSnapshot]] lands the
+    * union. Returns the new version. */
   def appendIvfSnapshot(spark: SparkSession, path: String,
                         newVecs: DataFrame,
                         centroids: Array[Array[Double]],
                         idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         batchBroadcastMaxBytes: Long = 64L << 20,
-                        version: Option[Long] = None): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val src = LayoutStore.snapshotPath(conf, path, version)
-    val old = spark.read.parquet(src)
-    val batchIds = maybeBroadcast(
-      newVecs.select(col(idCol)).distinct(), batchBroadcastMaxBytes)
-    val collisions = old.join(batchIds, Seq(idCol), "left_semi")
-      .select(col(idCol)).limit(1).count()
-    require(collisions == 0L,
-      "appendIvfSnapshot: batch contains vec ids already present in the " +
-        "snapshot — retract them first (propagateLayoutSnapshot) or rebuild")
-    val added = Similarity.assignCells(newVecs, centroids, vecCol)
-    val cols = old.columns.map(col).toSeq
-    LayoutStore.writeSnapshot(conf, path) { tmp =>
-      old.unionByName(added.select(cols: _*))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    }
-  }
+                        version: Option[Long] = None): Long =
+    appendRowsSnapshot(spark, path,
+      Similarity.assignCells(newVecs, centroids, vecCol), "cell", idCol,
+      batchBroadcastMaxBytes, version)
+
+  /** Append a vector batch to an SRP layout
+    * ([[Similarity.writeSrpLayout]] per snapshot): buckets derive
+    * purely from (plane, dim) weights, so the batch buckets map-side
+    * and [[appendRowsSnapshot]] lands the union. Returns the new
+    * version. */
+  def appendSrpSnapshot(spark: SparkSession, path: String,
+                        newVecs: DataFrame, dim: Int, planes: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        batchBroadcastMaxBytes: Long = 64L << 20,
+                        version: Option[Long] = None): Long =
+    appendRowsSnapshot(spark, path,
+      newVecs.withColumn("bucket",
+        Similarity.srpBucket(col(vecCol), dim, planes)),
+      "bucket", idCol, batchBroadcastMaxBytes, version)
 
   /** Append a batch to a shard layout ([[Packing.shardAssign]] +
     * [[Packing.writeShardLayout]] in a [[LayoutStore]]): the layout IS

@@ -53,6 +53,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q27: red-part filter broadcasts into a semi-join, supplier " +
+    "semi-joins the winners, no cartesian") {
+    val p = plan("q27_qualified_suppliers")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the red-part key list should broadcast into the lineitem scan")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum"),
+      "the per-(part,supp) sums must partially aggregate map-side")
+  }
+
+  test("q28: part dim broadcasts; conditional sums keep map-side " +
+    "partial aggregation") {
+    val p = plan("q28_promo_share")
+    assert(p.contains("BroadcastHashJoin"), "part is the broadcast dim")
+    assert(p.contains("partial_sum"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("domainCap keepOnly: rank filter plans as WindowGroupLimit (per-" +
     "partition top-k short-circuit; a mega-domain never materializes)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")

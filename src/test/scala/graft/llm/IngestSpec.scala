@@ -78,6 +78,28 @@ class IngestSpec extends SparkTestBase {
     assert(e.getMessage.contains("already present"))
   }
 
+  test("appendSrpSnapshot: deterministic buckets land appended vectors " +
+    "exactly where a from-scratch layout puts them") {
+    val s = spark; import s.implicits._
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 8.0 + j))))
+      .toDF("vec_id", "embedding")
+    val base = mk(0L until 30L)
+    val batch = mk(100L until 120L)
+    val store = tmpDir("ingest-srp") + "/store"
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      Similarity.writeSrpLayout(base, dim = 8, planes = 4, path = tmp))
+    assert(Ingest.appendSrpSnapshot(spark, store, batch, dim = 8,
+      planes = 4) == 2L)
+    def rows(path: String) = spark.read.parquet(path)
+      .select(col("vec_id"), col("bucket").cast("long"))
+      .collect().map(_.toSeq).toSet
+    val scratch = tmpDir("ingest-srp-scratch")
+    Similarity.writeSrpLayout(base.unionByName(batch), dim = 8,
+      planes = 4, path = scratch)
+    assert(rows(LayoutStore.snapshotPath(conf, store)) == rows(scratch))
+  }
+
   test("appendShardSnapshot: metadata-only merge equals a from-scratch " +
     "assignment of the union; wrong salt trips the drift guard") {
     val s = spark; import s.implicits._
