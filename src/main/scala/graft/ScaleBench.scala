@@ -888,10 +888,21 @@ object ScaleBench {
       maxHamming = 3, bands = 4, chunks = 6, maxBucketSize = Some(cap))
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getDouble(4)))).toMap
-    gaugeCorpus.unpersist(blocking = true)
     val simRecSecs = secs(tSimRec)
     val (simRecTrue, simRecBand) = simRec("band")
     val simRecComb = simRec("combined")._2
+
+    // d74 exact set-similarity join, same exact-deduped corpus (the
+    // cap-free exactness contract: verbatim mega-clusters collapse
+    // FIRST, then the lossless prefix-filtered pass pays only the
+    // corpus's true near-dup density — which this corpus makes
+    // adversarial on purpose: every cold replica cluster qualifies
+    // wholesale, so the pair count is the cost, not the scheme).
+    val tSetSim = System.nanoTime()
+    val setSimPairs = Dedup.setSimilarityJoin(gaugeCorpus, "doc_id",
+      "text", thresholdNum = 7, thresholdDen = 10).count()
+    val setSimSecs = secs(tSetSim)
+    gaugeCorpus.unpersist(blocking = true)
 
     // d67 distinct-cardinality monitor: exact count(DISTINCT) rollup vs
     // the HLL regime over the same 32-source split. At 100TB the exact
@@ -1081,6 +1092,7 @@ object ScaleBench {
       s""""simrec_secs":$simRecSecs,"simrec_true":$simRecTrue,""" +
       s""""simrec_band_recall":$simRecBand,""" +
       s""""simrec_comb_recall":$simRecComb,""" +
+      s""""setsim_secs":$setSimSecs,"setsim_pairs":$setSimPairs,""" +
       s""""card_exact_secs":$cardExactSecs,"card_hll_secs":$cardHllSecs,""" +
       s""""card_exact_terms":$cardExactTerms,"card_hll_terms":$cardHllTerms,""" +
       s""""card_hll_err":$cardHllErr,""" +

@@ -1219,6 +1219,25 @@ object SparkEntry {
             .otherwise(col("text")))
       graft.llm.Ingest.corpusDiff(prev, cur)
     }),
+    "q29_large_orders" -> ((s, dir) => {
+      // TPC-H Q18's plan shape: a grouped-HAVING key set joined BACK to
+      // the detail side — big orders (total quantity > 180) recover
+      // their order/customer rows. The exact decimal sum makes the
+      // HAVING cut engine-exact; the key set joins orders first (the
+      // selective side), customer broadcast-joins last
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(27,2)")).as("__q"))
+        .where(col("__q") > 180)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("__q").cast("double").as("qty"))
+      o.join(big, Seq("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("qty"))
+    }),
     "q28_promo_share" -> ((s, dir) => {
       // TPC-H Q14's plan shape: a conditional-aggregation RATIO — the
       // promo share of monthly revenue. Numerator and denominator are
@@ -1270,6 +1289,16 @@ object SparkEntry {
           "left_semi")
         .select(col("s_suppkey"), col("s_name"))
     }),
+    "d74_setsim_join" -> ((s, dir) =>
+      // EXACT Jaccard>=0.7 pair join — the lossless complement of the
+      // LSH tier: prefix filtering (rarest-first token rank) bounds the
+      // pair-generating join to each doc's first n-ceil(t*n)+1 tokens,
+      // then exact intersection counts verify; the threshold compare is
+      // integer-only. The oracle is the scheme-independent quadratic
+      // formulation (all shared-token pairs, counted), so recall=1.0
+      // is hash-checked, not claimed
+      graft.llm.Dedup.setSimilarityJoin(t(s, dir, "documents"),
+        "doc_id", "text", thresholdNum = 7, thresholdDen = 10)),
     "d73_gap_fill" -> ((s, dir) => {
       // time-series regularization: irregular per-user events resample
       // onto an hourly grid, holes carried forward (LOCF). The operator
@@ -1328,6 +1357,31 @@ object SparkEntry {
         nShards = 8, salt = "m46")
       s.read.parquet(graft.llm.LayoutStore.snapshotPath(conf, store))
         .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"))
+    }),
+    "m48_incremental_refresh" -> ((s, dir) => {
+      // the COMPLETE production refresh loop under one oracle: v1
+      // indexes the old corpus version; corpusDiffRows decides per id;
+      // refresh retracts (removed ∪ changed) in closed form and
+      // re-enters (added ∪ changed) as a batch append — unchanged docs
+      // (the mass of a real refresh) are never re-read — and the
+      // pinned-newest probe must hash-equal s09's from-scratch
+      // formulation over the NEW corpus version
+      val docs = t(s, dir, "documents")
+      val prev = docs.where(col("doc_id") % 5 =!= 0)
+      val cur = docs.where(col("doc_id") % 7 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 2, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      val store = tmpQueryDir("m48-refresh").toString + "/store"
+      TextAnalysis.writeBm25Snapshot(prev, store, termBuckets = 32)
+      graft.llm.Ingest.refreshBm25Snapshot(s, store,
+        graft.llm.Ingest.corpusDiffRows(prev, cur), cur)
+      val queries = cur.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(lower(col("text"))), 1, 4),
+            " ").as("qtext"))
+      TextAnalysis.bm25TopKIndexedLatest(s, store, queries,
+        "query_id", "qtext", k = 5)
     }),
     "m47_stream_interval_join" -> ((s, dir) => {
       // stream-stream attribution join END-TO-END under the oracle:
@@ -3756,6 +3810,17 @@ object SparkEntry {
         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(d) AS BIGINT) AS tok_delta
         |FROM j GROUP BY status""".stripMargin,
+    "q29_large_orders" ->
+      // the grouped-HAVING IN form itself; exact decimal sum both sides
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        |  CAST(big.q AS DOUBLE) AS qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN (SELECT l_orderkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(27,2))) AS q
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(27,2))) > 180) big
+        |  ON o_orderkey = big.l_orderkey""".stripMargin,
     "q28_promo_share" ->
       // same exact-decimal sums, same single double division
       """SELECT strftime(l_shipdate, '%Y-%m') AS month,
@@ -3782,6 +3847,24 @@ object SparkEntry {
         |  HAVING 5 * SUM(CAST(l_quantity AS DECIMAL(27,2))) >
         |    (SELECT SUM(CAST(l_quantity AS DECIMAL(27,2)))
         |     FROM lineitem l2 WHERE l2.l_partkey = l3.l_partkey))""".stripMargin,
+    "d74_setsim_join" ->
+      // scheme-independent exact truth: every shared-distinct-token
+      // pair counted, integer threshold — 17*inter >= 7*(na+nb) is
+      // J >= 0.7 exactly
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_distinct(list_filter(
+        |      string_split(lower(text), ' '), x -> x != ''))) AS term
+        |  FROM documents),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM tok GROUP BY 1),
+        |pair AS (SELECT a.doc_id AS ai, b.doc_id AS bi,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM tok a JOIN tok b
+        |    ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ai AS id_a, bi AS id_b, inter, na.n AS na, nb.n AS nb
+        |FROM pair JOIN n na ON na.doc_id = ai JOIN n nb ON nb.doc_id = bi
+        |WHERE 17 * inter >= 7 * (na.n + nb.n)""".stripMargin,
     "d73_gap_fill" ->
       // the same grid re-derived: per-(user, hour-bucket) last
       // observation by (tus, value) DESC row_number, generate_series
@@ -3825,6 +3908,21 @@ object SparkEntry {
           |    AS BIGINT) AS n_tokens
           |FROM documents""".stripMargin,
         "doc_id", nShards = 8, salt = "m46"),
+    "m48_incremental_refresh" ->
+      // s09's formulation over the NEW corpus version: correct only if
+      // the retract+append pair reproduced exactly the df/N/Σdl and
+      // postings a from-scratch index of the new version carries
+      TextAnalysis.bm25OracleSql(
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 11 = 2 THEN text || ' rev2' ELSE text END
+          |    AS text
+          |FROM documents WHERE doc_id % 7 != 3""".stripMargin,
+        """SELECT doc_id AS query_id,
+          |array_to_string(list_filter(string_split(lower(
+          |  CASE WHEN doc_id % 11 = 2 THEN text || ' rev2' ELSE text END
+          |), ' '), x -> x != '')[1:4], ' ') AS qtext
+          |FROM documents WHERE doc_id % 7 != 3 AND doc_id < 3""".stripMargin,
+        k = 5),
     "m47_stream_interval_join" ->
       // the batch interval join the closed-input stream must equal
       """SELECT v.user_id AS user_id, v.event_id AS view_id,

@@ -1915,4 +1915,77 @@ object Dedup {
     (out, sg)
   }
 
+  /** EXACT token-set Jaccard-threshold pair join via prefix filtering —
+    * the exact complement of the MinHash-LSH tier: LSH trades recall
+    * for bucketed candidates; this finds EVERY pair with
+    * J(A, B) >= num/den, provably, with the candidate explosion tamed
+    * by the AllPairs/PPJoin prefix principle (Bayardo et al., WWW'07;
+    * Xiao et al., WWW'08): order each doc's distinct tokens by a global
+    * (ascending document-frequency, token) rank — rarest first — and
+    * only the first `n - ceil(t*n) + 1` tokens of a doc can START a
+    * qualifying pair, so ONLY those rows enter the pair-generating
+    * equi-join; frequent tokens (the quadratic killers) sit at the back
+    * of every prefix and never generate a candidate. Candidates then
+    * verify by exact intersection count, and the threshold compare is
+    * pure integer arithmetic — J >= num/den iff
+    * (den+num)*inter >= num*(na+nb) — no float ever.
+    *
+    * Scale shape: one (doc, term) distinct exchange, one term-keyed df
+    * join, one per-doc window for the rank (each partition is one
+    * doc's token set), the prefix equi-join (rows = prefix tokens
+    * only), and a candidate-keyed verify join that ships (id, term)
+    * pairs — never text. Completeness holds ONLY cap-free, so there is
+    * deliberately no bucket cap here; the production composition is
+    * [[exactDedup]] FIRST (verbatim mega-clusters collapse in O(B)),
+    * then this on the deduped corpus — the d66 contract. A corpus
+    * whose near-dup structure is itself quadratic (millions of true
+    * pairs) pays that cost in any exact scheme.
+    *
+    * Output: (id_a, id_b, inter, na, nb) with id_a < id_b — integer
+    * columns only, so the oracle compare is hash-exact. */
+  def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
+                        thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    require(thresholdNum >= 1 && thresholdDen >= thresholdNum,
+      s"threshold $thresholdNum/$thresholdDen not in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val (num, den) = (thresholdNum.toLong, thresholdDen.toLong)
+    val tok = df.select(col(idCol).as("__id"),
+        explode(array_distinct(TextAnalysis.tokens(lower(col(textCol)))))
+          .as("__term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = tok.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val dfreq = tok.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    // ceil(t*n) in exact integers: (num*n + den - 1) div den, all > 0
+    def ceilT(n: Column): Column = {
+      val x = n * num + lit(den - 1)
+      ((x - pmod(x, lit(den))) / lit(den)).cast("long")
+    }
+    val pref = tok.join(dfreq, Seq("__term"))
+      .join(sizes, Seq("__id"))
+      .withColumn("__idx", row_number().over(
+        Window.partitionBy(col("__id"))
+          .orderBy(col("__df").asc, col("__term").asc)))
+      .where(col("__idx") <= col("__n") - ceilT(col("__n")) + 1)
+      .select(col("__id"), col("__term"), col("__n"))
+    val cands = pref.as("a").join(pref.as("b"),
+        col("a.__term") === col("b.__term") &&
+          col("a.__id") < col("b.__id") &&
+          // length filter: t*max(na,nb) <= min(na,nb) (both directions,
+          // since id order says nothing about size order)
+          col("a.__n") * num <= col("b.__n") * den &&
+          col("b.__n") * num <= col("a.__n") * den)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__n").as("na"), col("b.__n").as("nb"))
+      .distinct()
+    val out = cands
+      .join(tok.select(col("__id").as("id_a"), col("__term")), Seq("id_a"))
+      .join(tok.select(col("__id").as("id_b"), col("__term")),
+        Seq("id_b", "__term"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter") * (den + num) >= (col("na") + col("nb")) * num)
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"))
+    materializeAndRelease(out, tok)
+  }
+
 }

@@ -246,6 +246,40 @@ object Ingest {
           col("n_tokens")), tmp))
   }
 
+  /** The complete incremental refresh cycle — [[corpusDiff]]'s decisions
+    * executed against a BM25 snapshot store: removed ids RETRACT
+    * ([[Takedown.propagateBm25Snapshot]]'s closed-form df/N/Σdl
+    * repair), changed ids retract their OLD rows and re-enter with
+    * their new text, added ids append — one retraction snapshot, one
+    * append snapshot, and the pinned-newest result is provably the
+    * index a from-scratch build of the new corpus produces (the m48
+    * oracle gate). This is the production refresh loop: cost =
+    * index rewrites + tokenize of (added ∪ changed) only; unchanged
+    * docs — the overwhelming mass of any real refresh — are never
+    * re-read.
+    *
+    * `diff` is row-level change intelligence: (id, status) with status
+    * in {added, removed, changed, unchanged} (compute it upstream with
+    * the [[corpusDiff]] projections, or from pipeline bookkeeping);
+    * `newCorpus` supplies the text for added/changed ids. Returns the
+    * final version. */
+  def refreshBm25Snapshot(spark: SparkSession, path: String,
+                          diff: DataFrame, newCorpus: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): Long = {
+    val retract = diff
+      .where(col("status") === "removed" || col("status") === "changed")
+      .select(col(idCol))
+    val enter = diff
+      .where(col("status") === "added" || col("status") === "changed")
+      .select(col(idCol))
+    Takedown.propagateBm25Snapshot(spark, path, retract, idCol)
+    appendBm25Snapshot(spark, path,
+      newCorpus.join(enter, Seq(idCol), "left_semi")
+        .select(col(idCol), col(textCol)),
+      idCol, textCol)
+  }
+
   /** Corpus snapshot diff — the change report that DRIVES the
     * incremental passes above: given the previous and current corpus
     * versions, one row per status in {added, removed, changed,
@@ -261,24 +295,33 @@ object Ingest {
     * ([[Dedup.exactKey]]: md5 over whitespace-normalized lowered text),
     * so a formatting-only rewrite counts as changed exactly when the
     * exact-dedup pass would stop collapsing the two versions. */
-  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
-                 idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+  /** Row-level form of [[corpusDiff]]: one row per id with its status
+    * and both token counts — the frame [[refreshBm25Snapshot]]
+    * consumes. Same scale shape: project-then-join, text never in the
+    * shuffle. */
+  def corpusDiffRows(oldCorpus: DataFrame, newCorpus: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
     def sig(df: DataFrame, fp: String, ntok: String): DataFrame =
-      df.select(col(idCol).as("__id"),
+      df.select(col(idCol),
         Dedup.exactKey(col(textCol)).as(fp),
         size(TextAnalysis.tokens(lower(col(textCol)))).cast("long").as(ntok))
     val o = sig(oldCorpus, "__ofp", "__ontok")
     val n = sig(newCorpus, "__nfp", "__nntok")
-    o.join(n, Seq("__id"), "full_outer")
+    o.join(n, Seq(idCol), "full_outer")
       .withColumn("status",
         when(col("__ofp").isNull, lit("added"))
           .when(col("__nfp").isNull, lit("removed"))
           .when(col("__ofp") === col("__nfp"), lit("unchanged"))
           .otherwise(lit("changed")))
+  }
+
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    corpusDiffRows(oldCorpus, newCorpus, idCol, textCol)
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("__nntok"), lit(0L))
           - coalesce(col("__ontok"), lit(0L))).as("tok_delta"))
-  }
 }

@@ -92,22 +92,28 @@ object ZOrder {
                        zBuckets: Int): Column =
     floorDiv(z, (1L << (bits * ndims)) / zBuckets)
 
-  /** Write `df` partitioned by z-bucket. `zBuckets` must be a power of
-    * two dividing 2^(bits*ndims) — each bucket directory then owns one
-    * contiguous Morton range. */
-  def writeZOrderLayout(df: DataFrame, path: String, dims: Seq[Dim],
-                        bits: Int, zBuckets: Int): Unit = {
+  /** The z-bucket assignment as a column — the [[writeZOrderLayout]]
+    * partition key exposed for appenders (the assignCells/srpBucket
+    * role): a pure function of the row given frozen dims, so appended
+    * rows land in exactly the directory a from-scratch build derives. */
+  def zbucketColumn(dims: Seq[Dim], bits: Int, zBuckets: Int): Column = {
     val total = 1L << (bits * dims.length)
     require(zBuckets >= 1 && zBuckets <= total &&
       java.lang.Long.bitCount(zBuckets.toLong) == 1,
       s"zBuckets $zBuckets must be a power of two <= $total")
     val z = zValue(
       dims.map(d => zbin(col(d.name), d.min, d.max, bits)), bits)
-    df.withColumn("zbucket",
-        bucketOf(z, bits, dims.length, zBuckets).cast("int"))
+    bucketOf(z, bits, dims.length, zBuckets).cast("int")
+  }
+
+  /** Write `df` partitioned by z-bucket. `zBuckets` must be a power of
+    * two dividing 2^(bits*ndims) — each bucket directory then owns one
+    * contiguous Morton range. */
+  def writeZOrderLayout(df: DataFrame, path: String, dims: Seq[Dim],
+                        bits: Int, zBuckets: Int): Unit =
+    df.withColumn("zbucket", zbucketColumn(dims, bits, zBuckets))
       .repartition(col("zbucket"))
       .write.mode("overwrite").partitionBy("zbucket").parquet(path)
-  }
 
   /** The bucket directories a rectangle can touch: enumerate the cells
     * of the rect's per-dim BIN ranges (only those — not the full grid)

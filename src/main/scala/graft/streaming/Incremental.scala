@@ -77,9 +77,14 @@ object Incremental {
                                leftKeyCol: String, rightKeyCol: String,
                                leftTsCol: String, rightTsCol: String,
                                maxGap: String, watermark: String,
-                               sinkPath: String, checkpointDir: String)
+                               sinkPath: String, checkpointDir: String,
+                               maxFilesPerTrigger: Option[Int] = None)
       : StreamingQuery = {
-    def src = spark.readStream.schema(schema).format(format).load(sourceDir)
+    def src = {
+      val r = spark.readStream.schema(schema).format(format)
+      maxFilesPerTrigger.fold(r)(n =>
+        r.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
+    }
     val l = prepareLeft(src).withWatermark(leftTsCol, watermark)
     val r = prepareRight(src).withWatermark(rightTsCol, watermark)
     val joined = l.join(r,

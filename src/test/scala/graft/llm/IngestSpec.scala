@@ -100,6 +100,29 @@ class IngestSpec extends SparkTestBase {
     assert(rows(LayoutStore.snapshotPath(conf, store)) == rows(scratch))
   }
 
+  test("appendRowsSnapshot third instance: a z-order layout snapshot " +
+    "grows in place, appended rows land in the from-scratch buckets") {
+    val s = spark; import s.implicits._
+    import graft.sinks.ZOrder
+    val dims = Seq(ZOrder.Dim("x", 0L, 99L), ZOrder.Dim("y", 0L, 99L))
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, i * 31 % 100, i * 17 % 100)).toDF("id", "x", "y")
+    val store = tmpDir("ingest-zorder") + "/store"
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      ZOrder.writeZOrderLayout(mk(0L until 300L), tmp, dims, 5, 16))
+    val batch = mk(1000L until 1100L)
+      .withColumn("zbucket", ZOrder.zbucketColumn(dims, 5, 16))
+    assert(Ingest.appendRowsSnapshot(spark, store, batch, "zbucket",
+      "id") == 2L)
+    def rows(path: String) = spark.read.parquet(path)
+      .select(col("id"), col("zbucket").cast("int"))
+      .collect().map(_.toSeq).toSet
+    val scratch = tmpDir("ingest-zorder-scratch")
+    ZOrder.writeZOrderLayout(mk((0L until 300L) ++ (1000L until 1100L)),
+      scratch, dims, 5, 16)
+    assert(rows(LayoutStore.snapshotPath(conf, store)) == rows(scratch))
+  }
+
   test("appendShardSnapshot: metadata-only merge equals a from-scratch " +
     "assignment of the union; wrong salt trips the drift guard") {
     val s = spark; import s.implicits._

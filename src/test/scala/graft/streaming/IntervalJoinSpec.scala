@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class IntervalJoinSpec extends SparkTestBase {
+
+  /** Four daily files of view/click pairs, fed one file per micro-batch:
+    * matches stay within a day, watermarks are minutes — so by the last
+    * batch the state store must have EVICTED the early days' rows. This
+    * is the scale claim of the operator made observable: without the
+    * watermark + time-range condition the join state grows with the
+    * stream forever. */
+  test("intervalJoinAvailableNow: multi-batch run joins exactly the " +
+    "batch result and evicts out-of-horizon state") {
+    val s = spark; import s.implicits._
+    val srcDir = new java.io.File(tmpDir("ij-src"))
+    val dayUs = 86400000000L
+    def mkDay(d: Int): DataFrame = {
+      // per day: 20 users, a view at +0 and a click at +10min (match),
+      // plus a click at +3h (outside the 30min gap — no match)
+      val rows = (0 until 20).flatMap { u =>
+        val base = d.toLong * dayUs + u * 60000000L
+        Seq((u.toLong, d * 1000L + u, new java.sql.Timestamp(base / 1000), "view"),
+          (u.toLong, d * 1000L + 500 + u,
+            new java.sql.Timestamp((base + 600000000L) / 1000), "click"),
+          (u.toLong, d * 1000L + 900 + u,
+            new java.sql.Timestamp((base + 3L * 3600000000L) / 1000), "click"))
+      }
+      rows.toDF("user_id", "event_id", "ts", "event_type")
+    }
+    val all = (0 until 4).map(mkDay).reduce(_.unionByName(_))
+    (0 until 4).foreach { d =>
+      val tmp = tmpDir(s"ij-part-$d")
+      mkDay(d).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(srcDir, s"day$d.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(1000000L + d * 60000L) // strict arrival order
+    }
+    val out = tmpDir("ij-sink")
+    val ckpt = tmpDir("ij-ckpt")
+    def side(tp: String, pre: String)(df: DataFrame) =
+      df.where(col("event_type") === tp)
+        .select(col("user_id").as(s"${pre}_user"),
+          col("event_id").as(s"${pre}_id"), col("ts").as(s"${pre}_ts"))
+    val q = Incremental.intervalJoinAvailableNow(spark, srcDir.toString,
+      all.schema, "parquet", side("view", "v"), side("click", "c"),
+      "v_user", "c_user", "v_ts", "c_ts",
+      maxGap = "30 minutes", watermark = "10 minutes", out, ckpt,
+      maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally q.stop()
+    // result == the batch interval join (20 matches/day, late clicks out)
+    val got = spark.read.parquet(out)
+      .select(col("v_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 4).flatMap(d => (0 until 20).map(u =>
+      (d * 1000L + u, d * 1000L + 500 + u))).toSet
+    assert(got == expected)
+    // state eviction: the final batch's state must be far below the
+    // cumulative row count (days 0-2 evicted once the watermark passed)
+    val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    assert(progress.length >= 3, "expected one micro-batch per file")
+    val lastState = progress.last.stateOperators.map(_.numRowsTotal).sum
+    val totalSideRows = 4 * 20 * 3L
+    assert(lastState < totalSideRows / 2,
+      s"state not evicting: $lastState rows retained of $totalSideRows fed")
+  }
+}
