@@ -68,7 +68,16 @@ object Incremental {
     * matches emit as soon as both sides arrive (no watermark holdback —
     * unlike m18's append-mode windows), so over a closed input the
     * result equals the batch join, which is exactly what the m47 oracle
-    * gates. `prepareLeft`/`prepareRight` must project DISTINCT column
+    * gates — with ONE boundary caveat: Spark's late-row filter drops
+    * input rows whose event time is `<=` the CURRENT watermark
+    * (WatermarkSupport builds a LessThanOrEqual predicate), and the
+    * watermark of the very first micro-batch is 0 — so a row at exactly
+    * epoch 0 (1970-01-01T00:00:00.000000) is dropped as late before it
+    * ever reaches join state, while a row one microsecond later
+    * survives. IntervalJoinSpec pins this observed boundary; real event
+    * time never sits at the epoch origin, so the closed-input == batch
+    * equivalence holds for any data with positive event times.
+    * `prepareLeft`/`prepareRight` must project DISTINCT column
     * names (the join keeps both sides' columns). */
   def intervalJoinAvailableNow(spark: SparkSession, sourceDir: String,
                                schema: StructType, format: String,

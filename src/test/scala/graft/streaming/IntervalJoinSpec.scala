@@ -20,8 +20,12 @@ class IntervalJoinSpec extends SparkTestBase {
     def mkDay(d: Int): DataFrame = {
       // per day: 20 users, a view at +0 and a click at +10min (match),
       // plus a click at +3h (outside the 30min gap — no match)
+      // NOTE day base starts at d+1, not d: day 0's user 0 would otherwise
+      // sit at event time epoch 0 == the stream's INITIAL watermark, and
+      // Spark's late-row filter (eventTime <= watermark) drops exactly
+      // that row — the boundary pinned by the dedicated test below.
       val rows = (0 until 20).flatMap { u =>
-        val base = d.toLong * dayUs + u * 60000000L
+        val base = (d + 1).toLong * dayUs + u * 60000000L
         Seq((u.toLong, d * 1000L + u, new java.sql.Timestamp(base / 1000), "view"),
           (u.toLong, d * 1000L + 500 + u,
             new java.sql.Timestamp((base + 600000000L) / 1000), "click"),
@@ -67,5 +71,42 @@ class IntervalJoinSpec extends SparkTestBase {
     val totalSideRows = 4 * 20 * 3L
     assert(lastState < totalSideRows / 2,
       s"state not evicting: $lastState rows retained of $totalSideRows fed")
+  }
+
+  /** Pins the epoch-origin boundary the operator scaladoc caveats: the
+    * initial watermark is 0 and Spark's late-row predicate is
+    * `eventTime <= watermark`, so a row at EXACTLY epoch 0 is dropped
+    * as late in the first micro-batch while a row 1 ms later survives.
+    * (Found round 10: the multi-batch fixture's day-0/user-0 view sat
+    * at epoch 0 and its pair silently vanished.) */
+  test("intervalJoinAvailableNow: row at event-time epoch 0 is dropped " +
+    "by the initial watermark; 1ms later survives") {
+    val s = spark; import s.implicits._
+    val srcDir = tmpDir("ijb-src")
+    val rows = Seq(
+      // pair A: view at the epoch origin — view dropped as late, no match
+      (0L, 1L, new java.sql.Timestamp(0L), "view"),
+      (0L, 2L, new java.sql.Timestamp(600000L), "click"),
+      // pair B: view 1 ms past the origin — survives, matches
+      (1L, 3L, new java.sql.Timestamp(1L), "view"),
+      (1L, 4L, new java.sql.Timestamp(600001L), "click"))
+    val df = rows.toDF("user_id", "event_id", "ts", "event_type")
+    df.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val out = tmpDir("ijb-sink")
+    val ckpt = tmpDir("ijb-ckpt")
+    def side(tp: String, pre: String)(d: org.apache.spark.sql.DataFrame) =
+      d.where(col("event_type") === tp)
+        .select(col("user_id").as(s"${pre}_user"),
+          col("event_id").as(s"${pre}_id"), col("ts").as(s"${pre}_ts"))
+    val q = Incremental.intervalJoinAvailableNow(spark, srcDir,
+      df.schema, "parquet", side("view", "v"), side("click", "c"),
+      "v_user", "c_user", "v_ts", "c_ts",
+      maxGap = "30 minutes", watermark = "10 minutes", out, ckpt)
+    try q.awaitTermination(120000) finally q.stop()
+    val got = spark.read.parquet(out)
+      .select(col("v_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 4L)),
+      s"epoch-0 boundary drifted from the documented semantics: $got")
   }
 }
