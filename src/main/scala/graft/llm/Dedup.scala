@@ -1311,13 +1311,11 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined &&
       df.sparkSession.conf.get("graft.cc.reliableCheckpoint", "true") != "false"
-    if (reliable) {
-      val own = df.storageLevel == StorageLevel.NONE
-      if (own) df.persist(StorageLevel.MEMORY_AND_DISK)
-      val out = df.checkpoint(true)
-      if (own) df.unpersist(blocking = true)
-      out
-    } else df.localCheckpoint(true)
+    val own = df.storageLevel == StorageLevel.NONE
+    if (own) df.persist(StorageLevel.MEMORY_AND_DISK)
+    val out = if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    if (own) df.unpersist(blocking = true)
+    out
   }
 
   /** Rounds the last connectedComponents call ON THIS THREAD took —
@@ -1930,16 +1928,35 @@ object Dedup {
     * pure integer arithmetic — J >= num/den iff
     * (den+num)*inter >= num*(na+nb) — no float ever.
     *
-    * Scale shape: one (doc, term) distinct exchange, one term-keyed df
-    * join, one per-doc window for the rank (each partition is one
-    * doc's token set), the prefix equi-join (rows = prefix tokens
-    * only), and a candidate-keyed verify join that ships (id, term)
-    * pairs — never text. Completeness holds ONLY cap-free, so there is
-    * deliberately no bucket cap here; the production composition is
-    * [[exactDedup]] FIRST (verbatim mega-clusters collapse in O(B)),
-    * then this on the deduped corpus — the d66 contract. A corpus
-    * whose near-dup structure is itself quadratic (millions of true
-    * pairs) pays that cost in any exact scheme.
+    * Beyond the prefix, two more PPJoin filters bound the work:
+    *
+    *   - POSITIONAL (Xiao et al. §3.2): a shared prefix token at
+    *     positions (pa, pb) of the two df-sorted token lists caps the
+    *     whole intersection — tokens shared beyond it sit at positions
+    *     > pa AND > pb, so inter <= 1 + min(na-pa, nb-pb). Pairs whose
+    *     cap already misses the threshold are pruned INSIDE the
+    *     pair-generating join. Complete because a qualifying pair's
+    *     FIRST shared token (no shared tokens before it on either
+    *     side) always lies in both prefixes and always passes its own
+    *     cap (inter <= its bound by the same argument).
+    *   - The candidate dedup is FOLDED into one aggregation (a pair
+    *     surfaces once per shared prefix token); no separate
+    *     `.distinct()` exchange.
+    *
+    * Scale shape: one per-doc token-ARRAY frame (persisted — one row
+    * per doc, never re-tokenized), one term-keyed df join, one per-doc
+    * window for the rank, the prefix equi-join (rows = prefix tokens
+    * only, positional filter applied in the join predicate), ONE
+    * candidate-keyed aggregation, and a verify that joins the packed
+    * token arrays — each doc's set ships as ONE row per candidate side
+    * and the intersection is a per-row `array_intersect`, instead of
+    * re-exploding the full (id, term) table twice and aggregating
+    * candidates × tokens rows. Completeness holds ONLY cap-free, so
+    * there is deliberately no bucket cap here; the production
+    * composition is [[exactDedup]] FIRST (verbatim mega-clusters
+    * collapse in O(B)), then this on the deduped corpus — the d66
+    * contract. A corpus whose near-dup structure is itself quadratic
+    * (millions of true pairs) pays that cost in any exact scheme.
     *
     * Output: (id_a, id_b, inter, na, nb) with id_a < id_b — integer
     * columns only, so the oracle compare is hash-exact. */
@@ -1949,11 +1966,13 @@ object Dedup {
       s"threshold $thresholdNum/$thresholdDen not in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     val (num, den) = (thresholdNum.toLong, thresholdDen.toLong)
-    val tok = df.select(col(idCol).as("__id"),
-        explode(array_distinct(TextAnalysis.tokens(lower(col(textCol)))))
-          .as("__term"))
+    val docs = df.select(col(idCol).as("__id"),
+        array_distinct(TextAnalysis.tokens(lower(col(textCol))))
+          .as("__terms"))
+      .withColumn("__n", size(col("__terms")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = tok.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val tok = docs.select(col("__id"), col("__n"),
+      explode(col("__terms")).as("__term"))
     val dfreq = tok.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
     // ceil(t*n) in exact integers: (num*n + den - 1) div den, all > 0
     def ceilT(n: Column): Column = {
@@ -1961,31 +1980,40 @@ object Dedup {
       ((x - pmod(x, lit(den))) / lit(den)).cast("long")
     }
     val pref = tok.join(dfreq, Seq("__term"))
-      .join(sizes, Seq("__id"))
       .withColumn("__idx", row_number().over(
         Window.partitionBy(col("__id"))
-          .orderBy(col("__df").asc, col("__term").asc)))
+          .orderBy(col("__df").asc, col("__term").asc)).cast("long"))
       .where(col("__idx") <= col("__n") - ceilT(col("__n")) + 1)
-      .select(col("__id"), col("__term"), col("__n"))
-    val cands = pref.as("a").join(pref.as("b"),
+      .select(col("__id"), col("__term"), col("__n"), col("__idx"))
+    val candRows = pref.as("a").join(pref.as("b"),
         col("a.__term") === col("b.__term") &&
           col("a.__id") < col("b.__id") &&
           // length filter: t*max(na,nb) <= min(na,nb) (both directions,
           // since id order says nothing about size order)
           col("a.__n") * num <= col("b.__n") * den &&
-          col("b.__n") * num <= col("a.__n") * den)
+          col("b.__n") * num <= col("a.__n") * den &&
+          // positional filter: the overlap cap this shared token allows
+          // must still reach the threshold, in exact integers —
+          // (den+num) * (1 + min(na-pa, nb-pb)) >= num * (na+nb)
+          (least(col("a.__n") - col("a.__idx"),
+            col("b.__n") - col("b.__idx")) + 1) * (den + num) >=
+            (col("a.__n") + col("b.__n")) * num)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         col("a.__n").as("na"), col("b.__n").as("nb"))
-      .distinct()
+    // one aggregation both dedups (pair emitted once per shared prefix
+    // token) and carries the sizes — na/nb are functions of the ids
+    val cands = candRows.groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"))
     val out = cands
-      .join(tok.select(col("__id").as("id_a"), col("__term")), Seq("id_a"))
-      .join(tok.select(col("__id").as("id_b"), col("__term")),
-        Seq("id_b", "__term"))
-      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+      .join(docs.select(col("__id").as("id_a"), col("__terms").as("__ta")),
+        Seq("id_a"))
+      .join(docs.select(col("__id").as("id_b"), col("__terms").as("__tb")),
+        Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
       .where(col("inter") * (den + num) >= (col("na") + col("nb")) * num)
       .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"))
-    materializeAndRelease(out, tok)
+    materializeAndRelease(out, docs)
   }
 
 }
