@@ -1692,6 +1692,18 @@ object Dedup {
                          maxHamming: Int = 3, bands: Int = 4,
                          chunks: Int = 6,
                          maxBucketSize: Option[Int] = None): DataFrame = {
+    // same preconditions the public tiers enforce — the gauge calls the
+    // key generators directly, and a chunks <= maxHamming config would
+    // emit ZERO truth keys: n_true = 0, recall "1.0", a silently
+    // vacuous audit from exactly the tool meant to catch recall loss
+    require(bands > maxHamming && 64 % bands == 0,
+      s"bands ($bands) must exceed maxHamming ($maxHamming) for the " +
+        "pigeonhole guarantee and divide 64 evenly")
+    require(chunks > maxHamming,
+      s"chunks ($chunks) must exceed maxHamming ($maxHamming) for the " +
+        "pigeonhole guarantee")
+    require(chunks <= 16, s"chunks ($chunks) > 16 explodes combinatorially " +
+      "(C(chunks, chunks-maxHamming) keys per doc)")
     val sigs = simhashSigs(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (truthPairs, truthBands) = simhashDetectFromSigs(sigs, maxHamming,

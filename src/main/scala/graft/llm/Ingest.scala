@@ -142,19 +142,24 @@ object Ingest {
                          version: Option[Long] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = LayoutStore.snapshotPath(conf, path, version)
-    val old = spark.read.parquet(src)
-    val batchIds = maybeBroadcast(
-      newRows.select(col(idCol)).distinct(), batchBroadcastMaxBytes)
-    val collisions = old.join(batchIds, Seq(idCol), "left_semi")
-      .select(col(idCol)).limit(1).count()
-    require(collisions == 0L,
-      "appendRowsSnapshot: batch contains ids already present in the " +
-        "snapshot — retract them first (propagateLayoutSnapshot) or rebuild")
-    val cols = old.columns.map(col).toSeq
-    LayoutStore.writeSnapshot(conf, path) { tmp =>
-      old.unionByName(newRows.select(cols: _*))
-        .repartition(col(partitionCol))
-        .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    // inference pinned off across read AND re-land, like the compact /
+    // propagate walks: a string-valued partition key (strata=01) must
+    // not come back as int 1 and re-land under a renamed directory
+    LayoutStore.withPartitionInferenceOff(spark) {
+      val old = spark.read.parquet(src)
+      val batchIds = maybeBroadcast(
+        newRows.select(col(idCol)).distinct(), batchBroadcastMaxBytes)
+      val collisions = old.join(batchIds, Seq(idCol), "left_semi")
+        .select(col(idCol)).limit(1).count()
+      require(collisions == 0L,
+        "appendRowsSnapshot: batch contains ids already present in the " +
+          "snapshot — retract them first (propagateLayoutSnapshot) or rebuild")
+      val cols = old.columns.map(col).toSeq
+      LayoutStore.writeSnapshot(conf, path) { tmp =>
+        old.unionByName(newRows.select(cols: _*))
+          .repartition(col(partitionCol))
+          .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+      }
     }
   }
 

@@ -68,6 +68,25 @@ object LayoutStore {
     !n.startsWith("_") && !n.startsWith(".")
   }
 
+  /** Run `body` with partition-column type inference pinned OFF,
+    * restoring the previous setting after. Every snapshot rewrite path
+    * ([[compactSnapshot]], [[Takedown.propagateLayoutSnapshot]],
+    * [[Ingest.appendRowsSnapshot]]) must round-trip `col=value`
+    * directory chains BYTE-FOR-BYTE: default partition discovery
+    * re-infers `strata=01` as int 1 (or a date-like value as DATE),
+    * silently renaming directories and changing the read-back schema
+    * of the re-landed snapshot. */
+  private[llm] def withPartitionInferenceOff[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferPrev = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    try body finally inferPrev match {
+      case Some(v) => spark.conf.set(inferKey, v)
+      case None => spark.conf.unset(inferKey)
+    }
+  }
+
   /** Walk `col=value` directory chains to recover a table's partition
     * spec (shared by [[compactSnapshot]] and Takedown's generic
     * propagation walk). */
@@ -114,33 +133,21 @@ object LayoutStore {
       visibleStatus(st)
     def partCols(dir: org.apache.hadoop.fs.Path): Seq[String] =
       partitionCols(fs, dir)
-    // Partition values must round-trip BYTE-FOR-BYTE: default partition
-    // discovery re-infers `strata=01` as int 1 (or a date-like value as
-    // DATE), silently renaming directories and changing the read-back
-    // schema of the compacted snapshot. Pin inference off for the
-    // rewrite so every col=value chain is preserved as-written (string
-    // partition columns are what the layout writers emit anyway).
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val inferPrev = spark.conf.getOption(inferKey)
-    spark.conf.set(inferKey, "false")
-    try writeSnapshot(conf, path) { tmp =>
-      fs.listStatus(src).filter(st => st.isDirectory && visible(st))
-        .foreach { sub =>
-          val name = sub.getPath.getName
-          val df = spark.read.parquet(sub.getPath.toString)
-          val parts = partCols(sub.getPath)
-          val w = (if (parts.isEmpty) df.coalesce(1)
-                   else df.repartition(parts.map(
-                     org.apache.spark.sql.functions.col): _*))
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", maxRecordsPerFile)
-          (if (parts.isEmpty) w else w.partitionBy(parts: _*))
-            .parquet(s"$tmp/$name")
-        }
-    } finally {
-      inferPrev match {
-        case Some(v) => spark.conf.set(inferKey, v)
-        case None => spark.conf.unset(inferKey)
+    withPartitionInferenceOff(spark) {
+      writeSnapshot(conf, path) { tmp =>
+        fs.listStatus(src).filter(st => st.isDirectory && visible(st))
+          .foreach { sub =>
+            val name = sub.getPath.getName
+            val df = spark.read.parquet(sub.getPath.toString)
+            val parts = partCols(sub.getPath)
+            val w = (if (parts.isEmpty) df.coalesce(1)
+                     else df.repartition(parts.map(
+                       org.apache.spark.sql.functions.col): _*))
+              .write.mode("overwrite")
+              .option("maxRecordsPerFile", maxRecordsPerFile)
+            (if (parts.isEmpty) w else w.partitionBy(parts: _*))
+              .parquet(s"$tmp/$name")
+          }
       }
     }
   }

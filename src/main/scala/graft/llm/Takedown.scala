@@ -68,7 +68,16 @@ object Takedown {
       : DataFrame = {
     // (the option-heavy signature keeps each modality independent)
     val parts = Seq(
-      byIds.map(ids => ids.select(ids.columns.head).toDF("__rid")),
+      byIds.map { ids =>
+        // the other modalities name their column explicitly; ids would
+        // otherwise silently take the sheet's FIRST column — and for a
+        // takedown path a wrong resolution means the requested content
+        // keeps serving. Demand an unambiguous single-column sheet.
+        require(ids.columns.length == 1,
+          s"byIds sheet must have exactly one column (the id); got " +
+            s"(${ids.columns.mkString(", ")}) — select the id column first")
+        ids.select(ids.columns.head).toDF("__rid")
+      },
       byUrls.map { case (sheet, sheetUrlCol, corpusUrlCol) =>
         corpus.select(col(idCol).as("__rid"),
             Web.normalizeUrl(col(corpusUrlCol)).as("__cu"))
@@ -142,10 +151,8 @@ object Takedown {
       LayoutStore.snapshotPath(conf, path, version))
     val fs = src.getFileSystem(conf)
     val ids = idsFrame(revoked, revokedIdCol)
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val inferPrev = spark.conf.getOption(inferKey)
-    spark.conf.set(inferKey, "false")
-    try LayoutStore.writeSnapshot(conf, path) { tmp =>
+    LayoutStore.withPartitionInferenceOff(spark) {
+      LayoutStore.writeSnapshot(conf, path) { tmp =>
       def rewrite(tableSrc: org.apache.hadoop.fs.Path, dest: String): Unit = {
         val df = spark.read.parquet(tableSrc.toString)
         val parts = LayoutStore.partitionCols(fs, tableSrc)
@@ -165,10 +172,6 @@ object Takedown {
         rewrite(src, tmp) // the snapshot root IS the (partitioned) table
       else kids.foreach(sub =>
         rewrite(sub.getPath, s"$tmp/${sub.getPath.getName}"))
-    } finally {
-      inferPrev match {
-        case Some(v) => spark.conf.set(inferKey, v)
-        case None => spark.conf.unset(inferKey)
       }
     }
   }
@@ -184,7 +187,12 @@ object Takedown {
     * corpus — without re-tokenizing a single byte of text. (One
     * documented edge: a revoked doc with ZERO tokens never entered the
     * postings, so its removal can't be seen from the index — its `n`
-    * contribution survives. Exact for any revoked doc with >= 1 token.)
+    * contribution survives and every score shifts slightly through
+    * avgdl. Exact for any revoked doc with >= 1 token; a caller whose
+    * corpus may contain tokenless docs passes `removedDocCount` — the
+    * revocation set size it already knows — and the stats row uses
+    * that for the N decrement instead of the postings-derived count,
+    * restoring rebuild identity.)
     *
     * The per-term decrement frame is revoked-vocabulary-sized; it
     * broadcasts only under `decBroadcastMaxBytes` (plan-stats guard,
@@ -193,7 +201,8 @@ object Takedown {
   def propagateBm25Snapshot(spark: SparkSession, path: String,
                             revoked: DataFrame, revokedIdCol: String,
                             decBroadcastMaxBytes: Long = 64L << 20,
-                            version: Option[Long] = None): Long = {
+                            version: Option[Long] = None,
+                            removedDocCount: Option[Long] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = LayoutStore.snapshotPath(conf, path, version)
     val ids = idsFrame(revoked, revokedIdCol).select(col("__rid").as("doc_id"))
@@ -217,8 +226,17 @@ object Takedown {
       survivors.repartition(col("tbucket"))
         .write.mode("overwrite").partitionBy("tbucket")
         .parquet(s"$tmp/postings")
+      // N decrement: the caller-supplied count (revoked docs present in
+      // the indexed corpus, INCLUDING tokenless ones the postings can't
+      // see) when given, else the postings-derived count. tot is exact
+      // either way — a tokenless doc contributes 0 to Σdl.
+      val nRemoved = removedDocCount.getOrElse(remStats.getLong(0))
+      require(nRemoved >= remStats.getLong(0),
+        s"removedDocCount ($nRemoved) is smaller than the ${remStats.getLong(0)} " +
+          "revoked docs observed in the postings — it must count every " +
+          "revoked doc present in the indexed corpus")
       spark.range(1)
-        .select(lit(st.getAs[Long]("n") - remStats.getLong(0)).as("n"),
+        .select(lit(st.getAs[Long]("n") - nRemoved).as("n"),
           lit(st.getAs[Long]("tot") - remStats.getLong(1)).as("tot"),
           lit(st.getAs[Int]("term_buckets")).as("term_buckets"))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")

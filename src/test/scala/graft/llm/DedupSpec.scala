@@ -334,6 +334,17 @@ class DedupSpec extends SparkTestBase {
         maxHamming = 6, chunks = 6))
   }
 
+  test("simhashRecallGauge enforces the public tiers' preconditions — a " +
+    "chunks <= maxHamming config would emit ZERO truth keys and report " +
+    "a vacuous recall 1.0") {
+    intercept[IllegalArgumentException](Dedup.simhashRecallGauge(
+      docs, "doc_id", "text", maxHamming = 6, bands = 4, chunks = 8))
+    intercept[IllegalArgumentException](Dedup.simhashRecallGauge(
+      docs, "doc_id", "text", maxHamming = 3, bands = 4, chunks = 3))
+    intercept[IllegalArgumentException](Dedup.simhashRecallGauge(
+      docs, "doc_id", "text", maxHamming = 3, bands = 4, chunks = 17))
+  }
+
   test("simhash64/hamming64 (xxhash64 fast path)") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
     val joined = sigs.as("a").crossJoin(sigs.as("b"))

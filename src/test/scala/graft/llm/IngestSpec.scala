@@ -123,6 +123,30 @@ class IngestSpec extends SparkTestBase {
     assert(rows(LayoutStore.snapshotPath(conf, store)) == rows(scratch))
   }
 
+  test("appendRowsSnapshot preserves string partition directories " +
+    "byte-for-byte (inference pinned off: strata=01 must not re-land " +
+    "as strata=1)") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("ingest-string-part") + "/store"
+    val base = Seq((1L, "01", 1.0), (2L, "10", 2.0)).toDF("id", "strata", "v")
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      base.repartition(col("strata")).write.partitionBy("strata").parquet(tmp))
+    val batch = Seq((3L, "01", 3.0)).toDF("id", "strata", "v")
+    assert(Ingest.appendRowsSnapshot(spark, store, batch, "strata", "id") == 2L)
+    val v2 = LayoutStore.snapshotPath(conf, store)
+    val fs = new org.apache.hadoop.fs.Path(v2).getFileSystem(conf)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(v2))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs == Set("strata=01", "strata=10"), s"got $dirs")
+    // read-back must pin inference off too (the layout readers do) —
+    // with it on, the preserved strata=01 directory reads as int 1
+    val rows = LayoutStore.withPartitionInferenceOff(spark) {
+      spark.read.parquet(v2).select(col("id"), col("strata"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    assert(rows == Set((1L, "01"), (2L, "10"), (3L, "01")))
+  }
+
   test("appendShardSnapshot: metadata-only merge equals a from-scratch " +
     "assignment of the union; wrong salt trips the drift guard") {
     val s = spark; import s.implicits._

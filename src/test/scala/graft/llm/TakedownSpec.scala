@@ -216,6 +216,43 @@ class TakedownSpec extends SparkTestBase {
     assert(ids == Set(1L, 2L, 3L, 5L), s"got $ids")
     intercept[IllegalArgumentException](
       Takedown.resolveRevocations(corpus, "doc_id"))
+    // a multi-column id sheet is ambiguous — silently taking the first
+    // column could resolve the WRONG ids (and the requested content
+    // keeps serving); demand a single-column sheet
+    intercept[IllegalArgumentException](
+      Takedown.resolveRevocations(corpus, "doc_id",
+        byIds = Some(Seq(("note", 5L)).toDF("reason", "doc_id"))))
+  }
+
+  test("propagateBm25Snapshot: removedDocCount restores rebuild identity " +
+    "when a TOKENLESS doc is revoked (the postings can't see it); an " +
+    "undercount trips the guard") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "revoked secret document about spark"),
+      (3L, "data stages and more data"),
+      (5L, "")).toDF("doc_id", "text") // doc 5: zero tokens
+    val revoked = Seq(2L, 5L).toDF("doc_id")
+    val store = tmpDir("takedown-bm25-tokenless") + "/store"
+    TextAnalysis.writeBm25Snapshot(docs, store, termBuckets = 8)
+    assert(Takedown.propagateBm25Snapshot(spark, store, revoked, "doc_id",
+      removedDocCount = Some(2L)) == 2L)
+    val rebuilt = tmpDir("takedown-bm25-tokenless-rb") + "/store"
+    TextAnalysis.writeBm25Snapshot(
+      Takedown.scrubCorpus(docs, "doc_id", revoked, "doc_id"),
+      rebuilt, termBuckets = 8)
+    def stats(path: String) = spark.read
+      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/stats")
+      .select("n", "tot", "term_buckets").head().toSeq
+    assert(stats(store) == stats(rebuilt),
+      "caller-supplied removedDocCount must make N/avgdl match the " +
+        "from-scratch index of the scrubbed corpus exactly")
+    // undercount: doc 1 visibly leaves the postings but the caller
+    // claims zero removed docs — fail fast rather than land stale stats
+    intercept[IllegalArgumentException](
+      Takedown.propagateBm25Snapshot(spark, store, Seq(1L).toDF("doc_id"),
+        "doc_id", removedDocCount = Some(0L)))
   }
 
   test("expandRevocations: the seed's whole near-dup cluster joins the " +
