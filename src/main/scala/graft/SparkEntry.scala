@@ -1238,6 +1238,28 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           col("o_totalprice"), col("qty"))
     }),
+    "q30_order_histogram" -> ((s, dir) => {
+      // TPC-H Q13's plan shape — the classic LEFT-OUTER aggregate: how
+      // many customers placed 0, 1, 2… qualifying orders. The NOT-LIKE
+      // predicate belongs to the JOIN side (an outer join's ON-clause
+      // right-side filter == pre-filtering the right input), so it
+      // lands below the join and customers with only filtered-out
+      // orders still surface with count 0 via the null extension.
+      // count(o_orderkey) skips the null-extended rows exactly. Scale
+      // shape: the custkey shuffle of the outer join already
+      // co-partitions the per-customer count (no second exchange);
+      // the histogram re-aggregation exchanges only (c_count, partial
+      // count) rows
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .where(!col("o_orderpriority").like("%URGENT%"))
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
     "q28_promo_share" -> ((s, dir) => {
       // TPC-H Q14's plan shape: a conditional-aggregation RATIO — the
       // promo share of monthly revenue. Numerator and denominator are
@@ -1408,6 +1430,53 @@ object SparkEntry {
         maxGap = "2 hours", watermark = "4 hours", out, ckpt)
         .awaitTermination()
       s.read.parquet(out)
+        .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+          col("c_id").as("click_id"),
+          unix_micros(col("v_ets")).as("vts"),
+          unix_micros(col("c_ets")).as("cts"))
+    }),
+    "m49_stream_interval_left_join" -> ((s, dir) => {
+      // the OTHER half of attribution: views with no click within the
+      // gap emit (v, null). Null extensions are watermark-held (a
+      // matching click could still arrive until the watermark passes
+      // viewTs + gap), so closed-input == batch LEFT join needs the
+      // watermark pushed past every real row's eviction time: one
+      // sentinel view + click pair (user -1) lands 8h after the last
+      // real event — beyond watermark 4h + gap 2h — and the trailing
+      // no-data batch flushes every held null row. The sentinels are
+      // filtered from the result; the oracle states the batch left
+      // join over the real events directly
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val schema = ev.schema
+      val src = tmpQueryDir("m49-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        src.resolve("events.parquet"))
+      val maxUs = ev.agg(max(tsMicros(ev))).head().getLong(0)
+      val flushUs = maxUs + 8L * 3600000000L
+      val flushTs: Column = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => lit(flushUs * 1000L)
+        case _ => timestamp_micros(lit(flushUs))
+      }
+      ev.where(col("event_type") === "view").limit(1)
+        .unionByName(ev.where(col("event_type") === "click").limit(1))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", flushTs)
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      val out = tmpQueryDir("m49-sink").toString
+      val ckpt = tmpQueryDir("m49-ckpt").toString
+      def side(tp: String, pre: String)(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("event_type") === tp)
+          .select(col("user_id").as(s"${pre}_user"),
+            col("event_id").as(s"${pre}_id"),
+            timestamp_micros(tsMicros(df)).as(s"${pre}_ets"))
+      Incremental.intervalJoinAvailableNow(s, src.toString, schema,
+        "parquet", side("view", "v"), side("click", "c"),
+        "v_user", "c_user", "v_ets", "c_ets",
+        maxGap = "2 hours", watermark = "4 hours", out, ckpt,
+        joinType = "leftOuter")
+        .awaitTermination()
+      s.read.parquet(out).where(col("v_user") >= 0)
         .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
           col("c_id").as("click_id"),
           unix_micros(col("v_ets")).as("vts"),
@@ -3821,6 +3890,17 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(27,2))) > 180) big
         |  ON o_orderkey = big.l_orderkey""".stripMargin,
+    "q30_order_histogram" ->
+      // the ON-clause form itself: the NOT-LIKE rides the outer join's
+      // condition, so zero-qualifying customers count 0, never drop
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey,
+        |    CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey
+        |    AND o_orderpriority NOT LIKE '%URGENT%'
+        |  GROUP BY c_custkey) pc
+        |GROUP BY c_count""".stripMargin,
     "q28_promo_share" ->
       // same exact-decimal sums, same single double division
       """SELECT strftime(l_shipdate, '%Y-%m') AS month,
@@ -3931,6 +4011,15 @@ object SparkEntry {
         |FROM events v JOIN events c
         |  ON v.user_id = c.user_id
         |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR""".stripMargin,
+    "m49_stream_interval_left_join" ->
+      // the batch LEFT join the flushed closed-input stream must equal
+      """SELECT v.user_id AS user_id, v.event_id AS view_id,
+        |  c.event_id AS click_id,
+        |  epoch_us(v.ts) AS vts, epoch_us(c.ts) AS cts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR""".stripMargin,
     "d71_expanded_takedown" ->
       // the d09 recursive transitive closure, then DuckDB's own

@@ -77,8 +77,22 @@ object Incremental {
     * survives. IntervalJoinSpec pins this observed boundary; real event
     * time never sits at the epoch origin, so the closed-input == batch
     * equivalence holds for any data with positive event times.
-    * `prepareLeft`/`prepareRight` must project DISTINCT column
-    * names (the join keeps both sides' columns). */
+    *
+    * `joinType = "leftOuter"` is the other half of every attribution
+    * question — views with NO click within the gap emit (v, null).
+    * Unlike inner matches, a null extension is WATERMARK-HELD: the row
+    * emits only once the global watermark passes leftTs + maxGap (state
+    * eviction time — before that a matching click could still arrive),
+    * in a LATER micro-batch (Spark emits the no-longer-matchable state
+    * on eviction, including a trailing no-data batch once the final
+    * watermark lands). Consequence for closed inputs: left rows within
+    * `watermark + maxGap` of the stream's LAST event time keep their
+    * state un-evicted when the stream stops, and their null extensions
+    * never emit — equality with the batch left join needs a flush row
+    * per side past maxEventTime + watermark + maxGap (the m49 query
+    * shows the pattern; m18's append-mode windows have the same
+    * contract). `prepareLeft`/`prepareRight` must project DISTINCT
+    * column names (the join keeps both sides' columns). */
   def intervalJoinAvailableNow(spark: SparkSession, sourceDir: String,
                                schema: StructType, format: String,
                                prepareLeft: DataFrame => DataFrame,
@@ -87,8 +101,11 @@ object Incremental {
                                leftTsCol: String, rightTsCol: String,
                                maxGap: String, watermark: String,
                                sinkPath: String, checkpointDir: String,
-                               maxFilesPerTrigger: Option[Int] = None)
+                               maxFilesPerTrigger: Option[Int] = None,
+                               joinType: String = "inner")
       : StreamingQuery = {
+    require(Set("inner", "leftOuter").contains(joinType),
+      s"joinType must be inner or leftOuter: $joinType")
     def src = {
       val r = spark.readStream.schema(schema).format(format)
       maxFilesPerTrigger.fold(r)(n =>
@@ -99,7 +116,8 @@ object Incremental {
     val joined = l.join(r,
       col(leftKeyCol) === col(rightKeyCol) &&
         col(rightTsCol) >= col(leftTsCol) &&
-        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $maxGap"))
+        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $maxGap"),
+      joinType)
     joined.writeStream
       .format("parquet")
       .option("path", sinkPath)

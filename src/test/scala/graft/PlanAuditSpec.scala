@@ -64,6 +64,37 @@ class PlanAuditSpec extends SparkTestBase {
       "the per-(part,supp) sums must partially aggregate map-side")
   }
 
+  test("q30: NOT-LIKE lands below the outer join (a filter above it " +
+    "would drop zero-order customers); both aggregations stay partial; " +
+    "the custkey shuffle is reused — no exchange between join and the " +
+    "per-customer count") {
+    val qe = SparkEntry.queries("q30_order_histogram")(spark, dir)
+      .queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("LeftOuter"))
+    // the priority filter must sit on the orders SCAN side, not above
+    // the join: in the optimized plan the Filter's child subtree
+    // contains the orders relation and no Join
+    val opt = qe.optimizedPlan
+    val filterBelowJoin = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.sql.toLowerCase.contains("orderpriority") =>
+        f.collect {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Join => ()
+        }.isEmpty
+    }
+    assert(filterBelowJoin == Seq(true),
+      s"NOT-LIKE must pre-filter the orders input, not the join output:\n$opt")
+    assert(p.contains("partial_count"),
+      "both the per-customer count and the histogram must partially aggregate")
+    // shuffle reuse: exactly 2 exchanges (customer side + orders side of
+    // the custkey join); the groupBy(c_custkey) rides the join's
+    // partitioning and the histogram agg exchanges only its partial rows
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q28: part dim broadcasts; conditional sums keep map-side " +
     "partial aggregation") {
     val p = plan("q28_promo_share")

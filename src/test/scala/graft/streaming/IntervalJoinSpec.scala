@@ -109,4 +109,70 @@ class IntervalJoinSpec extends SparkTestBase {
     assert(got == Set((3L, 4L)),
       s"epoch-0 boundary drifted from the documented semantics: $got")
   }
+
+  /** Left-outer: null extensions are WATERMARK-HELD. Two AvailableNow
+    * runs over one checkpoint pin the emission timing: run 1 ingests a
+    * matched pair and an unmatched view — the inner match emits, the
+    * null extension does NOT (the watermark hasn't passed
+    * viewTs + maxGap; a click could still arrive). Run 2 feeds only a
+    * far-future flush pair; the advanced watermark evicts the held
+    * view and (v, null) emits. Closed flushed input == batch left
+    * join. */
+  test("intervalJoinAvailableNow leftOuter: unmatched view held until " +
+    "the watermark passes its eviction time, then emits (v, null)") {
+    val s = spark; import s.implicits._
+    val srcDir = new java.io.File(tmpDir("ijl-src"))
+    srcDir.mkdirs()
+    val t0 = 86400000L // day 1 in ms — off the epoch-0 boundary
+    def land(name: String, rows: Seq[(Long, Long, java.sql.Timestamp, String)],
+             mtime: Long): Unit = {
+      val tmp = tmpDir(s"ijl-part-$name")
+      rows.toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(srcDir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+    }
+    land("batch1", Seq(
+      (0L, 1L, new java.sql.Timestamp(t0), "view"),
+      (0L, 2L, new java.sql.Timestamp(t0 + 600000L), "click"), // +10min
+      (1L, 3L, new java.sql.Timestamp(t0 + 60000L), "view")),  // no click
+      mtime = 1000000L)
+    val out = tmpDir("ijl-sink")
+    val ckpt = tmpDir("ijl-ckpt")
+    def side(tp: String, pre: String)(d: org.apache.spark.sql.DataFrame) =
+      d.where(col("event_type") === tp)
+        .select(col("user_id").as(s"${pre}_user"),
+          col("event_id").as(s"${pre}_id"), col("ts").as(s"${pre}_ts"))
+    val schema = Seq((0L, 0L, new java.sql.Timestamp(0L), ""))
+      .toDF("user_id", "event_id", "ts", "event_type").schema
+    def run(): Unit = {
+      val q = Incremental.intervalJoinAvailableNow(spark, srcDir.toString,
+        schema, "parquet", side("view", "v"), side("click", "c"),
+        "v_user", "c_user", "v_ts", "c_ts",
+        maxGap = "30 minutes", watermark = "10 minutes", out, ckpt,
+        joinType = "leftOuter")
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    run()
+    def sink() = spark.read.parquet(out).where(col("v_user") < 90)
+      .select(col("v_id"),
+        when(col("c_id").isNull, -1L).otherwise(col("c_id")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // run 1: max event t0+10min, watermark delay 10min -> final
+    // watermark t0; eviction needs watermark > t0+1min+30min -> HELD
+    assert(sink() == Set((1L, 2L)),
+      s"null extension must be watermark-held in run 1: ${sink()}")
+    // run 2: flush pair a day later pushes the watermark past every
+    // real row's eviction time; the held view emits (v, null)
+    land("flush", Seq(
+      (99L, 100L, new java.sql.Timestamp(t0 + 86400000L), "view"),
+      (99L, 101L, new java.sql.Timestamp(t0 + 86400000L), "click")),
+      mtime = 2000000L)
+    run()
+    assert(sink() == Set((1L, 2L), (3L, -1L)),
+      s"held (v, null) must emit once the watermark passes: ${sink()}")
+  }
 }
