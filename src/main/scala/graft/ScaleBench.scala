@@ -22,6 +22,31 @@ import org.apache.spark.sql.functions._
   *   GRAFT_SCALE_HOT to shrink for smoke runs)
   */
 object ScaleBench {
+
+  /** Copy-through accounting between two snapshot versions:
+    * (filesCopied, bytesCopied, filesWritten, bytesWritten). A file
+    * counts as COPIED when the new version holds the same relative
+    * path with the same name and size (the file-level copy-through
+    * preserves both); everything else was written through Spark. */
+  private[graft] def versionDiff(v1: String, v2: String)
+      : (Long, Long, Long, Long) = {
+    def walk(root: java.io.File, prefix: String): Map[String, Long] = {
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .flatMap { f =>
+          if (f.isDirectory) walk(f, s"$prefix${f.getName}/")
+          else if (f.getName.startsWith("_") || f.getName.startsWith("."))
+            Nil
+          else Seq(s"$prefix${f.getName}" -> f.length)
+        }.toMap
+    }
+    val a = walk(new java.io.File(v1), "")
+    val b = walk(new java.io.File(v2), "")
+    val (copied, written) =
+      b.partition { case (p, len) => a.get(p).contains(len) }
+    (copied.size.toLong, copied.values.sum,
+      written.size.toLong, written.values.sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val coldReps = sys.env.getOrElse("GRAFT_SCALE_COLD", "60").toInt   // per ordinary doc
@@ -969,6 +994,50 @@ object ScaleBench {
     graft.llm.Ingest.appendBm25Snapshot(spark, apStore, apBatch)
     val apMergeSecs = secs(tApMerge)
 
+    // partition-level copy-through accounting: a file counts as COPIED
+    // when the new version holds the same relative path with the same
+    // name and size (the file-level walk preserves both); everything
+    // else was written through Spark. The honest caveat for the BM25
+    // pair: a broad-vocabulary batch/revocation touches most term
+    // buckets (common words hash everywhere), so their copied fraction
+    // is structural, not dramatic — the ∝-batch headline is the
+    // day-partitioned layout below.
+    val (tdFilesCopied, tdBytesCopied, tdFilesWritten, tdBytesWritten) =
+      versionDiff(s"$tdStore/version=1", s"$tdStore/version=2")
+    val (apFilesCopied, apBytesCopied, apFilesWritten, apBytesWritten) =
+      versionDiff(s"$apStore/version=1", s"$apStore/version=2")
+
+    // the ∝-batch case copy-through exists for: a TIME-PARTITIONED
+    // metadata layout (64 days of history), appending ONE day's batch.
+    // The append must rewrite one directory and file-copy 63; the
+    // rebuild comparison pays the full union re-land — the cost the
+    // version would otherwise pay at every growth step.
+    val apdStore = java.nio.file.Files
+      .createTempDirectory("graft-apd").toString + "/store"
+    val apdRows = corpus.select(col("doc_id").as("id"),
+      (col("doc_id") % 64).cast("int").as("day"),
+      length(col("text")).cast("long").as("nbytes"))
+    graft.llm.LayoutStore.writeSnapshot(hconf, apdStore)(tmp =>
+      apdRows.repartition(col("day")).write.partitionBy("day").parquet(tmp))
+    val apdBatchRows = (nDocs / 64).toInt
+    val apdBatch = spark.range(apdBatchRows.toLong).select(
+      (col("id") + lit(100000000L)).as("id"),
+      lit(17).cast("int").as("day"),
+      (col("id") * 37L % 997L).as("nbytes"))
+    val tApd = System.nanoTime()
+    graft.llm.Ingest.appendRowsSnapshot(spark, apdStore, apdBatch,
+      "day", "id")
+    val apdAppendSecs = secs(tApd)
+    val (apdFilesCopied, apdBytesCopied, apdFilesWritten, apdBytesWritten) =
+      versionDiff(s"$apdStore/version=1", s"$apdStore/version=2")
+    val apdRebuildStore = java.nio.file.Files
+      .createTempDirectory("graft-apd-rb").toString + "/store"
+    val tApdRb = System.nanoTime()
+    graft.llm.LayoutStore.writeSnapshot(hconf, apdRebuildStore)(tmp =>
+      apdRows.unionByName(apdBatch)
+        .repartition(col("day")).write.partitionBy("day").parquet(tmp))
+    val apdRebuildSecs = secs(tApdRb)
+
     // m45 z-order layout: lineitem clustered by Morton (l_partkey,
     // l_suppkey) buckets; a both-dim rectangle reads only the admitted
     // bucket directories vs the plain scan of the flat parquet (which
@@ -1100,6 +1169,14 @@ object ScaleBench {
       s""""td_rebuild_secs":$tdRebuildSecs,"td_revoked_docs":$tdRevokedN,""" +
       s""""ap_build90_secs":$apBuildSecs,"ap_merge_secs":$apMergeSecs,""" +
       s""""ap_batch_docs":$apBatchN,""" +
+      s""""td_files_copied":$tdFilesCopied,"td_bytes_copied":$tdBytesCopied,""" +
+      s""""td_files_written":$tdFilesWritten,"td_bytes_written":$tdBytesWritten,""" +
+      s""""ap_files_copied":$apFilesCopied,"ap_bytes_copied":$apBytesCopied,""" +
+      s""""ap_files_written":$apFilesWritten,"ap_bytes_written":$apBytesWritten,""" +
+      s""""apd_append_secs":$apdAppendSecs,"apd_rebuild_secs":$apdRebuildSecs,""" +
+      s""""apd_batch_rows":$apdBatchRows,"apd_days":64,""" +
+      s""""apd_files_copied":$apdFilesCopied,"apd_bytes_copied":$apdBytesCopied,""" +
+      s""""apd_files_written":$apdFilesWritten,"apd_bytes_written":$apdBytesWritten,""" +
       s""""zo_write_secs":$zoWriteSecs,"zo_pruned_secs":$zoPrunedSecs,""" +
       s""""zo_plain_secs":$zoPlainSecs,"zo_rows":$zoRows,""" +
       s""""zo_buckets_read":$zoBucketsRead,"zo_buckets":$zBuckets,""" +

@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * 60x / 2500x), restricted to the detector surfaces whose scaling is the
   * claim under test: exact dedup, capped LSH pairing, connected
   * components, winnowing, both SimHash tiers, and the PassJoin edit
-  * family (previously only measured at 544k). A near-linear read: each
+  * family (previously only measured at 544k) — plus, from round 11, the
+  * LIFECYCLE operators (BM25 takedown propagate vs rebuild, closed-form
+  * append, day-partitioned copy-through append) whose ∝-index / ∝-batch
+  * claims were previously pinned only at 544k. A near-linear read: each
   * stage's seconds and output cardinalities land at ~1.8-2.2x their
   * SCALE_BENCH.json 544k rows. Writes SCALE_BENCH_988.json (one JSON
   * line, same key names as the 544k artifact where the stages overlap).
@@ -101,6 +104,76 @@ object ScaleBench988 {
       k = editK, maxBucketSize = Some(cap)).count()
     val editSecs = secs(tEdit)
 
+    // lifecycle operators at 2x — the r10 verdict ask: the ∝-index
+    // (takedown propagate vs rebuild) and ∝-batch (closed-form append)
+    // claims were only measured at 544k. Same recipe as ScaleBench's
+    // td/ap sections: BM25 snapshot at termBuckets=64, revoke 1%,
+    // propagate vs re-index; build on 90%, append the 10% batch. The
+    // copy-through file accounting (versionDiff) rides along.
+    val tdStore = java.nio.file.Files
+      .createTempDirectory("graft-td-988").toString + "/bm25"
+    val tTdBuild = System.nanoTime()
+    TextAnalysis.writeBm25Snapshot(corpus, tdStore, termBuckets = 64)
+    val tdBuildSecs = secs(tTdBuild)
+    val tdRevoked = corpus.where(col("doc_id") % 100 === 7)
+      .select(col("doc_id"))
+    val tdRevokedN = tdRevoked.count()
+    val tTdProp = System.nanoTime()
+    graft.llm.Takedown.propagateBm25Snapshot(spark, tdStore, tdRevoked,
+      "doc_id")
+    val tdPropSecs = secs(tTdProp)
+    val tdRebuildStore = java.nio.file.Files
+      .createTempDirectory("graft-td-988-rb").toString + "/bm25"
+    val tTdRebuild = System.nanoTime()
+    TextAnalysis.writeBm25Snapshot(
+      graft.llm.Takedown.scrubCorpus(corpus, "doc_id", tdRevoked, "doc_id"),
+      tdRebuildStore, termBuckets = 64)
+    val tdRebuildSecs = secs(tTdRebuild)
+    val (tdFc, tdBc, tdFw, tdBw) =
+      ScaleBench.versionDiff(s"$tdStore/version=1", s"$tdStore/version=2")
+
+    val apStore = java.nio.file.Files
+      .createTempDirectory("graft-ap-988").toString + "/bm25"
+    val apBatch = corpus.where(col("doc_id") % 10 === 3)
+    val apBatchN = apBatch.count()
+    val tApBuild = System.nanoTime()
+    TextAnalysis.writeBm25Snapshot(corpus.where(col("doc_id") % 10 =!= 3),
+      apStore, termBuckets = 64)
+    val apBuildSecs = secs(tApBuild)
+    val tApMerge = System.nanoTime()
+    graft.llm.Ingest.appendBm25Snapshot(spark, apStore, apBatch)
+    val apMergeSecs = secs(tApMerge)
+    val (apFc, apBc, apFw, apBw) =
+      ScaleBench.versionDiff(s"$apStore/version=1", s"$apStore/version=2")
+
+    // the ∝-batch day-partitioned append at 2x (one day into 64)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val apdStore = java.nio.file.Files
+      .createTempDirectory("graft-apd-988").toString + "/store"
+    val apdRows = corpus.select(col("doc_id").as("id"),
+      (col("doc_id") % 64).cast("int").as("day"),
+      length(col("text")).cast("long").as("nbytes"))
+    graft.llm.LayoutStore.writeSnapshot(hconf, apdStore)(tmp =>
+      apdRows.repartition(col("day")).write.partitionBy("day").parquet(tmp))
+    val apdBatchRows = (nDocs / 64).toInt
+    val apdBatch = spark.range(apdBatchRows.toLong).select(
+      (col("id") + lit(900000000L)).as("id"),
+      lit(17).cast("int").as("day"),
+      (col("id") * 37L % 997L).as("nbytes"))
+    val tApd = System.nanoTime()
+    graft.llm.Ingest.appendRowsSnapshot(spark, apdStore, apdBatch,
+      "day", "id")
+    val apdAppendSecs = secs(tApd)
+    val (apdFc, apdBc, apdFw, apdBw) =
+      ScaleBench.versionDiff(s"$apdStore/version=1", s"$apdStore/version=2")
+    val apdRebuildStore = java.nio.file.Files
+      .createTempDirectory("graft-apd-988-rb").toString + "/store"
+    val tApdRb = System.nanoTime()
+    graft.llm.LayoutStore.writeSnapshot(hconf, apdRebuildStore)(tmp =>
+      apdRows.unionByName(apdBatch)
+        .repartition(col("day")).write.partitionBy("day").parquet(tmp))
+    val apdRebuildSecs = secs(tApdRb)
+
     val line =
       s"""{"metric":"scale_dedup_988","unit":"sec","sf":"$sfDir",""" +
       s""""docs":$nDocs,"gen_secs":$genSecs,""" +
@@ -112,6 +185,18 @@ object ScaleBench988 {
       s""""simhash_secs":$simSecs,"simhash_pairs":$nSimPairs,""" +
       s""""simhash_comb_secs":$simCSecs,"simhash_comb_pairs":$nSimCPairs,""" +
       s""""edit_secs":$editSecs,"edit_pairs":$nEditPairs,"edit_k":$editK,""" +
+      s""""td_build_secs":$tdBuildSecs,"td_prop_secs":$tdPropSecs,""" +
+      s""""td_rebuild_secs":$tdRebuildSecs,"td_revoked_docs":$tdRevokedN,""" +
+      s""""td_files_copied":$tdFc,"td_bytes_copied":$tdBc,""" +
+      s""""td_files_written":$tdFw,"td_bytes_written":$tdBw,""" +
+      s""""ap_build90_secs":$apBuildSecs,"ap_merge_secs":$apMergeSecs,""" +
+      s""""ap_batch_docs":$apBatchN,""" +
+      s""""ap_files_copied":$apFc,"ap_bytes_copied":$apBc,""" +
+      s""""ap_files_written":$apFw,"ap_bytes_written":$apBw,""" +
+      s""""apd_append_secs":$apdAppendSecs,"apd_rebuild_secs":$apdRebuildSecs,""" +
+      s""""apd_batch_rows":$apdBatchRows,"apd_days":64,""" +
+      s""""apd_files_copied":$apdFc,"apd_bytes_copied":$apdBc,""" +
+      s""""apd_files_written":$apdFw,"apd_bytes_written":$apdBw,""" +
       s""""total_secs":${secs(t0)}}"""
     println(line)
     java.nio.file.Files.writeString(

@@ -46,10 +46,17 @@ object Ingest {
     * batch-term rows reach the aggregate); stats merge by addition
     * (N += batch docs, Σdl += batch token mass, term_buckets copies
     * through so the probe's fail-fast stamp survives). No old text is
-    * ever touched; the one full pass over old postings is the same
-    * filtered-rewrite cost the takedown pays, and the written rows land
+    * ever touched, and the postings rewrite prunes to the BATCH
+    * VOCABULARY'S term buckets (a term's postings live in one tbucket,
+    * so every df bump and batch row is confined to those directories);
+    * each untouched `tbucket=` directory copies through at file level
+    * ([[LayoutStore.copyThroughDirs]]) — version cost ∝ touched
+    * buckets + batch, never ∝ index, with rewritten rows landing
     * re-clustered by tbucket exactly as [[TextAnalysis.writeBm25Layout]]
-    * lands them. Returns the new version. */
+    * lands them. (A broad-vocabulary batch touches most buckets —
+    * common terms hash everywhere — so the file-copy win regime is
+    * narrow-vocabulary batches against a high-`termBuckets` index; the
+    * bench records the touched fraction.) Returns the new version. */
   def appendBm25Snapshot(spark: SparkSession, path: String,
                          newDocs: DataFrame,
                          docIdCol: String = "doc_id",
@@ -86,14 +93,26 @@ object Ingest {
       btf.groupBy(col("term")).agg(count(lit(1)).as("__add")),
       batchBroadcastMaxBytes)
 
+    // touched term buckets: a term's postings all live in ONE tbucket
+    // (pure hash of the term), so every df bump and every batch row
+    // lands in the buckets of the batch's own vocabulary — every other
+    // bucket directory is byte-identical in the new version and copies
+    // through at file level below. The rewrite scan prunes to touched
+    // directories at file-listing time (partition filter), so the
+    // version cost is ∝ touched buckets, never ∝ index.
+    val touched = inc.select(TextAnalysis.bm25TermBucket(col("term"),
+        termBuckets).as("__tb")).distinct().collect().map(_.getInt(0))
+    val touchedPostings =
+      postings.where(col("tbucket").isin(touched.toSeq: _*))
+
     // old df for exactly the batch's terms: pruned map-side semi-join,
     // partial agg — batch-vocabulary-sized result, never |vocabulary|
     val oldDfBatchTerms = maybeBroadcast(
-      postings.join(inc.select(col("term")), Seq("term"), "left_semi")
+      touchedPostings.join(inc.select(col("term")), Seq("term"), "left_semi")
         .groupBy(col("term")).agg(max(col("df")).as("__olddf")),
       batchBroadcastMaxBytes)
 
-    val updatedOld = postings.join(inc, Seq("term"), "left")
+    val updatedOld = touchedPostings.join(inc, Seq("term"), "left")
       .withColumn("df", col("df") + coalesce(col("__add"), lit(0L)))
       .drop("__add")
     val batchRows = btf.join(inc, Seq("term"))
@@ -112,6 +131,9 @@ object Ingest {
         .repartition(col("tbucket"))
         .write.mode("overwrite").partitionBy("tbucket")
         .parquet(s"$tmp/postings")
+      LayoutStore.copyThroughDirs(conf,
+        new org.apache.hadoop.fs.Path(s"$src/postings"), s"$tmp/postings",
+        touched.map(v => s"tbucket=$v").toSet)
       spark.range(1)
         .select(lit(st.getAs[Long]("n") + batchStats.getLong(0)).as("n"),
           lit(st.getAs[Long]("tot") + batchStats.getLong(1)).as("tot"),
@@ -134,7 +156,19 @@ object Ingest {
     * recomputed for a single existing row — and batch rows land in
     * exactly the directory a from-scratch build would put them in.
     * Fails fast if the batch reuses an existing id. Returns the new
-    * version. */
+    * version.
+    *
+    * Version cost is ∝ TOUCHED partitions, not ∝ table: only the
+    * `col=value` directories the batch lands in are rewritten through
+    * Spark (partition-pruned scan of exactly those old rows, union with
+    * the batch); every untouched directory copies through at FILE level
+    * ([[LayoutStore.copyThroughDirs]] — byte-identical, no decode, no
+    * shuffle). A daily batch against a 1000-partition layout rewrites
+    * one directory and copies 999. The fast path requires every
+    * partition value to be escaping-free
+    * ([[LayoutStore.plainPartitionValue]]); any exotic value falls back
+    * to the full union-rewrite, so correctness never depends on the
+    * directory-name comparison. */
   def appendRowsSnapshot(spark: SparkSession, path: String,
                          newRows: DataFrame, partitionCol: String,
                          idCol: String,
@@ -155,10 +189,34 @@ object Ingest {
         "appendRowsSnapshot: batch contains ids already present in the " +
           "snapshot — retract them first (propagateLayoutSnapshot) or rebuild")
       val cols = old.columns.map(col).toSeq
+      // touched partitions = the batch's distinct partition values
+      // (bounded by the layout's partition count, driver-small); dir
+      // suffixes must all be plain for name-vs-value comparison to be
+      // sound, else full rewrite
+      val srcPath = new org.apache.hadoop.fs.Path(src)
+      val fs = srcPath.getFileSystem(conf)
+      val touched = newRows.select(col(partitionCol).cast("string"))
+        .distinct().collect().map(_.getString(0))
+      val dirNames = fs.listStatus(srcPath)
+        .filter(st => st.isDirectory && LayoutStore.visibleStatus(st) &&
+          st.getPath.getName.startsWith(s"$partitionCol="))
+        .map(_.getPath.getName)
+      val fast = dirNames.nonEmpty &&
+        touched.forall(LayoutStore.plainPartitionValue) &&
+        dirNames.forall(n =>
+          LayoutStore.plainPartitionValue(n.split("=", 2)(1)))
       LayoutStore.writeSnapshot(conf, path) { tmp =>
-        old.unionByName(newRows.select(cols: _*))
-          .repartition(col(partitionCol))
-          .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+        if (fast) {
+          old.where(col(partitionCol).isin(touched.toSeq: _*))
+            .unionByName(newRows.select(cols: _*))
+            .repartition(col(partitionCol))
+            .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+          LayoutStore.copyThroughDirs(conf, srcPath, tmp,
+            touched.map(v => s"$partitionCol=$v").toSet)
+        } else
+          old.unionByName(newRows.select(cols: _*))
+            .repartition(col(partitionCol))
+            .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
       }
     }
   }

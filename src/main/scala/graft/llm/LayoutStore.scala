@@ -102,6 +102,53 @@ object LayoutStore {
     }
   }
 
+  /** A partition value / directory suffix that round-trips through the
+    * writer's path escaping unchanged — copy-through decisions compare
+    * `col=value` directory names against DataFrame values by PLAIN
+    * string equality, which is only sound when no character is subject
+    * to escaping (and the value is non-null: a null lands under the
+    * default-partition sentinel). Every non-plain value sends the
+    * caller down the full-rewrite path instead — correctness never
+    * depends on the fast path firing. */
+  private[llm] def plainPartitionValue(s: String): Boolean =
+    s != null && s.nonEmpty && s.forall(c =>
+      c.isLetterOrDigit && c < 128 || c == '_' || c == '-' || c == '.')
+
+  /** File-level copy-through of a snapshot table's UNTOUCHED partition
+    * directories: every visible `col=value` child of `srcTable` whose
+    * name is not in `skipDirNames` is copied byte-for-byte under
+    * `destTable`. This is how an incremental snapshot rewrite pays
+    * ∝ touched partitions instead of ∝ table — the rewritten rows land
+    * via Spark, the untouched directories move at file granularity
+    * (locally a stream copy; on an object store the same walk issues
+    * server-side copies, and a manifest-based table format would make
+    * it free). Returns (filesCopied, bytesCopied). */
+  private[llm] def copyThroughDirs(conf: org.apache.hadoop.conf.Configuration,
+                                   srcTable: org.apache.hadoop.fs.Path,
+                                   destTable: String,
+                                   skipDirNames: Set[String]): (Long, Long) = {
+    val fs = srcTable.getFileSystem(conf)
+    val dest = new org.apache.hadoop.fs.Path(destTable)
+    if (!fs.exists(dest)) fs.mkdirs(dest)
+    var files = 0L; var bytes = 0L
+    fs.listStatus(srcTable)
+      .filter(st => st.isDirectory && visibleStatus(st) &&
+        st.getPath.getName.contains("=") &&
+        !skipDirNames.contains(st.getPath.getName))
+      .foreach { st =>
+        val d = new org.apache.hadoop.fs.Path(dest, st.getPath.getName)
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, d,
+            false, conf))
+          throw new java.io.IOException(
+            s"copy-through failed: ${st.getPath} -> $d")
+        val it = fs.listFiles(st.getPath, true)
+        while (it.hasNext) {
+          val f = it.next(); files += 1L; bytes += f.getLen
+        }
+      }
+    (files, bytes)
+  }
+
   /** Compact the newest snapshot into a NEW snapshot — the small-file
     * maintenance job every long-lived 100 TB layout needs: incremental
     * rebuilds and wide write parallelism accrete many small files per

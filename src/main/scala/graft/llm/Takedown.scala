@@ -129,12 +129,23 @@ object Takedown {
     * self-contained per id: walk the pinned snapshot's sub-tables (or
     * the root table, when the snapshot root itself is the partitioned
     * table — the writeIvfLayout-in-store shape), left-anti each table
-    * that carries one of `idCols`, copy tables that don't (centroid/meta
-    * sheets), and land the result as the next version. Partition
-    * `col=value` chains round-trip byte-for-byte (inference pinned off,
-    * the compactSnapshot fix). Row-level filtering is EXACTLY
+    * that carries one of `idCols`, byte-copy tables that don't
+    * (centroid/meta sheets — no row can change, so no row is decoded),
+    * and land the result as the next version. Partition `col=value`
+    * chains round-trip byte-for-byte (inference pinned off, the
+    * compactSnapshot fix). Row-level filtering is EXACTLY
     * rebuild-identical for these layouts because cell/bucket assignment
     * is a pure per-row function of frozen centroids/planes.
+    *
+    * Version cost is ∝ TOUCHED partitions: for a single-level
+    * partitioned table, only the `col=value` directories that contain a
+    * revoked row are rewritten (partition-pruned scan); every other
+    * directory copies through at file level
+    * ([[LayoutStore.copyThroughDirs]]). Finding the touch set costs one
+    * column-pruned (id, partition) scan — ids, never payload. Values
+    * that don't survive plain directory-name comparison
+    * ([[LayoutStore.plainPartitionValue]]) fall back to the full
+    * rewrite, so correctness never depends on the fast path.
     *
     * NOT for artifacts with cross-row derived stats — BM25's df/N/Σdl
     * ([[propagateBm25Snapshot]]) and shard `pos` ranks
@@ -153,18 +164,59 @@ object Takedown {
     val ids = idsFrame(revoked, revokedIdCol)
     LayoutStore.withPartitionInferenceOff(spark) {
       LayoutStore.writeSnapshot(conf, path) { tmp =>
-      def rewrite(tableSrc: org.apache.hadoop.fs.Path, dest: String): Unit = {
-        val df = spark.read.parquet(tableSrc.toString)
-        val parts = LayoutStore.partitionCols(fs, tableSrc)
-        val filtered = idCols.find(df.columns.contains) match {
-          case Some(c) =>
-            df.join(ids.select(col("__rid").as(c)), Seq(c), "left_anti")
-          case None => df
-        }
+      def fullRewrite(filtered: DataFrame, parts: Seq[String],
+                      dest: String): Unit = {
         val w = (if (parts.isEmpty) filtered
                  else filtered.repartition(parts.map(col): _*))
           .write.mode("overwrite")
         (if (parts.isEmpty) w else w.partitionBy(parts: _*)).parquet(dest)
+      }
+      def rewrite(tableSrc: org.apache.hadoop.fs.Path, dest: String): Unit = {
+        val df = spark.read.parquet(tableSrc.toString)
+        val parts = LayoutStore.partitionCols(fs, tableSrc)
+        idCols.find(df.columns.contains) match {
+          case None =>
+            // no id column (centroid/plane/meta sheets): nothing to
+            // filter — the whole table is byte-identical in the new
+            // version, so copy it at file level
+            val d = new org.apache.hadoop.fs.Path(dest)
+            if (!org.apache.hadoop.fs.FileUtil.copy(fs, tableSrc, fs, d,
+                false, conf))
+              throw new java.io.IOException(
+                s"takedown copy-through failed: $tableSrc -> $d")
+          case Some(c) =>
+            val filtered =
+              df.join(ids.select(col("__rid").as(c)), Seq(c), "left_anti")
+            // single-level partitioned table: rewrite ONLY the
+            // partitions that contain a revoked row (partition-pruned
+            // scan), file-copy the rest — the deletion pass costs
+            // ∝ touched partitions. Inference is pinned off in this
+            // scope, so partition values are raw strings and compare
+            // directly against `col=value` directory suffixes; any
+            // escaping-prone value falls back to the full rewrite.
+            val fastable = parts.size == 1 && {
+              val suffixes = fs.listStatus(tableSrc)
+                .filter(st => st.isDirectory &&
+                  LayoutStore.visibleStatus(st) &&
+                  st.getPath.getName.startsWith(s"${parts.head}="))
+                .map(_.getPath.getName.split("=", 2)(1))
+              suffixes.nonEmpty &&
+                suffixes.forall(LayoutStore.plainPartitionValue)
+            }
+            if (fastable) {
+              val p = parts.head
+              val touched = df
+                .join(ids.select(col("__rid").as(c)), Seq(c), "left_semi")
+                .select(col(p)).distinct().collect().map(_.getString(0))
+              if (touched.forall(LayoutStore.plainPartitionValue)) {
+                filtered.where(col(p).isin(touched.toSeq: _*))
+                  .repartition(col(p))
+                  .write.mode("overwrite").partitionBy(p).parquet(dest)
+                LayoutStore.copyThroughDirs(conf, tableSrc, dest,
+                  touched.map(v => s"$p=$v").toSet)
+              } else fullRewrite(filtered, parts, dest)
+            } else fullRewrite(filtered, parts, dest)
+        }
       }
       val kids = fs.listStatus(src)
         .filter(st => st.isDirectory && LayoutStore.visibleStatus(st))
@@ -196,8 +248,12 @@ object Takedown {
     *
     * The per-term decrement frame is revoked-vocabulary-sized; it
     * broadcasts only under `decBroadcastMaxBytes` (plan-stats guard,
-    * the d18/d29 pattern), else the join shuffles. Returns the new
-    * version. */
+    * the d18/d29 pattern), else the join shuffles. The survivor rewrite
+    * prunes to the REVOKED VOCABULARY'S term buckets (removed rows and
+    * df decrements share the removed terms' tbuckets); untouched
+    * `tbucket=` directories copy through at file level
+    * ([[LayoutStore.copyThroughDirs]]), so the deletion pass writes
+    * ∝ touched buckets, never ∝ index. Returns the new version. */
   def propagateBm25Snapshot(spark: SparkSession, path: String,
                             revoked: DataFrame, revokedIdCol: String,
                             decBroadcastMaxBytes: Long = 64L << 20,
@@ -218,7 +274,17 @@ object Takedown {
       if (dec0.queryExecution.optimizedPlan.stats.sizeInBytes
           <= BigInt(decBroadcastMaxBytes)) broadcast(dec0)
       else dec0
-    val survivors = postings.join(ids, Seq("doc_id"), "left_anti")
+    // touched term buckets: every removed posting row AND every df
+    // decrement (other postings of the same term) live in the buckets
+    // of the REVOKED DOCS' vocabulary — a term's postings share one
+    // tbucket. The survivor rewrite prunes to those directories at
+    // file-listing time; untouched `tbucket=` directories are
+    // byte-identical and copy through at file level below, so the
+    // deletion pass costs ∝ touched buckets, never ∝ index.
+    val touched = removed.select(col("tbucket")).distinct()
+      .collect().map(_.getInt(0))
+    val survivors = postings.where(col("tbucket").isin(touched.toSeq: _*))
+      .join(ids, Seq("doc_id"), "left_anti")
       .join(dec, Seq("term"), "left")
       .withColumn("df", col("df") - coalesce(col("__rm"), lit(0L)))
       .drop("__rm")
@@ -226,6 +292,9 @@ object Takedown {
       survivors.repartition(col("tbucket"))
         .write.mode("overwrite").partitionBy("tbucket")
         .parquet(s"$tmp/postings")
+      LayoutStore.copyThroughDirs(conf,
+        new org.apache.hadoop.fs.Path(s"$src/postings"), s"$tmp/postings",
+        touched.map(v => s"tbucket=$v").toSet)
       // N decrement: the caller-supplied count (revoked docs present in
       // the indexed corpus, INCLUDING tokenless ones the postings can't
       // see) when given, else the postings-derived count. tot is exact

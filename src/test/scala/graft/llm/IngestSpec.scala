@@ -178,6 +178,87 @@ class IngestSpec extends SparkTestBase {
       e.getMessage.contains("disagrees"))
   }
 
+  private def fileSigs(dir: String): Set[(String, Long)] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Set.empty
+    else d.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(f => (f.getName, f.length)).toSet
+  }
+
+  test("appendRowsSnapshot copy-through: untouched partition dirs are " +
+    "file-level copies of the retired snapshot (same names, same bytes); " +
+    "only the batch's partitions rewrite") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("ingest-ct") + "/store"
+    val base = (0L until 200L).map(i => (i, (i % 8).toInt, i * 1.5))
+      .toDF("id", "day", "v")
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      base.repartition(col("day")).write.partitionBy("day").parquet(tmp))
+    val batch = Seq((1000L, 3, 10.0), (1001L, 3, 20.0)).toDF("id", "day", "v")
+    assert(Ingest.appendRowsSnapshot(spark, store, batch, "day", "id") == 2L)
+    val (v1, v2) = (s"$store/version=1", s"$store/version=2")
+    for (d <- 0 until 8 if d != 3)
+      assert(fileSigs(s"$v2/day=$d") == fileSigs(s"$v1/day=$d"),
+        s"day=$d must copy through at file level")
+    assert(fileSigs(s"$v2/day=3") != fileSigs(s"$v1/day=3"),
+      "the touched partition must be rewritten, not copied")
+    assert(spark.read.parquet(v2).count() == 202L)
+    assert(spark.read.parquet(v2).where(col("day") === 3)
+      .select(col("id")).collect().map(_.getLong(0)).toSet ==
+      ((0L until 200L).filter(_ % 8 == 3).toSet ++ Set(1000L, 1001L)))
+  }
+
+  test("appendRowsSnapshot falls back to the full rewrite on " +
+    "escaping-prone partition values — no loss, no duplication") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("ingest-ct-fallback") + "/store"
+    val base = Seq((1L, "a b", 1.0), (2L, "c", 2.0)).toDF("id", "k", "v")
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      base.repartition(col("k")).write.partitionBy("k").parquet(tmp))
+    val batch = Seq((3L, "a b", 3.0)).toDF("id", "k", "v")
+    assert(Ingest.appendRowsSnapshot(spark, store, batch, "k", "id") == 2L)
+    val rows = LayoutStore.withPartitionInferenceOff(spark) {
+      spark.read.parquet(LayoutStore.snapshotPath(conf, store))
+        .select(col("id"), col("k")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    assert(rows == Set((1L, "a b"), (2L, "c"), (3L, "a b")))
+  }
+
+  test("appendBm25Snapshot copy-through: only the batch vocabulary's " +
+    "tbucket dirs rewrite; the rest are file-level copies — and " +
+    "rebuild identity still holds") {
+    val s = spark; import s.implicits._
+    val base = (0L until 60L).map(i => (i, s"word$i shared${i % 6}"))
+      .toDF("doc_id", "text")
+    val store = tmpDir("ingest-bm25-ct") + "/store"
+    assert(TextAnalysis.writeBm25Snapshot(base, store, termBuckets = 16) == 1L)
+    val batch = Seq((100L, "zzzuniq zzzuniq")).toDF("doc_id", "text")
+    assert(Ingest.appendBm25Snapshot(spark, store, batch) == 2L)
+    val touched = Seq("zzzuniq").toDF("term")
+      .select(TextAnalysis.bm25TermBucket(col("term"), 16)).head().getInt(0)
+    val (v1, v2) = (s"$store/version=1", s"$store/version=2")
+    var copied = 0
+    for (b <- 0 until 16 if b != touched
+         if new java.io.File(s"$v1/postings/tbucket=$b").exists()) {
+      assert(fileSigs(s"$v2/postings/tbucket=$b") ==
+        fileSigs(s"$v1/postings/tbucket=$b"),
+        s"tbucket=$b carries no batch term — must copy through")
+      copied += 1
+    }
+    assert(copied > 0, "fixture must leave untouched buckets to copy")
+    val rebuilt = tmpDir("ingest-bm25-ct-rb") + "/store"
+    TextAnalysis.writeBm25Snapshot(base.unionByName(batch), rebuilt,
+      termBuckets = 16)
+    def postings(path: String) = spark.read
+      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/postings")
+      .select("term", "doc_id", "tf", "dl", "df")
+      .collect().map(_.toSeq).toSet
+    assert(postings(store) == postings(rebuilt))
+  }
+
   test("corpusDiff: all four statuses with exact counts and signed " +
     "token-mass deltas; a whitespace-only rewrite is unchanged") {
     val s = spark; import s.implicits._

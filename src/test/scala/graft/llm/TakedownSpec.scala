@@ -93,6 +93,76 @@ class TakedownSpec extends SparkTestBase {
       .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
   }
 
+  private def fileSigs(dir: String): Set[(String, Long)] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Set.empty
+    else d.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(f => (f.getName, f.length)).toSet
+  }
+
+  test("propagateLayoutSnapshot copy-through: only partitions containing " +
+    "a revoked row rewrite; every other dir is a file-level copy") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("takedown-ct") + "/store"
+    val rows = (0L until 160L).map(i => (i, (i % 8).toInt, i * 2.0))
+      .toDF("vec_id", "cell", "v")
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      rows.repartition(col("cell")).write.partitionBy("cell").parquet(tmp))
+    // revoked ids all live in cell=2 (ids ≡ 2 mod 8)
+    val revoked = Seq(2L, 10L, 18L).toDF("vec_id")
+    assert(Takedown.propagateLayoutSnapshot(spark, store, revoked,
+      "vec_id") == 2L)
+    val (v1, v2) = (s"$store/version=1", s"$store/version=2")
+    for (c <- 0 until 8 if c != 2)
+      assert(fileSigs(s"$v2/cell=$c") == fileSigs(s"$v1/cell=$c"),
+        s"cell=$c holds no revoked row — must copy through at file level")
+    assert(fileSigs(s"$v2/cell=2") != fileSigs(s"$v1/cell=2"))
+    val ids = spark.read.parquet(v2).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 160L).toSet -- Set(2L, 10L, 18L))
+  }
+
+  test("propagateBm25Snapshot copy-through: only the revoked docs' " +
+    "vocabulary buckets rewrite; untouched tbucket dirs are file-level " +
+    "copies — and the closed-form repair still matches the rebuild") {
+    val s = spark; import s.implicits._
+    // doc 7's vocabulary is one unique term: its removal touches exactly
+    // that term's bucket
+    val docs = (0L until 40L).map(i =>
+      (i, if (i == 7L) "qqqonly" else s"w$i base${i % 4}"))
+      .toDF("doc_id", "text")
+    val store = tmpDir("takedown-bm25-ct") + "/store"
+    assert(TextAnalysis.writeBm25Snapshot(docs, store, termBuckets = 16) == 1L)
+    assert(Takedown.propagateBm25Snapshot(spark, store,
+      Seq(7L).toDF("doc_id"), "doc_id") == 2L)
+    val touched = Seq("qqqonly").toDF("term")
+      .select(TextAnalysis.bm25TermBucket(col("term"), 16)).head().getInt(0)
+    val (v1, v2) = (s"$store/version=1", s"$store/version=2")
+    var copied = 0
+    for (b <- 0 until 16 if b != touched
+         if new java.io.File(s"$v1/postings/tbucket=$b").exists()) {
+      assert(fileSigs(s"$v2/postings/tbucket=$b") ==
+        fileSigs(s"$v1/postings/tbucket=$b"),
+        s"tbucket=$b holds no revoked-doc term — must copy through")
+      copied += 1
+    }
+    assert(copied > 0, "fixture must leave untouched buckets to copy")
+    val rebuilt = tmpDir("takedown-bm25-ct-rb") + "/store"
+    TextAnalysis.writeBm25Snapshot(docs.where(col("doc_id") =!= 7L),
+      rebuilt, termBuckets = 16)
+    def postings(path: String) = spark.read
+      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/postings")
+      .select("term", "doc_id", "tf", "dl", "df")
+      .collect().map(_.toSeq).toSet
+    def stats(path: String) = spark.read
+      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/stats")
+      .select("n", "tot", "term_buckets").head().toSeq
+    assert(postings(store) == postings(rebuilt))
+    assert(stats(store) == stats(rebuilt))
+  }
+
   test("propagateShardSnapshot: filtered + re-ranked pos equals a " +
     "from-scratch shardAssign on the scrubbed corpus") {
     val s = spark; import s.implicits._
