@@ -917,16 +917,37 @@ object ScaleBench {
     val (simRecTrue, simRecBand) = simRec("band")
     val simRecComb = simRec("combined")._2
 
-    // d74 exact set-similarity join, same exact-deduped corpus (the
-    // cap-free exactness contract: verbatim mega-clusters collapse
-    // FIRST, then the lossless prefix-filtered pass pays only the
-    // corpus's true near-dup density — which this corpus makes
-    // adversarial on purpose: every cold replica cluster qualifies
-    // wholesale, so the pair count is the cost, not the scheme).
+    // d74 exact set-similarity join on the exact-deduped corpus — run
+    // the d75 COST GAUGE first, because the full 544k adversarial
+    // corpus prices the cap-free pass OUT on this box: docs here carry
+    // ~23 distinct tokens over a small vocabulary, so thousands-deep
+    // tokens land inside prefixes and sum C(prefixdf, 2) reaches the
+    // billions (the full-corpus attempt died at >70 GB of shuffle
+    // spill — the measured finding the gauge exists to prevent). The
+    // timed join takes the largest deterministic clique subset the
+    // gauge prices under ~300M candidates (candidates scale ~1/k^2 in
+    // the base-doc modulus k); both bounds land in the artifact so the
+    // subset justifies itself. Pairs are the cost claim: every clique
+    // qualifies wholesale, so count-per-second is the scheme's number.
+    val tSetSimCost = System.nanoTime()
+    val ssCostFull = Dedup.setSimilarityJoinCost(gaugeCorpus, "doc_id",
+      "text", thresholdNum = 7, thresholdDen = 10).head()
+    val setSimCostSecs = secs(tSetSimCost)
+    val ssCandBoundFull = ssCostFull.getLong(2)
+    val ssMod = Seq(1L, 2L, 4L, 8L, 16L)
+      .find(k => ssCandBoundFull / (k * k) <= 300000000L).getOrElse(32L)
+    val ssCorpus = (if (ssMod == 1L) gaugeCorpus
+      else gaugeCorpus.where(
+        pmod((col("doc_id") / 100000).cast("long"), lit(ssMod)) === 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ssDocs = ssCorpus.count()
+    val ssCostSub = Dedup.setSimilarityJoinCost(ssCorpus, "doc_id",
+      "text", thresholdNum = 7, thresholdDen = 10).head()
     val tSetSim = System.nanoTime()
-    val setSimPairs = Dedup.setSimilarityJoin(gaugeCorpus, "doc_id",
+    val setSimPairs = Dedup.setSimilarityJoin(ssCorpus, "doc_id",
       "text", thresholdNum = 7, thresholdDen = 10).count()
     val setSimSecs = secs(tSetSim)
+    ssCorpus.unpersist(blocking = true)
     gaugeCorpus.unpersist(blocking = true)
 
     // d67 distinct-cardinality monitor: exact count(DISTINCT) rollup vs
@@ -1161,6 +1182,12 @@ object ScaleBench {
       s""""simrec_secs":$simRecSecs,"simrec_true":$simRecTrue,""" +
       s""""simrec_band_recall":$simRecBand,""" +
       s""""simrec_comb_recall":$simRecComb,""" +
+      s""""setsim_cost_secs":$setSimCostSecs,""" +
+      s""""setsim_prefix_rows":${ssCostFull.getLong(0)},""" +
+      s""""setsim_max_prefix_df":${ssCostFull.getLong(1)},""" +
+      s""""setsim_cand_bound":$ssCandBoundFull,""" +
+      s""""setsim_sub_mod":$ssMod,"setsim_docs":$ssDocs,""" +
+      s""""setsim_sub_cand_bound":${ssCostSub.getLong(2)},""" +
       s""""setsim_secs":$setSimSecs,"setsim_pairs":$setSimPairs,""" +
       s""""card_exact_secs":$cardExactSecs,"card_hll_secs":$cardHllSecs,""" +
       s""""card_exact_terms":$cardExactTerms,"card_hll_terms":$cardHllTerms,""" +

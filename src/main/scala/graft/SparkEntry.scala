@@ -1260,6 +1260,70 @@ object SparkEntry {
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
     }),
+    "q31_late_ship_priority" -> ((s, dir) => {
+      // TPC-H Q4's plan shape: EXISTS with a CROSS-TABLE correlated
+      // predicate (the lineitem must ship >60 days after ITS order's
+      // date — not a constant bound, so the semi-join carries a
+      // non-equi conjunct alongside the key). Decorrelation = one
+      // left-semi join; the date window prunes orders at the scan and
+      // the priority histogram partially aggregates after the join's
+      // orderkey shuffle. The oracle states the EXISTS form itself.
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+    "q32_priority_class_mix" -> ((s, dir) => {
+      // TPC-H Q12's plan shape: a two-way CASE split counted per group
+      // over a join — both predicates pushed to their own scans (the
+      // shipdate window and returnflag filter never cross the join),
+      // the orders side projected to (key, priority) before the
+      // shuffle, both conditional sums partially aggregated map-side.
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val l = t(s, dir, "lineitem")
+        .where(col("l_returnflag") =!= "N" &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    }),
+    "q33_returned_revenue_topk" -> ((s, dir) => {
+      // TPC-H Q10's plan shape: the top-k revenue ranking over a
+      // fact-fact-dim join — returned lineitems join their orders and
+      // customers, the nation dim broadcasts, revenue is the exact
+      // decimal sum, and the global top-20 plans as
+      // TakeOrderedAndProject (per-partition heap, never a full sort).
+      // Ties at the cut break deterministically on c_custkey.
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val n = t(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(decimalSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
     "q28_promo_share" -> ((s, dir) => {
       // TPC-H Q14's plan shape: a conditional-aggregation RATIO — the
       // promo share of monthly revenue. Numerator and denominator are
@@ -1320,6 +1384,17 @@ object SparkEntry {
       // formulation (all shared-token pairs, counted), so recall=1.0
       // is hash-checked, not claimed
       graft.llm.Dedup.setSimilarityJoin(t(s, dir, "documents"),
+        "doc_id", "text", thresholdNum = 7, thresholdDen = 10)),
+    "d75_setsim_cost" -> ((s, dir) =>
+      // the pre-flight gauge for d74 at 100 TB: the pair-generating
+      // join's output is bounded by sum C(prefixdf, 2) over prefix
+      // token frequencies, and that bound is priced by the prefix
+      // derivation ALONE (tokenize + df join + per-doc window — no
+      // pair generated). Measure BEFORE joining: a bound in the
+      // billions (the 544k adversarial ScaleBench corpus) means
+      // exactDedup/cluster first or take the LSH tier. The oracle
+      // re-derives the same integers from the prefix definition
+      graft.llm.Dedup.setSimilarityJoinCost(t(s, dir, "documents"),
         "doc_id", "text", thresholdNum = 7, thresholdDen = 10)),
     "d73_gap_fill" -> ((s, dir) => {
       // time-series regularization: irregular per-user events resample
@@ -3901,6 +3976,42 @@ object SparkEntry {
         |    AND o_orderpriority NOT LIKE '%URGENT%'
         |  GROUP BY c_custkey) pc
         |GROUP BY c_count""".stripMargin,
+    "q31_late_ship_priority" ->
+      // the EXISTS form itself — a cross-table correlated predicate
+      // (shipdate vs the outer order's own date), two engines, two
+      // independent decorrelation paths
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q32_priority_class_mix" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag <> 'N'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+    "q33_returned_revenue_topk" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |${dsum("l_extendedprice * (1 - l_discount)", 4, "revenue")}
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1999-01-01'
+         |  AND o_orderdate < TIMESTAMP '2000-01-01'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
     "q28_promo_share" ->
       // same exact-decimal sums, same single double division
       """SELECT strftime(l_shipdate, '%Y-%m') AS month,
@@ -3945,6 +4056,31 @@ object SparkEntry {
         |SELECT ai AS id_a, bi AS id_b, inter, na.n AS na, nb.n AS nb
         |FROM pair JOIN n na ON na.doc_id = ai JOIN n nb ON nb.doc_id = bi
         |WHERE 17 * inter >= 7 * (na.n + nb.n)""".stripMargin,
+    "d75_setsim_cost" ->
+      // the same prefix definition re-derived: rarest-first
+      // (df, term) rank per doc, prefix = first n - ceil(0.7n) + 1
+      // rows (ceil in exact integers: (7n+9)//10), then
+      // sum C(prefixdf, 2)
+      """WITH docs AS (SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      string_split(lower(text), ' '), x -> x != '')) AS terms
+        |  FROM documents),
+        |tok AS (SELECT doc_id, CAST(len(terms) AS BIGINT) AS n,
+        |    unnest(terms) AS term FROM docs),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tok GROUP BY term),
+        |pref AS (SELECT doc_id, term FROM (
+        |    SELECT t.doc_id, t.term, t.n,
+        |      row_number() OVER (PARTITION BY t.doc_id
+        |        ORDER BY d.df ASC, t.term ASC) AS idx
+        |    FROM tok t JOIN dfreq d USING (term))
+        |  WHERE idx <= n - ((7 * n + 9) // 10) + 1),
+        |pdf AS (SELECT term, CAST(count(*) AS BIGINT) AS pdf
+        |  FROM pref GROUP BY term)
+        |SELECT CAST(SUM(pdf) AS BIGINT) AS prefix_rows,
+        |  CAST(MAX(pdf) AS BIGINT) AS max_prefix_df,
+        |  CAST(SUM(pdf * (pdf - 1) // 2) AS BIGINT) AS candidates_bound
+        |FROM pdf""".stripMargin,
     "d73_gap_fill" ->
       // the same grid re-derived: per-(user, hour-bucket) last
       // observation by (tus, value) DESC row_number, generate_series

@@ -1972,17 +1972,13 @@ object Dedup {
     *
     * Output: (id_a, id_b, inter, na, nb) with id_a < id_b — integer
     * columns only, so the oracle compare is hash-exact. */
-  def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
-                        thresholdNum: Int, thresholdDen: Int): DataFrame = {
-    require(thresholdNum >= 1 && thresholdDen >= thresholdNum,
-      s"threshold $thresholdNum/$thresholdDen not in (0, 1]")
+  /** Per-doc distinct-token frame + df-ranked prefix rows, shared by
+    * [[setSimilarityJoin]] and [[setSimilarityJoinCost]] — `docs` must
+    * be the `(__id, __terms, __n)` frame both build (persisted by the
+    * caller when it feeds more than one pass). */
+  private def setSimPrefix(docs: DataFrame, num: Long, den: Long)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (num, den) = (thresholdNum.toLong, thresholdDen.toLong)
-    val docs = df.select(col(idCol).as("__id"),
-        array_distinct(TextAnalysis.tokens(lower(col(textCol))))
-          .as("__terms"))
-      .withColumn("__n", size(col("__terms")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tok = docs.select(col("__id"), col("__n"),
       explode(col("__terms")).as("__term"))
     val dfreq = tok.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
@@ -1991,12 +1987,29 @@ object Dedup {
       val x = n * num + lit(den - 1)
       ((x - pmod(x, lit(den))) / lit(den)).cast("long")
     }
-    val pref = tok.join(dfreq, Seq("__term"))
+    tok.join(dfreq, Seq("__term"))
       .withColumn("__idx", row_number().over(
         Window.partitionBy(col("__id"))
           .orderBy(col("__df").asc, col("__term").asc)).cast("long"))
       .where(col("__idx") <= col("__n") - ceilT(col("__n")) + 1)
       .select(col("__id"), col("__term"), col("__n"), col("__idx"))
+  }
+
+  private def setSimDocs(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        array_distinct(TextAnalysis.tokens(lower(col(textCol))))
+          .as("__terms"))
+      .withColumn("__n", size(col("__terms")).cast("long"))
+
+  def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
+                        thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    require(thresholdNum >= 1 && thresholdDen >= thresholdNum,
+      s"threshold $thresholdNum/$thresholdDen not in (0, 1]")
+    val (num, den) = (thresholdNum.toLong, thresholdDen.toLong)
+    val docs = setSimDocs(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pref = setSimPrefix(docs, num, den)
     val candRows = pref.as("a").join(pref.as("b"),
         col("a.__term") === col("b.__term") &&
           col("a.__id") < col("b.__id") &&
@@ -2025,6 +2038,41 @@ object Dedup {
         size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
       .where(col("inter") * (den + num) >= (col("na") + col("nb")) * num)
       .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"))
+    materializeAndRelease(out, docs)
+  }
+
+  /** Pre-flight COST GAUGE for [[setSimilarityJoin]] — run this BEFORE
+    * the join at scale. The pair-generating equi-join emits one row per
+    * shared prefix token, so its output is bounded by
+    * Σ_t C(prefixdf(t), 2) over the prefix token frequencies — a number
+    * the prefix derivation alone prices (one tokenize + df join +
+    * per-doc window; NO pair is ever generated). One row:
+    * (prefix_rows, max_prefix_df, candidates_bound).
+    *
+    * This is the d52 skew-profile discipline applied to the exact
+    * set-sim pass: the join's cost is a pure function of the corpus's
+    * prefix-df profile, and that profile is CHEAP to measure. A bound
+    * in the billions (measured on the 544k adversarial ScaleBench
+    * corpus: low-cardinality docs over a small vocabulary put
+    * thousands-deep tokens inside prefixes, and the full-corpus
+    * attempt died at >70 GB of shuffle spill) means the corpus needs
+    * [[exactDedup]] + near-dup clustering first, a higher threshold,
+    * or the capped LSH tier — decided from one cheap aggregate instead
+    * of a dead 100 TB job. */
+  def setSimilarityJoinCost(df: DataFrame, idCol: String, textCol: String,
+                            thresholdNum: Int, thresholdDen: Int)
+      : DataFrame = {
+    require(thresholdNum >= 1 && thresholdDen >= thresholdNum,
+      s"threshold $thresholdNum/$thresholdDen not in (0, 1]")
+    val (num, den) = (thresholdNum.toLong, thresholdDen.toLong)
+    val docs = setSimDocs(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = setSimPrefix(docs, num, den)
+      .groupBy(col("__term")).agg(count(lit(1)).as("__pdf"))
+      .agg(sum(col("__pdf")).as("prefix_rows"),
+        max(col("__pdf")).as("max_prefix_df"),
+        sum(((col("__pdf") * (col("__pdf") - 1)) / 2).cast("long"))
+          .as("candidates_bound"))
     materializeAndRelease(out, docs)
   }
 

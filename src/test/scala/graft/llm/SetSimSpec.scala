@@ -40,6 +40,28 @@ class SetSimSpec extends SparkTestBase {
     }
   }
 
+  test("setSimilarityJoinCost: prefix_rows matches the hand-derived " +
+    "per-doc prefix lengths; the candidate bound dominates the " +
+    "qualifying pair count") {
+    val s = spark; import s.implicits._
+    val docs = corpus(60, seed = 7L).toDF("doc_id", "text")
+    val cost = Dedup.setSimilarityJoinCost(docs, "doc_id", "text", 7, 10)
+      .head()
+    // independent derivation of the prefix mass: per doc,
+    // n - ceil(0.7 n) + 1 rows enter the prefix
+    val expectedPrefixRows = docs.collect().map { r =>
+      val n = r.getString(1).toLowerCase.split(" ")
+        .filter(_.nonEmpty).toSet.size.toLong
+      n - ((7 * n + 9) / 10) + 1
+    }.sum
+    assert(cost.getLong(0) == expectedPrefixRows)
+    assert(cost.getLong(1) <= cost.getLong(0)) // max pdf <= total rows
+    val pairs = Dedup.setSimilarityJoin(docs, "doc_id", "text", 7, 10)
+      .count()
+    assert(cost.getLong(2) >= pairs,
+      s"bound ${cost.getLong(2)} must dominate the $pairs qualifying pairs")
+  }
+
   test("setSimilarityJoin: t=1 degenerates to identical token sets only") {
     val s = spark; import s.implicits._
     val docs = Seq(
