@@ -53,6 +53,45 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q31: EXISTS with a cross-table date conjunct plans as ONE " +
+    "left-semi join (non-equi predicate rides the join, no cartesian); " +
+    "order date window pushed to the scan; priority histogram partial") {
+    val p = plan("q31_late_ship_priority")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "the date window must reach the orders scan")
+    assert(p.contains("partial_count"),
+      "the priority histogram must partially aggregate map-side")
+  }
+
+  test("q32: both filters sit on their own scans (never cross the " +
+    "join); conditional CASE sums partially aggregate") {
+    val p = plan("q32_priority_class_mix")
+    assert(p.contains("Not(EqualTo(l_returnflag,N))"),
+      "returnflag filter must reach the lineitem scan")
+    // the pushed-filter list is TRUNCATED in toString, so the shipdate
+    // window is asserted via the scan-side Filter predicate instead
+    assert(p.contains("l_shipdate#") && p.contains(">= 1996-01-01"),
+      "shipdate window must sit on the lineitem branch below the join")
+    assert(p.contains("partial_sum"),
+      "both CASE sums must partially aggregate map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q33: nation dim broadcasts; the global top-20 plans as " +
+    "TakeOrderedAndProject (per-partition heap, no full sort); " +
+    "returned-flag and date filters reach their scans") {
+    val p = plan("q33_returned_revenue_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"), "nation must broadcast")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returned-items filter must reach the lineitem scan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "order date window must reach the orders scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q27: red-part filter broadcasts into a semi-join, supplier " +
     "semi-joins the winners, no cartesian") {
     val p = plan("q27_qualified_suppliers")
