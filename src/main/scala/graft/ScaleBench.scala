@@ -1042,7 +1042,7 @@ object ScaleBench {
       apdRows.repartition(col("day")).write.partitionBy("day").parquet(tmp))
     val apdBatchRows = (nDocs / 64).toInt
     val apdBatch = spark.range(apdBatchRows.toLong).select(
-      (col("id") + lit(100000000L)).as("id"),
+      (col("id") + lit(1000000000L)).as("id"), // past every corpus id
       lit(17).cast("int").as("day"),
       (col("id") * 37L % 997L).as("nbytes"))
     val tApd = System.nanoTime()

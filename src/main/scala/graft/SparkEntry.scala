@@ -1557,6 +1557,53 @@ object SparkEntry {
           unix_micros(col("v_ets")).as("vts"),
           unix_micros(col("c_ets")).as("cts"))
     }),
+    "m50_stream_interval_full_join" -> ((s, dir) => {
+      // the COMPLETE attribution picture: matched pairs, views with no
+      // click, AND orphan clicks with no qualifying view (attribution
+      // loss — the click whose view fell outside the gap or never
+      // landed). Both sides' null extensions are watermark-held; the
+      // same per-side flush sentinels close both, and closed-input ==
+      // batch FULL join is the oracle's statement. Sentinels filter on
+      // BOTH sides (an unmatched real row null-extends the other side,
+      // so the filter must be null-safe).
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val schema = ev.schema
+      val src = tmpQueryDir("m50-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        src.resolve("events.parquet"))
+      val maxUs = ev.agg(max(tsMicros(ev))).head().getLong(0)
+      val flushUs = maxUs + 8L * 3600000000L
+      val flushTs: Column = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => lit(flushUs * 1000L)
+        case _ => timestamp_micros(lit(flushUs))
+      }
+      ev.where(col("event_type") === "view").limit(1)
+        .unionByName(ev.where(col("event_type") === "click").limit(1))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", flushTs)
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      val out = tmpQueryDir("m50-sink").toString
+      val ckpt = tmpQueryDir("m50-ckpt").toString
+      def side(tp: String, pre: String)(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("event_type") === tp)
+          .select(col("user_id").as(s"${pre}_user"),
+            col("event_id").as(s"${pre}_id"),
+            timestamp_micros(tsMicros(df)).as(s"${pre}_ets"))
+      Incremental.intervalJoinAvailableNow(s, src.toString, schema,
+        "parquet", side("view", "v"), side("click", "c"),
+        "v_user", "c_user", "v_ets", "c_ets",
+        maxGap = "2 hours", watermark = "4 hours", out, ckpt,
+        joinType = "fullOuter")
+        .awaitTermination()
+      s.read.parquet(out)
+        .where(coalesce(col("v_user"), lit(0L)) >= 0 &&
+          coalesce(col("c_user"), lit(0L)) >= 0)
+        .select(coalesce(col("v_user"), col("c_user")).as("user_id"),
+          col("v_id").as("view_id"), col("c_id").as("click_id"),
+          unix_micros(col("v_ets")).as("vts"),
+          unix_micros(col("c_ets")).as("cts"))
+    }),
     "d71_expanded_takedown" -> ((s, dir) => {
       // the policy behind every real takedown: deleting the named doc
       // while its near-copies keep serving is not deletion. The seed
@@ -4155,6 +4202,15 @@ object SparkEntry {
         |  epoch_us(v.ts) AS vts, epoch_us(c.ts) AS cts
         |FROM (SELECT * FROM events WHERE event_type = 'view') v
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR""".stripMargin,
+    "m50_stream_interval_full_join" ->
+      // the batch FULL join the flushed closed-input stream must equal
+      """SELECT coalesce(v.user_id, c.user_id) AS user_id,
+        |  v.event_id AS view_id, c.event_id AS click_id,
+        |  epoch_us(v.ts) AS vts, epoch_us(c.ts) AS cts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR""".stripMargin,
     "d71_expanded_takedown" ->

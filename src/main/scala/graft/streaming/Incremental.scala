@@ -91,7 +91,14 @@ object Incremental {
     * never emit — equality with the batch left join needs a flush row
     * per side past maxEventTime + watermark + maxGap (the m49 query
     * shows the pattern; m18's append-mode windows have the same
-    * contract). `prepareLeft`/`prepareRight` must project DISTINCT
+    * contract).
+    *
+    * `joinType = "fullOuter"` completes the family: BOTH unmatched
+    * sides null-extend — views with no click AND orphan clicks with no
+    * view (attribution loss: the click whose view fell outside the gap
+    * or never landed). Same holdback semantics on each side
+    * independently; the same flush-row pattern closes both.
+    * `prepareLeft`/`prepareRight` must project DISTINCT
     * column names (the join keeps both sides' columns). */
   def intervalJoinAvailableNow(spark: SparkSession, sourceDir: String,
                                schema: StructType, format: String,
@@ -104,8 +111,8 @@ object Incremental {
                                maxFilesPerTrigger: Option[Int] = None,
                                joinType: String = "inner")
       : StreamingQuery = {
-    require(Set("inner", "leftOuter").contains(joinType),
-      s"joinType must be inner or leftOuter: $joinType")
+    require(Set("inner", "leftOuter", "fullOuter").contains(joinType),
+      s"joinType must be inner, leftOuter or fullOuter: $joinType")
     def src = {
       val r = spark.readStream.schema(schema).format(format)
       maxFilesPerTrigger.fold(r)(n =>

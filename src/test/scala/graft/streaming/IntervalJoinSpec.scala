@@ -175,4 +175,65 @@ class IntervalJoinSpec extends SparkTestBase {
     assert(sink() == Set((1L, 2L), (3L, -1L)),
       s"held (v, null) must emit once the watermark passes: ${sink()}")
   }
+
+  /** Full-outer: BOTH sides null-extend — the symmetric case is the
+    * ORPHAN CLICK (no view within the gap), watermark-held exactly like
+    * the left side's null extension. */
+  test("intervalJoinAvailableNow fullOuter: orphan click held, then " +
+    "emits (null, c) once the watermark passes its eviction time") {
+    val s = spark; import s.implicits._
+    val srcDir = new java.io.File(tmpDir("ijf-src"))
+    srcDir.mkdirs()
+    val t0 = 86400000L
+    def land(name: String, rows: Seq[(Long, Long, java.sql.Timestamp, String)],
+             mtime: Long): Unit = {
+      val tmp = tmpDir(s"ijf-part-$name")
+      rows.toDF("user_id", "event_id", "ts", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(srcDir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+    }
+    land("batch1", Seq(
+      (0L, 1L, new java.sql.Timestamp(t0), "view"),
+      (0L, 2L, new java.sql.Timestamp(t0 + 600000L), "click"),  // match
+      (2L, 5L, new java.sql.Timestamp(t0 + 60000L), "click")),  // orphan
+      mtime = 1000000L)
+    val out = tmpDir("ijf-sink")
+    val ckpt = tmpDir("ijf-ckpt")
+    def side(tp: String, pre: String)(d: org.apache.spark.sql.DataFrame) =
+      d.where(col("event_type") === tp)
+        .select(col("user_id").as(s"${pre}_user"),
+          col("event_id").as(s"${pre}_id"), col("ts").as(s"${pre}_ts"))
+    val schema = Seq((0L, 0L, new java.sql.Timestamp(0L), ""))
+      .toDF("user_id", "event_id", "ts", "event_type").schema
+    def run(): Unit = {
+      val q = Incremental.intervalJoinAvailableNow(spark, srcDir.toString,
+        schema, "parquet", side("view", "v"), side("click", "c"),
+        "v_user", "c_user", "v_ts", "c_ts",
+        maxGap = "30 minutes", watermark = "10 minutes", out, ckpt,
+        joinType = "fullOuter")
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    run()
+    def sink() = spark.read.parquet(out)
+      .where(coalesce(col("v_user"), lit(0L)) < 90 &&
+        coalesce(col("c_user"), lit(0L)) < 90)
+      .select(when(col("v_id").isNull, -1L).otherwise(col("v_id")).as("v"),
+        when(col("c_id").isNull, -1L).otherwise(col("c_id")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // run 1: the orphan click's state can't evict yet (a view at
+    // clickTs - gap could still arrive) -> only the inner match emits
+    assert(sink() == Set((1L, 2L)),
+      s"orphan click must be watermark-held in run 1: ${sink()}")
+    land("flush", Seq(
+      (99L, 100L, new java.sql.Timestamp(t0 + 86400000L), "view"),
+      (99L, 101L, new java.sql.Timestamp(t0 + 86400000L), "click")),
+      mtime = 2000000L)
+    run()
+    assert(sink() == Set((1L, 2L), (-1L, 5L)),
+      s"held (null, c) must emit once the watermark passes: ${sink()}")
+  }
 }
