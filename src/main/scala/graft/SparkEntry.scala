@@ -1604,6 +1604,55 @@ object SparkEntry {
           unix_micros(col("v_ets")).as("vts"),
           unix_micros(col("c_ets")).as("cts"))
     }),
+    "m51_stream_exact_dedup" -> ((s, dir) => {
+      // ingest-side streaming exact dedup with BOUNDED state
+      // (dropDuplicatesWithinWatermark): one state entry per
+      // fingerprint, held only within the watermark horizon. Closed
+      // input inside one horizon == batch DISTINCT fingerprints —
+      // which copy survives is arrival-dependent, so the deterministic
+      // projection is the key alone (the d01 fingerprint). Event time
+      // derives off doc_id (+1: the epoch-0 boundary drops a row AT
+      // the initial watermark, the pinned intervalJoin semantics).
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val schema = docs.schema
+      val src = tmpQueryDir("m51-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        src.resolve("documents.parquet"))
+      val out = tmpQueryDir("m51-sink").toString
+      val ckpt = tmpQueryDir("m51-ckpt").toString
+      Incremental.dedupWithinWatermarkAvailableNow(s, src.toString,
+        schema, "parquet",
+        df => df.select(graft.llm.Dedup.exactKey(col("text")).as("fp"),
+          timestamp_micros((col("doc_id") + 1) * 1000000L).as("ets")),
+        "ets", Seq("fp"), watermark = "30 days", out, ckpt)
+        .awaitTermination()
+      s.read.parquet(out).select(col("fp"))
+    }),
+    "q34_disjunctive_revenue" -> ((s, dir) => {
+      // TPC-H Q19's plan shape: an OR-of-ANDs predicate SPANNING the
+      // join — brand/size conditions live on part, quantity bands on
+      // lineitem, and each disjunct pairs them. Catalyst extracts each
+      // side's implied disjunction and pushes it to that side's scan
+      // (part prunes to the three brands, lineitem to the union of
+      // quantity bands) while the exact cross-side predicate evaluates
+      // above the join; revenue is the exact decimal sum.
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(20, 30)))
+        .agg(decimalSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+    }),
     "d71_expanded_takedown" -> ((s, dir) => {
       // the policy behind every real takedown: deleting the named doc
       // while its near-copies keep serving is not deletion. The seed
@@ -4213,6 +4262,21 @@ object SparkEntry {
         |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR""".stripMargin,
+    "m51_stream_exact_dedup" ->
+      // closed input within one horizon == the batch DISTINCT keys
+      """SELECT DISTINCT
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "q34_disjunctive_revenue" ->
+      s"""SELECT
+         |${dsum("l_extendedprice * (1 - l_discount)", 4, "revenue")}
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 20
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "d71_expanded_takedown" ->
       // the d09 recursive transitive closure, then DuckDB's own
       // cluster-membership expansion of the seed set

@@ -133,6 +133,40 @@ object Incremental {
       .start()
   }
 
+  /** Bounded-state streaming EXACT dedup —
+    * `dropDuplicatesWithinWatermark` over derived key columns: the
+    * ingest-side dedupe (at-least-once delivery makes duplicates a
+    * guarantee, not an accident). State holds one entry per key only
+    * within the watermark horizon: a duplicate arriving while its
+    * key's state lives is dropped; one arriving after the state
+    * evicted (watermark passed firstSeenTs + delay) is re-emitted —
+    * the honest bounded-state contract: streaming exact dedup trades
+    * unbounded state for a horizon, and the unit test pins BOTH sides
+    * of that trade. Over a closed input whose event times all sit
+    * inside one horizon, the emitted keys equal the batch DISTINCT
+    * keys — WHICH row of a duplicate set survives is arrival-order
+    * dependent, so the deterministic (oracle-safe) projection is the
+    * key columns only; `prepare` derives them plus the event-time
+    * column (which must sit ABOVE epoch 0 — the intervalJoin boundary
+    * caveat applies to this state store too). */
+  def dedupWithinWatermarkAvailableNow(spark: SparkSession,
+      sourceDir: String, schema: StructType, format: String,
+      prepare: DataFrame => DataFrame, tsCol: String,
+      keyCols: Seq[String], watermark: String,
+      sinkPath: String, checkpointDir: String): StreamingQuery = {
+    val src = spark.readStream.schema(schema).format(format).load(sourceDir)
+    prepare(src)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .select(keyCols.map(col): _*)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Incremental file-source AGGREGATION: process-available-then-stop
     * with a complete-mode memory sink — the "refresh a serving snapshot
     * from whatever landed" shape (a stats table, a top-terms board).

@@ -92,6 +92,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q34: the cross-side OR-of-ANDs yields EXTRACTED per-side " +
+    "disjunctions pushed to both scans (quantity-band union on " +
+    "lineitem, brand/size disjunction on part); the exact predicate " +
+    "rides the broadcast join; revenue sum partial") {
+    val p = plan("q34_disjunctive_revenue")
+    assert(p.contains(
+      "PushedFilters: [IsNotNull(l_partkey), Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      "the quantity-band union must reach the lineitem scan")
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      "the brand/size disjunction must reach the part scan")
+    assert(p.contains("BroadcastHashJoin"), "part must broadcast")
+    assert(p.contains("partial_sum"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q27: red-part filter broadcasts into a semi-join, supplier " +
     "semi-joins the winners, no cartesian") {
     val p = plan("q27_qualified_suppliers")

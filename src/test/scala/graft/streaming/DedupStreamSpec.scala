@@ -405,4 +405,53 @@ class DedupStreamSpec extends SparkTestBase {
     assert(out2(12L) == ((true, 1L)) && out2(13L) == ((true, 4L)),
       s"got $out2")
   }
+
+  /** dropDuplicatesWithinWatermark bounded-state contract, BOTH sides:
+    * a duplicate inside the horizon drops; after the key's state
+    * evicts (watermark past firstSeenTs + delay), the key RE-EMITS. */
+  test("dedupWithinWatermarkAvailableNow: in-horizon duplicate dropped; " +
+    "post-eviction re-appearance re-emits") {
+    val s = spark; import s.implicits._
+    val srcDir = new java.io.File(tmpDir("ddw-src"))
+    srcDir.mkdirs()
+    val t0 = 86400000L // day 1 — off the epoch-0 boundary
+    def land(name: String, rows: Seq[(String, Timestamp)],
+             mtime: Long): Unit = {
+      val tmp = tmpDir(s"ddw-part-$name")
+      rows.toDF("k", "ets").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(srcDir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+    }
+    val schema = Seq(("", new Timestamp(0L))).toDF("k", "ets").schema
+    val out = tmpDir("ddw-sink"); val ckpt = tmpDir("ddw-ckpt")
+    def run(): Unit = {
+      val q = Incremental.dedupWithinWatermarkAvailableNow(spark,
+        srcDir.toString, schema, "parquet", identity, "ets", Seq("k"),
+        watermark = "10 minutes", out, ckpt)
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    def sink() = spark.read.parquet(out).collect()
+      .map(_.getString(0)).groupBy(identity).map { case (k, v) => k -> v.length }
+    land("b1", Seq(("a", new Timestamp(t0)), ("b", new Timestamp(t0 + 60000L))),
+      mtime = 1000000L)
+    run()
+    assert(sink() == Map("a" -> 1, "b" -> 1), s"got ${sink()}")
+    // in-horizon duplicate: a's state still lives -> dropped
+    land("b2", Seq(("a", new Timestamp(t0 + 120000L))), mtime = 2000000L)
+    run()
+    assert(sink() == Map("a" -> 1, "b" -> 1),
+      s"in-horizon duplicate must drop: ${sink()}")
+    // far-future key advances the watermark past a's eviction time
+    land("b3", Seq(("z", new Timestamp(t0 + 86400000L))), mtime = 3000000L)
+    run()
+    // post-eviction re-appearance: a re-emits (the bounded-state trade)
+    land("b4", Seq(("a", new Timestamp(t0 + 86400000L + 60000L))),
+      mtime = 4000000L)
+    run()
+    assert(sink() == Map("a" -> 2, "b" -> 1, "z" -> 1),
+      s"post-eviction key must re-emit: ${sink()}")
+  }
 }
