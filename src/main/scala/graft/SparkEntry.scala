@@ -1629,6 +1629,65 @@ object SparkEntry {
         .awaitTermination()
       s.read.parquet(out).select(col("fp"))
     }),
+    "m52_stream_sessions" -> ((s, dir) => {
+      // d15's gap sessionization as a STREAMING session_window — state
+      // lives in Spark's session-window store (merge on overlapping OR
+      // touching windows, evict past watermark), no custom state code.
+      // Boundary spec-pinned: an event at EXACTLY prev+gap MERGES,
+      // identical to the batch lag rule, so the oracle is the d15
+      // derivation with end = last event + gap. A session emits once
+      // the watermark passes its end, so one sentinel user far past
+      // maxEvent + watermark + gap flushes every real session.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val schema = ev.schema
+      val src = tmpQueryDir("m52-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        src.resolve("events.parquet"))
+      val maxUs = ev.agg(max(tsMicros(ev))).head().getLong(0)
+      val flushUs = maxUs + 8L * 3600000000L
+      val flushTs: Column = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => lit(flushUs * 1000L)
+        case _ => timestamp_micros(lit(flushUs))
+      }
+      ev.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", flushTs)
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      val out = tmpQueryDir("m52-sink").toString
+      val ckpt = tmpQueryDir("m52-ckpt").toString
+      Incremental.sessionWindowAvailableNow(s, src.toString, schema,
+        "parquet",
+        df => df.select(col("user_id"),
+          timestamp_micros(tsMicros(df)).as("ets")),
+        "ets", "user_id", gap = "30 minutes", watermark = "1 hour",
+        out, ckpt)
+        .awaitTermination()
+      s.read.parquet(out).where(col("user_id") >= 0)
+        .select(col("user_id"),
+          unix_micros(col("w_start")).as("start_us"),
+          unix_micros(col("w_end")).as("end_us"),
+          col("n_events"))
+    }),
+    "q35_moving_revenue" -> ((s, dir) => {
+      // the RANGE-frame window shape (sliding 7-day revenue): daily
+      // exact-decimal totals, then a moving sum over RANGE BETWEEN 6
+      // PRECEDING AND CURRENT ROW on the epoch-day key — a VALUE-based
+      // frame (absent days shrink it), not a row count. The decimal
+      // rides the frame un-cast; one double cast at the end. Scale
+      // shape: the window runs over the |days|-sized aggregate, never
+      // the orders table.
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      val daily = t(s, dir, "orders")
+        .groupBy(day.as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(27,2)")).as("__rev"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+      daily.select(col("day"), col("n_orders"),
+        col("__rev").cast("double").as("day_rev"),
+        sum(col("__rev")).over(w).cast("double").as("rev_7d"))
+    }),
     "q34_disjunctive_revenue" -> ((s, dir) => {
       // TPC-H Q19's plan shape: an OR-of-ANDs predicate SPANNING the
       // join — brand/size conditions live on part, quantity bands on
@@ -4267,6 +4326,37 @@ object SparkEntry {
       """SELECT DISTINCT
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "m52_stream_sessions" ->
+      // the d15 gap derivation (strict > gap starts a new session —
+      // session_window merges TOUCHING windows, spec-pinned) with
+      // end = last event + gap
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |f AS (SELECT user_id, tus,
+        |        CASE WHEN lag(tus) OVER w IS NULL
+        |               OR tus - lag(tus) OVER w > 1800000000 THEN 1
+        |             ELSE 0 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |sess AS (SELECT user_id, tus,
+        |           CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY tus)
+        |                AS BIGINT) AS session_seq
+        |         FROM f)
+        |SELECT user_id, MIN(tus) AS start_us,
+        |       MAX(tus) + 1800000000 AS end_us, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+    "q35_moving_revenue" ->
+      // same epoch-day key, same VALUE-based frame, decimal un-cast
+      // inside the frame
+      """WITH daily AS (SELECT
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS rev,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT day, n_orders, CAST(rev AS DOUBLE) AS day_rev,
+        |  CAST(SUM(rev) OVER (ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS rev_7d
+        |FROM daily""".stripMargin,
     "q34_disjunctive_revenue" ->
       s"""SELECT
          |${dsum("l_extendedprice * (1 - l_discount)", 4, "revenue")}

@@ -167,6 +167,43 @@ object Incremental {
       .start()
   }
 
+  /** Gap-based SESSION aggregation as a streaming `session_window` —
+    * the Structured Streaming twin of the batch window-pass
+    * sessionizer ([[graft.operators.Sessionize.sessions]]), with
+    * custom state fully delegated to Spark's session-window state
+    * store (merge-on-overlap-or-touch, evict once the watermark passes
+    * a session's end). Boundary semantics pinned by the spec: an event
+    * at EXACTLY prevTs + gap MERGES (touching `[ts, ts+gap)` windows
+    * coalesce) — identical to the batch lag rule's `delta > gap`
+    * starts-new test, so the m52 oracle is the d15 derivation with
+    * end = lastTs + gap. Sessions emit once
+    * the watermark passes their end, so closed-input equality with the
+    * batch derivation needs the usual flush row past
+    * maxEventTime + watermark + gap. Output: (key,
+    * session_window.start, session_window.end = lastTs + gap,
+    * n_events). */
+  def sessionWindowAvailableNow(spark: SparkSession, sourceDir: String,
+      schema: StructType, format: String,
+      prepare: DataFrame => DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: String,
+      sinkPath: String, checkpointDir: String): StreamingQuery = {
+    val src = spark.readStream.schema(schema).format(format).load(sourceDir)
+    prepare(src)
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("w_start"),
+        col("session_window.end").as("w_end"),
+        col("n_events"))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Incremental file-source AGGREGATION: process-available-then-stop
     * with a complete-mode memory sink — the "refresh a serving snapshot
     * from whatever landed" shape (a stats table, a top-terms board).
