@@ -1688,6 +1688,25 @@ object SparkEntry {
         col("__rev").cast("double").as("day_rev"),
         sum(col("__rev")).over(w).cast("double").as("rev_7d"))
     }),
+    "q36_priority_pivot" -> ((s, dir) => {
+      // the PIVOT shape: per-year order totals cross-tabbed by
+      // priority class. Explicit value list (no discovery pass — at
+      // 100 TB the values-scan is a full extra aggregation; the listed
+      // form plans as ONE groupBy with conditional partial aggs, the
+      // q32 CASE-split underneath the API). Exact decimal sums; column
+      // names fixed by the value list on both engines.
+      val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW")
+      t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(27,2)").as("__p"))
+        .groupBy(col("yr"))
+        .pivot("o_orderpriority", pr)
+        .agg(sum(col("__p")).cast("double"))
+        .select(col("yr") +: pr.map(p =>
+          col(s"`$p`").as(p.toLowerCase.replaceAll("[^a-z0-9]+", "_"))): _*)
+    }),
     "q34_disjunctive_revenue" -> ((s, dir) => {
       // TPC-H Q19's plan shape: an OR-of-ANDs predicate SPANNING the
       // join — brand/size conditions live on part, quantity bands on
@@ -4357,6 +4376,26 @@ object SparkEntry {
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS rev_7d
         |FROM daily""".stripMargin,
+    "q36_priority_pivot" ->
+      // the CASE-split q32 pattern IS the pivot's semantics — stated
+      // directly, column per listed value
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN CAST(o_totalprice AS DECIMAL(27,2)) END) AS DOUBLE)
+        |    AS "1_urgent",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+        |    THEN CAST(o_totalprice AS DECIMAL(27,2)) END) AS DOUBLE)
+        |    AS "2_high",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |    THEN CAST(o_totalprice AS DECIMAL(27,2)) END) AS DOUBLE)
+        |    AS "3_medium",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |    THEN CAST(o_totalprice AS DECIMAL(27,2)) END) AS DOUBLE)
+        |    AS "4_not_specified",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+        |    THEN CAST(o_totalprice AS DECIMAL(27,2)) END) AS DOUBLE)
+        |    AS "5_low"
+        |FROM orders GROUP BY 1""".stripMargin,
     "q34_disjunctive_revenue" ->
       s"""SELECT
          |${dsum("l_extendedprice * (1 - l_discount)", 4, "revenue")}
