@@ -130,23 +130,39 @@ object LayoutStore {
     val fs = srcTable.getFileSystem(conf)
     val dest = new org.apache.hadoop.fs.Path(destTable)
     if (!fs.exists(dest)) fs.mkdirs(dest)
-    var files = 0L; var bytes = 0L
-    fs.listStatus(srcTable)
+    val dirs = fs.listStatus(srcTable)
       .filter(st => st.isDirectory && visibleStatus(st) &&
         st.getPath.getName.contains("=") &&
         !skipDirNames.contains(st.getPath.getName))
-      .foreach { st =>
-        val d = new org.apache.hadoop.fs.Path(dest, st.getPath.getName)
-        if (!org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, d,
-            false, conf))
-          throw new java.io.IOException(
-            s"copy-through failed: ${st.getPath} -> $d")
-        val it = fs.listFiles(st.getPath, true)
-        while (it.hasNext) {
-          val f = it.next(); files += 1L; bytes += f.getLen
-        }
+    // driver-side but PARALLEL: a 1000-partition layout copied
+    // sequentially serializes on per-object latency (the dominant cost
+    // on an object store, where each copy is a server-side request);
+    // a bounded pool keeps the walk at max(latency) instead of
+    // sum(latency) without flooding the store
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, dirs.length)))
+    try {
+      val futures = dirs.map { st =>
+        pool.submit(new java.util.concurrent.Callable[(Long, Long)] {
+          def call(): (Long, Long) = {
+            val d = new org.apache.hadoop.fs.Path(dest, st.getPath.getName)
+            if (!org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, d,
+                false, conf))
+              throw new java.io.IOException(
+                s"copy-through failed: ${st.getPath} -> $d")
+            var files = 0L; var bytes = 0L
+            val it = fs.listFiles(st.getPath, true)
+            while (it.hasNext) {
+              val f = it.next(); files += 1L; bytes += f.getLen
+            }
+            (files, bytes)
+          }
+        })
       }
-    (files, bytes)
+      futures.map(_.get()).foldLeft((0L, 0L)) { case ((f, b), (df, db)) =>
+        (f + df, b + db)
+      }
+    } finally pool.shutdown()
   }
 
   /** Compact the newest snapshot into a NEW snapshot — the small-file
