@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] runs 32 concurrent tasks against one unified
+  // memory pool — at 8g the round-11 whole-suite bench had a bimodal
+  // spill mode on the heaviest self-join (52s vs 6s at the same HEAD,
+  // gate artifact BENCH_r11.json); the box carries 125g, so headroom is
+  // the cheapest determinism lever available.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -71,7 +71,41 @@ object Bench {
     def resetStorage(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // Shuffle files and broadcast blocks are reclaimed by Spark's
+      // ContextCleaner only when the driver-side references are GC'd —
+      // in an 8-16 GB driver heap that may not happen for many queries,
+      // so pass-N state (thousands of shuffle files, old-gen garbage)
+      // silently becomes pass-N+1's disk/GC pressure. Round-11's driver
+      // gate recorded d74 at 52s (3/3 repeats) inside the whole suite
+      // while solo runs read 4.4-6.3s at the same HEAD — an interference
+      // mode, not an algorithmic one. An explicit GC between queries
+      // costs ~0.1s each and makes every timed query start from the
+      // same reclaimed state.
+      System.gc()
     }
+
+    // Per-query spill/GC telemetry: round-11's one open finding was a
+    // bimodal whole-suite mode (d74 at 52s in the driver's gate run vs
+    // 4.4-6.3s solo, same HEAD) that the timing artifact alone couldn't
+    // explain. Summing executor task metrics per timed query makes the
+    // mechanism readable from the committed artifact itself: a slow
+    // repeat with spill_bytes exploding is memory-pool pressure; one
+    // with gc_ms exploding is heap garbage; neither means ambient load.
+    // (Listener delivery is async; attribution may lag by a few tasks —
+    // fine for an order-of-magnitude diagnostic.)
+    val spillCtr = new java.util.concurrent.atomic.AtomicLong
+    val gcCtr = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            spillCtr.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+            gcCtr.addAndGet(m.jvmGCTime)
+          }
+        }
+      })
 
     // optional local-iteration subset (driver always benches everything)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -84,13 +118,20 @@ object Bench {
     // in pass order; the first error per query is kept
     val times = scala.collection.mutable.LinkedHashMap(
       names.map(n => n -> Vector.empty[Double]): _*)
+    val spills = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> 0L): _*)
+    val gcs = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> 0L): _*)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (_ <- 1 to repeats; name <- names) {
+      val (s0, g0) = (spillCtr.get(), gcCtr.get())
       val t0 = System.nanoTime()
       val r = execute(name)
       val dt = (System.nanoTime() - t0) / 1e9
       resetStorage()
       times(name) = times(name) :+ dt
+      spills(name) += spillCtr.get() - s0
+      gcs(name) += gcCtr.get() - g0
       r.left.foreach(e => if (!errors.contains(name)) errors(name) = e)
     }
     def median(xs: Vector[Double]): Double = {
@@ -101,6 +142,11 @@ object Bench {
     val mins = names.map(n => s""""$n":${times(n).min}""").mkString("{", ",", "}")
     val reps = names.map(n => times(n).mkString(s""""$n":[""", ",", "]"))
       .mkString("{", ",", "}")
+    // summed over all repeats (a per-pass split would triple the size;
+    // the diagnostic question is "did THIS query spill/GC", not when)
+    val spillJson = names.map(n => s""""$n":${spills(n)}""")
+      .mkString("{", ",", "}")
+    val gcJson = names.map(n => s""""$n":${gcs(n)}""").mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ")}""""
     }.mkString("{", ",", "}")
@@ -110,7 +156,8 @@ object Bench {
       s""""ts":"${java.time.Instant.now()}"}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,""" +
-      s""""repeats":$reps,"errors":$errJson,"sf":"$sfDir","provenance":$prov}"""
+      s""""repeats":$reps,"spill_bytes":$spillJson,"gc_ms":$gcJson,""" +
+      s""""errors":$errJson,"sf":"$sfDir","provenance":$prov}"""
     println(line)
     Files.writeString(Paths.get("BENCH_local.json"), line + "\n")
     spark.stop()
