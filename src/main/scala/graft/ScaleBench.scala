@@ -934,8 +934,8 @@ object ScaleBench {
       "text", thresholdNum = 7, thresholdDen = 10).head()
     val setSimCostSecs = secs(tSetSimCost)
     val ssCandBoundFull = ssCostFull.getLong(2)
-    val ssMod = Seq(1L, 2L, 4L, 8L, 16L)
-      .find(k => ssCandBoundFull / (k * k) <= 300000000L).getOrElse(32L)
+    val ssMod = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+      .find(k => ssCandBoundFull / (k * k) <= 300000000L).getOrElse(64L)
     val ssCorpus = (if (ssMod == 1L) gaugeCorpus
       else gaugeCorpus.where(
         pmod((col("doc_id") / 100000).cast("long"), lit(ssMod)) === 0))
@@ -943,6 +943,12 @@ object ScaleBench {
     val ssDocs = ssCorpus.count()
     val ssCostSub = Dedup.setSimilarityJoinCost(ssCorpus, "doc_id",
       "text", thresholdNum = 7, thresholdDen = 10).head()
+    // the 1/k^2 scaling of the bound under the doc_id-block subset is an
+    // assumption until measured — surface any overshoot of the budget the
+    // selection promised rather than letting the artifact imply it held
+    if (ssCostSub.getLong(2) > 300000000L)
+      println(s"setsim subset bound OVERSHOOT: mod=$ssMod measured " +
+        s"${ssCostSub.getLong(2)} candidates > 300000000 budget")
     val tSetSim = System.nanoTime()
     val setSimPairs = Dedup.setSimilarityJoin(ssCorpus, "doc_id",
       "text", thresholdNum = 7, thresholdDen = 10).count()

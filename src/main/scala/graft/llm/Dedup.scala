@@ -1040,12 +1040,12 @@ object Dedup {
                    batch: DataFrame, idCol: String, textCol: String,
                    path: String, version: Option[Long] = None,
                    maxBucketSize: Option[Int] = None): DataFrame = {
-    val snap = LayoutStore.snapshotPath(
-      spark.sparkContext.hadoopConfiguration, path, version)
-    val k = spark.read.parquet(s"$snap/meta").head().getInt(0)
-    val histTexts = spark.read.parquet(s"$snap/texts")
+    val k = LayoutStore.readSnapshotTable(spark, path, "meta", version)
+      .head().getInt(0)
+    val histTexts = LayoutStore.readSnapshotTable(spark, path, "texts",
+      version)
     val segs = capEditSegments(
-      spark.read.parquet(s"$snap/segs")
+      LayoutStore.readSnapshotTable(spark, path, "segs", version)
         .select(col("id").as("__idxId"), col("key").as("__key")),
       maxBucketSize)
     val b = batch.select(col(idCol).as("__id"), col(textCol).as("__t"),
@@ -2009,7 +2009,16 @@ object Dedup {
     val (num, den) = (thresholdNum.toLong, thresholdDen.toLong)
     val docs = setSimDocs(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The prefix frame feeds BOTH sides of the self-join: unpersisted,
+    // the tokenize + df-join + per-doc window chain computes twice and
+    // AQE plans the join from scan-stat guesses; persisted, it computes
+    // once and the join starts from exact cached sizes. The round-11
+    // driver gate caught a bimodal whole-suite mode on exactly this
+    // query (52s vs 6s at the same HEAD) — a deterministic single
+    // materialization shrinks both the work and the planner's freedom
+    // to flip under memory pressure.
     val pref = setSimPrefix(docs, num, den)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candRows = pref.as("a").join(pref.as("b"),
         col("a.__term") === col("b.__term") &&
           col("a.__id") < col("b.__id") &&
@@ -2038,7 +2047,7 @@ object Dedup {
         size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
       .where(col("inter") * (den + num) >= (col("na") + col("nb")) * num)
       .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"))
-    materializeAndRelease(out, docs)
+    materializeAndRelease(out, docs, pref)
   }
 
   /** Pre-flight COST GAUGE for [[setSimilarityJoin]] — run this BEFORE

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * to the same probe of a from-scratch build on the unioned corpus —
   * derived statistics (BM25 df/N/Σdl) are merged in CLOSED FORM from
   * the old snapshot plus batch-local aggregates, and surviving old rows
-  * copy through byte-identically.
+  * are inherited by manifest reference, untouched.
   *
   * Id discipline: appended ids must be DISJOINT from the snapshot's ids
   * — that disjointness is exactly what makes the df/N/Σdl merge
@@ -49,12 +49,13 @@ object Ingest {
     * ever touched, and the postings rewrite prunes to the BATCH
     * VOCABULARY'S term buckets (a term's postings live in one tbucket,
     * so every df bump and batch row is confined to those directories);
-    * each untouched `tbucket=` directory copies through at file level
-    * ([[LayoutStore.copyThroughDirs]]) — version cost ∝ touched
+    * each untouched `tbucket=` directory is INHERITED by manifest
+    * reference ([[LayoutStore.writeSnapshotManifested]] — zero bytes
+    * move for it) — version cost ∝ touched
     * buckets + batch, never ∝ index, with rewritten rows landing
     * re-clustered by tbucket exactly as [[TextAnalysis.writeBm25Layout]]
     * lands them. (A broad-vocabulary batch touches most buckets —
-    * common terms hash everywhere — so the file-copy win regime is
+    * common terms hash everywhere — so the inheritance win regime is
     * narrow-vocabulary batches against a high-`termBuckets` index; the
     * bench records the touched fraction.) Returns the new version. */
   def appendBm25Snapshot(spark: SparkSession, path: String,
@@ -64,9 +65,11 @@ object Ingest {
                          batchBroadcastMaxBytes: Long = 64L << 20,
                          version: Option[Long] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val src = LayoutStore.snapshotPath(conf, path, version)
-    val postings = spark.read.parquet(s"$src/postings")
-    val st = spark.read.parquet(s"$src/stats").head()
+    val srcVersion = version.getOrElse(LayoutStore.versions(conf, path).last)
+    val postings = LayoutStore.readSnapshotTable(spark, path, "postings",
+      Some(srcVersion))
+    val st = LayoutStore.readSnapshotTable(spark, path, "stats",
+      Some(srcVersion)).head()
     val termBuckets = st.getAs[Int]("term_buckets")
 
     val newToks = newDocs.select(col(docIdCol).as("doc_id"),
@@ -96,8 +99,8 @@ object Ingest {
     // touched term buckets: a term's postings all live in ONE tbucket
     // (pure hash of the term), so every df bump and every batch row
     // lands in the buckets of the batch's own vocabulary — every other
-    // bucket directory is byte-identical in the new version and copies
-    // through at file level below. The rewrite scan prunes to touched
+    // bucket directory is byte-identical in the new version and is
+    // inherited by manifest reference below. The rewrite scan prunes to touched
     // directories at file-listing time (partition filter), so the
     // version cost is ∝ touched buckets, never ∝ index.
     val touched = inc.select(TextAnalysis.bm25TermBucket(col("term"),
@@ -126,19 +129,22 @@ object Ingest {
     val batchStats = newToks.agg(count(lit(1)).as("n"),
       coalesce(sum(size(col("__t")).cast("long")), lit(0L)).as("tot")).head()
     val cols = updatedOld.columns.map(col).toSeq
-    val out = LayoutStore.writeSnapshot(conf, path) { tmp =>
+    val out = LayoutStore.writeSnapshotManifested(conf, path) { (tmp, _) =>
       updatedOld.unionByName(batchRows.select(cols: _*))
         .repartition(col("tbucket"))
         .write.mode("overwrite").partitionBy("tbucket")
         .parquet(s"$tmp/postings")
-      LayoutStore.copyThroughDirs(conf,
-        new org.apache.hadoop.fs.Path(s"$src/postings"), s"$tmp/postings",
-        touched.map(v => s"tbucket=$v").toSet)
       spark.range(1)
         .select(lit(st.getAs[Long]("n") + batchStats.getLong(0)).as("n"),
           lit(st.getAs[Long]("tot") + batchStats.getLong(1)).as("tot"),
           lit(termBuckets).as("term_buckets"))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+      // untouched tbucket dirs are byte-identical in the new snapshot:
+      // inherit them by manifest reference instead of copying
+      val touchedDirs = touched.map(v => s"postings/tbucket=$v").toSet
+      LayoutStore.effectiveEntries(conf, path, srcVersion)
+        .filter { case (k, _) =>
+          k.startsWith("postings/") && !touchedDirs.contains(k) }
     }
     btf.unpersist(blocking = true)
     newToks.unpersist(blocking = true)
@@ -161,10 +167,15 @@ object Ingest {
     * Version cost is ∝ TOUCHED partitions, not ∝ table: only the
     * `col=value` directories the batch lands in are rewritten through
     * Spark (partition-pruned scan of exactly those old rows, union with
-    * the batch); every untouched directory copies through at FILE level
-    * ([[LayoutStore.copyThroughDirs]] — byte-identical, no decode, no
-    * shuffle). A daily batch against a 1000-partition layout rewrites
-    * one directory and copies 999. The fast path requires every
+    * the batch); every untouched directory is INHERITED by manifest
+    * reference ([[LayoutStore.writeSnapshotManifested]] — byte-identical
+    * by construction, no decode, no shuffle, no copy). A daily batch
+    * against a 1000-partition layout writes one directory and
+    * references 999 — at a 100k-partition 100 TB layout the version
+    * cost stays ∝ batch in FILES as well as bytes (the round-11
+    * copy-through walk was ∝ total partitions even when bytes were ∝
+    * batch; [[LayoutStore.compactSnapshot]] is the physical
+    * re-materialization path). The fast path requires every
     * partition value to be escaping-free
     * ([[LayoutStore.plainPartitionValue]]); any exotic value falls back
     * to the full union-rewrite, so correctness never depends on the
@@ -175,12 +186,13 @@ object Ingest {
                          batchBroadcastMaxBytes: Long = 64L << 20,
                          version: Option[Long] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val src = LayoutStore.snapshotPath(conf, path, version)
+    val srcVersion = version.getOrElse(LayoutStore.versions(conf, path).last)
     // inference pinned off across read AND re-land, like the compact /
     // propagate walks: a string-valued partition key (strata=01) must
     // not come back as int 1 and re-land under a renamed directory
     LayoutStore.withPartitionInferenceOff(spark) {
-      val old = spark.read.parquet(src)
+      val old = LayoutStore.readSnapshotTable(spark, path, "",
+        Some(srcVersion))
       val batchIds = maybeBroadcast(
         newRows.select(col(idCol)).distinct(), batchBroadcastMaxBytes)
       val collisions = old.join(batchIds, Seq(idCol), "left_semi")
@@ -193,30 +205,32 @@ object Ingest {
       // (bounded by the layout's partition count, driver-small); dir
       // suffixes must all be plain for name-vs-value comparison to be
       // sound, else full rewrite
-      val srcPath = new org.apache.hadoop.fs.Path(src)
-      val fs = srcPath.getFileSystem(conf)
       val touched = newRows.select(col(partitionCol).cast("string"))
         .distinct().collect().map(_.getString(0))
-      val dirNames = fs.listStatus(srcPath)
-        .filter(st => st.isDirectory && LayoutStore.visibleStatus(st) &&
-          st.getPath.getName.startsWith(s"$partitionCol="))
-        .map(_.getPath.getName)
+      val prevEntries = LayoutStore.effectiveEntries(conf, path, srcVersion)
+      val dirNames = prevEntries.keys
+        .filter(_.startsWith(s"$partitionCol=")).toSeq
       val fast = dirNames.nonEmpty &&
         touched.forall(LayoutStore.plainPartitionValue) &&
         dirNames.forall(n =>
           LayoutStore.plainPartitionValue(n.split("=", 2)(1)))
-      LayoutStore.writeSnapshot(conf, path) { tmp =>
+      LayoutStore.writeSnapshotManifested(conf, path) { (tmp, _) =>
         if (fast) {
           old.where(col(partitionCol).isin(touched.toSeq: _*))
             .unionByName(newRows.select(cols: _*))
             .repartition(col(partitionCol))
             .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
-          LayoutStore.copyThroughDirs(conf, srcPath, tmp,
-            touched.map(v => s"$partitionCol=$v").toSet)
-        } else
+          // untouched directories are INHERITED by manifest reference —
+          // zero bytes move for them; physical re-materialization is
+          // compactSnapshot's job
+          val touchedDirs = touched.map(v => s"$partitionCol=$v").toSet
+          prevEntries.filterNot { case (k, _) => touchedDirs.contains(k) }
+        } else {
           old.unionByName(newRows.select(cols: _*))
             .repartition(col(partitionCol))
             .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+          Map.empty
+        }
       }
     }
   }
@@ -277,8 +291,7 @@ object Ingest {
                           batchBroadcastMaxBytes: Long = 64L << 20,
                           version: Option[Long] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val src = LayoutStore.snapshotPath(conf, path, version)
-    val old = spark.read.parquet(src)
+    val old = LayoutStore.readSnapshotTable(spark, path, "", version)
       .select(col(idCol), col("n_tokens"), col("shard").as("__oldShard"))
     val batchIds = maybeBroadcast(
       newDocs.select(col(idCol)).distinct(), batchBroadcastMaxBytes)

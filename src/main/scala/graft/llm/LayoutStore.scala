@@ -19,16 +19,201 @@ package graft.llm
   * build, and one path prefix guarantees that. */
 object LayoutStore {
 
-  /** List snapshot versions at `path`, oldest→newest. FS-only (no Spark
-    * session) so CLI tooling can call it like RunState. */
+  /** Manifest file inside a `version=N` dir: a flat JSON object mapping
+    * each logical entry of the snapshot (a `col=value` partition dir of
+    * the root table, a `sub/col=value` partition dir of a sub-table, a
+    * whole un-partitioned sub-table dir, or `"."` for a whole
+    * root-as-table layout) to the version that physically OWNS the
+    * bytes. A snapshot without a manifest owns everything it physically
+    * contains (the legacy/full-build shape — [[physicalEntries]]
+    * synthesizes the same map from a directory walk, so readers treat
+    * both uniformly). Owners are always resolved to the PHYSICAL owner
+    * at write time (a v5 entry inherited from v4 which inherited it
+    * from v3 says `3`), so read resolution is one hop and prune's
+    * reference set is exact. Underscore-prefixed, so Spark's file index
+    * and [[visibleStatus]] both ignore it. */
+  private[llm] val ManifestFile = "_manifest.json"
+
+  /** Marker dropped into a version dir that prune RETIRED from the
+    * serveable list but could not fully delete because newer manifests
+    * still reference some of its partition directories. The dir holds
+    * only referenced data from then on; [[versions]] hides it. */
+  private[llm] val RetiredMarker = "_retired"
+
+  /** List SERVEABLE snapshot versions at `path`, oldest→newest. FS-only
+    * (no Spark session) so CLI tooling can call it like RunState.
+    * Retired-but-still-referenced data dirs (see [[RetiredMarker]]) are
+    * not serveable and are excluded. */
   def versions(conf: org.apache.hadoop.conf.Configuration,
                path: String): Seq[Long] = {
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(conf)
     if (!fs.exists(base)) Seq.empty
     else fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("version=")
+        && !fs.exists(new org.apache.hadoop.fs.Path(st.getPath, RetiredMarker)))
+      .map(_.getPath.getName.stripPrefix("version=").toLong).sorted
+  }
+
+  /** All version dirs physically on disk, serveable or retired. */
+  private def physicalVersions(fs: org.apache.hadoop.fs.FileSystem,
+                               base: org.apache.hadoop.fs.Path): Seq[Long] = {
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("version="))
       .map(_.getPath.getName.stripPrefix("version=").toLong).sorted
+  }
+
+  private def jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[llm] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                 versionDir: org.apache.hadoop.fs.Path,
+                                 entries: Map[String, Long]): Unit = {
+    val m = new java.util.LinkedHashMap[String, java.lang.Long]()
+    entries.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
+    val out = fs.create(new org.apache.hadoop.fs.Path(versionDir, ManifestFile),
+      true)
+    try out.write(jackson.writeValueAsBytes(m)) finally out.close()
+  }
+
+  private[llm] def readManifest(conf: org.apache.hadoop.conf.Configuration,
+                                path: String, v: Long)
+      : Option[Map[String, Long]] = {
+    val f = new org.apache.hadoop.fs.Path(s"$path/version=$v/$ManifestFile")
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val tree = try jackson.readTree(in) finally in.close()
+      val b = Map.newBuilder[String, Long]
+      tree.fields().forEachRemaining(e => b += (e.getKey -> e.getValue.asLong()))
+      Some(b.result())
+    }
+  }
+
+  /** The manifest a physical-only snapshot dir implies: every visible
+    * `col=value` child of the root (or of a first-level sub-table dir),
+    * every un-partitioned sub-table dir, or `"."` when the root itself
+    * is an un-partitioned table — all owned by `owner`. This is the
+    * granularity every manifest uses, so prune can compare a version's
+    * physical content against the referenced-entry set directly. */
+  private[llm] def physicalEntries(fs: org.apache.hadoop.fs.FileSystem,
+                                   dir: org.apache.hadoop.fs.Path,
+                                   owner: Long): Map[String, Long] = {
+    val kids = fs.listStatus(dir).filter(visibleStatus)
+    val (dirs, files) = kids.partition(_.isDirectory)
+    if (dirs.isEmpty) {
+      if (files.isEmpty) Map.empty else Map("." -> owner)
+    } else if (dirs.exists(_.getPath.getName.contains("="))) {
+      // root IS the partitioned table
+      dirs.filter(_.getPath.getName.contains("="))
+        .map(d => d.getPath.getName -> owner).toMap
+    } else {
+      dirs.flatMap { sub =>
+        val name = sub.getPath.getName
+        val parts = fs.listStatus(sub.getPath)
+          .filter(st => st.isDirectory && visibleStatus(st) &&
+            st.getPath.getName.contains("="))
+        if (parts.isEmpty) Seq(name -> owner)
+        else parts.map(p => s"$name/${p.getPath.getName}" -> owner).toSeq
+      }.toMap
+    }
+  }
+
+  /** The snapshot's logical entry map: its manifest when present, else
+    * the physical synthesis (legacy full-build snapshots). */
+  private[llm] def effectiveEntries(conf: org.apache.hadoop.conf.Configuration,
+                                    path: String, v: Long)
+      : Map[String, Long] =
+    readManifest(conf, path, v).getOrElse {
+      val dir = new org.apache.hadoop.fs.Path(s"$path/version=$v")
+      physicalEntries(dir.getFileSystem(conf), dir, v)
+    }
+
+  /** Read one logical (sub-)table of a pinned snapshot, resolving the
+    * manifest when the snapshot is manifest-referenced: each entry reads
+    * from its owning version's directory (with `basePath` pinned so the
+    * partition column round-trips exactly as a physical read would
+    * produce it), grouped per owner and unioned by name. `subTable` is
+    * `""` for root-as-table layouts. A snapshot with no manifest reads
+    * the physical directory directly — byte-for-byte the legacy path. */
+  def readSnapshotTable(spark: org.apache.spark.sql.SparkSession,
+                        path: String, subTable: String = "",
+                        version: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val vs = versions(conf, path)
+    require(vs.nonEmpty, s"no layout snapshots at $path")
+    val pin = version.getOrElse(vs.last)
+    require(vs.contains(pin),
+      s"layout version $pin not present at $path (have: ${vs.mkString(",")})")
+    def physDir(owner: Long) =
+      if (subTable.isEmpty) s"$path/version=$owner"
+      else s"$path/version=$owner/$subTable"
+    readManifest(conf, path, pin) match {
+      case None => spark.read.parquet(physDir(pin))
+      case Some(m) =>
+        val relevant =
+          if (subTable.isEmpty)
+            m.filter { case (k, _) => k == "." || !k.contains("/") }
+          else
+            m.filter { case (k, _) =>
+              k == subTable || k.startsWith(s"$subTable/") }
+        require(relevant.nonEmpty,
+          s"snapshot version=$pin at $path has no entries for " +
+            s"sub-table '$subTable' (manifest keys: ${m.keys.mkString(",")})")
+        val frames = relevant.groupBy(_._2).toSeq.sortBy(_._1).map {
+          case (owner, entries) =>
+            val whole = entries.keySet.exists(k =>
+              k == "." || k == subTable)
+            if (whole) {
+              require(entries.size == 1,
+                s"manifest mixes whole-table and partition entries for " +
+                  s"'$subTable' under owner $owner")
+              spark.read.parquet(physDir(owner))
+            } else {
+              val dirs = entries.keys.toSeq.sorted.map { k =>
+                val dirName =
+                  if (subTable.isEmpty) k else k.stripPrefix(s"$subTable/")
+                s"${physDir(owner)}/$dirName"
+              }
+              spark.read.option("basePath", physDir(owner))
+                .parquet(dirs: _*)
+            }
+        }
+        frames.reduce(_.unionByName(_))
+    }
+  }
+
+  /** [[writeSnapshot]] for INCREMENTAL builds: `build` writes only the
+    * entries it REWRITES into the dot-temp and returns the `carried`
+    * map — inherited entries (relative path → physical owner version)
+    * that the new snapshot serves without touching a byte. The helper
+    * synthesizes the self-owned entries from what `build` physically
+    * wrote, merges, and lands `_manifest.json` next to them before the
+    * atomic rename. Version cost is ∝ touched entries: nothing is
+    * copied for the carried ones — this is the manifest-referenced
+    * version model (the physical copy-through is now the COMPACTION
+    * path, [[compactSnapshot]]). */
+  def writeSnapshotManifested(conf: org.apache.hadoop.conf.Configuration,
+                              path: String)
+                             (build: (String, Long) => Map[String, Long])
+      : Long = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(conf)
+    writeSnapshot(conf, path) { tmp =>
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      val next = tmp.split("\\.tmp-version-").last.toLong
+      val carried = build(tmp, next)
+      val own = physicalEntries(fs, tmpPath, next)
+      val overlap = carried.keySet.intersect(own.keySet)
+      require(overlap.isEmpty,
+        s"carried entries also physically written: ${overlap.mkString(",")}")
+      carried.foreach { case (k, o) =>
+        require(o < next, s"carried entry $k claims future owner $o")
+      }
+      writeManifest(fs, tmpPath, carried ++ own)
+    }
   }
 
   /** Build the next snapshot: `build` writes the layout into a dot-temp
@@ -41,7 +226,17 @@ object LayoutStore {
     val fs = base.getFileSystem(conf)
     val next = versions(conf, path).lastOption.getOrElse(0L) + 1L
     val tmp = new org.apache.hadoop.fs.Path(base, s".tmp-version-$next")
-    build(tmp.toString)
+    // a failed build must not leave the dot-temp behind: versions()
+    // ignores it, but a RETRY of the same version would land into the
+    // leftover directory, whose stale files from the failed attempt
+    // could silently join the next snapshot
+    try build(tmp.toString)
+    catch {
+      case e: Throwable =>
+        try if (fs.exists(tmp)) fs.delete(tmp, true)
+        catch { case _: Throwable => () }
+        throw e
+    }
     val dest = new org.apache.hadoop.fs.Path(base, s"version=$next")
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(
@@ -103,67 +298,24 @@ object LayoutStore {
   }
 
   /** A partition value / directory suffix that round-trips through the
-    * writer's path escaping unchanged — copy-through decisions compare
-    * `col=value` directory names against DataFrame values by PLAIN
+    * writer's path escaping unchanged — incremental-version decisions
+    * compare `col=value` directory names against DataFrame values by PLAIN
     * string equality, which is only sound when no character is subject
     * to escaping (and the value is non-null: a null lands under the
-    * default-partition sentinel). Every non-plain value sends the
-    * caller down the full-rewrite path instead — correctness never
+    * default-partition sentinel). The sentinel NAME itself is also
+    * rejected: a value literally equal to `__HIVE_DEFAULT_PARTITION__`
+    * is letters/underscores only, but its directory name collides with
+    * the null-partition directory — the isin rewrite filter would skip
+    * the old null rows (null comparison) AND the manifest would skip
+    * the directory, silently losing them. Every non-plain value sends
+    * the caller down the full-rewrite path instead — correctness never
     * depends on the fast path firing. */
   private[llm] def plainPartitionValue(s: String): Boolean =
-    s != null && s.nonEmpty && s.forall(c =>
-      c.isLetterOrDigit && c < 128 || c == '_' || c == '-' || c == '.')
+    s != null && s.nonEmpty &&
+      s != "__HIVE_DEFAULT_PARTITION__" &&
+      s.forall(c =>
+        c.isLetterOrDigit && c < 128 || c == '_' || c == '-' || c == '.')
 
-  /** File-level copy-through of a snapshot table's UNTOUCHED partition
-    * directories: every visible `col=value` child of `srcTable` whose
-    * name is not in `skipDirNames` is copied byte-for-byte under
-    * `destTable`. This is how an incremental snapshot rewrite pays
-    * ∝ touched partitions instead of ∝ table — the rewritten rows land
-    * via Spark, the untouched directories move at file granularity
-    * (locally a stream copy; on an object store the same walk issues
-    * server-side copies, and a manifest-based table format would make
-    * it free). Returns (filesCopied, bytesCopied). */
-  private[llm] def copyThroughDirs(conf: org.apache.hadoop.conf.Configuration,
-                                   srcTable: org.apache.hadoop.fs.Path,
-                                   destTable: String,
-                                   skipDirNames: Set[String]): (Long, Long) = {
-    val fs = srcTable.getFileSystem(conf)
-    val dest = new org.apache.hadoop.fs.Path(destTable)
-    if (!fs.exists(dest)) fs.mkdirs(dest)
-    val dirs = fs.listStatus(srcTable)
-      .filter(st => st.isDirectory && visibleStatus(st) &&
-        st.getPath.getName.contains("=") &&
-        !skipDirNames.contains(st.getPath.getName))
-    // driver-side but PARALLEL: a 1000-partition layout copied
-    // sequentially serializes on per-object latency (the dominant cost
-    // on an object store, where each copy is a server-side request);
-    // a bounded pool keeps the walk at max(latency) instead of
-    // sum(latency) without flooding the store
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(16, dirs.length)))
-    try {
-      val futures = dirs.map { st =>
-        pool.submit(new java.util.concurrent.Callable[(Long, Long)] {
-          def call(): (Long, Long) = {
-            val d = new org.apache.hadoop.fs.Path(dest, st.getPath.getName)
-            if (!org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, d,
-                false, conf))
-              throw new java.io.IOException(
-                s"copy-through failed: ${st.getPath} -> $d")
-            var files = 0L; var bytes = 0L
-            val it = fs.listFiles(st.getPath, true)
-            while (it.hasNext) {
-              val f = it.next(); files += 1L; bytes += f.getLen
-            }
-            (files, bytes)
-          }
-        })
-      }
-      futures.map(_.get()).foldLeft((0L, 0L)) { case ((f, b), (df, db)) =>
-        (f + df, b + db)
-      }
-    } finally pool.shutdown()
-  }
 
   /** Compact the newest snapshot into a NEW snapshot — the small-file
     * maintenance job every long-lived 100 TB layout needs: incremental
@@ -190,41 +342,94 @@ object LayoutStore {
     require(maxRecordsPerFile >= 1,
       s"maxRecordsPerFile must be >= 1: $maxRecordsPerFile")
     val conf = spark.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(snapshotPath(conf, path))
-    val fs = src.getFileSystem(conf)
-    def visible(st: org.apache.hadoop.fs.FileStatus): Boolean =
-      visibleStatus(st)
-    def partCols(dir: org.apache.hadoop.fs.Path): Seq[String] =
-      partitionCols(fs, dir)
+    val pin = versions(conf, path).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no layout snapshots at $path"))
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    // logical tables from the effective entry map (a manifest-referenced
+    // snapshot may physically hold only its touched dirs — compaction is
+    // exactly the pass that re-materializes the WHOLE logical snapshot
+    // as one physical version, which is why it stays manifest-free)
+    val entries = effectiveEntries(conf, path, pin)
+    val rootTable = entries.keySet.exists(k =>
+      k == "." || (!k.contains("/") && k.contains("=")))
+    val tables: Seq[String] =
+      if (rootTable) Seq("")
+      else entries.keys.map(_.split("/")(0)).toSeq.distinct.sorted
     withPartitionInferenceOff(spark) {
       writeSnapshot(conf, path) { tmp =>
-        fs.listStatus(src).filter(st => st.isDirectory && visible(st))
-          .foreach { sub =>
-            val name = sub.getPath.getName
-            val df = spark.read.parquet(sub.getPath.toString)
-            val parts = partCols(sub.getPath)
-            val w = (if (parts.isEmpty) df.coalesce(1)
-                     else df.repartition(parts.map(
-                       org.apache.spark.sql.functions.col): _*))
-              .write.mode("overwrite")
-              .option("maxRecordsPerFile", maxRecordsPerFile)
-            (if (parts.isEmpty) w else w.partitionBy(parts: _*))
-              .parquet(s"$tmp/$name")
-          }
+        tables.foreach { sub =>
+          val df = readSnapshotTable(spark, path, sub, Some(pin))
+          val owner = entries.collectFirst {
+            case (k, o) if (sub.isEmpty && (k == "." || k.contains("="))) ||
+              (sub.nonEmpty && (k == sub || k.startsWith(s"$sub/"))) => o
+          }.get
+          val ownerDir = new org.apache.hadoop.fs.Path(
+            if (sub.isEmpty) s"$path/version=$owner"
+            else s"$path/version=$owner/$sub")
+          val parts = partitionCols(fs, ownerDir)
+          val w = (if (parts.isEmpty) df.coalesce(1)
+                   else df.repartition(parts.map(
+                     org.apache.spark.sql.functions.col): _*))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", maxRecordsPerFile)
+          (if (parts.isEmpty) w else w.partitionBy(parts: _*))
+            .parquet(if (sub.isEmpty) tmp else s"$tmp/$sub")
+        }
       }
     }
   }
 
   /** Delete all but the newest `retain` snapshots; returns the versions
-    * removed (oldest→newest). FS-only, mirroring RunState's prune. */
+    * removed from the serveable list (oldest→newest). FS-only,
+    * mirroring RunState's prune.
+    *
+    * Manifest-aware GC: a pruned version stops being serveable
+    * immediately (its manifest is deleted; [[versions]] hides it), but
+    * a partition directory it physically owns survives for as long as
+    * ANY retained manifest references it — deleting it would tear the
+    * referencing snapshots. Such a version dir stays on disk holding
+    * only the referenced data, marked [[RetiredMarker]]; every later
+    * prune re-sweeps retired dirs, so once the last referencing
+    * snapshot is itself pruned the leftover data deletes and the dir
+    * disappears. Purely-physical (legacy) snapshots are never
+    * referenced by anyone and delete wholesale, exactly as before. */
   def prune(conf: org.apache.hadoop.conf.Configuration,
             path: String, retain: Int): Seq[Long] = {
     require(retain >= 1, s"retain must be >= 1: $retain")
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(conf)
-    val doomed = versions(conf, path).dropRight(retain)
-    doomed.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(base, s"version=$v"), true)
+    val serveable = versions(conf, path)
+    val doomed = serveable.dropRight(retain)
+    val live = serveable.takeRight(retain).toSet
+    val referenced: Set[(Long, String)] = live.flatMap(v =>
+      // .toSeq first: mapping the Map directly would land in a
+      // Map[owner, entry] and silently collapse every owner to ONE
+      // surviving entry — prune would then delete live referenced dirs
+      effectiveEntries(conf, path, v).toSeq.map { case (k, o) => (o, k) })
+    physicalVersions(fs, base).filterNot(live.contains).foreach { w =>
+      val wDir = new org.apache.hadoop.fs.Path(base, s"version=$w")
+      fs.delete(new org.apache.hadoop.fs.Path(wDir, ManifestFile), false)
+      physicalEntries(fs, wDir, w).keys.foreach { e =>
+        if (!referenced((w, e))) {
+          if (e == ".") // whole-root data: drop the data files
+            fs.listStatus(wDir).filter(st => visibleStatus(st) ||
+                st.getPath.getName.startsWith("_"))
+              .filterNot(_.getPath.getName == RetiredMarker)
+              .foreach(st => fs.delete(st.getPath, true))
+          else fs.delete(new org.apache.hadoop.fs.Path(wDir, e), true)
+        }
+      }
+      // sweep sub-table dirs emptied by the entry deletions (only
+      // _SUCCESS-style markers left): a hollow dir would otherwise read
+      // back as a whole-table entry and pin the version dir forever
+      fs.listStatus(wDir)
+        .filter(st => st.isDirectory && visibleStatus(st) &&
+          !st.getPath.getName.contains("=") &&
+          !fs.listStatus(st.getPath).exists(visibleStatus))
+        .foreach(st => fs.delete(st.getPath, true))
+      if (physicalEntries(fs, wDir, w).isEmpty) fs.delete(wDir, true)
+      else if (!fs.exists(new org.apache.hadoop.fs.Path(wDir, RetiredMarker)))
+        fs.create(new org.apache.hadoop.fs.Path(wDir, RetiredMarker)).close()
     }
     doomed
   }

@@ -615,6 +615,17 @@ object Similarity {
                    cells: Seq[Int]): DataFrame =
     spark.read.parquet(path).where(col("cell").isin(cells: _*))
 
+  /** [[readIvfCells]] against a versioned [[LayoutStore]] snapshot —
+    * resolves manifest-referenced versions (an incremental append's
+    * snapshot physically holds only its touched cells; the inherited
+    * ones are served from their owning versions), keeping the `cell`
+    * IN filter a partition filter on every branch. */
+  def readIvfCellsSnapshot(spark: org.apache.spark.sql.SparkSession,
+                           path: String, cells: Seq[Int],
+                           version: Option[Long] = None): DataFrame =
+    LayoutStore.readSnapshotTable(spark, path, "", version)
+      .where(col("cell").isin(cells: _*))
+
   /** The 100TB SRP storage layout — the persisted-ANN twin of
     * writeIvfLayout: the corpus written PARTITIONED BY SRP BUCKET, so a
     * probe query prunes to its (planes+1 at radius 1) probe buckets at
@@ -1074,13 +1085,12 @@ object Similarity {
                                    vecCol: String = "embedding",
                                    scaleBits: Int = 12,
                                    version: Option[Long] = None): DataFrame = {
-    val snap = LayoutStore.snapshotPath(
-      spark.sparkContext.hadoopConfiguration, path, version)
     val scaleSq = java.lang.Math.scalb(1.0, 2 * scaleBits)
     val cur = stratumCoordSums(embs, strata, vecIdCol, strataIdCol,
       strataCol, vecCol, scaleBits)
       .select(col("stratum"), col("pos"), col("s").as("sa"), col("n").as("na"))
-    val ref = spark.read.parquet(s"$snap/centroids")
+    val ref = LayoutStore.readSnapshotTable(spark, path, "centroids",
+        version)
       .select(col("stratum"), col("pos"), col("s").as("sb"), col("n").as("nb"))
     cur.join(ref, Seq("stratum", "pos"))
       .select(col("stratum"), col("na"), col("nb"),

@@ -129,9 +129,9 @@ object Takedown {
     * self-contained per id: walk the pinned snapshot's sub-tables (or
     * the root table, when the snapshot root itself is the partitioned
     * table — the writeIvfLayout-in-store shape), left-anti each table
-    * that carries one of `idCols`, byte-copy tables that don't
-    * (centroid/meta sheets — no row can change, so no row is decoded),
-    * and land the result as the next version. Partition `col=value`
+    * that carries one of `idCols`, inherit tables that don't by
+    * manifest reference (centroid/meta sheets — no row can change, so
+    * no byte moves), and land the result as the next version. Partition `col=value`
     * chains round-trip byte-for-byte (inference pinned off, the
     * compactSnapshot fix). Row-level filtering is EXACTLY
     * rebuild-identical for these layouts because cell/bucket assignment
@@ -140,8 +140,9 @@ object Takedown {
     * Version cost is ∝ TOUCHED partitions: for a single-level
     * partitioned table, only the `col=value` directories that contain a
     * revoked row are rewritten (partition-pruned scan); every other
-    * directory copies through at file level
-    * ([[LayoutStore.copyThroughDirs]]). Finding the touch set costs one
+    * directory is inherited by manifest reference
+    * ([[LayoutStore.writeSnapshotManifested]]); meta sheets (no id
+    * column) are inherited whole. Finding the touch set costs one
     * column-pruned (id, partition) scan — ids, never payload. Values
     * that don't survive plain directory-name comparison
     * ([[LayoutStore.plainPartitionValue]]) fall back to the full
@@ -158,51 +159,61 @@ object Takedown {
                                 Seq("vec_id", "doc_id", "id"),
                               version: Option[Long] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(
-      LayoutStore.snapshotPath(conf, path, version))
-    val fs = src.getFileSystem(conf)
+    val srcVersion = version.getOrElse(LayoutStore.versions(conf, path).last)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val ids = idsFrame(revoked, revokedIdCol)
+    val entries = LayoutStore.effectiveEntries(conf, path, srcVersion)
+    val rootTable = entries.keySet.exists(k =>
+      k == "." || (!k.contains("/") && k.contains("=")))
+    val tables: Seq[String] =
+      if (rootTable) Seq("")
+      else entries.keys.map(_.split("/")(0)).toSeq.distinct.sorted
     LayoutStore.withPartitionInferenceOff(spark) {
-      LayoutStore.writeSnapshot(conf, path) { tmp =>
-      def fullRewrite(filtered: DataFrame, parts: Seq[String],
-                      dest: String): Unit = {
-        val w = (if (parts.isEmpty) filtered
-                 else filtered.repartition(parts.map(col): _*))
-          .write.mode("overwrite")
-        (if (parts.isEmpty) w else w.partitionBy(parts: _*)).parquet(dest)
-      }
-      def rewrite(tableSrc: org.apache.hadoop.fs.Path, dest: String): Unit = {
-        val df = spark.read.parquet(tableSrc.toString)
-        val parts = LayoutStore.partitionCols(fs, tableSrc)
+      LayoutStore.writeSnapshotManifested(conf, path) { (tmp, _) =>
+      var carried = Map.empty[String, Long]
+      def subEntries(sub: String): Map[String, Long] =
+        if (sub.isEmpty) entries.filter { case (k, _) =>
+          k == "." || (!k.contains("/") && k.contains("=")) }
+        else entries.filter { case (k, _) =>
+          k == sub || k.startsWith(s"$sub/") }
+      def ownerDir(sub: String, o: Long): String =
+        if (sub.isEmpty) s"$path/version=$o" else s"$path/version=$o/$sub"
+      tables.foreach { sub =>
+        val dest = if (sub.isEmpty) tmp else s"$tmp/$sub"
+        val se = subEntries(sub)
+        val df = LayoutStore.readSnapshotTable(spark, path, sub,
+          Some(srcVersion))
+        val parts = LayoutStore.partitionCols(fs,
+          new org.apache.hadoop.fs.Path(ownerDir(sub, se.head._2)))
+        def fullRewrite(filtered: DataFrame): Unit = {
+          val w = (if (parts.isEmpty) filtered
+                   else filtered.repartition(parts.map(col): _*))
+            .write.mode("overwrite")
+          (if (parts.isEmpty) w else w.partitionBy(parts: _*)).parquet(dest)
+        }
         idCols.find(df.columns.contains) match {
           case None =>
             // no id column (centroid/plane/meta sheets): nothing to
             // filter — the whole table is byte-identical in the new
-            // version, so copy it at file level
-            val d = new org.apache.hadoop.fs.Path(dest)
-            if (!org.apache.hadoop.fs.FileUtil.copy(fs, tableSrc, fs, d,
-                false, conf))
-              throw new java.io.IOException(
-                s"takedown copy-through failed: $tableSrc -> $d")
+            // version, so INHERIT it by manifest reference (not even a
+            // file copy moves now)
+            carried ++= se
           case Some(c) =>
             val filtered =
               df.join(ids.select(col("__rid").as(c)), Seq(c), "left_anti")
             // single-level partitioned table: rewrite ONLY the
             // partitions that contain a revoked row (partition-pruned
-            // scan), file-copy the rest — the deletion pass costs
-            // ∝ touched partitions. Inference is pinned off in this
-            // scope, so partition values are raw strings and compare
-            // directly against `col=value` directory suffixes; any
-            // escaping-prone value falls back to the full rewrite.
-            val fastable = parts.size == 1 && {
-              val suffixes = fs.listStatus(tableSrc)
-                .filter(st => st.isDirectory &&
-                  LayoutStore.visibleStatus(st) &&
-                  st.getPath.getName.startsWith(s"${parts.head}="))
-                .map(_.getPath.getName.split("=", 2)(1))
-              suffixes.nonEmpty &&
-                suffixes.forall(LayoutStore.plainPartitionValue)
-            }
+            // scan), inherit the rest by manifest reference — the
+            // deletion pass costs ∝ touched partitions. Inference is
+            // pinned off in this scope, so partition values are raw
+            // strings and compare directly against `col=value`
+            // directory suffixes; any escaping-prone value falls back
+            // to the full rewrite.
+            val dirNames = se.keys.filter(_.contains("=")).map(k =>
+              if (sub.isEmpty) k else k.stripPrefix(s"$sub/")).toSeq
+            val fastable = parts.size == 1 && dirNames.nonEmpty &&
+              dirNames.map(_.split("=", 2)(1))
+                .forall(LayoutStore.plainPartitionValue)
             if (fastable) {
               val p = parts.head
               val touched = df
@@ -212,18 +223,15 @@ object Takedown {
                 filtered.where(col(p).isin(touched.toSeq: _*))
                   .repartition(col(p))
                   .write.mode("overwrite").partitionBy(p).parquet(dest)
-                LayoutStore.copyThroughDirs(conf, tableSrc, dest,
-                  touched.map(v => s"$p=$v").toSet)
-              } else fullRewrite(filtered, parts, dest)
-            } else fullRewrite(filtered, parts, dest)
+                val touchedKeys = touched.map(v =>
+                  if (sub.isEmpty) s"$p=$v" else s"$sub/$p=$v").toSet
+                carried ++= se.filterNot { case (k, _) =>
+                  touchedKeys.contains(k) }
+              } else fullRewrite(filtered)
+            } else fullRewrite(filtered)
         }
       }
-      val kids = fs.listStatus(src)
-        .filter(st => st.isDirectory && LayoutStore.visibleStatus(st))
-      if (kids.isEmpty || kids.exists(_.getPath.getName.contains("=")))
-        rewrite(src, tmp) // the snapshot root IS the (partitioned) table
-      else kids.foreach(sub =>
-        rewrite(sub.getPath, s"$tmp/${sub.getPath.getName}"))
+      carried
       }
     }
   }
@@ -241,34 +249,73 @@ object Takedown {
     * postings, so its removal can't be seen from the index — its `n`
     * contribution survives and every score shifts slightly through
     * avgdl. Exact for any revoked doc with >= 1 token; a caller whose
-    * corpus may contain tokenless docs passes `removedDocCount` — the
-    * revocation set size it already knows — and the stats row uses
-    * that for the N decrement instead of the postings-derived count,
-    * restoring rebuild identity.)
+    * corpus may contain tokenless docs restores rebuild identity by
+    * either (a) passing `corpusDocIds` — a one-column frame of EVERY
+    * doc id in the indexed corpus (tokenless included) — and the N
+    * decrement is derived here by semi-joining the revocation set
+    * against it, or (b) passing `removedDocCount` = the number of
+    * revoked docs PRESENT in the indexed corpus. NOT the revocation
+    * sheet's row count: a real sheet routinely lists ids that were
+    * already removed or never ingested, and counting those would
+    * silently over-decrement N and skew every IDF/avgdl in the
+    * opposite direction. When both are given, the derived count wins
+    * and a mismatching `removedDocCount` fails fast.)
     *
     * The per-term decrement frame is revoked-vocabulary-sized; it
     * broadcasts only under `decBroadcastMaxBytes` (plan-stats guard,
     * the d18/d29 pattern), else the join shuffles. The survivor rewrite
     * prunes to the REVOKED VOCABULARY'S term buckets (removed rows and
     * df decrements share the removed terms' tbuckets); untouched
-    * `tbucket=` directories copy through at file level
-    * ([[LayoutStore.copyThroughDirs]]), so the deletion pass writes
+    * `tbucket=` directories are inherited by manifest reference
+    * ([[LayoutStore.writeSnapshotManifested]]), so the deletion pass writes
     * ∝ touched buckets, never ∝ index. Returns the new version. */
   def propagateBm25Snapshot(spark: SparkSession, path: String,
                             revoked: DataFrame, revokedIdCol: String,
                             decBroadcastMaxBytes: Long = 64L << 20,
                             version: Option[Long] = None,
-                            removedDocCount: Option[Long] = None): Long = {
+                            removedDocCount: Option[Long] = None,
+                            corpusDocIds: Option[DataFrame] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val src = LayoutStore.snapshotPath(conf, path, version)
+    val srcVersion = version.getOrElse(LayoutStore.versions(conf, path).last)
     val ids = idsFrame(revoked, revokedIdCol).select(col("__rid").as("doc_id"))
-    val postings = spark.read.parquet(s"$src/postings")
-    val st = spark.read.parquet(s"$src/stats").head()
+    val postings = LayoutStore.readSnapshotTable(spark, path, "postings",
+      Some(srcVersion))
+    val st = LayoutStore.readSnapshotTable(spark, path, "stats",
+      Some(srcVersion)).head()
     val removed = postings.join(ids, Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val remStats = removed.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("tot"))
       .head()
+    // N decrement, resolved BEFORE any write begins (remStats is already
+    // materialized — an invalid argument must not cost a postings rewrite
+    // or leave an abandoned dot-temp): the semi-join-derived count of
+    // revoked ids actually present in the corpus when a doc-id source is
+    // given (the only way to SEE revoked tokenless docs), else the
+    // caller-supplied present-doc count, else the postings-derived count.
+    val derivedRemoved = corpusDocIds.map { docIds =>
+      require(docIds.columns.length == 1,
+        s"corpusDocIds must be a single-column doc-id frame, got " +
+          s"[${docIds.columns.mkString(", ")}]")
+      val cids = docIds.select(col(docIds.columns(0)).as("doc_id"))
+      ids.join(cids, Seq("doc_id"), "left_semi").count()
+    }
+    derivedRemoved.zip(removedDocCount).foreach { case (derived, claimed) =>
+      require(derived == claimed,
+        s"removedDocCount ($claimed) disagrees with the $derived revoked " +
+          "docs present in corpusDocIds — the sheet likely lists ids " +
+          "that were already removed or never ingested")
+    }
+    val nRemoved = derivedRemoved.orElse(removedDocCount)
+      .getOrElse(remStats.getLong(0))
+    require(nRemoved >= remStats.getLong(0),
+      s"removedDocCount ($nRemoved) is smaller than the ${remStats.getLong(0)} " +
+        "revoked docs observed in the postings — it must count every " +
+        "revoked doc present in the indexed corpus")
+    require(nRemoved <= st.getAs[Long]("n"),
+      s"removedDocCount ($nRemoved) exceeds the ${st.getAs[Long]("n")} docs " +
+        "in the snapshot — pass the count of revoked docs PRESENT in the " +
+        "indexed corpus, not the revocation sheet's row count")
     val dec0 = removed.groupBy(col("term")).agg(count(lit(1)).as("__rm"))
     val dec =
       if (dec0.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -279,7 +326,7 @@ object Takedown {
     // of the REVOKED DOCS' vocabulary — a term's postings share one
     // tbucket. The survivor rewrite prunes to those directories at
     // file-listing time; untouched `tbucket=` directories are
-    // byte-identical and copy through at file level below, so the
+    // byte-identical and inherited by manifest reference below, so the
     // deletion pass costs ∝ touched buckets, never ∝ index.
     val touched = removed.select(col("tbucket")).distinct()
       .collect().map(_.getInt(0))
@@ -288,27 +335,24 @@ object Takedown {
       .join(dec, Seq("term"), "left")
       .withColumn("df", col("df") - coalesce(col("__rm"), lit(0L)))
       .drop("__rm")
-    val out = LayoutStore.writeSnapshot(conf, path) { tmp =>
+    val out = LayoutStore.writeSnapshotManifested(conf, path) { (tmp, _) =>
       survivors.repartition(col("tbucket"))
         .write.mode("overwrite").partitionBy("tbucket")
         .parquet(s"$tmp/postings")
-      LayoutStore.copyThroughDirs(conf,
-        new org.apache.hadoop.fs.Path(s"$src/postings"), s"$tmp/postings",
-        touched.map(v => s"tbucket=$v").toSet)
-      // N decrement: the caller-supplied count (revoked docs present in
-      // the indexed corpus, INCLUDING tokenless ones the postings can't
-      // see) when given, else the postings-derived count. tot is exact
-      // either way — a tokenless doc contributes 0 to Σdl.
-      val nRemoved = removedDocCount.getOrElse(remStats.getLong(0))
-      require(nRemoved >= remStats.getLong(0),
-        s"removedDocCount ($nRemoved) is smaller than the ${remStats.getLong(0)} " +
-          "revoked docs observed in the postings — it must count every " +
-          "revoked doc present in the indexed corpus")
+      // tot is exact from the postings alone — a tokenless doc
+      // contributes 0 to Σdl; only the N decrement needed the resolved
+      // nRemoved above.
       spark.range(1)
         .select(lit(st.getAs[Long]("n") - nRemoved).as("n"),
           lit(st.getAs[Long]("tot") - remStats.getLong(1)).as("tot"),
           lit(st.getAs[Int]("term_buckets")).as("term_buckets"))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+      // untouched tbucket dirs carry zero revoked rows and zero df
+      // decrements — inherit them by manifest reference
+      val touchedDirs = touched.map(v => s"postings/tbucket=$v").toSet
+      LayoutStore.effectiveEntries(conf, path, srcVersion)
+        .filter { case (k, _) =>
+          k.startsWith("postings/") && !touchedDirs.contains(k) }
     }
     removed.unpersist(blocking = true)
     out
@@ -335,9 +379,8 @@ object Takedown {
                              idCol: String = "doc_id",
                              version: Option[Long] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val src = LayoutStore.snapshotPath(conf, path, version)
     val ids = idsFrame(revoked, revokedIdCol).select(col("__rid").as(idCol))
-    val t = spark.read.parquet(src)
+    val t = LayoutStore.readSnapshotTable(spark, path, "", version)
     val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
     val reranked = t.join(ids, Seq(idCol), "left_anti")
       .withColumn("pos", (row_number().over(w) - 1).cast("int"))
@@ -382,17 +425,20 @@ object Takedown {
     val conf = spark.sparkContext.hadoopConfiguration
     val ids = idsFrame(revoked, revokedIdCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val rows = LayoutStore.versions(conf, path).flatMap { v =>
-      val vPath = new org.apache.hadoop.fs.Path(s"$path/version=$v")
-      val kids = fs.listStatus(vPath)
-        .filter(st => st.isDirectory && LayoutStore.visibleStatus(st))
-      val tables =
-        if (kids.isEmpty || kids.exists(_.getPath.getName.contains("=")))
-          Seq("." -> vPath)
-        else kids.map(k => k.getPath.getName -> k.getPath).toSeq
-      tables.map { case (name, tPath) =>
-        val df = spark.read.parquet(tPath.toString)
+      // manifest-resolved: a version's LOGICAL content includes every
+      // entry it inherits by reference, which is exactly what an
+      // auditor must scan (a manifested snapshot physically holding
+      // only its touched dirs still SERVES the inherited rows)
+      val entries = LayoutStore.effectiveEntries(conf, path, v)
+      val rootTable = entries.keySet.exists(k =>
+        k == "." || (!k.contains("/") && k.contains("=")))
+      val tables: Seq[String] =
+        if (rootTable || entries.isEmpty) Seq(".")
+        else entries.keys.map(_.split("/")(0)).toSeq.distinct.sorted
+      tables.map { name =>
+        val df = LayoutStore.readSnapshotTable(spark, path,
+          if (name == ".") "" else name, Some(v))
         val n = idCols.find(df.columns.contains) match {
           case Some(c) =>
             df.join(ids.select(col("__rid").as(c)), Seq(c), "left_semi")

@@ -469,9 +469,23 @@ object TextAnalysis {
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
                       path: String, queries: DataFrame,
                       queryIdCol: String, queryTextCol: String, k: Int,
-                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFrames(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/stats").head(), queries,
+      queryIdCol, queryTextCol, k, k1, b)
+
+  /** Frame-level core of [[bm25TopKIndexed]] — the probe against an
+    * already-resolved postings frame + stats row, shared by the raw
+    * path form and the manifest-resolving store form
+    * ([[bm25TopKIndexedLatest]]). The `tbucket IN` filter remains a
+    * partition filter on every underlying parquet branch. */
+  private[llm] def bm25TopKFrames(postingsAll: DataFrame,
+                                  st: org.apache.spark.sql.Row,
+                                  queries: DataFrame,
+                                  queryIdCol: String, queryTextCol: String,
+                                  k: Int, k1: Double = 1.2,
+                                  b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val st = spark.read.parquet(s"$path/stats").head()
     val (n, tot, termBuckets) =
       (st.getAs[Long]("n"), st.getAs[Long]("tot"), st.getAs[Int]("term_buckets"))
     val qterms = queries.select(col(queryIdCol).as("query_id"),
@@ -479,8 +493,7 @@ object TextAnalysis {
     val buckets = qterms
       .select(bm25TermBucket(col("term"), termBuckets).as("tb"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val postings = spark.read.parquet(s"$path/postings")
-      .where(col("tbucket").isin(buckets: _*))
+    val postings = postingsAll.where(col("tbucket").isin(buckets: _*))
     val scored = postings.join(broadcast(qterms), Seq("term"))
       .withColumn("__s", bm25TermScore(col("tf"), col("df"), col("dl"),
         lit(n), lit(tot), k1, b))
@@ -509,9 +522,9 @@ object TextAnalysis {
                             queryIdCol: String, queryTextCol: String,
                             k: Int, k1: Double = 1.2, b: Double = 0.75,
                             version: Option[Long] = None): DataFrame =
-    bm25TopKIndexed(spark,
-      LayoutStore.snapshotPath(spark.sparkContext.hadoopConfiguration,
-        path, version),
+    bm25TopKFrames(
+      LayoutStore.readSnapshotTable(spark, path, "postings", version),
+      LayoutStore.readSnapshotTable(spark, path, "stats", version).head(),
       queries, queryIdCol, queryTextCol, k, k1, b)
 
   /** The DuckDB twin of [[bm25TopK]], generated with the SAME k1/b
@@ -991,11 +1004,9 @@ object TextAnalysis {
                           df: DataFrame, textCol: String, path: String,
                           topK: Int,
                           version: Option[Long] = None): DataFrame = {
-    val snap = LayoutStore.snapshotPath(
-      spark.sparkContext.hadoopConfiguration, path, version)
     val current = termProfile(df, textCol)
       .select(col("term"), col("cnt").as("cnt_a"))
-    val profile = spark.read.parquet(s"$snap/terms")
+    val profile = LayoutStore.readSnapshotTable(spark, path, "terms", version)
       .select(col("term"), col("cnt").as("cnt_b"))
     driftCore(current.join(profile, Seq("term"), "full_outer")
       .select(col("term"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
@@ -1034,9 +1045,7 @@ object TextAnalysis {
                     df: DataFrame, strataCol: String, textCol: String,
                     path: String, version: Option[Long] = None,
                     vocabBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
-    val snap = LayoutStore.snapshotPath(
-      spark.sparkContext.hadoopConfiguration, path, version)
-    val profile = spark.read.parquet(s"$snap/terms")
+    val profile = LayoutStore.readSnapshotTable(spark, path, "terms", version)
       .select(col("term"), col("cnt").as("cb"))
     val nbDf = profile.agg(sum(col("cb")).as("nb"))
     val cur = df.select(col(strataCol).cast("string").as("stratum"),
@@ -1067,9 +1076,7 @@ object TextAnalysis {
                                 vocabBroadcastMaxBytes: Long = 64L << 20)
       : DataFrame = {
     require(rareDenom >= 1, s"rareDenom must be >= 1: $rareDenom")
-    val snap = LayoutStore.snapshotPath(
-      spark.sparkContext.hadoopConfiguration, path, version)
-    val profile = spark.read.parquet(s"$snap/terms")
+    val profile = LayoutStore.readSnapshotTable(spark, path, "terms", version)
       .select(col("term"), col("cnt"))
     val total = profile.agg(sum(col("cnt")).as("ref_total"))
     val tf = df.select(col(idCol).as("id"),

@@ -32,13 +32,13 @@ class IngestSpec extends SparkTestBase {
     val rebuilt = tmpDir("ingest-bm25-rebuilt") + "/store"
     TextAnalysis.writeBm25Snapshot(base.unionByName(batch), rebuilt,
       termBuckets = 8)
-    def postings(path: String) = spark.read
-      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/postings")
-      .select("term", "doc_id", "tf", "dl", "df")
-      .collect().map(_.toSeq).toSet
-    def stats(path: String) = spark.read
-      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/stats")
-      .select("n", "tot", "term_buckets").head().toSeq
+    def postings(path: String) =
+      LayoutStore.readSnapshotTable(spark, path, "postings")
+        .select("term", "doc_id", "tf", "dl", "df")
+        .collect().map(_.toSeq).toSet
+    def stats(path: String) =
+      LayoutStore.readSnapshotTable(spark, path, "stats")
+        .select("n", "tot", "term_buckets").head().toSeq
     assert(postings(store) == postings(rebuilt))
     assert(stats(store) == stats(rebuilt))
     // id collision: the closed-form merge would double-count — fail fast
@@ -97,7 +97,10 @@ class IngestSpec extends SparkTestBase {
     val scratch = tmpDir("ingest-srp-scratch")
     Similarity.writeSrpLayout(base.unionByName(batch), dim = 8,
       planes = 4, path = scratch)
-    assert(rows(LayoutStore.snapshotPath(conf, store)) == rows(scratch))
+    val resolved = LayoutStore.readSnapshotTable(spark, store)
+      .select(col("vec_id"), col("bucket").cast("long"))
+      .collect().map(_.toSeq).toSet
+    assert(resolved == rows(scratch))
   }
 
   test("appendRowsSnapshot third instance: a z-order layout snapshot " +
@@ -133,15 +136,21 @@ class IngestSpec extends SparkTestBase {
       base.repartition(col("strata")).write.partitionBy("strata").parquet(tmp))
     val batch = Seq((3L, "01", 3.0)).toDF("id", "strata", "v")
     assert(Ingest.appendRowsSnapshot(spark, store, batch, "strata", "id") == 2L)
+    // the touched dir is physically rewritten with its string name
+    // intact; the untouched one is a manifest reference — the NAME must
+    // round-trip in the manifest key, not just on disk
     val v2 = LayoutStore.snapshotPath(conf, store)
     val fs = new org.apache.hadoop.fs.Path(v2).getFileSystem(conf)
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(v2))
       .filter(_.isDirectory).map(_.getPath.getName).toSet
-    assert(dirs == Set("strata=01", "strata=10"), s"got $dirs")
+    assert(dirs == Set("strata=01"), s"got $dirs")
+    assert(LayoutStore.readManifest(conf, store, 2L).get ==
+      Map("strata=01" -> 2L, "strata=10" -> 1L))
     // read-back must pin inference off too (the layout readers do) —
     // with it on, the preserved strata=01 directory reads as int 1
     val rows = LayoutStore.withPartitionInferenceOff(spark) {
-      spark.read.parquet(v2).select(col("id"), col("strata"))
+      LayoutStore.readSnapshotTable(spark, store)
+        .select(col("id"), col("strata"))
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     }
     assert(rows == Set((1L, "01"), (2L, "10"), (3L, "01")))
@@ -178,18 +187,10 @@ class IngestSpec extends SparkTestBase {
       e.getMessage.contains("disagrees"))
   }
 
-  private def fileSigs(dir: String): Set[(String, Long)] = {
-    val d = new java.io.File(dir)
-    if (!d.exists()) Set.empty
-    else d.listFiles()
-      .filter(f => f.isFile && !f.getName.startsWith("_") &&
-        !f.getName.startsWith("."))
-      .map(f => (f.getName, f.length)).toSet
-  }
 
-  test("appendRowsSnapshot copy-through: untouched partition dirs are " +
-    "file-level copies of the retired snapshot (same names, same bytes); " +
-    "only the batch's partitions rewrite") {
+  test("appendRowsSnapshot manifest version: untouched partition dirs " +
+    "are inherited by reference (version cost ∝ touched dirs); only the " +
+    "batch's partitions are physically written") {
     val s = spark; import s.implicits._
     val store = tmpDir("ingest-ct") + "/store"
     val base = (0L until 200L).map(i => (i, (i % 8).toInt, i * 1.5))
@@ -198,14 +199,20 @@ class IngestSpec extends SparkTestBase {
       base.repartition(col("day")).write.partitionBy("day").parquet(tmp))
     val batch = Seq((1000L, 3, 10.0), (1001L, 3, 20.0)).toDF("id", "day", "v")
     assert(Ingest.appendRowsSnapshot(spark, store, batch, "day", "id") == 2L)
-    val (v1, v2) = (s"$store/version=1", s"$store/version=2")
+    // version cost ∝ touched dirs: v2 physically holds ONLY day=3; the
+    // other 7 directories are inherited by manifest reference
+    val v2dirs = new java.io.File(s"$store/version=2")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(v2dirs == Set("day=3"),
+      s"untouched days must not be copied, got $v2dirs")
+    val manifest = LayoutStore.readManifest(conf, store, 2L).get
+    assert(manifest("day=3") == 2L)
     for (d <- 0 until 8 if d != 3)
-      assert(fileSigs(s"$v2/day=$d") == fileSigs(s"$v1/day=$d"),
-        s"day=$d must copy through at file level")
-    assert(fileSigs(s"$v2/day=3") != fileSigs(s"$v1/day=3"),
-      "the touched partition must be rewritten, not copied")
-    assert(spark.read.parquet(v2).count() == 202L)
-    assert(spark.read.parquet(v2).where(col("day") === 3)
+      assert(manifest(s"day=$d") == 1L,
+        s"day=$d carries no batch row — must be inherited from v1")
+    val resolved = LayoutStore.readSnapshotTable(spark, store)
+    assert(resolved.count() == 202L)
+    assert(resolved.where(col("day") === 3)
       .select(col("id")).collect().map(_.getLong(0)).toSet ==
       ((0L until 200L).filter(_ % 8 == 3).toSet ++ Set(1000L, 1001L)))
   }
@@ -227,9 +234,39 @@ class IngestSpec extends SparkTestBase {
     assert(rows == Set((1L, "a b"), (2L, "c"), (3L, "a b")))
   }
 
-  test("appendBm25Snapshot copy-through: only the batch vocabulary's " +
-    "tbucket dirs rewrite; the rest are file-level copies — and " +
-    "rebuild identity still holds") {
+  test("appendRowsSnapshot: a value literally equal to the Hive null " +
+    "sentinel never takes the fast path — on it, the directory name " +
+    "collides with the null partition (the isin filter skips null rows " +
+    "AND copy-through skips their dir: SILENT row loss). The fallback " +
+    "full rewrite fails LOUDLY instead (Spark's own partitioned writer " +
+    "cannot express null + literal sentinel side by side), and the " +
+    "failed attempt leaves v1 intact with no abandoned dot-temp") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("ingest-ct-sentinel") + "/store"
+    // row 1's null value lands under the k=__HIVE_DEFAULT_PARTITION__ dir
+    val base = Seq((1L, null: String, 1.0), (2L, "x", 2.0))
+      .toDF("id", "k", "v")
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      base.repartition(col("k")).write.partitionBy("k").parquet(tmp))
+    val batch = Seq((3L, "__HIVE_DEFAULT_PARTITION__", 3.0))
+      .toDF("id", "k", "v")
+    intercept[Exception](
+      Ingest.appendRowsSnapshot(spark, store, batch, "k", "id"))
+    // no v2 landed, the dot-temp was reclaimed, and every v1 row still
+    // reads back — loud failure, zero loss
+    assert(LayoutStore.versions(conf, store) == Seq(1L))
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).filter(_.startsWith("."))
+    assert(leftovers.isEmpty, s"abandoned temp dirs: ${leftovers.toSeq}")
+    val ids = spark.read.parquet(LayoutStore.snapshotPath(conf, store))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L))
+  }
+
+  test("appendBm25Snapshot manifest version: only the batch vocabulary's " +
+    "tbucket dirs are physically written; the rest are manifest " +
+    "references — and rebuild identity still holds") {
     val s = spark; import s.implicits._
     val base = (0L until 60L).map(i => (i, s"word$i shared${i % 6}"))
       .toDF("doc_id", "text")
@@ -239,23 +276,23 @@ class IngestSpec extends SparkTestBase {
     assert(Ingest.appendBm25Snapshot(spark, store, batch) == 2L)
     val touched = Seq("zzzuniq").toDF("term")
       .select(TextAnalysis.bm25TermBucket(col("term"), 16)).head().getInt(0)
-    val (v1, v2) = (s"$store/version=1", s"$store/version=2")
-    var copied = 0
-    for (b <- 0 until 16 if b != touched
-         if new java.io.File(s"$v1/postings/tbucket=$b").exists()) {
-      assert(fileSigs(s"$v2/postings/tbucket=$b") ==
-        fileSigs(s"$v1/postings/tbucket=$b"),
-        s"tbucket=$b carries no batch term — must copy through")
-      copied += 1
-    }
-    assert(copied > 0, "fixture must leave untouched buckets to copy")
+    // v2 physically holds only the batch vocabulary's bucket; the rest
+    // are manifest references into v1 — zero bytes moved for them
+    val v2post = new java.io.File(s"$store/version=2/postings")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(v2post == Set(s"tbucket=$touched"),
+      s"untouched buckets must not be copied, got $v2post")
+    val manifest = LayoutStore.readManifest(conf, store, 2L).get
+    val inherited = manifest.count { case (k, o) =>
+      k.startsWith("postings/") && o == 1L }
+    assert(inherited > 0, "fixture must leave untouched buckets to inherit")
     val rebuilt = tmpDir("ingest-bm25-ct-rb") + "/store"
     TextAnalysis.writeBm25Snapshot(base.unionByName(batch), rebuilt,
       termBuckets = 16)
-    def postings(path: String) = spark.read
-      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/postings")
-      .select("term", "doc_id", "tf", "dl", "df")
-      .collect().map(_.toSeq).toSet
+    def postings(path: String) =
+      LayoutStore.readSnapshotTable(spark, path, "postings")
+        .select("term", "doc_id", "tf", "dl", "df")
+        .collect().map(_.toSeq).toSet
     assert(postings(store) == postings(rebuilt))
   }
 

@@ -1,0 +1,130 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Manifest-referenced snapshot versions: version cost ∝ touched dirs
+  * (untouched entries are inherited by reference, zero bytes move),
+  * retired versions stay readable until pruned, and prune's GC deletes
+  * exactly the dirs no surviving manifest references. */
+class LayoutStoreSpec extends SparkTestBase {
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def dataDirs(path: String): Set[String] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSet
+
+  test("manifest round-trip and resolver equivalence: a chain of " +
+    "manifested appends serves exactly what a physical snapshot would; " +
+    "owners always point at the PHYSICAL owner (one hop)") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("ls-chain") + "/store"
+    val base = (0L until 80L).map(i => (i, (i % 4).toInt, i * 1.0))
+      .toDF("id", "day", "v")
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      base.repartition(col("day")).write.partitionBy("day").parquet(tmp))
+    // v2 touches day=1; v3 touches day=2 — day=0/day=3 stay owned by v1
+    assert(Ingest.appendRowsSnapshot(spark, store,
+      Seq((100L, 1, 9.0)).toDF("id", "day", "v"), "day", "id") == 2L)
+    assert(Ingest.appendRowsSnapshot(spark, store,
+      Seq((101L, 2, 9.0)).toDF("id", "day", "v"), "day", "id") == 3L)
+    val m3 = LayoutStore.readManifest(conf, store, 3L).get
+    assert(m3 == Map("day=0" -> 1L, "day=1" -> 2L, "day=2" -> 3L,
+      "day=3" -> 1L), s"chained owners must stay physical: $m3")
+    // every version stays independently readable (retire-by-pin)
+    assert(LayoutStore.readSnapshotTable(spark, store, "", Some(1L))
+      .count() == 80L)
+    assert(LayoutStore.readSnapshotTable(spark, store, "", Some(2L))
+      .count() == 81L)
+    val v3 = LayoutStore.readSnapshotTable(spark, store)
+    assert(v3.count() == 82L)
+    // resolver output == a from-scratch physical write of the same rows
+    val scratch = tmpDir("ls-chain-scratch")
+    base.unionByName(Seq((100L, 1, 9.0), (101L, 2, 9.0))
+        .toDF("id", "day", "v"))
+      .repartition(col("day")).write.mode("overwrite")
+      .partitionBy("day").parquet(scratch)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("day").cast("int"), col("v"))
+        .collect().map(_.toSeq).toSet
+    assert(rows(v3) == rows(spark.read.parquet(scratch)))
+  }
+
+  test("resolver keeps partition pruning: a day filter over a manifested " +
+    "snapshot scans only the matching partition dirs of each owner") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val store = tmpDir("ls-prune-scan") + "/store"
+    val base = (0L until 80L).map(i => (i, (i % 4).toInt, i * 1.0))
+      .toDF("id", "day", "v")
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      base.repartition(col("day")).write.partitionBy("day").parquet(tmp))
+    Ingest.appendRowsSnapshot(spark, store,
+      Seq((100L, 1, 9.0)).toDF("id", "day", "v"), "day", "id")
+    val probe = LayoutStore.readSnapshotTable(spark, store)
+      .where(col("day") === 3)
+    val scanned = probe.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f.selectedPartitions.partitionCount
+    }.sum
+    assert(scanned == 1,
+      s"day=3 lives in ONE owner partition dir, scanned $scanned")
+    assert(probe.count() == 20L)
+  }
+
+  test("prune GC: an exclusively-owned version deletes wholesale; a " +
+    "referenced one retires in place keeping ONLY referenced dirs; once " +
+    "the last referencing snapshot is pruned the leftovers disappear") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("ls-gc") + "/store"
+    val base = (0L until 80L).map(i => (i, (i % 4).toInt, i * 1.0))
+      .toDF("id", "day", "v")
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      base.repartition(col("day")).write.partitionBy("day").parquet(tmp))
+    Ingest.appendRowsSnapshot(spark, store,
+      Seq((100L, 1, 9.0)).toDF("id", "day", "v"), "day", "id") // v2
+    Ingest.appendRowsSnapshot(spark, store,
+      Seq((101L, 1, 8.0)).toDF("id", "day", "v"), "day", "id") // v3
+    // retain v3 only. v2's day=1 is superseded (v3 rewrote it) → v2 is
+    // exclusively-owned → deletes wholesale. v1's day=0/2/3 are still
+    // referenced by v3 → v1 retires in place, day=1 (superseded) gone.
+    assert(LayoutStore.prune(conf, store, retain = 1) == Seq(1L, 2L))
+    assert(LayoutStore.versions(conf, store) == Seq(3L))
+    assert(!new java.io.File(s"$store/version=2").exists(),
+      "v2 owned nothing any survivor references — must delete wholesale")
+    assert(dataDirs(s"$store/version=1") == Set("day=0", "day=2", "day=3"),
+      "v1 must keep exactly the dirs v3 references")
+    assert(new java.io.File(s"$store/version=1/_retired").exists())
+    // retired dirs are NOT serveable, but v3 still reads through them
+    intercept[IllegalArgumentException](
+      LayoutStore.readSnapshotTable(spark, store, "", Some(1L)))
+    assert(LayoutStore.readSnapshotTable(spark, store).count() == 82L)
+    // a compaction re-materializes v4 physically; pruning to it sweeps
+    // the retired v1 leftovers AND v3
+    assert(LayoutStore.compactSnapshot(spark, store) == 4L)
+    assert(LayoutStore.prune(conf, store, retain = 1) == Seq(3L))
+    assert(!new java.io.File(s"$store/version=1").exists(),
+      "nothing references v1 anymore — the retired leftovers must delete")
+    assert(!new java.io.File(s"$store/version=3").exists())
+    assert(LayoutStore.versions(conf, store) == Seq(4L))
+    assert(LayoutStore.readSnapshotTable(spark, store).count() == 82L)
+  }
+
+  test("compactSnapshot re-materializes a manifested snapshot as ONE " +
+    "physical version (the copy path) — manifest-free, same rows") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("ls-compact") + "/store"
+    val base = (0L until 40L).map(i => (i, (i % 4).toInt, i * 1.0))
+      .toDF("id", "day", "v")
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      base.repartition(col("day")).write.partitionBy("day").parquet(tmp))
+    Ingest.appendRowsSnapshot(spark, store,
+      Seq((100L, 1, 9.0)).toDF("id", "day", "v"), "day", "id")
+    assert(LayoutStore.compactSnapshot(spark, store) == 3L)
+    assert(LayoutStore.readManifest(conf, store, 3L).isEmpty,
+      "compaction output is fully physical")
+    assert(dataDirs(s"$store/version=3") ==
+      Set("day=0", "day=1", "day=2", "day=3"))
+    assert(LayoutStore.readSnapshotTable(spark, store).count() == 41L)
+  }
+}

@@ -35,19 +35,20 @@ class TakedownSpec extends SparkTestBase {
     TextAnalysis.writeBm25Snapshot(
       Takedown.scrubCorpus(docs, "doc_id", revoked, "doc_id"),
       rebuilt, termBuckets = 8)
-    def postings(path: String) = spark.read
-      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/postings")
-      .select("term", "doc_id", "tf", "dl", "df")
-      .collect().map(_.toSeq).toSet
-    def stats(path: String) = spark.read
-      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/stats")
-      .select("n", "tot", "term_buckets").head().toSeq
+    def postings(path: String) =
+      LayoutStore.readSnapshotTable(spark, path, "postings")
+        .select("term", "doc_id", "tf", "dl", "df")
+        .collect().map(_.toSeq).toSet
+    def stats(path: String) =
+      LayoutStore.readSnapshotTable(spark, path, "stats")
+        .select("n", "tot", "term_buckets").head().toSeq
     assert(postings(store) == postings(rebuilt))
     assert(stats(store) == stats(rebuilt))
   }
 
   test("propagateLayoutSnapshot: generic walk filters id-keyed sub-tables, " +
-    "copies meta sheets, preserves string partition dirs, lands version=2") {
+    "inherits meta sheets by reference, preserves string partition dirs, " +
+    "lands version=2") {
     val s = spark; import s.implicits._
     val store = tmpDir("takedown-generic") + "/store"
     val rows = Seq((1L, "01", 1.0), (2L, "01", 2.0), (3L, "10", 3.0))
@@ -59,18 +60,23 @@ class TakedownSpec extends SparkTestBase {
     assert(Takedown.propagateLayoutSnapshot(spark,
       store, Seq(2L).toDF("vec_id"), "vec_id") == 2L)
     assert(LayoutStore.versions(conf, store) == Seq(1L, 2L))
-    val v2 = LayoutStore.snapshotPath(conf, store)
-    val dirs = new java.io.File(s"$v2/cells").listFiles()
+    // only strata=01 (holding revoked id 2) is physically rewritten;
+    // strata=10 and the whole meta sheet are manifest references
+    val dirs = new java.io.File(s"$store/version=2/cells").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
-    assert(dirs == Set("strata=01", "strata=10"), s"got $dirs")
-    assert(spark.read.parquet(s"$v2/cells").select("vec_id")
-      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
-    // the meta sheet (no id column) copies through untouched
-    assert(spark.read.parquet(s"$v2/meta").collect().map(_.toSeq).toSet ==
-      Set(Seq("model", 7L)))
+    assert(dirs == Set("strata=01"), s"got $dirs")
+    val manifest = LayoutStore.readManifest(conf, store, 2L).get
+    assert(manifest == Map("cells/strata=01" -> 2L,
+      "cells/strata=10" -> 1L, "meta" -> 1L))
+    assert(LayoutStore.readSnapshotTable(spark, store, "cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // the meta sheet (no id column) is served untouched from v1
+    assert(LayoutStore.readSnapshotTable(spark, store, "meta")
+      .collect().map(_.toSeq).toSet == Set(Seq("model", 7L)))
     // v1 retains the revoked row until prune
-    assert(spark.read.parquet(s"$store/version=1/cells").select("vec_id")
-      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(LayoutStore.readSnapshotTable(spark, store, "cells", Some(1L))
+      .select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
   }
 
   test("propagateLayoutSnapshot: a snapshot whose ROOT is the partitioned " +
@@ -84,13 +90,13 @@ class TakedownSpec extends SparkTestBase {
       Similarity.writeIvfLayout(emb, cents, tmp))
     Takedown.propagateLayoutSnapshot(spark, store,
       Seq(3L, 7L).toDF("vec_id"), "vec_id")
-    val v2 = LayoutStore.snapshotPath(conf, store)
-    val ids = spark.read.parquet(v2).select("vec_id")
+    val ids = LayoutStore.readSnapshotTable(spark, store).select("vec_id")
       .collect().map(_.getLong(0)).toSet
     assert(ids == (0L until 20L).toSet -- Set(3L, 7L), s"got $ids")
-    // cell= partition dirs survive for pruned probes
-    assert(new java.io.File(v2).listFiles()
-      .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
+    // cell= partition dirs survive for pruned probes (touched ones
+    // physically, untouched ones through their owning version)
+    assert(new java.io.File(LayoutStore.snapshotPath(conf, store))
+      .listFiles().exists(f => f.isDirectory && f.getName.startsWith("cell=")))
   }
 
   private def fileSigs(dir: String): Set[(String, Long)] = {
@@ -102,8 +108,10 @@ class TakedownSpec extends SparkTestBase {
       .map(f => (f.getName, f.length)).toSet
   }
 
-  test("propagateLayoutSnapshot copy-through: only partitions containing " +
-    "a revoked row rewrite; every other dir is a file-level copy") {
+  test("propagateLayoutSnapshot manifest version: only partitions " +
+    "containing a revoked row are physically written; every other dir " +
+    "is INHERITED by manifest reference (zero bytes move) and the " +
+    "resolver serves the full logical snapshot") {
     val s = spark; import s.implicits._
     val store = tmpDir("takedown-ct") + "/store"
     val rows = (0L until 160L).map(i => (i, (i % 8).toInt, i * 2.0))
@@ -115,18 +123,33 @@ class TakedownSpec extends SparkTestBase {
     assert(Takedown.propagateLayoutSnapshot(spark, store, revoked,
       "vec_id") == 2L)
     val (v1, v2) = (s"$store/version=1", s"$store/version=2")
+    // version cost ∝ touched dirs: cell=2 is the ONLY data dir under v2
+    val v2dirs = new java.io.File(v2).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(v2dirs == Set("cell=2"),
+      s"untouched cells must not be copied, got $v2dirs")
+    val manifest = LayoutStore.readManifest(conf, store, 2L).get
+    assert(manifest("cell=2") == 2L)
     for (c <- 0 until 8 if c != 2)
-      assert(fileSigs(s"$v2/cell=$c") == fileSigs(s"$v1/cell=$c"),
-        s"cell=$c holds no revoked row — must copy through at file level")
-    assert(fileSigs(s"$v2/cell=2") != fileSigs(s"$v1/cell=2"))
-    val ids = spark.read.parquet(v2).select("vec_id")
+      assert(manifest(s"cell=$c") == 1L,
+        s"cell=$c holds no revoked row — must be inherited from v1")
+    // v1 still byte-intact, and the resolver serves the full snapshot
+    assert(fileSigs(s"$v1/cell=3").nonEmpty)
+    val ids = LayoutStore.readSnapshotTable(spark, store).select("vec_id")
       .collect().map(_.getLong(0)).toSet
     assert(ids == (0L until 160L).toSet -- Set(2L, 10L, 18L))
+    // the survivors keep their partition values through the resolver
+    val cells = LayoutStore.readSnapshotTable(spark, store)
+      .groupBy(col("cell")).count().collect()
+      .map(r => (r.get(0).toString.toInt, r.getLong(1))).toMap
+    assert(cells == (0 until 8).map(c =>
+      c -> (if (c == 2) 17L else 20L)).toMap)
   }
 
-  test("propagateBm25Snapshot copy-through: only the revoked docs' " +
-    "vocabulary buckets rewrite; untouched tbucket dirs are file-level " +
-    "copies — and the closed-form repair still matches the rebuild") {
+  test("propagateBm25Snapshot manifest version: only the revoked docs' " +
+    "vocabulary buckets are physically written; untouched tbucket dirs " +
+    "are inherited by manifest reference — and the closed-form repair " +
+    "still matches the rebuild through the resolver") {
     val s = spark; import s.implicits._
     // doc 7's vocabulary is one unique term: its removal touches exactly
     // that term's bucket
@@ -139,26 +162,27 @@ class TakedownSpec extends SparkTestBase {
       Seq(7L).toDF("doc_id"), "doc_id") == 2L)
     val touched = Seq("qqqonly").toDF("term")
       .select(TextAnalysis.bm25TermBucket(col("term"), 16)).head().getInt(0)
-    val (v1, v2) = (s"$store/version=1", s"$store/version=2")
-    var copied = 0
-    for (b <- 0 until 16 if b != touched
-         if new java.io.File(s"$v1/postings/tbucket=$b").exists()) {
-      assert(fileSigs(s"$v2/postings/tbucket=$b") ==
-        fileSigs(s"$v1/postings/tbucket=$b"),
-        s"tbucket=$b holds no revoked-doc term — must copy through")
-      copied += 1
-    }
-    assert(copied > 0, "fixture must leave untouched buckets to copy")
+    // v2 physically holds ONLY the touched bucket (+ fresh stats)
+    val v2post = new java.io.File(s"$store/version=2/postings")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(v2post == Set(s"tbucket=$touched"),
+      s"untouched buckets must not be copied, got $v2post")
+    val manifest = LayoutStore.readManifest(conf, store, 2L).get
+    assert(manifest(s"postings/tbucket=$touched") == 2L)
+    assert(manifest("stats") == 2L)
+    val inherited = manifest.count { case (k, o) =>
+      k.startsWith("postings/") && o == 1L }
+    assert(inherited > 0, "fixture must leave untouched buckets to inherit")
     val rebuilt = tmpDir("takedown-bm25-ct-rb") + "/store"
     TextAnalysis.writeBm25Snapshot(docs.where(col("doc_id") =!= 7L),
       rebuilt, termBuckets = 16)
-    def postings(path: String) = spark.read
-      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/postings")
-      .select("term", "doc_id", "tf", "dl", "df")
-      .collect().map(_.toSeq).toSet
-    def stats(path: String) = spark.read
-      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/stats")
-      .select("n", "tot", "term_buckets").head().toSeq
+    def postings(path: String) =
+      LayoutStore.readSnapshotTable(spark, path, "postings")
+        .select("term", "doc_id", "tf", "dl", "df")
+        .collect().map(_.toSeq).toSet
+    def stats(path: String) =
+      LayoutStore.readSnapshotTable(spark, path, "stats")
+        .select("n", "tot", "term_buckets").head().toSeq
     assert(postings(store) == postings(rebuilt))
     assert(stats(store) == stats(rebuilt))
   }
@@ -251,13 +275,13 @@ class TakedownSpec extends SparkTestBase {
     assert(before == Map(10L -> true, 11L -> true), s"got $before")
     assert(Takedown.propagateLayoutSnapshot(spark, store,
       Seq(2L).toDF("doc_id"), "doc_id", idCols = Seq("id")) == 2L)
-    val v2 = LayoutStore.snapshotPath(conf, store)
-    assert(spark.read.parquet(s"$v2/texts").select("id")
-      .collect().map(_.getLong(0)).toSet == Set(1L))
-    assert(spark.read.parquet(s"$v2/segs").select("id")
-      .collect().map(_.getLong(0)).toSet == Set(1L))
-    // the k stamp copies through — a k-mismatch probe must still fail fast
-    assert(spark.read.parquet(s"$v2/meta").head().getInt(0) == 3)
+    assert(LayoutStore.readSnapshotTable(spark, store, "texts")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(LayoutStore.readSnapshotTable(spark, store, "segs")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // the k stamp is inherited — a k-mismatch probe must still fail fast
+    assert(LayoutStore.readSnapshotTable(spark, store, "meta")
+      .head().getInt(0) == 3)
     val after = Dedup.editDupFlags(spark, batch, "doc_id", "text", store)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(after == Map(10L -> false, 11L -> true),
@@ -323,6 +347,53 @@ class TakedownSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Takedown.propagateBm25Snapshot(spark, store, Seq(1L).toDF("doc_id"),
         "doc_id", removedDocCount = Some(0L)))
+  }
+
+  test("propagateBm25Snapshot: corpusDocIds derives the present-doc count " +
+    "via semi-join — a revocation sheet listing never-ingested ids no " +
+    "longer over-decrements N; invalid counts fail BEFORE any write") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "revoked secret document about spark"),
+      (3L, "data stages and more data"),
+      (5L, "")).toDF("doc_id", "text") // doc 5: zero tokens
+    // the realistic sheet shape: two present docs (one tokenless) plus
+    // two ids the corpus never contained / already removed
+    val revoked = Seq(2L, 5L, 77L, 99L).toDF("doc_id")
+    val store = tmpDir("takedown-bm25-sheet") + "/store"
+    TextAnalysis.writeBm25Snapshot(docs, store, termBuckets = 8)
+    assert(Takedown.propagateBm25Snapshot(spark, store, revoked, "doc_id",
+      corpusDocIds = Some(docs.select("doc_id"))) == 2L)
+    val rebuilt = tmpDir("takedown-bm25-sheet-rb") + "/store"
+    TextAnalysis.writeBm25Snapshot(
+      Takedown.scrubCorpus(docs, "doc_id", revoked, "doc_id"),
+      rebuilt, termBuckets = 8)
+    def stats(path: String) = spark.read
+      .parquet(s"${LayoutStore.snapshotPath(conf, path)}/stats")
+      .select("n", "tot", "term_buckets").head().toSeq
+    assert(stats(store) == stats(rebuilt),
+      "semi-join-derived count must make N/avgdl match the from-scratch " +
+        "index of the scrubbed corpus exactly")
+    // the raw sheet size (4) disagrees with the 2 present docs — the
+    // mismatch fails fast when both are given
+    intercept[IllegalArgumentException](
+      Takedown.propagateBm25Snapshot(spark, store, revoked, "doc_id",
+        version = Some(1L), removedDocCount = Some(4L),
+        corpusDocIds = Some(docs.select("doc_id"))))
+    // a claimed count beyond the snapshot's own doc count is impossible —
+    // the upper guard catches sheet-size over-decrements even without a
+    // doc-id source
+    intercept[IllegalArgumentException](
+      Takedown.propagateBm25Snapshot(spark, store, revoked, "doc_id",
+        version = Some(1L), removedDocCount = Some(5L)))
+    // every rejected call failed BEFORE writing: no v3 landed, and no
+    // abandoned dot-temp remains under the store
+    assert(LayoutStore.versions(conf, store) == Seq(1L, 2L))
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).filter(_.startsWith("."))
+    assert(leftovers.isEmpty, s"abandoned temp dirs: ${leftovers.toSeq}")
   }
 
   test("expandRevocations: the seed's whole near-dup cluster joins the " +
