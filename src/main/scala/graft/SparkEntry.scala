@@ -1188,7 +1188,6 @@ object SparkEntry {
           cents, tmp))
       graft.llm.Ingest.appendIvfSnapshot(s, store,
         emb.where(col("vec_id") % 2 =!= 0), cents)
-      val path = graft.llm.LayoutStore.snapshotPath(conf, store)
       val qVec = emb.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble).toArray
       val cells = cents.zipWithIndex.map { case (c, i) =>
@@ -1199,7 +1198,7 @@ object SparkEntry {
         }
         (acc, i)
       }.sortBy { case (d, i) => (d, i) }.take(4).map(_._2).toSeq
-      val probed = Similarity.readIvfCells(s, path, cells)
+      val probed = Similarity.readIvfCellsSnapshot(s, store, cells)
       Similarity.bruteForceTopK(probed, emb.where(col("vec_id") === 0), k = 5)
     }),
     "d72_corpus_diff" -> ((s, dir) => {
@@ -1323,6 +1322,84 @@ object SparkEntry {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    }),
+    "q37_market_share" -> ((s, dir) => {
+      // TPC-H Q8's plan shape: a two-level conditional-aggregation RATIO
+      // over the widest join tree in the classic set — lineitem joins
+      // part, supplier, orders, customer, both nation roles and region.
+      // Only orders is a second fact: its join shuffles on l_orderkey;
+      // every dimension (part filtered to one type, supplier, customer's
+      // nation→region chain, the supplier-nation lookup) broadcasts, so
+      // the tree runs as ONE shuffle plus broadcast hash joins — no
+      // cartesian anywhere. The share is the q28 convention: numerator
+      // and denominator are exact decimal sums off the same scan, the
+      // ratio is ONE double division on identical exact inputs.
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").where(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(27,4)")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n2), sup("s_nationkey") === col("s_nkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), c("c_nationkey") === col("c_nkey"))
+        .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_7", vol)
+            .otherwise(lit(0).cast("decimal(27,4)"))).cast("double")
+            .as("nation_vol"),
+          sum(vol).cast("double").as("total_vol"))
+        .select(col("o_year"),
+          (col("nation_vol") / col("total_vol")).as("mkt_share"),
+          col("total_vol"))
+        .orderBy(col("o_year"))
+    }),
+    "q38_nation_profit" -> ((s, dir) => {
+      // TPC-H Q9's plan shape: profit by supplier nation and year over
+      // lineitem × part × supplier × orders (the testdata schema carries
+      // no partsupp, so p_retailprice * l_quantity stands in for
+      // ps_supplycost * l_quantity — same expression shape, same join
+      // tree minus one dim). part filters on a name LIKE before the
+      // join, so the broadcast ships only matching keys; orders joins
+      // only for the year. The per-row profit is one double expression
+      // (identical IEEE ops both engines) cast to exact decimal at the
+      // aggregation boundary.
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").where(col("p_name").like("%rod%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("supp_nation"), col("o_year"))
+        .agg(decimalSum(profit, 4).as("profit"))
+        .orderBy(col("supp_nation"), col("o_year").desc)
     }),
     "q28_promo_share" -> ((s, dir) => {
       // TPC-H Q14's plan shape: a conditional-aggregation RATIO — the
@@ -1452,7 +1529,7 @@ object SparkEntry {
         docs.where(col("doc_id") % 2 =!= 0), "doc_id",
         TextAnalysis.tokenCount(col("text")).cast("long"),
         nShards = 8, salt = "m46")
-      s.read.parquet(graft.llm.LayoutStore.snapshotPath(conf, store))
+      graft.llm.LayoutStore.readSnapshotTable(s, store)
         .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"))
     }),
     "m48_incremental_refresh" -> ((s, dir) => {
@@ -1628,6 +1705,48 @@ object SparkEntry {
         "ets", Seq("fp"), watermark = "30 days", out, ckpt)
         .awaitTermination()
       s.read.parquet(out).select(col("fp"))
+    }),
+    "m53_stream_dedup_insert" -> ((s, dir) => {
+      // the streaming DEDUP-INSERT ingest (the reference's most common
+      // production write mode, HoodieSink DEDUP_INSERT) with
+      // stream-static enrichment: micro-batches append ONLY keys the
+      // sink has never seen (left-anti against the sink's key
+      // projection), each enriched against a broadcast 16-row static
+      // dimension keyed on the fingerprint's first hex digit (a pure
+      // function of the key, so the surviving-copy arbitrariness of
+      // dedup never reaches the output). The source lands as TWO
+      // files processed one per micro-batch (maxFilesPerTrigger=1):
+      // the corpus, then a planted batch of verbatim copies (%10==3,
+      // re-keyed ids — same fingerprint, must insert NOTHING) plus
+      // genuinely fresh texts (%10==4 with a suffix — must insert).
+      // Closed input == the batch dedup-insert: DISTINCT fingerprints
+      // of the union, enriched.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val schema = docs.schema
+      val src = tmpQueryDir("m53-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        src.resolve("documents.parquet"))
+      val planted = docs.where(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .unionByName(docs.where(col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh rev")).as("text"),
+            col("lang"), col("source"), col("n_chars")))
+      planted.coalesce(1).write.mode("append").parquet(src.toString)
+      val dim = s.range(16).select(
+        lower(hex(col("id"))).as("grp"),
+        concat(lit("grp_"), lower(hex(col("id")))).as("lbl"))
+      val out = tmpQueryDir("m53-sink").toString
+      val ckpt = tmpQueryDir("m53-ckpt").toString
+      Incremental.dedupInsertAvailableNow(s, src.toString, schema,
+        "parquet",
+        df => df.select(graft.llm.Dedup.exactKey(col("text")).as("fp"))
+          .withColumn("grp", substring(col("fp"), 1, 1)),
+        "fp", dim, "grp", out, ckpt, maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+      s.read.parquet(out).select(col("fp"), col("lbl"))
     }),
     "m52_stream_sessions" -> ((s, dir) => {
       // d15's gap sessionization as a STREAMING session_window — state
@@ -1870,7 +1989,6 @@ object SparkEntry {
       graft.llm.Takedown.propagateLayoutSnapshot(s, store,
         emb.where(col("vec_id") % 5 === 0 && col("vec_id") =!= 0)
           .select(col("vec_id")), "vec_id")
-      val path = graft.llm.LayoutStore.snapshotPath(conf, store)
       val qVec = emb.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble).toArray
       val cells = cents.zipWithIndex.map { case (c, i) =>
@@ -1881,7 +1999,7 @@ object SparkEntry {
         }
         (acc, i)
       }.sortBy { case (d, i) => (d, i) }.take(4).map(_._2).toSeq
-      val probed = Similarity.readIvfCells(s, path, cells)
+      val probed = Similarity.readIvfCellsSnapshot(s, store, cells)
       Similarity.bruteForceTopK(probed, emb.where(col("vec_id") === 0), k = 5)
     }),
     "m39_takedown_state" -> ((s, dir) => {
@@ -1925,7 +2043,7 @@ object SparkEntry {
         graft.llm.Packing.writeShardLayout(assigned, tmp))
       graft.llm.Takedown.propagateShardSnapshot(s, store,
         docs.where(col("doc_id") % 13 === 5).select(col("doc_id")), "doc_id")
-      s.read.parquet(graft.llm.LayoutStore.snapshotPath(conf, store))
+      graft.llm.LayoutStore.readSnapshotTable(s, store)
         .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"))
     }),
     "d61_vocab_growth" -> ((s, dir) =>
@@ -2504,7 +2622,6 @@ object SparkEntry {
           cents, tmp))
       graft.llm.LayoutStore.writeSnapshot(conf, store)(tmp =>
         Similarity.writeIvfLayout(emb, cents, tmp))
-      val path = graft.llm.LayoutStore.snapshotPath(conf, store)
       val qVec = emb.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble).toArray
       val cells = cents.zipWithIndex.map { case (c, i) =>
@@ -2515,7 +2632,7 @@ object SparkEntry {
         }
         (acc, i)
       }.sortBy { case (d, i) => (d, i) }.take(4).map(_._2).toSeq
-      val probed = Similarity.readIvfCells(s, path, cells)
+      val probed = Similarity.readIvfCellsSnapshot(s, store, cells)
       Similarity.bruteForceTopK(probed, emb.where(col("vec_id") === 0), k = 5)
     }),
     "m20_ivf_layout" -> ((s, dir) => {
@@ -4186,6 +4303,44 @@ object SparkEntry {
          |GROUP BY c_custkey, c_name, n_name
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin,
+    "q37_market_share" ->
+      // the q28 ratio convention: exact decimal numerator/denominator,
+      // one double division; o_year cast to INT to match Spark's year()
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+        |      THEN CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(27,4))
+        |      ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |        AS DECIMAL(27,4))) AS DOUBLE) AS mkt_share,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(27,4))) AS DOUBLE) AS total_vol
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q38_nation_profit" ->
+      s"""SELECT n_name AS supp_nation,
+         |  CAST(year(o_orderdate) AS INT) AS o_year,
+         |${dsum("l_extendedprice * (1 - l_discount) " +
+            "- p_retailprice * l_quantity", 4, "profit")}
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%rod%'
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2 DESC""".stripMargin,
     "q28_promo_share" ->
       // same exact-decimal sums, same single double division
       """SELECT strftime(l_shipdate, '%Y-%m') AS month,
@@ -4345,6 +4500,21 @@ object SparkEntry {
       """SELECT DISTINCT
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "m53_stream_dedup_insert" ->
+      // closed input == batch dedup-insert: distinct fingerprints of
+      // corpus ∪ planted copies (add nothing) ∪ fresh texts, enriched
+      // by the same key-derived 16-row dimension
+      """WITH stream AS (
+        |  SELECT text FROM documents
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL SELECT text || ' fresh rev' FROM documents
+        |    WHERE doc_id % 10 = 4
+        |), keyed AS (
+        |  SELECT DISTINCT
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM stream
+        |)
+        |SELECT fp, 'grp_' || substr(fp, 1, 1) AS lbl FROM keyed""".stripMargin,
     "m52_stream_sessions" ->
       // the d15 gap derivation (strict > gap starts a new session —
       // session_window merges TOUCHING windows, spec-pinned) with

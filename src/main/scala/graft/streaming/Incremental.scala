@@ -167,6 +167,76 @@ object Incremental {
       .start()
   }
 
+  /** One micro-batch of the streaming DEDUP-INSERT sink: broadcast
+    * stream-static enrichment, then only keys absent from BOTH the
+    * batch-so-far (`dropDuplicates`) and the existing sink
+    * (`existingKeys` left-anti) survive. Factored out of
+    * [[dedupInsertAvailableNow]]'s foreachBatch so the physical plan
+    * is directly auditable: the static dimension BROADCASTS (the
+    * stream side never shuffles for the enrichment), and the sink-key
+    * anti-join sees only the key projection of the sink table. */
+  private[graft] def dedupInsertBatch(batch: DataFrame, keyCol: String,
+                                      dim: DataFrame, dimKeyCol: String,
+                                      existingKeys: Option[DataFrame])
+      : DataFrame = {
+    val enriched = batch.join(broadcast(dim), Seq(dimKeyCol))
+    val fresh = enriched.dropDuplicates(keyCol)
+    existingKeys.fold(fresh)(ks =>
+      fresh.join(ks.select(col(keyCol)), Seq(keyCol), "left_anti"))
+  }
+
+  /** Streaming DEDUP-INSERT sink with stream-static enrichment — the
+    * most common production ingest pattern: each micro-batch (a)
+    * enriches against a BROADCAST static dimension (no stream-side
+    * shuffle — the dimension ships to the stream, never the reverse),
+    * (b) drops keys already present in the SINK TABLE (left-anti
+    * against the sink's key projection — a duplicate arriving in a
+    * LATER micro-batch, or in a later invocation against the same
+    * sink, inserts nothing), and (c) appends only the fresh rows.
+    * This is the reference's Hudi DEDUP_INSERT write mode
+    * (HoodieSink.java:426-433,446-449 — filter records whose key
+    * exists in the table, then insert) re-expressed as
+    * foreachBatch over Structured Streaming, where it composes with
+    * any source the stream reads.
+    *
+    * Unlike [[dedupWithinWatermarkAvailableNow]]'s watermark-bounded
+    * state, the dedup memory here is the SINK ITSELF — unbounded
+    * horizon, priced as one key-projection scan of the sink per
+    * micro-batch (at scale: a bucketed/partitioned sink prunes that
+    * scan; the reference prices the same lookup against Hudi's key
+    * index). Delivery is at-least-once on micro-batch RETRY (the
+    * append and the checkpoint commit are not atomic — same trade the
+    * reference documents for non-transactional sinks); across
+    * DISTINCT batches the anti-join makes inserts exactly-once. */
+  def dedupInsertAvailableNow(spark: SparkSession, sourceDir: String,
+      schema: StructType, format: String,
+      prepare: DataFrame => DataFrame, keyCol: String,
+      dim: DataFrame, dimKeyCol: String,
+      sinkPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val r = spark.readStream.schema(schema).format(format)
+    val src = maxFilesPerTrigger.fold(r)(n =>
+      r.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
+    prepare(src).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s2 = batch.sparkSession
+        val sinkDir = new org.apache.hadoop.fs.Path(sinkPath)
+        val fs = sinkDir.getFileSystem(
+          s2.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(sinkDir) && fs.listStatus(sinkDir).exists(st =>
+              !st.getPath.getName.startsWith("_")))
+            Some(s2.read.parquet(sinkPath))
+          else None
+        dedupInsertBatch(batch, keyCol, dim, dimKeyCol, existing)
+          .write.mode("append").parquet(sinkPath)
+        ()
+      }
+      .start()
+  }
+
   /** Gap-based SESSION aggregation as a streaming `session_window` —
     * the Structured Streaming twin of the batch window-pass
     * sessionizer ([[graft.operators.Sessionize.sessions]]), with

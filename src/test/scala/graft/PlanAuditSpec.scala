@@ -149,6 +149,107 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q35: the RANGE-frame window runs over the |days|-sized daily " +
+    "aggregate, never the orders scan; one scan, partial daily sums") {
+    val qe = SparkEntry.queries("q35_moving_revenue")(spark, dir)
+      .queryExecution
+    val p = qe.executedPlan.toString
+    assert("FileScan".r.findAllIn(p).length == 1,
+      "one orders scan only — no second pass for the window input")
+    assert(p.contains("RangeFrame"),
+      "the 7-day frame must be a value-based RANGE frame, not ROWS")
+    // the Window's logical subtree must contain the day-level Aggregate:
+    // a window planned directly over the scan would sort |orders| rows
+    // instead of |days|
+    val windowOverAgg = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.collectFirst {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ()
+        }.nonEmpty
+    }
+    assert(windowOverAgg == Seq(true),
+      s"window must consume the daily aggregate:\n${qe.optimizedPlan}")
+    assert(p.contains("partial_sum"),
+      "the daily totals must partially aggregate map-side")
+  }
+
+  test("q36: the explicit-value-list pivot plans as pivotfirst " +
+    "aggregation over ONE scan — no value-discovery pass, no extra " +
+    "exchange beyond the two aggregation levels") {
+    val p = plan("q36_priority_pivot")
+    assert("FileScan".r.findAllIn(p).length == 1,
+      "a discovery-mode pivot would add a distinct-values scan")
+    assert(p.contains("pivotfirst"),
+      "the listed form must plan as the pivotfirst aggregate")
+    assert(p.contains("partial_sum") && p.contains("partial_pivotfirst"),
+      "both aggregation levels must keep map-side partials")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      "only the (yr, priority) and yr aggregation exchanges")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q37: the widest classic join tree (part, supplier, both nation " +
+    "roles, region, customer, orders) runs as broadcast hash joins with " +
+    "zero cartesians; type/region/date filters reach their scans") {
+    val p = plan("q37_market_share")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 6,
+      "every dimension of the Q8 tree must broadcast")
+    assert(p.contains("EqualTo(p_type,ECONOMY)"),
+      "part type filter must reach the part scan")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      "region filter must reach the region scan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "the order-date window must reach the orders scan")
+    assert(p.contains("partial_sum"),
+      "both conditional volume sums must partially aggregate map-side")
+  }
+
+  test("q38: part's name LIKE prunes before the broadcast; the profit " +
+    "tree joins without cartesians and keeps partial aggregation") {
+    val p = plan("q38_nation_profit")
+    assert(p.contains("StringContains(p_name,rod)"),
+      "the LIKE filter must reach the part scan, shrinking the broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("m53: the dedup-insert micro-batch broadcasts the static " +
+    "dimension (the stream side never shuffles for the enrichment) " +
+    "and anti-joins only the sink's key projection") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = docs
+      .select(graft.llm.Dedup.exactKey(org.apache.spark.sql.functions
+        .col("text")).as("fp"))
+      .withColumn("grp", org.apache.spark.sql.functions
+        .substring(org.apache.spark.sql.functions.col("fp"), 1, 1))
+    val dim = spark.range(16).selectExpr("lower(hex(id)) AS grp",
+      "concat('grp_', lower(hex(id))) AS lbl")
+    val existing = spark.range(4).selectExpr(
+      "concat('k', id) AS fp", "'x' AS lbl", "'0' AS grp")
+    val qe = graft.streaming.Incremental
+      .dedupInsertBatch(batch, "fp", dim, "grp", Some(existing))
+      .queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the 16-row dimension must broadcast into the stream batch")
+    assert(p.contains("LeftAnti"),
+      "sink keys must anti-join (the DEDUP_INSERT filter)")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    // the enrichment join sits BELOW any exchange on the stream side:
+    // the only hash exchange is the dropDuplicates aggregation on fp
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"enrichment must not shuffle the stream side:\n$p")
+    // the anti-join's build side reads only the key column of the sink
+    val anti = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType.sql == "LEFT ANTI" => j.right.output.map(_.name)
+    }
+    assert(anti == Seq(Seq("fp")),
+      s"anti-join must see only the sink's key projection, got $anti")
+  }
+
   test("q28: part dim broadcasts; conditional sums keep map-side " +
     "partial aggregation") {
     val p = plan("q28_promo_share")

@@ -60,4 +60,49 @@ class IncrementalSpec extends SparkTestBase {
       ("2024-01-01 00:00:00", "u1", 2L),
       ("2024-01-01 00:01:00", "u2", 1L)))
   }
+
+  test("dedupInsertAvailableNow: cross-batch AND cross-invocation " +
+    "duplicates insert nothing (the sink is the dedup memory); fresh " +
+    "keys append enriched; within-batch duplicates collapse") {
+    val s = spark; import s.implicits._
+    val src = tmpDir("di-src")
+    val sink = tmpDir("di-sink") + "/table"
+    val ckpt = tmpDir("di-ckpt")
+    val dim = Seq(("a", "LA"), ("b", "LB"), ("c", "LC")).toDF("grp", "lbl")
+    def run(ck: String) = Incremental.dedupInsertAvailableNow(
+      s, src, schema, "json",
+      df => df.select(col("id"), col("v").as("fp"),
+        substring(col("v"), 1, 1).as("grp")),
+      "fp", dim, "grp", sink, ck,
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    // batch 1: two keys, one within-batch duplicate
+    Files.write(Paths.get(src, "b1.json"),
+      """{"id": 1, "v": "aa"}
+        |{"id": 2, "v": "aa"}
+        |{"id": 3, "v": "bb"}
+        |""".stripMargin.getBytes)
+    // batch 2 (separate micro-batch): one cross-batch dup + one fresh
+    Files.write(Paths.get(src, "b2.json"),
+      """{"id": 4, "v": "aa"}
+        |{"id": 5, "v": "cc"}
+        |""".stripMargin.getBytes)
+    run(tmpDir("di-ckpt1"))
+    val after1 = spark.read.parquet(sink)
+      .select(col("fp"), col("lbl")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(after1.length == 3, s"got ${after1.toSeq}")
+    assert(after1.toSet == Set(("aa", "LA"), ("bb", "LB"), ("cc", "LC")))
+    // a LATER INVOCATION against the same sink (fresh checkpoint, so
+    // the old files replay): still nothing re-inserts, one new key lands
+    Files.write(Paths.get(src, "b3.json"),
+      """{"id": 6, "v": "bb"}
+        |{"id": 7, "v": "ab"}
+        |""".stripMargin.getBytes)
+    run(tmpDir("di-ckpt2"))
+    val after2 = spark.read.parquet(sink)
+      .select(col("fp")).collect().map(_.getString(0))
+    assert(after2.length == 4, s"replayed duplicates re-inserted: " +
+      s"${after2.toSeq.sorted}")
+    assert(after2.toSet == Set("aa", "bb", "cc", "ab"))
+  }
 }
