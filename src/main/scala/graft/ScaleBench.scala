@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  /** Copy-through accounting between two snapshot versions:
+  /** Physical accounting between two snapshot versions:
     * (filesCopied, bytesCopied, filesWritten, bytesWritten). A file
     * counts as COPIED when the new version holds the same relative
-    * path with the same name and size (the file-level copy-through
-    * preserves both); everything else was written through Spark. */
+    * path with the same name and size; everything else was written
+    * through Spark. Under the manifest-referenced version model the
+    * copied numbers read ~0 by construction — untouched dirs are not
+    * present in the new version dir at all (inherited_dirs in the
+    * artifact counts them), which IS the claim. */
   private[graft] def versionDiff(v1: String, v2: String)
       : (Long, Long, Long, Long) = {
     def walk(root: java.io.File, prefix: String): Map[String, Long] = {
@@ -1022,22 +1025,28 @@ object ScaleBench {
     val apMergeSecs = secs(tApMerge)
 
     // partition-level copy-through accounting: a file counts as COPIED
-    // when the new version holds the same relative path with the same
-    // name and size (the file-level walk preserves both); everything
-    // else was written through Spark. The honest caveat for the BM25
-    // pair: a broad-vocabulary batch/revocation touches most term
-    // buckets (common words hash everywhere), so their copied fraction
-    // is structural, not dramatic — the ∝-batch headline is the
-    // day-partitioned layout below.
+    // under the round-12 manifest model files_copied reads ~0 BY
+    // CONSTRUCTION (untouched dirs are inherited by reference, not
+    // copied) — inherited_dirs below is where the untouched mass went;
+    // files_written remains the ∝-touched claim. The honest caveat for
+    // the BM25 pair: a broad-vocabulary batch/revocation touches most
+    // term buckets (common words hash everywhere), so their inherited
+    // fraction is structural, not dramatic — the ∝-batch headline is
+    // the day-partitioned layout below.
     val (tdFilesCopied, tdBytesCopied, tdFilesWritten, tdBytesWritten) =
       versionDiff(s"$tdStore/version=1", s"$tdStore/version=2")
     val (apFilesCopied, apBytesCopied, apFilesWritten, apBytesWritten) =
       versionDiff(s"$apStore/version=1", s"$apStore/version=2")
+    def inheritedDirs(store: String, v: Long): Int =
+      graft.llm.LayoutStore.readManifest(hconf, store, v)
+        .map(_.count(_._2 < v)).getOrElse(0)
+    val tdInherited = inheritedDirs(tdStore, 2L)
+    val apInherited = inheritedDirs(apStore, 2L)
 
-    // the ∝-batch case copy-through exists for: a TIME-PARTITIONED
+    // the ∝-batch case manifest versions exist for: a TIME-PARTITIONED
     // metadata layout (64 days of history), appending ONE day's batch.
-    // The append must rewrite one directory and file-copy 63; the
-    // rebuild comparison pays the full union re-land — the cost the
+    // The append must write one directory and INHERIT 63 by reference;
+    // the rebuild comparison pays the full union re-land — the cost the
     // version would otherwise pay at every growth step.
     val apdStore = java.nio.file.Files
       .createTempDirectory("graft-apd").toString + "/store"
@@ -1057,6 +1066,7 @@ object ScaleBench {
     val apdAppendSecs = secs(tApd)
     val (apdFilesCopied, apdBytesCopied, apdFilesWritten, apdBytesWritten) =
       versionDiff(s"$apdStore/version=1", s"$apdStore/version=2")
+    val apdInherited = inheritedDirs(apdStore, 2L)
     val apdRebuildStore = java.nio.file.Files
       .createTempDirectory("graft-apd-rb").toString + "/store"
     val tApdRb = System.nanoTime()
@@ -1203,12 +1213,15 @@ object ScaleBench {
       s""""ap_build90_secs":$apBuildSecs,"ap_merge_secs":$apMergeSecs,""" +
       s""""ap_batch_docs":$apBatchN,""" +
       s""""td_files_copied":$tdFilesCopied,"td_bytes_copied":$tdBytesCopied,""" +
+      s""""td_inherited_dirs":$tdInherited,""" +
       s""""td_files_written":$tdFilesWritten,"td_bytes_written":$tdBytesWritten,""" +
       s""""ap_files_copied":$apFilesCopied,"ap_bytes_copied":$apBytesCopied,""" +
+      s""""ap_inherited_dirs":$apInherited,""" +
       s""""ap_files_written":$apFilesWritten,"ap_bytes_written":$apBytesWritten,""" +
       s""""apd_append_secs":$apdAppendSecs,"apd_rebuild_secs":$apdRebuildSecs,""" +
       s""""apd_batch_rows":$apdBatchRows,"apd_days":64,""" +
       s""""apd_files_copied":$apdFilesCopied,"apd_bytes_copied":$apdBytesCopied,""" +
+      s""""apd_inherited_dirs":$apdInherited,""" +
       s""""apd_files_written":$apdFilesWritten,"apd_bytes_written":$apdBytesWritten,""" +
       s""""zo_write_secs":$zoWriteSecs,"zo_pruned_secs":$zoPrunedSecs,""" +
       s""""zo_plain_secs":$zoPlainSecs,"zo_rows":$zoRows,""" +

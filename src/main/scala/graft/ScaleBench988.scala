@@ -104,6 +104,40 @@ object ScaleBench988 {
       k = editK, maxBucketSize = Some(cap)).count()
     val editSecs = secs(tEdit)
 
+    // the round-11 exact set-sim family at 2x — gauge-then-join, the
+    // ScaleBench recipe: the d75 cost gauge prices the cap-free pass on
+    // the exact-deduped corpus (the full bound is in the hundreds of
+    // billions here — the pass the gauge exists to refuse), then the
+    // largest doc_id-block subset the gauge prices under ~300M
+    // candidates is timed. Pairs/second is the claim; 988k vs 544k
+    // pins the family's scaling like every other detector.
+    val tSsGauge = System.nanoTime()
+    val ssCorpusAll = Dedup.exactDedup(corpus, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ssCorpusAll.count()
+    val ssCostFull = Dedup.setSimilarityJoinCost(ssCorpusAll, "doc_id",
+      "text", thresholdNum = 7, thresholdDen = 10).head()
+    val ssGaugeSecs = secs(tSsGauge)
+    val ssBoundFull = ssCostFull.getLong(2)
+    val ssMod = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+      .find(k => ssBoundFull / (k * k) <= 300000000L).getOrElse(64L)
+    val ssCorpus = (if (ssMod == 1L) ssCorpusAll
+      else ssCorpusAll.where(
+        pmod((col("doc_id") / 100000).cast("long"), lit(ssMod)) === 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ssDocs = ssCorpus.count()
+    val ssCostSub = Dedup.setSimilarityJoinCost(ssCorpus, "doc_id",
+      "text", thresholdNum = 7, thresholdDen = 10).head()
+    if (ssCostSub.getLong(2) > 300000000L)
+      println(s"setsim subset bound OVERSHOOT: mod=$ssMod measured " +
+        s"${ssCostSub.getLong(2)} candidates > 300000000 budget")
+    val tSetSim = System.nanoTime()
+    val setSimPairs = Dedup.setSimilarityJoin(ssCorpus, "doc_id",
+      "text", thresholdNum = 7, thresholdDen = 10).count()
+    val setSimSecs = secs(tSetSim)
+    ssCorpus.unpersist(blocking = true)
+    ssCorpusAll.unpersist(blocking = true)
+
     // lifecycle operators at 2x — the r10 verdict ask: the ∝-index
     // (takedown propagate vs rebuild) and ∝-batch (closed-form append)
     // claims were only measured at 544k. Same recipe as ScaleBench's
@@ -131,6 +165,14 @@ object ScaleBench988 {
     val tdRebuildSecs = secs(tTdRebuild)
     val (tdFc, tdBc, tdFw, tdBw) =
       ScaleBench.versionDiff(s"$tdStore/version=1", s"$tdStore/version=2")
+    // manifest accounting: dirs the new version serves WITHOUT any
+    // physical write or copy (files_copied reads ~0 by construction now;
+    // inherited_dirs is where the untouched mass went)
+    def inheritedDirs(store: String, v: Long): Int =
+      graft.llm.LayoutStore.readManifest(
+        spark.sparkContext.hadoopConfiguration, store, v)
+        .map(_.count(_._2 < v)).getOrElse(0)
+    val tdInherited = inheritedDirs(tdStore, 2L)
 
     val apStore = java.nio.file.Files
       .createTempDirectory("graft-ap-988").toString + "/bm25"
@@ -145,6 +187,7 @@ object ScaleBench988 {
     val apMergeSecs = secs(tApMerge)
     val (apFc, apBc, apFw, apBw) =
       ScaleBench.versionDiff(s"$apStore/version=1", s"$apStore/version=2")
+    val apInherited = inheritedDirs(apStore, 2L)
 
     // the ∝-batch day-partitioned append at 2x (one day into 64)
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -166,6 +209,7 @@ object ScaleBench988 {
     val apdAppendSecs = secs(tApd)
     val (apdFc, apdBc, apdFw, apdBw) =
       ScaleBench.versionDiff(s"$apdStore/version=1", s"$apdStore/version=2")
+    val apdInherited = inheritedDirs(apdStore, 2L)
     val apdRebuildStore = java.nio.file.Files
       .createTempDirectory("graft-apd-988-rb").toString + "/store"
     val tApdRb = System.nanoTime()
@@ -185,17 +229,25 @@ object ScaleBench988 {
       s""""simhash_secs":$simSecs,"simhash_pairs":$nSimPairs,""" +
       s""""simhash_comb_secs":$simCSecs,"simhash_comb_pairs":$nSimCPairs,""" +
       s""""edit_secs":$editSecs,"edit_pairs":$nEditPairs,"edit_k":$editK,""" +
+      s""""setsim_gauge_secs":$ssGaugeSecs,""" +
+      s""""setsim_cand_bound_full":$ssBoundFull,"setsim_mod":$ssMod,""" +
+      s""""setsim_docs":$ssDocs,""" +
+      s""""setsim_cand_bound_sub":${ssCostSub.getLong(2)},""" +
+      s""""setsim_secs":$setSimSecs,"setsim_pairs":$setSimPairs,""" +
       s""""td_build_secs":$tdBuildSecs,"td_prop_secs":$tdPropSecs,""" +
       s""""td_rebuild_secs":$tdRebuildSecs,"td_revoked_docs":$tdRevokedN,""" +
       s""""td_files_copied":$tdFc,"td_bytes_copied":$tdBc,""" +
+      s""""td_inherited_dirs":$tdInherited,""" +
       s""""td_files_written":$tdFw,"td_bytes_written":$tdBw,""" +
       s""""ap_build90_secs":$apBuildSecs,"ap_merge_secs":$apMergeSecs,""" +
       s""""ap_batch_docs":$apBatchN,""" +
       s""""ap_files_copied":$apFc,"ap_bytes_copied":$apBc,""" +
+      s""""ap_inherited_dirs":$apInherited,""" +
       s""""ap_files_written":$apFw,"ap_bytes_written":$apBw,""" +
       s""""apd_append_secs":$apdAppendSecs,"apd_rebuild_secs":$apdRebuildSecs,""" +
       s""""apd_batch_rows":$apdBatchRows,"apd_days":64,""" +
       s""""apd_files_copied":$apdFc,"apd_bytes_copied":$apdBc,""" +
+      s""""apd_inherited_dirs":$apdInherited,""" +
       s""""apd_files_written":$apdFw,"apd_bytes_written":$apdBw,""" +
       s""""total_secs":${secs(t0)}}"""
     println(line)

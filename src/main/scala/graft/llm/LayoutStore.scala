@@ -76,7 +76,7 @@ object LayoutStore {
     try out.write(jackson.writeValueAsBytes(m)) finally out.close()
   }
 
-  private[llm] def readManifest(conf: org.apache.hadoop.conf.Configuration,
+  private[graft] def readManifest(conf: org.apache.hadoop.conf.Configuration,
                                 path: String, v: Long)
       : Option[Map[String, Long]] = {
     val f = new org.apache.hadoop.fs.Path(s"$path/version=$v/$ManifestFile")
