@@ -79,9 +79,10 @@ object Bench {
       // gate recorded d74 at 52s (3/3 repeats) inside the whole suite
       // while solo runs read 4.4-6.3s at the same HEAD — an interference
       // mode, not an algorithmic one. An explicit GC between queries
-      // costs ~0.1s each and makes every timed query start from the
-      // same reclaimed state.
-      System.gc()
+      // costs ~0.1s each (outside the timed window) and makes every
+      // timed query start from the same reclaimed state.
+      // SPARK_GRAFT_GC=0 disables it for same-minute A/B runs.
+      if (sys.env.getOrElse("SPARK_GRAFT_GC", "1") != "0") System.gc()
     }
 
     // Per-query spill/GC telemetry: round-11's one open finding was a
