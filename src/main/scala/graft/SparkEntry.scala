@@ -1401,6 +1401,81 @@ object SparkEntry {
         .agg(decimalSum(profit, 4).as("profit"))
         .orderBy(col("supp_nation"), col("o_year").desc)
     }),
+    "q39_cheapest_supplier" -> ((s, dir) => {
+      // TPC-H Q2's plan shape: a correlated scalar-subquery MINIMUM —
+      // for each small part, the ASIA supplier(s) offering it at the
+      // minimum unit price (ties kept, like Q2). Hand-decorrelated as
+      // an equality-to-aggregate retention: ONE shuffle on p_partkey
+      // carries both the per-part window MIN and the filter (no
+      // second scan, no self-join); the dims (filtered part, supplier,
+      // nation→region chain) all broadcast into the lineitem scan.
+      // unit_price is one double division on identical inputs both
+      // engines; equality-to-min compares bit-identical doubles. The
+      // oracle states the CORRELATED subquery form — two engines, two
+      // decorrelation paths (the q21–q27 discipline).
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      val p = t(s, dir, "part").where(col("p_size") <= 3)
+        .select(col("p_partkey"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      val offers = li
+        .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("p_partkey"), col("s_suppkey"), col("unit_price"))
+      val w = Window.partitionBy(col("p_partkey"))
+      offers.withColumn("__min", min(col("unit_price")).over(w))
+        .where(col("unit_price") === col("__min"))
+        .select(col("p_partkey"), col("s_suppkey"), col("unit_price"))
+        .distinct()
+        .orderBy(col("p_partkey"), col("s_suppkey"))
+    }),
+    "q40_shipping_volume" -> ((s, dir) => {
+      // TPC-H Q7's plan shape: bilateral shipping volume between two
+      // nations by year — the cross-side OR over TWO dimension roles
+      // ((supp=2 AND cust=7) OR (supp=7 AND cust=2)). Catalyst derives
+      // each side's implied IN-list and pushes it into that nation
+      // scan (the q34 extraction over join roles instead of columns);
+      // the exact pair predicate rides above the broadcast joins.
+      // Exact decimal volume; shipdate window pushed to the lineitem
+      // scan.
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"),
+          col("n_name").as("supp_nation"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"),
+          col("n_name").as("cust_nation"))
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n1), sup("s_nationkey") === col("s_nkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n2), c("c_nationkey") === col("c_nkey"))
+        .where((col("supp_nation") === "NATION_18" &&
+            col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" &&
+            col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(decimalSum(vol, 4).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
     "q28_promo_share" -> ((s, dir) => {
       // TPC-H Q14's plan shape: a conditional-aggregation RATIO — the
       // promo share of monthly revenue. Numerator and denominator are
@@ -1482,6 +1557,40 @@ object SparkEntry {
       val ev = t(s, dir, "events").where(col("user_id") < 40)
       graft.operators.GapFill.gapFillLocf(ev, "user_id", tsMicros(ev),
         "value", bucketMicros = 3600000000L)
+    }),
+    "m54_partial_compaction" -> ((s, dir) => {
+      // the ∝-fragmentation maintenance pass over a manifest-versioned
+      // layout: v1 lands with ONE hot day fragmented into 8 files (the
+      // shape frequent appends leave behind), v2 appends a batch into
+      // a different day (manifest version — only that day written),
+      // then compactSnapshotPartial rewrites ONLY the entries over the
+      // file threshold (the fragmented hot day) and carries the cold
+      // dirs by reference. The oracle states the logical content
+      // directly — three versions of physical layout churn must be
+      // row-invisible.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val rows = docs.select(col("doc_id").as("id"),
+        (col("doc_id") % 16).cast("int").as("day"),
+        col("n_chars"))
+      val store = tmpQueryDir("m54-store").toString + "/layout"
+      val conf = s.sparkContext.hadoopConfiguration
+      graft.llm.LayoutStore.writeSnapshot(conf, store) { tmp =>
+        rows.where(col("day") =!= 3).repartition(col("day"))
+          .write.partitionBy("day").parquet(tmp)
+        rows.where(col("day") === 3).repartition(8)
+          .write.mode("append").partitionBy("day").parquet(tmp)
+      }
+      val batch = docs.where(col("doc_id") % 16 === 5)
+        .select((col("doc_id") + 1000000L).as("id"),
+          lit(5).cast("int").as("day"), col("n_chars"))
+      graft.llm.Ingest.appendRowsSnapshot(s, store, batch, "day", "id")
+      graft.llm.LayoutStore.compactSnapshotPartial(s, store,
+        maxFilesPerEntry = 4)
+      require(graft.llm.LayoutStore.fragmentedEntries(conf, store, 3L,
+        4).isEmpty, "the hot day must be defragmented")
+      graft.llm.LayoutStore.readSnapshotTable(s, store)
+        .select(col("id"), col("day").cast("int").as("day"),
+          col("n_chars"))
     }),
     "m45_zorder_layout" -> ((s, dir) => {
       // Morton-curve clustered layout: lineitem written partitioned by
@@ -4341,6 +4450,40 @@ object SparkEntry {
          |WHERE p_name LIKE '%rod%'
          |GROUP BY 1, 2
          |ORDER BY 1, 2 DESC""".stripMargin,
+    "q39_cheapest_supplier" ->
+      // the correlated Q2 form — DuckDB decorrelates it its own way
+      """SELECT DISTINCT p_partkey, s_suppkey,
+        |  l_extendedprice / l_quantity AS unit_price
+        |FROM lineitem l
+        |JOIN part ON l.l_partkey = p_partkey
+        |JOIN supplier ON l.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size <= 3 AND r_name = 'ASIA'
+        |  AND l_extendedprice / l_quantity = (
+        |    SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+        |    FROM lineitem l2
+        |    JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE l2.l_partkey = l.l_partkey AND r2.r_name = 'ASIA')
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q40_shipping_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |${dsum("l_extendedprice * (1 - l_discount)", 4, "revenue")}
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+         |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+         |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+         |  AND l_shipdate < TIMESTAMP '2001-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
     "q28_promo_share" ->
       // same exact-decimal sums, same single double division
       """SELECT strftime(l_shipdate, '%Y-%m') AS month,
@@ -4453,6 +4596,13 @@ object SparkEntry {
           |    AS BIGINT) AS n_tokens
           |FROM documents""".stripMargin,
         "doc_id", nShards = 8, salt = "m46"),
+    "m54_partial_compaction" ->
+      // three versions of physical churn, zero logical change
+      """SELECT doc_id AS id, CAST(doc_id % 16 AS INT) AS day, n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS id, 5 AS day, n_chars
+        |FROM documents WHERE doc_id % 16 = 5""".stripMargin,
     "m48_incremental_refresh" ->
       // s09's formulation over the NEW corpus version: correct only if
       // the retract+append pair reproduced exactly the df/N/Σdl and

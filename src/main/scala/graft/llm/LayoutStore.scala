@@ -379,6 +379,99 @@ object LayoutStore {
     }
   }
 
+  /** PARTIAL compaction: re-materialize only the entries of the pinned
+    * snapshot whose physical directory holds more than
+    * `maxFilesPerEntry` data files; every other entry is carried by
+    * manifest reference, untouched. [[compactSnapshot]] is ∝ TABLE
+    * (every byte rewrites — right for flattening a long manifest
+    * chain); this pass is ∝ FRAGMENTATION, which is what a 100k-dir
+    * 100 TB layout actually needs on a maintenance cadence: the hot
+    * partitions that take frequent appends accrete small files, the
+    * cold thousands do not, and rewriting the cold ones to fix the hot
+    * ones is the same ∝-table cost the manifest model exists to avoid.
+    * Returns the new version (a no-op input still lands a new
+    * all-carried version — callers can skip by checking
+    * [[fragmentedEntries]] first). */
+  def compactSnapshotPartial(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             maxFilesPerEntry: Int = 8,
+                             maxRecordsPerFile: Long = 4L * 1024 * 1024)
+      : Long = {
+    require(maxFilesPerEntry >= 1,
+      s"maxFilesPerEntry must be >= 1: $maxFilesPerEntry")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pin = versions(conf, path).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no layout snapshots at $path"))
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val entries = effectiveEntries(conf, path, pin)
+    val frag = fragmentedEntries(conf, path, pin, maxFilesPerEntry)
+    withPartitionInferenceOff(spark) {
+      writeSnapshotManifested(conf, path) { (tmp, _) =>
+        // group the fragmented entries by logical (sub-)table so each
+        // table rewrites its affected partition values in ONE job
+        frag.keys.groupBy(k =>
+          if (k == "." || !k.contains("/")) {
+            if (k.contains("=") || k == ".") "" else k
+          } else k.split("/")(0)
+        ).foreach { case (sub, keys) =>
+          val dest = if (sub.isEmpty) tmp else s"$tmp/$sub"
+          val whole = keys.exists(k => k == "." || k == sub)
+          if (whole) {
+            readSnapshotTable(spark, path, sub, Some(pin))
+              .coalesce(1).write.mode("overwrite")
+              .option("maxRecordsPerFile", maxRecordsPerFile)
+              .parquet(dest)
+          } else {
+            // partition dirs of a partitioned table: read only the
+            // fragmented dirs (per owner, basePath-pinned), rewrite
+            // them re-clustered — partitionBy writes ONLY the values
+            // present, which are exactly these dirs' values
+            val partCol = keys.head.split("/").last.split("=", 2)(0)
+            val byOwner = keys.groupBy(k => entries(k))
+            val frames = byOwner.toSeq.sortBy(_._1).map { case (o, ks) =>
+              val basem =
+                if (sub.isEmpty) s"$path/version=$o"
+                else s"$path/version=$o/$sub"
+              val dirs = ks.toSeq.sorted.map { k =>
+                val d = if (sub.isEmpty) k else k.stripPrefix(s"$sub/")
+                s"$basem/$d"
+              }
+              spark.read.option("basePath", basem).parquet(dirs: _*)
+            }
+            frames.reduce(_.unionByName(_))
+              .repartition(org.apache.spark.sql.functions.col(partCol))
+              .write.mode("overwrite")
+              .option("maxRecordsPerFile", maxRecordsPerFile)
+              .partitionBy(partCol).parquet(dest)
+          }
+        }
+        entries -- frag.keySet
+      }
+    }
+  }
+
+  /** The pinned snapshot's entries whose physical dir holds more than
+    * `maxFilesPerEntry` data files → data-file count. The cheap
+    * pre-flight for [[compactSnapshotPartial]] (file-metadata only). */
+  def fragmentedEntries(conf: org.apache.hadoop.conf.Configuration,
+                        path: String, version: Long,
+                        maxFilesPerEntry: Int): Map[String, Int] = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    effectiveEntries(conf, path, version).flatMap { case (k, o) =>
+      val dir = new org.apache.hadoop.fs.Path(
+        if (k == ".") s"$path/version=$o"
+        else s"$path/version=$o/$k")
+      var n = 0
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      if (n > maxFilesPerEntry) Some(k -> n) else None
+    }
+  }
+
   /** Delete all but the newest `retain` snapshots; returns the versions
     * removed from the serveable list (oldest→newest). FS-only,
     * mirroring RunState's prune.

@@ -215,6 +215,36 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_sum"))
   }
 
+  test("q39: the correlated-min retention plans as ONE p_partkey " +
+    "exchange carrying both the window MIN and the filter; all dims " +
+    "broadcast; the size filter reaches the part scan") {
+    val p = plan("q39_cheapest_supplier")
+    assert(p.contains("Window") && p.contains("min(unit_price"),
+      "the per-part minimum must be a window, not a self-join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no second pass over the offers for the scalar subquery")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4)
+    assert(p.contains("LessThanOrEqual(p_size,3)"),
+      "part size filter must reach the part scan")
+    // one data exchange (p_partkey) + the final presentation sort only
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"the window and the filter must share ONE partkey exchange:\n$p")
+  }
+
+  test("q40: the cross-role OR yields derived per-side IN-lists pushed " +
+    "into BOTH nation scans; the exact pair predicate rides the " +
+    "broadcast join; volume sums stay partial") {
+    val p = plan("q40_shipping_volume")
+    assert("Or\\(EqualTo\\(n_name,NATION_1[89]\\),EqualTo\\(n_name,NATION_1[89]\\)\\)".r
+      .findAllIn(p).length == 2,
+      "each nation role must get its derived IN-list at its own scan")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "ship-date window must reach the lineitem scan")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 5)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum"))
+  }
+
   test("m53: the dedup-insert micro-batch broadcasts the static " +
     "dimension (the stream side never shuffles for the enrichment) " +
     "and anti-joins only the sink's key projection") {

@@ -110,6 +110,40 @@ class LayoutStoreSpec extends SparkTestBase {
     assert(LayoutStore.readSnapshotTable(spark, store).count() == 82L)
   }
 
+  test("compactSnapshotPartial: only entries over the file threshold " +
+    "rewrite (cost ∝ fragmentation); the cold dirs carry by reference; " +
+    "rows and partition values survive exactly") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("ls-partial") + "/store"
+    val rows = (0L until 320L).map(i => (i, (i % 8).toInt, i * 1.0))
+      .toDF("id", "day", "v")
+    // day=3 lands as 8 files (fragmented); every other day as 1
+    LayoutStore.writeSnapshot(conf, store) { tmp =>
+      rows.where(col("day") =!= 3).repartition(col("day"))
+        .write.partitionBy("day").parquet(tmp)
+      rows.where(col("day") === 3).repartition(8)
+        .write.mode("append").partitionBy("day").parquet(tmp)
+    }
+    val frag = LayoutStore.fragmentedEntries(conf, store, 1L,
+      maxFilesPerEntry = 4)
+    assert(frag.keySet == Set("day=3") && frag("day=3") == 8, s"$frag")
+    assert(LayoutStore.compactSnapshotPartial(spark, store,
+      maxFilesPerEntry = 4) == 2L)
+    // v2 physically holds ONLY the compacted day=3 (now few files)
+    val v2dirs = dataDirs(s"$store/version=2")
+    assert(v2dirs == Set("day=3"), s"got $v2dirs")
+    assert(LayoutStore.fragmentedEntries(conf, store, 2L, 4).isEmpty)
+    val manifest = LayoutStore.readManifest(conf, store, 2L).get
+    assert(manifest("day=3") == 2L)
+    for (d <- 0 until 8 if d != 3)
+      assert(manifest(s"day=$d") == 1L, s"day=$d must carry by reference")
+    // exact row multiset + partition values survive
+    val got = LayoutStore.readSnapshotTable(spark, store)
+      .select(col("id"), col("day").cast("int"), col("v"))
+      .collect().map(_.toSeq).toSet
+    assert(got == rows.collect().map(_.toSeq).toSet)
+  }
+
   test("compactSnapshot re-materializes a manifested snapshot as ONE " +
     "physical version (the copy path) — manifest-free, same rows") {
     val s = spark; import s.implicits._
