@@ -1476,6 +1476,60 @@ object SparkEntry {
         .agg(decimalSum(vol, 4).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
+    "q41_large_volume_orders" -> ((s, dir) => {
+      // TPC-H Q18's plan shape: the IN-subquery-with-HAVING — orders
+      // whose TOTAL line quantity clears a threshold, listed with
+      // customer and re-aggregated. The subquery decorrelates to ONE
+      // lineitem aggregate whose HAVING filter feeds a LEFT SEMI join
+      // back into the fact (the aggregate's orderkey partitioning is
+      // reused — no extra exchange for the semi-join side); customer
+      // broadcasts; the global top-100 plans as TakeOrderedAndProject.
+      // Quantity sums are exact decimal; ties break on o_orderkey.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(27,2)")).as("__q"))
+        .where(col("__q") > 250).select(col("l_orderkey"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      li.join(big, Seq("l_orderkey"), "left_semi")
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+        .agg(decimalSum(col("l_quantity"), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+    "q42_supplier_part_counts" -> ((s, dir) => {
+      // TPC-H Q16's plan shape: NOT IN + COUNT(DISTINCT) — distinct
+      // suppliers per surviving (brand, type, size) cell, excluding a
+      // complained-about supplier list (the testdata schema carries no
+      // partsupp/s_comment, so lineitem's (l_partkey, l_suppkey) is
+      // the part-supplier relation and a low-balance filter stands in
+      // for the complaints LIKE). NOT IN over a non-null key plans as
+      // a LEFT ANTI join (broadcast — the excluded list is tiny); the
+      // brand/type/size filters all reach the part scan; the distinct
+      // count runs as the standard two-level partial aggregate.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+      val p = t(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      val bad = t(s, dir, "supplier").where(col("s_acctbal") < 1000)
+        .select(col("s_suppkey"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(broadcast(bad), li("l_suppkey") === bad("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
     "q28_promo_share" -> ((s, dir) => {
       // TPC-H Q14's plan shape: a conditional-aggregation RATIO — the
       // promo share of monthly revenue. Numerator and denominator are
@@ -4450,6 +4504,32 @@ object SparkEntry {
          |WHERE p_name LIKE '%rod%'
          |GROUP BY 1, 2
          |ORDER BY 1, 2 DESC""".stripMargin,
+    "q41_large_volume_orders" ->
+      // the IN-subquery-with-HAVING form stated directly
+      """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+        |    AS total_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(27,2))) > 250)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q42_supplier_part_counts" ->
+      // the NOT IN + COUNT(DISTINCT) form stated directly
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q39_cheapest_supplier" ->
       // the correlated Q2 form — DuckDB decorrelates it its own way
       """SELECT DISTINCT p_partkey, s_suppkey,

@@ -245,6 +245,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_sum"))
   }
 
+  test("q41: the HAVING subquery decorrelates to one aggregate feeding " +
+    "a LEFT SEMI join that reuses the orderkey partitioning; customer " +
+    "broadcasts; the top-100 plans as TakeOrderedAndProject") {
+    val p = plan("q41_large_volume_orders")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the global top-100 must not be a full sort")
+    assert(p.contains("partial_sum"),
+      "the big-order aggregate must partially aggregate map-side")
+    assert(!p.contains("CartesianProduct"))
+    // the semi-join and the threshold aggregate share the l_orderkey
+    // exchange; the per-order re-aggregation adds one more — orders
+    // joins on the same key, so <=3 hash exchanges total
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3,
+      s"semi-join must reuse the aggregate's orderkey partitioning:\n$p")
+  }
+
+  test("q42: NOT IN over a non-null key plans as a broadcast LEFT ANTI; " +
+    "brand/type/size filters reach the part scan; the distinct count " +
+    "stays a two-level partial aggregate") {
+    val p = plan("q42_supplier_part_counts")
+    assert(p.contains("LeftAnti"))
+    // the pushed-filter list is TRUNCATED in toString (the q32 note) —
+    // assert via the scan-side Filter node instead
+    assert(p.contains("NOT (p_brand"),
+      "brand exclusion must sit on the part scan branch")
+    assert(p.contains("IN (1,4,9,14,19,23,36,45)"),
+      "the size IN-list must sit on the part scan branch")
+    assert(p.contains("BroadcastHashJoin"), "part must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    assert(p.contains("partial_count(distinct"),
+      "the supplier count must keep the distinct partial aggregate")
+  }
+
   test("m53: the dedup-insert micro-batch broadcasts the static " +
     "dimension (the stream side never shuffles for the enrichment) " +
     "and anti-joins only the sink's key projection") {
