@@ -24,6 +24,10 @@ import graft.core.RunState
   * postings index via TextAnalysis.writeBm25Snapshot) likewise:
   *   sbt "runMain graft.tools.StateTool layouts       <storeDir>"
   *   sbt "runMain graft.tools.StateTool layouts-prune <storeDir> <retain>"
+  * manifest-referenced versions list their inherited/owned entry split,
+  * and the fragmentation gauge prices a partial compaction without a
+  * Spark session (LayoutStore.fragmentedEntries):
+  *   sbt "runMain graft.tools.StateTool layouts-frag  <storeDir> <maxFilesPerEntry>"
   */
 object StateTool {
 
@@ -81,7 +85,26 @@ object StateTool {
         val p = new org.apache.hadoop.fs.Path(base, s"version=$v")
         val sum = fs.getContentSummary(p)
         val live = if (v == vs.last) "\tLIVE" else ""
-        println(s"version=$v\tfiles=${sum.getFileCount}\tbytes=${sum.getLength}$live")
+        // manifest split: a manifested version physically owns only its
+        // touched entries; the rest serve by reference from older dirs
+        val man = graft.llm.LayoutStore.readManifest(conf, dir, v)
+          .map { m =>
+            val inh = m.count(_._2 < v)
+            s"\towned=${m.size - inh}\tinherited=$inh"
+          }.getOrElse("\tphysical")
+        println(s"version=$v\tfiles=${sum.getFileCount}\tbytes=${sum.getLength}$man$live")
+      }
+    case "layouts-frag" :: dir :: maxFiles :: Nil =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val vs = graft.llm.LayoutStore.versions(conf, dir)
+      if (vs.isEmpty) { println(s"no layout snapshots at $dir"); sys.exit(1) }
+      val frag = graft.llm.LayoutStore.fragmentedEntries(conf, dir,
+        vs.last, maxFiles.toInt)
+      if (frag.isEmpty)
+        println(s"version=${vs.last}: no entry over ${maxFiles.toInt} files " +
+          "— nothing to compact")
+      else frag.toSeq.sortBy(-_._2).foreach { case (k, n) =>
+        println(s"$k\tfiles=$n")
       }
     case "layouts-prune" :: dir :: retain :: Nil =>
       val removed = graft.llm.LayoutStore.prune(
@@ -92,7 +115,8 @@ object StateTool {
       System.err.println(
         "usage: StateTool print|versions <dir> | get|unset <dir> <key> | " +
           "prune <dir> <retain> | benchkeys <dir> | benchkeys-prune <dir> <retain> | " +
-          "layouts <dir> | layouts-prune <dir> <retain>")
+          "layouts <dir> | layouts-prune <dir> <retain> | " +
+          "layouts-frag <dir> <maxFilesPerEntry>")
       sys.exit(2)
   }
 }

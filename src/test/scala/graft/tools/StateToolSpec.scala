@@ -85,6 +85,36 @@ class StateToolSpec extends AnyFunSuite {
     assert(pruned.contains("removed versions [1,2]"))
     val after = captureOut(StateTool.main(Array("layouts", d))).trim.split("\n").toSeq
     assert(after.size == 1 && after.head.startsWith("version=3"))
+    assert(after.head.contains("\tphysical"),
+      "a manifest-free version must list as physical")
+  }
+
+  test("layouts shows the manifest owned/inherited split; layouts-frag " +
+    "reports entries over the file threshold (pure FS, no Spark)") {
+    val d = dir() + "/store"
+    // v1: physical, day=0 with 3 stub files, day=1 with 1
+    for ((day, n) <- Seq((0, 3), (1, 1))) {
+      val p = java.nio.file.Paths.get(d, "version=1", s"day=$day")
+      java.nio.file.Files.createDirectories(p)
+      (0 until n).foreach(i => java.nio.file.Files.writeString(
+        p.resolve(s"part-$i.parquet"), s"stub$i"))
+    }
+    // v2: manifested — owns day=1, inherits day=0 from v1
+    val v2 = java.nio.file.Paths.get(d, "version=2", "day=1")
+    java.nio.file.Files.createDirectories(v2)
+    java.nio.file.Files.writeString(v2.resolve("part-0.parquet"), "stub")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d, "version=2", "_manifest.json"),
+      """{"day=0":1,"day=1":2}""")
+    val listed = captureOut(StateTool.main(Array("layouts", d)))
+      .trim.split("\n").toSeq
+    assert(listed.last.contains("owned=1") &&
+      listed.last.contains("inherited=1"), listed.mkString("|"))
+    val frag = captureOut(StateTool.main(Array("layouts-frag", d, "2")))
+    assert(frag.contains("day=0") && frag.contains("files=3"), frag)
+    assert(!frag.contains("day=1"))
+    val clean = captureOut(StateTool.main(Array("layouts-frag", d, "8")))
+    assert(clean.contains("nothing to compact"), clean)
   }
 
   test("versions lists checkpoint files oldest first") {
