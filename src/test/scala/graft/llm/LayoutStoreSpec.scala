@@ -144,6 +144,42 @@ class LayoutStoreSpec extends SparkTestBase {
     assert(got == rows.collect().map(_.toSeq).toSet)
   }
 
+  test("the full lifecycle chains: physical build → manifested append → " +
+    "partial compact → another append → prune; owners stay one-hop and " +
+    "the logical content is exact at every step") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("ls-chain-full") + "/store"
+    val base = (0L until 160L).map(i => (i, (i % 4).toInt, i * 1.0))
+      .toDF("id", "day", "v")
+    LayoutStore.writeSnapshot(conf, store) { tmp =>
+      base.where(col("day") =!= 3).repartition(col("day"))
+        .write.partitionBy("day").parquet(tmp)
+      base.where(col("day") === 3).repartition(8)
+        .write.mode("append").partitionBy("day").parquet(tmp)
+    }
+    Ingest.appendRowsSnapshot(spark, store,
+      Seq((200L, 1, 9.0)).toDF("id", "day", "v"), "day", "id") // v2
+    LayoutStore.compactSnapshotPartial(spark, store,
+      maxFilesPerEntry = 4) // v3: rewrites day=3 only
+    Ingest.appendRowsSnapshot(spark, store,
+      Seq((201L, 0, 8.0)).toDF("id", "day", "v"), "day", "id") // v4
+    val m4 = LayoutStore.readManifest(conf, store, 4L).get
+    assert(m4 == Map("day=0" -> 4L, "day=1" -> 2L, "day=2" -> 1L,
+      "day=3" -> 3L), s"owners must stay one-hop physical: $m4")
+    val ids = LayoutStore.readSnapshotTable(spark, store).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 160L).toSet ++ Set(200L, 201L))
+    // prune to the newest: v1 retires keeping only day=2 (day=0/1/3 are
+    // superseded by 4/2/3), v2 keeps day=1, v3 keeps day=3
+    assert(LayoutStore.prune(conf, store, retain = 1) == Seq(1L, 2L, 3L))
+    assert(dataDirs(s"$store/version=1") == Set("day=2"))
+    assert(dataDirs(s"$store/version=2") == Set("day=1"))
+    assert(dataDirs(s"$store/version=3") == Set("day=3"))
+    assert(LayoutStore.readSnapshotTable(spark, store).select("id")
+      .collect().map(_.getLong(0)).toSet ==
+      (0L until 160L).toSet ++ Set(200L, 201L))
+  }
+
   test("compactSnapshot re-materializes a manifested snapshot as ONE " +
     "physical version (the copy path) — manifest-free, same rows") {
     val s = spark; import s.implicits._
