@@ -1476,6 +1476,32 @@ object SparkEntry {
         .agg(decimalSum(vol, 4).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
+    "q43_shipping_priority" -> ((s, dir) => {
+      // TPC-H Q3's plan shape verbatim: unshipped-order revenue top-10
+      // — the date CROSSOVER predicate (ordered BEFORE the cutoff,
+      // shipped AFTER it) pushed to each side's own scan, the segment
+      // filter riding the broadcast customer dim, revenue as the exact
+      // decimal sum per order, and the global top-10 as
+      // TakeOrderedAndProject with a deterministic orderkey tiebreak.
+      val cut = lit("1998-06-01").cast("timestamp")
+      val c = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t(s, dir, "orders").where(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(s, dir, "lineitem").where(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(decimalSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
     "q41_large_volume_orders" -> ((s, dir) => {
       // TPC-H Q18's plan shape: the IN-subquery-with-HAVING — orders
       // whose TOTAL line quantity clears a threshold, listed with
@@ -4504,6 +4530,18 @@ object SparkEntry {
          |WHERE p_name LIKE '%rod%'
          |GROUP BY 1, 2
          |ORDER BY 1, 2 DESC""".stripMargin,
+    "q43_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |${dsum("l_extendedprice * (1 - l_discount)", 4, "revenue")}
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-01'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
     "q41_large_volume_orders" ->
       // the IN-subquery-with-HAVING form stated directly
       """SELECT c_name, c_custkey, o_orderkey, o_totalprice,

@@ -245,6 +245,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_sum"))
   }
 
+  test("q43: the date-crossover predicates sit on their OWN scans " +
+    "(ordered-before on orders, shipped-after on lineitem); customer " +
+    "broadcasts; the top-10 plans as TakeOrderedAndProject") {
+    val p = plan("q43_shipping_priority")
+    assert(p.contains("LessThan(o_orderdate"),
+      "the before-cutoff filter must reach the orders scan")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      "the after-cutoff filter must reach the lineitem scan")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "the segment filter must reach the customer scan")
+    assert(p.contains("BroadcastHashJoin"), "customer must broadcast")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_sum"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q41: the HAVING subquery decorrelates to one aggregate feeding " +
     "a LEFT SEMI join that reuses the orderkey partitioning; customer " +
     "broadcasts; the top-100 plans as TakeOrderedAndProject") {
