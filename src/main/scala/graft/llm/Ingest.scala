@@ -130,10 +130,16 @@ object Ingest {
       coalesce(sum(size(col("__t")).cast("long")), lit(0L)).as("tot")).head()
     val cols = updatedOld.columns.map(col).toSeq
     val out = LayoutStore.writeSnapshotManifested(conf, path) { (tmp, _) =>
-      updatedOld.unionByName(batchRows.select(cols: _*))
-        .repartition(col("tbucket"))
-        .write.mode("overwrite").partitionBy("tbucket")
-        .parquet(s"$tmp/postings")
+      // an empty-vocabulary batch (every doc tokenless) touches NO
+      // bucket: writing the empty frame would land a hollow postings
+      // dir (markers only) instead of a table — skip the write and
+      // carry every postings entry; stats still merge below (N grows
+      // by the tokenless docs, Σdl by zero)
+      if (touched.nonEmpty)
+        updatedOld.unionByName(batchRows.select(cols: _*))
+          .repartition(col("tbucket"))
+          .write.mode("overwrite").partitionBy("tbucket")
+          .parquet(s"$tmp/postings")
       spark.range(1)
         .select(lit(st.getAs[Long]("n") + batchStats.getLong(0)).as("n"),
           lit(st.getAs[Long]("tot") + batchStats.getLong(1)).as("tot"),

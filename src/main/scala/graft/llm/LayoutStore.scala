@@ -111,11 +111,18 @@ object LayoutStore {
     } else {
       dirs.flatMap { sub =>
         val name = sub.getPath.getName
-        val parts = fs.listStatus(sub.getPath)
-          .filter(st => st.isDirectory && visibleStatus(st) &&
-            st.getPath.getName.contains("="))
-        if (parts.isEmpty) Seq(name -> owner)
-        else parts.map(p => s"$name/${p.getPath.getName}" -> owner).toSeq
+        val subKids = fs.listStatus(sub.getPath).filter(visibleStatus)
+        val parts = subKids.filter(st => st.isDirectory &&
+          st.getPath.getName.contains("="))
+        if (parts.nonEmpty)
+          parts.map(p => s"$name/${p.getPath.getName}" -> owner).toSeq
+        // a HOLLOW sub dir (marker files only — what an empty-frame
+        // partitionBy write leaves behind) is NOT a table: emitting it
+        // as a whole-sub entry would make the manifest mix whole and
+        // partition entries for the same sub-table and the version
+        // unreadable (parquet schema inference has nothing to read)
+        else if (subKids.exists(_.isFile)) Seq(name -> owner)
+        else Seq.empty
       }.toMap
     }
   }
@@ -203,6 +210,11 @@ object LayoutStore {
     val fs = base.getFileSystem(conf)
     writeSnapshot(conf, path) { tmp =>
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      // an all-carried build legitimately writes NOTHING (partial
+      // compaction of an unfragmented store, a propagation where every
+      // table is inherited) — the dot-temp must still exist for the
+      // physical walk below and the atomic rename after
+      fs.mkdirs(tmpPath)
       val next = tmp.split("\\.tmp-version-").last.toLong
       val carried = build(tmp, next)
       val own = physicalEntries(fs, tmpPath, next)
@@ -425,8 +437,24 @@ object LayoutStore {
             // partition dirs of a partitioned table: read only the
             // fragmented dirs (per owner, basePath-pinned), rewrite
             // them re-clustered — partitionBy writes ONLY the values
-            // present, which are exactly these dirs' values
-            val partCol = keys.head.split("/").last.split("=", 2)(0)
+            // present, which are exactly these dirs' values. The
+            // partition spec is the FULL col=value chain of the entry's
+            // owner dir (manifest entries own one top-level value, but
+            // the subtree below may be further partitioned — flattening
+            // it would re-land inner partition columns as string DATA
+            // columns, changing the read-back schema)
+            val firstKey = keys.head
+            val chain: Seq[String] = {
+              val o = entries(firstKey)
+              val ownerBase =
+                if (sub.isEmpty) s"$path/version=$o"
+                else s"$path/version=$o/$sub"
+              val leaf =
+                if (sub.isEmpty) firstKey
+                else firstKey.stripPrefix(s"$sub/")
+              leaf.split("=", 2)(0) +: partitionCols(fs,
+                new org.apache.hadoop.fs.Path(s"$ownerBase/$leaf"))
+            }
             val byOwner = keys.groupBy(k => entries(k))
             val frames = byOwner.toSeq.sortBy(_._1).map { case (o, ks) =>
               val basem =
@@ -439,10 +467,11 @@ object LayoutStore {
               spark.read.option("basePath", basem).parquet(dirs: _*)
             }
             frames.reduce(_.unionByName(_))
-              .repartition(org.apache.spark.sql.functions.col(partCol))
+              .repartition(chain.map(
+                org.apache.spark.sql.functions.col): _*)
               .write.mode("overwrite")
               .option("maxRecordsPerFile", maxRecordsPerFile)
-              .partitionBy(partCol).parquet(dest)
+              .partitionBy(chain: _*).parquet(dest)
           }
         }
         entries -- frag.keySet
@@ -501,6 +530,15 @@ object LayoutStore {
       effectiveEntries(conf, path, v).toSeq.map { case (k, o) => (o, k) })
     physicalVersions(fs, base).filterNot(live.contains).foreach { w =>
       val wDir = new org.apache.hadoop.fs.Path(base, s"version=$w")
+      // retire-in-place FIRST: the marker hides the version from
+      // [[versions]] before a single byte deletes, so a crash anywhere
+      // below leaves a version that is loudly un-pinnable (require
+      // fails) rather than listed-but-partially-deleted — a silent
+      // partial read would violate the store's torn-read guarantees.
+      // The wholesale dir delete at the end is the only thing that
+      // removes the marker.
+      val marker = new org.apache.hadoop.fs.Path(wDir, RetiredMarker)
+      if (!fs.exists(marker)) fs.create(marker).close()
       fs.delete(new org.apache.hadoop.fs.Path(wDir, ManifestFile), false)
       physicalEntries(fs, wDir, w).keys.foreach { e =>
         if (!referenced((w, e))) {
@@ -521,8 +559,6 @@ object LayoutStore {
           !fs.listStatus(st.getPath).exists(visibleStatus))
         .foreach(st => fs.delete(st.getPath, true))
       if (physicalEntries(fs, wDir, w).isEmpty) fs.delete(wDir, true)
-      else if (!fs.exists(new org.apache.hadoop.fs.Path(wDir, RetiredMarker)))
-        fs.create(new org.apache.hadoop.fs.Path(wDir, RetiredMarker)).close()
     }
     doomed
   }

@@ -336,9 +336,16 @@ object Takedown {
       .withColumn("df", col("df") - coalesce(col("__rm"), lit(0L)))
       .drop("__rm")
     val out = LayoutStore.writeSnapshotManifested(conf, path) { (tmp, _) =>
-      survivors.repartition(col("tbucket"))
-        .write.mode("overwrite").partitionBy("tbucket")
-        .parquet(s"$tmp/postings")
+      // a zero-hit revocation (ids already removed / never ingested —
+      // routine input for a real sheet) touches NO bucket: writing the
+      // empty survivors frame would land a hollow postings dir
+      // (markers only) instead of a table — skip the write and carry
+      // every postings entry; stats still rewrite below (N may shrink
+      // by revoked TOKENLESS docs resolved via corpusDocIds)
+      if (touched.nonEmpty)
+        survivors.repartition(col("tbucket"))
+          .write.mode("overwrite").partitionBy("tbucket")
+          .parquet(s"$tmp/postings")
       // tot is exact from the postings alone — a tokenless doc
       // contributes 0 to Σdl; only the N decrement needed the resolved
       // nRemoved above.

@@ -318,4 +318,28 @@ class IngestSpec extends SparkTestBase {
       "removed" -> ((1L, -3L)),
       "added" -> ((1L, 4L))))
   }
+
+  test("appendBm25Snapshot: an EMPTY-VOCABULARY batch (tokenless docs) " +
+    "lands a readable version — postings all carried, N grows, Σdl holds") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "data stages and more data")).toDF("doc_id", "text")
+    val store = tmpDir("ingest-emptyvocab") + "/store"
+    assert(TextAnalysis.writeBm25Snapshot(docs, store, termBuckets = 8) == 1L)
+    assert(Ingest.appendBm25Snapshot(spark, store,
+      Seq((10L, ""), (11L, "   ")).toDF("doc_id", "text")) == 2L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = LayoutStore.readManifest(conf, store, 2L).get
+    assert(m.filter(_._1.startsWith("postings")).values.toSet == Set(1L),
+      s"no bucket touched — every postings entry must carry: $m")
+    def postings(v: Long) =
+      LayoutStore.readSnapshotTable(spark, store, "postings", Some(v))
+        .select("term", "doc_id", "tf", "dl", "df")
+        .collect().map(_.toSeq).toSet
+    assert(postings(2L) == postings(1L))
+    // N counts the tokenless docs (they shift avgdl); token mass doesn't
+    assert(LayoutStore.readSnapshotTable(spark, store, "stats")
+      .select("n", "tot").head().toSeq == Seq(4L, 10L))
+  }
 }

@@ -180,6 +180,88 @@ class LayoutStoreSpec extends SparkTestBase {
       (0L until 160L).toSet ++ Set(200L, 201L))
   }
 
+  test("an all-carried build lands a readable version: partial compaction " +
+    "of an UNFRAGMENTED store writes nothing yet still versions (the " +
+    "documented no-op contract)") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("ls-allcarried") + "/store"
+    val rows = (0L until 40L).map(i => (i, (i % 4).toInt, i * 1.0))
+      .toDF("id", "day", "v")
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      rows.repartition(col("day")).write.partitionBy("day").parquet(tmp))
+    assert(LayoutStore.fragmentedEntries(conf, store, 1L, 8).isEmpty)
+    assert(LayoutStore.compactSnapshotPartial(spark, store,
+      maxFilesPerEntry = 8) == 2L)
+    val m = LayoutStore.readManifest(conf, store, 2L).get
+    assert(m.values.toSet == Set(1L), s"every entry must carry: $m")
+    assert(dataDirs(s"$store/version=2").isEmpty,
+      "an all-carried version owns no data dirs")
+    assert(LayoutStore.readSnapshotTable(spark, store).count() == 40L)
+  }
+
+  test("prune crash-safety: the retired marker lands BEFORE any delete — " +
+    "a crash mid-GC leaves a loudly-unpinnable version (never a silent " +
+    "partial read) and a re-run converges to the uncrashed end state") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("ls-crash") + "/store"
+    val base = (0L until 80L).map(i => (i, (i % 4).toInt, i * 1.0))
+      .toDF("id", "day", "v")
+    LayoutStore.writeSnapshot(conf, store)(tmp =>
+      base.repartition(col("day")).write.partitionBy("day").parquet(tmp))
+    Ingest.appendRowsSnapshot(spark, store,
+      Seq((100L, 1, 9.0)).toDF("id", "day", "v"), "day", "id") // v2
+    // simulate the state the marker-first ordering guarantees a crash
+    // leaves behind: marker present, manifest and data still intact
+    new java.io.File(s"$store/version=1/_retired").createNewFile()
+    assert(LayoutStore.versions(conf, store) == Seq(2L),
+      "a marked version must be hidden from the serveable list")
+    intercept[IllegalArgumentException](
+      LayoutStore.readSnapshotTable(spark, store, "", Some(1L)))
+    // the newest snapshot still resolves THROUGH the marked version's
+    // dirs (path-level reads ignore the marker)
+    assert(LayoutStore.readSnapshotTable(spark, store).count() == 81L)
+    // re-running the GC completes it: v1 keeps exactly what v2 references
+    assert(LayoutStore.prune(conf, store, retain = 1).isEmpty,
+      "v1 is already retired — nothing NEW leaves the serveable list")
+    assert(dataDirs(s"$store/version=1") == Set("day=0", "day=2", "day=3"))
+    assert(!new java.io.File(s"$store/version=1/_manifest.json").exists())
+    assert(LayoutStore.readSnapshotTable(spark, store).count() == 81L)
+  }
+
+  test("compactSnapshotPartial preserves MULTI-LEVEL partition chains: " +
+    "the inner column re-lands as a partition directory, not a string " +
+    "data column") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("ls-multilevel") + "/store"
+    val rows = (0 until 320).map(i =>
+      (i.toLong, i / 160, i % 4, i * 1.0)).toDF("id", "day", "hour", "v")
+    // day=1 lands fragmented (8-way repartition scatters every hour dir)
+    LayoutStore.writeSnapshot(conf, store) { tmp =>
+      rows.where(col("day") === 0)
+        .repartition(col("day"), col("hour"))
+        .write.partitionBy("day", "hour").parquet(tmp)
+      rows.where(col("day") === 1).repartition(8)
+        .write.mode("append").partitionBy("day", "hour").parquet(tmp)
+    }
+    val frag = LayoutStore.fragmentedEntries(conf, store, 1L,
+      maxFilesPerEntry = 8)
+    assert(frag.keySet == Set("day=1"), s"$frag")
+    assert(LayoutStore.compactSnapshotPartial(spark, store,
+      maxFilesPerEntry = 8) == 2L)
+    // the rewritten entry keeps the full day=/hour= chain physically
+    val hours = dataDirs(s"$store/version=2/day=1")
+    assert(hours == Set("hour=0", "hour=1", "hour=2", "hour=3"), s"$hours")
+    // the inner column is a PARTITION column: a leaf-dir read must see
+    // only the data columns (hour re-landing as a string data column is
+    // exactly the silent flattening this guards against)
+    assert(spark.read.parquet(s"$store/version=2/day=1/hour=2")
+      .columns.toSet == Set("id", "v"))
+    val got = LayoutStore.readSnapshotTable(spark, store)
+      .select(col("id"), col("day").cast("int"), col("hour").cast("int"),
+        col("v")).collect().map(_.toSeq).toSet
+    assert(got == rows.collect().map(_.toSeq).toSet)
+  }
+
   test("compactSnapshot re-materializes a manifested snapshot as ONE " +
     "physical version (the copy path) — manifest-free, same rows") {
     val s = spark; import s.implicits._

@@ -468,4 +468,33 @@ class TakedownSpec extends SparkTestBase {
       s"revoked doc's keys must be retired from the live set: $flags")
     assert(Dedup.benchKeyVersions(conf, store) == Seq(1L, 2L))
   }
+
+  test("propagateBm25Snapshot: a ZERO-HIT revocation (ids never ingested) " +
+    "lands a readable all-carried version — no hollow postings dir") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "data stages and more data"),
+      (3L, "an unrelated note")).toDF("doc_id", "text")
+    val store = tmpDir("takedown-zerohit") + "/store"
+    assert(TextAnalysis.writeBm25Snapshot(docs, store, termBuckets = 8) == 1L)
+    // routine real-sheet input: ids already removed / never ingested
+    assert(Takedown.propagateBm25Snapshot(spark, store,
+      Seq(100L, 101L).toDF("doc_id"), "doc_id") == 2L)
+    val m = LayoutStore.readManifest(conf, store, 2L).get
+    assert(m.filter(_._1.startsWith("postings")).values.toSet == Set(1L),
+      s"every postings entry must carry by reference: $m")
+    assert(m("stats") == 2L, s"stats rewrite is owned by the new version: $m")
+    // the LATEST version is fully readable and identical to v1
+    def postings(v: Long) =
+      LayoutStore.readSnapshotTable(spark, store, "postings", Some(v))
+        .select("term", "doc_id", "tf", "dl", "df")
+        .collect().map(_.toSeq).toSet
+    assert(postings(2L) == postings(1L))
+    assert(LayoutStore.readSnapshotTable(spark, store, "stats")
+      .select("n", "tot").head().toSeq == Seq(3L, 13L))
+    val q = Seq((100L, "spark data")).toDF("query_id", "qtext")
+    assert(TextAnalysis.bm25TopKIndexedLatest(spark, store, q,
+      "query_id", "qtext", k = 10).count() > 0)
+  }
 }
