@@ -1628,6 +1628,29 @@ object SparkEntry {
       // re-derives the same integers from the prefix definition
       graft.llm.Dedup.setSimilarityJoinCost(t(s, dir, "documents"),
         "doc_id", "text", thresholdNum = 7, thresholdDen = 10)),
+    "d76_leakage_split" -> ((s, dir) =>
+      // leakage-safe train/val split: near-dup CLUSTERS assign as one
+      // unit (rep = min id of the doc's connected component under the
+      // d09 detector; singletons rep themselves), split by salted-md5
+      // hash of the rep — a val doc can never have a near-copy in train
+      graft.llm.Dedup.leakageSafeSplit(t(s, dir, "documents"),
+        "doc_id", "text", valRate = 0.3, salt = "split1",
+        threshold = 0.5, k = 3, numHashes = 12, bands = 4,
+        maxBucketSize = Some(docBucketCap(s, dir)))),
+    "d77_norm_dedup" -> ((s, dir) =>
+      // normalization-aware exact tier: accent-fold + case/punctuation/
+      // whitespace-insensitive fingerprint, min id per group keeps —
+      // catches the re-encodes the raw-text hash (d01) misses, still
+      // ONE shuffle on a 3-column projection (no pair generation)
+      graft.llm.Dedup.normalizedDedup(t(s, dir, "documents"),
+        "doc_id", "text")),
+    "d78_lang_overlap" -> ((s, dir) =>
+      // pairwise vocabulary overlap between language strata: shared
+      // distinct-token counts + Jaccard per unordered pair — the
+      // cross-subset redundancy gauge a mixture designer reads before
+      // setting sampling weights; integer counts, ONE terminal division
+      graft.llm.TextAnalysis.strataOverlapMatrix(
+        t(s, dir, "documents"), "lang")),
     "d73_gap_fill" -> ((s, dir) => {
       // time-series regularization: irregular per-user events resample
       // onto an hourly grid, holes carried forward (LOCF). The operator
@@ -1671,6 +1694,46 @@ object SparkEntry {
       graft.llm.LayoutStore.readSnapshotTable(s, store)
         .select(col("id"), col("day").cast("int").as("day"),
           col("n_chars"))
+    }),
+    "m55_cdc_apply" -> ((s, dir) => {
+      // latest-wins changelog apply — the reference's Hudi UPSERT op
+      // mode (HoodieSink.java:309,434,543) as an engine transform: an
+      // update bumps the price on keys %5, a LATER delete wins over the
+      // update on keys %35 (both events, delete has the higher seq),
+      // inserts land new keys; untouched keys copy through
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      val log = base.where(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+          .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+        .unionByName(base.where(col("o_orderkey") % 7 === 0)
+          .withColumn("op", lit("D")).withColumn("seq", lit(2L)))
+        .unionByName(base.where(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+          .withColumn("op", lit("U")).withColumn("seq", lit(1L)))
+      graft.operators.Upsert.applyChangelog(base, log, Seq("o_orderkey"))
+    }),
+    "m56_scd2_merge" -> ((s, dir) => {
+      // SCD type-2 dimension maintenance: changed keys (%6, acctbal
+      // bump) close at the effective date and re-insert open-ended;
+      // no-op re-statements (%9 minus %6, identical values) must NOT
+      // version; brand-new keys (%10, shifted id space) insert fresh
+      val sup = t(s, dir, "supplier")
+      val dim = sup.select(col("s_suppkey"), col("s_acctbal"),
+        col("s_nationkey"), lit(0L).as("valid_from"),
+        lit(99999999L).as("valid_to"), lit(true).as("is_current"))
+      val updates = sup.where(col("s_suppkey") % 6 === 0)
+          .select(col("s_suppkey"),
+            (col("s_acctbal") + lit(100.0)).as("s_acctbal"),
+            col("s_nationkey"))
+        .unionByName(sup.where(col("s_suppkey") % 9 === 0 &&
+            col("s_suppkey") % 6 =!= 0)
+          .select(col("s_suppkey"), col("s_acctbal"), col("s_nationkey")))
+        .unionByName(sup.where(col("s_suppkey") % 10 === 0)
+          .select((col("s_suppkey") + lit(100000L)).as("s_suppkey"),
+            col("s_acctbal"), col("s_nationkey")))
+      graft.operators.Upsert.scd2Merge(dim, updates, Seq("s_suppkey"),
+        Seq("s_acctbal", "s_nationkey"), effectiveDate = 20260101L)
     }),
     "m45_zorder_layout" -> ((s, dir) => {
       // Morton-curve clustered layout: lineitem written partitioned by
@@ -2460,6 +2523,15 @@ object SparkEntry {
     "s01_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    "s22_knn_classify" -> ((s, dir) => {
+      // k-NN weak labeling: majority label among the 5 nearest labeled
+      // corpus vectors per query (exact cosine tier), count ties broken
+      // by the smaller label — the classifier-bootstrap step that turns
+      // a labeled seed pool into corpus-wide labels
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnClassify(emb.where(col("vec_id") >= 10),
+        emb.where(col("vec_id") < 10), k = 5)
     }),
     "s20_mmr_rerank" -> ((s, dir) => {
       // MMR diversified rerank: greedy λ=2/3 selection from the top-50
@@ -4671,6 +4743,60 @@ object SparkEntry {
         |  CAST(MAX(pdf) AS BIGINT) AS max_prefix_df,
         |  CAST(SUM(pdf * (pdf - 1) // 2) AS BIGINT) AS candidates_bound
         |FROM pdf""".stripMargin,
+    "d76_leakage_split" ->
+      // the d09 cluster CTE re-derived, then rep = min reachable id
+      // (singletons rep themselves) and the SAME salted-md5 threshold
+      // compare as d16 — a near-dup pair straddling the split would
+      // hash-mismatch here
+      s"""WITH RECURSIVE ${duckLshPairsCte()},
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ndpairs
+         |          UNION ALL SELECT id2, id1 FROM ndpairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b),
+         |clusters AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         |SELECT d.doc_id AS id, COALESCE(c.cluster, d.doc_id) AS rep,
+         |  CASE WHEN substr(md5('split1' || '|' ||
+         |      CAST(COALESCE(c.cluster, d.doc_id) AS VARCHAR)), 1, 8)
+         |      < '${graft.llm.Sampling.rateThreshold(0.3)}'
+         |    THEN 'val' ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id""".stripMargin,
+    "d77_norm_dedup" ->
+      // same accent map, same punctuation strip, same whitespace
+      // collapse, same md5 — then min id per fingerprint keeps
+      s"""SELECT id, fp,
+         |  (row_number() OVER (PARTITION BY fp ORDER BY id) = 1) AS keep
+         |FROM (SELECT doc_id AS id,
+         |    md5(trim(regexp_replace(regexp_replace(
+         |      translate(lower(coalesce(text, '')),
+         |        '${graft.llm.TextAnalysis.AccentFrom}',
+         |        '${graft.llm.TextAnalysis.AccentTo}'),
+         |      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents)""".stripMargin,
+    "d78_lang_overlap" ->
+      // same distinct (lang, token) vocabulary, integer intersection
+      // counts, complete a<b matrix with zero-overlap pairs kept, ONE
+      // double division at the end
+      """WITH vocab AS (SELECT DISTINCT stratum, term FROM (
+        |    SELECT lang AS stratum,
+        |      unnest(list_filter(string_split(lower(text), ' '),
+        |        x -> x != '')) AS term
+        |    FROM documents)),
+        |sizes AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM vocab GROUP BY 1),
+        |inter AS (SELECT a.stratum AS stratum_a, b.stratum AS stratum_b,
+        |    CAST(COUNT(*) AS BIGINT) AS overlap
+        |  FROM vocab a JOIN vocab b
+        |    ON a.term = b.term AND a.stratum < b.stratum
+        |  GROUP BY 1, 2)
+        |SELECT x.stratum AS stratum_a, y.stratum AS stratum_b,
+        |  COALESCE(i.overlap, 0) AS overlap, x.n AS n_a, y.n AS n_b,
+        |  CAST(COALESCE(i.overlap, 0) AS DOUBLE)
+        |    / CAST(x.n + y.n - COALESCE(i.overlap, 0) AS DOUBLE) AS jaccard
+        |FROM sizes x JOIN sizes y ON x.stratum < y.stratum
+        |LEFT JOIN inter i
+        |  ON i.stratum_a = x.stratum AND i.stratum_b = y.stratum""".stripMargin,
     "d73_gap_fill" ->
       // the same grid re-derived: per-(user, hour-bucket) last
       // observation by (tus, value) DESC row_number, generate_series
@@ -4721,6 +4847,63 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id + 1000000 AS id, 5 AS day, n_chars
         |FROM documents WHERE doc_id % 16 = 5""".stripMargin,
+    "m55_cdc_apply" ->
+      // the same log re-stated, latest seq per key wins (ties by op
+      // desc — a well-formed log never ties), deletes drop the key,
+      // untouched keys copy through
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    o_orderstatus FROM orders),
+        |log AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+        |    o_orderstatus, 'U' AS op, 1 AS seq
+        |  FROM base WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'D', 2
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, o_totalprice,
+        |    o_orderstatus, 'U', 1
+        |  FROM base WHERE o_orderkey % 11 = 0),
+        |latest AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY seq DESC, op DESC) AS rn FROM log)
+        |  WHERE rn = 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM latest WHERE op <> 'D'""".stripMargin,
+    "m56_scd2_merge" ->
+      // the same effective-update derivation (null-safe attribute
+      // compare; no-op re-statements drop out), closed rows + inserts
+      """WITH dim AS (SELECT s_suppkey, s_acctbal, s_nationkey,
+        |    CAST(0 AS BIGINT) AS valid_from,
+        |    CAST(99999999 AS BIGINT) AS valid_to, true AS is_current
+        |  FROM supplier),
+        |upd AS (
+        |  SELECT s_suppkey, s_acctbal + 100 AS s_acctbal, s_nationkey
+        |  FROM supplier WHERE s_suppkey % 6 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_acctbal, s_nationkey
+        |  FROM supplier WHERE s_suppkey % 9 = 0 AND s_suppkey % 6 <> 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, s_acctbal, s_nationkey
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |eff AS (SELECT u.* FROM upd u
+        |  LEFT JOIN dim c ON c.s_suppkey = u.s_suppkey AND c.is_current
+        |  WHERE c.s_suppkey IS NULL
+        |    OR u.s_acctbal IS DISTINCT FROM c.s_acctbal
+        |    OR u.s_nationkey IS DISTINCT FROM c.s_nationkey)
+        |SELECT d.s_suppkey, d.s_acctbal, d.s_nationkey, d.valid_from,
+        |  CASE WHEN e.s_suppkey IS NOT NULL AND d.is_current
+        |    THEN CAST(20260101 AS BIGINT) ELSE d.valid_to END AS valid_to,
+        |  CASE WHEN e.s_suppkey IS NOT NULL AND d.is_current
+        |    THEN false ELSE d.is_current END AS is_current
+        |FROM dim d LEFT JOIN eff e ON e.s_suppkey = d.s_suppkey
+        |UNION ALL
+        |SELECT s_suppkey, s_acctbal, s_nationkey,
+        |  CAST(20260101 AS BIGINT), CAST(99999999 AS BIGINT), true
+        |FROM eff""".stripMargin,
     "m48_incremental_refresh" ->
       // s09's formulation over the NEW corpus version: correct only if
       // the retract+append pair reproduced exactly the df/N/Σdl and
@@ -5515,6 +5698,28 @@ object SparkEntry {
          |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
          |  WHERE q.vec_id != c.vec_id)
          |WHERE rnk <= 5""".stripMargin
+    },
+    "s22_knn_classify" -> {
+      // the s01 top-k formulation over the labeled pool (vec_id >= 10),
+      // then the same (votes DESC, label ASC) argmax
+      val cos = duckCos("q.embedding", "c.embedding")
+      s"""WITH tk AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $cos DESC, c.vec_id) AS rnk
+         |    FROM (SELECT * FROM embeddings WHERE vec_id >= 10) c
+         |    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+         |    WHERE q.vec_id != c.vec_id)
+         |  WHERE rnk <= 5),
+         |votes AS (SELECT t.query_id, e.label,
+         |    CAST(COUNT(*) AS BIGINT) AS votes
+         |  FROM tk t JOIN embeddings e ON e.vec_id = t.corpus_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, label AS predicted_label, votes FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY votes DESC, label ASC) AS rk FROM votes)
+         |WHERE rk = 1""".stripMargin
     },
     "s20_mmr_rerank" -> {
       // the greedy MMR loop unrolled as chained CTEs (one per rank, all

@@ -287,6 +287,37 @@ object Similarity {
     perQueryTopK(c.crossJoin(broadcast(q)), k)
   }
 
+  /** k-NN label assignment over the embedding space — the
+    * classifier-bootstrap / weak-labeling step of a curation pipeline
+    * (label a small seed set, propagate to the corpus by nearest
+    * labeled neighbors): for each query vector, the majority label
+    * among its k nearest labeled corpus vectors by cosine, ties broken
+    * by the smaller label (deterministic). Built on [[bruteForceTopK]],
+    * so the exact tier; swap the candidate generator for [[annTopK]] /
+    * [[ivfTopK]] when the labeled pool is large.
+    *
+    * Scale shape: inherits the generator's (queries broadcast, corpus
+    * map-side scored, per-query top-k partially map-side); the vote is
+    * a (queries×k)-row aggregate — negligible. The label join hits the
+    * corpus's 2-column (id, label) projection, broadcast under AQE. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+                  labelCol: String = "label",
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val tk = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val labels = corpus.select(col(idCol).as("corpus_id"),
+      col(labelCol).as("__lbl"))
+    val votes = tk.join(labels, Seq("corpus_id"))
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("__lbl").asc)
+    votes.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("query_id"), col("__lbl").as("predicted_label"),
+        col("votes"))
+  }
+
   /** Shared tail of the three top-k surfaces (brute force / SRP / IVF):
     * same-id self-exclusion (queries are drawn from the corpus in every
     * surface here — callers with DISTINCT tables whose id spaces overlap

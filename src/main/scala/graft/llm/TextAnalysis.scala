@@ -187,6 +187,65 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Latin-1 accent fold for [[normalizedFingerprint]] — a fixed
+    * character map (not locale/ICU collation), so any engine with a
+    * codepoint-wise `translate` reproduces it bit-exactly. */
+  private[graft] val AccentFrom = "àáâãäåèéêëìíîïòóôõöùúûüçñýÿ"
+  private[graft] val AccentTo = "aaaaaaeeeeiiiiooooouuuucnyy"
+
+  /** Normalization-aware fingerprint: accent-fold (fixed Latin-1 map),
+    * lowercase, strip punctuation/symbols to spaces, collapse runs of
+    * whitespace — then md5. Catches the re-encodes exact dedup
+    * ([[fingerprint]]) misses: quoting/punctuation variants, casing,
+    * accent-stripped mirrors of the same text. Everything is built from
+    * engine-portable primitives (translate / regexp_replace / md5), so
+    * cross-run dedup state keyed on it survives an engine migration —
+    * the same property [[fingerprint]] pins for the exact tier. */
+  def normalizedFingerprint(text: Column): Column = {
+    val folded = translate(lower(coalesce(text, lit(""))),
+      AccentFrom, AccentTo)
+    val stripped = regexp_replace(folded, "[^a-z0-9\\s]", " ")
+    md5(trim(regexp_replace(stripped, "\\s+", " ")))
+  }
+
+  /** Pairwise vocabulary overlap between strata (languages, sources,
+    * corpus snapshots): for every unordered stratum pair, the distinct
+    * shared-token count and Jaccard over the strata's distinct
+    * vocabularies. The cross-subset contamination / similarity gauge a
+    * mixture designer reads before setting sampling weights: a pair with
+    * high vocabulary Jaccard is re-stating the same material.
+    *
+    * Scale shape: explode → ONE distinct over (stratum, token) — the
+    * only big shuffle, map-side-combined; per-stratum sizes are a tiny
+    * aggregate of that frame, and the pair join runs over
+    * (token → strata) postings whose width is the stratum count (small
+    * by definition), never over documents. Counts are integers and the
+    * single division happens once at the end — bit-exact cross-engine. */
+  def strataOverlapMatrix(df: DataFrame, strataCol: String,
+                          textCol: String = "text"): DataFrame = {
+    val vocab = df.select(col(strataCol).as("stratum"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .distinct()
+    val sizes = vocab.groupBy(col("stratum")).agg(count(lit(1)).as("n"))
+    val inter = vocab.as("a").join(vocab.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.stratum") < col("b.stratum"))
+      .groupBy(col("a.stratum").as("stratum_a"),
+        col("b.stratum").as("stratum_b"))
+      .agg(count(lit(1)).as("overlap"))
+    // complete matrix: stratum pairs with zero shared terms still emit
+    val pairs = sizes.as("x").join(sizes.as("y"),
+        col("x.stratum") < col("y.stratum"))
+      .select(col("x.stratum").as("stratum_a"),
+        col("y.stratum").as("stratum_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+    pairs.join(inter, Seq("stratum_a", "stratum_b"), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .withColumn("jaccard", col("overlap").cast("double") /
+        (col("n_a") + col("n_b") - col("overlap")).cast("double"))
+      .select("stratum_a", "stratum_b", "overlap", "n_a", "n_b", "jaccard")
+  }
+
   /** Character k-gram hashes of the lowercased text (the rolling-hash
     * role, realized as md5 for cross-engine stability). MUST be staged in
     * its own select before `winnowingMinima` reads it: a window lambda

@@ -668,4 +668,25 @@ class SimilaritySpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Similarity.mmrRerankQuantized(df, zeroQuery, pool = 5, take = 2))
   }
+
+  test("knnClassify: majority label wins; count ties break to the " +
+    "smaller label; the vote is over exactly the k nearest") {
+    val s = spark; import s.implicits._
+    // mirror-symmetric corpus on two axes: labels 1 (x) and 2 (y)
+    val corpus = Seq(
+      (10L, Array(1f, 0f), 1), (11L, Array(0.9f, 0.1f), 1),
+      (20L, Array(0f, 1f), 2), (21L, Array(0.1f, 0.9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1L, Array(1f, 0.05f)), // x-ish: 2 of the 3 nearest are label 1
+      (2L, Array(0.6f, 0.6f))) // on the mirror axis: k=4 splits 2-2
+      .toDF("vec_id", "embedding")
+    val k3 = Similarity.knnClassify(corpus, queries.where(col("vec_id") === 1),
+      k = 3).head()
+    assert((k3.getLong(0), k3.getInt(1), k3.getLong(2)) == ((1L, 1, 2L)), s"$k3")
+    val k4 = Similarity.knnClassify(corpus, queries.where(col("vec_id") === 2),
+      k = 4).head()
+    // 2 votes each at k=4: the smaller label (1) must win deterministically
+    assert((k4.getLong(0), k4.getInt(1), k4.getLong(2)) == ((2L, 1, 2L)), s"$k4")
+  }
 }
