@@ -599,4 +599,35 @@ class PlanAuditSpec extends SparkTestBase {
       assert(p.contains("__key"), "candidate join must ride the hashed segment key")
     } finally base.unpersist(blocking = true)
   }
+
+  test("m55: the changelog folds map-side (WindowGroupLimit top-1 per " +
+    "key), the touched-key anti-join broadcasts, the base never shuffles") {
+    val p = plan("m55_cdc_apply")
+    assert(p.contains("WindowGroupLimit"),
+      "latest-event extraction must keep a per-partition top-1, not sort the log")
+    assert(p.contains("LeftAnti"))
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined ||
+      p.contains("BroadcastHashJoin"), "touched keys must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("m56: every mutation-side join broadcasts; change detection is " +
+    "null-safe (<=> in the plan); the dimension scan is column-pruned") {
+    val p = plan("m56_scd2_merge")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "update batch / changed keys must broadcast against the dimension")
+    assert(p.contains("<=>"), "tracked-column compare must be null-safe")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("s_comment"), "dimension scan reads unused columns")
+  }
+
+  test("s22: the vote rides the s01 top-k shape — map-side " +
+    "WindowGroupLimit for both the top-k and the argmax, partial count, " +
+    "label join broadcast") {
+    val p = plan("s22_knn_classify")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "top-k and vote argmax must both keep per-partition heaps")
+    assert(p.contains("partial_count"))
+    assert(p.contains("BroadcastHashJoin"), "label join must broadcast")
+  }
 }
