@@ -1628,15 +1628,6 @@ object SparkEntry {
       // re-derives the same integers from the prefix definition
       graft.llm.Dedup.setSimilarityJoinCost(t(s, dir, "documents"),
         "doc_id", "text", thresholdNum = 7, thresholdDen = 10)),
-    "d76_leakage_split" -> ((s, dir) =>
-      // leakage-safe train/val split: near-dup CLUSTERS assign as one
-      // unit (rep = min id of the doc's connected component under the
-      // d09 detector; singletons rep themselves), split by salted-md5
-      // hash of the rep — a val doc can never have a near-copy in train
-      graft.llm.Dedup.leakageSafeSplit(t(s, dir, "documents"),
-        "doc_id", "text", valRate = 0.3, salt = "split1",
-        threshold = 0.5, k = 3, numHashes = 12, bands = 4,
-        maxBucketSize = Some(docBucketCap(s, dir)))),
     "d77_norm_dedup" -> ((s, dir) =>
       // normalization-aware exact tier: accent-fold + case/punctuation/
       // whitespace-insensitive fingerprint, min id per group keeps —
@@ -1734,6 +1725,33 @@ object SparkEntry {
             col("s_acctbal"), col("s_nationkey")))
       graft.operators.Upsert.scd2Merge(dim, updates, Seq("s_suppkey"),
         Seq("s_acctbal", "s_nationkey"), effectiveDate = 20260101L)
+    }),
+    "m57_agg_maintenance" -> ((s, dir) => {
+      // closed-form maintenance of a materialized per-supplier aggregate
+      // state: old facts aggregate once (the stored state), the new
+      // batch aggregates alone, and ONE full-outer merge folds them —
+      // history never rescans. The oracle aggregates the union from
+      // scratch: the merge invariant is stated, not assumed. Sums ride
+      // exact decimals and cast to double only at the end (bit-exact
+      // across engines regardless of add order)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"),
+        col("l_quantity").cast("decimal(27,2)").as("qty"),
+        col("l_quantity").as("qd"),
+        col("l_extendedprice").cast("decimal(27,2)").as("price"))
+      val am = graft.operators.AggMaintenance
+      def st(f: org.apache.spark.sql.DataFrame) =
+        am.aggState(f, Seq("l_suppkey"), sumCols = Seq("qty", "price"),
+          minCols = Seq("qd"), maxCols = Seq("qd"))
+      val state0 = st(li.where(col("l_orderkey") % 4 =!= 1))
+      val delta = st(li.where(col("l_orderkey") % 4 === 1))
+      am.mergeAggState(state0, delta, Seq("l_suppkey"),
+          sumCols = Seq("qty", "price"), minCols = Seq("qd"),
+          maxCols = Seq("qd"))
+        .select(col("l_suppkey"), col("n"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("sum_price").cast("double").as("sum_price"),
+          col("min_qd").as("min_qty"), col("max_qd").as("max_qty"))
     }),
     "m45_zorder_layout" -> ((s, dir) => {
       // Morton-curve clustered layout: lineitem written partitioned by
@@ -4743,25 +4761,6 @@ object SparkEntry {
         |  CAST(MAX(pdf) AS BIGINT) AS max_prefix_df,
         |  CAST(SUM(pdf * (pdf - 1) // 2) AS BIGINT) AS candidates_bound
         |FROM pdf""".stripMargin,
-    "d76_leakage_split" ->
-      // the d09 cluster CTE re-derived, then rep = min reachable id
-      // (singletons rep themselves) and the SAME salted-md5 threshold
-      // compare as d16 — a near-dup pair straddling the split would
-      // hash-mismatch here
-      s"""WITH RECURSIVE ${duckLshPairsCte()},
-         |edges AS (SELECT id1 AS a, id2 AS b FROM ndpairs
-         |          UNION ALL SELECT id2, id1 FROM ndpairs),
-         |reach(id, r) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b),
-         |clusters AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
-         |SELECT d.doc_id AS id, COALESCE(c.cluster, d.doc_id) AS rep,
-         |  CASE WHEN substr(md5('split1' || '|' ||
-         |      CAST(COALESCE(c.cluster, d.doc_id) AS VARCHAR)), 1, 8)
-         |      < '${graft.llm.Sampling.rateThreshold(0.3)}'
-         |    THEN 'val' ELSE 'train' END AS split
-         |FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id""".stripMargin,
     "d77_norm_dedup" ->
       // same accent map, same punctuation strip, same whitespace
       // collapse, same md5 — then min id per fingerprint keeps
@@ -4904,6 +4903,16 @@ object SparkEntry {
         |SELECT s_suppkey, s_acctbal, s_nationkey,
         |  CAST(20260101 AS BIGINT), CAST(99999999 AS BIGINT), true
         |FROM eff""".stripMargin,
+    "m57_agg_maintenance" ->
+      // the merge invariant stated directly: a from-scratch aggregation
+      // of ALL facts — the incremental state ∪ delta fold must equal it
+      // bit-for-bit (sums via exact decimals, double cast at the end)
+      """SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "m48_incremental_refresh" ->
       // s09's formulation over the NEW corpus version: correct only if
       // the retract+append pair reproduced exactly the df/N/Σdl and

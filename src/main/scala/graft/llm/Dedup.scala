@@ -65,36 +65,6 @@ object Dedup {
     keyed.withColumn("keep", row_number().over(w) === 1)
   }
 
-  /** Leakage-safe train/validation split: near-duplicates must land on
-    * the SAME side — a validation doc whose near-copy sits in train
-    * inflates every eval number it touches. The split key is therefore
-    * the near-dup CLUSTER representative (min id of the doc's connected
-    * component under the [[nearDupClusters]] detector; singletons are
-    * their own representative), hashed through [[Sampling.sampleKey]]'s
-    * salted md5 — deterministic across runs, engines and partitionings,
-    * and stable under corpus growth (a new doc joins its cluster's side).
-    *
-    * Scale shape: the detector dominates (LSH pairs + CC — the same
-    * machinery d09 runs at corpus scale); the split itself is one
-    * hash-compare over (id, rep) pairs, with the cluster frame joined
-    * back small-side. */
-  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
-                       valRate: Double, salt: String = "graft",
-                       threshold: Double = 0.5, k: Int = 3,
-                       numHashes: Int = 12, bands: Int = 4,
-                       maxBucketSize: Option[Int] = None): DataFrame = {
-    require(valRate >= 0 && valRate <= 1, s"valRate must be in [0,1]: $valRate")
-    val clusters = nearDupClusters(df, idCol, textCol, threshold, k,
-      numHashes, bands, maxBucketSize).select(col("id"), col("cluster"))
-    df.select(col(idCol).as("id")).join(clusters, Seq("id"), "left")
-      .withColumn("rep", coalesce(col("cluster"), col("id")))
-      .withColumn("split",
-        when(Sampling.sampleKey(col("rep"), salt) <
-          lit(Sampling.rateThreshold(valRate)), lit("val"))
-          .otherwise(lit("train")))
-      .select(col("id"), col("rep"), col("split"))
-  }
-
   /** Word k-shingles from a MATERIALIZED token-array column (stage
     * `tokens(lower(text))` in its own select first — the window lambda
     * references the token expression once per shingle, so an inline

@@ -35,12 +35,6 @@ object Sampling {
   def sampleKey(key: Column, salt: String): Column =
     substring(md5(concat_ws("|", lit(salt), key.cast("string"))), 1, 8)
 
-  /** JVM-side twin of [[sampleKey]] (driver-side pre-flight / tests):
-    * identical bytes, identical hex prefix. */
-  private[graft] def sampleKeyLocal(key: String, salt: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$salt|$key".getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString.take(8)
 
   /** Keep each row with probability `rate`, deterministically in `keyCol`. */
   def hashSample(df: DataFrame, keyCol: String, rate: Double,

@@ -753,29 +753,4 @@ class DedupSpec extends SparkTestBase {
       threshold = 0.5, sizesBroadcastMaxBytes = 0L).head()
     assert(guarded.toSeq == r.toSeq, s"guarded=$guarded unguarded=$r")
   }
-
-  test("leakageSafeSplit: near-dup cluster members NEVER straddle the " +
-    "split — one rep, one side; singletons split on their own id") {
-    val s = spark; import s.implicits._
-    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    val docs = Seq(
-      (1L, dup), (2L, dup), (3L, dup + " extra"),
-      (7L, "completely different text about spark shuffles here today"),
-      (8L, "another unrelated single document with its own words"))
-      .toDF("doc_id", "text")
-    val out = Dedup.leakageSafeSplit(docs, "doc_id", "text",
-      valRate = 0.5, salt = "t13")
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
-      .toMap
-    // the cluster (1,2,3) shares rep=1 and ONE side
-    assert(out(1L) == out(2L) && out(2L) == out(3L), s"$out")
-    assert(out(1L)._1 == 1L, s"rep must be the min id of the component: $out")
-    // singletons rep themselves and split by the d16 hash of their id
-    for (id <- Seq(7L, 8L)) {
-      assert(out(id)._1 == id)
-      val expected = if (graft.llm.Sampling.sampleKeyLocal(id.toString, "t13")
-        < graft.llm.Sampling.rateThreshold(0.5)) "val" else "train"
-      assert(out(id)._2 == expected, s"doc $id: $out")
-    }
-  }
 }
