@@ -102,6 +102,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("graft_minhash_minima", 2, args)
       MinhashMinima(args(0), litInt("graft_minhash_minima", "numHashes", args(1)))
     }
+    inject("graft_sorted_intersect_count", classOf[SortedIntersectCount],
+      "graft_sorted_intersect_count(a, b) - intersection count of two " +
+        "ascending-sorted array<bigint> via a zero-allocation merge walk " +
+        "(the set-similarity verify kernel)") { args =>
+      arity("graft_sorted_intersect_count", 2, args)
+      SortedIntersectCount(args(0), args(1))
+    }
     inject("graft_srp_bucket", classOf[SignBits],
       "graft_srp_bucket(vec, dim, planes) - signed-random-projection LSH bucket " +
         "(sign bits of the vector's dot products with `planes` deterministic hyperplanes)") { args =>
