@@ -508,7 +508,7 @@ object SparkEntry {
           .groupBy(col("lang"))
           .agg(graft.functions.FrequentItems
             .frequentItems(col("term"), capacity = 64).as("items")),
-        name)
+        name, stateShufflePartitions = Some(8))
         .select(col("lang"), explode(col("items")).as("it"))
         .select(col("lang"), col("it.term").as("term"),
           col("it.count").as("cnt"))
@@ -1849,7 +1849,8 @@ object SparkEntry {
       Incremental.intervalJoinAvailableNow(s, src.toString, schema,
         "parquet", side("view", "v"), side("click", "c"),
         "v_user", "c_user", "v_ets", "c_ets",
-        maxGap = "2 hours", watermark = "4 hours", out, ckpt)
+        maxGap = "2 hours", watermark = "4 hours", out, ckpt,
+        stateShufflePartitions = Some(8))
         .awaitTermination()
       s.read.parquet(out)
         .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
@@ -1896,7 +1897,7 @@ object SparkEntry {
         "parquet", side("view", "v"), side("click", "c"),
         "v_user", "c_user", "v_ets", "c_ets",
         maxGap = "2 hours", watermark = "4 hours", out, ckpt,
-        joinType = "leftOuter")
+        joinType = "leftOuter", stateShufflePartitions = Some(8))
         .awaitTermination()
       s.read.parquet(out).where(col("v_user") >= 0)
         .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
@@ -1941,7 +1942,7 @@ object SparkEntry {
         "parquet", side("view", "v"), side("click", "c"),
         "v_user", "c_user", "v_ets", "c_ets",
         maxGap = "2 hours", watermark = "4 hours", out, ckpt,
-        joinType = "fullOuter")
+        joinType = "fullOuter", stateShufflePartitions = Some(8))
         .awaitTermination()
       s.read.parquet(out)
         .where(coalesce(col("v_user"), lit(0L)) >= 0 &&
@@ -1972,7 +1973,8 @@ object SparkEntry {
         schema, "parquet",
         df => df.select(graft.llm.Dedup.exactKey(col("text")).as("fp"),
           timestamp_micros((col("doc_id") + 1) * 1000000L).as("ets")),
-        "ets", Seq("fp"), watermark = "30 days", out, ckpt)
+        "ets", Seq("fp"), watermark = "30 days", out, ckpt,
+        stateShufflePartitions = Some(8))
         .awaitTermination()
       s.read.parquet(out).select(col("fp"))
     }),
@@ -2050,7 +2052,7 @@ object SparkEntry {
         df => df.select(col("user_id"),
           timestamp_micros(tsMicros(df)).as("ets")),
         "ets", "user_id", gap = "30 minutes", watermark = "1 hour",
-        out, ckpt)
+        out, ckpt, stateShufflePartitions = Some(8))
         .awaitTermination()
       s.read.parquet(out).where(col("user_id") >= 0)
         .select(col("user_id"),
@@ -3206,7 +3208,8 @@ object SparkEntry {
         .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n"))
       Incremental.runAvailableNow(s, src.toString, schema, "parquet",
-        windowed, out, ckpt).awaitTermination()
+        windowed, out, ckpt,
+        stateShufflePartitions = Some(8)).awaitTermination()
       s.read.parquet(out)
     }),
 

@@ -14,20 +14,52 @@ import org.apache.spark.sql.types.StructType
   */
 object Incremental {
 
+  /** Run `startQuery` with `spark.sql.shuffle.partitions` scoped to
+    * `n` — the STATE-PARTITION sizing knob for stateful streams. Every
+    * stateful operator materializes one state-store instance per
+    * shuffle partition PER MICRO-BATCH (a stream-stream join keeps
+    * four), so the partition count must track STATE VOLUME, not the
+    * box's core count: a 100 TB keyspace sizes UP (state per store
+    * must fit an executor), a small-keyspace stream sizes DOWN (at the
+    * session default of one-per-core, store open/commit overhead
+    * dominates — the m47/m50 fixtures ran 3x slower at 32 than at 8).
+    * Scoping is safe because a streaming query CLONES the session at
+    * start (the override is captured into the clone and pinned in the
+    * checkpoint's offset metadata); the caller's session restores
+    * before this returns. */
+  private def withStatePartitions[T](spark: SparkSession,
+                                     n: Option[Int])(startQuery: => T): T =
+    n match {
+      case None => startQuery
+      case Some(p) =>
+        require(p >= 1, s"stateShufflePartitions must be >= 1: $p")
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, p.toString)
+        try startQuery finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+    }
+
   /** Incremental file-source pipeline: process-available-then-stop. */
   def runAvailableNow(spark: SparkSession, sourceDir: String, schema: StructType,
                       format: String, transform: DataFrame => DataFrame,
                       sinkPath: String, checkpointDir: String,
-                      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+                      maxFilesPerTrigger: Option[Int] = None,
+                      stateShufflePartitions: Option[Int] = None)
+      : StreamingQuery = {
     val r = spark.readStream.schema(schema).format(format)
     val src = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n.toString))
       .load(sourceDir)
-    transform(src).writeStream
-      .format("parquet")
-      .option("path", sinkPath)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    withStatePartitions(spark, stateShufflePartitions) {
+      transform(src).writeStream
+        .format("parquet")
+        .option("path", sinkPath)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
   }
 
   /** Kafka incremental ingest — the KafkaSource/WorkUnitCalculator replacement:
@@ -109,7 +141,8 @@ object Incremental {
                                maxGap: String, watermark: String,
                                sinkPath: String, checkpointDir: String,
                                maxFilesPerTrigger: Option[Int] = None,
-                               joinType: String = "inner")
+                               joinType: String = "inner",
+                               stateShufflePartitions: Option[Int] = None)
       : StreamingQuery = {
     require(Set("inner", "leftOuter", "fullOuter").contains(joinType),
       s"joinType must be inner, leftOuter or fullOuter: $joinType")
@@ -125,12 +158,14 @@ object Incremental {
         col(rightTsCol) >= col(leftTsCol) &&
         col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $maxGap"),
       joinType)
-    joined.writeStream
-      .format("parquet")
-      .option("path", sinkPath)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    withStatePartitions(spark, stateShufflePartitions) {
+      joined.writeStream
+        .format("parquet")
+        .option("path", sinkPath)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
   }
 
   /** Bounded-state streaming EXACT dedup —
@@ -153,18 +188,21 @@ object Incremental {
       sourceDir: String, schema: StructType, format: String,
       prepare: DataFrame => DataFrame, tsCol: String,
       keyCols: Seq[String], watermark: String,
-      sinkPath: String, checkpointDir: String): StreamingQuery = {
+      sinkPath: String, checkpointDir: String,
+      stateShufflePartitions: Option[Int] = None): StreamingQuery = {
     val src = spark.readStream.schema(schema).format(format).load(sourceDir)
-    prepare(src)
+    val deduped = prepare(src)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
       .select(keyCols.map(col): _*)
-      .writeStream
-      .format("parquet")
-      .option("path", sinkPath)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    withStatePartitions(spark, stateShufflePartitions) {
+      deduped.writeStream
+        .format("parquet")
+        .option("path", sinkPath)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
   }
 
   /** One micro-batch of the streaming DEDUP-INSERT sink: broadcast
@@ -256,9 +294,10 @@ object Incremental {
       schema: StructType, format: String,
       prepare: DataFrame => DataFrame, tsCol: String, keyCol: String,
       gap: String, watermark: String,
-      sinkPath: String, checkpointDir: String): StreamingQuery = {
+      sinkPath: String, checkpointDir: String,
+      stateShufflePartitions: Option[Int] = None): StreamingQuery = {
     val src = spark.readStream.schema(schema).format(format).load(sourceDir)
-    prepare(src)
+    val sessions = prepare(src)
       .withWatermark(tsCol, watermark)
       .groupBy(col(keyCol), session_window(col(tsCol), gap))
       .agg(count(lit(1)).as("n_events"))
@@ -266,12 +305,14 @@ object Incremental {
         col("session_window.start").as("w_start"),
         col("session_window.end").as("w_end"),
         col("n_events"))
-      .writeStream
-      .format("parquet")
-      .option("path", sinkPath)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    withStatePartitions(spark, stateShufflePartitions) {
+      sessions.writeStream
+        .format("parquet")
+        .option("path", sinkPath)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
   }
 
   /** Incremental file-source AGGREGATION: process-available-then-stop
@@ -288,15 +329,18 @@ object Incremental {
   def runAggregateAvailableNow(spark: SparkSession, sourceDir: String,
                                schema: StructType, format: String,
                                agg: DataFrame => DataFrame,
-                               queryName: String): DataFrame = {
+                               queryName: String,
+                               stateShufflePartitions: Option[Int] = None)
+      : DataFrame = {
     val src = spark.readStream.schema(schema).format(format).load(sourceDir)
-    agg(src).writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
+    withStatePartitions(spark, stateShufflePartitions) {
+      agg(src).writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }.awaitTermination()
     spark.table(queryName)
   }
 
