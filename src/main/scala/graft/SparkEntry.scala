@@ -1726,6 +1726,37 @@ object SparkEntry {
       graft.operators.Upsert.scd2Merge(dim, updates, Seq("s_suppkey"),
         Seq("s_acctbal", "s_nationkey"), effectiveDate = 20260101L)
     }),
+    "m58_stream_agg_maintenance" -> ((s, dir) => {
+      // m57's streaming twin: three source files -> three micro-batches
+      // (maxFilesPerTrigger=1); each batch folds into the SERVED state
+      // via the full-outer merge and lands as a LayoutStore version
+      // (atomic swap — no torn self-overwrite); the fact stream is
+      // never rescanned. The oracle aggregates all events from scratch
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val src = tmpQueryDir("m58-src")
+      for (b <- 0 until 3)
+        ev.where(pmod(col("event_id"), lit(3)) === b)
+          .coalesce(1).write.mode("append").parquet(src.toString)
+      val state = tmpQueryDir("m58-state").toString + "/state"
+      val ckpt = tmpQueryDir("m58-ckpt").toString
+      Incremental.aggMaintenanceAvailableNow(s, src.toString, ev.schema,
+          "parquet",
+          df => df.select(col("event_type"),
+            col("value").cast("decimal(27,2)").as("v"),
+            col("value").as("vd")),
+          keyCols = Seq("event_type"), sumCols = Seq("v"),
+          minCols = Seq("vd"), maxCols = Seq("vd"),
+          statePath = state, checkpointDir = ckpt,
+          maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+      val conf = s.sparkContext.hadoopConfiguration
+      require(graft.llm.LayoutStore.versions(conf, state).size >= 3,
+        "the maintenance fold must have run once per micro-batch")
+      graft.llm.LayoutStore.readSnapshotTable(s, state)
+        .select(col("event_type"), col("n"),
+          col("sum_v").cast("double").as("sum_value"),
+          col("min_vd").as("min_value"), col("max_vd").as("max_value"))
+    }),
     "m57_agg_maintenance" -> ((s, dir) => {
       // closed-form maintenance of a materialized per-supplier aggregate
       // state: old facts aggregate once (the stored state), the new
@@ -2553,6 +2584,13 @@ object SparkEntry {
       Similarity.knnClassify(emb.where(col("vec_id") >= 10),
         emb.where(col("vec_id") < 10), k = 5)
     }),
+    "s23_phrase_search" -> ((s, dir) =>
+      // exact consecutive-token phrase match — what a bag-of-words
+      // index structurally can't answer: positional postings pruned to
+      // the phrase vocabulary at the scan, one adjacency equi-join per
+      // later word, overlapping occurrences counted individually
+      TextAnalysis.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+        Seq("fast", "table"))),
     "s20_mmr_rerank" -> ((s, dir) => {
       // MMR diversified rerank: greedy λ=2/3 selection from the top-50
       // integer-dot candidates of query vec 0 — everything integer
@@ -4906,6 +4944,25 @@ object SparkEntry {
         |SELECT s_suppkey, s_acctbal, s_nationkey,
         |  CAST(20260101 AS BIGINT), CAST(99999999 AS BIGINT), true
         |FROM eff""".stripMargin,
+    "m58_stream_agg_maintenance" ->
+      // all three micro-batches' facts aggregated from scratch — the
+      // per-batch folds must reproduce it exactly
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "s23_phrase_search" ->
+      // the token stream re-derived; adjacency checked positionally
+      // (tk[i], tk[i+1]) — overlapping occurrences count individually
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
+        |  FROM documents)
+        |SELECT doc_id, n_matches FROM (
+        |  SELECT doc_id, CAST(len(list_filter(range(1, len(tk)),
+        |    i -> tk[i] = 'fast' AND tk[i+1] = 'table')) AS BIGINT)
+        |    AS n_matches
+        |  FROM t)
+        |WHERE n_matches > 0""".stripMargin,
     "m57_agg_maintenance" ->
       // the merge invariant stated directly: a from-scratch aggregation
       // of ALL facts — the incremental state ∪ delta fold must equal it

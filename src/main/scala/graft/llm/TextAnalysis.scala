@@ -208,6 +208,42 @@ object TextAnalysis {
     md5(trim(regexp_replace(stripped, "\\s+", " ")))
   }
 
+  /** Positional PHRASE search — exact consecutive-token match, the
+    * capability a bag-of-words index (BM25, s09/s12) structurally
+    * cannot answer: "fast table" as a phrase, not two terms. This is
+    * the positional-postings formulation every IR engine uses: derive
+    * (doc, position, term) postings, PRUNE to the phrase's vocabulary
+    * at the scan (the filter rides the token explode — the corpus's
+    * other terms never leave the map side), anchor on the first word's
+    * positions and equi-join each later word at `anchor + i`. Overlapping
+    * occurrences count individually. Returns (idCol, n_matches) for
+    * docs with >= 1 occurrence.
+    *
+    * Scale shape: postings for a k-word phrase are k tiny term slices
+    * of the corpus; the k-1 adjacency joins hash on (doc, position) —
+    * no window, no per-doc array rebuild, and a phrase vocabulary that
+    * misses the corpus costs one pruned scan. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase must have at least two words " +
+      "(single-term lookup is a plain filter)")
+    require(phrase.forall(w => w.nonEmpty && w == w.toLowerCase),
+      s"phrase words must be lowercase non-empty tokens: $phrase")
+    val tok = df.select(col(idCol).as("__pid"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("__pos", "__term")))
+      .where(col("__term").isin(phrase.distinct: _*))
+    val anchors = tok.where(col("__term") === phrase.head)
+      .select(col("__pid"), col("__pos").as("__p0"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(anchors) {
+      case (acc, (w, i)) =>
+        acc.join(tok.where(col("__term") === w)
+            .select(col("__pid"), (col("__pos") - i).as("__p0")),
+          Seq("__pid", "__p0"))
+    }
+    matched.groupBy(col("__pid").as(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Pairwise vocabulary overlap between strata (languages, sources,
     * corpus snapshots): for every unordered stratum pair, the distinct
     * shared-token count and Jaccard over the strata's distinct

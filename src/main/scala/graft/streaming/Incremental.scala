@@ -275,6 +275,55 @@ object Incremental {
       .start()
   }
 
+  /** Streaming MATERIALIZED-VIEW maintenance — the streaming twin of
+    * [[graft.operators.AggMaintenance]]: each micro-batch aggregates
+    * alone (count/sum/min/max state layout) and folds into the served
+    * state via ONE full-outer merge; the fact stream is never rescanned
+    * and no Spark state store is involved (the state IS the serving
+    * table). Each fold lands as a new [[graft.llm.LayoutStore]] version
+    * — dot-temp + atomic rename, so a reader pins either the previous
+    * state or the complete new one, never a torn overwrite (the
+    * classic self-overwrite hazard: parquet can't re-write a path it's
+    * lazily reading). Deletions are out of scope exactly as in the
+    * batch operator (min/max are not decrement-safe).
+    *
+    * Versus [[runAggregateAvailableNow]]'s complete-mode aggregation:
+    * that replays the store's state through the sink every batch and
+    * serves from session memory; this serves from DURABLE versioned
+    * parquet that any other session (or engine) reads, survives
+    * restarts via the checkpoint, and prunes with the store's GC. */
+  def aggMaintenanceAvailableNow(spark: SparkSession, sourceDir: String,
+      schema: StructType, format: String,
+      prepare: DataFrame => DataFrame,
+      keyCols: Seq[String], sumCols: Seq[String], minCols: Seq[String],
+      maxCols: Seq[String], statePath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import graft.operators.AggMaintenance
+    val r = spark.readStream.schema(schema).format(format)
+    val src = maxFilesPerTrigger.fold(r)(n =>
+      r.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
+    prepare(src).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s2 = batch.sparkSession
+        val conf = s2.sparkContext.hadoopConfiguration
+        val delta = AggMaintenance.aggState(batch, keyCols,
+          sumCols, minCols, maxCols)
+        val merged = graft.llm.LayoutStore.versions(conf, statePath)
+          .lastOption match {
+            case None => delta
+            case Some(_) => AggMaintenance.mergeAggState(
+              graft.llm.LayoutStore.readSnapshotTable(s2, statePath),
+              delta, keyCols, sumCols, minCols, maxCols)
+          }
+        graft.llm.LayoutStore.writeSnapshot(conf, statePath)(tmp =>
+          merged.coalesce(1).write.mode("overwrite").parquet(tmp))
+        ()
+      }
+      .start()
+  }
+
   /** Gap-based SESSION aggregation as a streaming `session_window` —
     * the Structured Streaming twin of the batch window-pass
     * sessionizer ([[graft.operators.Sessionize.sessions]]), with

@@ -842,4 +842,26 @@ class TextAnalysisSpec extends SparkTestBase {
         r.getLong(3))).toSet
     assert(empty == Set((1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L)), s"got $empty")
   }
+
+  test("phraseSearch: overlapping occurrences count individually, " +
+    "boundary matches hold, a missing word yields no rows, 3-word " +
+    "phrases chain") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),           // "a a": overlapping at pos 0 and 1
+      (2L, "x fast table"),      // match at the very end
+      (3L, "fast table fast table"), // two disjoint occurrences
+      (4L, "table fast"),        // reversed: no match
+      (5L, "fast x table"))      // gap: no match
+      .toDF("doc_id", "text")
+    def run(phrase: String*) =
+      TextAnalysis.phraseSearch(docs, "doc_id", "text", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run("a", "a") == Map(1L -> 2L))
+    assert(run("fast", "table") == Map(2L -> 1L, 3L -> 2L))
+    assert(run("fast", "table", "fast") == Map(3L -> 1L))
+    assert(run("zz", "table").isEmpty)
+    intercept[IllegalArgumentException](run("fast"))
+    intercept[IllegalArgumentException](run("Fast", "table"))
+  }
 }

@@ -105,4 +105,37 @@ class IncrementalSpec extends SparkTestBase {
       s"${after2.toSeq.sorted}")
     assert(after2.toSet == Set("aa", "bb", "cc", "ab"))
   }
+
+  test("aggMaintenanceAvailableNow: a SECOND invocation against the same " +
+    "checkpoint folds only the files that arrived since — the state " +
+    "lands one more version and equals the from-scratch aggregate") {
+    val s = spark; import s.implicits._
+    val src0 = tmpDir("aggm-src")
+    val state = tmpDir("aggm") + "/state"
+    val ckpt = tmpDir("aggm-ckpt")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def run(): Unit = Incremental.aggMaintenanceAvailableNow(spark, src0,
+      Seq((0L, "x", 1.0)).toDF("id", "k", "v").schema, "parquet",
+      df => df.select(col("k"), col("v")),
+      keyCols = Seq("k"), sumCols = Seq("v"), minCols = Seq("v"),
+      maxCols = Seq("v"), statePath = state, checkpointDir = ckpt)
+      .awaitTermination()
+    Seq((1L, "x", 1.0), (2L, "y", 5.0)).toDF("id", "k", "v")
+      .coalesce(1).write.mode("append").parquet(src0)
+    run()
+    assert(graft.llm.LayoutStore.versions(conf, state) == Seq(1L))
+    // late files arrive; the SAME checkpoint resumes past batch 0
+    Seq((3L, "x", 3.0), (4L, "z", 2.0)).toDF("id", "k", "v")
+      .coalesce(1).write.mode("append").parquet(src0)
+    run()
+    assert(graft.llm.LayoutStore.versions(conf, state) == Seq(1L, 2L))
+    val got = graft.llm.LayoutStore.readSnapshotTable(spark, state)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got == Map(
+      "x" -> ((2L, 4.0, 1.0, 3.0)),
+      "y" -> ((1L, 5.0, 5.0, 5.0)),
+      "z" -> ((1L, 2.0, 2.0, 2.0))), s"got $got")
+  }
 }
