@@ -630,4 +630,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_count"))
     assert(p.contains("BroadcastHashJoin"), "label join must broadcast")
   }
+
+  test("m57: the state merge reuses the aggregation partitioning — one " +
+    "exchange per side, map-side partials, full-outer merge join") {
+    val p = plan("m57_agg_maintenance")
+    assert(p.contains("FullOuter"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      "the merge must not add an exchange beyond the two aggregations")
+    assert(p.contains("partial_sum") && p.contains("partial_min"))
+  }
 }
