@@ -1642,6 +1642,23 @@ object SparkEntry {
       // setting sampling weights; integer counts, ONE terminal division
       graft.llm.TextAnalysis.strataOverlapMatrix(
         t(s, dir, "documents"), "lang")),
+    "d79_pagerank" -> ((s, dir) => {
+      // fixed-point PageRank (3 power iterations, d=17/20, scale 1e12)
+      // over the supplier→customer fulfillment graph — the canonical
+      // Pregel-style iterative workload, in INTEGER arithmetic so the
+      // result is a pure function of the graph (float PageRank is
+      // shuffle-order-dependent and can't be gated cross-engine);
+      // every customer is dangling, exercising the mass redistribution
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"))
+      val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000L).as("dst"))
+        .distinct()
+      graft.operators.PageRank.pageRankFixedPoint(edges, iters = 3)
+    }),
     "d73_gap_fill" -> ((s, dir) => {
       // time-series regularization: irregular per-user events resample
       // onto an hourly grid, holes carried forward (LOCF). The operator
@@ -1756,6 +1773,37 @@ object SparkEntry {
         .select(col("event_type"), col("n"),
           col("sum_v").cast("double").as("sum_value"),
           col("min_vd").as("min_value"), col("max_vd").as("max_value"))
+    }),
+    "m59_multilevel_compaction" -> ((s, dir) => {
+      // partial compaction over a MULTI-LEVEL (day/hour) partitioned
+      // layout: only the fragmented day rewrites, and its hour
+      // sub-directories must re-land as partition DIRECTORIES (the
+      // ADVICE r12 flattening hazard: inner partition columns silently
+      // becoming string data columns). The oracle states the logical
+      // content; the leaf-read require pins the physical chain
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val rows = docs.select(col("doc_id").as("id"),
+        (col("doc_id") % 4).cast("int").as("day"),
+        (col("doc_id") % 3).cast("int").as("hour"),
+        col("n_chars"))
+      val store = tmpQueryDir("m59-store").toString + "/layout"
+      val conf = s.sparkContext.hadoopConfiguration
+      graft.llm.LayoutStore.writeSnapshot(conf, store) { tmp =>
+        rows.where(col("day") =!= 1).repartition(col("day"), col("hour"))
+          .write.partitionBy("day", "hour").parquet(tmp)
+        rows.where(col("day") === 1).repartition(8)
+          .write.mode("append").partitionBy("day", "hour").parquet(tmp)
+      }
+      graft.llm.LayoutStore.compactSnapshotPartial(s, store,
+        maxFilesPerEntry = 8)
+      require(graft.llm.LayoutStore.fragmentedEntries(conf, store, 2L,
+        8).isEmpty, "the fragmented day must be compacted")
+      require(s.read.parquet(s"$store/version=2/day=1/hour=2")
+        .columns.toSet == Set("id", "n_chars"),
+        "hour must re-land as a partition directory, not a data column")
+      graft.llm.LayoutStore.readSnapshotTable(s, store)
+        .select(col("id"), col("day").cast("int").as("day"),
+          col("hour").cast("int").as("hour"), col("n_chars"))
     }),
     "m57_agg_maintenance" -> ((s, dir) => {
       // closed-form maintenance of a materialized per-supplier aggregate
@@ -4837,6 +4885,42 @@ object SparkEntry {
         |FROM sizes x JOIN sizes y ON x.stratum < y.stratum
         |LEFT JOIN inter i
         |  ON i.stratum_a = x.stratum AND i.stratum_b = y.stratum""".stripMargin,
+    "d79_pagerank" -> {
+      // the same three rounds unrolled as chained CTEs, all integer
+      // (// is floor division — equal to Spark's `div` truncation on
+      // these all-positive values); dangling mass is a per-round scalar
+      val iters = (0 until 3).map { k =>
+        s"""d$k AS MATERIALIZED (SELECT
+           |    CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang
+           |  FROM r$k r LEFT JOIN deg ON deg.node = r.node
+           |  WHERE deg.node IS NULL),
+           |i$k AS MATERIALIZED (SELECT e.dst AS node,
+           |    CAST(SUM(r.rank // deg.deg) AS BIGINT) AS inb
+           |  FROM r$k r JOIN deg ON deg.node = r.node
+           |  JOIN e ON e.src = r.node
+           |  GROUP BY 1),
+           |r${k + 1} AS MATERIALIZED (SELECT nodes.node,
+           |    ((1000000000000 // c.n) * 3) // 20
+           |      + (17 * (COALESCE(i$k.inb, 0) + d$k.dang // c.n)) // 20
+           |      AS rank
+           |  FROM nodes LEFT JOIN i$k ON i$k.node = nodes.node,
+           |    d$k, c),""".stripMargin
+      }.mkString("\n")
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src,
+         |    o_custkey + 1000000 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e
+         |  UNION SELECT dst FROM e),
+         |deg AS MATERIALIZED (SELECT src AS node,
+         |    CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |c AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM nodes),
+         |r0 AS MATERIALIZED (SELECT node, 1000000000000 // c.n AS rank
+         |  FROM nodes, c),
+         |$iters
+         |fin AS (SELECT node, CAST(rank AS BIGINT) AS rank FROM r3)
+         |SELECT node, rank FROM fin""".stripMargin
+    },
     "d73_gap_fill" ->
       // the same grid re-derived: per-(user, hour-bucket) last
       // observation by (tus, value) DESC row_number, generate_series
@@ -4963,6 +5047,12 @@ object SparkEntry {
         |    AS n_matches
         |  FROM t)
         |WHERE n_matches > 0""".stripMargin,
+    "m59_multilevel_compaction" ->
+      // two versions of physical churn over a two-level layout, zero
+      // logical change
+      """SELECT doc_id AS id, CAST(doc_id % 4 AS INT) AS day,
+        |  CAST(doc_id % 3 AS INT) AS hour, n_chars
+        |FROM documents""".stripMargin,
     "m57_agg_maintenance" ->
       // the merge invariant stated directly: a from-scratch aggregation
       // of ALL facts — the incremental state ∪ delta fold must equal it

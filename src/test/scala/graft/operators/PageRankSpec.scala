@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank: hand-computed rounds, dangling redistribution,
+  * mass accounting, and determinism across partitionings. */
+class PageRankSpec extends SparkTestBase {
+
+  test("one hand-computed round: A->B, A->C, B->C at d=1/2, scale=300 — " +
+    "integer truncation and the dangling correction land exactly") {
+    val s = spark; import s.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    // r0 = 100 each; teleport = 50; dangling = r(c) = 100, /n = 33
+    // r(a) = 50 + (0   + 33) div 2 = 66
+    // r(b) = 50 + (50  + 33) div 2 = 91
+    // r(c) = 50 + (150 + 33) div 2 = 141
+    val got = PageRank.pageRankFixedPoint(edges, iters = 1,
+      dampNum = 1L, dampDen = 2L, scale = 300L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 66L, "b" -> 91L, "c" -> 141L), s"got $got")
+  }
+
+  test("mass is conserved up to truncation leak and the authority node " +
+    "ranks first; the result is identical under a different partitioning") {
+    val s = spark; import s.implicits._
+    // a small hub graph: everyone links to 0, plus a ring
+    val edges = ((1L to 20L).map(i => (i, 0L)) ++
+      (1L to 20L).map(i => (i, i % 20 + 1))).toDF("src", "dst")
+    val r = PageRank.pageRankFixedPoint(edges, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val total = r.values.sum
+    assert(total <= 1000000000000L && total > 990000000000L,
+      s"mass must only leak at the truncated digit: $total")
+    assert(r(0L) == r.values.max, "the hub must carry the top rank")
+    val r2 = PageRank.pageRankFixedPoint(edges.repartition(7), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 == r, "fixed-point ranks must not depend on partitioning")
+  }
+
+  test("guards: empty graph, bad damping, bad scale") {
+    val s = spark; import s.implicits._
+    intercept[IllegalArgumentException](
+      PageRank.pageRankFixedPoint(
+        Seq.empty[(Long, Long)].toDF("src", "dst"), iters = 1))
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](
+      PageRank.pageRankFixedPoint(e, iters = 0))
+    intercept[IllegalArgumentException](
+      PageRank.pageRankFixedPoint(e, iters = 1, dampNum = 21L))
+    intercept[IllegalArgumentException](
+      PageRank.pageRankFixedPoint(e, iters = 1,
+        scale = 10000000000000000L))
+  }
+}
