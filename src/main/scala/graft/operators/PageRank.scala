@@ -50,9 +50,14 @@ object PageRank {
       s"damping $dampNum/$dampDen not in [0,1]")
     require(scale >= 1 && scale <= 1000000000000000L,
       s"scale out of the overflow-safe range: $scale")
+    // the graph frames feed every round AND the per-round scalar
+    // actions — unpersisted, an upstream edge derivation (typically a
+    // join + distinct) would recompute ~3x per iteration
     val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("__deg"))
     val n = nodes.count()
@@ -65,9 +70,10 @@ object PageRank {
     val teleport = (scale / n) * (dampDen - dampNum) / dampDen
     for (_ <- 0 until iters) {
       val withDeg = ranks.join(outdeg, Seq("node"), "left")
-      // dangling mass: a single scalar per round
-      val dangling = withDeg.where(col("__deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+      // dangling mass: a 1-row aggregate folded into the round's plan
+      // via broadcast (never a driver action — one job per round total)
+      val dang = withDeg.where(col("__deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
       // `div`, not `/`: Spark's Divide on longs is DOUBLE division —
       // one float would forfeit the whole bit-exactness contract
       val contribs = withDeg.where(col("__deg").isNotNull)
@@ -78,13 +84,18 @@ object PageRank {
         .agg(sum(col("__c")).as("__in"))
       val prev = ranks
       ranks = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit(teleport) + expr(
             s"($dampNum * (coalesce(__in, CAST(0 AS BIGINT)) + " +
-              s"${dangling / n})) div $dampDen")).as("rank"))
+              s"(__dang div $n))) div $dampDen")).as("rank"))
         .localCheckpoint()
       prev.unpersist(blocking = true)
     }
+    // the returned frame is the last round's localCheckpoint —
+    // self-contained, so the graph caches release here
+    e.unpersist(blocking = true)
+    nodes.unpersist(blocking = true)
     ranks
   }
 }
