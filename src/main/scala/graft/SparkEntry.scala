@@ -2623,6 +2623,15 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    "s24_hard_negatives" -> ((s, dir) => {
+      // contrastive-training data mining: the 5 nearest OTHER-label
+      // vectors per query — near in embedding space, apart in truth.
+      // The label exclusion is PER-QUERY (rides the join condition),
+      // the dynamic-filter shape s21's static predicate can't express
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegativesTopK(emb.where(col("vec_id") >= 10),
+        emb.where(col("vec_id") < 10), k = 5)
+    }),
     "s22_knn_classify" -> ((s, dir) => {
       // k-NN weak labeling: majority label among the 5 nearest labeled
       // corpus vectors per query (exact cosine tier), count ties broken
@@ -5856,6 +5865,21 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
          |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
          |  WHERE q.vec_id != c.vec_id)
+         |WHERE rnk <= 5""".stripMargin
+    },
+    "s24_hard_negatives" -> {
+      // the s01 formulation plus the cross-label exclusion riding the
+      // same predicate position
+      val cos = duckCos("q.embedding", "c.embedding")
+      s"""SELECT query_id, corpus_id, score,
+         |  CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    $cos AS score,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $cos DESC, c.vec_id) AS rnk
+         |  FROM (SELECT * FROM embeddings WHERE vec_id >= 10) c
+         |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+         |  WHERE q.vec_id != c.vec_id AND c.label <> q.label)
          |WHERE rnk <= 5""".stripMargin
     },
     "s22_knn_classify" -> {

@@ -318,6 +318,29 @@ object Similarity {
         col("votes"))
   }
 
+  /** Hard-negative mining — for each query, the k nearest corpus
+    * vectors with a DIFFERENT label: the pairs that teach a contrastive
+    * / retrieval model the most (near in embedding space, apart in
+    * truth). The filter is PER-QUERY (it compares against the query
+    * row's own label), which is the shape [[filteredAnnTopK]]'s static
+    * metadata predicate cannot express — it rides the join condition,
+    * so excluded pairs never score. Same cosine arithmetic, self-id
+    * exclusion and zero-norm/NaN hygiene as [[bruteForceTopK]] (shared
+    * perQueryTopK tail), same broadcast-queries scale shape. A
+    * null-labeled row never pairs (null-safe SQL semantics — an
+    * unknown label cannot be a KNOWN negative). */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        labelCol: String = "label",
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+      normFast(col(vecCol)).as("cnorm"), col(labelCol).as("__cl"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      normFast(col(vecCol)).as("qnorm"), col(labelCol).as("__ql"))
+    perQueryTopK(c.join(broadcast(q),
+      col("__cl") =!= col("__ql")), k)
+  }
+
   /** Shared tail of the three top-k surfaces (brute force / SRP / IVF):
     * same-id self-exclusion (queries are drawn from the corpus in every
     * surface here — callers with DISTINCT tables whose id spaces overlap

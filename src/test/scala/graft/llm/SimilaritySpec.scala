@@ -689,4 +689,21 @@ class SimilaritySpec extends SparkTestBase {
     // 2 votes each at k=4: the smaller label (1) must win deterministically
     assert((k4.getLong(0), k4.getInt(1), k4.getLong(2)) == ((2L, 1, 2L)), s"$k4")
   }
+
+  test("hardNegativesTopK: the nearest SAME-label vector is excluded by " +
+    "the per-query condition; null-labeled rows never pair") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (10L, Array(1f, 0f), Option(1)),      // same label as the query:
+      (11L, Array(0.95f, 0.05f), Option(1)),// nearest two — must not rank
+      (20L, Array(0.7f, 0.7f), Option(2)),  // the true hard negative
+      (30L, Array(0.9f, 0.1f), Option.empty[Int])) // null label: never pairs
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq((1L, Array(1f, 0.02f), Option(1)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegativesTopK(corpus, q, k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((20L, 1)),
+      s"only the other-label vector may rank: ${got.mkString(",")}")
+  }
 }
