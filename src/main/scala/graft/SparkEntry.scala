@@ -4880,8 +4880,10 @@ object SparkEntry {
         |      unnest(list_filter(string_split(lower(text), ' '),
         |        x -> x != '')) AS term
         |    FROM documents)),
-        |sizes AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM vocab GROUP BY 1),
+        |sizes AS (SELECT s.stratum, CAST(COALESCE(v.n, 0) AS BIGINT) AS n
+        |  FROM (SELECT DISTINCT lang AS stratum FROM documents) s
+        |  LEFT JOIN (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM vocab GROUP BY 1) v ON v.stratum = s.stratum),
         |inter AS (SELECT a.stratum AS stratum_a, b.stratum AS stratum_b,
         |    CAST(COUNT(*) AS BIGINT) AS overlap
         |  FROM vocab a JOIN vocab b
@@ -4889,8 +4891,10 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT x.stratum AS stratum_a, y.stratum AS stratum_b,
         |  COALESCE(i.overlap, 0) AS overlap, x.n AS n_a, y.n AS n_b,
-        |  CAST(COALESCE(i.overlap, 0) AS DOUBLE)
-        |    / CAST(x.n + y.n - COALESCE(i.overlap, 0) AS DOUBLE) AS jaccard
+        |  CASE WHEN x.n + y.n - COALESCE(i.overlap, 0) = 0 THEN 0.0
+        |    ELSE CAST(COALESCE(i.overlap, 0) AS DOUBLE)
+        |      / CAST(x.n + y.n - COALESCE(i.overlap, 0) AS DOUBLE)
+        |  END AS jaccard
         |FROM sizes x JOIN sizes y ON x.stratum < y.stratum
         |LEFT JOIN inter i
         |  ON i.stratum_a = x.stratum AND i.stratum_b = y.stratum""".stripMargin,

@@ -249,7 +249,12 @@ object TextAnalysis {
     * shared-token count and Jaccard over the strata's distinct
     * vocabularies. The cross-subset contamination / similarity gauge a
     * mixture designer reads before setting sampling weights: a pair with
-    * high vocabulary Jaccard is re-stating the same material.
+    * high vocabulary Jaccard is re-stating the same material. The matrix
+    * is COMPLETE over the document frame's strata: zero-overlap pairs
+    * emit overlap = 0, and a stratum whose documents are all tokenless
+    * still appears (n = 0; an all-empty pair's Jaccard is 0.0 by
+    * definition, never NaN). Null strata are excluded (a null never
+    * orders against another stratum).
     *
     * Scale shape: explode → ONE distinct over (stratum, token) — the
     * only big shuffle, map-side-combined; per-stratum sizes are a tiny
@@ -262,7 +267,14 @@ object TextAnalysis {
     val vocab = df.select(col(strataCol).as("stratum"),
         explode(tokens(lower(col(textCol)))).as("term"))
       .distinct()
-    val sizes = vocab.groupBy(col("stratum")).agg(count(lit(1)).as("n"))
+    // sizes derive from the DOCUMENT frame's stratum list, not the
+    // vocabulary frame: a stratum whose documents are all tokenless has
+    // no vocab rows but still belongs to the complete matrix (n = 0,
+    // overlap = 0); deriving from vocab silently dropped it
+    val sizes = df.select(col(strataCol).as("stratum")).distinct()
+      .join(vocab.groupBy(col("stratum")).agg(count(lit(1)).as("n")),
+        Seq("stratum"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
     val inter = vocab.as("a").join(vocab.as("b"),
         col("a.term") === col("b.term") &&
           col("a.stratum") < col("b.stratum"))
@@ -277,8 +289,12 @@ object TextAnalysis {
         col("x.n").as("n_a"), col("y.n").as("n_b"))
     pairs.join(inter, Seq("stratum_a", "stratum_b"), "left")
       .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
-      .withColumn("jaccard", col("overlap").cast("double") /
-        (col("n_a") + col("n_b") - col("overlap")).cast("double"))
+      // 0/0 guard: a pair of two tokenless strata has an empty union —
+      // jaccard is defined as 0.0 (no shared vocabulary), never NaN
+      .withColumn("jaccard",
+        when(col("n_a") + col("n_b") - col("overlap") === 0, lit(0.0))
+          .otherwise(col("overlap").cast("double") /
+            (col("n_a") + col("n_b") - col("overlap")).cast("double")))
       .select("stratum_a", "stratum_b", "overlap", "n_a", "n_b", "jaccard")
   }
 

@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   *         + dampNum·(Σ_{u→v} r(u) div deg(u) + D div N) / dampDen
   *
   * where D = Σ ranks of dangling nodes. All terms stay < 2^63 for
-  * scale ≤ 10^15.
+  * scale ≤ 10^15 — enforced: the damping fraction is gcd-normalized
+  * and the numerator is REQUIRED under Long.MaxValue/(2·scale), so an
+  * equivalent-but-larger fraction either normalizes into range or
+  * fails fast instead of silently overflowing.
   *
   * Scale shape: one shuffle per iteration (the inbound-contribution
   * groupBy on dst); the node frame re-joins by key each round — at
@@ -50,6 +53,20 @@ object PageRank {
       s"damping $dampNum/$dampDen not in [0,1]")
     require(scale >= 1 && scale <= 1000000000000000L,
       s"scale out of the overflow-safe range: $scale")
+    // Normalize the fraction, then ENFORCE the documented overflow
+    // bound: the per-round term dn*(inbound + dang div N) can reach
+    // dn*2*scale (inbound and dang are each bounded by the total mass
+    // ≈ scale), so dn must keep that product under 2^63. Reducing by
+    // the gcd first means an equivalent-but-larger statement of the
+    // same damping (17000/20000) normalizes to 17/20 instead of
+    // tripping the guard; truncated division by a common factor is
+    // exact on non-negatives (floor(a*g/(b*g)) = floor(a/b)), so the
+    // normalized fraction computes bit-identical ranks.
+    val g = BigInt(dampNum).gcd(BigInt(dampDen)).toLong
+    val (dn, dd) = (dampNum / g, dampDen / g)
+    require(dn <= Long.MaxValue / (2 * scale),
+      s"damping numerator $dampNum/$dampDen (normalized $dn/$dd) would " +
+        s"overflow Long at scale $scale: need dn <= ${Long.MaxValue / (2 * scale)}")
     // the graph frames feed every round AND the per-round scalar
     // actions — unpersisted, an upstream edge derivation (typically a
     // join + distinct) would recompute ~3x per iteration
@@ -67,7 +84,7 @@ object PageRank {
     // action per round, and an uncached chain would recompute every
     // prior round on each of them — quadratic recompute
     var ranks = nodes.withColumn("rank", lit(scale / n)).localCheckpoint()
-    val teleport = (scale / n) * (dampDen - dampNum) / dampDen
+    val teleport = (scale / n) * (dd - dn) / dd
     for (_ <- 0 until iters) {
       val withDeg = ranks.join(outdeg, Seq("node"), "left")
       // dangling mass: a 1-row aggregate folded into the round's plan
@@ -87,8 +104,8 @@ object PageRank {
         .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit(teleport) + expr(
-            s"($dampNum * (coalesce(__in, CAST(0 AS BIGINT)) + " +
-              s"(__dang div $n))) div $dampDen")).as("rank"))
+            s"($dn * (coalesce(__in, CAST(0 AS BIGINT)) + " +
+              s"(__dang div $n))) div $dd")).as("rank"))
         .localCheckpoint()
       prev.unpersist(blocking = true)
     }

@@ -14,32 +14,32 @@ import org.apache.spark.sql.types.StructType
   */
 object Incremental {
 
-  /** Run `startQuery` with `spark.sql.shuffle.partitions` scoped to
-    * `n` — the STATE-PARTITION sizing knob for stateful streams. Every
-    * stateful operator materializes one state-store instance per
-    * shuffle partition PER MICRO-BATCH (a stream-stream join keeps
-    * four), so the partition count must track STATE VOLUME, not the
-    * box's core count: a 100 TB keyspace sizes UP (state per store
-    * must fit an executor), a small-keyspace stream sizes DOWN (at the
-    * session default of one-per-core, store open/commit overhead
-    * dominates — the m47/m50 fixtures ran 3x slower at 32 than at 8).
-    * Scoping is safe because a streaming query CLONES the session at
-    * start (the override is captured into the clone and pinned in the
-    * checkpoint's offset metadata); the caller's session restores
-    * before this returns. */
-  private def withStatePartitions[T](spark: SparkSession,
-                                     n: Option[Int])(startQuery: => T): T =
+  /** Run `startQuery` against a session whose
+    * `spark.sql.shuffle.partitions` is scoped to `n` — the
+    * STATE-PARTITION sizing knob for stateful streams. Every stateful
+    * operator materializes one state-store instance per shuffle
+    * partition PER MICRO-BATCH (a stream-stream join keeps four), so
+    * the partition count must track STATE VOLUME, not the box's core
+    * count: a 100 TB keyspace sizes UP (state per store must fit an
+    * executor), a small-keyspace stream sizes DOWN (at the session
+    * default of one-per-core, store open/commit overhead dominates —
+    * the m47/m50 fixtures ran 3x slower at 32 than at 8).
+    *
+    * The override lives on a CLONED session (cloneSession copies the
+    * runtime conf; the stream builds and starts entirely on the
+    * clone, which pins the value into the checkpoint's offset
+    * metadata) — the caller's session is never touched, so a query
+    * started concurrently on it cannot inherit the scoped value and
+    * two concurrent scoped starts cannot race on a restore. */
+  private def withStatePartitions[T](spark: SparkSession, n: Option[Int])
+                                    (startQuery: SparkSession => T): T =
     n match {
-      case None => startQuery
+      case None => startQuery(spark)
       case Some(p) =>
         require(p >= 1, s"stateShufflePartitions must be >= 1: $p")
-        val key = "spark.sql.shuffle.partitions"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, p.toString)
-        try startQuery finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
+        val scoped = org.apache.spark.sql.GraftSessionBridge.cloneSession(spark)
+        scoped.conf.set("spark.sql.shuffle.partitions", p.toString)
+        startQuery(scoped)
     }
 
   /** Incremental file-source pipeline: process-available-then-stop. */
@@ -49,10 +49,10 @@ object Incremental {
                       maxFilesPerTrigger: Option[Int] = None,
                       stateShufflePartitions: Option[Int] = None)
       : StreamingQuery = {
-    val r = spark.readStream.schema(schema).format(format)
-    val src = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n.toString))
-      .load(sourceDir)
-    withStatePartitions(spark, stateShufflePartitions) {
+    withStatePartitions(spark, stateShufflePartitions) { s =>
+      val r = s.readStream.schema(schema).format(format)
+      val src = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n.toString))
+        .load(sourceDir)
       transform(src).writeStream
         .format("parquet")
         .option("path", sinkPath)
@@ -146,19 +146,19 @@ object Incremental {
       : StreamingQuery = {
     require(Set("inner", "leftOuter", "fullOuter").contains(joinType),
       s"joinType must be inner, leftOuter or fullOuter: $joinType")
-    def src = {
-      val r = spark.readStream.schema(schema).format(format)
-      maxFilesPerTrigger.fold(r)(n =>
-        r.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
-    }
-    val l = prepareLeft(src).withWatermark(leftTsCol, watermark)
-    val r = prepareRight(src).withWatermark(rightTsCol, watermark)
-    val joined = l.join(r,
-      col(leftKeyCol) === col(rightKeyCol) &&
-        col(rightTsCol) >= col(leftTsCol) &&
-        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $maxGap"),
-      joinType)
-    withStatePartitions(spark, stateShufflePartitions) {
+    withStatePartitions(spark, stateShufflePartitions) { s =>
+      def src = {
+        val r = s.readStream.schema(schema).format(format)
+        maxFilesPerTrigger.fold(r)(n =>
+          r.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
+      }
+      val l = prepareLeft(src).withWatermark(leftTsCol, watermark)
+      val r = prepareRight(src).withWatermark(rightTsCol, watermark)
+      val joined = l.join(r,
+        col(leftKeyCol) === col(rightKeyCol) &&
+          col(rightTsCol) >= col(leftTsCol) &&
+          col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $maxGap"),
+        joinType)
       joined.writeStream
         .format("parquet")
         .option("path", sinkPath)
@@ -190,12 +190,12 @@ object Incremental {
       keyCols: Seq[String], watermark: String,
       sinkPath: String, checkpointDir: String,
       stateShufflePartitions: Option[Int] = None): StreamingQuery = {
-    val src = spark.readStream.schema(schema).format(format).load(sourceDir)
-    val deduped = prepare(src)
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(keyCols)
-      .select(keyCols.map(col): _*)
-    withStatePartitions(spark, stateShufflePartitions) {
+    withStatePartitions(spark, stateShufflePartitions) { s =>
+      val src = s.readStream.schema(schema).format(format).load(sourceDir)
+      val deduped = prepare(src)
+        .withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+        .select(keyCols.map(col): _*)
       deduped.writeStream
         .format("parquet")
         .option("path", sinkPath)
@@ -291,37 +291,94 @@ object Incremental {
     * that replays the store's state through the sink every batch and
     * serves from session memory; this serves from DURABLE versioned
     * parquet that any other session (or engine) reads, survives
-    * restarts via the checkpoint, and prunes with the store's GC. */
+    * restarts via the checkpoint, and prunes with the store's GC.
+    *
+    * Replay safety: foreachBatch is at-least-once — a crash between
+    * landing the state version and the checkpoint's offset commit
+    * replays the batch on restart, and a second fold of the same delta
+    * would permanently corrupt counts/sums. Each state version
+    * therefore records the batch token it applied (an
+    * [[AppliedBatchMarker]] file inside the version dir — landed by
+    * the same atomic rename as the data), and a batch whose token the
+    * LATEST version already carries is skipped. The token pairs the
+    * checkpoint's persisted query id with the batchId
+    * ([[checkpointQueryToken]] — batchId alone restarts at 0 when a
+    * checkpoint is recreated, which must fold, not skip). Only the
+    * latest version needs checking: AvailableNow replays at most the
+    * one uncommitted batch, and it was the last writer. */
   def aggMaintenanceAvailableNow(spark: SparkSession, sourceDir: String,
       schema: StructType, format: String,
       prepare: DataFrame => DataFrame,
       keyCols: Seq[String], sumCols: Seq[String], minCols: Seq[String],
       maxCols: Seq[String], statePath: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    import graft.operators.AggMaintenance
     val r = spark.readStream.schema(schema).format(format)
     val src = maxFilesPerTrigger.fold(r)(n =>
       r.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
+    lazy val ckToken = checkpointQueryToken(spark, checkpointDir)
     prepare(src).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s2 = batch.sparkSession
-        val conf = s2.sparkContext.hadoopConfiguration
-        val delta = AggMaintenance.aggState(batch, keyCols,
-          sumCols, minCols, maxCols)
-        val merged = graft.llm.LayoutStore.versions(conf, statePath)
-          .lastOption match {
-            case None => delta
-            case Some(_) => AggMaintenance.mergeAggState(
-              graft.llm.LayoutStore.readSnapshotTable(s2, statePath),
-              delta, keyCols, sumCols, minCols, maxCols)
-          }
-        graft.llm.LayoutStore.writeSnapshot(conf, statePath)(tmp =>
-          merged.coalesce(1).write.mode("overwrite").parquet(tmp))
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        aggMaintenanceBatch(batch, s"$ckToken-$batchId", keyCols,
+          sumCols, minCols, maxCols, statePath)
       }
       .start()
+  }
+
+  /** Marker file a maintained-agg state version carries naming the
+    * batch token it folded — underscore-prefixed so the store's
+    * physical walk and parquet readers both ignore it. */
+  private[graft] val AppliedBatchMarker = "_applied_batch"
+
+  /** The batch token the state version `v` at `statePath` recorded,
+    * if any (pre-idempotence versions carry no marker — they fold). */
+  private[graft] def appliedBatchToken(
+      conf: org.apache.hadoop.conf.Configuration,
+      statePath: String, v: Long): Option[String] = {
+    val f = new org.apache.hadoop.fs.Path(
+      s"$statePath/version=$v/$AppliedBatchMarker")
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  /** One micro-batch of [[aggMaintenanceAvailableNow]], factored out so
+    * the replay contract is directly testable: calling this twice with
+    * the same `batchToken` folds the delta exactly ONCE (the second
+    * call sees the token on the latest state version and returns
+    * without writing). */
+  private[graft] def aggMaintenanceBatch(batch: DataFrame,
+      batchToken: String, keyCols: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String],
+      statePath: String): Unit = {
+    import graft.operators.AggMaintenance
+    val s2 = batch.sparkSession
+    val conf = s2.sparkContext.hadoopConfiguration
+    val last = graft.llm.LayoutStore.versions(conf, statePath).lastOption
+    val replayed = last.exists(v =>
+      appliedBatchToken(conf, statePath, v).contains(batchToken))
+    if (replayed) return // crash-after-land replay: already folded
+    val delta = AggMaintenance.aggState(batch, keyCols,
+      sumCols, minCols, maxCols)
+    val merged = last match {
+      case None => delta
+      case Some(_) => AggMaintenance.mergeAggState(
+        graft.llm.LayoutStore.readSnapshotTable(s2, statePath),
+        delta, keyCols, sumCols, minCols, maxCols)
+    }
+    graft.llm.LayoutStore.writeSnapshot(conf, statePath) { tmp =>
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val mk = new org.apache.hadoop.fs.Path(tmp, AppliedBatchMarker)
+      val out = mk.getFileSystem(conf).create(mk, true)
+      try out.write(batchToken.getBytes("UTF-8")) finally out.close()
+    }
+    ()
   }
 
   /** Gap-based SESSION aggregation as a streaming `session_window` —
@@ -345,16 +402,16 @@ object Incremental {
       gap: String, watermark: String,
       sinkPath: String, checkpointDir: String,
       stateShufflePartitions: Option[Int] = None): StreamingQuery = {
-    val src = spark.readStream.schema(schema).format(format).load(sourceDir)
-    val sessions = prepare(src)
-      .withWatermark(tsCol, watermark)
-      .groupBy(col(keyCol), session_window(col(tsCol), gap))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col(keyCol),
-        col("session_window.start").as("w_start"),
-        col("session_window.end").as("w_end"),
-        col("n_events"))
-    withStatePartitions(spark, stateShufflePartitions) {
+    withStatePartitions(spark, stateShufflePartitions) { s =>
+      val src = s.readStream.schema(schema).format(format).load(sourceDir)
+      val sessions = prepare(src)
+        .withWatermark(tsCol, watermark)
+        .groupBy(col(keyCol), session_window(col(tsCol), gap))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col(keyCol),
+          col("session_window.start").as("w_start"),
+          col("session_window.end").as("w_end"),
+          col("n_events"))
       sessions.writeStream
         .format("parquet")
         .option("path", sinkPath)
@@ -381,16 +438,21 @@ object Incremental {
                                queryName: String,
                                stateShufflePartitions: Option[Int] = None)
       : DataFrame = {
-    val src = spark.readStream.schema(schema).format(format).load(sourceDir)
-    withStatePartitions(spark, stateShufflePartitions) {
+    // the memory sink registers its table in the STARTING session's
+    // temp-view catalog — with a scoped clone, the result must be read
+    // back from the clone, so the whole read-aggregate-start-read path
+    // runs inside the closure
+    withStatePartitions(spark, stateShufflePartitions) { s =>
+      val src = s.readStream.schema(schema).format(format).load(sourceDir)
       agg(src).writeStream
         .format("memory")
         .queryName(queryName)
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
         .start()
-    }.awaitTermination()
-    spark.table(queryName)
+        .awaitTermination()
+      s.table(queryName)
+    }
   }
 
   /** Watermarked tumbling-window aggregation — capability the reference

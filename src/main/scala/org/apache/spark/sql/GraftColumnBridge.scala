@@ -12,3 +12,16 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge into `private[sql] SparkSession.cloneSession()` — an isolated
+  * session sharing the SparkContext and cached data but with its OWN
+  * copy of the runtime SQLConf and temp-view catalog. This is exactly
+  * what Structured Streaming does internally at query start; exposing
+  * it lets a caller scope a conf override (state-store partition
+  * sizing) to one stream WITHOUT mutating the shared session — the
+  * mutate-then-restore alternative races with concurrent starts and
+  * leaks the scoped value to unrelated queries started in the window. */
+object GraftSessionBridge {
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+}

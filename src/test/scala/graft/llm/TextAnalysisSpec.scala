@@ -864,4 +864,25 @@ class TextAnalysisSpec extends SparkTestBase {
     intercept[IllegalArgumentException](run("fast"))
     intercept[IllegalArgumentException](run("Fast", "table"))
   }
+
+  test("strataOverlapMatrix: the matrix is complete over the DOCUMENT " +
+    "frame's strata — a stratum whose documents are all tokenless " +
+    "still emits (n = 0), and an all-empty pair's jaccard is 0.0, " +
+    "never NaN") {
+    val s = spark; import s.implicits._
+    // b's only doc is empty, c's is whitespace — both tokenless strata
+    val df = Seq(("a", "x y"), ("a", "y z"), ("b", ""), ("c", "   "))
+      .toDF("lang", "text")
+    val got = TextAnalysis.strataOverlapMatrix(df, "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")),
+      s"tokenless strata must not vanish from the matrix: ${got.keySet}")
+    assert(got(("a", "b")) == ((0L, 3L, 0L, 0.0)), s"got ${got(("a", "b"))}")
+    assert(got(("a", "c")) == ((0L, 3L, 0L, 0.0)))
+    val bc = got(("b", "c"))
+    assert(bc == ((0L, 0L, 0L, 0.0)),
+      s"an all-empty pair must emit jaccard 0.0 (0/0 guard): $bc")
+    assert(!bc._4.isNaN)
+  }
 }

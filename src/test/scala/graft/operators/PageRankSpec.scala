@@ -38,6 +38,28 @@ class PageRankSpec extends SparkTestBase {
     assert(r2 == r, "fixed-point ranks must not depend on partitioning")
   }
 
+  test("overflow guard: an equivalent-but-larger damping fraction " +
+    "gcd-normalizes (identical ranks); an irreducible numerator over " +
+    "Long.MaxValue/(2*scale) fails fast instead of silently overflowing") {
+    val s = spark; import s.implicits._
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val base = PageRank.pageRankFixedPoint(e, iters = 1,
+      dampNum = 1L, dampDen = 2L, scale = 300L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eq = PageRank.pageRankFixedPoint(e, iters = 1,
+      dampNum = 500L, dampDen = 1000L, scale = 300L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(eq == base, "500/1000 must compute bit-identical to 1/2")
+    // at scale 1e15 the bound is Long.MaxValue/(2e15) ~ 4611:
+    // 17000/20000 normalizes to 17/20 and runs (the ADVICE scenario) —
+    PageRank.pageRankFixedPoint(e, iters = 1,
+      dampNum = 17000L, dampDen = 20000L, scale = 1000000000000000L)
+    // — while an IRREDUCIBLE over-bound numerator fails fast
+    intercept[IllegalArgumentException](
+      PageRank.pageRankFixedPoint(e, iters = 1,
+        dampNum = 4999L, dampDen = 5000L, scale = 1000000000000000L))
+  }
+
   test("guards: empty graph, bad damping, bad scale") {
     val s = spark; import s.implicits._
     intercept[IllegalArgumentException](

@@ -138,4 +138,38 @@ class IncrementalSpec extends SparkTestBase {
       "y" -> ((1L, 5.0, 5.0, 5.0)),
       "z" -> ((1L, 2.0, 2.0, 2.0))), s"got $got")
   }
+
+  test("aggMaintenanceBatch: replaying the same batch token folds ONCE " +
+    "— foreachBatch is at-least-once, and a crash between the state " +
+    "land and the offset commit must not double-count on restart") {
+    val s = spark; import s.implicits._
+    val state = tmpDir("aggm-replay") + "/state"
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fold(rows: Seq[(String, Double)], token: String): Unit =
+      Incremental.aggMaintenanceBatch(rows.toDF("k", "v"), token,
+        keyCols = Seq("k"), sumCols = Seq("v"), minCols = Nil,
+        maxCols = Nil, statePath = state)
+    def read() = graft.llm.LayoutStore.readSnapshotTable(spark, state)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    fold(Seq("x" -> 1.0, "y" -> 5.0), "ck-0")
+    fold(Seq("x" -> 3.0), "ck-1")
+    assert(graft.llm.LayoutStore.versions(conf, state) == Seq(1L, 2L))
+    assert(read() == Map("x" -> ((2L, 4.0)), "y" -> ((1L, 5.0))))
+    // the crash replay: SAME token, same delta — no new version, no
+    // double fold
+    fold(Seq("x" -> 3.0), "ck-1")
+    assert(graft.llm.LayoutStore.versions(conf, state) == Seq(1L, 2L),
+      "a replayed batch must not land a new state version")
+    assert(read() == Map("x" -> ((2L, 4.0)), "y" -> ((1L, 5.0))),
+      "a replayed batch must not fold twice")
+    // a DIFFERENT token with identical content is a genuinely new
+    // batch (e.g. a recreated checkpoint restarting at batchId 0 —
+    // the query-id half of the token keeps it distinct) and folds
+    fold(Seq("x" -> 3.0), "ck2-0")
+    assert(graft.llm.LayoutStore.versions(conf, state) == Seq(1L, 2L, 3L))
+    assert(read() == Map("x" -> ((3L, 7.0)), "y" -> ((1L, 5.0))))
+    assert(Incremental.appliedBatchToken(conf, state, 3L)
+      .contains("ck2-0"))
+  }
 }
