@@ -1832,6 +1832,39 @@ object SparkEntry {
           col("sum_price").cast("double").as("sum_price"),
           col("min_qd").as("min_qty"), col("max_qd").as("max_qty"))
     }),
+    "m60_retraction_maintenance" -> ((s, dir) => {
+      // RETRACTION-AWARE maintenance: the per-supplier state absorbs a
+      // CDC batch of fact inserts AND deletes — counts/sums decrement
+      // in exact closed form, delete-touched keys' min/max rebuild
+      // from the post-apply facts (broadcast semi-join: cost ∝ the
+      // touched keys' fact rows, never a history rescan), untouched
+      // keys pass through byte-identical. The oracle aggregates the
+      // post-apply facts (pre − deletes ∪ inserts) from scratch: the
+      // invariant is stated, not assumed
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"),
+        col("l_quantity").cast("decimal(27,2)").as("qty"),
+        col("l_quantity").as("qd"),
+        col("l_extendedprice").cast("decimal(27,2)").as("price"))
+      val am = graft.operators.AggMaintenance
+      val pre = li.where(col("l_orderkey") % 4 =!= 1)
+      val state0 = am.aggState(pre, Seq("l_suppkey"),
+        sumCols = Seq("qty", "price"), minCols = Seq("qd"),
+        maxCols = Seq("qd"))
+      val changes = li.where(col("l_orderkey") % 4 === 1)
+          .withColumn("op", lit("I"))
+        .unionByName(pre.where(col("l_orderkey") % 5 === 2)
+          .withColumn("op", lit("D"))) // full before-images: CDC contract
+      val post = li.where(col("l_orderkey") % 4 === 1 ||
+        col("l_orderkey") % 5 =!= 2)
+      am.applyChangesToAggState(state0, changes, post, Seq("l_suppkey"),
+          sumCols = Seq("qty", "price"), minCols = Seq("qd"),
+          maxCols = Seq("qd"))
+        .select(col("l_suppkey"), col("n"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("sum_price").cast("double").as("sum_price"),
+          col("min_qd").as("min_qty"), col("max_qd").as("max_qty"))
+    }),
     "m45_zorder_layout" -> ((s, dir) => {
       // Morton-curve clustered layout: lineitem written partitioned by
       // interleaved (l_partkey, l_suppkey) bit-buckets, then a rectangle
@@ -5076,6 +5109,20 @@ object SparkEntry {
         |    AS sum_price,
         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "m60_retraction_maintenance" ->
+      // the retraction invariant stated directly: a from-scratch
+      // aggregation of the POST-APPLY facts (pre − deletes ∪ inserts;
+      // inserts are %4=1, deletes the %5=2 slice of the pre facts) —
+      // the closed-form decrements plus touched-key min/max rebuild
+      // must equal it bit-for-bit
+      """SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 4 = 1 OR l_orderkey % 5 != 2
+        |GROUP BY 1""".stripMargin,
     "m48_incremental_refresh" ->
       // s09's formulation over the NEW corpus version: correct only if
       // the retract+append pair reproduced exactly the df/N/Σdl and

@@ -86,4 +86,109 @@ object AggMaintenance {
         "full_outer")
       .select(outCols: _*)
   }
+
+  /** RETRACTION-AWARE maintenance: fold a CDC batch of fact-level
+    * inserts AND deletes into the state — the case [[mergeAggState]]
+    * documents out of scope (min/max are not decrement-safe) and the
+    * one a changelog-fed pipeline hits on day one (the engine's own
+    * upsert family makes `D` events first-class,
+    * [[Upsert.applyChangelog]]).
+    *
+    * `changes` carries the key + measure columns plus `opCol` ∈
+    * {"I", "D"}; a `D` row must state the FULL deleted row image
+    * (key + exact measure values) — the standard CDC before-image
+    * contract, and what makes count/sum decrements closed-form.
+    * `facts` is the POST-APPLY fact table (base after the changelog
+    * landed) and is read ONLY to rebuild min/max for delete-touched
+    * keys; it is call-by-name, so a count/sum-only state (no
+    * min/max columns) folds deletes with ZERO fact reads.
+    *
+    * The standard split, per aggregate class:
+    *  - count/sum: exact closed form for every key — inserts add,
+    *    deletes subtract — in ONE aggregate over the change batch
+    *    (min/max fold inserts in the same pass via null-skipping
+    *    `min(when(op='I', v))`). Keys whose count reaches 0 drop
+    *    from the state (the fully-deleted key vanishes, exactly as
+    *    a from-scratch aggregate would omit it).
+    *  - min/max: decrements don't invert, so the keys touched by a
+    *    DELETE — and only those — rebuild their min/max from `facts`
+    *    via a broadcast left-semi join (cost ∝ the touched keys'
+    *    fact rows, the closed-form-repair discipline of the takedown
+    *    family; a delete-free batch skips the rebuild plan entirely,
+    *    and AQE's empty-relation propagation collapses the fact scan
+    *    when the batch turns out delete-free at runtime). Untouched
+    *    keys never rejoin facts and pass through BYTE-IDENTICAL.
+    *
+    * Invariant (the m60 oracle states it): the result ==
+    * `aggState(facts)` whenever `state == aggState(pre-apply facts)`
+    * and `changes` is consistent (deletes state rows that existed,
+    * inserts rows that landed). An inconsistent log — a delete whose
+    * image never existed — is NOT detectable in closed form and
+    * corrupts sums silently; the guard here drops keys whose count
+    * goes non-positive, and the full-image contract is the caller's
+    * (the same trust [[Upsert.applyChangelog]] places in its log).
+    *
+    * Scale shape: one map-side-combined aggregate over the (small)
+    * change batch, one full-outer merge riding the state's key
+    * partitioning, and a fact scan FILTERED to delete-touched keys
+    * (on a key-partitioned/bucketed fact layout that scan prunes to
+    * the touched partitions). A 100 TB history is never rescanned. */
+  def applyChangesToAggState(state: DataFrame, changes: DataFrame,
+                             facts: => DataFrame,
+                             keyCols: Seq[String],
+                             sumCols: Seq[String] = Seq.empty,
+                             minCols: Seq[String] = Seq.empty,
+                             maxCols: Seq[String] = Seq.empty,
+                             opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "applyChangesToAggState needs key columns")
+    // fail fast on an unknown op — a silent 0-signed row would
+    // corrupt counts; raise_error rides the row pipeline, so a clean
+    // batch pays nothing
+    val sgn = when(col(opCol) === "I", lit(1L))
+      .when(col(opCol) === "D", lit(-1L))
+      .otherwise(raise_error(concat(
+        lit(s"applyChangesToAggState: $opCol must be 'I' or 'D', got '"),
+        col(opCol).cast("string"), lit("'"))))
+    // ONE aggregate builds the whole delta: signed n/sums (exact
+    // closed form over I and D), insert-only min/max (null-skipping
+    // conditional aggregates — a D row contributes nothing here)
+    val aggs: Seq[Column] =
+      sumCols.map(c => sum(col(c) * col("__sgn")).as(s"sum_$c")) ++
+        minCols.map(c =>
+          min(when(col("__sgn") === 1L, col(c))).as(s"min_$c")) ++
+        maxCols.map(c =>
+          max(when(col("__sgn") === 1L, col(c))).as(s"max_$c"))
+    val delta = changes.withColumn("__sgn", sgn)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__sgn")).as("n"), aggs: _*)
+    val merged = mergeAggState(state, delta, keyCols,
+      sumCols, minCols, maxCols)
+      // a key folded to zero rows is GONE, exactly as aggState over
+      // the post-apply facts would omit it (n < 0 = inconsistent log;
+      // dropping is the least-wrong recovery and keeps the invariant
+      // for every consistent key)
+      .where(col("n") > 0L)
+    if (minCols.isEmpty && maxCols.isEmpty) merged
+    else {
+      // min/max repair: ONLY delete-touched keys rebuild from facts
+      val delKeys = changes.where(col(opCol) === "D")
+        .select(keyCols.map(col): _*).distinct()
+      val rebuiltAggs: Seq[Column] =
+        minCols.map(c => min(col(c)).as(s"__rb_min_$c")) ++
+          maxCols.map(c => max(col(c)).as(s"__rb_max_$c"))
+      val rebuilt = facts
+        .join(broadcast(delKeys), keyCols, "left_semi")
+        .groupBy(keyCols.map(col): _*)
+        .agg(lit(true).as("__rb"), rebuiltAggs: _*)
+      val spliced: Seq[Column] =
+        (keyCols ++ Seq("n") ++ sumCols.map("sum_" + _)).map(col) ++
+          minCols.map(c => when(col("__rb"), col(s"__rb_min_$c"))
+            .otherwise(col(s"min_$c")).as(s"min_$c")) ++
+          maxCols.map(c => when(col("__rb"), col(s"__rb_max_$c"))
+            .otherwise(col(s"max_$c")).as(s"max_$c"))
+      merged.join(broadcast(rebuilt), keyCols, "left")
+        .withColumn("__rb", coalesce(col("__rb"), lit(false)))
+        .select(spliced: _*)
+    }
+  }
 }

@@ -48,4 +48,79 @@ class AggMaintenanceSpec extends SparkTestBase {
       AggMaintenance.mergeAggState(good, bad, Seq("k"),
         sumCols = Seq("v")))
   }
+
+  test("applyChangesToAggState == aggState(post-apply facts): deletes " +
+    "decrement counts/sums in closed form, a delete-touched key's " +
+    "min/max rebuild from facts, a fully-deleted key vanishes, and an " +
+    "UNTOUCHED key's state row passes through byte-identical") {
+    val s = spark; import s.implicits._
+    val pre = Seq(
+      ("x", 1.0), ("x", 3.0), ("x", 9.0), // x: delete the 9.0 (its max)
+      ("y", 5.0), ("y", 2.0),             // y: fully deleted
+      ("u", 4.0), ("u", 6.0))             // u: untouched
+      .toDF("k", "v")
+    val changes = Seq(
+      ("x", 9.0, "D"), ("y", 5.0, "D"), ("y", 2.0, "D"),
+      ("x", 0.5, "I"), ("z", 7.0, "I")) // z: brand-new key
+      .toDF("k", "v", "op")
+    val post = Seq( // pre − deletes ∪ inserts
+      ("x", 1.0), ("x", 3.0), ("x", 0.5),
+      ("u", 4.0), ("u", 6.0), ("z", 7.0)).toDF("k", "v")
+    val state0 = AggMaintenance.aggState(pre, Seq("k"),
+      sumCols = Seq("v"), minCols = Seq("v"), maxCols = Seq("v"))
+    val got = AggMaintenance.applyChangesToAggState(state0, changes,
+      post, Seq("k"), sumCols = Seq("v"), minCols = Seq("v"),
+      maxCols = Seq("v"))
+    val scratch = AggMaintenance.aggState(post, Seq("k"),
+      sumCols = Seq("v"), minCols = Seq("v"), maxCols = Seq("v"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(got) == rows(scratch),
+      s"got=${rows(got)} scratch=${rows(scratch)}")
+    val m = got.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(!m.contains("y"), "a fully-deleted key must vanish")
+    assert(m("x") == Seq(3L, 4.5, 0.5, 3.0),
+      s"x must lose its deleted max (9.0 -> 3.0): ${m("x")}")
+    assert(m("z") == Seq(1L, 7.0, 7.0, 7.0))
+    // the untouched key's row is the STATE's row, bit for bit
+    val before = state0.where(col("k") === "u").collect().head.toSeq
+    assert(m("u") == before.drop(1), "untouched key must pass through")
+  }
+
+  test("applyChangesToAggState: a count/sum-only state folds deletes " +
+    "with ZERO fact reads (facts is call-by-name and must never be " +
+    "evaluated), and the min/max rebuild is a broadcast semi-join on " +
+    "facts — never a full-state rejoin") {
+    val s = spark; import s.implicits._
+    val pre = Seq(("x", 1.0), ("x", 3.0), ("y", 5.0)).toDF("k", "v")
+    val changes = Seq(("x", 3.0, "D"), ("y", 2.0, "I")).toDF("k", "v", "op")
+    val state0 = AggMaintenance.aggState(pre, Seq("k"), sumCols = Seq("v"))
+    val got = AggMaintenance.applyChangesToAggState(state0, changes,
+      sys.error("count/sum-only maintenance must not read facts"),
+      Seq("k"), sumCols = Seq("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got == Map("x" -> ((1L, 1.0)), "y" -> ((2L, 7.0))), s"$got")
+    // with min/max, the plan reads facts ONLY under a left-semi join
+    // against the (broadcast) delete-touched keys
+    val post = Seq(("x", 1.0), ("y", 5.0), ("y", 2.0)).toDF("k", "v")
+    val state1 = AggMaintenance.aggState(pre, Seq("k"),
+      sumCols = Seq("v"), minCols = Seq("v"))
+    val df = AggMaintenance.applyChangesToAggState(state1, changes, post,
+      Seq("k"), sumCols = Seq("v"), minCols = Seq("v"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"fact rebuild must be a semi-join on touched keys:\n$plan")
+  }
+
+  test("applyChangesToAggState fails fast on an unknown op value") {
+    val s = spark; import s.implicits._
+    val state0 = AggMaintenance.aggState(
+      Seq(("x", 1.0)).toDF("k", "v"), Seq("k"), sumCols = Seq("v"))
+    val changes = Seq(("x", 1.0, "UPSERT")).toDF("k", "v", "op")
+    val e = intercept[Exception](
+      AggMaintenance.applyChangesToAggState(state0, changes,
+        sys.error("unreached"), Seq("k"), sumCols = Seq("v")).collect())
+    assert(e.getMessage != null)
+  }
 }
