@@ -129,7 +129,7 @@ object LayoutStore {
 
   /** The snapshot's logical entry map: its manifest when present, else
     * the physical synthesis (legacy full-build snapshots). */
-  private[llm] def effectiveEntries(conf: org.apache.hadoop.conf.Configuration,
+  private[graft] def effectiveEntries(conf: org.apache.hadoop.conf.Configuration,
                                     path: String, v: Long)
       : Map[String, Long] =
     readManifest(conf, path, v).getOrElse {

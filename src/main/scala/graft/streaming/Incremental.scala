@@ -284,8 +284,14 @@ object Incremental {
     * — dot-temp + atomic rename, so a reader pins either the previous
     * state or the complete new one, never a torn overwrite (the
     * classic self-overwrite hazard: parquet can't re-write a path it's
-    * lazily reading). Deletions are out of scope exactly as in the
-    * batch operator (min/max are not decrement-safe).
+    * lazily reading). The state lands KEY-BUCKETED (`kb =
+    * pmod(xxhash64(keys), stateBuckets)`): each fold physically
+    * rewrites only the buckets its keys touch and inherits cold
+    * buckets by manifest reference, so a wide keyspace never
+    * serializes through one writer per batch — see
+    * [[aggMaintenanceBatch]]. Deletions: fold them with the batch
+    * operator [[graft.operators.AggMaintenance.applyChangesToAggState]]
+    * (retraction-aware); this streaming twin is insert-only.
     *
     * Versus [[runAggregateAvailableNow]]'s complete-mode aggregation:
     * that replays the store's state through the sink every batch and
@@ -311,7 +317,8 @@ object Incremental {
       prepare: DataFrame => DataFrame,
       keyCols: Seq[String], sumCols: Seq[String], minCols: Seq[String],
       maxCols: Seq[String], statePath: String, checkpointDir: String,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      stateBuckets: Int = 16): StreamingQuery = {
     val r = spark.readStream.schema(schema).format(format)
     val src = maxFilesPerTrigger.fold(r)(n =>
       r.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
@@ -321,7 +328,7 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         aggMaintenanceBatch(batch, s"$ckToken-$batchId", keyCols,
-          sumCols, minCols, maxCols, statePath)
+          sumCols, minCols, maxCols, statePath, stateBuckets)
       }
       .start()
   }
@@ -348,37 +355,118 @@ object Incremental {
     }
   }
 
+  /** Marker file naming the key-bucket count a maintained-agg state
+    * was built with — the bucketing is only sound if every version
+    * hashes keys into the SAME bucket space, so a fold with a
+    * different count fails fast instead of silently stranding keys
+    * in unmerged buckets. */
+  private[graft] val StateBucketsMarker = "_state_buckets"
+
+  private[graft] def stateBucketCount(
+      conf: org.apache.hadoop.conf.Configuration,
+      statePath: String, v: Long): Option[Int] = {
+    val f = new org.apache.hadoop.fs.Path(
+      s"$statePath/version=$v/$StateBucketsMarker")
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeTextMarker(conf: org.apache.hadoop.conf.Configuration,
+                              dir: String, name: String,
+                              value: String): Unit = {
+    val mk = new org.apache.hadoop.fs.Path(dir, name)
+    val out = mk.getFileSystem(conf).create(mk, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
   /** One micro-batch of [[aggMaintenanceAvailableNow]], factored out so
-    * the replay contract is directly testable: calling this twice with
-    * the same `batchToken` folds the delta exactly ONCE (the second
-    * call sees the token on the latest state version and returns
-    * without writing). */
+    * the replay and write-shape contracts are directly testable:
+    *
+    *  - REPLAY: calling this twice with the same `batchToken` folds
+    *    the delta exactly ONCE (the second call sees the token on the
+    *    latest state version and returns without writing).
+    *  - WRITE SHAPE: the state lands partitioned by a key bucket
+    *    (`kb = pmod(xxhash64(keys), stateBuckets)`), and each fold
+    *    physically rewrites ONLY the buckets the micro-batch touched —
+    *    cold buckets are inherited by manifest reference
+    *    ([[graft.llm.LayoutStore.writeSnapshotManifested]], the
+    *    appendBm25Snapshot discipline). A wide keyspace (per-user
+    *    counters — the honest 100 TB case) no longer serializes the
+    *    whole state through one writer per batch: write cost is
+    *    ∝ touched buckets, and bucket count sizes to state volume.
+    *    The state read for the merge partition-prunes to the touched
+    *    buckets, so read cost is ∝ touched state too.
+    *
+    * A pre-bucketing state (no [[StateBucketsMarker]] on its latest
+    * version) migrates transparently: the first fold reads the whole
+    * legacy state, merges, and lands it fully bucketed. */
   private[graft] def aggMaintenanceBatch(batch: DataFrame,
       batchToken: String, keyCols: Seq[String], sumCols: Seq[String],
       minCols: Seq[String], maxCols: Seq[String],
-      statePath: String): Unit = {
+      statePath: String, stateBuckets: Int = 16): Unit = {
     import graft.operators.AggMaintenance
+    import graft.llm.LayoutStore
+    require(stateBuckets >= 1, s"stateBuckets must be >= 1: $stateBuckets")
     val s2 = batch.sparkSession
     val conf = s2.sparkContext.hadoopConfiguration
-    val last = graft.llm.LayoutStore.versions(conf, statePath).lastOption
+    val last = LayoutStore.versions(conf, statePath).lastOption
     val replayed = last.exists(v =>
       appliedBatchToken(conf, statePath, v).contains(batchToken))
     if (replayed) return // crash-after-land replay: already folded
+    val storedBuckets = last.flatMap(v => stateBucketCount(conf, statePath, v))
+    storedBuckets.foreach(b => require(b == stateBuckets,
+      s"state at $statePath was bucketed with $b key buckets; " +
+        s"refusing to fold with $stateBuckets — keys would strand in " +
+        "unmerged buckets (rebuild or keep the original count)"))
+    def kbOf = pmod(xxhash64(keyCols.map(col): _*),
+      lit(stateBuckets.toLong)).cast("int")
     val delta = AggMaintenance.aggState(batch, keyCols,
       sumCols, minCols, maxCols)
-    val merged = last match {
-      case None => delta
-      case Some(_) => AggMaintenance.mergeAggState(
-        graft.llm.LayoutStore.readSnapshotTable(s2, statePath),
-        delta, keyCols, sumCols, minCols, maxCols)
-    }
-    graft.llm.LayoutStore.writeSnapshot(conf, statePath) { tmp =>
-      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val mk = new org.apache.hadoop.fs.Path(tmp, AppliedBatchMarker)
-      val out = mk.getFileSystem(conf).create(mk, true)
-      try out.write(batchToken.getBytes("UTF-8")) finally out.close()
-    }
-    ()
+      .withColumn("kb", kbOf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded driver read: at most `stateBuckets` values
+      val touched = delta.select(col("kb")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty && last.isEmpty) return // empty bootstrap batch
+      // a legacy (unbucketed) state cannot prune: one-time full merge
+      val legacy = last.isDefined && storedBuckets.isEmpty
+      val fullRewrite = last.isEmpty || legacy
+      val merged =
+        if (last.isEmpty) delta.drop("kb")
+        else {
+          val st = LayoutStore.readSnapshotTable(s2, statePath)
+          val pruned =
+            if (legacy) st
+            else st.where(col("kb").isin(touched.map(Integer.valueOf): _*))
+              .drop("kb")
+          AggMaintenance.mergeAggState(pruned, delta.drop("kb"),
+            keyCols, sumCols, minCols, maxCols)
+        }
+      LayoutStore.writeSnapshotManifested(conf, statePath) { (tmp, _) =>
+        // an empty batch writes nothing (no hollow dirs) and carries
+        // every bucket; a real batch lands only its touched buckets
+        if (touched.nonEmpty || legacy)
+          merged.withColumn("kb", kbOf).repartition(col("kb"))
+            .write.mode("overwrite").partitionBy("kb").parquet(tmp)
+        writeTextMarker(conf, tmp, AppliedBatchMarker, batchToken)
+        writeTextMarker(conf, tmp, StateBucketsMarker, stateBuckets.toString)
+        if (fullRewrite) Map.empty[String, Long]
+        else {
+          val touchedDirs = touched.map(v => s"kb=$v").toSet
+          LayoutStore.effectiveEntries(conf, statePath, last.get)
+            .filter { case (k, _) =>
+              k.startsWith("kb=") && !touchedDirs.contains(k) }
+        }
+      }
+      ()
+    } finally delta.unpersist()
   }
 
   /** Gap-based SESSION aggregation as a streaming `session_window` —

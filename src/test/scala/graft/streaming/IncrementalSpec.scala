@@ -172,4 +172,73 @@ class IncrementalSpec extends SparkTestBase {
     assert(Incremental.appliedBatchToken(conf, state, 3L)
       .contains("ck2-0"))
   }
+
+  test("aggMaintenanceBatch: the state is KEY-BUCKETED and a fold " +
+    "physically rewrites only the buckets its keys touch — cold " +
+    "buckets carry by manifest reference (files written ∝ touched " +
+    "buckets, never ∝ state); a bucket-count change fails fast") {
+    val s = spark; import s.implicits._
+    val state = tmpDir("aggm-bucketed") + "/state"
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fold(rows: Seq[(String, Double)], token: String,
+             buckets: Int = 4): Unit =
+      Incremental.aggMaintenanceBatch(rows.toDF("k", "v"), token,
+        keyCols = Seq("k"), sumCols = Seq("v"), minCols = Nil,
+        maxCols = Nil, statePath = state, stateBuckets = buckets)
+    // batch 1: enough keys to populate all 4 buckets
+    val keys1 = (0 until 40).map(i => (s"k$i", i.toDouble))
+    fold(keys1, "b-0")
+    val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(conf)
+    def kbDirs(v: Long) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$state/version=$v"))
+      .map(_.getPath.getName).filter(_.startsWith("kb=")).toSeq.sorted
+    assert(kbDirs(1L).size == 4, s"40 keys must fill 4 buckets: ${kbDirs(1L)}")
+    // batch 2 touches ONE key -> exactly one bucket lands physically
+    val kb1 = spark.range(1)
+      .select(pmod(xxhash64(lit("k1")), lit(4L)).cast("int"))
+      .head.getInt(0)
+    fold(Seq(("k1", 100.0)), "b-1")
+    assert(kbDirs(2L) == Seq(s"kb=$kb1"),
+      s"only the touched bucket may land physically: ${kbDirs(2L)}")
+    // the manifest inherits the three cold buckets from version 1
+    val manifest = graft.llm.LayoutStore.readManifest(conf, state, 2L).get
+    assert(manifest.count { case (k, owner) =>
+      k.startsWith("kb=") && owner == 1L } == 3,
+      s"cold buckets must carry by reference: $manifest")
+    // the served state equals the from-scratch aggregate
+    val got = graft.llm.LayoutStore.readSnapshotTable(spark, state)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val expect = keys1.map { case (k, v) =>
+      k -> ((if (k == "k1") 2L else 1L, if (k == "k1") 101.0 else v)) }.toMap
+    assert(got == expect, s"got $got")
+    // folding with a different bucket count must fail fast, not strand
+    intercept[IllegalArgumentException](
+      fold(Seq(("k2", 1.0)), "b-2", buckets = 8))
+  }
+
+  test("aggMaintenanceBatch: a pre-bucketing (single-file) state " +
+    "migrates to the bucketed layout transparently on its first fold") {
+    val s = spark; import s.implicits._
+    val state = tmpDir("aggm-legacy") + "/state"
+    val conf = spark.sparkContext.hadoopConfiguration
+    // the old write shape: one flat parquet dir, no markers
+    graft.llm.LayoutStore.writeSnapshot(conf, state)(tmp =>
+      Seq(("x", 2L, 4.0), ("y", 1L, 5.0)).toDF("k", "n", "sum_v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp))
+    Incremental.aggMaintenanceBatch(
+      Seq(("x", 3.0)).toDF("k", "v"), "mig-0",
+      keyCols = Seq("k"), sumCols = Seq("v"), minCols = Nil,
+      maxCols = Nil, statePath = state, stateBuckets = 4)
+    assert(graft.llm.LayoutStore.versions(conf, state) == Seq(1L, 2L))
+    val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(conf)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/version=2"))
+      .map(_.getPath.getName).exists(_.startsWith("kb=")),
+      "the migrated state must land bucketed")
+    assert(Incremental.stateBucketCount(conf, state, 2L).contains(4))
+    val got = graft.llm.LayoutStore.readSnapshotTable(spark, state)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("x" -> ((3L, 7.0)), "y" -> ((1L, 5.0))), s"$got")
+  }
 }
