@@ -2681,6 +2681,50 @@ object SparkEntry {
       // later word, overlapping occurrences counted individually
       TextAnalysis.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
         Seq("fast", "table"))),
+    "s25_phrase_indexed" -> ((s, dir) => {
+      // s23's serving path: the corpus tokenizes ONCE into a persisted
+      // positional-postings snapshot (root table partitioned by term
+      // bucket) and the phrase probe reads only the directories its
+      // words hash into — same adjacency-join core, so the oracle is
+      // s23's formulation verbatim
+      val store = tmpQueryDir("s25-posidx").toString + "/layout"
+      graft.llm.TextAnalysis.writePositionalSnapshot(
+        t(s, dir, "documents"), store, termBuckets = 16)
+      graft.llm.TextAnalysis.phraseSearchIndexed(s, store,
+        Seq("fast", "table"))
+    }),
+    "m61_positional_append" -> ((s, dir) => {
+      // incremental growth of the positional index: build over 2/3 of
+      // the corpus, append the remaining third through the generic
+      // manifest appender (only the batch vocabulary's term buckets
+      // rewrite; cold directories inherit by reference), then probe —
+      // the oracle is the phrase search over the FULL corpus: the
+      // append must reproduce exactly what a from-scratch build serves
+      val docs = t(s, dir, "documents")
+      val store = tmpQueryDir("m61-posidx").toString + "/layout"
+      graft.llm.TextAnalysis.writePositionalSnapshot(
+        docs.where(col("doc_id") % 3 =!= 1), store, termBuckets = 16)
+      graft.llm.TextAnalysis.appendPositionalSnapshot(s, store,
+        docs.where(col("doc_id") % 3 === 1))
+      graft.llm.TextAnalysis.phraseSearchIndexed(s, store,
+        Seq("fast", "table"))
+    }),
+    "m62_positional_takedown" -> ((s, dir) => {
+      // the shrink half: revoke a doc slice from the positional index
+      // through the generic layout walk (only directories with hits
+      // rewrite; doc_id resolves via the walker's default id columns),
+      // then probe — the oracle is the phrase search over the surviving
+      // corpus: revoked docs must vanish from every posting slice
+      val docs = t(s, dir, "documents")
+      val store = tmpQueryDir("m62-posidx").toString + "/layout"
+      graft.llm.TextAnalysis.writePositionalSnapshot(docs, store,
+        termBuckets = 16)
+      graft.llm.Takedown.propagateLayoutSnapshot(s, store,
+        docs.where(col("doc_id") % 5 === 3).select(col("doc_id")),
+        "doc_id")
+      graft.llm.TextAnalysis.phraseSearchIndexed(s, store,
+        Seq("fast", "table"))
+    }),
     "s20_mmr_rerank" -> ((s, dir) => {
       // MMR diversified rerank: greedy λ=2/3 selection from the top-50
       // integer-dot candidates of query vec 0 — everything integer
@@ -3467,6 +3511,21 @@ object SparkEntry {
     * layout round-trip must surface exactly the corpus rows assigned to
     * the query's 4 nearest cells (same centroid literals, same
     * argmin/probe ordering), scored by the same cosine. */
+  /** The s23 phrase formulation ("fast table") parameterized on the
+    * corpus source — the positional-index lifecycle oracles (s25 probe,
+    * m61 append, m62 takedown) pass the corpus the index should be
+    * serving, making each an independent from-scratch derivation. */
+  private def phraseOracleSql(corpusSql: String): String =
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
+       |  FROM ($corpusSql))
+       |SELECT doc_id, n_matches FROM (
+       |  SELECT doc_id, CAST(len(list_filter(range(1, len(tk)),
+       |    i -> tk[i] = 'fast' AND tk[i+1] = 'table')) AS BIGINT)
+       |    AS n_matches
+       |  FROM t)
+       |WHERE n_matches > 0""".stripMargin
+
   private def ivfLayoutOracleSql: String =
     ivfLayoutOracleSqlFor("SELECT vec_id, embedding FROM embeddings")
 
@@ -5084,15 +5143,20 @@ object SparkEntry {
     "s23_phrase_search" ->
       // the token stream re-derived; adjacency checked positionally
       // (tk[i], tk[i+1]) — overlapping occurrences count individually
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
-        |  FROM documents)
-        |SELECT doc_id, n_matches FROM (
-        |  SELECT doc_id, CAST(len(list_filter(range(1, len(tk)),
-        |    i -> tk[i] = 'fast' AND tk[i+1] = 'table')) AS BIGINT)
-        |    AS n_matches
-        |  FROM t)
-        |WHERE n_matches > 0""".stripMargin,
+      phraseOracleSql("SELECT doc_id, text FROM documents"),
+    "s25_phrase_indexed" ->
+      // an index is a snapshot: the persisted-postings probe must equal
+      // the from-scratch phrase derivation over the frozen corpus
+      phraseOracleSql("SELECT doc_id, text FROM documents"),
+    "m61_positional_append" ->
+      // rebuild-equality: after the append, the probe must serve
+      // exactly what a from-scratch build over the unioned corpus would
+      phraseOracleSql("SELECT doc_id, text FROM documents"),
+    "m62_positional_takedown" ->
+      // the surviving corpus only — revoked docs must vanish from
+      // every posting slice the probe reads
+      phraseOracleSql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 5 != 3"),
     "m59_multilevel_compaction" ->
       // two versions of physical churn over a two-level layout, zero
       // logical change

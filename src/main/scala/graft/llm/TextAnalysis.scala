@@ -225,13 +225,28 @@ object TextAnalysis {
     * misses the corpus costs one pruned scan. */
   def phraseSearch(df: DataFrame, idCol: String, textCol: String,
                    phrase: Seq[String]): DataFrame = {
+    requirePhrase(phrase)
+    val tok = df.select(col(idCol).as("__pid"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("__pos", "__term")))
+      .where(col("__term").isin(phrase.distinct: _*))
+    phrasePostingsMatch(tok, idCol, phrase)
+  }
+
+  private def requirePhrase(phrase: Seq[String]): Unit = {
     require(phrase.size >= 2, "phrase must have at least two words " +
       "(single-term lookup is a plain filter)")
     require(phrase.forall(w => w.nonEmpty && w == w.toLowerCase),
       s"phrase words must be lowercase non-empty tokens: $phrase")
-    val tok = df.select(col(idCol).as("__pid"),
-        posexplode(tokens(lower(col(textCol)))).as(Seq("__pos", "__term")))
-      .where(col("__term").isin(phrase.distinct: _*))
+  }
+
+  /** The adjacency-join core shared by [[phraseSearch]] (postings
+    * derived at query time) and [[phraseSearchIndexed]] (postings read
+    * from the persisted layout): anchor on the first word's positions,
+    * equi-join each later word at `anchor + i`, count occurrences.
+    * `tok` carries (__pid, __pos, __term) already pruned to the phrase
+    * vocabulary. */
+  private def phrasePostingsMatch(tok: DataFrame, idCol: String,
+                                  phrase: Seq[String]): DataFrame = {
     val anchors = tok.where(col("__term") === phrase.head)
       .select(col("__pid"), col("__pos").as("__p0"))
     val matched = phrase.zipWithIndex.tail.foldLeft(anchors) {
@@ -242,6 +257,98 @@ object TextAnalysis {
     }
     matched.groupBy(col("__pid").as(idCol))
       .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** Persisted POSITIONAL postings index — the serving path for
+    * [[phraseSearch]], which re-tokenizes the whole corpus per
+    * invocation (fine once, wrong as a serving path — the
+    * [[writeBm25Layout]] argument, with positions kept). The corpus
+    * tokenizes ONCE into (term, doc_id, pos) rows landed as a
+    * [[LayoutStore]] snapshot whose ROOT is the table, partitioned by
+    * `tbucket = pmod(xxhash64(term), termBuckets)` — a phrase probe
+    * reads only the directories its words hash into.
+    *
+    * The single-root-table shape is deliberate: positional postings
+    * carry NO corpus-derived statistics (no df/N/Σdl to repair), so
+    * the whole lifecycle composes from the generic manifest-store
+    * walkers with zero new code — incremental append is
+    * [[Ingest.appendRowsSnapshot]] (via [[appendPositionalSnapshot]],
+    * which re-derives batch rows under the snapshot's own bucket
+    * count), takedown propagation is
+    * [[Takedown.propagateLayoutSnapshot]] (doc_id is in its default id
+    * columns; only directories with hits rewrite), and physical
+    * defragmentation is [[LayoutStore.compactSnapshotPartial]]. The
+    * bucket count is stamped on every row (`term_buckets` — parquet
+    * dictionary-encodes the repetition away) so it survives all three
+    * walkers and a probe planned against a foreign layout fails fast
+    * rather than scanning wrong partitions. Returns the version. */
+  def writePositionalSnapshot(corpus: DataFrame, path: String,
+                              docIdCol: String = "doc_id",
+                              textCol: String = "text",
+                              termBuckets: Int = 64): Long = {
+    require(termBuckets >= 1, s"termBuckets must be >= 1: $termBuckets")
+    LayoutStore.writeSnapshot(
+      corpus.sparkSession.sparkContext.hadoopConfiguration, path)(tmp =>
+      positionalRows(corpus, docIdCol, textCol, termBuckets)
+        .repartition(col("tbucket"))
+        .write.mode("overwrite").partitionBy("tbucket").parquet(tmp))
+  }
+
+  private def positionalRows(corpus: DataFrame, docIdCol: String,
+                             textCol: String,
+                             termBuckets: Int): DataFrame =
+    corpus.select(col(docIdCol).as("doc_id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "term")))
+      .withColumn("term_buckets", lit(termBuckets))
+      .withColumn("tbucket", bm25TermBucket(col("term"), termBuckets))
+
+  /** Phrase search over a [[writePositionalSnapshot]] store — the same
+    * (idCol, n_matches) rows as [[phraseSearch]] over the corpus the
+    * snapshot froze (same adjacency-join core), but the corpus is
+    * never re-tokenized: the probe reads ONLY the partition
+    * directories the phrase's words hash into (`tbucket IN` is a
+    * partition filter — plan-guarded in TextAnalysisSpec), computed
+    * with the SAME [[bm25TermBucket]] expression that bucketed the
+    * build (no hand-rolled hash twin to drift). */
+  def phraseSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                          path: String, phrase: Seq[String],
+                          idCol: String = "doc_id",
+                          version: Option[Long] = None): DataFrame = {
+    requirePhrase(phrase)
+    val postingsAll = LayoutStore.readSnapshotTable(spark, path, "", version)
+    val termBuckets = postingsAll.select(col("term_buckets"))
+      .limit(1).head().getInt(0)
+    val words = phrase.distinct
+    val buckets = spark.createDataset(words)(
+        org.apache.spark.sql.Encoders.STRING).toDF("term")
+      .select(bm25TermBucket(col("term"), termBuckets).as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val tok = postingsAll
+      .where(col("tbucket").isin(buckets: _*) &&
+        col("term").isin(words: _*))
+      .select(col("doc_id").as("__pid"), col("pos").as("__pos"),
+        col("term").as("__term"))
+    phrasePostingsMatch(tok, idCol, phrase)
+  }
+
+  /** Append a document batch to a [[writePositionalSnapshot]] store:
+    * the batch tokenizes alone under the snapshot's OWN bucket count
+    * (read off the stamped rows — a caller cannot desynchronize the
+    * hash space), then [[Ingest.appendRowsSnapshot]] rewrites only the
+    * term buckets the batch's vocabulary touches and inherits every
+    * cold directory by manifest reference. Disjoint-id discipline and
+    * fail-fast collision check are the appender's. Returns the new
+    * version. */
+  def appendPositionalSnapshot(spark: org.apache.spark.sql.SparkSession,
+                               path: String, newDocs: DataFrame,
+                               docIdCol: String = "doc_id",
+                               textCol: String = "text",
+                               version: Option[Long] = None): Long = {
+    val termBuckets = LayoutStore.readSnapshotTable(spark, path, "", version)
+      .select(col("term_buckets")).limit(1).head().getInt(0)
+    Ingest.appendRowsSnapshot(spark, path,
+      positionalRows(newDocs, docIdCol, textCol, termBuckets),
+      partitionCol = "tbucket", idCol = "doc_id", version = version)
   }
 
   /** Pairwise vocabulary overlap between strata (languages, sources,

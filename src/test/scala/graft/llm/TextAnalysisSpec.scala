@@ -865,6 +865,60 @@ class TextAnalysisSpec extends SparkTestBase {
     intercept[IllegalArgumentException](run("Fast", "table"))
   }
 
+  test("positional index: the persisted-postings probe equals the " +
+    "query-time derivation (3-word chain incl. overlaps), the probe " +
+    "scan partition-prunes to the phrase's term buckets, and append + " +
+    "takedown through the generic manifest walkers keep the " +
+    "equivalence") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),        // overlapping "a b" twice, "a b a" twice
+      (2L, "b a b"), (3L, "c c c"), (4L, "a b a")).toDF("doc_id", "text")
+    val phrase = Seq("a", "b", "a")
+    val store = tmpDir("posidx") + "/layout"
+    TextAnalysis.writePositionalSnapshot(docs, store, termBuckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val probe = TextAnalysis.phraseSearchIndexed(spark, store, phrase)
+    assert(rows(probe) ==
+      rows(TextAnalysis.phraseSearch(docs, "doc_id", "text", phrase)))
+    assert(rows(probe) == Set(Seq(1L, 2L), Seq(4L, 1L)), s"${rows(probe)}")
+    // partition pruning: the scan reads only the phrase's buckets
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.flatMap {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case _ => Nil
+    }.toSeq
+    val scan = allScans(probe.queryExecution.executedPlan)
+      .filter(_.schema.fieldNames.contains("term")).head
+    val pbuckets = Seq("a", "b").toDF("term")
+      .select(TextAnalysis.bm25TermBucket(col("term"), 8)).distinct().count()
+    assert(scan.selectedPartitions.partitionCount <= pbuckets,
+      s"probe scanned ${scan.selectedPartitions.partitionCount} " +
+        s"partitions, expected <= $pbuckets phrase buckets")
+    assert(scan.toString.contains("PartitionFilters") &&
+      scan.toString.contains("tbucket"),
+      "tbucket filter did not register as a partition filter")
+    // append: probe == from-scratch over the union
+    TextAnalysis.appendPositionalSnapshot(spark, store,
+      Seq((5L, "x a b a y")).toDF("doc_id", "text"))
+    val all = docs.unionByName(Seq((5L, "x a b a y")).toDF("doc_id", "text"))
+    assert(rows(TextAnalysis.phraseSearchIndexed(spark, store, phrase)) ==
+      rows(TextAnalysis.phraseSearch(all, "doc_id", "text", phrase)))
+    // takedown: the revoked doc vanishes from every posting slice
+    Takedown.propagateLayoutSnapshot(spark, store,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    assert(rows(TextAnalysis.phraseSearchIndexed(spark, store, phrase)) ==
+      Set(Seq(4L, 1L), Seq(5L, 1L)))
+    // a probe planned against a foreign bucket count cannot happen:
+    // the count rides the stamped rows, not a caller argument
+    intercept[IllegalArgumentException](
+      TextAnalysis.phraseSearchIndexed(spark, store, Seq("a")))
+  }
+
   test("strataOverlapMatrix: the matrix is complete over the DOCUMENT " +
     "frame's strata — a stratum whose documents are all tokenless " +
     "still emits (n = 0), and an all-empty pair's jaccard is 0.0, " +
