@@ -2674,6 +2674,38 @@ object SparkEntry {
       Similarity.knnClassify(emb.where(col("vec_id") >= 10),
         emb.where(col("vec_id") < 10), k = 5)
     }),
+    "s26_hard_negatives_ivf" -> ((s, dir) => {
+      // s24's mining at the ANN tier: IVF candidate generation (frozen
+      // centroid literals, 4-of-16 cells per query) with the cross-label
+      // exclusion STILL riding the join condition — the dynamic-filter
+      // shape survives the tier switch; for labeled pools too large to
+      // scan per query. Recall vs the exact tier is s28's gauge
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegativesTopKIvf(emb.where(col("vec_id") >= 10),
+        emb.where(col("vec_id") < 10), k = 5,
+        ivfCentroids(s, dir, 16), nprobe = 4)
+    }),
+    "s27_knn_classify_ivf" -> ((s, dir) => {
+      // s22's weak labeling at the ANN tier: the same majority/tie vote
+      // over IVF-generated candidates instead of the exact scan
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnClassifyIvf(emb.where(col("vec_id") >= 10),
+        emb.where(col("vec_id") < 10), k = 5,
+        ivfCentroids(s, dir, 16), nprobe = 4)
+    }),
+    "s28_hard_negatives_recall" -> ((s, dir) => {
+      // the ANN-tier acceptance gauge (the d63/s17 discipline): per-query
+      // recall of the IVF hard-negative miner against the exact tier at
+      // the chosen (nlist=16, nprobe=4) operating point — integer hit
+      // counts off one equi-join, ONE division per query
+      val emb = t(s, dir, "embeddings")
+      val pool = emb.where(col("vec_id") >= 10)
+      val q = emb.where(col("vec_id") < 10)
+      Similarity.annRecallAtK(
+        Similarity.hardNegativesTopKIvf(pool, q, k = 5,
+          ivfCentroids(s, dir, 16), nprobe = 4),
+        Similarity.hardNegativesTopK(pool, q, k = 5))
+    }),
     "s23_phrase_search" -> ((s, dir) =>
       // exact consecutive-token phrase match — what a bag-of-words
       // index structurally can't answer: positional postings pruned to
@@ -3525,6 +3557,41 @@ object SparkEntry {
        |    AS n_matches
        |  FROM t)
        |WHERE n_matches > 0""".stripMargin
+
+  private val emptyTopKOracle: String =
+    """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS corpus_id,
+      |CAST(NULL AS DOUBLE) AS score, CAST(NULL AS INTEGER) AS rank WHERE FALSE""".stripMargin
+
+  /** The IVF hard-negative formulation (s26) as a reusable CTE chain
+    * ending in `ivfneg` — s28's recall gauge composes it against the
+    * exact-tier ground truth. Same centroid literals as s04's probe
+    * (populate-then-dump via lastIvfCentroids), pool = vec_id >= 10,
+    * queries = vec_id < 10, nprobe 4, k 5. */
+  private def ivfHardNegOracleCte(cents: Array[Array[Double]]): String = {
+    val nlist = cents.length
+    val dl = cents.map(c => duckSqDist("embedding", duckDoubleList(c)))
+      .mkString("[", ",\n", "]")
+    val cos = duckCos("p.embedding", "a.embedding")
+    s"""al AS (SELECT vec_id, label, embedding, $dl AS dl FROM embeddings),
+       |a AS (SELECT vec_id, label, embedding,
+       |        (list_position(dl, list_min(dl)) - 1) AS cell
+       |      FROM al WHERE vec_id >= 10),
+       |p AS (SELECT vec_id, label, embedding, cell FROM (
+       |  SELECT vec_id, label, embedding, r.cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dl[(r.cell)::INT + 1] ASC, r.cell ASC) AS rn
+       |  FROM (SELECT * FROM al WHERE vec_id < 10) ql
+       |  CROSS JOIN (SELECT unnest(range(0, $nlist)) AS cell) r)
+       |  WHERE rn <= 4),
+       |ivfneg AS (SELECT query_id, corpus_id, score,
+       |    CAST(rnk AS INTEGER) AS rank FROM (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS corpus_id, $cos AS score,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY $cos DESC, a.vec_id) AS rnk
+       |  FROM a JOIN p ON a.cell = p.cell AND p.vec_id != a.vec_id
+       |    AND a.label <> p.label)
+       |  WHERE rnk <= 5)""".stripMargin
+  }
 
   private def ivfLayoutOracleSql: String =
     ivfLayoutOracleSqlFor("SELECT vec_id, embedding FROM embeddings")
@@ -6018,6 +6085,87 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY votes DESC, label ASC) AS rk FROM votes)
          |WHERE rk = 1""".stripMargin
+    },
+    "s26_hard_negatives_ivf" -> {
+      // the s04 IVF formulation (same centroid literals -> same argmin
+      // cells, same probe ranking) with s24's cross-label exclusion in
+      // the same predicate position
+      val cents = Option(lastIvfCentroids).getOrElse(Array.empty[Array[Double]])
+      if (cents.isEmpty) emptyTopKOracle
+      else s"""WITH ${ivfHardNegOracleCte(cents)}
+              |SELECT query_id, corpus_id, score, rank FROM ivfneg""".stripMargin
+    },
+    "s27_knn_classify_ivf" -> {
+      // s04's cell-joined top-k as the generator, s22's (votes DESC,
+      // label ASC) argmax as the vote
+      val cents = Option(lastIvfCentroids).getOrElse(Array.empty[Array[Double]])
+      if (cents.isEmpty)
+        """SELECT CAST(NULL AS BIGINT) AS query_id,
+          |CAST(NULL AS BIGINT) AS predicted_label,
+          |CAST(NULL AS BIGINT) AS votes WHERE FALSE""".stripMargin
+      else {
+        val nlist = cents.length
+        val dl = cents.map(c => duckSqDist("embedding", duckDoubleList(c)))
+          .mkString("[", ",\n", "]")
+        val cos = duckCos("p.embedding", "a.embedding")
+        s"""WITH al AS (SELECT vec_id, label, embedding, $dl AS dl FROM embeddings),
+           |a AS (SELECT vec_id, embedding,
+           |        (list_position(dl, list_min(dl)) - 1) AS cell
+           |      FROM al WHERE vec_id >= 10),
+           |p AS (SELECT vec_id, embedding, cell FROM (
+           |  SELECT vec_id, embedding, r.cell,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dl[(r.cell)::INT + 1] ASC, r.cell ASC) AS rn
+           |  FROM (SELECT * FROM al WHERE vec_id < 10) ql
+           |  CROSS JOIN (SELECT unnest(range(0, $nlist)) AS cell) r)
+           |  WHERE rn <= 4),
+           |tk AS (SELECT query_id, corpus_id FROM (
+           |  SELECT p.vec_id AS query_id, a.vec_id AS corpus_id,
+           |    row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY $cos DESC, a.vec_id) AS rnk
+           |  FROM a JOIN p ON a.cell = p.cell AND p.vec_id != a.vec_id)
+           |  WHERE rnk <= 5),
+           |votes AS (SELECT t.query_id, e.label,
+           |    CAST(COUNT(*) AS BIGINT) AS votes
+           |  FROM tk t JOIN embeddings e ON e.vec_id = t.corpus_id
+           |  GROUP BY 1, 2)
+           |SELECT query_id, label AS predicted_label, votes FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY votes DESC, label ASC) AS rk FROM votes)
+           |WHERE rk = 1""".stripMargin
+      }
+    },
+    "s28_hard_negatives_recall" -> {
+      // exact tier (the s24 formulation) as ground truth, IVF tier (the
+      // s26 formulation) as the probe: integer hit counts off one
+      // equi-join, ONE division per query — recall at (nlist=16,
+      // nprobe=4), committed per round as the ANN-tier acceptance gauge
+      val cents = Option(lastIvfCentroids).getOrElse(Array.empty[Array[Double]])
+      if (cents.isEmpty)
+        """SELECT CAST(NULL AS BIGINT) AS query_id,
+          |CAST(NULL AS BIGINT) AS n_exact, CAST(NULL AS BIGINT) AS n_hit,
+          |CAST(NULL AS DOUBLE) AS recall WHERE FALSE""".stripMargin
+      else {
+        val cosx = duckCos("q.embedding", "c.embedding")
+        s"""WITH ${ivfHardNegOracleCte(cents)},
+           |exact AS (SELECT query_id, corpus_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY $cosx DESC, c.vec_id) AS rnk
+           |  FROM (SELECT * FROM embeddings WHERE vec_id >= 10) c
+           |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+           |  WHERE q.vec_id != c.vec_id AND c.label <> q.label)
+           |  WHERE rnk <= 5)
+           |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |  CAST(SUM(CASE WHEN i.corpus_id IS NOT NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  CAST(SUM(CASE WHEN i.corpus_id IS NOT NULL
+           |      THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) AS recall
+           |FROM exact e LEFT JOIN ivfneg i
+           |  ON i.query_id = e.query_id AND i.corpus_id = e.corpus_id
+           |GROUP BY 1""".stripMargin
+      }
     },
     "s20_mmr_rerank" -> {
       // the greedy MMR loop unrolled as chained CTEs (one per rank, all

@@ -303,8 +303,29 @@ object Similarity {
   def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
                   labelCol: String = "label",
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
-    val tk = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+                  vecCol: String = "embedding"): DataFrame =
+    majorityVote(bruteForceTopK(corpus, queries, k, idCol, vecCol),
+      corpus, labelCol, idCol)
+
+  /** ANN-tier k-NN labeling — [[knnClassify]]'s vote over IVF-generated
+    * candidates ([[ivfTopKLiteral]]: frozen centroid literals, nprobe
+    * nearest cells per query), for the labeled pool too large to scan
+    * per query. Same majority/tie rule; the recall knob is
+    * (nlist, nprobe) and is priced against the exact tier with
+    * [[annRecallAtK]] over the generators (the s28 gauge pattern). */
+  def knnClassifyIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+                     centroids: Array[Array[Double]], nprobe: Int,
+                     labelCol: String = "label",
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    majorityVote(
+      ivfTopKLiteral(corpus, queries, k, centroids, nprobe, idCol, vecCol),
+      corpus, labelCol, idCol)
+
+  /** Shared vote tail of the two k-NN classify tiers: majority label
+    * among the generator's top-k, count ties to the smaller label. */
+  private def majorityVote(tk: DataFrame, corpus: DataFrame,
+                           labelCol: String, idCol: String): DataFrame = {
     val labels = corpus.select(col(idCol).as("corpus_id"),
       col(labelCol).as("__lbl"))
     val votes = tk.join(labels, Seq("corpus_id"))
@@ -339,6 +360,31 @@ object Similarity {
       normFast(col(vecCol)).as("qnorm"), col(labelCol).as("__ql"))
     perQueryTopK(c.join(broadcast(q),
       col("__cl") =!= col("__ql")), k)
+  }
+
+  /** ANN-tier hard-negative mining — [[hardNegativesTopK]]'s per-query
+    * cross-label exclusion over the IVF candidate generator: corpus
+    * rows cell-assign map-side against the frozen centroid literals,
+    * queries probe their nprobe nearest cells, and the label exclusion
+    * STILL rides the join condition (cell match AND label mismatch —
+    * excluded pairs never score), so the dynamic-filter shape survives
+    * the tier switch. For the labeled pool too large to scan per query;
+    * recall vs the exact tier is priced with [[annRecallAtK]] at the
+    * chosen (nlist, nprobe) — the s28 gauge. */
+  def hardNegativesTopKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+                           centroids: Array[Array[Double]], nprobe: Int,
+                           labelCol: String = "label",
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+        normFast(col(vecCol)).as("cnorm"), col(labelCol).as("__cl")),
+      centroids, "cvec")
+    val probes = ivfProbes(queries, centroids, nprobe, idCol, vecCol,
+      carry = Seq(labelCol -> "__ql"))
+    perQueryTopK(assigned.as("c").join(broadcast(probes.as("q")),
+      col("c.cell") === col("q.cell") &&
+        col("c.__cl") =!= col("q.__ql")), k)
   }
 
   /** Shared tail of the three top-k surfaces (brute force / SRP / IVF):
@@ -754,28 +800,41 @@ object Similarity {
                      centroids: Array[Array[Double]], nprobe: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val nlist = centroids.length
-    require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe not in [1, $nlist]")
-    // the SAME distance fold assignCells uses (shared construction —
-    // query-side cell ranking must never desynchronize from corpus-side
-    // cell assignment)
-    def distArr(vec: Column): Column = centroidDistances(vec, centroids)
     // cell assignment shared with the bucketed-layout writer (assignCells)
     val assigned = assignCells(
       corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
         normFast(col(vecCol)).as("cnorm")), centroids, "cvec")
+    val probes = ivfProbes(queries, centroids, nprobe, idCol, vecCol)
+    perQueryTopK(assigned.join(broadcast(probes), Seq("cell")), k)
+  }
+
+  /** Query-side IVF probe frame (query_id, qvec, qnorm, cell [+carry]):
+    * each query ranks every centroid by the SAME distance fold
+    * assignCells uses (shared construction — query-side cell ranking
+    * must never desynchronize from corpus-side cell assignment) and
+    * keeps its nprobe nearest cells. `carry` names extra query columns
+    * to ride along (src -> out), e.g. the query's own label for the
+    * hard-negative exclusion. */
+  private def ivfProbes(queries: DataFrame,
+                        centroids: Array[Array[Double]], nprobe: Int,
+                        idCol: String, vecCol: String,
+                        carry: Seq[(String, String)] = Nil): DataFrame = {
+    val nlist = centroids.length
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe not in [1, $nlist]")
+    val carryOut = carry.map { case (_, out) => col(out) }
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").asc, col("cell").asc)
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        normFast(col(vecCol)).as("qnorm"), distArr(col(vecCol)).as("__dl"))
-      .select(col("query_id"), col("qvec"), col("qnorm"),
-        posexplode(col("__dl")).as(Seq("cell", "cdist")))
+    queries
+      .select(Seq(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        normFast(col(vecCol)).as("qnorm"),
+        centroidDistances(col(vecCol), centroids).as("__dl")) ++
+        carry.map { case (src, out) => col(src).as(out) }: _*)
+      .select(Seq(col("query_id"), col("qvec"), col("qnorm")) ++ carryOut :+
+        posexplode(col("__dl")).as(Seq("cell", "cdist")): _*)
       .withColumn("prank", row_number().over(wCell))
       .where(col("prank") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("qnorm"),
-        col("cell").cast("int").as("cell"))
-    perQueryTopK(assigned.join(broadcast(probes), Seq("cell")), k)
+      .select(Seq(col("query_id"), col("qvec"), col("qnorm"),
+        col("cell").cast("int").as("cell")) ++ carryOut: _*)
   }
 
   /** Convenience fused fit+search form (unit-level entry; the oracle-gated

@@ -706,4 +706,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.toSeq == Seq((20L, 1)),
       s"only the other-label vector may rank: ${got.mkString(",")}")
   }
+
+  test("ANN-tier hard negatives / kNN classify: with nprobe = nlist " +
+    "(every cell probed) both degenerate BIT-EXACTLY to their exact " +
+    "tier — the recall knob is explicit, not hidden; null-labeled " +
+    "rows still never pair; a partial probe only loses candidates, " +
+    "never admits a same-label pair") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (10L until 60L).map(i =>
+        (i, Array.fill(8)(rnd.nextFloat()), Option((i % 3).toInt)))
+      .toDF("vec_id", "embedding", "label")
+    val queries = (0L until 5L).map(i =>
+        (i, Array.fill(8)(rnd.nextFloat()), Option((i % 3).toInt)))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.fitCentroids(corpus, nlist = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // full probe == exact tier, including the float score
+    assert(rows(Similarity.hardNegativesTopKIvf(corpus, queries, 5,
+        cents, nprobe = 4)) ==
+      rows(Similarity.hardNegativesTopK(corpus, queries, 5)))
+    assert(rows(Similarity.knnClassifyIvf(corpus, queries, 5,
+        cents, nprobe = 4)) ==
+      rows(Similarity.knnClassify(corpus, queries, 5)))
+    // a partial probe never admits a same-label (or null-label) pair
+    val labels = corpus.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val withNull = corpus.unionByName(
+      Seq((99L, Array.fill(8)(0.5f), Option.empty[Int]))
+        .toDF("vec_id", "embedding", "label"))
+    val partial = Similarity.hardNegativesTopKIvf(withNull, queries, 5,
+      cents, nprobe = 1).collect()
+    val qLabels = (0L until 5L).map(i => i -> (i % 3).toInt).toMap
+    partial.foreach { r =>
+      val (qid, cid) = (r.getLong(0), r.getLong(1))
+      assert(cid != 99L, "a null-labeled row must never pair")
+      assert(labels(cid) != qLabels(qid),
+        s"same-label pair admitted at nprobe=1: $qid -> $cid")
+    }
+  }
 }
