@@ -928,6 +928,25 @@ object SparkEntry {
       Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, k = 3, numHashes = 12, bands = 4,
         maxBucketSize = Some(docBucketCap(s, dir)))),
+    "d80_incremental_cc" -> ((s, dir) => {
+      // incremental CC maintenance: the verified near-dup pairs split by
+      // a deterministic pair hash into a ~2/3 historical graph and a
+      // ~1/3 appended batch; history labels once (the persisted-state
+      // cost every refresh AVOIDS re-paying), the batch folds in via
+      // label contraction — frontier-sized CC, broadcast remap, history
+      // never shuffles. The oracle is the from-scratch transitive
+      // closure over ALL pairs: the maintenance invariant (fold ==
+      // rebuild on the union) is stated, not assumed
+      val pairs = Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id",
+        "text", threshold = 0.5, k = 3, numHashes = 12, bands = 4,
+        maxBucketSize = Some(docBucketCap(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val isNew = pmod(xxhash64(col("id1"), col("id2")), lit(3)) === 0
+      val prior = Dedup.connectedComponents(pairs.where(!isNew))
+      val out = Dedup.incrementalConnectedComponents(prior,
+        pairs.where(isNew))
+      Dedup.materializeAndRelease(out, pairs)
+    }),
     "d47_repeat_schedule" -> ((s, dir) =>
       // data-constrained repeat plan: 40+-token docs train 2 epochs,
       // the rest 1; each (epoch, doc) gets a fresh deterministic order
@@ -4458,6 +4477,19 @@ object SparkEntry {
          |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
          |SELECT id, MIN(r) AS cluster, (id = MIN(r)) AS keep
          |FROM reach GROUP BY id""".stripMargin,
+    "d80_incremental_cc" ->
+      // the from-scratch closure over ALL near-dup pairs — the query
+      // side computes the same labeling INCREMENTALLY (historical 2/3
+      // labeled first, the 1/3 batch folded by contraction), so a hash
+      // match here IS the maintenance invariant
+      s"""WITH RECURSIVE ${duckLshPairsCte()},
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ndpairs
+         |          UNION ALL SELECT id2, id1 FROM ndpairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
+         |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id""".stripMargin,
     "d47_repeat_schedule" ->
       // same tier CASE, same unnest(range(0, ne)) epochs, same
       // md5(salt|epoch|id) order key

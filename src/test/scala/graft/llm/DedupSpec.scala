@@ -518,6 +518,72 @@ class DedupSpec extends SparkTestBase {
       s"star took $starRounds rounds vs min-label $mlRounds — expected <= half")
   }
 
+  test("incrementalConnectedComponents: fold == from-scratch on the union; " +
+    "untouched clusters byte-identical; changedOnly is exactly the delta") {
+    val s = spark; import s.implicits._
+    // history: chain {1,5,9}, triangle {40,41,42}, pair {90,100},
+    // isolated-ish pair {7,20} — four components
+    val hist = Seq((5L, 1L), (5L, 9L), (40L, 41L), (41L, 42L), (40L, 42L),
+      (100L, 90L), (7L, 20L)).toDF("id1", "id2")
+    val prior = Dedup.connectedComponents(hist)
+    // batch: merges {1,5,9} with {7,20} (via 9-7), attaches a NEW node
+    // 300 to the triangle, adds a brand-new component {200,201}, and a
+    // redundant edge inside an existing cluster (41-42: must change nothing)
+    val batch = Seq((9L, 7L), (300L, 41L), (200L, 201L), (41L, 42L))
+      .toDF("id1", "id2")
+    val inc = Dedup.incrementalConnectedComponents(prior, batch).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.connectedComponents(hist.unionByName(batch)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == scratch)
+    assert(Seq(1L, 5L, 9L, 7L, 20L).forall(inc(_) == 1L)) // merged to min
+    assert(inc(300L) == 40L && inc(200L) == 200L && inc(201L) == 200L)
+    assert(inc(90L) == 90L && inc(100L) == 90L) // untouched cluster
+    // the delta: exactly the rows whose label changed plus new nodes —
+    // what a persisted labeling store rewrites
+    val delta = Dedup.incrementalConnectedComponents(prior, batch,
+      changedOnly = true).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(delta == Map(7L -> 1L, 20L -> 1L, 300L -> 40L,
+      200L -> 200L, 201L -> 200L),
+      s"delta must be {7,20 relabel; 300,200,201 new}: $delta")
+    // empty batch: identity labeling, empty delta
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.incrementalConnectedComponents(prior, empty).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      prior.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(Dedup.incrementalConnectedComponents(prior, empty,
+      changedOnly = true).count() == 0)
+  }
+
+  test("incrementalConnectedComponents: composes across batches and over " +
+    "random graphs; string ids; type mismatch rejected") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val all = Seq.fill(140)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+    // three successive folds over a random split — output of fold k is
+    // the prior of fold k+1 (the canonical-form-preserved claim)
+    val parts = all.grouped(47).toSeq
+    var labels = Dedup.connectedComponents(parts.head.toDF("id1", "id2"))
+    parts.tail.foreach { p =>
+      labels = Dedup.incrementalConnectedComponents(labels, p.toDF("id1", "id2"))
+    }
+    val scratch = Dedup.connectedComponents(all.toDF("id1", "id2")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == scratch)
+    // string ids ride the same path (contracted CC dispatches as usual)
+    val sPrior = Dedup.connectedComponents(
+      Seq(("u/e", "u/a"), ("x/b", "x/c")).toDF("id1", "id2"))
+    val sInc = Dedup.incrementalConnectedComponents(sPrior,
+      Seq(("u/a", "x/c"), ("z/9", "z/3")).toDF("id1", "id2")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("u/a", "u/e", "x/b", "x/c").forall(sInc(_) == "u/a"))
+    assert(sInc("z/9") == "z/3" && sInc("z/3") == "z/3")
+    intercept[IllegalArgumentException](
+      Dedup.incrementalConnectedComponents(sPrior,
+        Seq((1L, 2L)).toDF("id1", "id2")))
+  }
+
   test("connectedComponents: chains converge to min id; components stay disjoint") {
     val s = spark; import s.implicits._
     // component A is a 6-node CHAIN (5-1-9-12-7-20: diameter 5, forces
