@@ -50,6 +50,26 @@ object ScaleBench {
       written.size.toLong, written.values.sum)
   }
 
+  /** Attribution stamp for the artifact line: host/cpus/ts plus the git
+    * HEAD the run was built from (read from .git directly — no process
+    * fork), so every committed number is traceable to the code state
+    * that produced it. */
+  private[graft] def provenanceJson(): String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown" }
+    val head = try {
+      val h = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(".git/HEAD")).trim
+      if (h.startsWith("ref: "))
+        java.nio.file.Files
+          .readString(java.nio.file.Paths.get(".git/" + h.drop(5))).trim
+          .take(12)
+      else h.take(12)
+    } catch { case _: Exception => "unknown" }
+    s"""{"host":"$host","cpus":${Runtime.getRuntime.availableProcessors()},""" +
+      s""""head":"$head","ts":"${java.time.Instant.now()}"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val coldReps = sys.env.getOrElse("GRAFT_SCALE_COLD", "60").toInt   // per ordinary doc
@@ -114,7 +134,69 @@ object ScaleBench {
     // auto dispatch runs the large-star/small-star alternation — rounds
     // here vs min-label's O(diameter) is the claim this bench checks
     val ccRounds = Dedup.lastCcRounds
-    cands.unpersist(); cc.unpersist()
+    cc.unpersist()
+
+    // ---- incremental CC: fold cost ∝ the appended batch ------------------
+    // The maintenance twin (d80): the pair graph splits by a pair hash
+    // into history (~99%) and two appended batches (~0.25% and ~1% of
+    // edges); history labels ONCE (the amortized per-snapshot cost the
+    // fold avoids re-paying — it reads ~cc_secs), then each batch folds
+    // in via label contraction. Numbers to watch: fold seconds track the
+    // BATCH (the 4x batch costs ~linearly more, never ~cc_secs), and the
+    // contracted loop's rounds stay small — the frontier graph is
+    // batch-sized regardless of corpus.
+    val batchKey = pmod(xxhash64(col("id1"), col("id2")), lit(400L))
+    val histPairs = cands.where(batchKey >= 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tIncPrior = System.nanoTime()
+    val priorLabels = Dedup.connectedComponents(histPairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    priorLabels.count()
+    val incPriorSecs = secs(tIncPrior)
+    def ccFoldRun(lo: Int, hi: Int): (Double, Long, Long, Int) = {
+      val batch = cands.where(batchKey >= lo && batchKey < hi)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nb = batch.count()
+      val t = System.nanoTime()
+      val changed = Dedup.incrementalConnectedComponents(priorLabels, batch,
+        changedOnly = true).count()
+      val s = secs(t)
+      batch.unpersist(blocking = true)
+      (s, nb, changed, Dedup.lastCcRounds)
+    }
+    val (incFold1Secs, incBatch1, incChanged1, incRounds1) = ccFoldRun(0, 1)
+    val (incFold4Secs, incBatch4, incChanged4, incRounds4) = ccFoldRun(0, 4)
+    histPairs.unpersist(blocking = true)
+    priorLabels.unpersist(blocking = true)
+
+    // ---- fixed-point PageRank over the dedup-candidate graph -------------
+    // The iterative-graph family at corpus scale (d79 gates at sf0.1):
+    // 3 power-iteration rounds over the DIRECTED (id1 -> id2) candidate
+    // graph — ids appearing only as dst are dangling, so the
+    // dangling-mass redistribution runs at millions of nodes. The
+    // bit-exactness contract is ASSERTED, not assumed: a second run over
+    // a differently-partitioned edge frame must produce the same rank
+    // multiset (exact decimal checksum — xxhash64 of every (node, rank)
+    // row, summed without overflow).
+    val prIters = 3
+    def prChecksum(ranks: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      ranks.agg(sum(xxhash64(col("node"), col("rank")).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    val prEdges = cands.select(col("id1").as("src"), col("id2").as("dst"))
+    val tPr = System.nanoTime()
+    val pr = graft.operators.PageRank.pageRankFixedPoint(prEdges, prIters)
+    val prNodes = pr.count()
+    val prSecs = secs(tPr)
+    val prHash = prChecksum(pr)
+    val tPr2 = System.nanoTime()
+    val pr2 = graft.operators.PageRank.pageRankFixedPoint(
+      prEdges.repartition(13), prIters)
+    val prHash2 = prChecksum(pr2)
+    val prSecs2 = secs(tPr2)
+    require(prHash == prHash2 && pr2.count() == prNodes,
+      s"fixed-point PageRank diverged across partitionings: " +
+        s"$prHash vs $prHash2")
+    cands.unpersist()
 
     // ---- winnowing fingerprints (codegen'd chargram + minima) -----------
     val tWin = System.nanoTime()
@@ -1122,6 +1204,16 @@ object ScaleBench {
       s""""lsh_secs":$lshSecs,"lsh_cands":$nCands,"bucket_cap":$cap,""" +
       s""""cc_secs":$ccSecs,"cc_clusters":$nClusters,"cc_nodes":$nClustered,""" +
       s""""cc_rounds":$ccRounds,""" +
+      s""""inc_cc_prior_secs":$incPriorSecs,""" +
+      s""""inc_cc_batch1_edges":$incBatch1,"inc_cc_fold1_secs":$incFold1Secs,""" +
+      s""""inc_cc_changed1":$incChanged1,"inc_cc_rounds1":$incRounds1,""" +
+      s""""inc_cc_batch4_edges":$incBatch4,"inc_cc_fold4_secs":$incFold4Secs,""" +
+      s""""inc_cc_changed4":$incChanged4,"inc_cc_rounds4":$incRounds4,""" +
+      s""""pagerank_secs":$prSecs,"pagerank_repart_secs":$prSecs2,""" +
+      s""""pagerank_nodes":$prNodes,"pagerank_edges":$nCands,""" +
+      s""""pagerank_iters":$prIters,""" +
+      s""""pagerank_secs_per_round":${prSecs / prIters},""" +
+      s""""pagerank_rank_hash":"$prHash",""" +
       s""""winnow_secs":$winSecs,"winnow_fps":$nFps,""" +
       s""""simhash_secs":$simSecs,"simhash_pairs":$nSimPairs,""" +
       s""""simhash_comb_secs":$simCSecs,"simhash_comb_pairs":$nSimCPairs,""" +
@@ -1226,7 +1318,7 @@ object ScaleBench {
       s""""zo_write_secs":$zoWriteSecs,"zo_pruned_secs":$zoPrunedSecs,""" +
       s""""zo_plain_secs":$zoPlainSecs,"zo_rows":$zoRows,""" +
       s""""zo_buckets_read":$zoBucketsRead,"zo_buckets":$zBuckets,""" +
-      s""""total_secs":${secs(t0)}}"""
+      s""""total_secs":${secs(t0)},"provenance":${provenanceJson()}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_BENCH.json"), line + "\n")
     spark.stop()

@@ -74,7 +74,56 @@ object ScaleBench988 {
     val nClustered = cc.count()
     val ccSecs = secs(tCc)
     val ccRounds = Dedup.lastCcRounds
-    cands.unpersist(); cc.unpersist()
+    cc.unpersist()
+
+    // incremental CC at 2x (same recipe as ScaleBench: history = ~99% of
+    // the pair graph labels once, two hash-split batches fold in via
+    // label contraction — fold cost must track the BATCH, never cc_secs)
+    val batchKey = pmod(xxhash64(col("id1"), col("id2")), lit(400L))
+    val histPairs = cands.where(batchKey >= 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tIncPrior = System.nanoTime()
+    val priorLabels = Dedup.connectedComponents(histPairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    priorLabels.count()
+    val incPriorSecs = secs(tIncPrior)
+    def ccFoldRun(lo: Int, hi: Int): (Double, Long, Long, Int) = {
+      val batch = cands.where(batchKey >= lo && batchKey < hi)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nb = batch.count()
+      val t = System.nanoTime()
+      val changed = Dedup.incrementalConnectedComponents(priorLabels, batch,
+        changedOnly = true).count()
+      val s = secs(t)
+      batch.unpersist(blocking = true)
+      (s, nb, changed, Dedup.lastCcRounds)
+    }
+    val (incFold1Secs, incBatch1, incChanged1, incRounds1) = ccFoldRun(0, 1)
+    val (incFold4Secs, incBatch4, incChanged4, incRounds4) = ccFoldRun(0, 4)
+    histPairs.unpersist(blocking = true)
+    priorLabels.unpersist(blocking = true)
+
+    // fixed-point PageRank at 2x over the directed candidate graph, with
+    // the partitioning-invariance assertion (exact rank-multiset checksum)
+    val prIters = 3
+    def prChecksum(ranks: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      ranks.agg(sum(xxhash64(col("node"), col("rank")).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    val prEdges = cands.select(col("id1").as("src"), col("id2").as("dst"))
+    val tPr = System.nanoTime()
+    val pr = graft.operators.PageRank.pageRankFixedPoint(prEdges, prIters)
+    val prNodes = pr.count()
+    val prSecs = secs(tPr)
+    val prHash = prChecksum(pr)
+    val tPr2 = System.nanoTime()
+    val pr2 = graft.operators.PageRank.pageRankFixedPoint(
+      prEdges.repartition(13), prIters)
+    val prHash2 = prChecksum(pr2)
+    val prSecs2 = secs(tPr2)
+    require(prHash == prHash2 && pr2.count() == prNodes,
+      s"fixed-point PageRank diverged across partitionings: " +
+        s"$prHash vs $prHash2")
+    cands.unpersist()
 
     val tWin = System.nanoTime()
     val nFps = corpus
@@ -225,6 +274,16 @@ object ScaleBench988 {
       s""""lsh_secs":$lshSecs,"lsh_cands":$nCands,"bucket_cap":$cap,""" +
       s""""cc_secs":$ccSecs,"cc_clusters":$nClusters,"cc_nodes":$nClustered,""" +
       s""""cc_rounds":$ccRounds,""" +
+      s""""inc_cc_prior_secs":$incPriorSecs,""" +
+      s""""inc_cc_batch1_edges":$incBatch1,"inc_cc_fold1_secs":$incFold1Secs,""" +
+      s""""inc_cc_changed1":$incChanged1,"inc_cc_rounds1":$incRounds1,""" +
+      s""""inc_cc_batch4_edges":$incBatch4,"inc_cc_fold4_secs":$incFold4Secs,""" +
+      s""""inc_cc_changed4":$incChanged4,"inc_cc_rounds4":$incRounds4,""" +
+      s""""pagerank_secs":$prSecs,"pagerank_repart_secs":$prSecs2,""" +
+      s""""pagerank_nodes":$prNodes,"pagerank_edges":$nCands,""" +
+      s""""pagerank_iters":$prIters,""" +
+      s""""pagerank_secs_per_round":${prSecs / prIters},""" +
+      s""""pagerank_rank_hash":"$prHash",""" +
       s""""winnow_secs":$winSecs,"winnow_fps":$nFps,""" +
       s""""simhash_secs":$simSecs,"simhash_pairs":$nSimPairs,""" +
       s""""simhash_comb_secs":$simCSecs,"simhash_comb_pairs":$nSimCPairs,""" +
@@ -249,7 +308,8 @@ object ScaleBench988 {
       s""""apd_files_copied":$apdFc,"apd_bytes_copied":$apdBc,""" +
       s""""apd_inherited_dirs":$apdInherited,""" +
       s""""apd_files_written":$apdFw,"apd_bytes_written":$apdBw,""" +
-      s""""total_secs":${secs(t0)}}"""
+      s""""total_secs":${secs(t0)},""" +
+      s""""provenance":${ScaleBench.provenanceJson()}}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALE_BENCH_988.json"), line + "\n")

@@ -2776,6 +2776,28 @@ object SparkEntry {
       graft.llm.TextAnalysis.phraseSearchIndexed(s, store,
         Seq("fast", "table"))
     }),
+    "m63_cc_label_store" -> ((s, dir) => {
+      // d80's incremental fold through the PERSISTED labeling store: the
+      // historical 2/3 of the near-dup pair graph labels once into a
+      // cluster-bucketed LayoutStore snapshot, the 1/3 batch folds in as
+      // a new version that physically rewrites only the merged clusters'
+      // buckets (cold buckets carry by manifest reference). The oracle is
+      // the from-scratch closure over ALL pairs — served-store equality
+      // with a rebuild is the maintenance invariant, stated through the
+      // real read path
+      val pairs = Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id",
+        "text", threshold = 0.5, k = 3, numHashes = 12, bands = 4,
+        maxBucketSize = Some(docBucketCap(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val isNew = pmod(xxhash64(col("id1"), col("id2")), lit(3)) === 0
+      val store = tmpQueryDir("m63-ccstore").toString + "/labels"
+      Dedup.writeCcLabelStore(
+        Dedup.connectedComponents(pairs.where(!isNew)), store,
+        clusterBuckets = 16)
+      Dedup.appendCcEdgesToLabelStore(s, store, pairs.where(isNew))
+      pairs.unpersist(blocking = true)
+      Dedup.readCcLabelStore(s, store)
+    }),
     "s20_mmr_rerank" -> ((s, dir) => {
       // MMR diversified rerank: greedy λ=2/3 selection from the top-50
       // integer-dot candidates of query vec 0 — everything integer
@@ -4482,6 +4504,18 @@ object SparkEntry {
       // side computes the same labeling INCREMENTALLY (historical 2/3
       // labeled first, the 1/3 batch folded by contraction), so a hash
       // match here IS the maintenance invariant
+      s"""WITH RECURSIVE ${duckLshPairsCte()},
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ndpairs
+         |          UNION ALL SELECT id2, id1 FROM ndpairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
+         |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "m63_cc_label_store" ->
+      // identical formulation to d80 — the query side differs only in
+      // WHERE the labels come from (the persisted store's served read
+      // path after a bucketed fold, vs an in-plan fold)
       s"""WITH RECURSIVE ${duckLshPairsCte()},
          |edges AS (SELECT id1 AS a, id2 AS b FROM ndpairs
          |          UNION ALL SELECT id2, id1 FROM ndpairs),

@@ -1615,6 +1615,33 @@ object Dedup {
   def incrementalConnectedComponents(prior: DataFrame, newEdges: DataFrame,
       idCol1: String = "id1", idCol2: String = "id2",
       maxIterations: Int = 50, changedOnly: Boolean = false): DataFrame = {
+    val (remap, newNodes) =
+      incrementalCcParts(prior, newEdges, idCol1, idCol2, maxIterations)
+    val relabeledPrior = prior.select(col("id"), col("cluster"))
+      .join(broadcast(remap), col("cluster") === col("__from"), "left")
+      .select(col("id"), coalesce(col("__to"), col("cluster")).as("cluster"),
+        col("__to").isNotNull.as("__changed"))
+    val full = relabeledPrior.unionByName(newNodes)
+    (if (changedOnly) full.where(col("__changed")) else full)
+      .select(col("id"), col("cluster"))
+  }
+
+  /** The two batch-bounded, lineage-truncated frames an incremental CC
+    * fold reduces to — shared by [[incrementalConnectedComponents]]
+    * (which applies them over the full prior labeling) and the
+    * label-store fold ([[appendCcEdgesToLabelStore]], which needs the
+    * parts THEMSELVES to know which cluster buckets to rewrite):
+    *
+    *  - `remap` (__from, __to): old label → new label, ONLY for labels
+    *    the batch actually merged;
+    *  - `newNodes` (id, cluster, __changed=true): nodes history never
+    *    saw, already canonically labeled.
+    *
+    * Both are truncated (self-contained), so callers may compose them
+    * into lazy plans without re-running the batch's producer pipeline. */
+  private[graft] def incrementalCcParts(prior: DataFrame,
+      newEdges: DataFrame, idCol1: String, idCol2: String,
+      maxIterations: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val dt1 = newEdges.schema(idCol1).dataType
     val dt2 = newEdges.schema(idCol2).dataType
@@ -1662,13 +1689,101 @@ object Dedup {
       .select(col("id"), coalesce(col("__to"), col("id")).as("cluster"),
         lit(true).as("__changed")))
     Seq(lab, touched, frontier, e).foreach(_.unpersist(blocking = true))
-    val relabeledPrior = prior.select(col("id"), col("cluster"))
-      .join(broadcast(remap), col("cluster") === col("__from"), "left")
-      .select(col("id"), coalesce(col("__to"), col("cluster")).as("cluster"),
-        col("__to").isNotNull.as("__changed"))
-    val full = relabeledPrior.unionByName(newNodes)
-    (if (changedOnly) full.where(col("__changed")) else full)
+    (remap, newNodes)
+  }
+
+  /** The hash bucket a cluster's label rows live in. */
+  private def ccClusterBucket(c: Column, buckets: Int): Column =
+    pmod(xxhash64(c), lit(buckets.toLong)).cast("int")
+
+  /** Bootstrap a PERSISTED (id, cluster) labeling store: a
+    * [[LayoutStore]]-versioned table partitioned by
+    * `cb = pmod(xxhash64(cluster), clusterBuckets)`, the bucket count
+    * stamped on every row (the positional-index convention). Partitioning
+    * by CLUSTER — not id — is the load-bearing choice: a merge relabels
+    * whole clusters, so the rows a fold must rewrite live in exactly the
+    * buckets of the merged labels (old and new, both in the touched set
+    * by construction — moved rows never land in a cold bucket), and
+    * every other bucket inherits by manifest reference. Returns the
+    * version (1 for a fresh store). */
+  def writeCcLabelStore(labels: DataFrame, path: String,
+                        clusterBuckets: Int = 64): Long = {
+    require(clusterBuckets >= 1,
+      s"clusterBuckets must be >= 1: $clusterBuckets")
+    val conf = labels.sparkSession.sparkContext.hadoopConfiguration
+    LayoutStore.writeSnapshot(conf, path) { tmp =>
+      labels.select(col("id"), col("cluster"))
+        .withColumn("cluster_buckets", lit(clusterBuckets))
+        .withColumn("cb", ccClusterBucket(col("cluster"), clusterBuckets))
+        .repartition(col("cb"))
+        .write.mode("overwrite").partitionBy("cb").parquet(tmp)
+    }
+  }
+
+  /** The labeling a store snapshot serves (latest version by default). */
+  def readCcLabelStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String,
+                       version: Option[Long] = None): DataFrame =
+    LayoutStore.readSnapshotTable(spark, path, "", version)
       .select(col("id"), col("cluster"))
+
+  /** Fold a batch of new edges into a persisted labeling store
+    * ([[writeCcLabelStore]]) as a new snapshot version — the
+    * maintenance loop a production dedup graph runs per ingest batch.
+    *
+    * Physical cost:
+    *  - the label LOOKUP for the batch's endpoints scans the store
+    *    map-side (2-column projection, broadcast semi-prune — never a
+    *    shuffle of history; an id-keyed secondary index would make this
+    *    pruned too, not built here);
+    *  - the REWRITE reads only the touched cluster-bucket directories
+    *    (partition-pruned at the file listing) and writes only them:
+    *    files and bytes written are ∝ the clusters the batch merged,
+    *    never ∝ the store — cold buckets carry by manifest reference
+    *    (the appendBm25Snapshot discipline). An empty or no-op batch
+    *    lands an all-carried version (zero files written).
+    *
+    * Correctness rides [[incrementalCcParts]]: the served labeling is
+    * bit-identical to a from-scratch CC over (historical ∪ new) edges —
+    * m63 gates exactly that through this store. Returns the new version. */
+  def appendCcEdgesToLabelStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, newEdges: DataFrame,
+      idCol1: String = "id1", idCol2: String = "id2",
+      maxIterations: Int = 50, version: Option[Long] = None): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcVersion = version.getOrElse(LayoutStore.versions(conf, path).last)
+    val old = LayoutStore.readSnapshotTable(spark, path, "", Some(srcVersion))
+    val buckets = old.select(col("cluster_buckets")).limit(1).head().getInt(0)
+    val (remap, newNodes) = incrementalCcParts(
+      old.select(col("id"), col("cluster")), newEdges, idCol1, idCol2,
+      maxIterations)
+    // touched buckets: old and new labels of every merged cluster plus
+    // the new nodes' labels — driver-bounded by the bucket count
+    val touched = remap.select(col("__from").as("c"))
+      .unionByName(remap.select(col("__to").as("c")))
+      .unionByName(newNodes.select(col("cluster").as("c")))
+      .select(ccClusterBucket(col("c"), buckets).as("cb")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    LayoutStore.writeSnapshotManifested(conf, path) { (tmp, _) =>
+      if (touched.nonEmpty) {
+        // partition-pruned read: only the touched bucket dirs list
+        val oldTouched = old
+          .where(col("cb").isin(touched.map(Integer.valueOf): _*))
+        oldTouched.select(col("id"), col("cluster"))
+          .join(broadcast(remap), col("cluster") === col("__from"), "left")
+          .select(col("id"),
+            coalesce(col("__to"), col("cluster")).as("cluster"))
+          .unionByName(newNodes.select(col("id"), col("cluster")))
+          .withColumn("cluster_buckets", lit(buckets))
+          .withColumn("cb", ccClusterBucket(col("cluster"), buckets))
+          .repartition(col("cb"))
+          .write.mode("overwrite").partitionBy("cb").parquet(tmp)
+      }
+      val touchedDirs = touched.map(v => s"cb=$v").toSet
+      LayoutStore.effectiveEntries(conf, path, srcVersion)
+        .filter { case (k, _) =>
+          k.startsWith("cb=") && !touchedDirs.contains(k) }
+    }
   }
 
   /** Full near-dup DEDUP decision: LSH pairs over `threshold` -> connected

@@ -584,6 +584,56 @@ class DedupSpec extends SparkTestBase {
         Seq((1L, 2L)).toDF("id1", "id2")))
   }
 
+  test("ccLabelStore: fold == from-scratch labels through the persisted " +
+    "store; a fold physically rewrites only the merged clusters' buckets " +
+    "(cold buckets carry by manifest); a no-op batch lands all-carried") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("cc-store") + "/labels"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val buckets = 8
+    // history: 40 two-node clusters {0,1},{2,3},...,{78,79} — enough
+    // labels that all 8 cluster buckets are populated
+    val hist = (0L until 80L by 2L).map(i => (i, i + 1L)).toDF("id1", "id2")
+    Dedup.writeCcLabelStore(Dedup.connectedComponents(hist), store,
+      clusterBuckets = buckets)
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
+    def cbDirs(v: Long) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$store/version=$v"))
+      .map(_.getPath.getName).filter(_.startsWith("cb=")).toSeq.sorted
+    assert(cbDirs(1L).size == buckets,
+      s"40 clusters must fill all $buckets buckets: ${cbDirs(1L)}")
+    // batch: merges clusters 0 and 2 (edge 1-2), hangs NEW node 1000
+    // onto cluster 40, adds a brand-new component {500, 501}
+    val batch = Seq((1L, 2L), (1000L, 40L), (500L, 501L)).toDF("id1", "id2")
+    Dedup.appendCcEdgesToLabelStore(s, store, batch)
+    val got = Dedup.readCcLabelStore(s, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.connectedComponents(hist.unionByName(batch))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scratch, "store must serve the from-scratch union labels")
+    // physically landed dirs == the buckets of the touched labels
+    // ({2->0 remap, 1000 contracted onto 40, new clusters 40/500}),
+    // computed with the same hash the store uses
+    val expectTouched = Seq(2L, 0L, 1000L, 40L, 500L)
+      .map(c => spark.range(1)
+        .select(pmod(xxhash64(lit(c)), lit(buckets.toLong)).cast("int"))
+        .head.getInt(0)).distinct.sorted
+    assert(cbDirs(2L) == expectTouched.map(b => s"cb=$b"),
+      s"v2 must land only touched buckets: ${cbDirs(2L)} vs $expectTouched")
+    val manifest = graft.llm.LayoutStore.readManifest(conf, store, 2L).get
+    assert(manifest.count { case (k, o) => k.startsWith("cb=") && o == 1L }
+      == buckets - expectTouched.size,
+      s"cold buckets must carry by reference: $manifest")
+    // a no-op batch (edge inside one existing cluster) merges nothing:
+    // the new version carries EVERY bucket, writes none
+    Dedup.appendCcEdgesToLabelStore(s, store,
+      Seq((4L, 5L)).toDF("id1", "id2"))
+    assert(cbDirs(3L).isEmpty, s"no-op fold must write nothing: ${cbDirs(3L)}")
+    assert(Dedup.readCcLabelStore(s, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == scratch,
+      "no-op fold must serve the same labeling")
+  }
+
   test("connectedComponents: chains converge to min id; components stay disjoint") {
     val s = spark; import s.implicits._
     // component A is a 6-node CHAIN (5-1-9-12-7-20: diameter 5, forces
