@@ -137,24 +137,30 @@ object ScaleBench {
     cc.unpersist()
 
     // ---- incremental CC: fold cost ∝ the appended batch ------------------
-    // The maintenance twin (d80): the pair graph splits by a pair hash
-    // into history (~99%) and two appended batches (~0.25% and ~1% of
-    // edges); history labels ONCE (the amortized per-snapshot cost the
-    // fold avoids re-paying — it reads ~cc_secs), then each batch folds
-    // in via label contraction. Numbers to watch: fold seconds track the
-    // BATCH (the 4x batch costs ~linearly more, never ~cc_secs), and the
-    // contracted loop's rounds stay small — the frontier graph is
-    // batch-sized regardless of corpus.
-    val batchKey = pmod(xxhash64(col("id1"), col("id2")), lit(400L))
-    val histPairs = cands.where(batchKey >= 4)
+    // The maintenance twin (d80) under the PRODUCTION append shape: a
+    // held-out slice of BASE documents (all their replicas' pair edges)
+    // arrives after history labeled — the "new shard lands" case, so
+    // the batch brings genuinely new nodes and real merges (an
+    // edge-hash split would mostly re-state edges inside dense cliques
+    // and fold as a no-op). History labels ONCE (the amortized
+    // per-snapshot cost the fold avoids re-paying — it reads
+    // ~cc_secs); each batch folds in via label contraction. Numbers to
+    // watch: fold seconds track the BATCH (the 4x slice costs
+    // ~linearly more, never ~cc_secs), changed counts ≈ the slice's
+    // replica population, and the contracted loop stays frontier-sized.
+    val baseSlice1 = pmod(xxhash64((col("id1") / 100000).cast("long")),
+      lit(400L))
+    val baseSlice2 = pmod(xxhash64((col("id2") / 100000).cast("long")),
+      lit(400L))
+    val histPairs = cands.where(baseSlice1 >= 4 && baseSlice2 >= 4)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tIncPrior = System.nanoTime()
     val priorLabels = Dedup.connectedComponents(histPairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     priorLabels.count()
     val incPriorSecs = secs(tIncPrior)
-    def ccFoldRun(lo: Int, hi: Int): (Double, Long, Long, Int) = {
-      val batch = cands.where(batchKey >= lo && batchKey < hi)
+    def ccFoldRun(k: Int): (Double, Long, Long, Int) = {
+      val batch = cands.where(baseSlice1 < k || baseSlice2 < k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nb = batch.count()
       val t = System.nanoTime()
@@ -164,8 +170,8 @@ object ScaleBench {
       batch.unpersist(blocking = true)
       (s, nb, changed, Dedup.lastCcRounds)
     }
-    val (incFold1Secs, incBatch1, incChanged1, incRounds1) = ccFoldRun(0, 1)
-    val (incFold4Secs, incBatch4, incChanged4, incRounds4) = ccFoldRun(0, 4)
+    val (incFold1Secs, incBatch1, incChanged1, incRounds1) = ccFoldRun(1)
+    val (incFold4Secs, incBatch4, incChanged4, incRounds4) = ccFoldRun(4)
     histPairs.unpersist(blocking = true)
     priorLabels.unpersist(blocking = true)
 

@@ -76,19 +76,24 @@ object ScaleBench988 {
     val ccRounds = Dedup.lastCcRounds
     cc.unpersist()
 
-    // incremental CC at 2x (same recipe as ScaleBench: history = ~99% of
-    // the pair graph labels once, two hash-split batches fold in via
-    // label contraction — fold cost must track the BATCH, never cc_secs)
-    val batchKey = pmod(xxhash64(col("id1"), col("id2")), lit(400L))
-    val histPairs = cands.where(batchKey >= 4)
+    // incremental CC at 2x (ScaleBench's recipe: history = every pair
+    // not touching a held-out base-doc slice labels once, then each
+    // slice folds in via label contraction — the "new shard lands"
+    // shape, with real merges and new nodes; fold cost must track the
+    // BATCH, never cc_secs)
+    val baseSlice1 = pmod(xxhash64((col("id1") / 100000).cast("long")),
+      lit(400L))
+    val baseSlice2 = pmod(xxhash64((col("id2") / 100000).cast("long")),
+      lit(400L))
+    val histPairs = cands.where(baseSlice1 >= 4 && baseSlice2 >= 4)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tIncPrior = System.nanoTime()
     val priorLabels = Dedup.connectedComponents(histPairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     priorLabels.count()
     val incPriorSecs = secs(tIncPrior)
-    def ccFoldRun(lo: Int, hi: Int): (Double, Long, Long, Int) = {
-      val batch = cands.where(batchKey >= lo && batchKey < hi)
+    def ccFoldRun(k: Int): (Double, Long, Long, Int) = {
+      val batch = cands.where(baseSlice1 < k || baseSlice2 < k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nb = batch.count()
       val t = System.nanoTime()
@@ -98,8 +103,8 @@ object ScaleBench988 {
       batch.unpersist(blocking = true)
       (s, nb, changed, Dedup.lastCcRounds)
     }
-    val (incFold1Secs, incBatch1, incChanged1, incRounds1) = ccFoldRun(0, 1)
-    val (incFold4Secs, incBatch4, incChanged4, incRounds4) = ccFoldRun(0, 4)
+    val (incFold1Secs, incBatch1, incChanged1, incRounds1) = ccFoldRun(1)
+    val (incFold4Secs, incBatch4, incChanged4, incRounds4) = ccFoldRun(4)
     histPairs.unpersist(blocking = true)
     priorLabels.unpersist(blocking = true)
 

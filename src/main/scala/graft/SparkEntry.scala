@@ -2776,6 +2776,37 @@ object SparkEntry {
       graft.llm.TextAnalysis.phraseSearchIndexed(s, store,
         Seq("fast", "table"))
     }),
+    "m64_stream_cc_maintenance" -> ((s, dir) => {
+      // m63's STREAMING twin: the verified near-dup pair stream folds
+      // into the persisted labeling store one micro-batch at a time
+      // (maxFilesPerTrigger=1) — batch 1 bootstraps the store (CC of
+      // the batch alone), later batches fold by label contraction, each
+      // landing as a LayoutStore version that rewrites only merged
+      // clusters' buckets. The oracle is the from-scratch closure over
+      // ALL pairs: arrival order must not matter
+      val pairs = Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id",
+        "text", threshold = 0.5, k = 3, numHashes = 12, bands = 4,
+        maxBucketSize = Some(docBucketCap(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val src = tmpQueryDir("m64-src")
+      for (b <- 0 until 3)
+        pairs.where(pmod(xxhash64(col("id1"), col("id2")), lit(3)) === b)
+          .coalesce(1).write.mode("append").parquet(src.toString)
+      val state = tmpQueryDir("m64-state").toString + "/labels"
+      val ckpt = tmpQueryDir("m64-ckpt").toString
+      Incremental.ccLabelMaintenanceAvailableNow(s, src.toString,
+          pairs.schema, "parquet",
+          df => df.select(col("id1"), col("id2")),
+          idCol1 = "id1", idCol2 = "id2",
+          statePath = state, checkpointDir = ckpt,
+          maxFilesPerTrigger = Some(1), clusterBuckets = 16)
+        .awaitTermination()
+      pairs.unpersist(blocking = true)
+      val conf = s.sparkContext.hadoopConfiguration
+      require(graft.llm.LayoutStore.versions(conf, state).size >= 3,
+        "the label fold must have run once per micro-batch")
+      Dedup.readCcLabelStore(s, state)
+    }),
     "m63_cc_label_store" -> ((s, dir) => {
       // d80's incremental fold through the PERSISTED labeling store: the
       // historical 2/3 of the near-dup pair graph labels once into a
@@ -4504,6 +4535,18 @@ object SparkEntry {
       // side computes the same labeling INCREMENTALLY (historical 2/3
       // labeled first, the 1/3 batch folded by contraction), so a hash
       // match here IS the maintenance invariant
+      s"""WITH RECURSIVE ${duckLshPairsCte()},
+         |edges AS (SELECT id1 AS a, id2 AS b FROM ndpairs
+         |          UNION ALL SELECT id2, id1 FROM ndpairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
+         |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "m64_stream_cc_maintenance" ->
+      // the same from-scratch closure as d80/m63 — the query side built
+      // the labeling through three STREAMED folds, so a hash match here
+      // pins arrival-order independence of the maintained labels
       s"""WITH RECURSIVE ${duckLshPairsCte()},
          |edges AS (SELECT id1 AS a, id2 AS b FROM ndpairs
          |          UNION ALL SELECT id2, id1 FROM ndpairs),

@@ -1696,6 +1696,12 @@ object Dedup {
   private def ccClusterBucket(c: Column, buckets: Int): Column =
     pmod(xxhash64(c), lit(buckets.toLong)).cast("int")
 
+  /** Marker naming a label-store version's cluster-bucket count —
+    * read before the row stamp (`cluster_buckets`, kept for
+    * self-description) so the fold never has to touch data to learn
+    * the bucket space. */
+  private[graft] val ClusterBucketsMarker = "_cluster_buckets"
+
   /** Bootstrap a PERSISTED (id, cluster) labeling store: a
     * [[LayoutStore]]-versioned table partitioned by
     * `cb = pmod(xxhash64(cluster), clusterBuckets)`, the bucket count
@@ -1707,7 +1713,8 @@ object Dedup {
     * every other bucket inherits by manifest reference. Returns the
     * version (1 for a fresh store). */
   def writeCcLabelStore(labels: DataFrame, path: String,
-                        clusterBuckets: Int = 64): Long = {
+                        clusterBuckets: Int = 64,
+                        markers: Map[String, String] = Map.empty): Long = {
     require(clusterBuckets >= 1,
       s"clusterBuckets must be >= 1: $clusterBuckets")
     val conf = labels.sparkSession.sparkContext.hadoopConfiguration
@@ -1717,6 +1724,9 @@ object Dedup {
         .withColumn("cb", ccClusterBucket(col("cluster"), clusterBuckets))
         .repartition(col("cb"))
         .write.mode("overwrite").partitionBy("cb").parquet(tmp)
+      (markers + (ClusterBucketsMarker -> clusterBuckets.toString))
+        .foreach { case (n, v) =>
+          LayoutStore.writeTextMarker(conf, tmp, n, v) }
     }
   }
 
@@ -1749,11 +1759,20 @@ object Dedup {
   def appendCcEdgesToLabelStore(spark: org.apache.spark.sql.SparkSession,
       path: String, newEdges: DataFrame,
       idCol1: String = "id1", idCol2: String = "id2",
-      maxIterations: Int = 50, version: Option[Long] = None): Long = {
+      maxIterations: Int = 50, version: Option[Long] = None,
+      markers: Map[String, String] = Map.empty): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcVersion = version.getOrElse(LayoutStore.versions(conf, path).last)
     val old = LayoutStore.readSnapshotTable(spark, path, "", Some(srcVersion))
-    val buckets = old.select(col("cluster_buckets")).limit(1).head().getInt(0)
+    val buckets = LayoutStore.readTextMarker(conf,
+        s"$path/version=$srcVersion", ClusterBucketsMarker)
+      .map(_.toInt)
+      .orElse(old.select(col("cluster_buckets")).limit(1).collect()
+        .headOption.map(_.getInt(0)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"label store at $path version=$srcVersion carries neither a " +
+          s"$ClusterBucketsMarker marker nor rows to read the bucket " +
+          "count from"))
     val (remap, newNodes) = incrementalCcParts(
       old.select(col("id"), col("cluster")), newEdges, idCol1, idCol2,
       maxIterations)
@@ -1779,6 +1798,9 @@ object Dedup {
           .repartition(col("cb"))
           .write.mode("overwrite").partitionBy("cb").parquet(tmp)
       }
+      (markers + (ClusterBucketsMarker -> buckets.toString))
+        .foreach { case (n, v) =>
+          LayoutStore.writeTextMarker(conf, tmp, n, v) }
       val touchedDirs = touched.map(v => s"cb=$v").toSet
       LayoutStore.effectiveEntries(conf, path, srcVersion)
         .filter { case (k, _) =>

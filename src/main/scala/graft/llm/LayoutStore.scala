@@ -76,6 +76,35 @@ object LayoutStore {
     try out.write(jackson.writeValueAsBytes(m)) finally out.close()
   }
 
+  /** Drop an underscore-prefixed text marker into a (temp) version dir —
+    * invisible to the physical walk and to parquet readers. Used by
+    * store builders that must stamp metadata (applied batch tokens,
+    * bucket counts) atomically with the data they describe. */
+  private[graft] def writeTextMarker(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: String, name: String, value: String): Unit = {
+    require(name.startsWith("_"),
+      s"marker files must be underscore-prefixed: $name")
+    val mk = new org.apache.hadoop.fs.Path(dir, name)
+    val out = mk.getFileSystem(conf).create(mk, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read back a [[writeTextMarker]] marker, if present. */
+  private[graft] def readTextMarker(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: String, name: String): Option[String] = {
+    val f = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = f.getFileSystem(conf)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
   private[graft] def readManifest(conf: org.apache.hadoop.conf.Configuration,
                                 path: String, v: Long)
       : Option[Map[String, Long]] = {

@@ -469,6 +469,71 @@ object Incremental {
     } finally delta.unpersist()
   }
 
+  /** Streaming dedup-GRAPH maintenance: an AvailableNow edge stream
+    * folds each micro-batch of (id1, id2) pairs into a persisted CC
+    * labeling store ([[graft.llm.Dedup.writeCcLabelStore]]) — the
+    * label-store twin of [[aggMaintenanceAvailableNow]], closing the
+    * loop for a production near-dup graph: the pair detectors emit
+    * edges continuously, and the served cluster labeling stays current
+    * without ever re-running CC over history (each fold is the
+    * contraction of [[graft.llm.Dedup.incrementalConnectedComponents]],
+    * rewriting only merged clusters' buckets).
+    *
+    * A cold store bootstraps from the first batch (CC of the batch
+    * alone). Replay: the same [[AppliedBatchMarker]] token skip as the
+    * agg fold — but unlike counts/sums, a label fold is NATURALLY
+    * idempotent (re-folding already-applied edges merges nothing: the
+    * remap comes out empty and the version is all-carried), so the
+    * token only saves the wasted version + fold cost; correctness
+    * never depends on it. */
+  def ccLabelMaintenanceAvailableNow(spark: SparkSession,
+      sourceDir: String, schema: StructType, format: String,
+      prepare: DataFrame => DataFrame, idCol1: String, idCol2: String,
+      statePath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      clusterBuckets: Int = 64): StreamingQuery = {
+    val r = spark.readStream.schema(schema).format(format)
+    val src = maxFilesPerTrigger.fold(r)(n =>
+      r.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
+    lazy val ckToken = checkpointQueryToken(spark, checkpointDir)
+    prepare(src).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ccLabelMaintenanceBatch(batch, s"$ckToken-$batchId",
+          idCol1, idCol2, statePath, clusterBuckets)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[ccLabelMaintenanceAvailableNow]], factored
+    * out so the bootstrap/replay contracts are directly testable. */
+  private[graft] def ccLabelMaintenanceBatch(batch: DataFrame,
+      batchToken: String, idCol1: String, idCol2: String,
+      statePath: String, clusterBuckets: Int = 64): Unit = {
+    import graft.llm.{Dedup, LayoutStore}
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val last = LayoutStore.versions(conf, statePath).lastOption
+    if (last.exists(v =>
+        appliedBatchToken(conf, statePath, v).contains(batchToken)))
+      return // crash-after-land replay: already folded (see scaladoc)
+    if (last.isEmpty) {
+      // cold bootstrap: the first NON-EMPTY batch is the graph. An
+      // empty first batch creates no version at all — a partitioned
+      // write of zero rows lands no parquet footers, and a hollow v1
+      // would be unreadable; replaying an empty batch is trivially
+      // idempotent, so skipping the token record here is safe.
+      if (batch.isEmpty) return
+      Dedup.writeCcLabelStore(
+        Dedup.connectedComponents(batch, idCol1, idCol2), statePath,
+        clusterBuckets, markers = Map(AppliedBatchMarker -> batchToken))
+    } else
+      Dedup.appendCcEdgesToLabelStore(batch.sparkSession, statePath,
+        batch, idCol1, idCol2,
+        markers = Map(AppliedBatchMarker -> batchToken))
+    ()
+  }
+
   /** Gap-based SESSION aggregation as a streaming `session_window` —
     * the Structured Streaming twin of the batch window-pass
     * sessionizer ([[graft.operators.Sessionize.sessions]]), with

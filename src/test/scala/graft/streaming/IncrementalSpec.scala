@@ -217,6 +217,54 @@ class IncrementalSpec extends SparkTestBase {
       fold(Seq(("k2", 1.0)), "b-2", buckets = 8))
   }
 
+  test("ccLabelMaintenanceBatch: cold bootstrap, per-batch folds, " +
+    "replay token skip, and natural idempotency of a label fold") {
+    val s = spark; import s.implicits._
+    val state = tmpDir("cc-stream") + "/labels"
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fold(edges: Seq[(Long, Long)], token: String): Unit =
+      Incremental.ccLabelMaintenanceBatch(edges.toDF("id1", "id2"),
+        token, "id1", "id2", state, clusterBuckets = 4)
+    def read() = graft.llm.Dedup.readCcLabelStore(s, state).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch 0 bootstraps: CC of the batch alone
+    fold(Seq((5L, 1L), (40L, 41L)), "ck-0")
+    assert(graft.llm.LayoutStore.versions(conf, state) == Seq(1L))
+    assert(read() == Map(1L -> 1L, 5L -> 1L, 40L -> 40L, 41L -> 40L))
+    // batch 1 merges the two clusters and adds a new one
+    fold(Seq((5L, 41L), (90L, 100L)), "ck-1")
+    val expect = Map(1L -> 1L, 5L -> 1L, 40L -> 1L, 41L -> 1L,
+      90L -> 90L, 100L -> 90L)
+    assert(read() == expect)
+    // replay of the SAME token: no new version, no refold
+    fold(Seq((5L, 41L), (90L, 100L)), "ck-1")
+    assert(graft.llm.LayoutStore.versions(conf, state) == Seq(1L, 2L),
+      "a replayed batch must not land a new state version")
+    // a DIFFERENT token with already-applied edges is a genuinely new
+    // batch — it folds, and the fold is NATURALLY idempotent: nothing
+    // merges, the version is all-carried, labels unchanged
+    fold(Seq((5L, 41L)), "ck2-0")
+    assert(graft.llm.LayoutStore.versions(conf, state) == Seq(1L, 2L, 3L))
+    assert(read() == expect, "refolding applied edges must change nothing")
+    val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(conf)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/version=3"))
+      .map(_.getPath.getName).count(_.startsWith("cb=")) == 0,
+      "an idempotent refold must carry every bucket, write none")
+    // an EMPTY first batch creates NO version (a hollow partitioned
+    // write would be unreadable); the first real batch bootstraps
+    val state2 = tmpDir("cc-stream-empty") + "/labels"
+    Incremental.ccLabelMaintenanceBatch(
+      Seq.empty[(Long, Long)].toDF("id1", "id2"), "e-0", "id1", "id2",
+      state2, clusterBuckets = 4)
+    assert(graft.llm.LayoutStore.versions(conf, state2).isEmpty,
+      "an empty cold batch must not land a hollow version")
+    Incremental.ccLabelMaintenanceBatch(
+      Seq((7L, 3L)).toDF("id1", "id2"), "e-1", "id1", "id2", state2)
+    assert(graft.llm.Dedup.readCcLabelStore(s, state2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(3L -> 3L, 7L -> 3L))
+  }
+
   test("aggMaintenanceBatch: a pre-bucketing (single-file) state " +
     "migrates to the bucketed layout transparently on its first fold") {
     val s = spark; import s.implicits._
