@@ -2776,6 +2776,28 @@ object SparkEntry {
       graft.llm.TextAnalysis.phraseSearchIndexed(s, store,
         Seq("fast", "table"))
     }),
+    "m65_cc_label_takedown" -> ((s, dir) => {
+      // RTBF through the labeling store: a doc slice is revoked and the
+      // affected clusters REBUILD from the surviving pair graph (the
+      // exact tier — a revoked bridge doc genuinely splits its cluster,
+      // which only the edges can tell); untouched clusters' buckets
+      // carry by manifest reference. The oracle labels the surviving
+      // nodes by the closure over pairs with no revoked endpoint —
+      // isolated survivors stay as singletons, revoked ids vanish
+      val pairs = Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id",
+        "text", threshold = 0.5, k = 3, numHashes = 12, bands = 4,
+        maxBucketSize = Some(docBucketCap(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val store = tmpQueryDir("m65-ccstore").toString + "/labels"
+      Dedup.writeCcLabelStore(Dedup.connectedComponents(pairs), store,
+        clusterBuckets = 16)
+      val revoked = t(s, dir, "documents")
+        .where(col("doc_id") % 7 === 3).select(col("doc_id"))
+      Dedup.takedownCcLabelStore(s, store, revoked, "doc_id",
+        pairs = Some(pairs))
+      pairs.unpersist(blocking = true)
+      Dedup.readCcLabelStore(s, store)
+    }),
     "m64_stream_cc_maintenance" -> ((s, dir) => {
       // m63's STREAMING twin: the verified near-dup pair stream folds
       // into the persisted labeling store one micro-batch at a time
@@ -4542,6 +4564,27 @@ object SparkEntry {
          |  SELECT a, a FROM edges
          |  UNION
          |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
+         |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "m65_cc_label_takedown" ->
+      // surviving nodes labeled by the closure over SCRUBBED pairs (no
+      // revoked endpoint); the base case ranges over the surviving node
+      // set so isolated survivors emit as singletons, and revoked ids
+      // are absent entirely
+      s"""WITH RECURSIVE ${duckLshPairsCte()},
+         |rv AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3),
+         |sp AS (SELECT id1, id2 FROM ndpairs
+         |       WHERE id1 NOT IN (SELECT doc_id FROM rv)
+         |         AND id2 NOT IN (SELECT doc_id FROM rv)),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |    SELECT id1 AS id FROM ndpairs
+         |    UNION ALL SELECT id2 FROM ndpairs)
+         |  WHERE id NOT IN (SELECT doc_id FROM rv)),
+         |sedges AS (SELECT id1 AS a, id2 AS b FROM sp
+         |           UNION ALL SELECT id2, id1 FROM sp),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.a, r.r FROM sedges e JOIN reach r ON r.id = e.b)
          |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id""".stripMargin,
     "m64_stream_cc_maintenance" ->
       // the same from-scratch closure as d80/m63 — the query side built

@@ -1808,6 +1808,115 @@ object Dedup {
     }
   }
 
+  /** Takedown/RTBF propagation through a persisted labeling store
+    * ([[writeCcLabelStore]]): every revoked id's row drops, and the
+    * clusters the revocation touched restore a canonical labeling —
+    * landing as a new version that physically rewrites ONLY the touched
+    * clusters' buckets (the [[graft.llm.Takedown]] ∝-affected
+    * discipline; cold buckets carry by manifest reference).
+    *
+    * Two tiers, chosen by whether the PAIR GRAPH is available:
+    *
+    *  - EXACT (`pairs` given — the historical pair set, e.g. a
+    *    persisted detector output): the affected clusters REBUILD from
+    *    the graph restricted to their surviving members. This is the
+    *    only correct answer in general — connectivity may genuinely
+    *    SPLIT when the revoked doc was the bridge between two
+    *    otherwise-disconnected groups, and only the edges can tell.
+    *    Cost ∝ the affected clusters' edges, never the corpus.
+    *  - CONSERVATIVE (`pairs` = None): affected clusters relabel to
+    *    their minimum SURVIVING id. Clusters that the revoked doc alone
+    *    bridged stay merged — the result is an UPPER BOUND on the true
+    *    clustering (an over-grouping never under-deduplicates), stated
+    *    here rather than hidden. Labels stay canonical (min surviving
+    *    id), so later [[appendCcEdgesToLabelStore]] folds compose.
+    *
+    * Isolated survivors (nodes whose every pair partner was revoked)
+    * REMAIN in the store as their own singleton cluster — they are
+    * still corpus documents; only revoked ids vanish. Returns the new
+    * version. */
+  def takedownCcLabelStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, revoked: DataFrame, revokedIdCol: String,
+      pairs: Option[DataFrame] = None,
+      idCol1: String = "id1", idCol2: String = "id2",
+      maxIterations: Int = 50, version: Option[Long] = None): Long = {
+    import org.apache.spark.storage.StorageLevel
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcVersion = version.getOrElse(LayoutStore.versions(conf, path).last)
+    val old = LayoutStore.readSnapshotTable(spark, path, "", Some(srcVersion))
+    val buckets = LayoutStore.readTextMarker(conf,
+        s"$path/version=$srcVersion", ClusterBucketsMarker)
+      .map(_.toInt)
+      .orElse(old.select(col("cluster_buckets")).limit(1).collect()
+        .headOption.map(_.getInt(0)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"label store at $path version=$srcVersion carries no bucket count"))
+    val rev = revoked.select(col(revokedIdCol).as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // clusters holding a revoked member: map-side scan of the store
+    // against the broadcast revocation list (takedown batches are small
+    // — the standing premise of the takedown family)
+    val affected = truncateFrame(old
+      .join(broadcast(rev), Seq("id"), "left_semi")
+      .select(col("cluster")).distinct())
+    // surviving members of the affected clusters — frontier-bounded
+    val affRows = truncateFrame(old
+      .join(broadcast(affected), Seq("cluster"), "left_semi")
+      .join(broadcast(rev), Seq("id"), "left_anti")
+      .select(col("id"), col("cluster")))
+    // replacement labeling for the affected clusters
+    val replacement = pairs match {
+      case None =>
+        // conservative: min surviving id per old cluster
+        val newLab = affRows.groupBy(col("cluster"))
+          .agg(min(col("id")).as("__nl"))
+        affRows.join(newLab, Seq("cluster"))
+          .select(col("id"), col("__nl").as("cluster"))
+      case Some(pg) =>
+        // exact: CC over the pair graph restricted to surviving members
+        // of affected clusters (edges never cross correct cluster
+        // boundaries, so this restriction loses nothing)
+        val affIds = affRows.select(col("id"))
+        val scrubbed = pg
+          .join(broadcast(affIds.withColumnRenamed("id", idCol1)), Seq(idCol1), "left_semi")
+          .join(broadcast(affIds.withColumnRenamed("id", idCol2)), Seq(idCol2), "left_semi")
+        val rebuilt = connectedComponents(scrubbed, idCol1, idCol2,
+          maxIterations)
+        // isolated survivors: every partner revoked -> singleton
+        affRows.select(col("id"))
+          .join(rebuilt.withColumnRenamed("cluster", "__nl"), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__nl"), col("id")).as("cluster"))
+    }
+    val replacementT = truncateFrame(replacement)
+    // touched buckets: the affected clusters' OLD labels plus every
+    // replacement label (a rebuilt sub-component's min id may hash
+    // elsewhere) — driver-bounded by the bucket count
+    val touched = affected.select(col("cluster").as("c"))
+      .unionByName(replacementT.select(col("cluster").as("c")))
+      .select(ccClusterBucket(col("c"), buckets).as("cb")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val out = LayoutStore.writeSnapshotManifested(conf, path) { (tmp, _) =>
+      if (touched.nonEmpty) {
+        old.where(col("cb").isin(touched.map(Integer.valueOf): _*))
+          .join(broadcast(affected), Seq("cluster"), "left_anti")
+          .select(col("id"), col("cluster"))
+          .unionByName(replacementT)
+          .withColumn("cluster_buckets", lit(buckets))
+          .withColumn("cb", ccClusterBucket(col("cluster"), buckets))
+          .repartition(col("cb"))
+          .write.mode("overwrite").partitionBy("cb").parquet(tmp)
+      }
+      LayoutStore.writeTextMarker(conf, tmp, ClusterBucketsMarker,
+        buckets.toString)
+      val touchedDirs = touched.map(v => s"cb=$v").toSet
+      LayoutStore.effectiveEntries(conf, path, srcVersion)
+        .filter { case (k, _) =>
+          k.startsWith("cb=") && !touchedDirs.contains(k) }
+    }
+    rev.unpersist(blocking = true)
+    out
+  }
+
   /** Full near-dup DEDUP decision: LSH pairs over `threshold` -> connected
     * components -> (id, cluster, keep). */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,

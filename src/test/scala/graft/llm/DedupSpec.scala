@@ -634,6 +634,73 @@ class DedupSpec extends SparkTestBase {
       "no-op fold must serve the same labeling")
   }
 
+  test("takedownCcLabelStore: exact tier re-splits bridged clusters from " +
+    "the pair graph; conservative tier over-groups (stated upper bound); " +
+    "fully-revoked clusters vanish; isolated survivors stay as singletons") {
+    val s = spark; import s.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    // pair graph: 2 bridges 1-3 (chain), {40,41} a pair, {90,91} a pair
+    // that will be FULLY revoked, 70-71 where 71's only partner is
+    // revoked (isolated-survivor case)
+    val pairs = (Seq((1L, 2L), (2L, 3L), (40L, 41L), (90L, 91L),
+      (70L, 71L)) ++ (200L until 280L by 10L).map(i => (i, i + 1L)))
+      .toDF("id1", "id2")
+    def freshStore(tag: String): String = {
+      val p = tmpDir(s"cc-td-$tag") + "/labels"
+      Dedup.writeCcLabelStore(Dedup.connectedComponents(pairs), p,
+        clusterBuckets = 4)
+      p
+    }
+    // the 200-series filler clusters exist only to populate every
+    // bucket (cold-carry must have something to carry) — assertions
+    // look at the ids the revocation story is about
+    def read(p: String) = Dedup.readCcLabelStore(s, p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).filter(_._1 < 200L).toMap
+    val revoked = Seq(2L, 90L, 91L, 70L).toDF("rid")
+    // EXACT: the 1-3 bridge (doc 2) splits {1,2,3} into singletons;
+    // {90,91} vanishes entirely; 71 survives alone; {40,41} untouched
+    val exact = freshStore("exact")
+    Dedup.takedownCcLabelStore(s, exact, revoked, "rid", pairs = Some(pairs))
+    assert(read(exact) == Map(1L -> 1L, 3L -> 3L, 40L -> 40L, 41L -> 40L,
+      71L -> 71L))
+    // CONSERVATIVE: {1,3} stays merged (upper bound), labeled min
+    // surviving id
+    val cons = freshStore("cons")
+    Dedup.takedownCcLabelStore(s, cons, revoked, "rid")
+    assert(read(cons) == Map(1L -> 1L, 3L -> 1L, 40L -> 40L, 41L -> 40L,
+      71L -> 71L))
+    // revoking a cluster's LABEL id relabels to the min survivor, and
+    // only the touched buckets land physically (cold carry by manifest)
+    val lab = freshStore("label")
+    Dedup.takedownCcLabelStore(s, lab, Seq(1L).toDF("rid"), "rid",
+      pairs = Some(pairs))
+    val got = read(lab)
+    assert(got(2L) == 2L && got(3L) == 2L && got(40L) == 40L)
+    val fs = new org.apache.hadoop.fs.Path(lab).getFileSystem(conf)
+    def dirsOf(v: Long) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$lab/version=$v"))
+      .map(_.getPath.getName).filter(_.startsWith("cb=")).toSeq.sorted
+    val expectTouched = Seq(1L, 2L).map(c => spark.range(1)
+        .select(pmod(xxhash64(lit(c)), lit(4L)).cast("int"))
+        .head.getInt(0)).distinct.sorted.map(b => s"cb=$b")
+    assert(dirsOf(2L) == expectTouched,
+      s"only touched buckets may land: ${dirsOf(2L)} vs $expectTouched")
+    val carried = graft.llm.LayoutStore.readManifest(conf, lab, 2L).get
+      .collect { case (k, 1L) if k.startsWith("cb=") => k }.toSeq.sorted
+    assert(carried == (dirsOf(1L) diff expectTouched),
+      s"cold buckets must carry by reference: $carried")
+    assert(carried.nonEmpty,
+      "the filler clusters must leave at least one cold bucket")
+    // empty revocation: all-carried version, labels unchanged
+    val before = read(lab)
+    Dedup.takedownCcLabelStore(s, lab,
+      Seq.empty[Long].toDF("rid"), "rid")
+    assert(read(lab) == before)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$lab/version=3"))
+      .map(_.getPath.getName).count(_.startsWith("cb=")) == 0,
+      "an empty revocation must write nothing")
+  }
+
   test("connectedComponents: chains converge to min id; components stay disjoint") {
     val s = spark; import s.implicits._
     // component A is a 6-node CHAIN (5-1-9-12-7-20: diameter 5, forces
