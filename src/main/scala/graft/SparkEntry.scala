@@ -2860,6 +2860,17 @@ object SparkEntry {
       Similarity.mmrRerankQuantized(emb, emb.where(col("vec_id") === 0),
         pool = 50, take = 8)
     }),
+    "s29_kmeans_train" -> ((s, dir) =>
+      // deterministic FIXED-POINT k-means over int8-quantized vectors:
+      // k=4 centroids seeded by the smallest md5(id) — a pure function
+      // of the data, no RNG — then 2 Lloyd rounds in exact integer
+      // arithmetic (long squared-L2 distances, floor-div means, ties to
+      // the smaller centroid index), final assignment gated. Float
+      // k-means is shuffle-order-dependent and can't be cross-engine
+      // gated; this oracle UNROLLS both rounds as CTEs and must match
+      // bit-for-bit — the d79 discipline applied to the ANN trainer
+      Similarity.kmeansAssignInt8(t(s, dir, "embeddings"), k = 4,
+        iters = 2)),
     "s07_quantized_topk" -> ((s, dir) => {
       // the int8 tier: same brute-force shape as s01 but every vector in
       // flight is a tinyint array (4x fewer bytes); scores are the
@@ -6363,6 +6374,50 @@ object SparkEntry {
          |final AS MATERIALIZED (${(1 to take).map(r => s"SELECT * FROM sel$r")
             .mkString(" UNION ALL ")})
          |SELECT rank, id AS vec_id, rel, mmr FROM final""".stripMargin
+    },
+    "s29_kmeans_train" -> {
+      // the two Lloyd rounds unrolled: same s07 quantization, same
+      // smallest-md5 init, integer squared-L2 with ties to the smaller
+      // centroid index, floor(sum/count) centroid means (exact under
+      // 2^53 — the operator's documented bound), empty cells carry
+      val dist = (v: String, c: String) =>
+        s"""list_sum(list_transform(range(1, len($v.q) + 1),
+           |  i -> ($v.q[i] - $c.q[i]) * ($v.q[i] - $c.q[i])))""".stripMargin
+      def assign(name: String, cents: String) =
+        s"""$name AS (SELECT vec_id, cell FROM (
+           |  SELECT v.vec_id, c.cell,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${dist("v", "c")}, c.cell) AS rn
+           |  FROM qv v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+      def update(ex: String, u: String, cNew: String, a: String,
+                 cPrev: String) =
+        s"""$ex AS (SELECT $a.cell, unnest(range(1, len(v.q) + 1)) AS dim,
+           |  unnest(v.q) AS val FROM $a JOIN qv v USING (vec_id)),
+           |$u AS (SELECT cell, dim,
+           |  CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+           |  FROM $ex GROUP BY cell, dim),
+           |$cNew AS (SELECT cell, list(cm ORDER BY dim) AS q FROM $u GROUP BY cell
+           |  UNION ALL SELECT cell, q FROM $cPrev
+           |  WHERE cell NOT IN (SELECT cell FROM $u))""".stripMargin
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+         |    / CAST(127 AS DOUBLE) AS scale FROM embeddings),
+         |qv AS (SELECT vec_id,
+         |  CASE WHEN scale > 0
+         |    THEN list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+         |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+         |  FROM s),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY
+         |    md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell, q
+         |  FROM qv QUALIFY row_number() OVER (ORDER BY
+         |    md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4),
+         |${assign("a1", "c0")},
+         |${update("ex1", "u1", "c1", "a1", "c0")},
+         |${assign("a2", "c1")},
+         |${update("ex2", "u2", "c2", "a2", "c1")},
+         |${assign("a3", "c2")}
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a3""".stripMargin
     },
     "s07_quantized_topk" -> {
       // int8 symmetric quantization replayed in SQL: same per-vector

@@ -666,6 +666,94 @@ object Similarity {
     model.clusterCenters.map(_.toArray)
   }
 
+  /** Deterministic FIXED-POINT k-means over int8-quantized vectors —
+    * the reproducibility [[fitCentroids]]'s float/seeded MLlib path
+    * cannot give: every distance is a sum of longs
+    * ([[graft.functions.IntVectorLiteralFold]]), every centroid update
+    * a floor division of integer sums, and the init is the k vectors
+    * with the smallest md5(id) — a pure function of the data. The
+    * trained centroids (and s29's gated assignment) are therefore
+    * bit-identical across engines, partitionings and cluster sizes —
+    * the d79 fixed-point discipline applied to clustering, closing the
+    * ANN loop (quantize → TRAIN → bucketed layout → probe) with every
+    * stage cross-engine-gateable.
+    *
+    * Per round: ONE map-side assignment pass (codegen'd literal fold —
+    * no join, no N×k row blowup) + ONE partial-aggregated shuffle of
+    * (cell, dim) sums (≤ k·dim rows per map partition, regardless of
+    * corpus size), then a k·dim driver read to form the next round's
+    * literals — the same collect-the-config shape [[fitCentroids]]
+    * already has; no per-round lineage growth (each round's plan
+    * depends only on the cached quantized frame and fresh literals).
+    * Empty clusters keep their previous centroid (mirrored in the
+    * oracle). The update division is Math.floorDiv, mirrored in SQL as
+    * floor(sum/count) over doubles — exact while |per-dim sum| < 2^53
+    * (int8 data: ~7·10^13 rows per cell). */
+  def fitKmeansInt8(df: DataFrame, k: Int, iters: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Long]] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    val q = quantizeForStorage(df, idCol, vecCol)
+      .select(col(idCol).as("__id"), col("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic, hash-spread init: the k rows with the smallest
+      // md5(id) — both engines share md5, so the oracle re-derives the
+      // same seeds (TakeOrderedAndProject, never a global sort)
+      val initRows = q
+        .orderBy(md5(col("__id").cast("string")), col("__id"))
+        .limit(k).collect()
+      require(initRows.length == k,
+        s"need at least $k vectors to fit $k centroids: got ${initRows.length}")
+      var cents: Array[Array[Long]] = initRows.map(
+        _.getSeq[Byte](1).map(_.toLong).toArray)
+      for (_ <- 0 until iters) {
+        val sums = assignKmeansCells(q, cents, "q")
+          .select(col("__cell"), posexplode(col("q")))
+          .groupBy(col("__cell"), col("pos"))
+          .agg(sum(col("col").cast("long")).as("__s"),
+            count(lit(1)).as("__n"))
+          .collect()
+        val next = cents.map(_.clone())
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) =
+            Math.floorDiv(r.getLong(2), r.getLong(3))
+        }
+        cents = next
+      }
+      cents
+    } finally q.unpersist(blocking = true)
+  }
+
+  /** The s29 surface: [[fitKmeansInt8]] for `iters` rounds, then every
+    * vector assigned its final cell — (id, cell), bit-exact. */
+  def kmeansAssignInt8(df: DataFrame, k: Int, iters: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val cents = fitKmeansInt8(df, k, iters, idCol, vecCol)
+    assignKmeansCells(
+      quantizeForStorage(df, idCol, vecCol).select(col(idCol), col("q")),
+      cents, "q")
+      .select(col(idCol), col("__cell").as("cell"))
+  }
+
+  /** Map-side nearest-centroid assignment against LITERAL long
+    * centroids: one codegen'd integer squared-L2 fold per row,
+    * first-match argmin (ties -> smaller centroid index — DuckDB
+    * list_position parity). */
+  private def assignKmeansCells(df: DataFrame, cents: Array[Array[Long]],
+                                qCol: String): DataFrame = {
+    val dists = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.IntVectorLiteralFold(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(qCol)),
+        cents.map(_.toSeq).toSeq))
+    df.withColumn("__dl", dists)
+      .withColumn("__cell",
+        (array_position(col("__dl"), array_min(col("__dl"))) - 1).cast("int"))
+      .drop("__dl")
+  }
+
   /** Squared-L2 distances to every centroid as one codegen'd literal
     * fold — the single construction shared by cell ASSIGNMENT
     * (assignCells, the bucketed-layout writer) and query-side cell

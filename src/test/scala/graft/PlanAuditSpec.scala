@@ -639,4 +639,26 @@ class PlanAuditSpec extends SparkTestBase {
       "the merge must not add an exchange beyond the two aggregations")
     assert(p.contains("partial_sum") && p.contains("partial_min"))
   }
+
+  test("d80: the incremental CC output plan never shuffles history — " +
+    "the prior relabel is ONE broadcast join over the label scan") {
+    // the operator's lazy output (the d80 query checkpoint-truncates,
+    // which would hide the plan): a parquet-backed prior labeling with
+    // a small batch folded in. Any shuffle Exchange here means the
+    // historical labeling moved — the exact cost the operator exists
+    // to avoid; only the batch-bounded remap may broadcast.
+    val s = spark; import s.implicits._
+    val base = tmpDir("d80-plan")
+    Seq((1L, 1L), (2L, 1L), (5L, 5L), (9L, 9L)).toDF("id", "cluster")
+      .write.parquet(base + "/prior")
+    val prior = s.read.parquet(base + "/prior")
+    val out = graft.llm.Dedup.incrementalConnectedComponents(prior,
+      Seq((2L, 5L)).toDF("id1", "id2"))
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"the remap must apply as a broadcast join:\n$p")
+    assert("Exchange (hash|range|single)".r.findAllIn(p).isEmpty,
+      s"history must not shuffle in the fold's output plan:\n$p")
+  }
 }

@@ -746,4 +746,66 @@ class SimilaritySpec extends SparkTestBase {
         s"same-label pair admitted at nprobe=1: $qid -> $cid")
     }
   }
+
+  test("fitKmeansInt8: converges to the obvious clusters, is " +
+    "partitioning-invariant, keeps empty clusters' previous centroids, " +
+    "and the integer fold kernel matches its HOF reference") {
+    val s = spark; import s.implicits._
+    // two tight groups far apart in 2-D; scale chosen so int8
+    // quantization keeps them well separated
+    val pts = Seq(
+      (1L, Array(100f, 100f)), (2L, Array(98f, 102f)), (3L, Array(101f, 99f)),
+      (10L, Array(-100f, -100f)), (11L, Array(-99f, -101f)),
+      (12L, Array(-102f, -98f))).toDF("vec_id", "embedding")
+    val assign = Similarity.kmeansAssignInt8(pts, k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val groupA = Seq(1L, 2L, 3L).map(assign).toSet
+    val groupB = Seq(10L, 11L, 12L).map(assign).toSet
+    assert(groupA.size == 1 && groupB.size == 1 && groupA != groupB,
+      s"the two far-apart groups must land in distinct cells: $assign")
+    // bit-exact under a different partitioning (the determinism claim)
+    val assign7 = Similarity.kmeansAssignInt8(pts.repartition(7),
+      k = 2, iters = 3).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assign7 == assign)
+    // duplicate seed vectors: the higher-indexed duplicate centroid gets
+    // no points (ties go to the smaller index) and must CARRY unchanged
+    val dup = Seq((1L, Array(0f, 0f)), (2L, Array(0f, 0f)),
+      (3L, Array(50f, 50f))).toDF("vec_id", "embedding")
+    val cents = Similarity.fitKmeansInt8(dup, k = 3, iters = 2)
+    assert(cents.length == 3)
+    val zeros = cents.count(_.forall(_ == 0L))
+    assert(zeros >= 2, // the duplicate (0,0) seed survives as-is
+      s"an empty cluster must keep its previous centroid: ${cents.map(_.toSeq).toSeq}")
+    intercept[IllegalArgumentException](
+      Similarity.fitKmeansInt8(dup, k = 4, iters = 1)) // k > corpus
+    // kernel parity: the codegen'd integer fold == the HOF formulation,
+    // including null poison and length mismatch
+    val mat = Seq(Seq(1L, -2L, 3L), Seq(0L, 0L, 0L))
+    def hof(v: org.apache.spark.sql.Column) = array(mat.map(row =>
+      aggregate(zip_with(v, typedlit(row), (x, c) => (x - c) * (x - c)),
+        lit(0L), (acc, d) => acc + d)): _*)
+    def kernel(v: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.IntVectorLiteralFold(
+          org.apache.spark.sql.GraftColumnBridge.expression(v), mat))
+    val vecs = Seq(
+      (1L, Some(Seq(Some(4L), Some(-5L), Some(6L)))),
+      (2L, Some(Seq(Some(1L), None, Some(2L)))),      // null element
+      (3L, Some(Seq(Some(1L), Some(2L)))),            // length mismatch
+      (4L, Option.empty[Seq[Option[Long]]]))          // null array
+      .toDF("id", "v")
+    val both = vecs.select(col("id"), kernel(col("v")).as("k"),
+      hof(col("v")).as("h")).collect()
+    both.foreach { r =>
+      if (r.getLong(0) == 4L)
+        // a NULL array: the kernel is null-safe (null in -> null out,
+        // the documented semantics); the HOF form instead yields an
+        // array of null elements — callers treat both as "no fold"
+        assert(r.isNullAt(1), s"kernel must be null-safe: $r")
+      else {
+        assert(!r.isNullAt(1) && !r.isNullAt(2), s"non-null arrays: $r")
+        assert(r.getSeq[Any](1) == r.getSeq[Any](2), s"fold parity: $r")
+      }
+    }
+  }
 }
