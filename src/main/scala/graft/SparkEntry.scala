@@ -1678,6 +1678,28 @@ object SparkEntry {
         .distinct()
       graft.operators.PageRank.pageRankFixedPoint(edges, iters = 3)
     }),
+    "d81_personalized_pagerank" -> ((s, dir) => {
+      // seed-teleport (personalized) PageRank over d79's fulfillment
+      // graph: teleport AND dangling mass return to the trusted
+      // supplier slice (s_suppkey % 10 = 0) instead of uniformly —
+      // authority RELATIVE to the seeds, the TrustRank-shaped curation
+      // signal (a cluster that only cites itself gets no mass however
+      // densely it interlinks). Seeds come from the supplier TABLE, so
+      // suppliers with no shipped lineitem are nodes by fiat and hold
+      // their teleport mass; same bit-exact integer contract as d79
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"))
+      val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000L).as("dst"))
+        .distinct()
+      val seeds = t(s, dir, "supplier")
+        .where(col("s_suppkey") % 10 === 0).select(col("s_suppkey"))
+      graft.operators.PageRank.personalizedPageRankFixedPoint(edges,
+        seeds, iters = 3)
+    }),
     "d73_gap_fill" -> ((s, dir) => {
       // time-series regularization: irregular per-user events resample
       // onto an hourly grid, holes carried forward (LOCF). The operator
@@ -5252,6 +5274,49 @@ object SparkEntry {
          |  FROM nodes),
          |r0 AS MATERIALIZED (SELECT node, 1000000000000 // c.n AS rank
          |  FROM nodes, c),
+         |$iters
+         |fin AS (SELECT node, CAST(rank AS BIGINT) AS rank FROM r3)
+         |SELECT node, rank FROM fin""".stripMargin
+    },
+    "d81_personalized_pagerank" -> {
+      // d79's unrolled-round formulation with the seed-gated teleport
+      // and seed-returned dangling mass; all values non-negative so //
+      // equals Spark's `div` truncation
+      val iters = (0 until 3).map { k =>
+        s"""d$k AS MATERIALIZED (SELECT
+           |    CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang
+           |  FROM r$k r LEFT JOIN deg ON deg.node = r.node
+           |  WHERE deg.node IS NULL),
+           |i$k AS MATERIALIZED (SELECT e.dst AS node,
+           |    CAST(SUM(r.rank // deg.deg) AS BIGINT) AS inb
+           |  FROM r$k r JOIN deg ON deg.node = r.node
+           |  JOIN e ON e.src = r.node
+           |  GROUP BY 1),
+           |r${k + 1} AS MATERIALIZED (SELECT nodes.node,
+           |    CASE WHEN sd.node IS NOT NULL
+           |      THEN ((1000000000000 // ns.n) * 3) // 20 ELSE 0 END
+           |      + (17 * (COALESCE(i$k.inb, 0)
+           |          + CASE WHEN sd.node IS NOT NULL
+           |              THEN d$k.dang // ns.n ELSE 0 END)) // 20
+           |      AS rank
+           |  FROM nodes LEFT JOIN i$k ON i$k.node = nodes.node
+           |    LEFT JOIN sd ON sd.node = nodes.node, d$k, ns),""".stripMargin
+      }.mkString("\n")
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src,
+         |    o_custkey + 1000000 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |sd AS MATERIALIZED (SELECT s_suppkey AS node FROM supplier
+         |  WHERE s_suppkey % 10 = 0),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e
+         |  UNION SELECT dst FROM e UNION SELECT node FROM sd),
+         |deg AS MATERIALIZED (SELECT src AS node,
+         |    CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sd),
+         |r0 AS MATERIALIZED (SELECT nodes.node,
+         |    CASE WHEN sd.node IS NOT NULL
+         |      THEN 1000000000000 // ns.n ELSE 0 END AS rank
+         |  FROM nodes LEFT JOIN sd ON sd.node = nodes.node, ns),
          |$iters
          |fin AS (SELECT node, CAST(rank AS BIGINT) AS rank FROM r3)
          |SELECT node, rank FROM fin""".stripMargin

@@ -115,4 +115,81 @@ object PageRank {
     nodes.unpersist(blocking = true)
     ranks
   }
+
+  /** PERSONALIZED fixed-point PageRank: teleport and dangling mass
+    * return to a SEED set instead of uniformly to every node, so rank
+    * measures authority RELATIVE to the seeds (trusted domains, curated
+    * gold documents — the TrustRank-shaped curation signal: spam farms
+    * that only cite each other receive no mass no matter how densely
+    * they interlink). Same bit-exactness contract and scale shape as
+    * [[pageRankFixedPoint]] — every term a long, one shuffle per round:
+    *
+    *   r'(v) = [v∈S]·((scale div |S|)·(dd−dn) div dd)
+    *         + dn·(Σ_{u→v} r(u) div deg(u) + [v∈S]·(D div |S|)) div dd
+    *
+    * with r0 = scale div |S| on seeds, 0 elsewhere (the standard
+    * personalized start). The node universe is the edge endpoints ∪ the
+    * seeds — a trusted seed outside the crawl graph still holds its
+    * teleport mass. Non-negative throughout, so truncated and floor
+    * division coincide and the DuckDB oracle's `//` matches `div`.
+    * `seeds` must be non-empty; duplicate seed rows are deduplicated. */
+  def personalizedPageRankFixedPoint(edges: DataFrame, seeds: DataFrame,
+      iters: Int, dampNum: Long = 17L, dampDen: Long = 20L,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen not in [0,1]")
+    require(scale >= 1 && scale <= 1000000000000000L,
+      s"scale out of the overflow-safe range: $scale")
+    val g = BigInt(dampNum).gcd(BigInt(dampDen)).toLong
+    val (dn, dd) = (dampNum / g, dampDen / g)
+    require(dn <= Long.MaxValue / (2 * scale),
+      s"damping numerator $dampNum/$dampDen (normalized $dn/$dd) would " +
+        s"overflow Long at scale $scale: need dn <= ${Long.MaxValue / (2 * scale)}")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seedSet = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nS = seedSet.count()
+    require(nS > 0, "personalized PageRank needs a non-empty seed set")
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .unionByName(seedSet.select(col("node"))).distinct()
+      .join(seedSet.withColumn("__seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("__deg"))
+    val seedRank = scale / nS
+    val teleportSeed = seedRank * (dd - dn) / dd
+    var ranks = nodes
+      .withColumn("rank",
+        when(col("__seed"), lit(seedRank)).otherwise(lit(0L)))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val withDeg = ranks.join(outdeg, Seq("node"), "left")
+      val dang = withDeg.where(col("__deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
+      val contribs = withDeg.where(col("__deg").isNotNull)
+        .withColumn("__c", expr("rank div __deg"))
+        .select(col("node"), col("__c"))
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("__c")).as("__in"))
+      val prev = ranks
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("__seed"),
+          (when(col("__seed"), lit(teleportSeed)).otherwise(lit(0L)) +
+            expr(s"($dn * (coalesce(__in, CAST(0 AS BIGINT)) + " +
+              s"(CASE WHEN __seed THEN __dang div $nS " +
+              s"ELSE CAST(0 AS BIGINT) END))) div $dd")).as("rank"))
+        .localCheckpoint()
+      prev.unpersist(blocking = true)
+    }
+    e.unpersist(blocking = true)
+    seedSet.unpersist(blocking = true)
+    nodes.unpersist(blocking = true)
+    ranks.select(col("node"), col("rank"))
+  }
 }

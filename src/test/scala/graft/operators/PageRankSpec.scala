@@ -74,4 +74,43 @@ class PageRankSpec extends SparkTestBase {
       PageRank.pageRankFixedPoint(e, iters = 1,
         scale = 10000000000000000L))
   }
+
+  test("personalized: hand-computed rounds — teleport and dangling mass " +
+    "return to the seeds, an unlinked spam cycle holds zero mass, a seed " +
+    "outside the graph keeps its mass; partitioning-invariant; empty " +
+    "seed set rejected") {
+    val s = spark; import s.implicits._
+    // a->b, a->c, b->c (c dangling) plus a seedless 2-cycle {x, y}
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("x", "y"), ("y", "x")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("seed")
+    // d=1/2, scale=300, seeds={a}: r0 = (a 300, rest 0); teleport(a)=150
+    // round 1: dang = r(c) = 0; b <- 300 div 2 = 150; c <- 150 + 0
+    //   a = 150 + (0 + 0) div 2 = 150; b = (150) div 2 = 75; c = 75
+    // round 2: dang = r(c) = 75; b <- 150 div 2 = 75; c <- 75 + 75
+    //   a = 150 + (0 + 75 div 1) div 2 = 187; b = 37; c = 75
+    // x, y: no seed, no inbound mass ever -> 0 despite the dense cycle
+    val got = PageRank.personalizedPageRankFixedPoint(edges, seeds,
+      iters = 2, dampNum = 1L, dampDen = 2L, scale = 300L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 187L, "b" -> 37L, "c" -> 75L,
+      "x" -> 0L, "y" -> 0L), s"got $got")
+    // a trusted seed OUTSIDE the crawl graph is a node by fiat: it is
+    // dangling, so its whole mass returns to itself each round
+    val z = PageRank.personalizedPageRankFixedPoint(
+      Seq(("a", "b")).toDF("src", "dst"), Seq("z").toDF("seed"),
+      iters = 1, dampNum = 1L, dampDen = 2L, scale = 300L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(z == Map("z" -> 300L, "a" -> 0L, "b" -> 0L), s"got $z")
+    // determinism across partitionings (the fixed-point claim)
+    val r1 = PageRank.personalizedPageRankFixedPoint(edges, seeds, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r2 = PageRank.personalizedPageRankFixedPoint(
+      edges.repartition(7), seeds, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == r2)
+    intercept[IllegalArgumentException](
+      PageRank.personalizedPageRankFixedPoint(edges,
+        Seq.empty[String].toDF("seed"), iters = 1))
+  }
 }
