@@ -1678,6 +1678,24 @@ object SparkEntry {
         .distinct()
       graft.operators.PageRank.pageRankFixedPoint(edges, iters = 3)
     }),
+    "d82_label_propagation" -> ((s, dir) => {
+      // semi-supervised label propagation: trusted lang labels
+      // (doc_id % 4 = 0 — most of them outside the pair graph, nodes
+      // by fiat) spread 2 hops across the verified near-dup graph;
+      // seeds clamp, majority-of-labeled-neighbors with exact counts
+      // and ties to the smallest label, no-labeled-neighbor keeps the
+      // current (possibly null) label — deterministic, so the oracle
+      // can unroll both rounds
+      val pairs = Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id",
+        "text", threshold = 0.5, k = 3, numHashes = 12, bands = 4,
+        maxBucketSize = Some(docBucketCap(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seeds = t(s, dir, "documents").where(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("lang"))
+      val out = graft.operators.LabelPropagation.propagateLabels(pairs,
+        seeds, iters = 2, seedIdCol = "doc_id", seedLabelCol = "lang")
+      Dedup.materializeAndRelease(out, pairs)
+    }),
     "d81_personalized_pagerank" -> ((s, dir) => {
       // seed-teleport (personalized) PageRank over d79's fulfillment
       // graph: teleport AND dangling mass return to the trusted
@@ -5277,6 +5295,35 @@ object SparkEntry {
          |$iters
          |fin AS (SELECT node, CAST(rank AS BIGINT) AS rank FROM r3)
          |SELECT node, rank FROM fin""".stripMargin
+    },
+    "d82_label_propagation" -> {
+      // both rounds unrolled: per round one labeled-neighbor vote count
+      // + one (count DESC, label ASC) top-1 per node, seeds clamped via
+      // the same 3-way COALESCE as the engine
+      def round(k: Int) =
+        s"""v$k AS (SELECT e.a AS node, l.label, COUNT(*) AS c
+           |  FROM e JOIN l${k - 1} l ON l.node = e.b
+           |  WHERE l.label IS NOT NULL GROUP BY 1, 2),
+           |p$k AS (SELECT node, label FROM (
+           |  SELECT node, label, row_number() OVER (PARTITION BY node
+           |    ORDER BY c DESC, label) AS rn FROM v$k) WHERE rn = 1),
+           |l$k AS (SELECT n.node,
+           |    COALESCE(sd.label, p$k.label, l${k - 1}.label) AS label
+           |  FROM nodes n LEFT JOIN sd ON sd.node = n.node
+           |  LEFT JOIN p$k ON p$k.node = n.node
+           |  LEFT JOIN l${k - 1} ON l${k - 1}.node = n.node)""".stripMargin
+      s"""WITH RECURSIVE ${duckLshPairsCte()},
+         |sd AS (SELECT doc_id AS node, lang AS label FROM documents
+         |  WHERE doc_id % 4 = 0),
+         |e AS (SELECT id1 AS a, id2 AS b FROM ndpairs
+         |  UNION ALL SELECT id2, id1 FROM ndpairs),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT a AS node FROM e UNION ALL SELECT node FROM sd)),
+         |l0 AS (SELECT n.node, sd.label FROM nodes n
+         |  LEFT JOIN sd ON sd.node = n.node),
+         |${round(1)},
+         |${round(2)}
+         |SELECT node, label FROM l2""".stripMargin
     },
     "d81_personalized_pagerank" -> {
       // d79's unrolled-round formulation with the seed-gated teleport
