@@ -1678,6 +1678,22 @@ object SparkEntry {
         .distinct()
       graft.operators.PageRank.pageRankFixedPoint(edges, iters = 3)
     }),
+    "d83_hits" -> ((s, dir) => {
+      // HITS hubs/authorities over the fulfillment graph (bipartite:
+      // suppliers are pure hubs, customers pure authorities — each
+      // side's opposite score decays to 0, exercised by the oracle's
+      // COALESCE): fixed-point integer scores with per-round
+      // div-normalization, so ranking is exact and cross-engine
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"))
+      val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000L).as("dst"))
+        .distinct()
+      graft.operators.PageRank.hitsFixedPoint(edges, iters = 2)
+    }),
     "d82_label_propagation" -> ((s, dir) => {
       // semi-supervised label propagation: trusted lang labels
       // (doc_id % 4 = 0 — most of them outside the pair graph, nodes
@@ -5295,6 +5311,44 @@ object SparkEntry {
          |$iters
          |fin AS (SELECT node, CAST(rank AS BIGINT) AS rank FROM r3)
          |SELECT node, rank FROM fin""".stripMargin
+    },
+    "d83_hits" -> {
+      // both rounds unrolled; // equals `div` on these non-negative
+      // values, and the normalize divisor clamps at 1 exactly like the
+      // engine's CASE
+      val norm = (v: String, m: String) =>
+        s"$v // (CASE WHEN $m // 1000000000 < 1 THEN 1 " +
+          s"ELSE $m // 1000000000 END)"
+      def round(k: Int) =
+        s"""ra$k AS MATERIALIZED (SELECT e.dst AS node,
+           |    CAST(SUM(s.hub) AS BIGINT) AS ra
+           |  FROM e JOIN s${k - 1} s ON s.node = e.src GROUP BY 1),
+           |am$k AS MATERIALIZED (SELECT GREATEST(MAX(ra), 1) AS am
+           |  FROM ra$k),
+           |a$k AS MATERIALIZED (SELECT node,
+           |    ${norm("ra", "am")} AS auth FROM ra$k, am$k),
+           |rh$k AS MATERIALIZED (SELECT e.src AS node,
+           |    CAST(SUM(a.auth) AS BIGINT) AS rh
+           |  FROM e JOIN a$k a ON a.node = e.dst GROUP BY 1),
+           |hm$k AS MATERIALIZED (SELECT GREATEST(MAX(rh), 1) AS hm
+           |  FROM rh$k),
+           |h$k AS MATERIALIZED (SELECT node,
+           |    ${norm("rh", "hm")} AS hub FROM rh$k, hm$k),
+           |s$k AS MATERIALIZED (SELECT n.node,
+           |    COALESCE(h$k.hub, 0) AS hub, COALESCE(a$k.auth, 0) AS auth
+           |  FROM nodes n LEFT JOIN h$k ON h$k.node = n.node
+           |  LEFT JOIN a$k ON a$k.node = n.node)""".stripMargin
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src,
+         |    o_custkey + 1000000 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e
+         |  UNION SELECT dst FROM e),
+         |s0 AS MATERIALIZED (SELECT node, 1000000000 AS hub,
+         |    1000000000 AS auth FROM nodes),
+         |${round(1)},
+         |${round(2)}
+         |SELECT node, CAST(hub AS BIGINT) AS hub,
+         |  CAST(auth AS BIGINT) AS auth FROM s2""".stripMargin
     },
     "d82_label_propagation" -> {
       // both rounds unrolled: per round one labeled-neighbor vote count

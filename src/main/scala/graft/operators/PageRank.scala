@@ -192,4 +192,73 @@ object PageRank {
     nodes.unpersist(blocking = true)
     ranks.select(col("node"), col("rank"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg) in FIXED POINT — the third
+    * member of the link-analysis family (uniform PageRank d79,
+    * personalized d81): authority(v) = Σ hub over in-neighbors,
+    * hub(u) = Σ authority over out-neighbors, re-normalized each round.
+    * Float HITS normalizes by an L2 norm — order-dependent and
+    * un-gateable; here both scores stay longs and each round
+    * DIV-normalizes by `max div scale` so the maximum lands at ≈ scale
+    * (exactly: x div (max div scale), ≤ ~2·scale from divisor
+    * truncation — deterministic, and what the d83 oracle's `//`
+    * replays). Ranking — the thing curation consumes — is preserved:
+    * div by a positive constant is monotone.
+    *
+    * Overflow bound (documented, like PageRank's): after
+    * normalization every score is ≤ 2·scale, so a round's sum needs
+    * maxDegree · 2·scale < 2^63 — at the default scale 10^9 that is
+    * ~4.6·10^9 in/out-degree, beyond any real graph's hottest node.
+    * Dangling/sourceless nodes simply contribute and receive nothing
+    * (their opposite score decays to 0 — the HITS contract).
+    *
+    * Scale shape: two shuffles per round (the in-sum and the out-sum
+    * group-bys) + two broadcast 1-row max aggregates folded into the
+    * plan; per-round localCheckpoint as the family discipline.
+    * Returns (node, hub, auth). */
+  def hitsFixedPoint(edges: DataFrame, iters: Int,
+                     scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(scale >= 1 && scale <= 1000000000000L,
+      s"scale out of the overflow-safe range: $scale")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(nodes.count() > 0, "empty graph")
+    var scores = nodes.select(col("node"), lit(scale).as("hub"),
+      lit(scale).as("auth")).localCheckpoint()
+    for (_ <- 0 until iters) {
+      // auth(v) = sum of hubs over in-neighbors, then div-normalize
+      val rawAuth = e
+        .join(scores.select(col("node").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("__ra"))
+      val am = rawAuth.agg(greatest(max(col("__ra")), lit(1L)).as("__am"))
+      val auth = rawAuth.crossJoin(broadcast(am))
+        .select(col("node"),
+          expr(s"__ra div (CASE WHEN __am div $scale < 1 THEN 1 " +
+            s"ELSE __am div $scale END)").as("auth"))
+      // hub(u) = sum of NEW authorities over out-neighbors, normalized
+      val rawHub = e
+        .join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("__rh"))
+      val hm = rawHub.agg(greatest(max(col("__rh")), lit(1L)).as("__hm"))
+      val hub = rawHub.crossJoin(broadcast(hm))
+        .select(col("node"),
+          expr(s"__rh div (CASE WHEN __hm div $scale < 1 THEN 1 " +
+            s"ELSE __hm div $scale END)").as("hub"))
+      val prev = scores
+      scores = nodes
+        .join(hub, Seq("node"), "left")
+        .join(auth, Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
+          coalesce(col("auth"), lit(0L)).as("auth"))
+        .localCheckpoint()
+      prev.unpersist(blocking = true)
+    }
+    e.unpersist(blocking = true)
+    nodes.unpersist(blocking = true)
+    scores
+  }
 }

@@ -113,4 +113,30 @@ class PageRankSpec extends SparkTestBase {
       PageRank.personalizedPageRankFixedPoint(edges,
         Seq.empty[String].toDF("seed"), iters = 1))
   }
+
+  test("HITS: two hand-computed rounds on a bipartite graph — div " +
+    "normalization, opposite-side scores decay to 0, partitioning " +
+    "invariance, guards") {
+    val s = spark; import s.implicits._
+    // s1 -> {c1, c2}, s2 -> c1 at scale 100:
+    // round 1: rawAuth c1=200 c2=100, max 200 -> div 2: c1=100 c2=50
+    //   rawHub s1=150 s2=100, max 150 -> div 1: s1=150 s2=100
+    // round 2: rawAuth c1=250 c2=150, max 250 -> div 2: c1=125 c2=75
+    //   rawHub s1=200 s2=125, max 200 -> div 2: s1=100 s2=62
+    val edges = Seq(("s1", "c1"), ("s1", "c2"), ("s2", "c1"))
+      .toDF("src", "dst")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = asMap(PageRank.hitsFixedPoint(edges, iters = 2, scale = 100L))
+    assert(got == Map(
+      "s1" -> ((100L, 0L)), "s2" -> ((62L, 0L)),
+      "c1" -> ((0L, 125L)), "c2" -> ((0L, 75L))), s"got $got")
+    assert(asMap(PageRank.hitsFixedPoint(edges.repartition(5), iters = 2,
+      scale = 100L)) == got, "HITS must not depend on partitioning")
+    intercept[IllegalArgumentException](
+      PageRank.hitsFixedPoint(edges, iters = 0))
+    intercept[IllegalArgumentException](
+      PageRank.hitsFixedPoint(
+        Seq.empty[(String, String)].toDF("src", "dst"), iters = 1))
+  }
 }
