@@ -701,6 +701,37 @@ class DedupSpec extends SparkTestBase {
       "an empty revocation must write nothing")
   }
 
+  test("ccLabelStore: generic snapshot compaction composes with the " +
+    "cluster-bucket layout — labels unchanged, manifest references " +
+    "collapse to one physical version") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("cc-compact") + "/labels"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hist = (0L until 40L by 2L).map(i => (i, i + 1L)).toDF("id1", "id2")
+    Dedup.writeCcLabelStore(Dedup.connectedComponents(hist), store,
+      clusterBuckets = 4)
+    // three folds leave a version chain whose entries scatter across
+    // owners (the fragmentation a long maintenance run accumulates)
+    Seq(Seq((1L, 2L)), Seq((100L, 101L)), Seq((5L, 100L))).zipWithIndex
+      .foreach { case (b, _) =>
+        Dedup.appendCcEdgesToLabelStore(s, store, b.toDF("id1", "id2")) }
+    val before = Dedup.readCcLabelStore(s, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = graft.llm.LayoutStore.compactSnapshot(s, store)
+    assert(graft.llm.LayoutStore.readManifest(conf, store, v)
+      .forall(_.values.forall(_ == v)),
+      "a compacted version must own every entry physically")
+    val after = Dedup.readCcLabelStore(s, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before, "compaction must be row-invisible")
+    // and the compacted store still FOLDS (bucket marker survives)
+    Dedup.appendCcEdgesToLabelStore(s, store,
+      Seq((200L, 201L)).toDF("id1", "id2"))
+    assert(Dedup.readCcLabelStore(s, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == before ++ Map(200L -> 200L, 201L -> 200L))
+  }
+
   test("connectedComponents: chains converge to min id; components stay disjoint") {
     val s = spark; import s.implicits._
     // component A is a 6-node CHAIN (5-1-9-12-7-20: diameter 5, forces
