@@ -2916,6 +2916,18 @@ object SparkEntry {
       Similarity.mmrRerankQuantized(emb, emb.where(col("vec_id") === 0),
         pool = 50, take = 8)
     }),
+    "s30_ivf_trained" -> ((s, dir) => {
+      // the composition gate: s29's trained integer codebook feeds an
+      // all-integer IVF probe over the int8 tier — cell assignment and
+      // probe ranking on exact long distances, s07's quantized cosine
+      // for scoring. The oracle re-derives the TRAINER itself in SQL
+      // (no centroid literal crosses from the engine), so train →
+      // assign → probe is cross-engine-gated end to end
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.fitKmeansInt8(emb, k = 4, iters = 2)
+      Similarity.ivfTopKQuantizedTrained(emb,
+        emb.filter(col("vec_id") < 10), k = 5, cents, nprobe = 2)
+    }),
     "s29_kmeans_train" -> ((s, dir) =>
       // deterministic FIXED-POINT k-means over int8-quantized vectors:
       // k=4 centroids seeded by the smallest md5(id) — a pure function
@@ -6540,6 +6552,79 @@ object SparkEntry {
          |final AS MATERIALIZED (${(1 to take).map(r => s"SELECT * FROM sel$r")
             .mkString(" UNION ALL ")})
          |SELECT rank, id AS vec_id, rel, mmr FROM final""".stripMargin
+    },
+    "s30_ivf_trained" -> {
+      // s29's unrolled trainer CTEs verbatim, then the s04/s07 probe
+      // shapes over ITS centroids: integer distance lists ordered by
+      // cell, first-match argmin assignment, (dist, cell)-ranked
+      // nprobe=2 probes, quantized-cosine scoring with the n2 > 0 drop
+      val dist = (v: String, c: String) =>
+        s"""list_sum(list_transform(range(1, len($v.q) + 1),
+           |  i -> ($v.q[i] - $c.q[i]) * ($v.q[i] - $c.q[i])))""".stripMargin
+      def assign(name: String, cents: String) =
+        s"""$name AS (SELECT vec_id, cell FROM (
+           |  SELECT v.vec_id, c.cell,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${dist("v", "c")}, c.cell) AS rn
+           |  FROM qv v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+      def update(ex: String, u: String, cNew: String, a: String,
+                 cPrev: String) =
+        s"""$ex AS (SELECT $a.cell, unnest(range(1, len(v.q) + 1)) AS dim,
+           |  unnest(v.q) AS val FROM $a JOIN qv v USING (vec_id)),
+           |$u AS (SELECT cell, dim,
+           |  CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+           |  FROM $ex GROUP BY cell, dim),
+           |$cNew AS (SELECT cell, list(cm ORDER BY dim) AS q FROM $u GROUP BY cell
+           |  UNION ALL SELECT cell, q FROM $cPrev
+           |  WHERE cell NOT IN (SELECT cell FROM $u))""".stripMargin
+      val qdot =
+        """CAST(list_sum(list_transform(range(1, len(p.q) + 1),
+          |  i -> p.q[i] * a.q[i])) AS DOUBLE)
+          |  / sqrt(CAST(p.n2 * a.n2 AS DOUBLE))""".stripMargin
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+         |    / CAST(127 AS DOUBLE) AS scale FROM embeddings),
+         |qv AS (SELECT vec_id,
+         |  CASE WHEN scale > 0
+         |    THEN list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+         |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+         |  FROM s),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY
+         |    md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell, q
+         |  FROM qv QUALIFY row_number() OVER (ORDER BY
+         |    md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4),
+         |${assign("a1", "c0")},
+         |${update("ex1", "u1", "c1", "a1", "c0")},
+         |${assign("a2", "c1")},
+         |${update("ex2", "u2", "c2", "a2", "c1")},
+         |nn AS (SELECT vec_id, q,
+         |  CAST(list_sum(list_transform(range(1, len(q) + 1),
+         |    i -> q[i] * q[i])) AS BIGINT) AS n2 FROM qv),
+         |dlt AS (SELECT vec_id, list(d ORDER BY cell) AS dl FROM (
+         |  SELECT v.vec_id AS vec_id, c.cell AS cell,
+         |    ${dist("v", "c")} AS d
+         |  FROM qv v CROSS JOIN c2 c) GROUP BY vec_id),
+         |a AS (SELECT nn.vec_id, nn.q, nn.n2,
+         |    (list_position(dl, list_min(dl)) - 1) AS cell
+         |  FROM dlt JOIN nn ON nn.vec_id = dlt.vec_id),
+         |p AS (SELECT vec_id, q, n2, cell FROM (
+         |  SELECT q0.vec_id, q0.q, q0.n2, r.cell,
+         |    row_number() OVER (PARTITION BY q0.vec_id
+         |      ORDER BY dlt.dl[(r.cell)::INT + 1] ASC, r.cell ASC) AS rn
+         |  FROM (SELECT * FROM nn WHERE vec_id < 10) q0
+         |  JOIN dlt ON dlt.vec_id = q0.vec_id
+         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS cell) r)
+         |  WHERE rn <= 2)
+         |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank
+         |FROM (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS corpus_id,
+         |    $qdot AS score,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY $qdot DESC, a.vec_id) AS rnk
+         |  FROM a JOIN p ON a.cell = p.cell AND p.vec_id != a.vec_id
+         |  WHERE p.n2 > 0 AND a.n2 > 0)
+         |WHERE rnk <= 5""".stripMargin
     },
     "s29_kmeans_train" -> {
       // the two Lloyd rounds unrolled: same s07 quantization, same

@@ -738,6 +738,55 @@ object Similarity {
       .select(col(idCol), col("__cell").as("cell"))
   }
 
+  /** IVF top-k over the int8 tier with a TRAINED integer codebook
+    * ([[fitKmeansInt8]]): cell assignment AND probe ranking ride exact
+    * long distances, scoring is the s07 scale-free quantized cosine —
+    * so the whole train → assign → probe chain is deterministic and
+    * cross-engine-gated end to end (s30's oracle re-derives the
+    * TRAINER in SQL and probes with its own centroids; no literal is
+    * smuggled from the engine). Scale shape mirrors [[ivfTopKLiteral]]:
+    * map-side assignment from centroid literals (the layout a bucketed
+    * 100 TB corpus persists — [[graft.llm.Ingest.appendIvfSnapshot]]'s
+    * frozen-codebook discipline applies unchanged), probe fan-out on
+    * the QUERY side only (nprobe rows per query), one equi-join on
+    * cell, per-query windowed top-k. Zero-norm vectors drop from
+    * scoring (the s07 convention). */
+  def ivfTopKQuantizedTrained(corpus: DataFrame, queries: DataFrame,
+      k: Int, centroids: Array[Array[Long]], nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe $nprobe out of range 1..${centroids.length}")
+    val ac = assignKmeansCells(
+      quantizeForStorage(corpus, idCol, vecCol), centroids, "q")
+      .select(col(idCol).as("corpus_id"), col("q").as("cq"),
+        col("n2").as("cn2"), col("__cell").as("cell"))
+    val dists = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.IntVectorLiteralFold(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("q")),
+        centroids.map(_.toSeq).toSeq))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("col").asc, col("pos").asc)
+    val probes = quantizeForStorage(queries, idCol, vecCol)
+      .withColumn("__dl", dists)
+      .select(col(idCol).as("query_id"), col("q").as("qq"),
+        col("n2").as("qn2"), posexplode(col("__dl")))
+      .withColumn("__rn", row_number().over(pw))
+      .where(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qq"), col("qn2"), col("pos").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    ac.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("corpus_id") &&
+        col("qn2") > 0 && col("cn2") > 0)
+      .withColumn("score", dotInt(col("qq"), col("cq")).cast("double") /
+        sqrt((col("qn2") * col("cn2")).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("score"), col("rank"))
+  }
+
   /** Map-side nearest-centroid assignment against LITERAL long
     * centroids: one codegen'd integer squared-L2 fold per row,
     * first-match argmin (ties -> smaller centroid index — DuckDB

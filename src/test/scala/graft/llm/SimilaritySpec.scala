@@ -747,6 +747,32 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ivfTopKQuantizedTrained: with nprobe = nlist the trained probe " +
+    "degenerates to the quantized brute-force top-k; nprobe bounds " +
+    "enforced") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 40L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = corpus.where(col("vec_id") < 5)
+    val cents = Similarity.fitKmeansInt8(corpus, k = 4, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "corpus_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = rows(Similarity.ivfTopKQuantizedTrained(corpus, queries,
+      k = 3, cents, nprobe = 4))
+    val brute = rows(Similarity.bruteForceTopKQuantized(corpus, queries,
+      k = 3))
+    assert(full == brute,
+      "nprobe = nlist must scan every cell and equal brute force")
+    intercept[IllegalArgumentException](
+      Similarity.ivfTopKQuantizedTrained(corpus, queries, k = 3, cents,
+        nprobe = 5))
+    corpus.unpersist(blocking = true)
+  }
+
   test("fitKmeansInt8: converges to the obvious clusters, is " +
     "partitioning-invariant, keeps empty clusters' previous centroids, " +
     "and the integer fold kernel matches its HOF reference") {
