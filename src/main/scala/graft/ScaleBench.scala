@@ -55,16 +55,30 @@ object ScaleBench {
     * fork), so every committed number is traceable to the code state
     * that produced it. */
   private[graft] def provenanceJson(): String = {
-    val host = try java.net.InetAddress.getLocalHost.getHostName
-      catch { case _: Exception => "unknown" }
+    def jsonEscape(s: String): String =
+      s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case c if c < ' '  => f"\\u${c.toInt}%04x"
+        case c             => c.toString
+      }
+    val host = jsonEscape(
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "unknown" })
+    // resolve .git by walking up from GRAFT_REPO_ROOT (if set) or the
+    // CWD, so a run launched from a subdirectory still stamps its HEAD
     val head = try {
-      val h = java.nio.file.Files
-        .readString(java.nio.file.Paths.get(".git/HEAD")).trim
-      if (h.startsWith("ref: "))
-        java.nio.file.Files
-          .readString(java.nio.file.Paths.get(".git/" + h.drop(5))).trim
-          .take(12)
-      else h.take(12)
+      val start = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_REPO_ROOT", ".")).toAbsolutePath
+      val gitDir = Iterator.iterate(start)(_.getParent)
+        .takeWhile(_ != null).map(_.resolve(".git"))
+        .find(java.nio.file.Files.exists(_))
+      gitDir.map { g =>
+        val h = java.nio.file.Files.readString(g.resolve("HEAD")).trim
+        if (h.startsWith("ref: "))
+          java.nio.file.Files.readString(g.resolve(h.drop(5))).trim.take(12)
+        else h.take(12)
+      }.getOrElse("unknown")
     } catch { case _: Exception => "unknown" }
     s"""{"host":"$host","cpus":${Runtime.getRuntime.availableProcessors()},""" +
       s""""head":"$head","ts":"${java.time.Instant.now()}"}"""

@@ -1662,6 +1662,15 @@ object Dedup {
     val touched = prior.select(col("id"), col("cluster"))
       .join(broadcast(frontier), Seq("id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // canonical-form guard: the fold REQUIRES cluster = min member id
+    // (scaladoc contract) and a non-canonical prior mis-merges SILENTLY
+    // — so the labels this fold actually consumes (the batch-bounded
+    // touched rows, already cached) are checked for the one violation
+    // that is locally detectable: a label larger than its member's id
+    require(touched.where(col("cluster") > col("id")).isEmpty,
+      "incrementalConnectedComponents: prior labeling is not canonical " +
+        "(found a row with cluster > id; cluster must be the MIN member " +
+        "id, as connectedComponents produces) — rebuild from scratch")
     // endpoint -> contracted vertex (its prior label, or itself if new)
     val lab = frontier.join(broadcast(touched), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("__lab"))
@@ -1762,7 +1771,13 @@ object Dedup {
       maxIterations: Int = 50, version: Option[Long] = None,
       markers: Map[String, String] = Map.empty): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val srcVersion = version.getOrElse(LayoutStore.versions(conf, path).last)
+    val srcVersion = version.getOrElse {
+      val vs = LayoutStore.versions(conf, path)
+      require(vs.nonEmpty,
+        s"no label-store versions at $path — bootstrap with " +
+          "writeCcLabelStore before folding edges")
+      vs.last
+    }
     val old = LayoutStore.readSnapshotTable(spark, path, "", Some(srcVersion))
     val buckets = LayoutStore.readTextMarker(conf,
         s"$path/version=$srcVersion", ClusterBucketsMarker)
@@ -1842,7 +1857,12 @@ object Dedup {
       maxIterations: Int = 50, version: Option[Long] = None): Long = {
     import org.apache.spark.storage.StorageLevel
     val conf = spark.sparkContext.hadoopConfiguration
-    val srcVersion = version.getOrElse(LayoutStore.versions(conf, path).last)
+    val srcVersion = version.getOrElse {
+      val vs = LayoutStore.versions(conf, path)
+      require(vs.nonEmpty,
+        s"no label-store versions at $path — nothing to take down")
+      vs.last
+    }
     val old = LayoutStore.readSnapshotTable(spark, path, "", Some(srcVersion))
     val buckets = LayoutStore.readTextMarker(conf,
         s"$path/version=$srcVersion", ClusterBucketsMarker)

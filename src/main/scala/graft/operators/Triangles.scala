@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact TRIANGLE COUNTING and local clustering coefficient over an
+  * undirected graph — the density signal the link-analysis trio
+  * ([[PageRank]] authority, [[LabelPropagation]] labels) does not
+  * measure: spam cliques in a near-dup/citation graph have high local
+  * clustering (everybody links everybody), organic bridges low, so
+  * per-node LCC is a first-class curation feature next to rank.
+  *
+  * Deterministic and exact-integer throughout (triangle counts are
+  * integers; LCC is one final division), so the result is cross-engine
+  * gateable (d84's oracle re-derives the same orientation in SQL).
+  *
+  * Algorithm — DEGREE-ORDERED EDGE ORIENTATION, the standard
+  * all-pairs-free construction: canonicalize edges (self-loops drop,
+  * duplicates collapse), then orient every edge from its lower endpoint
+  * to its higher under the total order (degree, id). Every triangle
+  * {u,v,w} has exactly ONE lowest-order vertex, so it is found exactly
+  * once: as a wedge (u→v, u→w) whose closing edge (v,w) exists in the
+  * oriented set. Out-degrees under this orientation are O(√m), which
+  * bounds the wedge fan-out per node — a hot celebrity node of degree
+  * 10^6 generates no 10^12-pair explosion because its edges all point
+  * INTO it (classic result; GraphFrames/Trino count triangles the same
+  * way).
+  *
+  * Scale shape: one distinct (shuffle on the canonical pair), one
+  * degree aggregate, two id-keyed joins to attach endpoint degrees, one
+  * wedge self-join on the oriented source, one equi-join of wedges
+  * against oriented edges on the closing pair, and one per-node count
+  * of exploded triangle corners. Triangle rows — not wedges — are the
+  * only data multiplied (×3 corners). No stage is quadratic in a
+  * node's raw degree.
+  *
+  * @return one row per node of the simple graph:
+  *         (id, degree, triangles, lcc) with
+  *         lcc = 2·triangles / (degree·(degree−1)), 0.0 when degree < 2 */
+object Triangles {
+
+  def triangleCounts(edges: DataFrame,
+                     idCol1: String = "id1",
+                     idCol2: String = "id2"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // canonical simple graph: unordered pair, self-loops out, dups out
+    val canon = edges
+      .select(least(col(idCol1), col(idCol2)).as("u"),
+        greatest(col(idCol1), col(idCol2)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = canon.select(col("u").as("id"))
+      .unionByName(canon.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // orient low -> high under (degree, id); ties cannot survive the
+    // id tiebreak (ids are distinct by the u != v filter)
+    def lower(du: Column, u: Column, dv: Column, v: Column): Column =
+      du < dv || (du === dv && u < v)
+    val withDeg = canon
+      .join(deg.select(col("id").as("u"), col("degree").as("__du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("degree").as("__dv")), Seq("v"))
+    val oriented = withDeg.select(
+        when(lower(col("__du"), col("u"), col("__dv"), col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(lower(col("__du"), col("u"), col("__dv"), col("v")),
+          col("v")).otherwise(col("u")).as("dst"),
+        when(lower(col("__du"), col("u"), col("__dv"), col("v")),
+          col("__dv")).otherwise(col("__du")).as("__dd"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedges at the lowest-order corner: both dst endpoints outrank
+    // src, so the closing edge — if present — is oriented between them
+    // under the same order; emit the pair already in that order so ONE
+    // equi-join closes it
+    val e1 = oriented.select(col("src"), col("dst").as("x"),
+      col("__dd").as("__dx"))
+    val e2 = oriented.select(col("src"), col("dst").as("y"),
+      col("__dd").as("__dy"))
+    val wedges = e1.join(e2, Seq("src"))
+      .where(lower(col("__dx"), col("x"), col("__dy"), col("y")))
+      .select(col("src"), col("x"), col("y"))
+    val triangles = wedges
+      .join(oriented.select(col("src").as("x"), col("dst").as("y")),
+        Seq("x", "y"), "left_semi")
+    // every triangle credits all three corners
+    val perNode = triangles
+      .select(explode(array(col("src"), col("x"), col("y"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lcc",
+        when(col("degree") >= 2,
+          lit(2.0) * col("triangles").cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+    val materialized = out.localCheckpoint()
+    Seq(oriented, deg, canon).foreach(_.unpersist(blocking = true))
+    materialized
+  }
+}
