@@ -1661,6 +1661,23 @@ object SparkEntry {
       // setting sampling weights; integer counts, ONE terminal division
       graft.llm.TextAnalysis.strataOverlapMatrix(
         t(s, dir, "documents"), "lang")),
+    "d84_triangles" -> ((s, dir) => {
+      // exact triangle counts + local clustering coefficient over the
+      // co-purchase graph (parts sharing an order form real cliques —
+      // the density signal the link-analysis trio doesn't measure:
+      // spam cliques cluster high, organic bridges low). Edges orient
+      // low→high under (degree, id), so every triangle is found ONCE
+      // at its lowest-order corner and no stage is quadratic in a hot
+      // node's raw degree; counts are exact integers, LCC one final
+      // division — cross-engine bit-exact
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("id1"), col("b.l_partkey").as("id2"))
+      graft.operators.Triangles.triangleCounts(e)
+    }),
     "d79_pagerank" -> ((s, dir) => {
       // fixed-point PageRank (3 power iterations, d=17/20, scale 1e12)
       // over the supplier→customer fulfillment graph — the canonical
@@ -1844,6 +1861,59 @@ object SparkEntry {
       val conf = s.sparkContext.hadoopConfiguration
       require(graft.llm.LayoutStore.versions(conf, state).size >= 3,
         "the maintenance fold must have run once per micro-batch")
+      graft.llm.LayoutStore.readSnapshotTable(s, state)
+        .select(col("event_type"), col("n"),
+          col("sum_v").cast("double").as("sum_value"),
+          col("min_vd").as("min_value"), col("max_vd").as("max_value"))
+    }),
+    "m66_stream_cdc_agg" -> ((s, dir) => {
+      // the CDC twin of m58: three micro-batches carry INSERTS AND
+      // DELETES (full before-images — the m55/m60 changelog contract);
+      // each fold decrements counts/sums in exact closed form, rebuilds
+      // delete-touched keys' min/max from the SERVED fact store the
+      // same batch just landed, and rewrites only the touched buckets
+      // of both stores. The oracle aggregates the post-apply facts
+      // from scratch: arriving through the changelog must equal never
+      // having inserted the deleted rows at all
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("decimal(27,2)").as("v"),
+          col("value").as("vd"))
+      val m3 = pmod(col("event_id"), lit(3))
+      val del1 = m3 === 0 && pmod(col("event_id"), lit(7)) === 3
+      val del2 = m3 =!= 2 && pmod(col("event_id"), lit(5)) === 2 && !del1
+      val batches = Seq(
+        ev.where(m3 === 0).withColumn("op", lit("I")),
+        ev.where(m3 === 1).withColumn("op", lit("I"))
+          .unionByName(ev.where(del1).withColumn("op", lit("D"))),
+        ev.where(m3 === 2).withColumn("op", lit("I"))
+          .unionByName(ev.where(del2).withColumn("op", lit("D"))))
+      val src = tmpQueryDir("m66-src")
+      // deletes must stream AFTER the inserts they retract: pin
+      // strictly increasing mtimes so the file source's oldest-first
+      // order IS the write order, independent of fs timestamp
+      // granularity
+      val seen = scala.collection.mutable.Set[String]()
+      val base = 1600000000000L
+      batches.zipWithIndex.foreach { case (bdf, i) =>
+        bdf.coalesce(1).write.mode("append").parquet(src.toString)
+        new java.io.File(src.toString).listFiles()
+          .filter(f => f.getName.startsWith("part-") && seen.add(f.getName))
+          .foreach(_.setLastModified(base + i * 60000L))
+      }
+      val state = tmpQueryDir("m66-state").toString + "/state"
+      val facts = tmpQueryDir("m66-facts").toString + "/facts"
+      val ckpt = tmpQueryDir("m66-ckpt").toString
+      Incremental.cdcAggMaintenanceAvailableNow(s, src.toString,
+          batches.head.schema, "parquet", df => df,
+          pkCols = Seq("event_id"), keyCols = Seq("event_type"),
+          sumCols = Seq("v"), minCols = Seq("vd"), maxCols = Seq("vd"),
+          statePath = state, factsPath = facts, checkpointDir = ckpt,
+          maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+      val conf = s.sparkContext.hadoopConfiguration
+      require(graft.llm.LayoutStore.versions(conf, state).size >= 3,
+        "the CDC fold must have run once per micro-batch")
       graft.llm.LayoutStore.readSnapshotTable(s, state)
         .select(col("event_type"), col("n"),
           col("sum_v").cast("double").as("sum_value"),
@@ -2867,9 +2937,19 @@ object SparkEntry {
         maxBucketSize = Some(docBucketCap(s, dir)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val src = tmpQueryDir("m64-src")
-      for (b <- 0 until 3)
-        pairs.where(pmod(xxhash64(col("id1"), col("id2")), lit(3)) === b)
-          .coalesce(1).write.mode("append").parquet(src.toString)
+      // an empty slice would stream an empty micro-batch, which the
+      // fold deliberately skips (no hollow versions) — write only the
+      // non-empty slices and gate on THAT count (ADVICE r14: the fixed
+      // `>= 3` was a data-dependent flake)
+      val nonEmpty = (0 until 3).count { b =>
+        val slice = pairs
+          .where(pmod(xxhash64(col("id1"), col("id2")), lit(3)) === b)
+        val any = !slice.isEmpty
+        if (any)
+          slice.coalesce(1).write.mode("append").parquet(src.toString)
+        any
+      }
+      require(nonEmpty >= 1, "the pair graph must be non-empty")
       val state = tmpQueryDir("m64-state").toString + "/labels"
       val ckpt = tmpQueryDir("m64-ckpt").toString
       Incremental.ccLabelMaintenanceAvailableNow(s, src.toString,
@@ -2881,8 +2961,8 @@ object SparkEntry {
         .awaitTermination()
       pairs.unpersist(blocking = true)
       val conf = s.sparkContext.hadoopConfiguration
-      require(graft.llm.LayoutStore.versions(conf, state).size >= 3,
-        "the label fold must have run once per micro-batch")
+      require(graft.llm.LayoutStore.versions(conf, state).size >= nonEmpty,
+        "the label fold must have run once per non-empty micro-batch")
       Dedup.readCcLabelStore(s, state)
     }),
     "m63_cc_label_store" -> ((s, dir) => {
@@ -5288,6 +5368,45 @@ object SparkEntry {
         |FROM sizes x JOIN sizes y ON x.stratum < y.stratum
         |LEFT JOIN inter i
         |  ON i.stratum_a = x.stratum AND i.stratum_b = y.stratum""".stripMargin,
+    "d84_triangles" -> {
+      // the same degree-ordered orientation re-derived in SQL: canonical
+      // pair set, endpoint degrees, low→high orientation under
+      // (degree, id), wedges at the lowest-order corner closed by an
+      // EXISTS on the oriented set, three corner credits per triangle
+      val ord = (du: String, u: String, dv: String, v: String) =>
+        s"($du < $dv OR ($du = $dv AND $u < $v))"
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u,
+         |    b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey),
+         |deg AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+         |  FROM (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+         |  GROUP BY 1),
+         |o AS MATERIALIZED (SELECT
+         |    CASE WHEN ${ord("du.degree", "e.u", "dv.degree", "e.v")}
+         |      THEN e.u ELSE e.v END AS src,
+         |    CASE WHEN ${ord("du.degree", "e.u", "dv.degree", "e.v")}
+         |      THEN e.v ELSE e.u END AS dst,
+         |    CASE WHEN ${ord("du.degree", "e.u", "dv.degree", "e.v")}
+         |      THEN dv.degree ELSE du.degree END AS dd
+         |  FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+         |tri AS MATERIALIZED (SELECT o1.src, o1.dst AS x, o2.dst AS y
+         |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+         |  WHERE ${ord("o1.dd", "o1.dst", "o2.dd", "o2.dst")}
+         |    AND EXISTS (SELECT 1 FROM o
+         |      WHERE o.src = o1.dst AND o.dst = o2.dst)),
+         |corners AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+         |  FROM (SELECT src AS id FROM tri UNION ALL SELECT x AS id FROM tri
+         |    UNION ALL SELECT y AS id FROM tri) GROUP BY 1)
+         |SELECT deg.id, deg.degree,
+         |  COALESCE(c.triangles, 0) AS triangles,
+         |  CASE WHEN deg.degree >= 2
+         |    THEN (2.0 * CAST(COALESCE(c.triangles, 0) AS DOUBLE))
+         |      / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+         |    ELSE 0.0 END AS lcc
+         |FROM deg LEFT JOIN corners c ON c.id = deg.id""".stripMargin
+    },
     "d79_pagerank" -> {
       // the same three rounds unrolled as chained CTEs, all integer
       // (// is floor division — equal to Spark's `div` truncation on
@@ -5548,6 +5667,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value,
         |  MIN(value) AS min_value, MAX(value) AS max_value
         |FROM events GROUP BY 1""".stripMargin,
+    "m66_stream_cdc_agg" ->
+      // the post-apply facts aggregated from scratch: every row whose
+      // changelog life ends in a delete is simply absent — the CDC
+      // folds (closed-form count/sum decrements + fact-store min/max
+      // rebuilds) must reproduce this exactly
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events
+        |WHERE NOT ((event_id % 3 = 0 AND event_id % 7 = 3)
+        |        OR (event_id % 3 != 2 AND event_id % 5 = 2))
+        |GROUP BY 1""".stripMargin,
     "s23_phrase_search" ->
       // the token stream re-derived; adjacency checked positionally
       // (tk[i], tk[i+1]) — overlapping occurrences count individually

@@ -133,13 +133,25 @@ object AggMaintenance {
     * partitioning, and a fact scan FILTERED to delete-touched keys
     * (on a key-partitioned/bucketed fact layout that scan prunes to
     * the touched partitions). A 100 TB history is never rescanned. */
+  /** @param deletesPresent caller's knowledge of whether `changes`
+    *        carries any `D` row. `None` (default) = unknown: the
+    *        min/max repair plan is built and AQE's empty-relation
+    *        propagation collapses the fact scan at runtime if the batch
+    *        turns out delete-free. `Some(false)` = the caller KNOWS the
+    *        batch is insert-only (e.g. it already collected the batch's
+    *        op set): the repair branch is skipped entirely and `facts`
+    *        is NEVER forced — the plan provably cannot touch the fact
+    *        table (spec-pinned with a throwing thunk). `Some(true)`
+    *        behaves like `None` but documents intent. */
   def applyChangesToAggState(state: DataFrame, changes: DataFrame,
                              facts: => DataFrame,
                              keyCols: Seq[String],
                              sumCols: Seq[String] = Seq.empty,
                              minCols: Seq[String] = Seq.empty,
                              maxCols: Seq[String] = Seq.empty,
-                             opCol: String = "op"): DataFrame = {
+                             opCol: String = "op",
+                             deletesPresent: Option[Boolean] = None)
+      : DataFrame = {
     require(keyCols.nonEmpty, "applyChangesToAggState needs key columns")
     // fail fast on an unknown op — a silent 0-signed row would
     // corrupt counts; raise_error rides the row pipeline, so a clean
@@ -168,7 +180,8 @@ object AggMaintenance {
       // dropping is the least-wrong recovery and keeps the invariant
       // for every consistent key)
       .where(col("n") > 0L)
-    if (minCols.isEmpty && maxCols.isEmpty) merged
+    if ((minCols.isEmpty && maxCols.isEmpty) ||
+        deletesPresent.contains(false)) merged
     else {
       // min/max repair: ONLY delete-touched keys rebuild from facts
       val delKeys = changes.where(col(opCol) === "D")

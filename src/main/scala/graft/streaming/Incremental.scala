@@ -469,6 +469,167 @@ object Incremental {
     } finally delta.unpersist()
   }
 
+  /** CDC-aware streaming agg maintenance — [[aggMaintenanceAvailableNow]]
+    * for a CHANGELOG stream: each micro-batch carries fact-level inserts
+    * AND deletes (`opCol` ∈ {"I","D"}, a `D` row stating the full
+    * before-image — the m55/m60 CDC contract; decompose updates into
+    * D+I upstream), and the fold is
+    * [[graft.operators.AggMaintenance.applyChangesToAggState]] wired
+    * into the bucketed foreachBatch path: counts/sums decrement in
+    * exact closed form, delete-touched keys' min/max rebuild from the
+    * SERVED post-apply fact table, untouched keys carry byte-identical,
+    * and a delete-free batch's plan provably never touches facts
+    * (the op profile is collected per batch — bounded by the bucket
+    * count — and passed as `deletesPresent`).
+    *
+    * The fact table is maintained HERE too, as a second bucketed
+    * LayoutStore at `factsPath` sharing the state's key-bucket space:
+    * per batch, inserts append and delete pks drop — each fold rewrites
+    * only the touched buckets (cold carry by manifest), and the min/max
+    * repair reads exactly the delete-touched buckets of the version the
+    * same batch just landed (facts fold first, then the agg fold — a
+    * crash between them replays with the facts fold token-skipping and
+    * the agg fold completing). `pkCols` identify a fact row for the
+    * delete anti-join (before-image equality alone would erase every
+    * duplicate of a multiset row).
+    *
+    * Replay safety: both stores carry the [[AppliedBatchMarker]] token
+    * independently, so an at-least-once redelivery folds each store at
+    * most once. Bucket-count changes fail fast on both stores. */
+  def cdcAggMaintenanceAvailableNow(spark: SparkSession, sourceDir: String,
+      schema: StructType, format: String,
+      prepare: DataFrame => DataFrame,
+      pkCols: Seq[String], keyCols: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String],
+      statePath: String, factsPath: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      stateBuckets: Int = 16, opCol: String = "op"): StreamingQuery = {
+    val r = spark.readStream.schema(schema).format(format)
+    val src = maxFilesPerTrigger.fold(r)(n =>
+      r.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
+    lazy val ckToken = checkpointQueryToken(spark, checkpointDir)
+    prepare(src).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cdcAggMaintenanceBatch(batch, s"$ckToken-$batchId", pkCols,
+          keyCols, sumCols, minCols, maxCols, statePath, factsPath,
+          stateBuckets, opCol)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[cdcAggMaintenanceAvailableNow]], factored out
+    * so the replay / never-touches-facts / write-shape contracts are
+    * directly testable. */
+  private[graft] def cdcAggMaintenanceBatch(batch: DataFrame,
+      batchToken: String, pkCols: Seq[String], keyCols: Seq[String],
+      sumCols: Seq[String], minCols: Seq[String], maxCols: Seq[String],
+      statePath: String, factsPath: String,
+      stateBuckets: Int = 16, opCol: String = "op"): Unit = {
+    import graft.operators.AggMaintenance
+    import graft.llm.LayoutStore
+    require(stateBuckets >= 1, s"stateBuckets must be >= 1: $stateBuckets")
+    require(pkCols.nonEmpty, "cdcAggMaintenanceBatch needs pk columns")
+    val s2 = batch.sparkSession
+    val conf = s2.sparkContext.hadoopConfiguration
+    def kbOf = pmod(xxhash64(keyCols.map(col): _*),
+      lit(stateBuckets.toLong)).cast("int")
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE bounded collect profiles the batch: which key buckets it
+      // touches and which of those carry a delete (≤ stateBuckets rows)
+      val prof = b.groupBy(kbOf.as("kb"))
+        .agg(max(col(opCol) === "D").as("__hasDel")).collect()
+      val touched = prof.map(_.getInt(0)).sorted
+      val delBuckets = prof.filter(_.getBoolean(1)).map(_.getInt(0)).sorted
+      val hasDeletes = delBuckets.nonEmpty
+
+      // ---- facts fold FIRST: the agg repair reads post-apply facts ----
+      val lastF = LayoutStore.versions(conf, factsPath).lastOption
+      val factsReplayed = lastF.exists(v =>
+        appliedBatchToken(conf, factsPath, v).contains(batchToken))
+      if (!factsReplayed) {
+        lastF.flatMap(v => stateBucketCount(conf, factsPath, v))
+          .foreach(n => require(n == stateBuckets,
+            s"fact store at $factsPath was bucketed with $n key buckets; " +
+              s"refusing to fold with $stateBuckets"))
+        val inserts = b.where(col(opCol) === "I").drop(opCol)
+        if (!(touched.isEmpty && lastF.isEmpty)) {
+          LayoutStore.writeSnapshotManifested(conf, factsPath) { (tmp, _) =>
+            if (touched.nonEmpty) {
+              val base =
+                if (lastF.isEmpty) inserts
+                else {
+                  val st = LayoutStore.readSnapshotTable(s2, factsPath)
+                    .where(col("kb").isin(touched.map(Integer.valueOf): _*))
+                    .drop("kb")
+                    .select(inserts.columns.map(col): _*)
+                  val delPks = b.where(col(opCol) === "D")
+                    .select(pkCols.map(col): _*).distinct()
+                  st.join(broadcast(delPks), pkCols, "left_anti")
+                    .unionByName(inserts)
+                }
+              base.withColumn("kb", kbOf).repartition(col("kb"))
+                .write.mode("overwrite").partitionBy("kb").parquet(tmp)
+            }
+            writeTextMarker(conf, tmp, AppliedBatchMarker, batchToken)
+            writeTextMarker(conf, tmp, StateBucketsMarker,
+              stateBuckets.toString)
+            lastF.fold(Map.empty[String, Long]) { v =>
+              val touchedDirs = touched.map(x => s"kb=$x").toSet
+              LayoutStore.effectiveEntries(conf, factsPath, v)
+                .filter { case (k, _) =>
+                  k.startsWith("kb=") && !touchedDirs.contains(k) }
+            }
+          }
+          ()
+        }
+      }
+
+      // ---- agg fold against the just-landed post-apply facts ----
+      val lastS = LayoutStore.versions(conf, statePath).lastOption
+      val stateReplayed = lastS.exists(v =>
+        appliedBatchToken(conf, statePath, v).contains(batchToken))
+      if (stateReplayed || (touched.isEmpty && lastS.isEmpty)) return
+      lastS.flatMap(v => stateBucketCount(conf, statePath, v))
+        .foreach(n => require(n == stateBuckets,
+          s"state at $statePath was bucketed with $n key buckets; " +
+            s"refusing to fold with $stateBuckets"))
+      // bootstrap folds against an EMPTY state of the exact layout
+      val pruned = lastS match {
+        case None => AggMaintenance.aggState(b.where(lit(false)),
+          keyCols, sumCols, minCols, maxCols)
+        case Some(_) => LayoutStore.readSnapshotTable(s2, statePath)
+          .where(col("kb").isin(touched.map(Integer.valueOf): _*))
+          .drop("kb")
+      }
+      // call-by-name: forced ONLY when the batch carries deletes —
+      // prunes to exactly the delete-touched buckets of the fact
+      // version this same batch just landed
+      def postFacts = LayoutStore.readSnapshotTable(s2, factsPath)
+        .where(col("kb").isin(delBuckets.map(Integer.valueOf): _*))
+        .drop("kb")
+      val merged = AggMaintenance.applyChangesToAggState(pruned, b,
+        postFacts, keyCols, sumCols, minCols, maxCols, opCol,
+        deletesPresent = Some(hasDeletes))
+      LayoutStore.writeSnapshotManifested(conf, statePath) { (tmp, _) =>
+        if (touched.nonEmpty)
+          merged.withColumn("kb", kbOf).repartition(col("kb"))
+            .write.mode("overwrite").partitionBy("kb").parquet(tmp)
+        writeTextMarker(conf, tmp, AppliedBatchMarker, batchToken)
+        writeTextMarker(conf, tmp, StateBucketsMarker, stateBuckets.toString)
+        lastS.fold(Map.empty[String, Long]) { v =>
+          val touchedDirs = touched.map(x => s"kb=$x").toSet
+          LayoutStore.effectiveEntries(conf, statePath, v)
+            .filter { case (k, _) =>
+              k.startsWith("kb=") && !touchedDirs.contains(k) }
+        }
+      }
+      ()
+    } finally b.unpersist()
+  }
+
   /** Streaming dedup-GRAPH maintenance: an AvailableNow edge stream
     * folds each micro-batch of (id1, id2) pairs into a persisted CC
     * labeling store ([[graft.llm.Dedup.writeCcLabelStore]]) — the

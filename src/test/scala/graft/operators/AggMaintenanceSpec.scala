@@ -113,6 +113,27 @@ class AggMaintenanceSpec extends SparkTestBase {
       s"fact rebuild must be a semi-join on touched keys:\n$plan")
   }
 
+  test("applyChangesToAggState: deletesPresent=Some(false) skips the " +
+    "min/max repair branch entirely — facts is NEVER forced even when " +
+    "min/max columns are tracked (the delete-free streaming batch)") {
+    val s = spark; import s.implicits._
+    val pre = Seq(("x", 1.0), ("x", 3.0), ("y", 5.0)).toDF("k", "v")
+    val changes = Seq(("x", 7.0, "I"), ("z", 2.0, "I")).toDF("k", "v", "op")
+    val state0 = AggMaintenance.aggState(pre, Seq("k"),
+      sumCols = Seq("v"), minCols = Seq("v"), maxCols = Seq("v"))
+    val got = AggMaintenance.applyChangesToAggState(state0, changes,
+      sys.error("a delete-free batch must not read facts"),
+      Seq("k"), sumCols = Seq("v"), minCols = Seq("v"),
+      maxCols = Seq("v"), deletesPresent = Some(false))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got == Map(
+      "x" -> ((3L, 11.0, 1.0, 7.0)),
+      "y" -> ((1L, 5.0, 5.0, 5.0)),
+      "z" -> ((1L, 2.0, 2.0, 2.0))), s"$got")
+  }
+
   test("applyChangesToAggState fails fast on an unknown op value") {
     val s = spark; import s.implicits._
     val state0 = AggMaintenance.aggState(

@@ -217,6 +217,100 @@ class IncrementalSpec extends SparkTestBase {
       fold(Seq(("k2", 1.0)), "b-2", buckets = 8))
   }
 
+  test("cdcAggMaintenanceBatch: I/D micro-batches fold into the bucketed " +
+    "state AND fact store — closed-form count/sum decrements, " +
+    "delete-touched min/max rebuilt from the served facts, " +
+    "fully-deleted keys vanish, replay skips both stores") {
+    val s = spark; import s.implicits._
+    val root = tmpDir("cdc-agg")
+    val state = root + "/state"
+    val facts = root + "/facts"
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fold(rows: Seq[(Long, String, Double, String)],
+             token: String): Unit =
+      Incremental.cdcAggMaintenanceBatch(
+        rows.toDF("pk", "k", "v", "op"), token,
+        pkCols = Seq("pk"), keyCols = Seq("k"), sumCols = Seq("v"),
+        minCols = Seq("v"), maxCols = Seq("v"),
+        statePath = state, factsPath = facts)
+    def readState() = graft.llm.LayoutStore.readSnapshotTable(spark, state)
+      .select("k", "n", "sum_v", "min_v", "max_v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // batch 1: inserts only (bootstraps both stores)
+    fold(Seq((1L, "x", 1.0, "I"), (2L, "x", 9.0, "I"),
+      (3L, "y", 5.0, "I")), "t0")
+    assert(readState() == Map(
+      "x" -> ((2L, 10.0, 1.0, 9.0)), "y" -> ((1L, 5.0, 5.0, 5.0))))
+    // batch 2 deletes x's MAX: the closed form fixes n/sum, the repair
+    // must rebuild min/max from the fact store (not carry stale 9.0)
+    fold(Seq((2L, "x", 9.0, "D"), (4L, "y", 2.0, "I")), "t1")
+    assert(readState() == Map(
+      "x" -> ((1L, 1.0, 1.0, 1.0)), "y" -> ((2L, 7.0, 2.0, 5.0))))
+    val vs = graft.llm.LayoutStore.versions(conf, state)
+    val vf = graft.llm.LayoutStore.versions(conf, facts)
+    // replaying t1 (crash between land and offset commit) must change
+    // nothing on EITHER store
+    fold(Seq((2L, "x", 9.0, "D"), (4L, "y", 2.0, "I")), "t1")
+    assert(graft.llm.LayoutStore.versions(conf, state) == vs &&
+      graft.llm.LayoutStore.versions(conf, facts) == vf,
+      "a replayed batch must not land new versions")
+    assert(readState() == Map(
+      "x" -> ((1L, 1.0, 1.0, 1.0)), "y" -> ((2L, 7.0, 2.0, 5.0))))
+    // batch 3 deletes every y row: the key must VANISH from the state
+    // exactly as a from-scratch aggregate over post-apply facts would
+    fold(Seq((3L, "y", 5.0, "D"), (4L, "y", 2.0, "D")), "t2")
+    assert(readState() == Map("x" -> ((1L, 1.0, 1.0, 1.0))))
+    // the served fact store is the post-apply multiset
+    val factRows = graft.llm.LayoutStore.readSnapshotTable(spark, facts)
+      .select("pk").collect().map(_.getLong(0)).sorted.toSeq
+    assert(factRows == Seq(1L), s"fact store must hold only pk=1: $factRows")
+  }
+
+  test("cdcAggMaintenanceBatch: both stores are key-bucketed — a fold " +
+    "physically rewrites only touched buckets, cold buckets carry by " +
+    "manifest on the state AND fact store") {
+    val s = spark; import s.implicits._
+    val root = tmpDir("cdc-buckets")
+    val state = root + "/state"
+    val facts = root + "/facts"
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fold(rows: Seq[(Long, String, Double, String)],
+             token: String): Unit =
+      Incremental.cdcAggMaintenanceBatch(
+        rows.toDF("pk", "k", "v", "op"), token,
+        pkCols = Seq("pk"), keyCols = Seq("k"), sumCols = Seq("v"),
+        minCols = Nil, maxCols = Nil,
+        statePath = state, factsPath = facts, stateBuckets = 4)
+    val batch1 = (0 until 40).map(i => (i.toLong, s"k$i", i.toDouble, "I"))
+    fold(batch1, "c0")
+    val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(conf)
+    def kbDirs(path: String, v: Long) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/version=$v"))
+      .map(_.getPath.getName).filter(_.startsWith("kb=")).toSeq.sorted
+    assert(kbDirs(state, 1L).size == 4 && kbDirs(facts, 1L).size == 4)
+    // one key touched -> exactly one bucket lands on each store
+    val kb1 = spark.range(1)
+      .select(pmod(xxhash64(lit("k1")), lit(4L)).cast("int")).head.getInt(0)
+    fold(Seq((100L, "k1", 5.0, "I")), "c1")
+    assert(kbDirs(state, 2L) == Seq(s"kb=$kb1"))
+    assert(kbDirs(facts, 2L) == Seq(s"kb=$kb1"))
+    for (path <- Seq(state, facts)) {
+      val m = graft.llm.LayoutStore.readManifest(conf, path, 2L).get
+      assert(m.count { case (k, owner) =>
+        k.startsWith("kb=") && owner == 1L } == 3,
+        s"cold buckets must carry by reference on $path: $m")
+    }
+    // a bucket-count change fails fast on the fact store too
+    intercept[IllegalArgumentException](
+      Incremental.cdcAggMaintenanceBatch(
+        Seq((101L, "k2", 1.0, "I")).toDF("pk", "k", "v", "op"), "c2",
+        pkCols = Seq("pk"), keyCols = Seq("k"), sumCols = Seq("v"),
+        minCols = Nil, maxCols = Nil,
+        statePath = state, factsPath = facts, stateBuckets = 8))
+  }
+
   test("ccLabelMaintenanceBatch: cold bootstrap, per-batch folds, " +
     "replay token skip, and natural idempotency of a label fold") {
     val s = spark; import s.implicits._
