@@ -227,6 +227,29 @@ object SparkEntry {
   private def tmpQueryDir(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(tmpRoot, prefix)
 
+  /** The verified near-dup pair graph at the standard gate config
+    * (threshold 0.5, k=3, 12 hashes, 4 bands, suggested bucket cap),
+    * derived ONCE per (JVM, sf dir) and served from a persisted parquet
+    * fixture. m63/m64/m65/m67 and d82 all consume exactly this frame,
+    * so their bench rows charge the LIFECYCLE OPERATOR under test
+    * instead of re-deriving 13s of LSH fixture per query (r14 finding
+    * #2 — the fold regression signal was drowning in fixture cost).
+    * Determinism: nearDupPairs is a pure function of the corpus, so
+    * first-caller materialization cannot change any query's result. */
+  private val ndPairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ndPairsFixture(s: SparkSession, dir: String): DataFrame = {
+    val path = ndPairsCache.getOrElseUpdate(dir, {
+      val p = tmpQueryDir("ndpairs-fixture").toString + "/pairs"
+      Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, k = 3, numHashes = 12, bands = 4,
+        maxBucketSize = Some(docBucketCap(s, dir)))
+        .write.parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** d68/d69 messy-URL synthesis (the d31 planted-input convention): the
     * corpus has no URL column, so both engines construct the SAME
     * doc_id/source-derived URL covering every normalization axis —
@@ -1719,15 +1742,11 @@ object SparkEntry {
       // and ties to the smallest label, no-labeled-neighbor keeps the
       // current (possibly null) label — deterministic, so the oracle
       // can unroll both rounds
-      val pairs = Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id",
-        "text", threshold = 0.5, k = 3, numHashes = 12, bands = 4,
-        maxBucketSize = Some(docBucketCap(s, dir)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = ndPairsFixture(s, dir)
       val seeds = t(s, dir, "documents").where(col("doc_id") % 4 === 0)
         .select(col("doc_id"), col("lang"))
-      val out = graft.operators.LabelPropagation.propagateLabels(pairs,
+      graft.operators.LabelPropagation.propagateLabels(pairs,
         seeds, iters = 2, seedIdCol = "doc_id", seedLabelCol = "lang")
-      Dedup.materializeAndRelease(out, pairs)
     }),
     "d81_personalized_pagerank" -> ((s, dir) => {
       // seed-teleport (personalized) PageRank over d79's fulfillment
@@ -2910,10 +2929,7 @@ object SparkEntry {
       // carry by manifest reference. The oracle labels the surviving
       // nodes by the closure over pairs with no revoked endpoint —
       // isolated survivors stay as singletons, revoked ids vanish
-      val pairs = Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id",
-        "text", threshold = 0.5, k = 3, numHashes = 12, bands = 4,
-        maxBucketSize = Some(docBucketCap(s, dir)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = ndPairsFixture(s, dir)
       val store = tmpQueryDir("m65-ccstore").toString + "/labels"
       Dedup.writeCcLabelStore(Dedup.connectedComponents(pairs), store,
         clusterBuckets = 16)
@@ -2921,7 +2937,35 @@ object SparkEntry {
         .where(col("doc_id") % 7 === 3).select(col("doc_id"))
       Dedup.takedownCcLabelStore(s, store, revoked, "doc_id",
         pairs = Some(pairs))
-      pairs.unpersist(blocking = true)
+      Dedup.readCcLabelStore(s, store)
+    }),
+    "m67_cc_edge_sidecar" -> ((s, dir) => {
+      // RTBF with NO caller-supplied pair graph: the persisted edge
+      // SIDECAR makes the exact tier self-sufficient (r14 finding #3 —
+      // without it, a store whose detector output wasn't kept silently
+      // serves the conservative over-grouping forever). Bootstrap from
+      // 2/3 of the pairs, fold the remaining 1/3 through the SAME
+      // append (labels + sidecar in lockstep), then take down a doc
+      // slice passing pairs = None: the affected clusters' edges read
+      // partition-pruned from the sidecar and clusters genuinely SPLIT
+      // where a revoked bridge doc was the only link. The oracle is
+      // m65's formulation — caller-graph and sidecar tiers must be
+      // indistinguishable in the served labels
+      val pairs = ndPairsFixture(s, dir)
+      val isNew = pmod(xxhash64(col("id1"), col("id2")), lit(3)) === 0
+      val root = tmpQueryDir("m67-ccstore").toString
+      val store = root + "/labels"
+      val edges = root + "/edges"
+      val hist = pairs.where(!isNew)
+      val labels0 = Dedup.connectedComponents(hist).localCheckpoint()
+      Dedup.writeCcLabelStore(labels0, store, clusterBuckets = 16)
+      Dedup.writeCcEdgeStore(labels0, hist, edges, clusterBuckets = 16)
+      Dedup.appendCcEdgesToLabelStore(s, store, pairs.where(isNew),
+        edgesPath = Some(edges))
+      val revoked = t(s, dir, "documents")
+        .where(col("doc_id") % 7 === 3).select(col("doc_id"))
+      Dedup.takedownCcLabelStore(s, store, revoked, "doc_id",
+        pairs = None, edgesPath = Some(edges))
       Dedup.readCcLabelStore(s, store)
     }),
     "m64_stream_cc_maintenance" -> ((s, dir) => {
@@ -2932,10 +2976,7 @@ object SparkEntry {
       // landing as a LayoutStore version that rewrites only merged
       // clusters' buckets. The oracle is the from-scratch closure over
       // ALL pairs: arrival order must not matter
-      val pairs = Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id",
-        "text", threshold = 0.5, k = 3, numHashes = 12, bands = 4,
-        maxBucketSize = Some(docBucketCap(s, dir)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = ndPairsFixture(s, dir)
       val src = tmpQueryDir("m64-src")
       // an empty slice would stream an empty micro-batch, which the
       // fold deliberately skips (no hollow versions) — write only the
@@ -2959,7 +3000,6 @@ object SparkEntry {
           statePath = state, checkpointDir = ckpt,
           maxFilesPerTrigger = Some(1), clusterBuckets = 16)
         .awaitTermination()
-      pairs.unpersist(blocking = true)
       val conf = s.sparkContext.hadoopConfiguration
       require(graft.llm.LayoutStore.versions(conf, state).size >= nonEmpty,
         "the label fold must have run once per non-empty micro-batch")
@@ -2974,17 +3014,13 @@ object SparkEntry {
       // the from-scratch closure over ALL pairs — served-store equality
       // with a rebuild is the maintenance invariant, stated through the
       // real read path
-      val pairs = Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id",
-        "text", threshold = 0.5, k = 3, numHashes = 12, bands = 4,
-        maxBucketSize = Some(docBucketCap(s, dir)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = ndPairsFixture(s, dir)
       val isNew = pmod(xxhash64(col("id1"), col("id2")), lit(3)) === 0
       val store = tmpQueryDir("m63-ccstore").toString + "/labels"
       Dedup.writeCcLabelStore(
         Dedup.connectedComponents(pairs.where(!isNew)), store,
         clusterBuckets = 16)
       Dedup.appendCcEdgesToLabelStore(s, store, pairs.where(isNew))
-      pairs.unpersist(blocking = true)
       Dedup.readCcLabelStore(s, store)
     }),
     "s20_mmr_rerank" -> ((s, dir) => {
@@ -4729,6 +4765,27 @@ object SparkEntry {
       // revoked endpoint); the base case ranges over the surviving node
       // set so isolated survivors emit as singletons, and revoked ids
       // are absent entirely
+      s"""WITH RECURSIVE ${duckLshPairsCte()},
+         |rv AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3),
+         |sp AS (SELECT id1, id2 FROM ndpairs
+         |       WHERE id1 NOT IN (SELECT doc_id FROM rv)
+         |         AND id2 NOT IN (SELECT doc_id FROM rv)),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |    SELECT id1 AS id FROM ndpairs
+         |    UNION ALL SELECT id2 FROM ndpairs)
+         |  WHERE id NOT IN (SELECT doc_id FROM rv)),
+         |sedges AS (SELECT id1 AS a, id2 AS b FROM sp
+         |           UNION ALL SELECT id2, id1 FROM sp),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.a, r.r FROM sedges e JOIN reach r ON r.id = e.b)
+         |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "m67_cc_edge_sidecar" ->
+      // m65's formulation verbatim: the takedown ran with pairs = None,
+      // sourcing the affected clusters' edges from the persisted
+      // sidecar — the served labels must be indistinguishable from the
+      // caller-supplied-graph exact tier
       s"""WITH RECURSIVE ${duckLshPairsCte()},
          |rv AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3),
          |sp AS (SELECT id1, id2 FROM ndpairs

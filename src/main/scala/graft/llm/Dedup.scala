@@ -1615,7 +1615,7 @@ object Dedup {
   def incrementalConnectedComponents(prior: DataFrame, newEdges: DataFrame,
       idCol1: String = "id1", idCol2: String = "id2",
       maxIterations: Int = 50, changedOnly: Boolean = false): DataFrame = {
-    val (remap, newNodes) =
+    val (remap, newNodes, _) =
       incrementalCcParts(prior, newEdges, idCol1, idCol2, maxIterations)
     val relabeledPrior = prior.select(col("id"), col("cluster"))
       .join(broadcast(remap), col("cluster") === col("__from"), "left")
@@ -1635,13 +1635,18 @@ object Dedup {
     *  - `remap` (__from, __to): old label → new label, ONLY for labels
     *    the batch actually merged;
     *  - `newNodes` (id, cluster, __changed=true): nodes history never
-    *    saw, already canonically labeled.
+    *    saw, already canonically labeled;
+    *  - `endpointLabels` (id, cluster): every batch endpoint's FINAL
+    *    (post-fold) label — what the edge sidecar needs to bucket the
+    *    batch's edges, including an edge INSIDE an existing cluster
+    *    (no merge, so absent from `remap`, yet its bucket is touched).
     *
-    * Both are truncated (self-contained), so callers may compose them
-    * into lazy plans without re-running the batch's producer pipeline. */
+    * All three are truncated (self-contained), so callers may compose
+    * them into lazy plans without re-running the batch's producer
+    * pipeline. */
   private[graft] def incrementalCcParts(prior: DataFrame,
       newEdges: DataFrame, idCol1: String, idCol2: String,
-      maxIterations: Int): (DataFrame, DataFrame) = {
+      maxIterations: Int): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val dt1 = newEdges.schema(idCol1).dataType
     val dt2 = newEdges.schema(idCol2).dataType
@@ -1697,8 +1702,15 @@ object Dedup {
       .join(broadcast(remap), col("id") === col("__from"), "left")
       .select(col("id"), coalesce(col("__to"), col("id")).as("cluster"),
         lit(true).as("__changed")))
+    // every endpoint's post-fold label: its contracted vertex remapped
+    // if that label merged (new nodes' contracted vertex is their own
+    // id, which the remap covers too) — batch-bounded like the others
+    val endpointLabels = truncateFrame(lab
+      .join(broadcast(remap), col("__lab") === col("__from"), "left")
+      .select(col("id"),
+        coalesce(col("__to"), col("__lab")).as("cluster")))
     Seq(lab, touched, frontier, e).foreach(_.unpersist(blocking = true))
-    (remap, newNodes)
+    (remap, newNodes, endpointLabels)
   }
 
   /** The hash bucket a cluster's label rows live in. */
@@ -1746,6 +1758,54 @@ object Dedup {
     LayoutStore.readSnapshotTable(spark, path, "", version)
       .select(col("id"), col("cluster"))
 
+  /** Bootstrap the PAIR-GRAPH SIDECAR of a labeling store: the edge set
+    * persisted as its own [[LayoutStore]], rows (id1, id2, cluster)
+    * with id1 < id2 canonical and `cluster` = the component both
+    * endpoints belong to, partitioned by the SAME cluster-hash
+    * bucketing as the labels. The sidecar is what makes RTBF exact
+    * forever ([[takedownCcLabelStore]]'s r14 gap): without the edges, a
+    * takedown cannot tell whether removing a bridge doc splits its
+    * cluster and must serve a stated over-grouping upper bound; with
+    * them, the affected clusters' edges are one PARTITION-PRUNED read
+    * away (cluster-bucketed, so pruning is at the file listing).
+    *
+    * `labels` must be the labeling of exactly `pairs`' graph (the
+    * [[connectedComponents]] output the label store was built from) —
+    * each edge takes its id1 endpoint's cluster, and after CC both
+    * endpoints share it by definition. Returns the version. */
+  def writeCcEdgeStore(labels: DataFrame, pairs: DataFrame, path: String,
+                       clusterBuckets: Int = 64,
+                       idCol1: String = "id1", idCol2: String = "id2",
+                       markers: Map[String, String] = Map.empty): Long = {
+    require(clusterBuckets >= 1,
+      s"clusterBuckets must be >= 1: $clusterBuckets")
+    val conf = labels.sparkSession.sparkContext.hadoopConfiguration
+    val canon = pairs
+      .select(least(col(idCol1), col(idCol2)).as("id1"),
+        greatest(col(idCol1), col(idCol2)).as("id2"))
+      .where(col("id1") =!= col("id2"))
+      .distinct()
+    val labeled = canon
+      .join(labels.select(col("id").as("id1"), col("cluster")), Seq("id1"))
+    LayoutStore.writeSnapshot(conf, path) { tmp =>
+      labeled
+        .withColumn("cluster_buckets", lit(clusterBuckets))
+        .withColumn("cb", ccClusterBucket(col("cluster"), clusterBuckets))
+        .repartition(col("cb"))
+        .write.mode("overwrite").partitionBy("cb").parquet(tmp)
+      (markers + (ClusterBucketsMarker -> clusterBuckets.toString))
+        .foreach { case (n, v) =>
+          LayoutStore.writeTextMarker(conf, tmp, n, v) }
+    }
+  }
+
+  /** The pair graph an edge-sidecar snapshot serves. */
+  def readCcEdgeStore(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      version: Option[Long] = None): DataFrame =
+    LayoutStore.readSnapshotTable(spark, path, "", version)
+      .select(col("id1"), col("id2"), col("cluster"))
+
   /** Fold a batch of new edges into a persisted labeling store
     * ([[writeCcLabelStore]]) as a new snapshot version — the
     * maintenance loop a production dedup graph runs per ingest batch.
@@ -1764,12 +1824,23 @@ object Dedup {
     *
     * Correctness rides [[incrementalCcParts]]: the served labeling is
     * bit-identical to a from-scratch CC over (historical ∪ new) edges —
-    * m63 gates exactly that through this store. Returns the new version. */
+    * m63 gates exactly that through this store. Returns the new version.
+    *
+    * With `edgesPath` set, the same fold maintains the PAIR-GRAPH
+    * SIDECAR ([[writeCcEdgeStore]]): the batch's canonical edges land
+    * labeled by their post-fold cluster (deduplicated against the
+    * touched buckets — a duplicate's bucket is touched by
+    * construction), merged clusters' existing edges relabel, and cold
+    * buckets carry by manifest. The sidecar writes FIRST (it is
+    * naturally idempotent — a crash between the two writes replays
+    * into a no-op edge fold, while the reverse order would strand the
+    * sidecar a batch behind a token-skipped label fold forever). */
   def appendCcEdgesToLabelStore(spark: org.apache.spark.sql.SparkSession,
       path: String, newEdges: DataFrame,
       idCol1: String = "id1", idCol2: String = "id2",
       maxIterations: Int = 50, version: Option[Long] = None,
-      markers: Map[String, String] = Map.empty): Long = {
+      markers: Map[String, String] = Map.empty,
+      edgesPath: Option[String] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcVersion = version.getOrElse {
       val vs = LayoutStore.versions(conf, path)
@@ -1788,9 +1859,63 @@ object Dedup {
         s"label store at $path version=$srcVersion carries neither a " +
           s"$ClusterBucketsMarker marker nor rows to read the bucket " +
           "count from"))
-    val (remap, newNodes) = incrementalCcParts(
+    val (remap, newNodes, endpointLabels) = incrementalCcParts(
       old.select(col("id"), col("cluster")), newEdges, idCol1, idCol2,
       maxIterations)
+    // ---- pair-graph sidecar fold (before the label write — see doc) --
+    edgesPath.foreach { ep =>
+      val vsE = LayoutStore.versions(conf, ep)
+      require(vsE.nonEmpty,
+        s"no edge-store versions at $ep — bootstrap with writeCcEdgeStore")
+      val srcE = vsE.last
+      val eBuckets = LayoutStore.readTextMarker(conf,
+          s"$ep/version=$srcE", ClusterBucketsMarker).map(_.toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"edge store at $ep version=$srcE carries no bucket count"))
+      val oldE = LayoutStore.readSnapshotTable(spark, ep, "", Some(srcE))
+      val labeledNew = newEdges
+        .select(least(col(idCol1), col(idCol2)).as("id1"),
+          greatest(col(idCol1), col(idCol2)).as("id2"))
+        .where(col("id1") =!= col("id2"))
+        .distinct()
+        .join(broadcast(endpointLabels.select(col("id").as("id1"),
+          col("cluster"))), Seq("id1"))
+      // touched: merged labels (old+new) ∪ every batch edge's final
+      // cluster (an intra-cluster edge merges nothing yet must land)
+      val touchedE = remap.select(col("__from").as("c"))
+        .unionByName(remap.select(col("__to").as("c")))
+        .unionByName(labeledNew.select(col("cluster").as("c")))
+        .select(ccClusterBucket(col("c"), eBuckets).as("cb")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      LayoutStore.writeSnapshotManifested(conf, ep) { (tmp, _) =>
+        if (touchedE.nonEmpty) {
+          val oldTouched = oldE
+            .where(col("cb").isin(touchedE.map(Integer.valueOf): _*))
+          val relabeled = oldTouched.select(col("id1"), col("id2"),
+              col("cluster"))
+            .join(broadcast(remap), col("cluster") === col("__from"), "left")
+            .select(col("id1"), col("id2"),
+              coalesce(col("__to"), col("cluster")).as("cluster"))
+          // a replayed/duplicate edge already lives in a touched bucket
+          // (its final cluster's — in the labeledNew union above), so
+          // this anti-join is a COMPLETE dedup with no cold-bucket scan
+          val fresh = labeledNew
+            .join(oldTouched.select(col("id1"), col("id2")),
+              Seq("id1", "id2"), "left_anti")
+          relabeled.unionByName(fresh)
+            .withColumn("cluster_buckets", lit(eBuckets))
+            .withColumn("cb", ccClusterBucket(col("cluster"), eBuckets))
+            .repartition(col("cb"))
+            .write.mode("overwrite").partitionBy("cb").parquet(tmp)
+        }
+        LayoutStore.writeTextMarker(conf, tmp, ClusterBucketsMarker,
+          eBuckets.toString)
+        val touchedDirs = touchedE.map(v => s"cb=$v").toSet
+        LayoutStore.effectiveEntries(conf, ep, srcE)
+          .filter { case (k, _) =>
+            k.startsWith("cb=") && !touchedDirs.contains(k) }
+      }
+    }
     // touched buckets: old and new labels of every merged cluster plus
     // the new nodes' labels — driver-bounded by the bucket count
     val touched = remap.select(col("__from").as("c"))
@@ -1839,7 +1964,13 @@ object Dedup {
     *    SPLIT when the revoked doc was the bridge between two
     *    otherwise-disconnected groups, and only the edges can tell.
     *    Cost ∝ the affected clusters' edges, never the corpus.
-    *  - CONSERVATIVE (`pairs` = None): affected clusters relabel to
+    *    With `edgesPath` set (the [[writeCcEdgeStore]] sidecar), the
+    *    exact tier is ALWAYS available — the affected clusters' edges
+    *    read partition-pruned from the sidecar, no caller graph needed
+    *    — and the same fold maintains the sidecar itself (revoked-
+    *    incident edges drop, surviving affected edges relabel).
+    *  - CONSERVATIVE (`pairs` = None, no sidecar): affected clusters
+    *    relabel to
     *    their minimum SURVIVING id. Clusters that the revoked doc alone
     *    bridged stay merged — the result is an UPPER BOUND on the true
     *    clustering (an over-grouping never under-deduplicates), stated
@@ -1854,7 +1985,8 @@ object Dedup {
       path: String, revoked: DataFrame, revokedIdCol: String,
       pairs: Option[DataFrame] = None,
       idCol1: String = "id1", idCol2: String = "id2",
-      maxIterations: Int = 50, version: Option[Long] = None): Long = {
+      maxIterations: Int = 50, version: Option[Long] = None,
+      edgesPath: Option[String] = None): Long = {
     import org.apache.spark.storage.StorageLevel
     val conf = spark.sparkContext.hadoopConfiguration
     val srcVersion = version.getOrElse {
@@ -1884,8 +2016,33 @@ object Dedup {
       .join(broadcast(affected), Seq("cluster"), "left_semi")
       .join(broadcast(rev), Seq("id"), "left_anti")
       .select(col("id"), col("cluster")))
+    // the edge sidecar's own version + bucket space (may differ from
+    // the label store's) — resolved once, shared by the read and fold
+    lazy val edgeStore: Option[(String, Long, Int)] = edgesPath.map { ep =>
+      val vsE = LayoutStore.versions(conf, ep)
+      require(vsE.nonEmpty,
+        s"no edge-store versions at $ep — bootstrap with writeCcEdgeStore")
+      val eBuckets = LayoutStore.readTextMarker(conf,
+          s"$ep/version=${vsE.last}", ClusterBucketsMarker).map(_.toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"edge store at $ep version=${vsE.last} carries no bucket count"))
+      (ep, vsE.last, eBuckets)
+    }
+    def affBucketsIn(n: Int): Array[java.lang.Integer] = affected
+      .select(ccClusterBucket(col("cluster"), n).as("cb")).distinct()
+      .collect().map(r => Integer.valueOf(r.getInt(0)))
+    // pair source: the caller's graph, else the persisted sidecar —
+    // PARTITION-PRUNED to the affected clusters' buckets, so the exact
+    // tier is always available and never scans the whole edge set
+    val effectivePairs: Option[DataFrame] = pairs.orElse(edgeStore.map {
+      case (ep, srcE, eBuckets) =>
+        LayoutStore.readSnapshotTable(spark, ep, "", Some(srcE))
+          .where(col("cb").isin(affBucketsIn(eBuckets): _*))
+          .join(broadcast(affected), Seq("cluster"), "left_semi")
+          .select(col("id1").as(idCol1), col("id2").as(idCol2))
+    })
     // replacement labeling for the affected clusters
-    val replacement = pairs match {
+    val replacement = effectivePairs match {
       case None =>
         // conservative: min surviving id per old cluster
         val newLab = affRows.groupBy(col("cluster"))
@@ -1908,6 +2065,48 @@ object Dedup {
           .select(col("id"), coalesce(col("__nl"), col("id")).as("cluster"))
     }
     val replacementT = truncateFrame(replacement)
+    // ---- pair-graph sidecar fold (edges first — the idempotent side:
+    // a crash between the two writes replays against an already-folded
+    // sidecar, whose restricted read then yields the same replacement) —
+    // revoked-incident edges DROP, surviving affected edges relabel to
+    // their rebuilt cluster, cold buckets carry by manifest
+    edgeStore.foreach { case (ep, srcE, eBuckets) =>
+      val oldE = LayoutStore.readSnapshotTable(spark, ep, "", Some(srcE))
+      val touchedE = affected.select(col("cluster").as("c"))
+        .unionByName(replacementT.select(col("cluster").as("c")))
+        .select(ccClusterBucket(col("c"), eBuckets).as("cb")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      LayoutStore.writeSnapshotManifested(conf, ep) { (tmp, _) =>
+        if (touchedE.nonEmpty) {
+          val oldTouched = oldE
+            .where(col("cb").isin(touchedE.map(Integer.valueOf): _*))
+          val cohab = oldTouched
+            .join(broadcast(affected), Seq("cluster"), "left_anti")
+            .select(col("id1"), col("id2"), col("cluster"))
+          val surviving = oldTouched
+            .join(broadcast(affected), Seq("cluster"), "left_semi")
+            .join(broadcast(rev.withColumnRenamed("id", "id1")),
+              Seq("id1"), "left_anti")
+            .join(broadcast(rev.withColumnRenamed("id", "id2")),
+              Seq("id2"), "left_anti")
+            .select(col("id1"), col("id2"))
+            .join(broadcast(replacementT.select(col("id").as("id1"),
+              col("cluster"))), Seq("id1"))
+            .select(col("id1"), col("id2"), col("cluster"))
+          cohab.unionByName(surviving)
+            .withColumn("cluster_buckets", lit(eBuckets))
+            .withColumn("cb", ccClusterBucket(col("cluster"), eBuckets))
+            .repartition(col("cb"))
+            .write.mode("overwrite").partitionBy("cb").parquet(tmp)
+        }
+        LayoutStore.writeTextMarker(conf, tmp, ClusterBucketsMarker,
+          eBuckets.toString)
+        val touchedDirs = touchedE.map(v => s"cb=$v").toSet
+        LayoutStore.effectiveEntries(conf, ep, srcE)
+          .filter { case (k, _) =>
+            k.startsWith("cb=") && !touchedDirs.contains(k) }
+      }
+    }
     // touched buckets: the affected clusters' OLD labels plus every
     // replacement label (a rebuilt sub-component's min id may hash
     // elsewhere) — driver-bounded by the bucket count

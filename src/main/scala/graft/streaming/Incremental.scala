@@ -652,7 +652,8 @@ object Incremental {
       prepare: DataFrame => DataFrame, idCol1: String, idCol2: String,
       statePath: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      clusterBuckets: Int = 64): StreamingQuery = {
+      clusterBuckets: Int = 64,
+      edgesPath: Option[String] = None): StreamingQuery = {
     val r = spark.readStream.schema(schema).format(format)
     val src = maxFilesPerTrigger.fold(r)(n =>
       r.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
@@ -662,16 +663,21 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ccLabelMaintenanceBatch(batch, s"$ckToken-$batchId",
-          idCol1, idCol2, statePath, clusterBuckets)
+          idCol1, idCol2, statePath, clusterBuckets, edgesPath)
       }
       .start()
   }
 
   /** One micro-batch of [[ccLabelMaintenanceAvailableNow]], factored
-    * out so the bootstrap/replay contracts are directly testable. */
+    * out so the bootstrap/replay contracts are directly testable.
+    * With `edgesPath`, the pair-graph sidecar bootstraps and folds in
+    * lockstep (edges write before labels — the sidecar fold is
+    * naturally idempotent, so a crash between the two writes replays
+    * into a no-op on the sidecar and a normal fold on the labels). */
   private[graft] def ccLabelMaintenanceBatch(batch: DataFrame,
       batchToken: String, idCol1: String, idCol2: String,
-      statePath: String, clusterBuckets: Int = 64): Unit = {
+      statePath: String, clusterBuckets: Int = 64,
+      edgesPath: Option[String] = None): Unit = {
     import graft.llm.{Dedup, LayoutStore}
     val conf = batch.sparkSession.sparkContext.hadoopConfiguration
     val last = LayoutStore.versions(conf, statePath).lastOption
@@ -685,13 +691,21 @@ object Incremental {
       // would be unreadable; replaying an empty batch is trivially
       // idempotent, so skipping the token record here is safe.
       if (batch.isEmpty) return
-      Dedup.writeCcLabelStore(
-        Dedup.connectedComponents(batch, idCol1, idCol2), statePath,
+      val labels = Dedup.connectedComponents(batch, idCol1, idCol2)
+        .localCheckpoint()
+      edgesPath.foreach { ep =>
+        // a label-crash replay may find the sidecar already bootstrapped
+        // — land a fresh full snapshot (same content) rather than fold
+        Dedup.writeCcEdgeStore(labels, batch, ep, clusterBuckets,
+          idCol1, idCol2, markers = Map(AppliedBatchMarker -> batchToken))
+      }
+      Dedup.writeCcLabelStore(labels, statePath,
         clusterBuckets, markers = Map(AppliedBatchMarker -> batchToken))
     } else
       Dedup.appendCcEdgesToLabelStore(batch.sparkSession, statePath,
         batch, idCol1, idCol2,
-        markers = Map(AppliedBatchMarker -> batchToken))
+        markers = Map(AppliedBatchMarker -> batchToken),
+        edgesPath = edgesPath)
     ()
   }
 

@@ -701,6 +701,71 @@ class DedupSpec extends SparkTestBase {
       "an empty revocation must write nothing")
   }
 
+  test("ccEdgeStore sidecar: append keeps the sidecar in lockstep with " +
+    "the labels (canonical deduped edges labeled by the served " +
+    "clustering, touched-bucket writes); takedown with pairs = None " +
+    "sources the EXACT tier from the sidecar — bridges split, " +
+    "revoked-incident edges drop, survivors relabel") {
+    val s = spark; import s.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = tmpDir("cc-sidecar")
+    val store = root + "/labels"
+    val edges = root + "/edges"
+    val buckets = 4
+    // history: chain 1-2-3 (bridge at 2), pair {40,41}, filler pairs
+    // to populate every bucket
+    val fillers = (200L until 280L by 10L).map(i => (i, i + 1L))
+    val hist = (Seq((1L, 2L), (2L, 3L), (40L, 41L)) ++ fillers)
+      .toDF("id1", "id2")
+    val labels0 = Dedup.connectedComponents(hist).localCheckpoint()
+    Dedup.writeCcLabelStore(labels0, store, clusterBuckets = buckets)
+    Dedup.writeCcEdgeStore(labels0, hist, edges, clusterBuckets = buckets)
+    def servedLabels() = Dedup.readCcLabelStore(s, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def sidecar() = Dedup.readCcEdgeStore(s, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch: 3-40 merges the chain with {40,41}; {500,501} is new; the
+    // REVERSED duplicate (3,2) must collapse into the existing edge
+    val batch = Seq((3L, 40L), (500L, 501L), (3L, 2L)).toDF("id1", "id2")
+    Dedup.appendCcEdgesToLabelStore(s, store, batch,
+      edgesPath = Some(edges))
+    val lab1 = servedLabels()
+    assert(lab1(40L) == 1L && lab1(500L) == 500L, s"merge failed: $lab1")
+    val unionEdges = (Seq((1L, 2L), (2L, 3L), (40L, 41L), (3L, 40L),
+      (500L, 501L)) ++ fillers).toSet
+    assert(sidecar() == unionEdges.map { case (a, b) => (a, b, lab1(a)) },
+      "sidecar must hold exactly the canonical union edges labeled by " +
+        "the served clustering (no duplicate from the reversed edge)")
+    // write discipline: the append landed only the touched buckets on
+    // the sidecar (merged labels 40→1, the new node's 501→500 remap —
+    // both sides of every remap entry — plus the batch edges' final
+    // clusters 1/500)
+    val fs = new org.apache.hadoop.fs.Path(edges).getFileSystem(conf)
+    def ebDirs(v: Long) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$edges/version=$v"))
+      .map(_.getPath.getName).filter(_.startsWith("cb=")).toSeq.sorted
+    val expectTouched = Seq(1L, 40L, 500L, 501L).map(c => spark.range(1)
+        .select(pmod(xxhash64(lit(c)), lit(buckets.toLong)).cast("int"))
+        .head.getInt(0)).distinct.sorted.map(b => s"cb=$b")
+    assert(ebDirs(2L) == expectTouched,
+      s"sidecar append must land only touched buckets: ${ebDirs(2L)}")
+    // takedown with NO caller graph: revoking bridge 2 must split
+    // {1,2,3,40,41} exactly — 1 isolates, {3,40,41} survives connected
+    Dedup.takedownCcLabelStore(s, store, Seq(2L).toDF("rid"), "rid",
+      pairs = None, edgesPath = Some(edges))
+    val lab2 = servedLabels()
+    assert(lab2.get(2L).isEmpty && lab2(1L) == 1L && lab2(3L) == 3L &&
+      lab2(40L) == 3L && lab2(41L) == 3L,
+      s"sidecar-sourced exact tier must split the bridge: $lab2")
+    // the sidecar itself folded: revoked-incident edges gone, surviving
+    // affected edges relabeled to the rebuilt cluster
+    val expectAfter = (Seq((40L, 41L), (3L, 40L)).map(e => (e._1, e._2, 3L))
+      ++ Seq((500L, 501L, 500L)) ++ fillers.map { case (a, b) => (a, b, a) })
+      .toSet
+    assert(sidecar() == expectAfter,
+      s"sidecar must drop revoked-incident edges and relabel: ${sidecar()}")
+  }
+
   test("ccLabelStore: generic snapshot compaction composes with the " +
     "cluster-bucket layout — labels unchanged, manifest references " +
     "collapse to one physical version") {
