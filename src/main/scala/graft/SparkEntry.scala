@@ -3044,6 +3044,38 @@ object SparkEntry {
       Similarity.ivfTopKQuantizedTrained(emb,
         emb.filter(col("vec_id") < 10), k = 5, cents, nprobe = 2)
     }),
+    "m68_ivf_trained_store" -> ((s, dir) => {
+      // the PERSISTED trained-int8 tier (r14 gap: m20/m26/m44 ride
+      // float MLlib centroids no oracle can re-derive): s29's codebook
+      // freezes INSIDE the snapshot as a marker, the corpus lands
+      // quantized + partitioned by trained cell, and the probe reads
+      // the codebook back from the store and partition-prunes to its
+      // probed cells. The oracle re-derives the trainer in SQL —
+      // nothing crosses from the engine
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.fitKmeansInt8(emb, k = 4, iters = 2)
+      val store = tmpQueryDir("m68-ivf8").toString + "/layout"
+      Similarity.writeIvfInt8TrainedLayout(emb, cents, store)
+      Similarity.ivfTopKQuantizedSnapshot(s, store,
+        emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+    }),
+    "m69_ivf_trained_append" -> ((s, dir) => {
+      // frozen-codebook growth on the gateable tier (m44's invariant):
+      // v1 trains on and lays out the EVEN half; the odd half appends
+      // with the codebook read from the SNAPSHOT — no caller literals
+      // exist to get wrong — landing only its touched cells. The
+      // oracle re-derives the trainer over the even half alone and
+      // probes the full corpus with it
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(col("vec_id") % 2 === 0)
+      val cents = Similarity.fitKmeansInt8(even, k = 4, iters = 2)
+      val store = tmpQueryDir("m69-ivf8").toString + "/layout"
+      Similarity.writeIvfInt8TrainedLayout(even, cents, store)
+      graft.llm.Ingest.appendIvfInt8TrainedSnapshot(s, store,
+        emb.where(col("vec_id") % 2 === 1))
+      Similarity.ivfTopKQuantizedSnapshot(s, store,
+        emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+    }),
     "s29_kmeans_train" -> ((s, dir) =>
       // deterministic FIXED-POINT k-means over int8-quantized vectors:
       // k=4 centroids seeded by the smallest md5(id) — a pure function
@@ -3966,6 +3998,90 @@ object SparkEntry {
        |    SELECT a.vec_id AS id1, b.vec_id AS id2, $cos AS score
        |    FROM pr a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |  WHERE score >= 0.40)""".stripMargin
+  }
+
+  /** DuckDB re-derivation of the whole trained-int8 IVF probe — shared
+    * by s30 (in-flight composition), m68 (persisted layout) and m69
+    * (frozen-codebook append): the k-means TRAINER unrolls its two
+    * Lloyd rounds over `trainSrc` (s07 quantization, smallest-md5
+    * init, integer squared-L2 with ties to the smaller cell,
+    * floor(sum/count) means, empty cells carry), then the probe
+    * assigns + scores over `corpusSrc` with those centroids — cell
+    * assignment and nprobe=2 ranking on exact long distances, s07
+    * quantized-cosine scoring with the n2 > 0 drop. No centroid
+    * literal ever crosses from the engine. */
+  private def duckIvfTrainedSql(trainSrc: String,
+                                corpusSrc: String): String = {
+    val dist = (v: String, c: String) =>
+      s"""list_sum(list_transform(range(1, len($v.q) + 1),
+         |  i -> ($v.q[i] - $c.q[i]) * ($v.q[i] - $c.q[i])))""".stripMargin
+    def quant(sName: String, qName: String, src: String) =
+      s"""$sName AS (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+         |    / CAST(127 AS DOUBLE) AS scale FROM $src),
+         |$qName AS (SELECT vec_id,
+         |  CASE WHEN scale > 0
+         |    THEN list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+         |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+         |  FROM $sName)""".stripMargin
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, cell FROM (
+         |  SELECT v.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${dist("v", "c")}, c.cell) AS rn
+         |  FROM qv v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def update(ex: String, u: String, cNew: String, a: String,
+               cPrev: String) =
+      s"""$ex AS (SELECT $a.cell, unnest(range(1, len(v.q) + 1)) AS dim,
+         |  unnest(v.q) AS val FROM $a JOIN qv v USING (vec_id)),
+         |$u AS (SELECT cell, dim,
+         |  CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+         |  FROM $ex GROUP BY cell, dim),
+         |$cNew AS (SELECT cell, list(cm ORDER BY dim) AS q FROM $u GROUP BY cell
+         |  UNION ALL SELECT cell, q FROM $cPrev
+         |  WHERE cell NOT IN (SELECT cell FROM $u))""".stripMargin
+    val qdot =
+      """CAST(list_sum(list_transform(range(1, len(p.q) + 1),
+        |  i -> p.q[i] * a.q[i])) AS DOUBLE)
+        |  / sqrt(CAST(p.n2 * a.n2 AS DOUBLE))""".stripMargin
+    s"""WITH ${quant("ts", "qv", trainSrc)},
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY
+       |    md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell, q
+       |  FROM qv QUALIFY row_number() OVER (ORDER BY
+       |    md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4),
+       |${assign("a1", "c0")},
+       |${update("ex1", "u1", "c1", "a1", "c0")},
+       |${assign("a2", "c1")},
+       |${update("ex2", "u2", "c2", "a2", "c1")},
+       |${quant("cs", "cv", corpusSrc)},
+       |nn AS (SELECT vec_id, q,
+       |  CAST(list_sum(list_transform(range(1, len(q) + 1),
+       |    i -> q[i] * q[i])) AS BIGINT) AS n2 FROM cv),
+       |dlt AS (SELECT vec_id, list(d ORDER BY cell) AS dl FROM (
+       |  SELECT v.vec_id AS vec_id, c.cell AS cell,
+       |    ${dist("v", "c")} AS d
+       |  FROM cv v CROSS JOIN c2 c) GROUP BY vec_id),
+       |a AS (SELECT nn.vec_id, nn.q, nn.n2,
+       |    (list_position(dl, list_min(dl)) - 1) AS cell
+       |  FROM dlt JOIN nn ON nn.vec_id = dlt.vec_id),
+       |p AS (SELECT vec_id, q, n2, cell FROM (
+       |  SELECT q0.vec_id, q0.q, q0.n2, r.cell,
+       |    row_number() OVER (PARTITION BY q0.vec_id
+       |      ORDER BY dlt.dl[(r.cell)::INT + 1] ASC, r.cell ASC) AS rn
+       |  FROM (SELECT * FROM nn WHERE vec_id < 10) q0
+       |  JOIN dlt ON dlt.vec_id = q0.vec_id
+       |  CROSS JOIN (SELECT unnest(range(0, 4)) AS cell) r)
+       |  WHERE rn <= 2)
+       |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank
+       |FROM (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS corpus_id,
+       |    $qdot AS score,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY $qdot DESC, a.vec_id) AS rnk
+       |  FROM a JOIN p ON a.cell = p.cell AND p.vec_id != a.vec_id
+       |  WHERE p.n2 > 0 AND a.n2 > 0)
+       |WHERE rnk <= 5""".stripMargin
   }
 
   /** Shared CTE body for the MinHash-LSH near-dup pipeline (d04, d09 and
@@ -6741,79 +6857,22 @@ object SparkEntry {
             .mkString(" UNION ALL ")})
          |SELECT rank, id AS vec_id, rel, mmr FROM final""".stripMargin
     },
-    "s30_ivf_trained" -> {
-      // s29's unrolled trainer CTEs verbatim, then the s04/s07 probe
-      // shapes over ITS centroids: integer distance lists ordered by
-      // cell, first-match argmin assignment, (dist, cell)-ranked
-      // nprobe=2 probes, quantized-cosine scoring with the n2 > 0 drop
-      val dist = (v: String, c: String) =>
-        s"""list_sum(list_transform(range(1, len($v.q) + 1),
-           |  i -> ($v.q[i] - $c.q[i]) * ($v.q[i] - $c.q[i])))""".stripMargin
-      def assign(name: String, cents: String) =
-        s"""$name AS (SELECT vec_id, cell FROM (
-           |  SELECT v.vec_id, c.cell,
-           |    row_number() OVER (PARTITION BY v.vec_id
-           |      ORDER BY ${dist("v", "c")}, c.cell) AS rn
-           |  FROM qv v CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
-      def update(ex: String, u: String, cNew: String, a: String,
-                 cPrev: String) =
-        s"""$ex AS (SELECT $a.cell, unnest(range(1, len(v.q) + 1)) AS dim,
-           |  unnest(v.q) AS val FROM $a JOIN qv v USING (vec_id)),
-           |$u AS (SELECT cell, dim,
-           |  CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
-           |  FROM $ex GROUP BY cell, dim),
-           |$cNew AS (SELECT cell, list(cm ORDER BY dim) AS q FROM $u GROUP BY cell
-           |  UNION ALL SELECT cell, q FROM $cPrev
-           |  WHERE cell NOT IN (SELECT cell FROM $u))""".stripMargin
-      val qdot =
-        """CAST(list_sum(list_transform(range(1, len(p.q) + 1),
-          |  i -> p.q[i] * a.q[i])) AS DOUBLE)
-          |  / sqrt(CAST(p.n2 * a.n2 AS DOUBLE))""".stripMargin
-      s"""WITH s AS (SELECT vec_id, embedding,
-         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
-         |    / CAST(127 AS DOUBLE) AS scale FROM embeddings),
-         |qv AS (SELECT vec_id,
-         |  CASE WHEN scale > 0
-         |    THEN list_transform(embedding,
-         |           x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
-         |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
-         |  FROM s),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY
-         |    md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cell, q
-         |  FROM qv QUALIFY row_number() OVER (ORDER BY
-         |    md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4),
-         |${assign("a1", "c0")},
-         |${update("ex1", "u1", "c1", "a1", "c0")},
-         |${assign("a2", "c1")},
-         |${update("ex2", "u2", "c2", "a2", "c1")},
-         |nn AS (SELECT vec_id, q,
-         |  CAST(list_sum(list_transform(range(1, len(q) + 1),
-         |    i -> q[i] * q[i])) AS BIGINT) AS n2 FROM qv),
-         |dlt AS (SELECT vec_id, list(d ORDER BY cell) AS dl FROM (
-         |  SELECT v.vec_id AS vec_id, c.cell AS cell,
-         |    ${dist("v", "c")} AS d
-         |  FROM qv v CROSS JOIN c2 c) GROUP BY vec_id),
-         |a AS (SELECT nn.vec_id, nn.q, nn.n2,
-         |    (list_position(dl, list_min(dl)) - 1) AS cell
-         |  FROM dlt JOIN nn ON nn.vec_id = dlt.vec_id),
-         |p AS (SELECT vec_id, q, n2, cell FROM (
-         |  SELECT q0.vec_id, q0.q, q0.n2, r.cell,
-         |    row_number() OVER (PARTITION BY q0.vec_id
-         |      ORDER BY dlt.dl[(r.cell)::INT + 1] ASC, r.cell ASC) AS rn
-         |  FROM (SELECT * FROM nn WHERE vec_id < 10) q0
-         |  JOIN dlt ON dlt.vec_id = q0.vec_id
-         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS cell) r)
-         |  WHERE rn <= 2)
-         |SELECT query_id, corpus_id, score, CAST(rnk AS INTEGER) AS rank
-         |FROM (
-         |  SELECT p.vec_id AS query_id, a.vec_id AS corpus_id,
-         |    $qdot AS score,
-         |    row_number() OVER (PARTITION BY p.vec_id
-         |      ORDER BY $qdot DESC, a.vec_id) AS rnk
-         |  FROM a JOIN p ON a.cell = p.cell AND p.vec_id != a.vec_id
-         |  WHERE p.n2 > 0 AND a.n2 > 0)
-         |WHERE rnk <= 5""".stripMargin
-    },
+    "s30_ivf_trained" ->
+      // the shared trainer-and-probe re-derivation (duckIvfTrainedSql):
+      // trainer and corpus both over the full embeddings table
+      duckIvfTrainedSql("embeddings", "embeddings"),
+    "m68_ivf_trained_store" ->
+      // identical semantics to s30 — the query side differs only in
+      // WHERE the codebook and corpus come from (the persisted
+      // snapshot's frozen marker + partition-pruned cell reads, vs
+      // in-flight literals)
+      duckIvfTrainedSql("embeddings", "embeddings"),
+    "m69_ivf_trained_append" ->
+      // the trainer re-derives over the EVEN half alone (v1's build
+      // set — the frozen codebook never retrains on append); cell
+      // assignment and the probe run over the FULL corpus with it
+      duckIvfTrainedSql("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)",
+        "embeddings"),
     "s29_kmeans_train" -> {
       // the two Lloyd rounds unrolled: same s07 quantization, same
       // smallest-md5 init, integer squared-L2 with ties to the smaller

@@ -190,7 +190,8 @@ object Ingest {
                          newRows: DataFrame, partitionCol: String,
                          idCol: String,
                          batchBroadcastMaxBytes: Long = 64L << 20,
-                         version: Option[Long] = None): Long = {
+                         version: Option[Long] = None,
+                         markers: Map[String, String] = Map.empty): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcVersion = version.getOrElse(LayoutStore.versions(conf, path).last)
     // inference pinned off across read AND re-land, like the compact /
@@ -221,7 +222,7 @@ object Ingest {
         dirNames.forall(n =>
           LayoutStore.plainPartitionValue(n.split("=", 2)(1)))
       LayoutStore.writeSnapshotManifested(conf, path) { (tmp, _) =>
-        if (fast) {
+        val carried: Map[String, Long] = if (fast) {
           old.where(col(partitionCol).isin(touched.toSeq: _*))
             .unionByName(newRows.select(cols: _*))
             .repartition(col(partitionCol))
@@ -237,6 +238,10 @@ object Ingest {
             .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
           Map.empty
         }
+        // after the data write — parquet overwrite clears the tmp dir
+        markers.foreach { case (n, v) =>
+          LayoutStore.writeTextMarker(conf, tmp, n, v) }
+        carried
       }
     }
   }
@@ -257,6 +262,30 @@ object Ingest {
     appendRowsSnapshot(spark, path,
       Similarity.assignCells(newVecs, centroids, vecCol), "cell", idCol,
       batchBroadcastMaxBytes, version)
+
+  /** Append a vector batch to a TRAINED-int8 IVF layout
+    * ([[Similarity.writeIvfInt8TrainedLayout]]): the codebook comes
+    * FROM THE SNAPSHOT — frozen at build time, re-stamped on the new
+    * version — so there are no caller-supplied literals to get wrong
+    * (the m44 invariant, enforced by construction). The batch
+    * quantizes and assigns cells map-side against the frozen integer
+    * centroids, then [[appendRowsSnapshot]] lands only the touched
+    * cell directories. Returns the new version. */
+  def appendIvfInt8TrainedSnapshot(spark: SparkSession, path: String,
+      newVecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      batchBroadcastMaxBytes: Long = 64L << 20,
+      version: Option[Long] = None): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cents = Similarity.readIvfInt8Codebook(conf, path, version)
+    val batch = Similarity.assignKmeansCellsInt8(
+      Similarity.quantizeForStorage(newVecs, idCol, vecCol), cents)
+      .withColumnRenamed("__cell", "cell")
+    appendRowsSnapshot(spark, path, batch, "cell", idCol,
+      batchBroadcastMaxBytes, version,
+      markers = Map(Similarity.CodebookMarker ->
+        Similarity.codebookJson(cents)))
+  }
 
   /** Append a vector batch to an SRP layout
     * ([[Similarity.writeSrpLayout]] per snapshot): buckets derive

@@ -754,12 +754,25 @@ object Similarity {
   def ivfTopKQuantizedTrained(corpus: DataFrame, queries: DataFrame,
       k: Int, centroids: Array[Array[Long]], nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(nprobe >= 1 && nprobe <= centroids.length,
-      s"nprobe $nprobe out of range 1..${centroids.length}")
     val ac = assignKmeansCells(
       quantizeForStorage(corpus, idCol, vecCol), centroids, "q")
       .select(col(idCol).as("corpus_id"), col("q").as("cq"),
         col("n2").as("cn2"), col("__cell").as("cell"))
+    scoreQuantizedProbes(ac,
+      quantizedProbeSide(queries, centroids, nprobe, idCol, vecCol), k)
+  }
+
+  /** The query side of a trained-int8 IVF probe: each query quantized,
+    * its cells ranked by exact long distance to every centroid literal,
+    * fanned out to its `nprobe` nearest — (query_id, qq, qn2, cell).
+    * Shared by the in-flight probe ([[ivfTopKQuantizedTrained]]) and
+    * the persisted-layout probe ([[ivfTopKQuantizedSnapshot]]) so the
+    * two can never desynchronize. */
+  private def quantizedProbeSide(queries: DataFrame,
+      centroids: Array[Array[Long]], nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe $nprobe out of range 1..${centroids.length}")
     val dists = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.IntVectorLiteralFold(
         org.apache.spark.sql.GraftColumnBridge.expression(col("q")),
@@ -767,13 +780,19 @@ object Similarity {
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("col").asc, col("pos").asc)
-    val probes = quantizeForStorage(queries, idCol, vecCol)
+    quantizeForStorage(queries, idCol, vecCol)
       .withColumn("__dl", dists)
       .select(col(idCol).as("query_id"), col("q").as("qq"),
         col("n2").as("qn2"), posexplode(col("__dl")))
       .withColumn("__rn", row_number().over(pw))
       .where(col("__rn") <= nprobe)
       .select(col("query_id"), col("qq"), col("qn2"), col("pos").as("cell"))
+  }
+
+  /** One equi-join on cell + the s07 scale-free quantized-cosine
+    * top-k — the scoring tail shared by both trained-IVF probes. */
+  private def scoreQuantizedProbes(ac: DataFrame, probes: DataFrame,
+                                   k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("corpus_id").asc)
@@ -786,6 +805,106 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("score"), col("rank"))
   }
+
+  /** Marker file naming a trained-int8 IVF layout's FROZEN integer
+    * codebook (JSON array of per-centroid long arrays) — the layout is
+    * self-describing, so appends and probes read the codebook from the
+    * store instead of trusting a caller to resupply the same literals
+    * (the m44 frozen-centroid discipline, now enforced by construction:
+    * there is nothing to resupply). */
+  private[graft] val CodebookMarker = "_codebook"
+
+  private[graft] def codebookJson(cents: Array[Array[Long]]): String =
+    cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  private[graft] def parseCodebook(s: String): Array[Array[Long]] = {
+    val t = s.trim
+    require(t.startsWith("[[") && t.endsWith("]]"),
+      s"malformed codebook marker: $t")
+    t.stripPrefix("[").stripSuffix("]")
+      .split("\\]\\s*,\\s*\\[").map(_.replaceAll("[\\[\\]]", ""))
+      .map(_.split(",").map(_.trim.toLong))
+  }
+
+  /** The persisted 100TB layout for the TRAINED integer tier: the
+    * corpus quantized to int8 ([[quantizeForStorage]]) and written
+    * partitioned by its [[fitKmeansInt8]] cell, with the codebook
+    * frozen INSIDE the snapshot as a [[CodebookMarker]] — closing the
+    * last ungateable stage of the persisted ANN lifecycle (m20/m26/m44
+    * ride float MLlib centroids, which no oracle can re-derive; this
+    * layout's every stage — train, assign, store, probe — is a pure
+    * function of the data). Rows: (idCol, q, n2, cell). Returns the
+    * snapshot version. */
+  def writeIvfInt8TrainedLayout(corpus: DataFrame,
+      centroids: Array[Array[Long]], path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    val assigned = assignKmeansCells(
+      quantizeForStorage(corpus, idCol, vecCol), centroids, "q")
+      .withColumnRenamed("__cell", "cell")
+    LayoutStore.writeSnapshot(conf, path) { tmp =>
+      assigned.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      LayoutStore.writeTextMarker(conf, tmp, CodebookMarker,
+        codebookJson(centroids))
+    }
+  }
+
+  /** The frozen codebook a trained-int8 IVF snapshot carries. Reads
+    * the newest version at or below `version` that has the marker —
+    * manifest-versioned appends re-stamp it, but a reader must survive
+    * a version landed by a generic maintenance walk that didn't. */
+  def readIvfInt8Codebook(conf: org.apache.hadoop.conf.Configuration,
+      path: String,
+      version: Option[Long] = None): Array[Array[Long]] = {
+    val vs = LayoutStore.versions(conf, path)
+    require(vs.nonEmpty, s"no layout versions at $path")
+    val pin = version.getOrElse(vs.last)
+    vs.filter(_ <= pin).reverse.iterator
+      .flatMap(v => LayoutStore.readTextMarker(conf, s"$path/version=$v",
+        CodebookMarker))
+      .take(1).toList.headOption.map(parseCodebook)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $CodebookMarker on any version <= $pin at $path — not a " +
+          "trained-int8 IVF layout"))
+  }
+
+  /** Probe a persisted trained-int8 IVF layout
+    * ([[writeIvfInt8TrainedLayout]]): the codebook comes from the
+    * SNAPSHOT, the query side fans out to its nprobe nearest cells,
+    * and the corpus read PARTITION-PRUNES to the union of probed cells
+    * (driver-bounded by nlist) before one equi-join on cell — at scale
+    * a small query sheet touches only its cells' files. Scoring is the
+    * s07 quantized cosine; identical math to
+    * [[ivfTopKQuantizedTrained]] by shared construction. */
+  def ivfTopKQuantizedSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      version: Option[Long] = None): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cents = readIvfInt8Codebook(conf, path, version)
+    val probes = quantizedProbeSide(queries, cents, nprobe, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded driver read: at most nlist distinct probed cells
+      val cells = probes.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val ac = LayoutStore.readSnapshotTable(spark, path, "", version)
+        .where(col("cell").isin(cells.map(Integer.valueOf): _*))
+        .select(col(idCol).as("corpus_id"), col("q").as("cq"),
+          col("n2").as("cn2"), col("cell"))
+      scoreQuantizedProbes(ac, probes, k).localCheckpoint()
+    } finally probes.unpersist(blocking = true)
+  }
+
+  /** [[assignKmeansCells]] over an already-quantized frame (`q`
+    * column) — the package door [[Ingest.appendIvfInt8TrainedSnapshot]]
+    * assigns through, so the append and the layout writer share one
+    * assignment. */
+  private[llm] def assignKmeansCellsInt8(df: DataFrame,
+      cents: Array[Array[Long]]): DataFrame =
+    assignKmeansCells(df, cents, "q")
 
   /** Map-side nearest-centroid assignment against LITERAL long
     * centroids: one codegen'd integer squared-L2 fold per row,

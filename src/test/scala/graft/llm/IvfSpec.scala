@@ -77,6 +77,65 @@ class IvfSpec extends SparkTestBase {
     assert(res(probe) == res(inMem))
   }
 
+  test("trained-int8 IVF layout: codebook JSON roundtrips; the snapshot " +
+    "probe equals the in-flight probe bit-for-bit; the frozen-codebook " +
+    "append lands only touched cells and equals a from-scratch layout " +
+    "over the union") {
+    val cb = Array(Array(1L, -2L, 3L), Array(-128L, 0L, 127L))
+    assert(Similarity.parseCodebook(Similarity.codebookJson(cb))
+      .map(_.toSeq).toSeq == cb.map(_.toSeq).toSeq)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = tmpDir("ivf8-trained") + "/layout"
+    val even = emb.where(col("vec_id") % 2 === 0)
+    val odd = emb.where(col("vec_id") % 2 === 1)
+    val cents = Similarity.fitKmeansInt8(even, k = 4, iters = 2)
+    Similarity.writeIvfInt8TrainedLayout(even, cents, path)
+    assert(Similarity.readIvfInt8Codebook(conf, path)
+      .map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq,
+      "the store must serve back the exact frozen codebook")
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // snapshot probe == in-flight probe over the same corpus/codebook
+    assert(rows(Similarity.ivfTopKQuantizedSnapshot(spark, path, queries,
+        k = 5, nprobe = 2)) ==
+      rows(Similarity.ivfTopKQuantizedTrained(even, queries, k = 5,
+        cents, nprobe = 2)))
+    // single-vector append: codebook comes from the STORE; exactly ONE
+    // cell lands physically, every other cell carries by manifest
+    Ingest.appendIvfInt8TrainedSnapshot(spark, path,
+      odd.where(col("vec_id") === 1))
+    assert(Similarity.readIvfInt8Codebook(conf, path)
+      .map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq,
+      "append must re-stamp the SAME codebook, never retrain")
+    val manifest = LayoutStore.readManifest(conf, path, 2L).get
+    val v2Dirs = new java.io.File(s"$path/version=2").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(v2Dirs.length == 1,
+      s"a one-vector append must land exactly one cell: ${v2Dirs.toSeq}")
+    val v1Dirs = new java.io.File(s"$path/version=1").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(manifest.collect { case (k, 1L) if k.startsWith("cell=") => k }
+      .toSet == (v1Dirs.toSet -- v2Dirs.toSet),
+      s"untouched cells must carry by manifest: $manifest")
+    // grow to the full corpus, then: snapshot probe == the in-flight
+    // probe over the union with the SAME frozen codebook
+    Ingest.appendIvfInt8TrainedSnapshot(spark, path,
+      odd.where(col("vec_id") =!= 1))
+    assert(rows(Similarity.ivfTopKQuantizedSnapshot(spark, path, queries,
+        k = 5, nprobe = 2)) ==
+      rows(Similarity.ivfTopKQuantizedTrained(emb, queries, k = 5,
+        cents, nprobe = 2)))
+    // a non-trained layout fails descriptively
+    val plain = tmpDir("ivf8-plain") + "/layout"
+    LayoutStore.writeSnapshot(conf, plain) { tmp =>
+      even.limit(2).write.parquet(tmp)
+    }
+    val e = intercept[IllegalArgumentException](
+      Similarity.readIvfInt8Codebook(conf, plain))
+    assert(e.getMessage.contains("_codebook"))
+  }
+
   test("ivfTopK recall vs brute force improves with nprobe") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
