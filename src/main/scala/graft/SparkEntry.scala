@@ -1875,7 +1875,11 @@ object SparkEntry {
           keyCols = Seq("event_type"), sumCols = Seq("v"),
           minCols = Seq("vd"), maxCols = Seq("vd"),
           statePath = state, checkpointDir = ckpt,
-          maxFilesPerTrigger = Some(1))
+          maxFilesPerTrigger = Some(1),
+          // a 5-key state sizes its bucket space down (the r14 watch:
+          // 16 buckets of partitioned-write overhead for 5 keys) —
+          // bucket count tracks state volume, the operator's contract
+          stateBuckets = 4)
         .awaitTermination()
       val conf = s.sparkContext.hadoopConfiguration
       require(graft.llm.LayoutStore.versions(conf, state).size >= 3,
@@ -1928,7 +1932,8 @@ object SparkEntry {
           pkCols = Seq("event_id"), keyCols = Seq("event_type"),
           sumCols = Seq("v"), minCols = Seq("vd"), maxCols = Seq("vd"),
           statePath = state, factsPath = facts, checkpointDir = ckpt,
-          maxFilesPerTrigger = Some(1))
+          maxFilesPerTrigger = Some(1),
+          stateBuckets = 4) // 5-key state — bucket space tracks volume
         .awaitTermination()
       val conf = s.sparkContext.hadoopConfiguration
       require(graft.llm.LayoutStore.versions(conf, state).size >= 3,

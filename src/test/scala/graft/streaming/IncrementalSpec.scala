@@ -217,6 +217,34 @@ class IncrementalSpec extends SparkTestBase {
       fold(Seq(("k2", 1.0)), "b-2", buckets = 8))
   }
 
+  test("aggMaintenanceBatch: per-version write cost is batch-count-FLAT " +
+    "— the 7th single-key fold writes exactly as many files as the 2nd " +
+    "(nothing compounds per version; the r14 m58 watch item)") {
+    val s = spark; import s.implicits._
+    val state = tmpDir("aggm-flat") + "/state"
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fold(rows: Seq[(String, Double)], token: String): Unit =
+      Incremental.aggMaintenanceBatch(rows.toDF("k", "v"), token,
+        keyCols = Seq("k"), sumCols = Seq("v"), minCols = Nil,
+        maxCols = Nil, statePath = state, stateBuckets = 4)
+    fold((0 until 40).map(i => (s"k$i", i.toDouble)), "f-0")
+    for (i <- 1 to 6) fold(Seq(("k1", i.toDouble)), s"f-$i")
+    val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(conf)
+    def dataFiles(v: Long): Int = {
+      def walk(p: org.apache.hadoop.fs.Path): Int =
+        fs.listStatus(p).map { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.startsWith("_") ||
+            st.getPath.getName.startsWith(".")) 0
+          else 1
+        }.sum
+      walk(new org.apache.hadoop.fs.Path(s"$state/version=$v"))
+    }
+    val perVersion = (2L to 7L).map(dataFiles)
+    assert(perVersion.toSet.size == 1,
+      s"single-key fold cost must not grow with version count: $perVersion")
+  }
+
   test("cdcAggMaintenanceBatch: I/D micro-batches fold into the bucketed " +
     "state AND fact store — closed-form count/sum decrements, " +
     "delete-touched min/max rebuilt from the served facts, " +
