@@ -84,6 +84,89 @@ object ScaleBench {
       s""""head":"$head","ts":"${java.time.Instant.now()}"}"""
   }
 
+  /** Label-propagation, HITS and triangle/LCC sections over the
+    * candidate pair graph — shared by the 544k and 988k mains. Each
+    * operator runs once, re-runs over a repartitioned edge frame, and
+    * ASSERTS the exact result checksum is partitioning-invariant (the
+    * d79 discipline: bit-exactness is enforced by the bench itself,
+    * not claimed). Returns a JSON fragment ending in a comma. */
+  private[graft] def graphSectionsJson(
+      cands: org.apache.spark.sql.DataFrame): String = {
+    def secs(since: Long): Double = (System.nanoTime() - since) / 1e9
+    def checksum(df: org.apache.spark.sql.DataFrame,
+                 cols: Seq[String]): java.math.BigDecimal =
+      df.agg(sum(xxhash64(cols.map(col): _*).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+
+    // ---- seeded label propagation (2 hops) ------------------------------
+    // seeds: every 4th node labeled by a 5-way id-derived class — pure
+    // function of the graph, like d82's trusted slice
+    val seeds = cands.select(col("id1").as("id"))
+      .unionByName(cands.select(col("id2").as("id"))).distinct()
+      .where(col("id") % 4 === 0)
+      .select(col("id"), (col("id") % 5).cast("string").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tLp = System.nanoTime()
+    val lp = graft.operators.LabelPropagation.propagateLabels(cands,
+      seeds, iters = 2)
+    val lpNodes = lp.count()
+    val lpSecs = secs(tLp)
+    val lpLabeled = lp.where(col("label").isNotNull)
+    val lpHash = checksum(lpLabeled, Seq("node", "label"))
+    val tLp2 = System.nanoTime()
+    val lp2 = graft.operators.LabelPropagation.propagateLabels(
+      cands.repartition(13), seeds, iters = 2)
+    val lpSecs2 = secs(tLp2)
+    require(checksum(lp2.where(col("label").isNotNull),
+        Seq("node", "label")) == lpHash && lp2.count() == lpNodes,
+      "label propagation diverged across partitionings")
+    seeds.unpersist(blocking = true)
+
+    // ---- HITS hubs/authorities (2 rounds) --------------------------------
+    val hEdges = cands.select(col("id1").as("src"), col("id2").as("dst"))
+    val tH = System.nanoTime()
+    val hits = graft.operators.PageRank.hitsFixedPoint(hEdges, iters = 2)
+    val hitsNodes = hits.count()
+    val hitsSecs = secs(tH)
+    val hitsHash = checksum(hits, Seq("node", "hub", "auth"))
+    val tH2 = System.nanoTime()
+    val hits2 = graft.operators.PageRank.hitsFixedPoint(
+      hEdges.repartition(13), iters = 2)
+    val hitsSecs2 = secs(tH2)
+    require(checksum(hits2, Seq("node", "hub", "auth")) == hitsHash &&
+      hits2.count() == hitsNodes,
+      "HITS diverged across partitionings")
+
+    // ---- triangle counts / local clustering coefficient ------------------
+    // the curation density signal at corpus scale: the near-dup graph's
+    // verbatim mega-clusters are (capped) cliques — high LCC — while
+    // organic cold replicas sit on sparse chains. Degree-ordered
+    // orientation keeps the wedge fan-out O(sqrt m) per node, so the
+    // hot clusters cannot go quadratic.
+    val tT = System.nanoTime()
+    val tri = graft.operators.Triangles.triangleCounts(cands)
+    val triNodes = tri.count()
+    val triSecs = secs(tT)
+    val triTotal = tri.agg(sum(col("triangles")).cast("decimal(38,0)"))
+      .head().getDecimal(0).longValueExact() / 3
+    val triHash = checksum(tri, Seq("id", "degree", "triangles", "lcc"))
+    val tT2 = System.nanoTime()
+    val tri2 = graft.operators.Triangles.triangleCounts(
+      cands.repartition(13))
+    val triSecs2 = secs(tT2)
+    require(checksum(tri2, Seq("id", "degree", "triangles", "lcc"))
+        == triHash && tri2.count() == triNodes,
+      "triangle counting diverged across partitionings")
+
+    s""""labelprop_secs":$lpSecs,"labelprop_repart_secs":$lpSecs2,""" +
+      s""""labelprop_nodes":$lpNodes,"labelprop_hash":"$lpHash",""" +
+      s""""hits_secs":$hitsSecs,"hits_repart_secs":$hitsSecs2,""" +
+      s""""hits_nodes":$hitsNodes,"hits_hash":"$hitsHash",""" +
+      s""""triangles_secs":$triSecs,"triangles_repart_secs":$triSecs2,""" +
+      s""""triangles_nodes":$triNodes,"triangles_total":$triTotal,""" +
+      s""""triangles_hash":"$triHash","""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val coldReps = sys.env.getOrElse("GRAFT_SCALE_COLD", "60").toInt   // per ordinary doc
@@ -216,6 +299,9 @@ object ScaleBench {
     require(prHash == prHash2 && pr2.count() == prNodes,
       s"fixed-point PageRank diverged across partitionings: " +
         s"$prHash vs $prHash2")
+
+    // ---- label propagation / HITS / triangles over the same graph --------
+    val graphJson = graphSectionsJson(cands)
     cands.unpersist()
 
     // ---- winnowing fingerprints (codegen'd chargram + minima) -----------
@@ -1234,6 +1320,7 @@ object ScaleBench {
       s""""pagerank_iters":$prIters,""" +
       s""""pagerank_secs_per_round":${prSecs / prIters},""" +
       s""""pagerank_rank_hash":"$prHash",""" +
+      graphJson +
       s""""winnow_secs":$winSecs,"winnow_fps":$nFps,""" +
       s""""simhash_secs":$simSecs,"simhash_pairs":$nSimPairs,""" +
       s""""simhash_comb_secs":$simCSecs,"simhash_comb_pairs":$nSimCPairs,""" +

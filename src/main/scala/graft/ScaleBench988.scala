@@ -128,6 +128,10 @@ object ScaleBench988 {
     require(prHash == prHash2 && pr2.count() == prNodes,
       s"fixed-point PageRank diverged across partitionings: " +
         s"$prHash vs $prHash2")
+
+    // label propagation / HITS / triangles over the same graph, with the
+    // partitioning-invariance assertions (shared with the 544k bench)
+    val graphJson = ScaleBench.graphSectionsJson(cands)
     cands.unpersist()
 
     val tWin = System.nanoTime()
@@ -289,6 +293,7 @@ object ScaleBench988 {
       s""""pagerank_iters":$prIters,""" +
       s""""pagerank_secs_per_round":${prSecs / prIters},""" +
       s""""pagerank_rank_hash":"$prHash",""" +
+      graphJson +
       s""""winnow_secs":$winSecs,"winnow_fps":$nFps,""" +
       s""""simhash_secs":$simSecs,"simhash_pairs":$nSimPairs,""" +
       s""""simhash_comb_secs":$simCSecs,"simhash_comb_pairs":$nSimCPairs,""" +

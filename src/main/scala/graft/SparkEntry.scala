@@ -1701,6 +1701,20 @@ object SparkEntry {
         .select(col("a.l_partkey").as("id1"), col("b.l_partkey").as("id2"))
       graft.operators.Triangles.triangleCounts(e)
     }),
+    "d85_assortativity" -> ((s, dir) => {
+      // degree assortativity (Newman's r) of the same co-purchase
+      // graph — d84's global companion: spam link farms are strongly
+      // assortative, organic graphs mildly disassortative, so ONE
+      // number flags a manipulated slice. Exact decimal sums, one
+      // double division at the end — cross-engine bit-exact
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("id1"), col("b.l_partkey").as("id2"))
+      graft.operators.Triangles.degreeAssortativity(e)
+    }),
     "d79_pagerank" -> ((s, dir) => {
       // fixed-point PageRank (3 power iterations, d=17/20, scale 1e12)
       // over the supplier→customer fulfillment graph — the canonical
@@ -5585,6 +5599,31 @@ object SparkEntry {
          |    ELSE 0.0 END AS lcc
          |FROM deg LEFT JOIN corners c ON c.id = deg.id""".stripMargin
     },
+    "d85_assortativity" ->
+      // same canonical pairs + degrees; DuckDB's SUM(BIGINT) is exact
+      // HUGEINT, mirroring the engine's exact decimal(38,0) sums; the
+      // single double division (and the 0-denominator NULL guard) are
+      // shared, so the float is bit-identical
+      """WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u,
+        |    b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |deg AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+        |  GROUP BY 1),
+        |dd AS (SELECT du.d AS x, dv.d AS y
+        |    FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v
+        |  UNION ALL
+        |  SELECT dv.d, du.d
+        |    FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+        |sums AS (SELECT COUNT(*) AS m2, SUM(x) AS sx, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sx2 FROM dd)
+        |SELECT CAST(m2 // 2 AS BIGINT) AS m_edges,
+        |  CASE WHEN m2 * sx2 - sx * sx = 0 THEN NULL
+        |    ELSE CAST(m2 * sxy - sx * sx AS DOUBLE)
+        |      / CAST(m2 * sx2 - sx * sx AS DOUBLE) END AS assortativity
+        |FROM sums""".stripMargin,
     "d79_pagerank" -> {
       // the same three rounds unrolled as chained CTEs, all integer
       // (// is floor division — equal to Spark's `div` truncation on

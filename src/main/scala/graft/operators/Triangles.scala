@@ -99,4 +99,60 @@ object Triangles {
     Seq(oriented, deg, canon).foreach(_.unpersist(blocking = true))
     materialized
   }
+
+  /** DEGREE ASSORTATIVITY (Newman's r) of the simple undirected graph —
+    * the companion global signal to per-node LCC: spam link farms are
+    * strongly assortative (hubs citing hubs), organic content graphs
+    * mildly disassortative, so one number flags a manipulated corpus
+    * slice before any per-node work.
+    *
+    * r = Pearson correlation of (deg(u), deg(v)) over the DIRECTED
+    * doubling of the edge set (each edge contributes (x,y) and (y,x) —
+    * the standard symmetric form, so Σx = Σy and the formula collapses
+    * to three sums). Every sum is EXACT decimal arithmetic over
+    * integer degrees — M·Σxy, (Σx)², M·Σx² stay inside decimal(38,0)
+    * up to ~10^9 edges of degree ~10^6 — with ONE double division at
+    * the end, so the result is cross-engine bit-exact (d85).
+    *
+    * Scale shape: one distinct, one degree aggregate, two id-keyed
+    * joins to attach endpoint degrees, one global 4-sum aggregate
+    * (map-side partial). Returns ONE row (m_edges, assortativity);
+    * assortativity is NULL for a degree-regular graph (denominator 0 —
+    * guarded identically in the oracle, never a fabricated value). */
+  def degreeAssortativity(edges: DataFrame,
+                          idCol1: String = "id1",
+                          idCol2: String = "id2"): DataFrame = {
+    val canon = edges
+      .select(least(col(idCol1), col(idCol2)).as("u"),
+        greatest(col(idCol1), col(idCol2)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("id"))
+      .unionByName(canon.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val doubled = canon
+      .join(deg.select(col("id").as("u"), col("d").as("__du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("__dv")), Seq("v"))
+      .select(col("__du").as("x"), col("__dv").as("y"))
+      .unionByName(canon
+        .join(deg.select(col("id").as("u"), col("d").as("__du")), Seq("u"))
+        .join(deg.select(col("id").as("v"), col("d").as("__dv")), Seq("v"))
+        .select(col("__dv").as("x"), col("__du").as("y")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    doubled.agg(
+        count(lit(1)).as("m2"),
+        sum(dec(col("x"))).as("sx"),
+        // cast BEFORE multiplying: long·long would overflow first
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sx2"))
+      .withColumn("__num",
+        dec(col("m2")) * col("sxy") - col("sx") * col("sx"))
+      .withColumn("__den",
+        dec(col("m2")) * col("sx2") - col("sx") * col("sx"))
+      .select(
+        (col("m2") / 2).cast("long").as("m_edges"),
+        when(col("__den") === 0, lit(null).cast("double"))
+          .otherwise(col("__num").cast("double") /
+            col("__den").cast("double")).as("assortativity"))
+  }
 }

@@ -538,9 +538,17 @@ object Incremental {
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // ONE bounded collect profiles the batch: which key buckets it
-      // touches and which of those carry a delete (≤ stateBuckets rows)
+      // touches, which of those carry a delete, and whether any op is
+      // malformed (≤ stateBuckets rows) — an unknown op must fail HERE,
+      // before the facts store lands, or a crash-corrected replay
+      // would token-skip a half-applied facts version
       val prof = b.groupBy(kbOf.as("kb"))
-        .agg(max(col(opCol) === "D").as("__hasDel")).collect()
+        .agg(max(col(opCol) === "D").as("__hasDel"),
+          max(when(!col(opCol).isin("I", "D"), col(opCol)))
+            .as("__badOp")).collect()
+      prof.flatMap(r => Option(r.getString(2))).headOption.foreach(op =>
+        throw new IllegalArgumentException(
+          s"cdcAggMaintenanceBatch: $opCol must be 'I' or 'D', got '$op'"))
       val touched = prof.map(_.getInt(0)).sorted
       val delBuckets = prof.filter(_.getBoolean(1)).map(_.getInt(0)).sorted
       val hasDeletes = delBuckets.nonEmpty

@@ -126,6 +126,16 @@ class IvfSpec extends SparkTestBase {
         k = 5, nprobe = 2)) ==
       rows(Similarity.ivfTopKQuantizedTrained(emb, queries, k = 5,
         cents, nprobe = 2)))
+    // the probe's corpus read partition-prunes to the probed cells —
+    // the same pruned read ivfTopKQuantizedSnapshot constructs
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val pruned = LayoutStore.readSnapshotTable(spark, path)
+      .where(col("cell").isin(0, 1))
+    val scanned = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f.selectedPartitions.partitionCount
+    }.sum
+    assert(scanned <= 2,
+      s"cell IN must prune at the file listing, scanned $scanned partitions")
     // a non-trained layout fails descriptively
     val plain = tmpDir("ivf8-plain") + "/layout"
     LayoutStore.writeSnapshot(conf, plain) { tmp =>

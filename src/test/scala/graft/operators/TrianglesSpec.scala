@@ -48,6 +48,18 @@ class TrianglesSpec extends SparkTestBase {
     (1L to 4L).foreach { n => assert(r(n) == ((3L, 3L, 1.0))) }
   }
 
+  test("degreeAssortativity: a star is exactly -1 (hand-computed: " +
+    "m2=6, sx=12, sxy=18, sx2=30 -> -36/36); a regular graph is NULL " +
+    "(0 denominator, never a fabricated value)") {
+    import spark.implicits._
+    val star = Triangles.degreeAssortativity(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")).head()
+    assert(star.getLong(0) == 3L && star.getDouble(1) == -1.0)
+    val k3 = Triangles.degreeAssortativity(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id1", "id2")).head()
+    assert(k3.getLong(0) == 3L && k3.isNullAt(1))
+  }
+
   test("two disconnected components count independently") {
     val r = counts(Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L)))
     assert(r(1L)._2 == 1L && r(10L) == ((1L, 0L, 0.0)))

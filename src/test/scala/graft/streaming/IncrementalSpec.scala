@@ -296,6 +296,26 @@ class IncrementalSpec extends SparkTestBase {
     assert(factRows == Seq(1L), s"fact store must hold only pk=1: $factRows")
   }
 
+  test("cdcAggMaintenanceBatch: a malformed op fails fast BEFORE any " +
+    "store version lands — no half-applied facts to token-skip later") {
+    val s = spark; import s.implicits._
+    val root = tmpDir("cdc-badop")
+    val state = root + "/state"
+    val facts = root + "/facts"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val e = intercept[IllegalArgumentException](
+      Incremental.cdcAggMaintenanceBatch(
+        Seq((1L, "x", 1.0, "I"), (2L, "x", 2.0, "UPSERT"))
+          .toDF("pk", "k", "v", "op"), "bad-0",
+        pkCols = Seq("pk"), keyCols = Seq("k"), sumCols = Seq("v"),
+        minCols = Nil, maxCols = Nil,
+        statePath = state, factsPath = facts))
+    assert(e.getMessage.contains("UPSERT"))
+    assert(graft.llm.LayoutStore.versions(conf, facts).isEmpty &&
+      graft.llm.LayoutStore.versions(conf, state).isEmpty,
+      "a malformed batch must not land anything on either store")
+  }
+
   test("cdcAggMaintenanceBatch: both stores are key-bucketed — a fold " +
     "physically rewrites only touched buckets, cold buckets carry by " +
     "manifest on the state AND fact store") {
