@@ -1715,6 +1715,25 @@ object SparkEntry {
         .select(col("a.l_partkey").as("id1"), col("b.l_partkey").as("id2"))
       graft.operators.Triangles.degreeAssortativity(e)
     }),
+    "d86_kcore" -> ((s, dir) => {
+      // k-core of the co-purchase graph: iterative peeling to the
+      // FIXPOINT (fails loudly if unconverged — never a half-peeled
+      // set). Peeling is idempotent once stable, so the oracle's
+      // 8-round unroll computes the identical core provided the engine
+      // converged within 8 — which the require pins, making the gate
+      // sound rather than lucky
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("id1"), col("b.l_partkey").as("id2"))
+      val out = graft.operators.KCore.kCore(e, k = 6)
+      require(graft.operators.KCore.lastRounds <= 8,
+        "the d86 oracle unrolls 8 peeling rounds; the corpus needed " +
+          s"${graft.operators.KCore.lastRounds} — raise both")
+      out
+    }),
     "d79_pagerank" -> ((s, dir) => {
       // fixed-point PageRank (3 power iterations, d=17/20, scale 1e12)
       // over the supplier→customer fulfillment graph — the canonical
@@ -5624,6 +5643,29 @@ object SparkEntry {
         |    ELSE CAST(m2 * sxy - sx * sx AS DOUBLE)
         |      / CAST(m2 * sx2 - sx * sx AS DOUBLE) END AS assortativity
         |FROM sums""".stripMargin,
+    "d86_kcore" -> {
+      // 8 peeling rounds unrolled (idempotent once stable, and the
+      // query side REQUIRES convergence within 8): each round keeps
+      // the nodes of current degree >= 6 and restricts the edge set
+      val rounds = (1 to 8).map { i =>
+        s"""n$i AS MATERIALIZED (SELECT id FROM (
+           |    SELECT u AS id FROM e${i - 1}
+           |    UNION ALL SELECT v AS id FROM e${i - 1})
+           |  GROUP BY id HAVING COUNT(*) >= 6),
+           |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+           |  WHERE u IN (SELECT id FROM n$i)
+           |    AND v IN (SELECT id FROM n$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u,
+         |    b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey),
+         |$rounds
+         |SELECT id, CAST(COUNT(*) AS BIGINT) AS core_degree
+         |FROM (SELECT u AS id FROM e8 UNION ALL SELECT v AS id FROM e8)
+         |GROUP BY id""".stripMargin
+    },
     "d79_pagerank" -> {
       // the same three rounds unrolled as chained CTEs, all integer
       // (// is floor division — equal to Spark's `div` truncation on
