@@ -1734,6 +1734,29 @@ object SparkEntry {
           s"${graft.operators.KCore.lastRounds} — raise both")
       out
     }),
+    "d87_neighbor_setsim" -> ((s, dir) => {
+      // STRUCTURAL-ROLE near-dups: nodes whose NEIGHBORHOODS overlap —
+      // two suppliers serving near-identical customer sets (exact
+      // Jaccard >= 11/50 on the bipartite adjacency), the collusion/
+      // Sybil signature no per-document detector sees. Pure
+      // composition: adjacency sets serialize as token docs into the
+      // d74 EXACT set-similarity join — prefix filtering is the hub
+      // mitigation for free (a hub neighbor is a high-df token, ranked
+      // last and excluded from prefixes), verification rides the same
+      // zero-allocation sorted-merge kernel
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"))
+      val adj = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_suppkey").as("id"), col("o_custkey").as("nb"))
+        .distinct()
+        .groupBy(col("id"))
+        .agg(concat_ws(" ",
+          sort_array(collect_set(col("nb").cast("string")))).as("nbrs"))
+      graft.llm.Dedup.setSimilarityJoin(adj, "id", "nbrs",
+        thresholdNum = 11, thresholdDen = 50)
+    }),
     "d79_pagerank" -> ((s, dir) => {
       // fixed-point PageRank (3 power iterations, d=17/20, scale 1e12)
       // over the supplier→customer fulfillment graph — the canonical
@@ -5666,6 +5689,23 @@ object SparkEntry {
          |FROM (SELECT u AS id FROM e8 UNION ALL SELECT v AS id FROM e8)
          |GROUP BY id""".stripMargin
     },
+    "d87_neighbor_setsim" ->
+      // scheme-independent exact truth over the adjacency sets: every
+      // shared-neighbor pair counted, integer threshold — 61*inter >=
+      // 11*(na+nb) is inter*(den+num) >= num*(na+nb), i.e.
+      // neighborhood-Jaccard >= 11/50 exactly (the d74 formulation
+      // with customer ids as the token universe)
+      """WITH nbr AS (SELECT DISTINCT l_suppkey AS id, o_custkey AS nb
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |n AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM nbr GROUP BY 1),
+        |pair AS (SELECT a.id AS ai, b.id AS bi,
+        |    CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM nbr a JOIN nbr b ON a.nb = b.nb AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT ai AS id_a, bi AS id_b, inter, na.n AS na, nb.n AS nb
+        |FROM pair JOIN n na ON na.id = ai JOIN n nb ON nb.id = bi
+        |WHERE 61 * inter >= 11 * (na.n + nb.n)""".stripMargin,
     "d79_pagerank" -> {
       // the same three rounds unrolled as chained CTEs, all integer
       // (// is floor division — equal to Spark's `div` truncation on
