@@ -640,6 +640,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_sum") && p.contains("partial_min"))
   }
 
+  test("d85: degree assortativity is equi-joins + ONE map-side-combined " +
+    "global aggregate — no cartesian product anywhere") {
+    val s = spark; import s.implicits._
+    val base = tmpDir("d85-plan")
+    (1L to 40L).map(i => (i, i % 7 + 100L)).toDF("id1", "id2")
+      .write.parquet(base + "/edges")
+    val out = graft.operators.Triangles.degreeAssortativity(
+      s.read.parquet(base + "/edges"))
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"),
+      s"assortativity must never plan a cartesian product:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"the 4-sum aggregate must partial-aggregate map-side:\n$p")
+  }
+
   test("d80: the incremental CC output plan never shuffles history — " +
     "the prior relabel is ONE broadcast join over the label scan") {
     // the operator's lazy output (the d80 query checkpoint-truncates,
