@@ -2028,17 +2028,33 @@ object Dedup {
           s"edge store at $ep version=${vsE.last} carries no bucket count"))
       (ep, vsE.last, eBuckets)
     }
-    def affBucketsIn(n: Int): Array[java.lang.Integer] = affected
-      .select(ccClusterBucket(col("cluster"), n).as("cb")).distinct()
-      .collect().map(r => Integer.valueOf(r.getInt(0)))
     // pair source: the caller's graph, else the persisted sidecar —
-    // PARTITION-PRUNED to the affected clusters' buckets, so the exact
-    // tier is always available and never scans the whole edge set
+    // PARTITION-PRUNED, so the exact tier is always available and
+    // never scans the whole edge set. Edges are selected by SURVIVING
+    // ENDPOINT, not by old cluster label: a crash between the sidecar
+    // fold below and the label write replays against a sidecar that
+    // already carries REPLACEMENT labels for the affected clusters, so
+    // an old-label semi-join would silently drop exactly the clusters
+    // whose label changed (revoked min, or a split) and the rebuilt CC
+    // would over-split. id1 of every intra-cluster edge among
+    // survivors IS a surviving member (edges never cross cluster
+    // boundaries), a label-independent predicate that reads the same
+    // edge set from either sidecar state. Bucket pruning widens to
+    // old labels ∪ candidate replacement labels — every replacement
+    // label is some surviving member's id (the rebuilt component min,
+    // or the isolated survivor itself), so the union covers both the
+    // pre-fold and the post-fold bucket placement. Still driver-
+    // bounded: ≤ eBuckets distinct ints collect.
     val effectivePairs: Option[DataFrame] = pairs.orElse(edgeStore.map {
       case (ep, srcE, eBuckets) =>
+        val candBuckets = affected.select(col("cluster").as("__k"))
+          .unionByName(affRows.select(col("id").as("__k")))
+          .select(ccClusterBucket(col("__k"), eBuckets).as("cb")).distinct()
+          .collect().map(r => Integer.valueOf(r.getInt(0)))
         LayoutStore.readSnapshotTable(spark, ep, "", Some(srcE))
-          .where(col("cb").isin(affBucketsIn(eBuckets): _*))
-          .join(broadcast(affected), Seq("cluster"), "left_semi")
+          .where(col("cb").isin(candBuckets: _*))
+          .join(broadcast(affRows.select(col("id").as("id1"))),
+            Seq("id1"), "left_semi")
           .select(col("id1").as(idCol1), col("id2").as(idCol2))
     })
     // replacement labeling for the affected clusters
@@ -2067,7 +2083,10 @@ object Dedup {
     val replacementT = truncateFrame(replacement)
     // ---- pair-graph sidecar fold (edges first — the idempotent side:
     // a crash between the two writes replays against an already-folded
-    // sidecar, whose restricted read then yields the same replacement) —
+    // sidecar, whose endpoint-selected read above yields the same
+    // replacement — and re-folding is a fixpoint: relabeled clusters'
+    // rows fall to the cohab branch untouched, unchanged-label rows
+    // relabel identically) —
     // revoked-incident edges DROP, surviving affected edges relabel to
     // their rebuilt cluster, cold buckets carry by manifest
     edgeStore.foreach { case (ep, srcE, eBuckets) =>

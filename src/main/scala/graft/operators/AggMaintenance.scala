@@ -155,9 +155,22 @@ object AggMaintenance {
     require(keyCols.nonEmpty, "applyChangesToAggState needs key columns")
     // fail fast on an unknown op — a silent 0-signed row would
     // corrupt counts; raise_error rides the row pipeline, so a clean
-    // batch pays nothing
+    // batch pays nothing. A LYING deletesPresent=Some(false) fails the
+    // same way when min/max columns are tracked: the repair branch is
+    // skipped on the caller's word, so a D row sneaking through would
+    // apply the count/sum decrements but serve STALE min/max with no
+    // detectable error — make the D branch itself raise instead
+    // (zero cost for a truly delete-free batch: the branch never takes).
+    val dBranch: Column =
+      if (deletesPresent.contains(false) && (minCols.nonEmpty || maxCols.nonEmpty))
+        raise_error(lit(
+          s"applyChangesToAggState: deletesPresent=Some(false) but a 'D' " +
+            "row is present while min/max columns are tracked — the " +
+            "skipped repair would serve stale min/max; pass None/Some(true)"))
+          .cast("long")
+      else lit(-1L)
     val sgn = when(col(opCol) === "I", lit(1L))
-      .when(col(opCol) === "D", lit(-1L))
+      .when(col(opCol) === "D", dBranch)
       .otherwise(raise_error(concat(
         lit(s"applyChangesToAggState: $opCol must be 'I' or 'D', got '"),
         col(opCol).cast("string"), lit("'"))))

@@ -542,9 +542,17 @@ object Incremental {
       // malformed (≤ stateBuckets rows) — an unknown op must fail HERE,
       // before the facts store lands, or a crash-corrected replay
       // would token-skip a half-applied facts version
+      // NULL ops flag EXPLICITLY: `!isin` is NULL for a NULL op, so a
+      // bare negation would let the row slip past the profile, land in
+      // the facts fold with the batch token (silently dropped — neither
+      // I nor D), then abort in the agg fold's raise_error; a corrected
+      // replay would token-skip the facts fold, leaving the two stores
+      // permanently divergent — the half-applied state this pre-flight
+      // exists to prevent
       val prof = b.groupBy(kbOf.as("kb"))
         .agg(max(col(opCol) === "D").as("__hasDel"),
-          max(when(!col(opCol).isin("I", "D"), col(opCol)))
+          max(when(col(opCol).isNull || !col(opCol).isin("I", "D"),
+            coalesce(col(opCol), lit("<null>"))))
             .as("__badOp")).collect()
       prof.flatMap(r => Option(r.getString(2))).headOption.foreach(op =>
         throw new IllegalArgumentException(

@@ -766,6 +766,56 @@ class DedupSpec extends SparkTestBase {
       s"sidecar must drop revoked-incident edges and relabel: ${sidecar()}")
   }
 
+  test("takedownCcLabelStore crash-replay: a crash AFTER the sidecar " +
+    "fold but BEFORE the label write replays into the identical " +
+    "labeling — the endpoint-selected sidecar read is insensitive to " +
+    "whether the sidecar already carries replacement labels") {
+    val s = spark; import s.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = tmpDir("cc-sidecar-replay")
+    val store = root + "/labels"
+    val edges = root + "/edges"
+    // chain 1-2-3 (bridge at 2, so the takedown SPLITS the cluster and
+    // every replacement label differs from the old one — the exact
+    // case an old-label sidecar read would lose) + {10,11} where the
+    // cluster MIN is revoked (label changes without a split) + fillers
+    val fillers = (200L until 260L by 10L).map(i => (i, i + 1L))
+    val hist = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++ fillers)
+      .toDF("id1", "id2")
+    val labels0 = Dedup.connectedComponents(hist).localCheckpoint()
+    Dedup.writeCcLabelStore(labels0, store, clusterBuckets = 4)
+    Dedup.writeCcEdgeStore(labels0, hist, edges, clusterBuckets = 4)
+    val revoked = Seq(2L, 10L).toDF("rid")
+    def labels() = Dedup.readCcLabelStore(s, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def sidecar() = Dedup.readCcEdgeStore(s, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // uncrashed run, for the expected end state
+    Dedup.takedownCcLabelStore(s, store, revoked, "rid",
+      pairs = None, edgesPath = Some(edges))
+    val wantLabels = labels()
+    val wantSidecar = sidecar()
+    assert(wantLabels(1L) == 1L && wantLabels(3L) == 3L &&
+      wantLabels(11L) == 11L && !wantLabels.contains(2L),
+      s"fixture must split the bridge and relabel the revoked min: $wantLabels")
+    // reconstruct the crash state EXACTLY: sidecar fold landed (v2),
+    // label write did not (drop the label store's new version)
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$store/version=2"),
+      true), "fixture must roll the label store back to v1")
+    assert(LayoutStore.versions(conf, store) == Seq(1L) &&
+      LayoutStore.versions(conf, edges) == Seq(1L, 2L),
+      "crash state: labels at v1, sidecar already folded at v2")
+    // replay: the at-least-once redelivery of the same takedown
+    Dedup.takedownCcLabelStore(s, store, revoked, "rid",
+      pairs = None, edgesPath = Some(edges))
+    assert(labels() == wantLabels,
+      s"replay must land the identical labeling: ${labels()} vs $wantLabels")
+    // and the sidecar re-fold is a fixpoint (content unchanged at v3)
+    assert(sidecar() == wantSidecar,
+      s"sidecar re-fold must be a no-op on content: ${sidecar()}")
+  }
+
   test("ccLabelStore: generic snapshot compaction composes with the " +
     "cluster-bucket layout — labels unchanged, manifest references " +
     "collapse to one physical version") {

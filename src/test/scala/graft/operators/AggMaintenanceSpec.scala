@@ -134,6 +134,35 @@ class AggMaintenanceSpec extends SparkTestBase {
       "z" -> ((1L, 2.0, 2.0, 2.0))), s"$got")
   }
 
+  test("applyChangesToAggState: a LYING deletesPresent=Some(false) with " +
+    "a D row actually present fails loudly when min/max are tracked — " +
+    "never stale min/max; sum-only states still fold (no repair exists " +
+    "to skip)") {
+    val s = spark; import s.implicits._
+    val pre = Seq(("x", 1.0), ("x", 3.0)).toDF("k", "v")
+    val changes = Seq(("x", 7.0, "I"), ("x", 3.0, "D")).toDF("k", "v", "op")
+    val state0 = AggMaintenance.aggState(pre, Seq("k"),
+      sumCols = Seq("v"), minCols = Seq("v"))
+    val e = intercept[Exception](
+      AggMaintenance.applyChangesToAggState(state0, changes,
+        sys.error("the lying branch must fail before facts is forced"),
+        Seq("k"), sumCols = Seq("v"), minCols = Seq("v"),
+        deletesPresent = Some(false)).collect())
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("deletesPresent"), s"${e.getClass}: $chain")
+    // sum-only: decrements are closed-form, nothing is skipped — the
+    // existing allowance stands
+    val sumOnly = AggMaintenance.aggState(pre, Seq("k"), sumCols = Seq("v"))
+    val got = AggMaintenance.applyChangesToAggState(sumOnly, changes,
+      sys.error("sum-only must never read facts"),
+      Seq("k"), sumCols = Seq("v"), deletesPresent = Some(false))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got == Map("x" -> ((2L, 8.0))), s"$got")
+  }
+
   test("applyChangesToAggState fails fast on an unknown op value") {
     val s = spark; import s.implicits._
     val state0 = AggMaintenance.aggState(

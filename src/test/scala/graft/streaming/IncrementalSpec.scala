@@ -316,6 +316,27 @@ class IncrementalSpec extends SparkTestBase {
       "a malformed batch must not land anything on either store")
   }
 
+  test("cdcAggMaintenanceBatch: a NULL op fails the pre-flight exactly " +
+    "like an unknown op — it must never land a facts version that a " +
+    "corrected replay would token-skip") {
+    val s = spark; import s.implicits._
+    val root = tmpDir("cdc-nullop")
+    val state = root + "/state"
+    val facts = root + "/facts"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val e = intercept[IllegalArgumentException](
+      Incremental.cdcAggMaintenanceBatch(
+        Seq((1L, "x", 1.0, "I"), (2L, "x", 2.0, null: String))
+          .toDF("pk", "k", "v", "op"), "null-0",
+        pkCols = Seq("pk"), keyCols = Seq("k"), sumCols = Seq("v"),
+        minCols = Nil, maxCols = Nil,
+        statePath = state, factsPath = facts))
+    assert(e.getMessage.contains("<null>"), e.getMessage)
+    assert(graft.llm.LayoutStore.versions(conf, facts).isEmpty &&
+      graft.llm.LayoutStore.versions(conf, state).isEmpty,
+      "a NULL-op batch must not land anything on either store")
+  }
+
   test("cdcAggMaintenanceBatch: both stores are key-bucketed — a fold " +
     "physically rewrites only touched buckets, cold buckets carry by " +
     "manifest on the state AND fact store") {
