@@ -29,34 +29,92 @@ import java.nio.file.{Files, Paths}
   * inside one spike — exactly the failure mode being defended against.)
   * The JSON keeps `"queries"` = medians for backward compatibility and
   * adds `"min"` + `"repeats"` (all per-pass times, in pass order).
+  *
+  * JVM hygiene across passes (round 15's one real finding: suite task-GC
+  * tripled over three rounds — 153s→294s→604s — with a uniform 1.3-2.5x
+  * drift band on small queries in EVERY repeat and pass-3 rows inflating
+  * 2-3x, the signature of state accumulating in the one bench JVM over
+  * 227 queries x 4 whole-suite passes):
+  *  - Each whole-suite pass runs in a FRESH SparkSession (stop + rebuild,
+  *    ~2-4s per pass, outside every timed window). That resets the app
+  *    status store, listener bus, block manager and file-index caches,
+  *    so pass 3 starts from the same driver state as pass 1. The two
+  *    JVM-static caches that make warmup worth paying — JIT-compiled
+  *    code and Janino's generated-class cache — survive the restart, so
+  *    the warmup pass still covers every later pass.
+  *  - The app status store is capped tightly (below): even with the UI
+  *    off, AppStatusListener + SQLAppStatusListener retain up to 1000
+  *    SQL executions BY DEFAULT, each holding the full physical plan
+  *    graph — and this suite's iterative operators emit dozens of
+  *    executions per query, so within one pass the default retention
+  *    pins hundreds of MB of plan strings in old-gen.
+  *  - `"pass_gc_ms"` records the suite's summed task GC per pass, so a
+  *    recurrence of cross-pass heap creep is readable straight from the
+  *    committed artifact (healthy = roughly flat across passes).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // bucketed-table queries (m28) saveAsTable into a throwaway warehouse
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-      .config("spark.ui.enabled", "false")
-    // local-iteration conf overrides, ';'-separated (conf VALUES may
-    // legitimately contain commas — extraJavaOptions, extensions lists):
-    // SPARK_GRAFT_CONF="graft.cc.algorithm=minlabel;spark.sql.shuffle.partitions=64"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
-        case _ =>
-      }
-    })
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    def execute(name: String): Either[String, Unit] =
+    // Per-query spill/GC telemetry: round-11's one open finding was a
+    // bimodal whole-suite mode (d74 at 52s in the driver's gate run vs
+    // 4.4-6.3s solo, same HEAD) that the timing artifact alone couldn't
+    // explain. Summing executor task metrics per timed query makes the
+    // mechanism readable from the committed artifact itself: a slow
+    // repeat with spill_bytes exploding is memory-pool pressure; one
+    // with gc_ms exploding is heap garbage; neither means ambient load.
+    // (Listener delivery is async; attribution may lag by a few tasks —
+    // fine for an order-of-magnitude diagnostic.) Counters live outside
+    // the session so they span the per-pass session restarts.
+    val spillCtr = new java.util.concurrent.atomic.AtomicLong
+    val gcCtr = new java.util.concurrent.atomic.AtomicLong
+
+    def newSession(): SparkSession = {
+      val builder = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        // bucketed-table queries (m28) saveAsTable into a throwaway warehouse
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+        .config("spark.ui.enabled", "false")
+        // status-store retention: the UI is off but the listeners aren't —
+        // default retention (1000 SQL executions, each with its full plan
+        // graph; 1000 jobs/stages) is the dominant WITHIN-pass heap
+        // accumulation for a 227-query suite of multi-execution operators
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "2000")
+      // local-iteration conf overrides, ';'-separated (conf VALUES may
+      // legitimately contain commas — extraJavaOptions, extensions lists):
+      // SPARK_GRAFT_CONF="graft.cc.algorithm=minlabel;spark.sql.shuffle.partitions=64"
+      sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
+          case _ =>
+        }
+      })
+      val spark = builder.getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) {
+              spillCtr.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+              gcCtr.addAndGet(m.jvmGCTime)
+            }
+          }
+        })
+      spark
+    }
+
+    def execute(spark: SparkSession, name: String): Either[String, Unit] =
       try Right(SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save())
       catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
@@ -68,55 +126,23 @@ object Bench {
     // (round 4: untouched queries regressed 3x from exactly this). Between
     // queries, drop every cached plan and persisted/localCheckpointed RDD
     // so each timed query pays its own materializations and nothing else.
-    def resetStorage(): Unit = {
+    def resetStorage(spark: SparkSession): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       // Shuffle files and broadcast blocks are reclaimed by Spark's
       // ContextCleaner only when the driver-side references are GC'd —
-      // in an 8-16 GB driver heap that may not happen for many queries,
-      // so pass-N state (thousands of shuffle files, old-gen garbage)
-      // silently becomes pass-N+1's disk/GC pressure. Round-11's driver
-      // gate recorded d74 at 52s (3/3 repeats) inside the whole suite
-      // while solo runs read 4.4-6.3s at the same HEAD — an interference
-      // mode, not an algorithmic one. An explicit GC between queries
-      // costs ~0.1s each (outside the timed window) and makes every
-      // timed query start from the same reclaimed state.
-      // SPARK_GRAFT_GC=0 disables it for same-minute A/B runs.
+      // an explicit GC between queries costs ~0.1s each (outside the
+      // timed window) and makes every timed query start from the same
+      // reclaimed state. SPARK_GRAFT_GC=0 disables it for A/B runs.
       if (sys.env.getOrElse("SPARK_GRAFT_GC", "1") != "0") System.gc()
     }
-
-    // Per-query spill/GC telemetry: round-11's one open finding was a
-    // bimodal whole-suite mode (d74 at 52s in the driver's gate run vs
-    // 4.4-6.3s solo, same HEAD) that the timing artifact alone couldn't
-    // explain. Summing executor task metrics per timed query makes the
-    // mechanism readable from the committed artifact itself: a slow
-    // repeat with spill_bytes exploding is memory-pool pressure; one
-    // with gc_ms exploding is heap garbage; neither means ambient load.
-    // (Listener delivery is async; attribution may lag by a few tasks —
-    // fine for an order-of-magnitude diagnostic.)
-    val spillCtr = new java.util.concurrent.atomic.AtomicLong
-    val gcCtr = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = t.taskMetrics
-          if (m != null) {
-            spillCtr.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
-            gcCtr.addAndGet(m.jvmGCTime)
-          }
-        }
-      })
 
     // optional local-iteration subset (driver always benches everything)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    names.foreach { n => execute(n); resetStorage() } // warmup (JIT, codegen, FS metadata)
 
-    // repeats as whole-suite passes (see scaladoc): times(name) collects
-    // in pass order; the first error per query is kept
     val times = scala.collection.mutable.LinkedHashMap(
       names.map(n => n -> Vector.empty[Double]): _*)
     val spills = scala.collection.mutable.LinkedHashMap(
@@ -124,16 +150,27 @@ object Bench {
     val gcs = scala.collection.mutable.LinkedHashMap(
       names.map(n => n -> 0L): _*)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    for (_ <- 1 to repeats; name <- names) {
-      val (s0, g0) = (spillCtr.get(), gcCtr.get())
-      val t0 = System.nanoTime()
-      val r = execute(name)
-      val dt = (System.nanoTime() - t0) / 1e9
-      resetStorage()
-      times(name) = times(name) :+ dt
-      spills(name) += spillCtr.get() - s0
-      gcs(name) += gcCtr.get() - g0
-      r.left.foreach(e => if (!errors.contains(name)) errors(name) = e)
+    val passGc = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // pass 0 = warmup (JIT, codegen, FS metadata); untimed
+    for (pass <- 0 to repeats) {
+      val spark = newSession()
+      val passG0 = gcCtr.get()
+      try {
+        for (name <- names) {
+          val (s0, g0) = (spillCtr.get(), gcCtr.get())
+          val t0 = System.nanoTime()
+          val r = execute(spark, name)
+          val dt = (System.nanoTime() - t0) / 1e9
+          resetStorage(spark)
+          if (pass > 0) {
+            times(name) = times(name) :+ dt
+            spills(name) += spillCtr.get() - s0
+            gcs(name) += gcCtr.get() - g0
+            r.left.foreach(e => if (!errors.contains(name)) errors(name) = e)
+          }
+        }
+      } finally spark.stop()
+      if (pass > 0) passGc += gcCtr.get() - passG0
     }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
@@ -153,15 +190,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = names.map(n => median(times(n))).sum
     val host = try java.net.InetAddress.getLocalHost.getHostName catch { case _: Throwable => "unknown" }
-    val prov = s"""{"host":"$host","cpus":"$cpus","repeats":$repeats,""" +
+    val prov = s"""{"host":"${host.replace("\\", "\\\\").replace("\"", "\\\"")}",""" +
+      s""""cpus":"$cpus","repeats":$repeats,""" +
       s""""ts":"${java.time.Instant.now()}"}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,""" +
       s""""repeats":$reps,"spill_bytes":$spillJson,"gc_ms":$gcJson,""" +
+      s""""pass_gc_ms":${passGc.mkString("[", ",", "]")},""" +
       s""""errors":$errJson,"sf":"$sfDir","provenance":$prov}"""
     println(line)
     Files.writeString(Paths.get("BENCH_local.json"), line + "\n")
-    spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

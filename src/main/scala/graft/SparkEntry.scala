@@ -1728,11 +1728,11 @@ object SparkEntry {
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("id1"), col("b.l_partkey").as("id2"))
-      val out = graft.operators.KCore.kCore(e, k = 6)
-      require(graft.operators.KCore.lastRounds <= 8,
+      val out = graft.operators.KCore.kCoreWithRounds(e, k = 6)
+      require(out.rounds <= 8,
         "the d86 oracle unrolls 8 peeling rounds; the corpus needed " +
-          s"${graft.operators.KCore.lastRounds} — raise both")
-      out
+          s"${out.rounds} — raise both")
+      out.nodes
     }),
     "d87_neighbor_setsim" -> ((s, dir) => {
       // STRUCTURAL-ROLE near-dups: nodes whose NEIGHBORHOODS overlap —

@@ -30,13 +30,22 @@ import org.apache.spark.sql.functions._
   *         core; empty frame if the graph has no k-core */
 object KCore {
 
-  /** Rounds the last [[kCore]] call on this thread took. */
-  private val lastRoundsTl = new ThreadLocal[Int] { override def initialValue(): Int = 0 }
-  def lastRounds: Int = lastRoundsTl.get()
+  /** A [[kCore]] result: the core's nodes plus the number of peeling
+    * rounds the fixpoint took — carried IN the result rather than a
+    * ThreadLocal side-channel (round-15 finding: a concurrent runner
+    * reading another query's round count would gate on the wrong
+    * value; per-call results cannot cross-read by construction). */
+  final case class KCoreResult(nodes: DataFrame, rounds: Int)
 
+  /** [[kCoreWithRounds]] for callers that only want the nodes. */
   def kCore(edges: DataFrame, k: Int,
             idCol1: String = "id1", idCol2: String = "id2",
-            maxIterations: Int = 30): DataFrame = {
+            maxIterations: Int = 30): DataFrame =
+    kCoreWithRounds(edges, k, idCol1, idCol2, maxIterations).nodes
+
+  def kCoreWithRounds(edges: DataFrame, k: Int,
+            idCol1: String = "id1", idCol2: String = "id2",
+            maxIterations: Int = 30): KCoreResult = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxIterations >= 1, s"maxIterations must be >= 1: $maxIterations")
     var e = edges
@@ -66,9 +75,10 @@ object KCore {
     }
     if (!converged) throw new IllegalStateException(
       s"kCore did not converge in $maxIterations rounds — raise it")
-    lastRoundsTl.set(iters)
-    e.select(col("u").as("id"))
-      .unionByName(e.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
+    KCoreResult(
+      e.select(col("u").as("id"))
+        .unionByName(e.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("core_degree")),
+      iters)
   }
 }
