@@ -1999,6 +1999,145 @@ object SparkEntry {
           col("sum_v").cast("double").as("sum_value"),
           col("min_vd").as("min_value"), col("max_vd").as("max_value"))
     }),
+    "m70_cdc_update_stream" -> ((s, dir) => {
+      // NATIVE UPDATE events in the CDC contract (the m55 changelog
+      // world emits updates; forcing upstream D+I decomposition doubles
+      // the stream): op 'U' carries BOTH images in one row — after in
+      // the measure columns, before of each sum column under
+      // '_before'. Three micro-batches: inserts; then updates (+1000 on
+      // a slice of batch 1's rows); then inserts + deletes (including
+      // deleting previously-UPDATED rows, whose D states the
+      // post-update image — the full-image contract) + more updates
+      // (−500 on an untouched slice). Counts never move for U, sums
+      // shift by after−before in closed form, and U-touched keys'
+      // min/max repair from the served fact store exactly like deletes.
+      // The oracle aggregates the post-apply facts from scratch.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("decimal(27,2)").as("v"),
+          col("value").as("vd"))
+      val m3 = pmod(col("event_id"), lit(3))
+      val upd1 = m3 === 0 && pmod(col("event_id"), lit(7)) === 3
+      val del2 = m3 =!= 2 && pmod(col("event_id"), lit(5)) === 2
+      val upd3 = m3 === 1 && pmod(col("event_id"), lit(7)) === 1 && !del2
+      val noB = lit(null).cast("decimal(27,2)")
+      def ins(f: org.apache.spark.sql.Column) = ev.where(f)
+        .withColumn("v_before", noB).withColumn("op", lit("I"))
+      val plus1000 = ev.where(upd1).select(col("event_id"),
+        col("event_type"),
+        (col("v") + lit(1000).cast("decimal(27,2)"))
+          .cast("decimal(27,2)").as("v"),
+        (col("vd") + lit(1000.0)).as("vd"),
+        col("v").as("v_before"), lit("U").as("op"))
+      val minus500 = ev.where(upd3).select(col("event_id"),
+        col("event_type"),
+        (col("v") - lit(500).cast("decimal(27,2)"))
+          .cast("decimal(27,2)").as("v"),
+        (col("vd") - lit(500.0)).as("vd"),
+        col("v").as("v_before"), lit("U").as("op"))
+      // deletes state the CURRENT (post-update) image
+      val dels = ev.where(del2).select(col("event_id"), col("event_type"),
+        when(upd1, (col("v") + lit(1000).cast("decimal(27,2)"))
+          .cast("decimal(27,2)")).otherwise(col("v")).as("v"),
+        when(upd1, col("vd") + lit(1000.0)).otherwise(col("vd")).as("vd"),
+        noB.as("v_before"), lit("D").as("op"))
+      val batches = Seq(
+        ins(m3 === 0),
+        ins(m3 === 1).unionByName(plus1000),
+        ins(m3 === 2).unionByName(dels).unionByName(minus500))
+      val src = tmpQueryDir("m70-src")
+      val seen = scala.collection.mutable.Set[String]()
+      val base = 1600000000000L
+      batches.zipWithIndex.foreach { case (bdf, i) =>
+        bdf.coalesce(1).write.mode("append").parquet(src.toString)
+        new java.io.File(src.toString).listFiles()
+          .filter(f => f.getName.startsWith("part-") && seen.add(f.getName))
+          .foreach(_.setLastModified(base + i * 60000L))
+      }
+      val state = tmpQueryDir("m70-state").toString + "/state"
+      val facts = tmpQueryDir("m70-facts").toString + "/facts"
+      val ckpt = tmpQueryDir("m70-ckpt").toString
+      Incremental.cdcAggMaintenanceAvailableNow(s, src.toString,
+          batches.head.schema, "parquet", df => df,
+          pkCols = Seq("event_id"), keyCols = Seq("event_type"),
+          sumCols = Seq("v"), minCols = Seq("vd"), maxCols = Seq("vd"),
+          statePath = state, factsPath = facts, checkpointDir = ckpt,
+          maxFilesPerTrigger = Some(1),
+          stateBuckets = 4, beforeSuffix = Some("_before"))
+        .awaitTermination()
+      val conf = s.sparkContext.hadoopConfiguration
+      require(graft.llm.LayoutStore.versions(conf, state).size >= 3,
+        "the CDC fold must have run once per micro-batch")
+      // the served facts carry the after images, never a before column
+      val fcols = graft.llm.LayoutStore.readSnapshotTable(s, facts)
+        .columns.toSet
+      require(!fcols.contains("v_before"),
+        s"before images must never land in the fact store: $fcols")
+      graft.llm.LayoutStore.readSnapshotTable(s, state)
+        .select(col("event_type"), col("n"),
+          col("sum_v").cast("double").as("sum_value"),
+          col("min_vd").as("min_value"), col("max_vd").as("max_value"))
+    }),
+    "m71_cdc_compacted_facts" -> ((s, dir) => {
+      // the generic snapshot COMPACTOR composes with the CDC fold
+      // lifecycle: fold two batches, compact BOTH stores mid-stream
+      // (small-file maintenance a long-lived layout needs), then fold a
+      // delete batch whose min/max repair reads the COMPACTED fact
+      // store. Compaction must carry the text markers — the replay
+      // token and the bucket count — or the next fold would silently
+      // lose replay protection and the bucket-layout fail-fast; and the
+      // post-compaction fold must still write ∝ touched buckets (cold
+      // buckets carry by manifest reference to the compacted version).
+      // The oracle aggregates the post-apply facts from scratch —
+      // compaction is physical churn with zero logical change.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("decimal(27,2)").as("v"),
+          col("value").as("vd"))
+      val m3 = pmod(col("event_id"), lit(3))
+      val del1 = m3 === 0 && pmod(col("event_id"), lit(7)) === 3
+      val del2 = m3 =!= 2 && pmod(col("event_id"), lit(5)) === 2 && !del1 &&
+        col("event_type") === "click" // ONE key → provably cold buckets
+      val state = tmpQueryDir("m71-state").toString + "/state"
+      val facts = tmpQueryDir("m71-facts").toString + "/facts"
+      val conf = s.sparkContext.hadoopConfiguration
+      def fold(bdf: org.apache.spark.sql.DataFrame, token: String): Unit =
+        Incremental.cdcAggMaintenanceBatch(bdf, token,
+          pkCols = Seq("event_id"), keyCols = Seq("event_type"),
+          sumCols = Seq("v"), minCols = Seq("vd"), maxCols = Seq("vd"),
+          statePath = state, factsPath = facts, stateBuckets = 16)
+      fold(ev.where(m3 =!= 1).withColumn("op", lit("I")), "m71-b1")
+      fold(ev.where(m3 === 1).withColumn("op", lit("I"))
+        .unionByName(ev.where(del1).withColumn("op", lit("D"))), "m71-b2")
+      val fv = graft.llm.LayoutStore.compactSnapshot(s, facts)
+      val sv = graft.llm.LayoutStore.compactSnapshot(s, state)
+      for ((p, v) <- Seq((facts, fv), (state, sv))) {
+        require(graft.llm.LayoutStore.readTextMarker(conf,
+            s"$p/version=$v", Incremental.StateBucketsMarker)
+          .contains("16"),
+          s"compaction must carry the bucket-count marker at $p")
+        require(graft.llm.LayoutStore.readTextMarker(conf,
+            s"$p/version=$v", Incremental.AppliedBatchMarker)
+          .contains("m71-b2"),
+          s"compaction must carry the replay token at $p")
+      }
+      // delete-only batch on ONE key: its min/max repair reads the
+      // compacted fact store; every other key's bucket stays cold
+      fold(ev.where(del2).withColumn("op", lit("D")), "m71-b3")
+      // write discipline survives compaction: the post-compaction fold
+      // carries its cold buckets by manifest reference to the compacted
+      // version instead of rewriting them
+      val lastS = graft.llm.LayoutStore.versions(conf, state).last
+      val entries = graft.llm.LayoutStore.effectiveEntries(conf, state,
+        lastS)
+      require(entries.values.exists(_ == sv),
+        s"post-compaction fold must carry cold buckets from the " +
+          s"compacted version $sv: $entries")
+      graft.llm.LayoutStore.readSnapshotTable(s, state)
+        .select(col("event_type"), col("n"),
+          col("sum_v").cast("double").as("sum_value"),
+          col("min_vd").as("min_value"), col("max_vd").as("max_value"))
+    }),
     "m59_multilevel_compaction" -> ((s, dir) => {
       // partial compaction over a MULTI-LEVEL (day/hour) partitioned
       // layout: only the fragmented day rewrites, and its hour
@@ -5977,6 +6116,48 @@ object SparkEntry {
         |FROM events
         |WHERE NOT ((event_id % 3 = 0 AND event_id % 7 = 3)
         |        OR (event_id % 3 != 2 AND event_id % 5 = 2))
+        |GROUP BY 1""".stripMargin,
+    "m70_cdc_update_stream" ->
+      // the post-apply facts from scratch: surviving rows carry their
+      // LATEST image (the +1000 batch-2 update, the −500 batch-3
+      // update), deleted rows are absent — native U events must land
+      // exactly as if the updated values had been inserted originally.
+      // Decimal arithmetic mirrors the engine branch-for-branch (one
+      // exact add/sub per updated row, cast back to DECIMAL(27,2));
+      // vd stays a single IEEE double add/sub per branch
+      """WITH eff AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 3 = 0 AND event_id % 7 = 3
+        |         THEN CAST(CAST(value AS DECIMAL(27,2))
+        |              + CAST(1000 AS DECIMAL(27,2)) AS DECIMAL(27,2))
+        |         WHEN event_id % 3 = 1 AND event_id % 7 = 1
+        |         THEN CAST(CAST(value AS DECIMAL(27,2))
+        |              - CAST(500 AS DECIMAL(27,2)) AS DECIMAL(27,2))
+        |         ELSE CAST(value AS DECIMAL(27,2)) END AS v,
+        |    CASE WHEN event_id % 3 = 0 AND event_id % 7 = 3
+        |         THEN value + 1000.0
+        |         WHEN event_id % 3 = 1 AND event_id % 7 = 1
+        |         THEN value - 500.0
+        |         ELSE value END AS vd
+        |  FROM events
+        |  WHERE NOT (event_id % 3 != 2 AND event_id % 5 = 2))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS DOUBLE) AS sum_value,
+        |  MIN(vd) AS min_value, MAX(vd) AS max_value
+        |FROM eff GROUP BY 1""".stripMargin,
+    "m71_cdc_compacted_facts" ->
+      // compaction is physical churn with zero logical change: the
+      // post-apply facts aggregated from scratch, exactly as m66 —
+      // batch-2 deletes (del1) plus the batch-3 single-key delete
+      // slice (del2 ∧ click) are simply absent
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events
+        |WHERE NOT (event_id % 3 = 0 AND event_id % 7 = 3)
+        |  AND NOT (event_id % 3 != 2 AND event_id % 5 = 2
+        |           AND NOT (event_id % 3 = 0 AND event_id % 7 = 3)
+        |           AND event_type = 'click')
         |GROUP BY 1""".stripMargin,
     "s23_phrase_search" ->
       // the token stream re-derived; adjacency checked positionally

@@ -358,6 +358,31 @@ object LayoutStore {
         c.isLetterOrDigit && c < 128 || c == '_' || c == '-' || c == '.')
 
 
+  /** Carry a snapshot's top-level TEXT MARKERS ([[writeTextMarker]] —
+    * applied-batch tokens, bucket counts, frozen codebooks…) into a
+    * rewrite's temp dir: a marker describes the snapshot's LOGICAL
+    * content, which a compaction preserves by definition — dropping it
+    * would strip replay protection (`_applied_batch`) and fail-fast
+    * layout checks (`_state_buckets`/`_cluster_buckets`) from the
+    * compacted version, silently degrading the next fold. The
+    * manifest, retired flag and Spark's `_SUCCESS` are version-local
+    * bookkeeping, not content, and are NOT carried. */
+  private def carryMarkers(conf: org.apache.hadoop.conf.Configuration,
+                           fromDir: String, toDir: String): Unit = {
+    val from = new org.apache.hadoop.fs.Path(fromDir)
+    val fs = from.getFileSystem(conf)
+    fs.listStatus(from)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_") &&
+        st.getPath.getName != ManifestFile &&
+        st.getPath.getName != RetiredMarker &&
+        st.getPath.getName != "_SUCCESS")
+      .foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(toDir, st.getPath.getName),
+          false, conf)
+      }
+  }
+
   /** Compact the newest snapshot into a NEW snapshot — the small-file
     * maintenance job every long-lived 100 TB layout needs: incremental
     * rebuilds and wide write parallelism accrete many small files per
@@ -416,6 +441,7 @@ object LayoutStore {
           (if (parts.isEmpty) w else w.partitionBy(parts: _*))
             .parquet(if (sub.isEmpty) tmp else s"$tmp/$sub")
         }
+        carryMarkers(conf, s"$path/version=$pin", tmp)
       }
     }
   }
@@ -503,6 +529,7 @@ object LayoutStore {
               .partitionBy(chain: _*).parquet(dest)
           }
         }
+        carryMarkers(conf, s"$path/version=$pin", tmp)
         entries -- frag.keySet
       }
     }

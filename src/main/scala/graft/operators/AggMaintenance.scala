@@ -95,7 +95,8 @@ object AggMaintenance {
     * [[Upsert.applyChangelog]]).
     *
     * `changes` carries the key + measure columns plus `opCol` ∈
-    * {"I", "D"}; a `D` row must state the FULL deleted row image
+    * {"I", "D"} (plus "U" when `beforeImage` is given — native update
+    * events, see the param doc); a `D` row must state the FULL deleted row image
     * (key + exact measure values) — the standard CDC before-image
     * contract, and what makes count/sum decrements closed-form.
     * `facts` is the POST-APPLY fact table (base after the changelog
@@ -134,7 +135,8 @@ object AggMaintenance {
     * (on a key-partitioned/bucketed fact layout that scan prunes to
     * the touched partitions). A 100 TB history is never rescanned. */
   /** @param deletesPresent caller's knowledge of whether `changes`
-    *        carries any `D` row. `None` (default) = unknown: the
+    *        carries any `D` (or, with `beforeImage`, `U`) row. `None`
+    *        (default) = unknown: the
     *        min/max repair plan is built and AQE's empty-relation
     *        propagation collapses the fact scan at runtime if the batch
     *        turns out delete-free. `Some(false)` = the caller KNOWS the
@@ -142,7 +144,25 @@ object AggMaintenance {
     *        op set): the repair branch is skipped entirely and `facts`
     *        is NEVER forced — the plan provably cannot touch the fact
     *        table (spec-pinned with a throwing thunk). `Some(true)`
-    *        behaves like `None` but documents intent. */
+    *        behaves like `None` but documents intent.
+    * @param beforeImage when Some(f), op `U` (update) is accepted as a
+    *        FIRST-CLASS event carrying both images in ONE row: the
+    *        normal measure columns hold the AFTER image and `f(c)`
+    *        names the BEFORE image of sum column `c` (e.g.
+    *        `c => col(c + "_before")`). Decomposition is internal and
+    *        closed-form — n is untouched (U moves no row in or out),
+    *        each sum shifts by `after − before` in the same single
+    *        aggregate, the after image folds into the delta min/max,
+    *        and the before image's possible min/max ownership is
+    *        repaired from `facts` exactly like a delete (U keys join
+    *        the repair set) — so an update-heavy changelog (the m55
+    *        world) never doubles into D+I rows upstream. A `U` must
+    *        NOT move the row across `keyCols` (a key-moving update is
+    *        two changes — D at the old key + I at the new — and only
+    *        the caller can know both keys); before images are only
+    *        needed for `sumCols` (min/max repair reads facts, never
+    *        the before image). When None (default), `U` fails fast
+    *        like any unknown op. */
   def applyChangesToAggState(state: DataFrame, changes: DataFrame,
                              facts: => DataFrame,
                              keyCols: Seq[String],
@@ -150,7 +170,8 @@ object AggMaintenance {
                              minCols: Seq[String] = Seq.empty,
                              maxCols: Seq[String] = Seq.empty,
                              opCol: String = "op",
-                             deletesPresent: Option[Boolean] = None)
+                             deletesPresent: Option[Boolean] = None,
+                             beforeImage: Option[String => Column] = None)
       : DataFrame = {
     require(keyCols.nonEmpty, "applyChangesToAggState needs key columns")
     // fail fast on an unknown op — a silent 0-signed row would
@@ -161,28 +182,47 @@ object AggMaintenance {
     // apply the count/sum decrements but serve STALE min/max with no
     // detectable error — make the D branch itself raise instead
     // (zero cost for a truly delete-free batch: the branch never takes).
-    val dBranch: Column =
-      if (deletesPresent.contains(false) && (minCols.nonEmpty || maxCols.nonEmpty))
-        raise_error(lit(
-          s"applyChangesToAggState: deletesPresent=Some(false) but a 'D' " +
-            "row is present while min/max columns are tracked — the " +
-            "skipped repair would serve stale min/max; pass None/Some(true)"))
-          .cast("long")
-      else lit(-1L)
-    val sgn = when(col(opCol) === "I", lit(1L))
+    val lying = deletesPresent.contains(false) &&
+      (minCols.nonEmpty || maxCols.nonEmpty)
+    def lieError(op: String): Column = raise_error(lit(
+      s"applyChangesToAggState: deletesPresent=Some(false) but a '$op' " +
+        "row is present while min/max columns are tracked — the " +
+        "skipped repair would serve stale min/max; pass None/Some(true)"))
+      .cast("long")
+    val dBranch: Column = if (lying) lieError("D") else lit(-1L)
+    val okOps = if (beforeImage.isDefined) "'I', 'D' or 'U'" else "'I' or 'D'"
+    val sgnBase = when(col(opCol) === "I", lit(1L))
       .when(col(opCol) === "D", dBranch)
+    // U: a row moves neither in nor out — n contribution 0 (and the
+    // same lying-caller guard: its before image may own the min/max)
+    val sgn = beforeImage.fold(sgnBase)(_ => sgnBase.when(
+        col(opCol) === "U", if (lying) lieError("U") else lit(0L)))
       .otherwise(raise_error(concat(
-        lit(s"applyChangesToAggState: $opCol must be 'I' or 'D', got '"),
+        lit(s"applyChangesToAggState: $opCol must be $okOps, got '"),
         col(opCol).cast("string"), lit("'"))))
     // ONE aggregate builds the whole delta: signed n/sums (exact
-    // closed form over I and D), insert-only min/max (null-skipping
-    // conditional aggregates — a D row contributes nothing here)
+    // closed form over I and D; U shifts each sum by after − before),
+    // after-image min/max (null-skipping conditional aggregates — a D
+    // row contributes nothing here, a U contributes its after image)
+    def sumContrib(c: String): Column = beforeImage match {
+      case Some(f) =>
+        // a NULL before image on a U row would make the shift NULL and
+        // the sum silently skip it — fail loudly instead (rides the
+        // row pipeline; a well-formed batch pays nothing)
+        val before = when(f(c).isNull, raise_error(lit(
+          s"applyChangesToAggState: before image of '$c' is NULL on a " +
+            "'U' row — updates must carry the full before image")))
+          .otherwise(f(c))
+        when(col(opCol) === "U", col(c) - before)
+          .otherwise(col(c) * col("__sgn"))
+      case None => col(c) * col("__sgn")
+    }
     val aggs: Seq[Column] =
-      sumCols.map(c => sum(col(c) * col("__sgn")).as(s"sum_$c")) ++
+      sumCols.map(c => sum(sumContrib(c)).as(s"sum_$c")) ++
         minCols.map(c =>
-          min(when(col("__sgn") === 1L, col(c))).as(s"min_$c")) ++
+          min(when(col("__sgn") =!= -1L, col(c))).as(s"min_$c")) ++
         maxCols.map(c =>
-          max(when(col("__sgn") === 1L, col(c))).as(s"max_$c"))
+          max(when(col("__sgn") =!= -1L, col(c))).as(s"max_$c"))
     val delta = changes.withColumn("__sgn", sgn)
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("__sgn")).as("n"), aggs: _*)
@@ -196,8 +236,10 @@ object AggMaintenance {
     if ((minCols.isEmpty && maxCols.isEmpty) ||
         deletesPresent.contains(false)) merged
     else {
-      // min/max repair: ONLY delete-touched keys rebuild from facts
-      val delKeys = changes.where(col(opCol) === "D")
+      // min/max repair: ONLY delete/update-touched keys rebuild from
+      // facts (a U's before image may have owned the min/max)
+      val repairOps = if (beforeImage.isDefined) Seq("D", "U") else Seq("D")
+      val delKeys = changes.where(col(opCol).isin(repairOps: _*))
         .select(keyCols.map(col): _*).distinct()
       val rebuiltAggs: Seq[Column] =
         minCols.map(c => min(col(c)).as(s"__rb_min_$c")) ++

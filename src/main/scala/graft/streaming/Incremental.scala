@@ -472,8 +472,14 @@ object Incremental {
   /** CDC-aware streaming agg maintenance — [[aggMaintenanceAvailableNow]]
     * for a CHANGELOG stream: each micro-batch carries fact-level inserts
     * AND deletes (`opCol` ∈ {"I","D"}, a `D` row stating the full
-    * before-image — the m55/m60 CDC contract; decompose updates into
-    * D+I upstream), and the fold is
+    * before-image — the m55/m60 CDC contract) plus, when `beforeSuffix`
+    * is given, NATIVE UPDATE events (`op` = "U", one row holding the
+    * after image in the measure columns and the before image of each
+    * sum column `c` in `c + suffix` — an update-heavy changelog never
+    * doubles into D+I rows upstream: the facts fold treats a U as
+    * pk-replace, the agg fold shifts sums by after−before in closed
+    * form and repairs U-touched keys' min/max like deletes; a U must
+    * not move the row across `pkCols`/`keyCols`), and the fold is
     * [[graft.operators.AggMaintenance.applyChangesToAggState]] wired
     * into the bucketed foreachBatch path: counts/sums decrement in
     * exact closed form, delete-touched keys' min/max rebuild from the
@@ -503,7 +509,8 @@ object Incremental {
       minCols: Seq[String], maxCols: Seq[String],
       statePath: String, factsPath: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      stateBuckets: Int = 16, opCol: String = "op"): StreamingQuery = {
+      stateBuckets: Int = 16, opCol: String = "op",
+      beforeSuffix: Option[String] = None): StreamingQuery = {
     val r = spark.readStream.schema(schema).format(format)
     val src = maxFilesPerTrigger.fold(r)(n =>
       r.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
@@ -514,7 +521,7 @@ object Incremental {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cdcAggMaintenanceBatch(batch, s"$ckToken-$batchId", pkCols,
           keyCols, sumCols, minCols, maxCols, statePath, factsPath,
-          stateBuckets, opCol)
+          stateBuckets, opCol, beforeSuffix)
       }
       .start()
   }
@@ -526,11 +533,18 @@ object Incremental {
       batchToken: String, pkCols: Seq[String], keyCols: Seq[String],
       sumCols: Seq[String], minCols: Seq[String], maxCols: Seq[String],
       statePath: String, factsPath: String,
-      stateBuckets: Int = 16, opCol: String = "op"): Unit = {
+      stateBuckets: Int = 16, opCol: String = "op",
+      beforeSuffix: Option[String] = None): Unit = {
     import graft.operators.AggMaintenance
     import graft.llm.LayoutStore
     require(stateBuckets >= 1, s"stateBuckets must be >= 1: $stateBuckets")
     require(pkCols.nonEmpty, "cdcAggMaintenanceBatch needs pk columns")
+    val okOps = if (beforeSuffix.isDefined) Seq("I", "D", "U")
+                else Seq("I", "D")
+    val beforeCols = beforeSuffix.toSeq.flatMap(sfx => sumCols.map(_ + sfx))
+    beforeCols.foreach(c => require(batch.columns.contains(c),
+      s"cdcAggMaintenanceBatch: beforeSuffix is set but the batch has " +
+        s"no '$c' column — every sum column needs its before image"))
     val s2 = batch.sparkSession
     val conf = s2.sparkContext.hadoopConfiguration
     def kbOf = pmod(xxhash64(keyCols.map(col): _*),
@@ -538,7 +552,8 @@ object Incremental {
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // ONE bounded collect profiles the batch: which key buckets it
-      // touches, which of those carry a delete, and whether any op is
+      // touches, which of those need a min/max repair (a delete or a
+      // native update), and whether any op is
       // malformed (≤ stateBuckets rows) — an unknown op must fail HERE,
       // before the facts store lands, or a crash-corrected replay
       // would token-skip a half-applied facts version
@@ -550,16 +565,17 @@ object Incremental {
       // permanently divergent — the half-applied state this pre-flight
       // exists to prevent
       val prof = b.groupBy(kbOf.as("kb"))
-        .agg(max(col(opCol) === "D").as("__hasDel"),
-          max(when(col(opCol).isNull || !col(opCol).isin("I", "D"),
+        .agg(max(col(opCol).isin("D", "U")).as("__needsRepair"),
+          max(when(col(opCol).isNull || !col(opCol).isin(okOps: _*),
             coalesce(col(opCol), lit("<null>"))))
             .as("__badOp")).collect()
       prof.flatMap(r => Option(r.getString(2))).headOption.foreach(op =>
         throw new IllegalArgumentException(
-          s"cdcAggMaintenanceBatch: $opCol must be 'I' or 'D', got '$op'"))
+          s"cdcAggMaintenanceBatch: $opCol must be one of " +
+            s"${okOps.mkString("'", "'/'", "'")}, got '$op'"))
       val touched = prof.map(_.getInt(0)).sorted
-      val delBuckets = prof.filter(_.getBoolean(1)).map(_.getInt(0)).sorted
-      val hasDeletes = delBuckets.nonEmpty
+      val repairBuckets = prof.filter(_.getBoolean(1)).map(_.getInt(0)).sorted
+      val needsRepair = repairBuckets.nonEmpty
 
       // ---- facts fold FIRST: the agg repair reads post-apply facts ----
       val lastF = LayoutStore.versions(conf, factsPath).lastOption
@@ -570,7 +586,11 @@ object Incremental {
           .foreach(n => require(n == stateBuckets,
             s"fact store at $factsPath was bucketed with $n key buckets; " +
               s"refusing to fold with $stateBuckets"))
-        val inserts = b.where(col(opCol) === "I").drop(opCol)
+        // a U is a pk-replace on the fact store: its pk anti-joins out
+        // with the deletes, its after image appends with the inserts
+        // (before-image columns never land in facts)
+        val inserts = b.where(col(opCol).isin("I", "U")).drop(opCol)
+          .drop(beforeCols: _*)
         if (!(touched.isEmpty && lastF.isEmpty)) {
           LayoutStore.writeSnapshotManifested(conf, factsPath) { (tmp, _) =>
             if (touched.nonEmpty) {
@@ -581,7 +601,7 @@ object Incremental {
                     .where(col("kb").isin(touched.map(Integer.valueOf): _*))
                     .drop("kb")
                     .select(inserts.columns.map(col): _*)
-                  val delPks = b.where(col(opCol) === "D")
+                  val delPks = b.where(col(opCol).isin("D", "U"))
                     .select(pkCols.map(col): _*).distinct()
                   st.join(broadcast(delPks), pkCols, "left_anti")
                     .unionByName(inserts)
@@ -620,15 +640,16 @@ object Incremental {
           .where(col("kb").isin(touched.map(Integer.valueOf): _*))
           .drop("kb")
       }
-      // call-by-name: forced ONLY when the batch carries deletes —
-      // prunes to exactly the delete-touched buckets of the fact
-      // version this same batch just landed
+      // call-by-name: forced ONLY when the batch carries deletes or
+      // native updates — prunes to exactly the repair-touched buckets
+      // of the fact version this same batch just landed
       def postFacts = LayoutStore.readSnapshotTable(s2, factsPath)
-        .where(col("kb").isin(delBuckets.map(Integer.valueOf): _*))
+        .where(col("kb").isin(repairBuckets.map(Integer.valueOf): _*))
         .drop("kb")
       val merged = AggMaintenance.applyChangesToAggState(pruned, b,
         postFacts, keyCols, sumCols, minCols, maxCols, opCol,
-        deletesPresent = Some(hasDeletes))
+        deletesPresent = Some(needsRepair),
+        beforeImage = beforeSuffix.map(sfx => (c: String) => col(c + sfx)))
       LayoutStore.writeSnapshotManifested(conf, statePath) { (tmp, _) =>
         if (touched.nonEmpty)
           merged.withColumn("kb", kbOf).repartition(col("kb"))

@@ -279,4 +279,37 @@ class LayoutStoreSpec extends SparkTestBase {
       Set("day=0", "day=1", "day=2", "day=3"))
     assert(LayoutStore.readSnapshotTable(spark, store).count() == 41L)
   }
+
+  test("compaction carries text markers (replay tokens, bucket counts, " +
+    "codebooks) — they describe the LOGICAL snapshot — but never the " +
+    "manifest or _SUCCESS, which are version-local bookkeeping") {
+    val s = spark; import s.implicits._
+    val store = tmpDir("ls-markers") + "/store"
+    val base = (0L until 40L).map(i => (i, (i % 4).toInt, i * 1.0))
+      .toDF("id", "day", "v")
+    LayoutStore.writeSnapshot(conf, store) { tmp =>
+      base.repartition(col("day")).write.partitionBy("day").parquet(tmp)
+      LayoutStore.writeTextMarker(conf, tmp, "_applied_batch", "tok-7")
+      LayoutStore.writeTextMarker(conf, tmp, "_state_buckets", "4")
+    }
+    // full compaction
+    val v2 = LayoutStore.compactSnapshot(spark, store)
+    assert(LayoutStore.readTextMarker(conf, s"$store/version=$v2",
+      "_applied_batch").contains("tok-7"))
+    assert(LayoutStore.readTextMarker(conf, s"$store/version=$v2",
+      "_state_buckets").contains("4"))
+    // partial compaction (all-carried here — markers still land)
+    val v3 = LayoutStore.compactSnapshotPartial(spark, store,
+      maxFilesPerEntry = 64)
+    assert(LayoutStore.readTextMarker(conf, s"$store/version=$v3",
+      "_applied_batch").contains("tok-7"))
+    assert(LayoutStore.readTextMarker(conf, s"$store/version=$v3",
+      "_state_buckets").contains("4"))
+    // the partial version's own manifest must be ITS entry map, not a
+    // copied-in stale one (manifest is excluded from the carry)
+    assert(LayoutStore.readManifest(conf, store, v3).exists(
+      _.values.forall(_ == v2)),
+      "the manifest must be the version's own, referencing v2 owners")
+    assert(LayoutStore.readSnapshotTable(spark, store).count() == 40L)
+  }
 }

@@ -163,6 +163,69 @@ class AggMaintenanceSpec extends SparkTestBase {
     assert(got == Map("x" -> ((2L, 8.0))), s"$got")
   }
 
+  test("applyChangesToAggState: native 'U' events (beforeImage) shift " +
+    "sums by after−before with n untouched, fold the after image into " +
+    "min/max, and repair U-touched keys from facts — equal to the " +
+    "from-scratch aggregate of the post-apply facts") {
+    val s = spark; import s.implicits._
+    val pre = Seq(("x", 1.0), ("x", 3.0), ("y", 5.0), ("z", 9.0))
+      .toDF("k", "v")
+    // I(x,7); U(y, 5→6); D(z,9)
+    val changes = Seq(
+      ("x", 7.0, null.asInstanceOf[java.lang.Double], "I"),
+      ("y", 6.0, java.lang.Double.valueOf(5.0), "U"),
+      ("z", 9.0, null.asInstanceOf[java.lang.Double], "D"))
+      .toDF("k", "v", "v_before", "op")
+    val post = Seq(("x", 1.0), ("x", 3.0), ("x", 7.0), ("y", 6.0))
+      .toDF("k", "v")
+    val state0 = AggMaintenance.aggState(pre, Seq("k"),
+      sumCols = Seq("v"), minCols = Seq("v"), maxCols = Seq("v"))
+    val got = AggMaintenance.applyChangesToAggState(state0, changes, post,
+      Seq("k"), sumCols = Seq("v"), minCols = Seq("v"),
+      maxCols = Seq("v"),
+      beforeImage = Some(c => col(c + "_before")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val want = AggMaintenance.aggState(post, Seq("k"),
+      sumCols = Seq("v"), minCols = Seq("v"), maxCols = Seq("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got == want, s"$got vs $want")
+    assert(got("y") == ((1L, 6.0, 6.0, 6.0)),
+      "U must not change n; min/max must serve the after image")
+  }
+
+  test("applyChangesToAggState: a NULL before image on a 'U' row fails " +
+    "loudly — a silent NULL shift would corrupt the sum") {
+    val s = spark; import s.implicits._
+    val state0 = AggMaintenance.aggState(
+      Seq(("y", 5.0)).toDF("k", "v"), Seq("k"), sumCols = Seq("v"))
+    val changes = Seq(("y", 6.0, null.asInstanceOf[java.lang.Double], "U"))
+      .toDF("k", "v", "v_before", "op")
+    val e = intercept[Exception](
+      AggMaintenance.applyChangesToAggState(state0, changes,
+        sys.error("sum-only U never reads facts"), Seq("k"),
+        sumCols = Seq("v"),
+        beforeImage = Some(c => col(c + "_before"))).collect())
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("before image"), s"${e.getClass}: $chain")
+  }
+
+  test("applyChangesToAggState: without beforeImage, 'U' stays an " +
+    "unknown op — the I/D contract is unchanged") {
+    val s = spark; import s.implicits._
+    val state0 = AggMaintenance.aggState(
+      Seq(("y", 5.0)).toDF("k", "v"), Seq("k"), sumCols = Seq("v"))
+    val changes = Seq(("y", 6.0, "U")).toDF("k", "v", "op")
+    intercept[Exception](
+      AggMaintenance.applyChangesToAggState(state0, changes,
+        sys.error("unreached"), Seq("k"), sumCols = Seq("v")).collect())
+  }
+
   test("applyChangesToAggState fails fast on an unknown op value") {
     val s = spark; import s.implicits._
     val state0 = AggMaintenance.aggState(

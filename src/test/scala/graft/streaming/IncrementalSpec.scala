@@ -296,6 +296,59 @@ class IncrementalSpec extends SparkTestBase {
     assert(factRows == Seq(1L), s"fact store must hold only pk=1: $factRows")
   }
 
+  test("cdcAggMaintenanceBatch: native 'U' events (beforeSuffix) are a " +
+    "pk-replace on the fact store and a closed-form sum shift + min/max " +
+    "repair on the state; without beforeSuffix, 'U' fails the pre-flight") {
+    val s = spark; import s.implicits._
+    val root = tmpDir("cdc-updates")
+    val state = root + "/state"
+    val facts = root + "/facts"
+    def fold(rows: Seq[(Long, String, Double, java.lang.Double, String)],
+             token: String): Unit =
+      Incremental.cdcAggMaintenanceBatch(
+        rows.toDF("pk", "k", "v", "v_before", "op"), token,
+        pkCols = Seq("pk"), keyCols = Seq("k"), sumCols = Seq("v"),
+        minCols = Seq("v"), maxCols = Seq("v"),
+        statePath = state, factsPath = facts,
+        beforeSuffix = Some("_before"))
+    def readState() = graft.llm.LayoutStore.readSnapshotTable(spark, state)
+      .select("k", "n", "sum_v", "min_v", "max_v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val nb = null.asInstanceOf[java.lang.Double]
+    fold(Seq((1L, "x", 1.0, nb, "I"), (2L, "x", 9.0, nb, "I"),
+      (3L, "y", 5.0, nb, "I")), "u0")
+    // update x's MAX down (9→4): n unchanged, sum shifts −5, and the
+    // repair must rebuild max from the post-apply facts (not keep 9)
+    fold(Seq((2L, "x", 4.0, java.lang.Double.valueOf(9.0), "U"),
+      (4L, "y", 2.0, nb, "I")), "u1")
+    assert(readState() == Map(
+      "x" -> ((2L, 5.0, 1.0, 4.0)), "y" -> ((2L, 7.0, 2.0, 5.0))),
+      s"${readState()}")
+    // the fact store serves the after image exactly once, no before col
+    val fdf = graft.llm.LayoutStore.readSnapshotTable(spark, facts)
+    assert(!fdf.columns.contains("v_before"),
+      "before images must never land in facts")
+    val fRows = fdf.select("pk", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fRows == Map(1L -> 1.0, 2L -> 4.0, 3L -> 5.0, 4L -> 2.0),
+      s"U must pk-replace in the fact store: $fRows")
+    // without beforeSuffix the contract is unchanged: U is malformed
+    // and fails BEFORE anything lands
+    val root2 = tmpDir("cdc-updates-off")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val e = intercept[IllegalArgumentException](
+      Incremental.cdcAggMaintenanceBatch(
+        Seq((9L, "x", 1.0, "U")).toDF("pk", "k", "v", "op"), "u2",
+        pkCols = Seq("pk"), keyCols = Seq("k"), sumCols = Seq("v"),
+        minCols = Nil, maxCols = Nil,
+        statePath = root2 + "/state", factsPath = root2 + "/facts"))
+    assert(e.getMessage.contains("'U'"), e.getMessage)
+    assert(graft.llm.LayoutStore.versions(conf, root2 + "/facts").isEmpty,
+      "a U batch without beforeSuffix must not land anything")
+  }
+
   test("cdcAggMaintenanceBatch: a malformed op fails fast BEFORE any " +
     "store version lands — no half-applied facts to token-skip later") {
     val s = spark; import s.implicits._
