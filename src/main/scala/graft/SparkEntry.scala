@@ -1757,6 +1757,22 @@ object SparkEntry {
       graft.llm.Dedup.setSimilarityJoin(adj, "id", "nbrs",
         thresholdNum = 11, thresholdDen = 50)
     }),
+    "d88_bpe_merges" -> ((s, dir) => {
+      // deterministic BPE vocabulary induction over the document
+      // corpus (extends d41's one-round pair stats to the full trainer
+      // a real pipeline runs): 8 merge rounds, each the exact-integer
+      // argmax of freq-weighted adjacent-pair counts (ties to the
+      // lexicographically smallest pair) followed by one corpus-wide
+      // greedy left-to-right merge. A pure function of the corpus —
+      // the oracle unrolls the IDENTICAL 8 rounds in SQL (list_reduce
+      // mirrors the engine's aggregate fold element-for-element), so
+      // the merge tables must agree row-for-row including counts
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.llm.Bpe.trainMerges(
+        graft.llm.Bpe.wordCorpus(docs.select(col("text")), "text"),
+        numMerges = 8)
+      s.createDataFrame(merges)
+    }),
     "d79_pagerank" -> ((s, dir) => {
       // fixed-point PageRank (3 power iterations, d=17/20, scale 1e12)
       // over the supplier→customer fulfillment graph — the canonical
@@ -4068,6 +4084,43 @@ object SparkEntry {
     * corpus source — the positional-index lifecycle oracles (s25 probe,
     * m61 append, m62 takedown) pass the corpus the index should be
     * serving, making each an independent from-scratch derivation. */
+  /** d88's oracle: the identical N BPE merge rounds unrolled as chained
+    * CTEs — pair counts via list_zip over each word's symbol list, the
+    * per-round argmax with the (cnt DESC, l, r) tie-break, the greedy
+    * left-to-right merge via list_reduce over single-symbol lists (the
+    * element-for-element mirror of the engine's `aggregate` fold). An
+    * exhausted corpus (empty b_k) empties every later stage, matching
+    * the engine's early stop. */
+  private def bpeOracleSql(n: Int): String = {
+    val rounds = (1 to n).map { k =>
+      s""",
+         |c$k AS (
+         |  SELECT p.p['l'] AS l, p.p['r'] AS r, SUM(freq) AS cnt FROM (
+         |    SELECT unnest(list_transform(list_zip(sym[1:-2], sym[2:-1]),
+         |      z -> struct_pack(l := z[1], r := z[2]))) AS p, freq
+         |    FROM w${k - 1}) p
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, cnt FROM c$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$k AS (
+         |  SELECT CASE WHEN len(sym) < 2 THEN sym ELSE list_reduce(
+         |      list_transform(sym, s -> [s]),
+         |      (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+         |                  THEN list_concat(acc[1:-2], [b.l || b.r])
+         |                  ELSE list_concat(acc, x) END) END AS sym, freq
+         |  FROM w${k - 1}, b$k b)""".stripMargin
+    }.mkString
+    val sel = (1 to n).map(k =>
+      s"SELECT $k AS rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS cnt " +
+        s"FROM b$k").mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      t -> t <> '')) AS word FROM documents) GROUP BY 1),
+       |w0 AS (SELECT regexp_extract_all(word, '.') AS sym, freq FROM wf)
+       |$rounds
+       |$sel""".stripMargin
+  }
+
   private def phraseOracleSql(corpusSql: String): String =
     s"""WITH t AS (SELECT doc_id,
        |    list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
@@ -5780,6 +5833,10 @@ object SparkEntry {
          |    ELSE 0.0 END AS lcc
          |FROM deg LEFT JOIN corners c ON c.id = deg.id""".stripMargin
     },
+    "d88_bpe_merges" ->
+      // the identical 8 training rounds unrolled: exact-integer pair
+      // counts, shared tie-break, list_reduce = the engine's fold
+      bpeOracleSql(8),
     "d85_assortativity" ->
       // same canonical pairs + degrees; DuckDB's SUM(BIGINT) is exact
       // HUGEINT, mirroring the engine's exact decimal(38,0) sums; the

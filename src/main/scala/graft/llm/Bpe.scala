@@ -1,0 +1,120 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic BPE merge TRAINER — the vocabulary-induction operator
+  * an LLM data pipeline actually runs (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units"), extending
+  * the kit's d41 adjacent-pair statistics from ONE round of counts to
+  * the full fixed-point training loop. The reference has no
+  * counterpart — its nearest extension point is the per-record UDF
+  * chain (SURVEY §2.13, `common/converters/data/` UDF classes), which could
+  * apply a trained vocab but never induce one.
+  *
+  * Training is a PURE FUNCTION of the corpus (the s29/d79 exact-integer
+  * discipline): each round counts adjacent symbol pairs weighted by
+  * word frequency, takes the max-count pair with ties broken by the
+  * lexicographically smallest (left, right), merges it corpus-wide in
+  * one left-to-right greedy pass per word, and recounts. A SQL oracle
+  * that unrolls the same N rounds computes the identical merge table —
+  * no RNG, no float, no iteration-order dependence anywhere.
+  *
+  * Scale shape: the training state is the WORD-FREQUENCY table — ∝
+  * distinct words, not corpus bytes (the classic BPE trick: a 100 TB
+  * corpus has a vocabulary orders of magnitude smaller, and
+  * [[wordCorpus]] reduces to it with one map-side-combined aggregate).
+  * Each round is one aggregate over the vocab (pairs explode ~word
+  * length, combine map-side to ≤ |alphabet²| partial rows per task)
+  * plus ONE collected row (the argmax — `limit(1)`, driver-bounded by
+  * construction), and one narrow merge pass re-materialized via
+  * localCheckpoint so the plan never accretes N rounds of lineage.
+  * Symbols ride native array HOFs (`zip_with`/`aggregate`/`slice`) —
+  * no UDF anywhere.
+  *
+  * Char/word conventions (mirrored verbatim by the oracle): words are
+  * whitespace-split non-empty tokens; initial symbols are regex `.`
+  * matches (one per BMP code point — no `</w>` end-of-word marker:
+  * merges never cross word boundaries here, which the whitespace
+  * pre-split already enforces). */
+object Bpe {
+
+  /** One trained merge: rank (1-based round), the pair, and its
+    * corpus-wide weighted count at selection time. */
+  final case class Merge(rank: Int, lhs: String, rhs: String, cnt: Long)
+
+  /** Word-frequency table of a document corpus: whitespace-split,
+    * empty tokens dropped — the vocab-sized frame training runs on. */
+  def wordCorpus(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(filter(split(col(textCol), "\\s+"),
+        t => t =!= "")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** One greedy left-to-right merge pass of pair (l, r) over a symbol
+    * array: standard BPE non-overlapping semantics — "aaa" under (a,a)
+    * becomes ["aa","a"], never ["aa","aa"] (the fold's fresh "aa" can't
+    * re-match as `l`: equality is against the ORIGINAL left symbol). */
+  private[graft] def mergePair(s: Column, l: String, r: String): Column =
+    when(size(s) < 2, s).otherwise(
+      aggregate(
+        slice(s, lit(2), size(s) - 1),
+        array(element_at(s, 1)),
+        (acc, x) => when(element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x)))))
+
+  /** Adjacent symbol pairs of each word, weighted by freq, summed
+    * corpus-wide. */
+  private def pairCounts(w: DataFrame): DataFrame =
+    w.select(explode(zip_with(
+        slice(col("sym"), lit(1), size(col("sym")) - 1),
+        slice(col("sym"), lit(2), size(col("sym")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("freq"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Train `numMerges` BPE merges over a (word, freq) corpus. Returns
+    * the merge table in rank order — fewer than `numMerges` entries
+    * only if the corpus runs out of adjacent pairs (every word fully
+    * merged to one symbol). */
+  def trainMerges(words: DataFrame, numMerges: Int,
+                  wordCol: String = "word", freqCol: String = "freq")
+      : Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    var w = words
+      .where(col(wordCol).isNotNull && length(col(wordCol)) > 0)
+      .select(expr(s"regexp_extract_all($wordCol, '.', 0)").as("sym"),
+        col(freqCol).cast("long").as("freq"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[Merge]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      k += 1
+      val best = pairCounts(w)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      best.headOption match {
+        case None => exhausted = true
+        case Some(row) =>
+          val (l, r, c) = (row.getString(0), row.getString(1),
+            row.getLong(2))
+          out += Merge(k, l, r, c)
+          w = w.select(mergePair(col("sym"), l, r).as("sym"), col("freq"))
+            .localCheckpoint()
+      }
+    }
+    out.result()
+  }
+
+  /** Tokenize a word column with a trained merge table: the initial
+    * char split followed by each merge in rank order — exactly the
+    * trainer's own passes, so tokenizing the training corpus with its
+    * own table reproduces the trainer's final symbol state. */
+  def applyMerges(wordCol: String, merges: Seq[Merge]): Column = {
+    val init = expr(s"regexp_extract_all($wordCol, '.', 0)")
+    merges.sortBy(_.rank).foldLeft(init: Column)((s, m) =>
+      mergePair(s, m.lhs, m.rhs))
+  }
+}
