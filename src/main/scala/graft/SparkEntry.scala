@@ -1773,6 +1773,17 @@ object SparkEntry {
         numMerges = 8)
       s.createDataFrame(merges)
     }),
+    "d89_exact_spans" -> ((s, dir) => {
+      // exact cross-document substring-span dedup (the Lee-et-al
+      // exact-substring discipline): every maximal run of >= 8
+      // consecutive tokens appearing verbatim in >= 2 distinct docs,
+      // emitted as per-doc cut lists. One gram aggregate + one
+      // semi-join + one per-doc window — never pairwise in the number
+      // of sharing documents
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.llm.Dedup.exactSpanCutLists(docs, "doc_id", "text", k = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
     "d79_pagerank" -> ((s, dir) => {
       // fixed-point PageRank (3 power iterations, d=17/20, scale 1e12)
       // over the supplier→customer fulfillment graph — the canonical
@@ -5837,6 +5848,33 @@ object SparkEntry {
       // the identical 8 training rounds unrolled: exact-integer pair
       // counts, shared tie-break, list_reduce = the engine's fold
       bpeOracleSql(8),
+    "d89_exact_spans" ->
+      // independently derived: duplicated = k-gram in >= 2 distinct
+      // docs; union of extents via the same gap > k run split; spans
+      // are exact integers end to end
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |        FROM toks WHERE len(t) >= 8)),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        |r AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS run
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM m))
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+        |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
+        |FROM r GROUP BY doc_id, run""".stripMargin,
     "d85_assortativity" ->
       // same canonical pairs + degrees; DuckDB's SUM(BIGINT) is exact
       // HUGEINT, mirroring the engine's exact decimal(38,0) sums; the

@@ -2708,4 +2708,68 @@ object Dedup {
     materializeAndRelease(out, docs)
   }
 
+  /** EXACT substring-span dedup across documents (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * exact-substring discipline, token-granular): find every maximal
+    * span of >= k consecutive tokens that appears VERBATIM in at least
+    * `minDocs` distinct documents, and emit it as a per-document CUT
+    * LIST — (id, span_start, span_end, span_len) in token positions —
+    * the input a span-removal pass consumes. Completes the kit's
+    * fingerprint tiers (winnowing d07/d10, containment d25, span
+    * decontamination d27/d32): those DETECT overlap; this one emits
+    * the exact character of it.
+    *
+    * Algorithm — sorted k-gram chains, no suffix array: a token
+    * position is DUPLICATED iff its k-gram occurs in >= minDocs
+    * distinct docs; the union of duplicated k-gram extents
+    * [pos, pos+k-1] is exactly the duplicated text, and consecutive
+    * duplicated starts with gap <= k union into one maximal span (gap
+    * > k means the extents are disjoint). One aggregate over grams,
+    * one semi-join back, one per-doc window — every step
+    * shuffle-bounded by the gram key; nothing is pairwise in the
+    * number of sharing documents (the classic failure mode: a
+    * boilerplate header in 1M docs is ONE gram group here, never
+    * 10^12 doc pairs).
+    *
+    * Scale note: the shuffle key is the k-token gram STRING, chosen so
+    * the result is exactly derivable (and cross-engine gated — d89); at
+    * 100 TB you would fingerprint grams to 128 bits first (xxhash64
+    * twice with different seeds) and accept the 2^-128 collision odds —
+    * same plan shape, ~10x smaller shuffle payload. Cut lists must not
+    * cut text that never duplicated, so a 64-bit key (birthday-bound
+    * collisions at 10^12 grams) is NOT acceptable here, unlike the
+    * candidate-generation tiers where verification follows. */
+  def exactSpanCutLists(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(minDocs >= 2,
+      s"minDocs must be >= 2 (cross-document): $minDocs")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      filter(split(col(textCol), "\\s+"), t => t =!= "").as("t"))
+    val grams = toks.where(size(col("t")) >= k)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("t")) - k),
+        i => struct(i.as("pos"),
+          array_join(slice(col("t"), i + 1, lit(k)), " ").as("gram"))))
+        .as("pg"))
+      .select(col("id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("gram"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    grams.join(dup, Seq("gram"), "left_semi")
+      .withColumn("__gap", col("pos") - lag(col("pos"), 1).over(w))
+      .withColumn("__run",
+        sum(when(col("__gap").isNull || col("__gap") > k, 1)
+          .otherwise(0)).over(w))
+      .groupBy(col("id"), col("__run"))
+      .agg(min(col("pos")).as("__s"), max(col("pos")).as("__e"))
+      .select(col("id"),
+        col("__s").cast("long").as("span_start"),
+        (col("__e") + (k - 1)).cast("long").as("span_end"),
+        (col("__e") + k - col("__s")).cast("long").as("span_len"))
+  }
+
 }

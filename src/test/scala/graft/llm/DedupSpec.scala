@@ -766,6 +766,28 @@ class DedupSpec extends SparkTestBase {
       s"sidecar must drop revoked-incident edges and relabel: ${sidecar()}")
   }
 
+  test("exactSpanCutLists: duplicated k-gram extents union into maximal " +
+    "spans; adjacent extents (gap == k) merge, disjoint (gap > k) " +
+    "don't; within-doc repeats never mark; unique docs emit nothing") {
+    val s = spark; import s.implicits._
+    val fixture = Seq(
+      (1L, "a b c d e f"),        // shares 'a b c','b c d' with doc 2
+      (2L, "z z a b c d q"),
+      (3L, "p q r"),              // unique
+      (4L, "m n o m n o"),        // 'm n o' repeats WITHIN one doc only
+      (7L, "u v w x y z"),        // duplicated at pos {0,3}: gap 3 == k → ONE span
+      (8L, "u v w m x y z")       // duplicated at pos {0,4}: gap 4 > k → TWO spans
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSpanCutLists(fixture, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 3L, 4L),   // "a b c d"
+      (2L, 2L, 5L, 4L),   // "a b c d"
+      (7L, 0L, 5L, 6L),   // extents [0,2]+[3,5] adjacent → whole doc
+      (8L, 0L, 2L, 3L), (8L, 4L, 6L, 3L)), s"$got")
+  }
+
   test("takedownCcLabelStore crash-replay: a crash AFTER the sidecar " +
     "fold but BEFORE the label write replays into the identical " +
     "labeling — the endpoint-selected sidecar read is insensitive to " +
