@@ -84,19 +84,31 @@ object ScaleBench {
       s""""head":"$head","ts":"${java.time.Instant.now()}"}"""
   }
 
-  /** Label-propagation, HITS and triangle/LCC sections over the
+  /** Label-propagation, HITS, triangle/LCC, personalized-PageRank,
+    * assortativity and k-core sections over the
     * candidate pair graph — shared by the 544k and 988k mains. Each
     * operator runs once, re-runs over a repartitioned edge frame, and
     * ASSERTS the exact result checksum is partitioning-invariant (the
     * d79 discipline: bit-exactness is enforced by the bench itself,
-    * not claimed). Returns a JSON fragment ending in a comma. */
+    * not claimed). Returns a JSON fragment ending in a comma.
+    *
+    * The input edge frame is localCheckpoint-MATERIALIZED first (cost
+    * stamped as `graph_input_secs`): the r15 artifact's 318s-vs-131s
+    * triangle spread was the candidate frame's cache partially evicted
+    * by the preceding sections — the first run re-paid LSH candidate
+    * generation, the rerun read it warm, and the committed number was
+    * unreadable as an operator cost. A checkpointed input makes every
+    * first-run/rerun pair measure the OPERATOR. */
   private[graft] def graphSectionsJson(
-      cands: org.apache.spark.sql.DataFrame): String = {
+      candsIn: org.apache.spark.sql.DataFrame): String = {
     def secs(since: Long): Double = (System.nanoTime() - since) / 1e9
     def checksum(df: org.apache.spark.sql.DataFrame,
                  cols: Seq[String]): java.math.BigDecimal =
       df.agg(sum(xxhash64(cols.map(col): _*).cast("decimal(38,0)")))
         .head().getDecimal(0)
+    val tIn = System.nanoTime()
+    val cands = candsIn.select(col("id1"), col("id2")).localCheckpoint()
+    val inputSecs = secs(tIn)
 
     // ---- seeded label propagation (2 hops) ------------------------------
     // seeds: every 4th node labeled by a 5-way id-derived class — pure
@@ -143,8 +155,10 @@ object ScaleBench {
     // organic cold replicas sit on sparse chains. Degree-ordered
     // orientation keeps the wedge fan-out O(sqrt m) per node, so the
     // hot clusters cannot go quadratic.
+    val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val tT = System.nanoTime()
-    val tri = graft.operators.Triangles.triangleCounts(cands)
+    val tri = graft.operators.Triangles.triangleCounts(cands,
+      stageSecs = Some((k, v) => stages(k) = v))
     val triNodes = tri.count()
     val triSecs = secs(tT)
     val triTotal = tri.agg(sum(col("triangles")).cast("decimal(38,0)"))
@@ -158,13 +172,79 @@ object ScaleBench {
         == triHash && tri2.count() == triNodes,
       "triangle counting diverged across partitionings")
 
-    s""""labelprop_secs":$lpSecs,"labelprop_repart_secs":$lpSecs2,""" +
+    // ---- personalized (seed-teleport) PageRank — d81 at corpus scale ----
+    // the TrustRank-shaped signal: teleport + dangling mass return to a
+    // trusted slice (every 10th node); 3 rounds of exact-integer mass
+    val pprSeeds = cands.select(col("id1").as("id"))
+      .unionByName(cands.select(col("id2").as("id"))).distinct()
+      .where(col("id") % 10 === 0)
+    val pprEdges = cands.select(col("id1").as("src"), col("id2").as("dst"))
+    val tPpr = System.nanoTime()
+    val ppr = graft.operators.PageRank.personalizedPageRankFixedPoint(
+      pprEdges, pprSeeds, iters = 3)
+    val pprNodes = ppr.count()
+    val pprSecs = secs(tPpr)
+    val pprHash = checksum(ppr, Seq("node", "rank"))
+    val tPpr2 = System.nanoTime()
+    val ppr2 = graft.operators.PageRank.personalizedPageRankFixedPoint(
+      pprEdges.repartition(13), pprSeeds, iters = 3)
+    val pprSecs2 = secs(tPpr2)
+    require(checksum(ppr2, Seq("node", "rank")) == pprHash &&
+      ppr2.count() == pprNodes,
+      "personalized PageRank diverged across partitionings")
+
+    // ---- degree assortativity — d85 at corpus scale ----------------------
+    // one global 4-sum aggregate in exact decimals, one double division;
+    // the single result row must be IDENTICAL across partitionings
+    def assortRow(e: org.apache.spark.sql.DataFrame): (Long, Option[Double]) = {
+      val r = graft.operators.Triangles.degreeAssortativity(e).head()
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    }
+    val tAs = System.nanoTime()
+    val (asEdges, asR) = assortRow(cands)
+    val asSecs = secs(tAs)
+    val tAs2 = System.nanoTime()
+    val asAgain = assortRow(cands.repartition(13))
+    val asSecs2 = secs(tAs2)
+    require(asAgain == ((asEdges, asR)),
+      s"assortativity diverged across partitionings: $asAgain vs $asR")
+
+    // ---- k-core decomposition — d86 at corpus scale -----------------------
+    // iterative peeling to the fixpoint; the capped near-dup cliques
+    // survive deep cores while chain/bridge structure peels out
+    val coreK = 8
+    val tKc = System.nanoTime()
+    val kc = graft.operators.KCore.kCoreWithRounds(cands, k = coreK,
+      maxIterations = 60)
+    val kcNodes = kc.nodes.count()
+    val kcSecs = secs(tKc)
+    val kcHash = checksum(kc.nodes, Seq("id", "core_degree"))
+    val tKc2 = System.nanoTime()
+    val kc2 = graft.operators.KCore.kCoreWithRounds(
+      cands.repartition(13), k = coreK, maxIterations = 60)
+    val kcSecs2 = secs(tKc2)
+    require(checksum(kc2.nodes, Seq("id", "core_degree")) == kcHash &&
+      kc2.nodes.count() == kcNodes && kc2.rounds == kc.rounds,
+      "k-core diverged across partitionings")
+
+    s""""graph_input_secs":$inputSecs,""" +
+      s""""labelprop_secs":$lpSecs,"labelprop_repart_secs":$lpSecs2,""" +
       s""""labelprop_nodes":$lpNodes,"labelprop_hash":"$lpHash",""" +
       s""""hits_secs":$hitsSecs,"hits_repart_secs":$hitsSecs2,""" +
       s""""hits_nodes":$hitsNodes,"hits_hash":"$hitsHash",""" +
       s""""triangles_secs":$triSecs,"triangles_repart_secs":$triSecs2,""" +
+      s""""triangles_orient_secs":${stages.getOrElse("orient", -1.0)},""" +
+      s""""triangles_wedge_secs":${stages.getOrElse("wedge", -1.0)},""" +
       s""""triangles_nodes":$triNodes,"triangles_total":$triTotal,""" +
-      s""""triangles_hash":"$triHash","""
+      s""""triangles_hash":"$triHash",""" +
+      s""""ppr_secs":$pprSecs,"ppr_repart_secs":$pprSecs2,""" +
+      s""""ppr_nodes":$pprNodes,"ppr_hash":"$pprHash",""" +
+      s""""assort_secs":$asSecs,"assort_repart_secs":$asSecs2,""" +
+      s""""assort_edges":$asEdges,""" +
+      s""""assort_r":${asR.map(_.toString).getOrElse("null")},""" +
+      s""""kcore_secs":$kcSecs,"kcore_repart_secs":$kcSecs2,""" +
+      s""""kcore_k":$coreK,"kcore_nodes":$kcNodes,""" +
+      s""""kcore_rounds":${kc.rounds},"kcore_hash":"$kcHash","""
   }
 
   def main(args: Array[String]): Unit = {

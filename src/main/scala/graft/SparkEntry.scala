@@ -1784,6 +1784,32 @@ object SparkEntry {
       graft.llm.Dedup.exactSpanCutLists(docs, "doc_id", "text", k = 8)
         .withColumnRenamed("id", "doc_id")
     }),
+    "d90_span_removal" -> ((s, dir) => {
+      // the REMOVAL half of the Lee-et-al exact-substring loop: d89's
+      // cut lists applied back to the corpus — every token inside a
+      // duplicated span drops, survivors re-join single-spaced, un-cut
+      // docs pass through re-tokenized. One equi-join + a positional
+      // array filter; the corpus token stream never explodes
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val cuts = graft.llm.Dedup.exactSpanCutLists(docs, "doc_id",
+        "text", k = 8)
+      graft.llm.Dedup.removeSpans(docs, "doc_id", "text", cuts)
+    }),
+    "d91_bpe_token_stats" -> ((s, dir) => {
+      // token counting with the LEARNED vocab (composes d88): train 8
+      // merges, tokenize the word corpus with its own table, count
+      // token occurrences freq-weighted — the top-30 slice both
+      // engines derive from the identical trained state
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val words = graft.llm.Bpe.wordCorpus(docs.select(col("text")),
+        "text")
+      val merges = graft.llm.Bpe.trainMerges(words, numMerges = 8)
+      words.select(explode(graft.llm.Bpe.applyMerges("word", merges))
+          .as("token"), col("freq"))
+        .groupBy(col("token")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(30)
+    }),
     "d79_pagerank" -> ((s, dir) => {
       // fixed-point PageRank (3 power iterations, d=17/20, scale 1e12)
       // over the supplier→customer fulfillment graph — the canonical
@@ -4102,7 +4128,7 @@ object SparkEntry {
     * element-for-element mirror of the engine's `aggregate` fold). An
     * exhausted corpus (empty b_k) empties every later stage, matching
     * the engine's early stop. */
-  private def bpeOracleSql(n: Int): String = {
+  private def bpeOracleSql(n: Int, tail: Option[String] = None): String = {
     val rounds = (1 to n).map { k =>
       s""",
          |c$k AS (
@@ -4120,9 +4146,9 @@ object SparkEntry {
          |                  ELSE list_concat(acc, x) END) END AS sym, freq
          |  FROM w${k - 1}, b$k b)""".stripMargin
     }.mkString
-    val sel = (1 to n).map(k =>
+    val sel = tail.getOrElse((1 to n).map(k =>
       s"SELECT $k AS rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS cnt " +
-        s"FROM b$k").mkString("\nUNION ALL\n")
+        s"FROM b$k").mkString("\nUNION ALL\n"))
     s"""WITH wf AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
@@ -5875,6 +5901,49 @@ object SparkEntry {
         |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
         |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
         |FROM r GROUP BY doc_id, run""".stripMargin,
+    "d90_span_removal" ->
+      // d89's derivation chained into removal: tokens anti-joined
+      // against span coverage, re-joined in position order; fully-cut
+      // and cut-free docs both survive via the outer join
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |        FROM toks WHERE len(t) >= 8)),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        |r AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS run
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM m)),
+        |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+        |          FROM r GROUP BY doc_id, run),
+        |ex AS (SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS pos
+        |       FROM toks),
+        |kept AS (
+        |  SELECT e.doc_id, e.tok, e.pos FROM ex e
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = e.doc_id AND e.pos BETWEEN s.s AND s.e))
+        |SELECT toks.doc_id, COALESCE(k.text, '') AS text
+        |FROM toks LEFT JOIN (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin,
+    "d91_bpe_token_stats" ->
+      // the identical 8 trained rounds, then the final symbol state
+      // unnested and freq-weighted — gates applyMerges cross-engine
+      bpeOracleSql(8, tail = Some(
+        """SELECT token, cnt FROM (
+          |  SELECT u.tok AS token, CAST(SUM(freq) AS BIGINT) AS cnt
+          |  FROM (SELECT unnest(sym) AS tok, freq FROM w8) u GROUP BY 1)
+          |ORDER BY cnt DESC, token LIMIT 30""".stripMargin)),
     "d85_assortativity" ->
       // same canonical pairs + degrees; DuckDB's SUM(BIGINT) is exact
       // HUGEINT, mirroring the engine's exact decimal(38,0) sums; the

@@ -111,10 +111,31 @@ object Bpe {
   /** Tokenize a word column with a trained merge table: the initial
     * char split followed by each merge in rank order — exactly the
     * trainer's own passes, so tokenizing the training corpus with its
-    * own table reproduces the trainer's final symbol state. */
+    * own table reproduces the trainer's final symbol state.
+    *
+    * The merge table rides as DATA (one literal array of (l, r)
+    * structs) through a single outer `aggregate`, NOT as N nested
+    * [[mergePair]] columns: each nesting level would copy its input
+    * subtree ~5x, so a 50-merge vocab would explode the expression
+    * tree ~5^50 and OOM the analyzer — as a lambda VARIABLE the
+    * accumulator is referenced by name, constant size at any vocab. */
   def applyMerges(wordCol: String, merges: Seq[Merge]): Column = {
-    val init = expr(s"regexp_extract_all($wordCol, '.', 0)")
-    merges.sortBy(_.rank).foldLeft(init: Column)((s, m) =>
-      mergePair(s, m.lhs, m.rhs))
+    val init: Column = expr(s"regexp_extract_all($wordCol, '.', 0)")
+    if (merges.isEmpty) init
+    else {
+      val table = array(merges.sortBy(_.rank).map(m =>
+        struct(lit(m.lhs).as("l"), lit(m.rhs).as("r"))): _*)
+      aggregate(table, init, (syms, m) =>
+        when(size(syms) < 2, syms).otherwise(
+          aggregate(
+            slice(syms, lit(2), size(syms) - 1),
+            array(element_at(syms, 1)),
+            (acc, x) => when(
+                element_at(acc, -1) === m.getField("l") &&
+                  x === m.getField("r"),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(m.getField("l"), m.getField("r")))))
+              .otherwise(concat(acc, array(x))))))
+    }
   }
 }

@@ -2772,4 +2772,36 @@ object Dedup {
         (col("__e") + k - col("__s")).cast("long").as("span_len"))
   }
 
+  /** Apply [[exactSpanCutLists]] cut lists to a corpus: drop every
+    * token whose position falls inside a cut span and re-join the
+    * survivors single-spaced — the REMOVAL half of the Lee-et-al
+    * exact-substring loop (detection emits positions; this consumes
+    * them). Documents with no cuts pass through re-tokenized (the
+    * whitespace normalization is the same one the detector saw, so
+    * positions always refer to the same token stream).
+    *
+    * Scale shape: cuts aggregate to one small array per cut document
+    * (spans per doc are few by construction — they merged to maximal),
+    * ONE equi-join on the doc id, and a per-row positional filter via
+    * native array HOFs — no explode of the corpus tokens, no window,
+    * no second shuffle. */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+                  cuts: DataFrame,
+                  cutIdCol: String = "id",
+                  startCol: String = "span_start",
+                  endCol: String = "span_end"): DataFrame = {
+    val sp = cuts.groupBy(col(cutIdCol).as(idCol))
+      .agg(collect_list(struct(col(startCol).as("s"),
+        col(endCol).as("e"))).as("__sp"))
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    df.join(sp, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          filter(toks, (t, i) => col("__sp").isNull ||
+            !exists(col("__sp"),
+              s => i.cast("long") >= s.getField("s") &&
+                i.cast("long") <= s.getField("e"))),
+          " ").as(textCol))
+  }
+
 }

@@ -39,10 +39,22 @@ import org.apache.spark.sql.functions._
   *         lcc = 2·triangles / (degree·(degree−1)), 0.0 when degree < 2 */
 object Triangles {
 
+  /** @param stageSecs when set, receives ("orient", secs) after the
+    *        oriented frame MATERIALIZES (forced via count — the persist
+    *        is otherwise lazy and the first consumer would be charged
+    *        the build) and ("wedge", secs) after the wedge join +
+    *        per-node counts land; the r15 ScaleBench finding (318s
+    *        first run vs 131s rerun on the same graph) was unreadable
+    *        precisely because the committed number mixed input
+    *        re-materialization into the operator's cost. Default None:
+    *        no extra job, behavior unchanged. */
   def triangleCounts(edges: DataFrame,
                      idCol1: String = "id1",
-                     idCol2: String = "id2"): DataFrame = {
+                     idCol2: String = "id2",
+                     stageSecs: Option[(String, Double) => Unit] = None)
+      : DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val t0 = System.nanoTime()
     // canonical simple graph: unordered pair, self-loops out, dups out
     val canon = edges
       .select(least(col(idCol1), col(idCol2)).as("u"),
@@ -69,6 +81,11 @@ object Triangles {
         when(lower(col("__du"), col("u"), col("__dv"), col("v")),
           col("__dv")).otherwise(col("__du")).as("__dd"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    stageSecs.foreach { cb =>
+      oriented.count() // force the persist so the stage split is real
+      cb("orient", (System.nanoTime() - t0) / 1e9)
+    }
+    val tW = System.nanoTime()
     // wedges at the lowest-order corner: both dst endpoints outrank
     // src, so the closing edge — if present — is oriented between them
     // under the same order; emit the pair already in that order so ONE
@@ -96,6 +113,7 @@ object Triangles {
             (col("degree") * (col("degree") - 1)).cast("double"))
           .otherwise(lit(0.0)))
     val materialized = out.localCheckpoint()
+    stageSecs.foreach(_("wedge", (System.nanoTime() - tW) / 1e9))
     Seq(oriented, deg, canon).foreach(_.unpersist(blocking = true))
     materialized
   }

@@ -788,6 +788,26 @@ class DedupSpec extends SparkTestBase {
       (8L, 0L, 2L, 3L), (8L, 4L, 6L, 3L)), s"$got")
   }
 
+  test("removeSpans: cut tokens drop, survivors re-join in order, " +
+    "cut-free and fully-cut docs both survive") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z z a b c d q"),
+      (3L, "p  q r"),        // no cuts — re-tokenized (ws normalized)
+      (9L, "x y z")          // fully cut below
+    ).toDF("doc_id", "text")
+    val cuts = Seq(
+      (1L, 0L, 3L),          // "a b c d" out
+      (2L, 2L, 5L),
+      (9L, 0L, 2L)           // whole doc out
+    ).toDF("id", "span_start", "span_end")
+    val got = Dedup.removeSpans(docs, "doc_id", "text", cuts)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "e f", 2L -> "z z q", 3L -> "p q r", 9L -> ""), s"$got")
+  }
+
   test("takedownCcLabelStore crash-replay: a crash AFTER the sidecar " +
     "fold but BEFORE the label write replays into the identical " +
     "labeling — the endpoint-selected sidecar read is insensitive to " +
