@@ -677,4 +677,59 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Exchange (hash|range|single)".r.findAllIn(p).isEmpty,
       s"history must not shuffle in the fold's output plan:\n$p")
   }
+
+  test("d89: exact-span detection is a gram aggregate + LEFT-SEMI back-" +
+    "join + one per-doc window — no cartesian, nothing pairwise in the " +
+    "sharing-document count") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "z a b c d q"))
+      .toDF("doc_id", "text")
+    val p = graft.llm.Dedup.exactSpanCutLists(docs, "doc_id", "text",
+      k = 3).queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"),
+      s"duplicated positions must select via a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"span detection must never pair documents:\n$p")
+  }
+
+  test("d90: span removal is ONE equi-join — the corpus token stream " +
+    "never explodes (no Generate on the document side)") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val cuts = Seq((1L, 0L, 2L)).toDF("id", "span_start", "span_end")
+    val p = graft.llm.Dedup.removeSpans(docs, "doc_id", "text", cuts)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"),
+      s"removeSpans must filter positionally, never explode:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"removeSpans joins on the doc id only:\n$p")
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).length == 1,
+      s"exactly one equi-join applies the cut lists:\n$p")
+  }
+
+  test("d88: one BPE training round is a map-side-combined pair " +
+    "aggregate + a driver-bounded top-1 — TakeOrderedAndProject, " +
+    "never a full sort") {
+    val s = spark; import s.implicits._
+    val words = Seq(("abab", 3L), ("ab", 2L)).toDF("word", "freq")
+    // the round's argmax plan, exactly as trainMerges builds it
+    import org.apache.spark.sql.functions._
+    val w = words.select(expr("regexp_extract_all(word, '.', 0)")
+      .as("sym"), col("freq").cast("long").as("freq"))
+    val round = w.select(explode(zip_with(
+        slice(col("sym"), lit(1), size(col("sym")) - 1),
+        slice(col("sym"), lit(2), size(col("sym")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("freq"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1)
+    val p = round.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the per-round argmax must be a top-1, not a global sort:\n$p")
+    assert(p.contains("partial_sum"),
+      s"pair counts must combine map-side:\n$p")
+  }
 }
