@@ -956,6 +956,30 @@ object ScaleBench {
       .count()
     val bpeSecs = secs(tBpe)
 
+    // ---- BPE merge TRAINER (d88) at corpus scale --------------------------
+    // the claim: training cost = ONE corpus-wide word count (the only
+    // pass over corpus bytes) + rounds ∝ the VOCAB (distinct words —
+    // orders of magnitude smaller), each round one map-side-combined
+    // pair aggregate + a 1-row argmax. The merge table is a pure
+    // function of the corpus: retraining over a repartitioned vocab
+    // must produce the IDENTICAL table (asserted, the d79 discipline).
+    val tBpeW = System.nanoTime()
+    val bpeWords = graft.llm.Bpe.wordCorpus(corpus.select(col("text")),
+        "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bpeVocab = bpeWords.count()
+    val bpeWordsSecs = secs(tBpeW)
+    val tBpeT = System.nanoTime()
+    val bpeMerges = graft.llm.Bpe.trainMerges(bpeWords, numMerges = 12)
+    val bpeTrainSecs = secs(tBpeT)
+    val tBpeT2 = System.nanoTime()
+    val bpeMerges2 = graft.llm.Bpe.trainMerges(bpeWords.repartition(13),
+      numMerges = 12)
+    val bpeTrainSecs2 = secs(tBpeT2)
+    require(bpeMerges2 == bpeMerges,
+      s"BPE training diverged across partitionings: $bpeMerges2 vs $bpeMerges")
+    bpeWords.unpersist(blocking = true)
+
     // d40 stratum overlap at 8 synthetic strata: replicas of every base
     // doc land in all strata (doc_id % 8), so the shared-gram join runs
     // at its heaviest (near-total overlap, jaccard ~ 1)
@@ -1450,6 +1474,10 @@ object ScaleBench {
       s""""funnel_secs":$funSecs,"funnel_docs":$funDocs,""" +
       s""""funnel_kept":$funKept,""" +
       s""""bpe_secs":$bpeSecs,"bpe_rows":$bpeRows,""" +
+      s""""bpe_vocab":$bpeVocab,"bpe_wordcount_secs":$bpeWordsSecs,""" +
+      s""""bpe_train_secs":$bpeTrainSecs,""" +
+      s""""bpe_train_repart_secs":$bpeTrainSecs2,""" +
+      s""""bpe_merges":${bpeMerges.size},""" +
       s""""so_secs":$soSecs,"so_pairs":$soRows,""" +
       s""""cent_secs":$centSecs,"cent_pairs":$centRows,""" +
       s""""vec_corpus":$nVecs,"vec_float_secs":$simFSecs,""" +
