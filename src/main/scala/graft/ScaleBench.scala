@@ -956,6 +956,32 @@ object ScaleBench {
       .count()
     val bpeSecs = secs(tBpe)
 
+    // ---- exact substring-span dedup (d89) at corpus scale -----------------
+    // the Lee-et-al cut-list extraction over the replicated corpus: the
+    // hot mega-clusters are verbatim copies (every gram duplicated ->
+    // one whole-doc span each) and the cold replicas share all but the
+    // trailing revision tokens — so nearly every position marks and the
+    // run exercises the gram aggregate + semi-join + per-doc window at
+    // its heaviest. The claim: cost rides the GRAM GROUPS (one shuffle
+    // on the gram key), never the sharing-doc count — 2500-deep
+    // verbatim clusters are one group per gram, not 3M doc pairs.
+    val tExSpan = System.nanoTime()
+    val exSpans = graft.llm.Dedup.exactSpanCutLists(corpus, "doc_id",
+      "text", k = 8)
+    val exSpanRows = exSpans.count()
+    val exSpanSecs = secs(tExSpan)
+    val exSpanHash = exSpans.agg(sum(xxhash64(col("id"),
+        col("span_start"), col("span_end")).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    val tExSpan2 = System.nanoTime()
+    val exSpans2 = graft.llm.Dedup.exactSpanCutLists(
+      corpus.repartition(13), "doc_id", "text", k = 8)
+    val exSpanSecs2 = secs(tExSpan2)
+    require(exSpans2.agg(sum(xxhash64(col("id"), col("span_start"),
+        col("span_end")).cast("decimal(38,0)"))).head().getDecimal(0)
+        == exSpanHash && exSpans2.count() == exSpanRows,
+      "exact-span extraction diverged across partitionings")
+
     // ---- BPE merge TRAINER (d88) at corpus scale --------------------------
     // the claim: training cost = ONE corpus-wide word count (the only
     // pass over corpus bytes) + rounds ∝ the VOCAB (distinct words —
@@ -1474,6 +1500,8 @@ object ScaleBench {
       s""""funnel_secs":$funSecs,"funnel_docs":$funDocs,""" +
       s""""funnel_kept":$funKept,""" +
       s""""bpe_secs":$bpeSecs,"bpe_rows":$bpeRows,""" +
+      s""""exspan_secs":$exSpanSecs,"exspan_repart_secs":$exSpanSecs2,""" +
+      s""""exspan_rows":$exSpanRows,"exspan_hash":"$exSpanHash",""" +
       s""""bpe_vocab":$bpeVocab,"bpe_wordcount_secs":$bpeWordsSecs,""" +
       s""""bpe_train_secs":$bpeTrainSecs,""" +
       s""""bpe_train_repart_secs":$bpeTrainSecs2,""" +
