@@ -154,6 +154,15 @@ object Bench {
     // pass 0 = warmup (JIT, codegen, FS metadata); untimed
     for (pass <- 0 to repeats) {
       val spark = newSession()
+      // warm the fresh session's file index + parquet footers for the
+      // corpus tables (untimed): the old single-session harness
+      // amortized this listing invisibly across passes — without it,
+      // every pass's queries are charged a per-table re-list, a
+      // uniform ~0.05-0.1s tax that reads as drift on sub-second rows
+      Option(new java.io.File(sfDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+        .foreach(p => spark.read.parquet(p))
       val passG0 = gcCtr.get()
       try {
         for (name <- names) {
