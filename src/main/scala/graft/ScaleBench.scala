@@ -976,10 +976,13 @@ object ScaleBench {
     val tExSpan2 = System.nanoTime()
     val exSpans2 = graft.llm.Dedup.exactSpanCutLists(
       corpus.repartition(13), "doc_id", "text", k = 8)
+    val exSpanHash2 = exSpans2.agg(sum(xxhash64(col("id"),
+        col("span_start"), col("span_end")).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    // the timer must close AFTER the checksum forces the recompute —
+    // the first committed artifact timed plan construction only
     val exSpanSecs2 = secs(tExSpan2)
-    require(exSpans2.agg(sum(xxhash64(col("id"), col("span_start"),
-        col("span_end")).cast("decimal(38,0)"))).head().getDecimal(0)
-        == exSpanHash && exSpans2.count() == exSpanRows,
+    require(exSpanHash2 == exSpanHash && exSpans2.count() == exSpanRows,
       "exact-span extraction diverged across partitionings")
 
     // ---- BPE merge TRAINER (d88) at corpus scale --------------------------
