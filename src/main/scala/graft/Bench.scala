@@ -27,8 +27,14 @@ import java.nio.file.{Files, Paths}
   * at most one repeat of each query it overlaps, which the median then
   * discards. (Back-to-back repeats of the same query would all fit
   * inside one spike — exactly the failure mode being defended against.)
+  * Within each timed pass the suite order is a deterministically-seeded
+  * shuffle (seed = pass number): a fixed alphabetical order ran the
+  * s-tier last in EVERY pass, so end-of-pass drift survived the median
+  * as a phantom band on one tier (round 16's open finding).
   * The JSON keeps `"queries"` = medians for backward compatibility and
-  * adds `"min"` + `"repeats"` (all per-pass times, in pass order).
+  * adds `"min"` + `"repeats"` (all per-pass times, in pass order), plus
+  * `"gc_ms_repeats"`/`"pass_wall_secs"` so positional effects are
+  * measurable from the artifact itself.
   *
   * JVM hygiene across passes (round 15's one real finding: suite task-GC
   * tripled over three rounds — 153s→294s→604s — with a uniform 1.3-2.5x
@@ -149,23 +155,42 @@ object Bench {
       names.map(n => n -> 0L): _*)
     val gcs = scala.collection.mutable.LinkedHashMap(
       names.map(n => n -> 0L): _*)
+    val gcReps = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> Vector.empty[Long]): _*)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val passGc = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val passWall = scala.collection.mutable.ArrayBuffer.empty[Double]
     // pass 0 = warmup (JIT, codegen, FS metadata); untimed
     for (pass <- 0 to repeats) {
+      // POSITION-FAIR ordering (round 16's open bench finding): a fixed
+      // alphabetical order runs the s-tier LAST in every pass, so any
+      // end-of-pass drift (driver-heap tail, ambient end-of-run load)
+      // lands on the same band in every repeat and survives the median.
+      // Each timed pass runs a deterministically-seeded shuffle of the
+      // suite — same orders on every bench invocation (A/B-comparable),
+      // different positions across passes, so a positional effect hits
+      // each query in at most one repeat and the median discards it.
+      // The warmup pass stays sorted (untimed; order is irrelevant).
+      val passNames =
+        if (pass == 0) names
+        else new scala.util.Random(6151L * pass).shuffle(names)
       val spark = newSession()
       // warm the fresh session's file index + parquet footers for the
       // corpus tables (untimed): the old single-session harness
       // amortized this listing invisibly across passes — without it,
       // every pass's queries are charged a per-table re-list, a
-      // uniform ~0.05-0.1s tax that reads as drift on sub-second rows
+      // uniform ~0.05-0.1s tax that reads as drift on sub-second rows.
+      // `.inputFiles` FORCES the InMemoryFileIndex listing into the
+      // shared FileStatusCache — a bare `read.parquet(p)` only reads
+      // one footer for schema inference and leaves the listing cold
       Option(new java.io.File(sfDir).listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
-        .foreach(p => spark.read.parquet(p))
+        .foreach(p => spark.read.parquet(p).inputFiles)
       val passG0 = gcCtr.get()
+      val passT0 = System.nanoTime()
       try {
-        for (name <- names) {
+        for (name <- passNames) {
           val (s0, g0) = (spillCtr.get(), gcCtr.get())
           val t0 = System.nanoTime()
           val r = execute(spark, name)
@@ -175,11 +200,15 @@ object Bench {
             times(name) = times(name) :+ dt
             spills(name) += spillCtr.get() - s0
             gcs(name) += gcCtr.get() - g0
+            gcReps(name) = gcReps(name) :+ (gcCtr.get() - g0)
             r.left.foreach(e => if (!errors.contains(name)) errors(name) = e)
           }
         }
       } finally spark.stop()
-      if (pass > 0) passGc += gcCtr.get() - passG0
+      if (pass > 0) {
+        passGc += gcCtr.get() - passG0
+        passWall += (System.nanoTime() - passT0) / 1e9
+      }
     }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
@@ -194,18 +223,24 @@ object Bench {
     val spillJson = names.map(n => s""""$n":${spills(n)}""")
       .mkString("{", ",", "}")
     val gcJson = names.map(n => s""""$n":${gcs(n)}""").mkString("{", ",", "}")
+    // per-pass GC per query (pass order, like "repeats"): a drift band
+    // readable as "which pass, and was it heap" straight from the artifact
+    val gcRepJson = names.map(n => gcReps(n).mkString(s""""$n":[""", ",", "]"))
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ")}""""
     }.mkString("{", ",", "}")
     val total = names.map(n => median(times(n))).sum
     val host = try java.net.InetAddress.getLocalHost.getHostName catch { case _: Throwable => "unknown" }
     val prov = s"""{"host":"${host.replace("\\", "\\\\").replace("\"", "\\\"")}",""" +
-      s""""cpus":"$cpus","repeats":$repeats,""" +
+      s""""cpus":"$cpus","repeats":$repeats,"order":"shuffled-per-pass",""" +
       s""""ts":"${java.time.Instant.now()}"}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,""" +
       s""""repeats":$reps,"spill_bytes":$spillJson,"gc_ms":$gcJson,""" +
+      s""""gc_ms_repeats":$gcRepJson,""" +
       s""""pass_gc_ms":${passGc.mkString("[", ",", "]")},""" +
+      s""""pass_wall_secs":${passWall.map(w => f"$w%.1f").mkString("[", ",", "]")},""" +
       s""""errors":$errJson,"sf":"$sfDir","provenance":$prov}"""
     println(line)
     Files.writeString(Paths.get("BENCH_local.json"), line + "\n")

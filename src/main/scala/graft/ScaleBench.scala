@@ -227,6 +227,10 @@ object ScaleBench {
       kc2.nodes.count() == kcNodes && kc2.rounds == kc.rounds,
       "k-core diverged across partitionings")
 
+    // every section has run: drop the checkpointed edge frame's blocks
+    // (Dataset.unpersist can't reach RDD-level checkpoint storage)
+    graft.core.Checkpoints.release(cands)
+
     s""""graph_input_secs":$inputSecs,""" +
       s""""labelprop_secs":$lpSecs,"labelprop_repart_secs":$lpSecs2,""" +
       s""""labelprop_nodes":$lpNodes,"labelprop_hash":"$lpHash",""" +
@@ -981,9 +985,24 @@ object ScaleBench {
       .head().getDecimal(0)
     // the timer must close AFTER the checksum forces the recompute —
     // the first committed artifact timed plan construction only
+    // (moot at r17 HEAD: the operator materializes internally, so the
+    // call itself pays the compute — but the ordering stays defensive)
     val exSpanSecs2 = secs(tExSpan2)
     require(exSpanHash2 == exSpanHash && exSpans2.count() == exSpanRows,
       "exact-span extraction diverged across partitionings")
+    // the 128-bit fingerprint tier (d92): same cut lists, gram key is
+    // two salted xxhash64s over the token slice instead of the joined
+    // string — the 100 TB shuffle payload, equality ASSERTED at scale
+    val tExFp = System.nanoTime()
+    val exSpansFp = graft.llm.Dedup.exactSpanCutLists(corpus, "doc_id",
+      "text", k = 8, fingerprintGrams = true)
+    val exSpanFpRows = exSpansFp.count()
+    val exSpanFpSecs = secs(tExFp)
+    val exSpanFpHash = exSpansFp.agg(sum(xxhash64(col("id"),
+        col("span_start"), col("span_end")).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    require(exSpanFpHash == exSpanHash && exSpanFpRows == exSpanRows,
+      "fingerprint-tier cut lists diverged from the string tier")
 
     // ---- BPE merge TRAINER (d88) at corpus scale --------------------------
     // the claim: training cost = ONE corpus-wide word count (the only
@@ -1504,6 +1523,7 @@ object ScaleBench {
       s""""funnel_kept":$funKept,""" +
       s""""bpe_secs":$bpeSecs,"bpe_rows":$bpeRows,""" +
       s""""exspan_secs":$exSpanSecs,"exspan_repart_secs":$exSpanSecs2,""" +
+      s""""exspan_fp_secs":$exSpanFpSecs,""" +
       s""""exspan_rows":$exSpanRows,"exspan_hash":"$exSpanHash",""" +
       s""""bpe_vocab":$bpeVocab,"bpe_wordcount_secs":$bpeWordsSecs,""" +
       s""""bpe_train_secs":$bpeTrainSecs,""" +

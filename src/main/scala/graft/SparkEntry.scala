@@ -1784,6 +1784,18 @@ object SparkEntry {
       graft.llm.Dedup.exactSpanCutLists(docs, "doc_id", "text", k = 8)
         .withColumnRenamed("id", "doc_id")
     }),
+    "d92_exact_spans_fp" -> ((s, dir) => {
+      // the 100 TB tier of d89: grams keyed by a 128-bit fingerprint
+      // (two salted xxhash64 passes over the token slice) instead of
+      // the gram string — same plan shape, ~10x smaller shuffle
+      // payload. Gated against d89's OWN string-tier oracle: the cut
+      // lists must be identical row-for-row, proving the fingerprint
+      // key changes the payload and nothing else
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.llm.Dedup.exactSpanCutLists(docs, "doc_id", "text", k = 8,
+          fingerprintGrams = true)
+        .withColumnRenamed("id", "doc_id")
+    }),
     "d90_span_removal" -> ((s, dir) => {
       // the REMOVAL half of the Lee-et-al exact-substring loop: d89's
       // cut lists applied back to the corpus — every token inside a
@@ -4126,8 +4138,41 @@ object SparkEntry {
     * per-round argmax with the (cnt DESC, l, r) tie-break, the greedy
     * left-to-right merge via list_reduce over single-symbol lists (the
     * element-for-element mirror of the engine's `aggregate` fold). An
-    * exhausted corpus (empty b_k) empties every later stage, matching
-    * the engine's early stop. */
+    * exhausted corpus (empty b_k) CARRIES the prior symbol state
+    * through every later w_k (LEFT JOIN + NULL guard) so the final
+    * state matches the engine's early stop — b_k still contributes no
+    * merge row. Tokenization class pinned cross-engine (see
+    * WhitespaceTokens): explicit `[ \t\n\x0B\f\r]` split set and its
+    * negation for symbols, never `\s`/`.`. */
+  /** d89's oracle, shared verbatim by d92 (the fingerprint tier must
+    * produce byte-identical cut lists): duplicated = k-gram in >= 2
+    * distinct docs; union of extents via the same gap > k run split;
+    * spans are exact integers end to end. */
+  private val exactSpanOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+      |    x -> x <> '') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    array_to_string(t[i:i+7], ' ') AS gram
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+      |        FROM toks WHERE len(t) >= 8)),
+      |dup AS (SELECT gram FROM g GROUP BY gram
+      |        HAVING COUNT(DISTINCT doc_id) >= 2),
+      |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+      |r AS (
+      |  SELECT doc_id, pos,
+      |    SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS run
+      |  FROM (SELECT doc_id, pos,
+      |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |        FROM m))
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+      |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
+      |FROM r GROUP BY doc_id, run""".stripMargin
+
   private def bpeOracleSql(n: Int, tail: Option[String] = None): String = {
     val rounds = (1 to n).map { k =>
       s""",
@@ -4139,21 +4184,24 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |b$k AS (SELECT l, r, cnt FROM c$k ORDER BY cnt DESC, l, r LIMIT 1),
          |w$k AS (
-         |  SELECT CASE WHEN len(sym) < 2 THEN sym ELSE list_reduce(
+         |  SELECT CASE WHEN b.l IS NULL OR len(sym) < 2 THEN sym
+         |    ELSE list_reduce(
          |      list_transform(sym, s -> [s]),
          |      (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
          |                  THEN list_concat(acc[1:-2], [b.l || b.r])
          |                  ELSE list_concat(acc, x) END) END AS sym, freq
-         |  FROM w${k - 1}, b$k b)""".stripMargin
+         |  FROM w${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin
     }.mkString
     val sel = tail.getOrElse((1 to n).map(k =>
       s"SELECT $k AS rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS cnt " +
         s"FROM b$k").mkString("\nUNION ALL\n"))
     s"""WITH wf AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-       |    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |    SELECT unnest(list_filter(
+       |      regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
        |      t -> t <> '')) AS word FROM documents) GROUP BY 1),
-       |w0 AS (SELECT regexp_extract_all(word, '.') AS sym, freq FROM wf)
+       |w0 AS (SELECT regexp_extract_all(word, '[^ \\t\\n\\x0B\\f\\r]')
+       |  AS sym, freq FROM wf)
        |$rounds
        |$sel""".stripMargin
   }
@@ -5878,35 +5926,18 @@ object SparkEntry {
       // independently derived: duplicated = k-gram in >= 2 distinct
       // docs; union of extents via the same gap > k run split; spans
       // are exact integers end to end
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
-        |    x -> x <> '') AS t
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, i - 1 AS pos,
-        |    array_to_string(t[i:i+7], ' ') AS gram
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
-        |        FROM toks WHERE len(t) >= 8)),
-        |dup AS (SELECT gram FROM g GROUP BY gram
-        |        HAVING COUNT(DISTINCT doc_id) >= 2),
-        |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
-        |r AS (
-        |  SELECT doc_id, pos,
-        |    SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY pos) AS run
-        |  FROM (SELECT doc_id, pos,
-        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |        FROM m))
-        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-        |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
-        |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
-        |FROM r GROUP BY doc_id, run""".stripMargin,
+      exactSpanOracleSql,
+    "d92_exact_spans_fp" ->
+      // the STRING-tier oracle verbatim: the fingerprint tier must
+      // produce byte-identical cut lists (the key is internal — only
+      // a collision could diverge, and that's the failure to catch)
+      exactSpanOracleSql,
     "d90_span_removal" ->
       // d89's derivation chained into removal: tokens anti-joined
       // against span coverage, re-joined in position order; fully-cut
       // and cut-free docs both survive via the outer join
       """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
         |    x -> x <> '') AS t
         |  FROM documents),
         |g AS (

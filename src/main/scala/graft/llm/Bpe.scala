@@ -33,22 +33,23 @@ import org.apache.spark.sql.functions._
   * no UDF anywhere.
   *
   * Char/word conventions (mirrored verbatim by the oracle): words are
-  * whitespace-split non-empty tokens; initial symbols are regex `.`
-  * matches (one per BMP code point — no `</w>` end-of-word marker:
-  * merges never cross word boundaries here, which the whitespace
-  * pre-split already enforces). */
+  * whitespace-split non-empty tokens and initial symbols are single
+  * code points, both via [[WhitespaceTokens]]' pinned explicit
+  * character class (Java-regex/RE2-identical — `\s`/`.` are NOT). No
+  * `</w>` end-of-word marker: merges never cross word boundaries
+  * here, which the whitespace pre-split already enforces. */
 object Bpe {
 
   /** One trained merge: rank (1-based round), the pair, and its
     * corpus-wide weighted count at selection time. */
   final case class Merge(rank: Int, lhs: String, rhs: String, cnt: Long)
 
-  /** Word-frequency table of a document corpus: whitespace-split,
-    * empty tokens dropped — the vocab-sized frame training runs on. */
+  /** Word-frequency table of a document corpus: whitespace-split
+    * ([[WhitespaceTokens]] — the pinned cross-engine class), empty
+    * tokens dropped — the vocab-sized frame training runs on. */
   def wordCorpus(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .select(explode(filter(split(col(textCol), "\\s+"),
-        t => t =!= "")).as("word"))
+      .select(explode(WhitespaceTokens.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** One greedy left-to-right merge pass of pair (l, r) over a symbol
@@ -84,7 +85,8 @@ object Bpe {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
     var w = words
       .where(col(wordCol).isNotNull && length(col(wordCol)) > 0)
-      .select(expr(s"regexp_extract_all($wordCol, '.', 0)").as("sym"),
+      .select(regexp_extract_all(col(wordCol),
+          lit(WhitespaceTokens.symbolRegex), lit(0)).as("sym"),
         col(freqCol).cast("long").as("freq"))
       .localCheckpoint()
     val out = Seq.newBuilder[Merge]
@@ -101,10 +103,19 @@ object Bpe {
           val (l, r, c) = (row.getString(0), row.getString(1),
             row.getLong(2))
           out += Merge(k, l, r, c)
+          val prev = w
           w = w.select(mergePair(col("sym"), l, r).as("sym"), col("freq"))
             .localCheckpoint()
+          // release the prior round's checkpoint blocks NOW — dropping
+          // the reference alone pins N rounds of the word table in the
+          // block manager until driver GC, contradicting the
+          // state-∝-distinct-words scale claim for large numMerges
+          graft.core.Checkpoints.release(prev)
       }
     }
+    // the result is the merge TABLE — the last round's symbol state has
+    // no consumer after the final pair count, so release it too
+    graft.core.Checkpoints.release(w)
     out.result()
   }
 
@@ -120,7 +131,8 @@ object Bpe {
     * tree ~5^50 and OOM the analyzer — as a lambda VARIABLE the
     * accumulator is referenced by name, constant size at any vocab. */
   def applyMerges(wordCol: String, merges: Seq[Merge]): Column = {
-    val init: Column = expr(s"regexp_extract_all($wordCol, '.', 0)")
+    val init: Column = regexp_extract_all(col(wordCol),
+      lit(WhitespaceTokens.symbolRegex), lit(0))
     if (merges.isEmpty) init
     else {
       val table = array(merges.sortBy(_.rank).map(m =>

@@ -2731,27 +2731,57 @@ object Dedup {
     * boilerplate header in 1M docs is ONE gram group here, never
     * 10^12 doc pairs).
     *
-    * Scale note: the shuffle key is the k-token gram STRING, chosen so
-    * the result is exactly derivable (and cross-engine gated — d89); at
-    * 100 TB you would fingerprint grams to 128 bits first (xxhash64
-    * twice with different seeds) and accept the 2^-128 collision odds —
-    * same plan shape, ~10x smaller shuffle payload. Cut lists must not
+    * Scale note: the shuffle key is the k-token gram — by default the
+    * gram STRING (exactly derivable, cross-engine gated — d89); with
+    * `fingerprintGrams` a 128-BIT FINGERPRINT (xxhash64 of the token
+    * slice twice, the second salted — independent seeds), accepting
+    * the 2^-128 collision odds for a ~10x smaller shuffle payload —
+    * the 100 TB tier (gated by d92: identical cut lists on the same
+    * corpus, against d89's own string-tier oracle). Cut lists must not
     * cut text that never duplicated, so a 64-bit key (birthday-bound
     * collisions at 10^12 grams) is NOT acceptable here, unlike the
-    * candidate-generation tiers where verification follows. */
+    * candidate-generation tiers where verification follows.
+    *
+    * Cache discipline: the gram frame feeds BOTH the duplicated-gram
+    * aggregate and the semi-join probe, so an unpersisted plan pays
+    * the corpus tokenize + gram explode twice (Spark does not reuse
+    * the exchange across the two consumers — r16 finding). The
+    * tokenized corpus (∼input-sized, far smaller than the exploded
+    * grams) persists for the call, the small cut-list result
+    * materializes eagerly, and the cache releases before return (the
+    * [[materializeAndRelease]] contract). */
   def exactSpanCutLists(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, minDocs: Int = 2): DataFrame = {
+                        k: Int, minDocs: Int = 2,
+                        fingerprintGrams: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(minDocs >= 2,
       s"minDocs must be >= 2 (cross-document): $minDocs")
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("id"),
-      filter(split(col(textCol), "\\s+"), t => t =!= "").as("t"))
+        WhitespaceTokens.tokens(col(textCol)).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materializeAndRelease(
+      exactSpanPlan(toks, k, minDocs, fingerprintGrams), toks)
+  }
+
+  /** [[exactSpanCutLists]]' plan over a pre-tokenized (id, t) frame —
+    * split out so the plan shape stays auditable (the public operator
+    * returns a materialized frame whose executed plan is a scan). */
+  private[graft] def exactSpanPlan(toks: DataFrame, k: Int, minDocs: Int,
+                                   fingerprintGrams: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 128-bit key: two xxhash64 passes over the token slice, the second
+    // salted by a leading literal (xxhash64 folds columns sequentially,
+    // so a distinct first column is a distinct seed)
+    val gramKey: Column => Column =
+      if (fingerprintGrams)
+        s => struct(xxhash64(s).as("h1"),
+          xxhash64(lit(0x9E3779B97F4A7C15L), s).as("h2"))
+      else s => array_join(s, " ")
     val grams = toks.where(size(col("t")) >= k)
       .select(col("id"), explode(transform(
         sequence(lit(0), size(col("t")) - k),
         i => struct(i.as("pos"),
-          array_join(slice(col("t"), i + 1, lit(k)), " ").as("gram"))))
+          gramKey(slice(col("t"), i + 1, lit(k))).as("gram"))))
         .as("pg"))
       .select(col("id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
     val dup = grams.groupBy(col("gram"))
@@ -2793,7 +2823,7 @@ object Dedup {
     val sp = cuts.groupBy(col(cutIdCol).as(idCol))
       .agg(collect_list(struct(col(startCol).as("s"),
         col(endCol).as("e"))).as("__sp"))
-    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val toks = WhitespaceTokens.tokens(col(textCol))
     df.join(sp, Seq(idCol), "left")
       .select(col(idCol),
         array_join(

@@ -56,6 +56,9 @@ object KCore {
       .localCheckpoint()
     var converged = false
     var iters = 0
+    // carried across rounds: counting the prior round's (already
+    // localCheckpointed) frame again would be a redundant job per round
+    var eCount = e.count()
     while (!converged && iters < maxIterations) {
       iters += 1
       val keep = e.select(col("u").as("id"))
@@ -70,7 +73,9 @@ object KCore {
         .localCheckpoint()
       // converged when no edge was dropped (node survival is a pure
       // function of the edge set, so stable edges => stable nodes)
-      converged = pruned.count() == e.count()
+      val prunedCount = pruned.count()
+      converged = prunedCount == eCount
+      eCount = prunedCount
       e = pruned
     }
     if (!converged) throw new IllegalStateException(

@@ -564,15 +564,42 @@ object Incremental {
       // replay would token-skip the facts fold, leaving the two stores
       // permanently divergent — the half-applied state this pre-flight
       // exists to prevent
-      val prof = b.groupBy(kbOf.as("kb"))
-        .agg(max(col(opCol).isin("D", "U")).as("__needsRepair"),
+      // two-level: per-pk first (event count + bucket span), then per
+      // bucket — the fold applies AT MOST ONE change event per pk per
+      // batch (an I and a U, or two U's, for one pk would anti-join the
+      // old row once but append both images — duplicate pks in facts
+      // that skew every later repair), and a pk whose events straddle
+      // key buckets means the batch changed a row's GROUP KEY without a
+      // key before-image; both are off-contract and must fail pre-write
+      val prof = b
+        .groupBy(pkCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"),
+          min(kbOf).as("__kbMin"), max(kbOf).as("__kbMax"),
+          max(col(opCol).isin("D", "U")).as("__r"),
           max(when(col(opCol).isNull || !col(opCol).isin(okOps: _*),
-            coalesce(col(opCol), lit("<null>"))))
-            .as("__badOp")).collect()
+            coalesce(col(opCol), lit("<null>")))).as("__b"))
+        .groupBy(col("__kbMin").as("kb"))
+        .agg(max(col("__r")).as("__needsRepair"),
+          max(col("__b")).as("__badOp"),
+          max(col("__n")).as("__maxPerPk"),
+          max(col("__kbMin") =!= col("__kbMax")).as("__kbSplit"))
+        .collect()
       prof.flatMap(r => Option(r.getString(2))).headOption.foreach(op =>
         throw new IllegalArgumentException(
           s"cdcAggMaintenanceBatch: $opCol must be one of " +
             s"${okOps.mkString("'", "'/'", "'")}, got '$op'"))
+      prof.find(_.getBoolean(4)).foreach(r =>
+        throw new IllegalArgumentException(
+          "cdcAggMaintenanceBatch: a pk's change events fall in different " +
+            "key buckets — the batch moves a row across group keys, which " +
+            "needs a key before-image the contract doesn't carry; emit a " +
+            "D under the old key and an I under the new one instead"))
+      prof.find(_.getLong(3) > 1).foreach(r =>
+        throw new IllegalArgumentException(
+          s"cdcAggMaintenanceBatch: ${r.getLong(3)} change events for one " +
+            s"pk in a single batch (key bucket ${r.getInt(0)}) — the fold " +
+            "applies at most one event per pk per batch; coalesce events " +
+            "upstream or split the batch"))
       val touched = prof.map(_.getInt(0)).sorted
       val repairBuckets = prof.filter(_.getBoolean(1)).map(_.getInt(0)).sorted
       val needsRepair = repairBuckets.nonEmpty

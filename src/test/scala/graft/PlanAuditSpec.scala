@@ -682,15 +682,23 @@ class PlanAuditSpec extends SparkTestBase {
     "join + one per-doc window — no cartesian, nothing pairwise in the " +
     "sharing-document count") {
     val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{col, split}
     val docs = Seq((1L, "a b c d e f"), (2L, "z a b c d q"))
       .toDF("doc_id", "text")
-    val p = graft.llm.Dedup.exactSpanCutLists(docs, "doc_id", "text",
-      k = 3).queryExecution.executedPlan.toString
-    assert(p.contains("LeftSemi"),
-      s"duplicated positions must select via a semi-join:\n$p")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"span detection must never pair documents:\n$p")
+    // the internal plan builder: the public operator returns a
+    // materialized frame (its executed plan is a checkpoint scan), and
+    // THIS is the plan that materialization executes
+    val toks = docs.select(col("doc_id").as("id"),
+      split(col("text"), " ").as("t"))
+    for (fp <- Seq(false, true)) {
+      val p = graft.llm.Dedup.exactSpanPlan(toks, k = 3, minDocs = 2,
+        fingerprintGrams = fp).queryExecution.executedPlan.toString
+      assert(p.contains("LeftSemi"),
+        s"duplicated positions must select via a semi-join (fp=$fp):\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"span detection must never pair documents (fp=$fp):\n$p")
+    }
   }
 
   test("d90: span removal is ONE equi-join — the corpus token stream " +

@@ -786,6 +786,14 @@ class DedupSpec extends SparkTestBase {
       (2L, 2L, 5L, 4L),   // "a b c d"
       (7L, 0L, 5L, 6L),   // extents [0,2]+[3,5] adjacent → whole doc
       (8L, 0L, 2L, 3L), (8L, 4L, 6L, 3L)), s"$got")
+    // the 128-bit fingerprint tier (the 100 TB shuffle payload) must
+    // produce the IDENTICAL cut lists — the key is internal, only a
+    // 2^-128 collision could diverge
+    val gotFp = Dedup.exactSpanCutLists(fixture, "doc_id", "text", k = 3,
+        fingerprintGrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(gotFp == got, s"fingerprint tier diverged: $gotFp vs $got")
   }
 
   test("removeSpans: cut tokens drop, survivors re-join in order, " +
