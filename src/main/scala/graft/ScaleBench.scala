@@ -1026,6 +1026,19 @@ object ScaleBench {
     val bpeTrainSecs2 = secs(tBpeT2)
     require(bpeMerges2 == bpeMerges,
       s"BPE training diverged across partitionings: $bpeMerges2 vs $bpeMerges")
+
+    // driver tier at a REAL merge count: collect the vocab once, fold
+    // 256 rounds driver-side (the distributed loop pays a Spark job +
+    // a collect per round — latency-bound long before a production
+    // 32k-merge run). Bit-identity with the distributed tier asserted
+    // on the shared 12-round prefix.
+    val tBpeA = System.nanoTime()
+    val bpeMergesAuto = graft.llm.Bpe.trainMergesAuto(bpeWords,
+      numMerges = 256)
+    val bpeAutoSecs = secs(tBpeA)
+    require(bpeMergesAuto.take(12) == bpeMerges,
+      s"driver-tier BPE diverged from the distributed tier on the " +
+        s"first 12 merges: ${bpeMergesAuto.take(12)} vs $bpeMerges")
     bpeWords.unpersist(blocking = true)
 
     // d40 stratum overlap at 8 synthetic strata: replicas of every base
@@ -1529,6 +1542,9 @@ object ScaleBench {
       s""""bpe_train_secs":$bpeTrainSecs,""" +
       s""""bpe_train_repart_secs":$bpeTrainSecs2,""" +
       s""""bpe_merges":${bpeMerges.size},""" +
+      s""""bpe_auto_merges":${bpeMergesAuto.size},""" +
+      s""""bpe_auto_secs":$bpeAutoSecs,""" +
+      s""""bpe_auto_sec_per_merge":${bpeAutoSecs / math.max(1, bpeMergesAuto.size)},""" +
       s""""so_secs":$soSecs,"so_pairs":$soRows,""" +
       s""""cent_secs":$centSecs,"cent_pairs":$centRows,""" +
       s""""vec_corpus":$nVecs,"vec_float_secs":$simFSecs,""" +

@@ -162,6 +162,51 @@ object ScaleBench988 {
       k = editK, maxBucketSize = Some(cap)).count()
     val editSecs = secs(tEdit)
 
+    // exact substring-span dedup (d89/d92) at 2x — the r16 verdict ask:
+    // the 988k artifact carried no exspan section. The string tier pins
+    // the semantics; the fingerprint tier (two salted xxhash64s over the
+    // token slice — the 100 TB shuffle payload) must produce the
+    // IDENTICAL cut lists, asserted by checksum at this scale too.
+    def exSpanChecksum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(xxhash64(col("id"), col("span_start"), col("span_end"))
+        .cast("decimal(38,0)"))).head().getDecimal(0)
+    val tExSpan = System.nanoTime()
+    val exSpans = Dedup.exactSpanCutLists(corpus, "doc_id", "text", k = 8)
+    val exSpanRows = exSpans.count()
+    val exSpanSecs = secs(tExSpan)
+    val exSpanHash = exSpanChecksum(exSpans)
+    val tExFp = System.nanoTime()
+    val exSpansFp = Dedup.exactSpanCutLists(corpus, "doc_id", "text",
+      k = 8, fingerprintGrams = true)
+    val exSpanFpRows = exSpansFp.count()
+    val exSpanFpSecs = secs(tExFp)
+    require(exSpanChecksum(exSpansFp) == exSpanHash &&
+        exSpanFpRows == exSpanRows,
+      "988k: fingerprint-tier cut lists diverged from the string tier")
+
+    // BPE trainer at 2x — distributed rounds (12) for the cross-scale
+    // per-round cost, then the driver tier at a real merge count (256):
+    // the vocab is replication-invariant (cold replicas add only " rev
+    // N" suffix words), so both tiers' cost should read near-flat vs
+    // the 544k artifact — state ∝ vocab is the claim.
+    val tBpeW = System.nanoTime()
+    val bpeWords = graft.llm.Bpe.wordCorpus(corpus.select(col("text")),
+        "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bpeVocab = bpeWords.count()
+    val bpeWordsSecs = secs(tBpeW)
+    val tBpeT = System.nanoTime()
+    val bpeMerges = graft.llm.Bpe.trainMerges(bpeWords, numMerges = 12)
+    val bpeTrainSecs = secs(tBpeT)
+    val tBpeA = System.nanoTime()
+    val bpeMergesAuto = graft.llm.Bpe.trainMergesAuto(bpeWords,
+      numMerges = 256)
+    val bpeAutoSecs = secs(tBpeA)
+    require(bpeMergesAuto.take(12) == bpeMerges,
+      s"988k: driver-tier BPE diverged from the distributed tier: " +
+        s"${bpeMergesAuto.take(12)} vs $bpeMerges")
+    bpeWords.unpersist(blocking = true)
+
     // the round-11 exact set-sim family at 2x — gauge-then-join, the
     // ScaleBench recipe: the d75 cost gauge prices the cap-free pass on
     // the exact-deduped corpus (the full bound is in the hundreds of
@@ -298,6 +343,13 @@ object ScaleBench988 {
       s""""simhash_secs":$simSecs,"simhash_pairs":$nSimPairs,""" +
       s""""simhash_comb_secs":$simCSecs,"simhash_comb_pairs":$nSimCPairs,""" +
       s""""edit_secs":$editSecs,"edit_pairs":$nEditPairs,"edit_k":$editK,""" +
+      s""""exspan_secs":$exSpanSecs,"exspan_fp_secs":$exSpanFpSecs,""" +
+      s""""exspan_rows":$exSpanRows,"exspan_hash":"$exSpanHash",""" +
+      s""""bpe_vocab":$bpeVocab,"bpe_wordcount_secs":$bpeWordsSecs,""" +
+      s""""bpe_train_secs":$bpeTrainSecs,"bpe_merges":${bpeMerges.size},""" +
+      s""""bpe_auto_merges":${bpeMergesAuto.size},""" +
+      s""""bpe_auto_secs":$bpeAutoSecs,""" +
+      s""""bpe_auto_sec_per_merge":${bpeAutoSecs / math.max(1, bpeMergesAuto.size)},""" +
       s""""setsim_gauge_secs":$ssGaugeSecs,""" +
       s""""setsim_cand_bound_full":$ssBoundFull,"setsim_mod":$ssMod,""" +
       s""""setsim_docs":$ssDocs,""" +

@@ -119,6 +119,160 @@ object Bpe {
     out.result()
   }
 
+  /** Tiered trainer for REAL vocab runs (10³–10⁵ merges): the
+    * distributed loop pays one Spark job + one `limit(1)` collect per
+    * round, so driver round-trip latency dominates long before a
+    * production merge count. But the operator's own scale argument
+    * says the training STATE is the word-frequency table — vocab-sized,
+    * not corpus-sized — so once that table fits a driver bound we
+    * collect it ONCE and fold every remaining round driver-side.
+    * Bit-identical by construction: same exact-integer counts (driver
+    * addition is the same commutative monoid the map-side combine
+    * computes), same greedy merge fold, and the tie-break compares
+    * strings in UTF-8 BINARY order — Spark's `asc` on StringType is
+    * UTF8String byte order, which disagrees with Java
+    * `String.compareTo` (UTF-16 code units) for supplementary code
+    * points, so the driver tier must NOT use the JVM's default
+    * ordering.
+    *
+    * `vocabRowBound` gates on distinct-word rows (payload ≈ rows ×
+    * avg word bytes; the 2M default is ~100 MB driver heap — small
+    * against any executor). A 100 TB corpus's vocab typically passes
+    * this gate after [[wordCorpus]]'s one corpus-wide aggregate;
+    * corpora whose vocab genuinely exceeds it run the distributed
+    * loop unchanged. */
+  def trainMergesAuto(words: DataFrame, numMerges: Int,
+                      wordCol: String = "word", freqCol: String = "freq",
+                      vocabRowBound: Long = 2000000L): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    val filtered = words
+      .where(col(wordCol).isNotNull && length(col(wordCol)) > 0)
+      .select(col(wordCol).as("word"), col(freqCol).cast("long").as("freq"))
+    if (filtered.count() > vocabRowBound)
+      trainMerges(words, numMerges, wordCol, freqCol)
+    else {
+      val vocab = filtered.collect().map { r =>
+        (splitSymbols(r.getString(0)), r.getLong(1))
+      }
+      trainMergesLocal(vocab, numMerges)
+    }
+  }
+
+  /** Driver-side mirror of the engine's symbol split: one entry per
+    * code point, the [[WhitespaceTokens.symbolRegex]] negated-class
+    * semantics (split chars dropped, everything else survives —
+    * including non-ASCII separators Java `.` would silently eat). */
+  private[graft] def splitSymbols(word: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      val isSplit = cp == ' ' || cp == '\t' || cp == '\n' ||
+        cp == 0x0B || cp == '\f' || cp == '\r'
+      if (!isSplit) out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** UTF-8 binary string order — Spark's StringType sort order. */
+  private[graft] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-side mirror of [[mergePair]]'s greedy fold — string
+    * equality against the pair values, the fresh `l+r` can never
+    * re-match as `l` within the pass (l+r ≠ l for non-empty r). */
+  private[graft] def mergePairLocal(syms: Array[String], l: String,
+                                    r: String): Array[String] = {
+    if (syms.length < 2) return syms
+    val acc = scala.collection.mutable.ArrayBuffer[String](syms(0))
+    var i = 1
+    while (i < syms.length) {
+      val x = syms(i)
+      if (acc(acc.length - 1) == l && x == r)
+        acc(acc.length - 1) = l + r
+      else acc += x
+      i += 1
+    }
+    acc.toArray
+  }
+
+  /** The driver-tier training loop over a collected vocab. Incremental
+    * in the classic BPE way: pair counts and a pair→words index update
+    * only for words CONTAINING the merged pair, so a round costs ∝
+    * affected words, not the whole vocab — integer arithmetic is
+    * commutative, so the incremental counts equal a full recount and
+    * the result is bit-identical to [[trainMerges]]. */
+  private[graft] def trainMergesLocal(vocab: Array[(Array[String], Long)],
+                                      numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val syms = vocab.map(_._1)
+    val freqs = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addWord(w: Int, sign: Long): Unit = {
+      val s = syms(w)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freqs(w)
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0)
+          where.getOrElseUpdate(p, mutable.Set.empty) += w
+        i += 1
+      }
+      if (sign < 0) {
+        // drop the index entries for pairs this word no longer has —
+        // recomputed from the NEW symbols by the caller's re-add
+        i = 0
+        while (i < s.length - 1) {
+          where.get((s(i), s(i + 1))).foreach(_ -= w)
+          i += 1
+        }
+      }
+    }
+    var w = 0
+    while (w < syms.length) { addWord(w, 1L); w += 1 }
+    val out = Seq.newBuilder[Merge]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      k += 1
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestP: (String, String) = null
+        var bestC = Long.MinValue
+        counts.foreach { case (p, c) =>
+          if (c > bestC || (c == bestC &&
+              (utf8Less(p._1, bestP._1) ||
+                (p._1 == bestP._1 && utf8Less(p._2, bestP._2))))) {
+            bestP = p; bestC = c
+          }
+        }
+        out += Merge(k, bestP._1, bestP._2, bestC)
+        val touched = where.getOrElse(bestP, mutable.Set.empty).toArray
+        java.util.Arrays.sort(touched)
+        touched.foreach { w =>
+          addWord(w, -1L)
+          syms(w) = mergePairLocal(syms(w), bestP._1, bestP._2)
+          addWord(w, 1L)
+        }
+      }
+    }
+    out.result()
+  }
+
   /** Tokenize a word column with a trained merge table: the initial
     * char split followed by each merge in rank order — exactly the
     * trainer's own passes, so tokenizing the training corpus with its

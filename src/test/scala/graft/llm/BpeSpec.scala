@@ -46,6 +46,37 @@ class BpeSpec extends SparkTestBase {
       "ba" -> List("ba"), "x" -> List("x")), s"$toks")
   }
 
+  test("driver tier == distributed tier: identical merge tables on a " +
+    "fixture with ties, chained merges, repeats, and early exhaustion") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(("abab", 3L), ("ab", 2L), ("ba", 1L), ("x", 5L),
+      ("aaa", 4L), ("cd", 2L), ("banana", 2L), ("bandana", 1L))
+    val df = corpus.toDF("word", "freq")
+    val dist = Bpe.trainMerges(df, 12)
+    val local = Bpe.trainMergesAuto(df, 12) // vocab of 8 → driver tier
+    assert(local == dist, s"driver tier diverged:\n$local\nvs\n$dist")
+    // and above the bound the auto tier falls back to the distributed
+    // loop — same table either way
+    assert(Bpe.trainMergesAuto(df, 12, vocabRowBound = 2L) == dist)
+  }
+
+  test("driver tier tie-break is UTF-8 binary order (Spark's), not " +
+    "Java UTF-16 order — supplementary vs U+FFFD disagree between them") {
+    // U+10000 (surrogate pair, UTF-16 first unit 0xD800) sorts BEFORE
+    // U+FFFD under Java compareTo but AFTER under UTF-8 bytes
+    val supp = new String(Character.toChars(0x10000))
+    assert(Bpe.utf8Less("\uFFFD", supp) && !Bpe.utf8Less(supp, "\uFFFD"))
+    assert(supp.compareTo("\uFFFD") < 0) // the JVM default disagrees
+    val s = spark; import s.implicits._
+    // two pairs with equal counts whose left symbols are exactly those
+    // code points: both tiers must pick the UTF-8-smaller one
+    val df = Seq(supp + "a", "\uFFFDb").toDF("word")
+      .withColumn("freq", lit(1L))
+    val dist = Bpe.trainMerges(df, 1)
+    val local = Bpe.trainMergesAuto(df, 1)
+    assert(dist == local && dist.head.lhs == "\uFFFD", s"$dist vs $local")
+  }
+
   test("wordCorpus: whitespace split, empties dropped, exact freqs") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "the cat  the hat"), (2L, " the ")).toDF("id", "text")
