@@ -1808,6 +1808,32 @@ object SparkEntry {
         "text", k = 8)
       graft.llm.Dedup.removeSpans(docs, "doc_id", "text", cuts)
     }),
+    "d93_decontam_spans" -> ((s, dir) => {
+      // exact-span DECONTAMINATION (composes d89's machinery with the
+      // d23/d32/d35 family): every maximal run of >= 8 corpus tokens
+      // appearing verbatim in a held-out benchmark set (docs with
+      // doc_id % 10 == 0), emitted as per-corpus-doc cut lists —
+      // cross-set only, corpus-internal duplication does not mark.
+      // The benchmark gram set is small → the semi-join broadcasts
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.llm.Dedup.contaminationSpanCutLists(
+          docs.where(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          docs.where(col("doc_id") % 10 === 0), "text", k = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+    "d94_decontam_removal" -> ((s, dir) => {
+      // d93's cut lists applied back to the corpus side — the
+      // decontamination loop closed end-to-end: contaminated extents
+      // drop, the CLEAN REMAINDER of a touched document survives
+      // (doc-granular decontamination would discard it whole)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val cuts = graft.llm.Dedup.contaminationSpanCutLists(corpus,
+        "doc_id", "text", docs.where(col("doc_id") % 10 === 0), "text",
+        k = 8)
+      graft.llm.Dedup.removeSpans(corpus, "doc_id", "text", cuts)
+    }),
     "d91_bpe_token_stats" -> ((s, dir) => {
       // token counting with the LEARNED vocab (composes d88): train 8
       // merges, tokenize the word corpus with its own table, count
@@ -4173,6 +4199,37 @@ object SparkEntry {
       |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
       |FROM r GROUP BY doc_id, run""".stripMargin
 
+  /** d93/d94's shared oracle chain: corpus = doc_id % 10 <> 0, bench =
+    * the held-out tenth; marked = corpus positions whose 8-gram appears
+    * in ANY bench doc (cross-set only); runs split at gap > 8 — the
+    * d89 derivation with the dup set swapped for the bench gram set. */
+  private val decontamSpanOracleCte: String =
+    """WITH ctoks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+      |    x -> x <> '') AS t
+      |  FROM documents WHERE doc_id % 10 <> 0),
+      |btoks AS (
+      |  SELECT list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+      |    x -> x <> '') AS t
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |cg AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    array_to_string(t[i:i+7], ' ') AS gram
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+      |        FROM ctoks WHERE len(t) >= 8)),
+      |bg AS (
+      |  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gram
+      |  FROM (SELECT t, unnest(range(1, len(t) - 6)) AS i
+      |        FROM btoks WHERE len(t) >= 8)),
+      |m AS (SELECT cg.doc_id, cg.pos FROM cg JOIN bg USING (gram)),
+      |r AS (
+      |  SELECT doc_id, pos,
+      |    SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS run
+      |  FROM (SELECT doc_id, pos,
+      |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |        FROM m))""".stripMargin
+
   private def bpeOracleSql(n: Int, tail: Option[String] = None): String = {
     val rounds = (1 to n).map { k =>
       s""",
@@ -5967,6 +6024,32 @@ object SparkEntry {
         |FROM toks LEFT JOIN (
         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
         |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin,
+    "d93_decontam_spans" ->
+      // independently derived: contaminated = corpus 8-gram present in
+      // the held-out bench side; same gap > 8 run split; exact integers
+      (decontamSpanOracleCte + "\n" +
+        """SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+          |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+          |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
+          |FROM r GROUP BY doc_id, run""".stripMargin),
+    "d94_decontam_removal" ->
+      // the decontamination chain into removal: corpus tokens
+      // anti-joined against contaminated span coverage, re-joined in
+      // position order; untouched and fully-cut docs survive via the
+      // outer join
+      (decontamSpanOracleCte + ",\n" +
+        """spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+          |          FROM r GROUP BY doc_id, run),
+          |ex AS (SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS pos
+          |       FROM ctoks),
+          |kept AS (
+          |  SELECT e.doc_id, e.tok, e.pos FROM ex e
+          |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+          |    WHERE s.doc_id = e.doc_id AND e.pos BETWEEN s.s AND s.e))
+          |SELECT ctoks.doc_id, COALESCE(k.text, '') AS text
+          |FROM ctoks LEFT JOIN (
+          |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+          |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin),
     "d91_bpe_token_stats" ->
       // the identical 8 trained rounds, then the final symbol state
       // unnested and freq-weighted — gates applyMerges cross-engine

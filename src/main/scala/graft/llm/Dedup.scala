@@ -2768,28 +2768,42 @@ object Dedup {
     * returns a materialized frame whose executed plan is a scan). */
   private[graft] def exactSpanPlan(toks: DataFrame, k: Int, minDocs: Int,
                                    fingerprintGrams: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // 128-bit key: two xxhash64 passes over the token slice, the second
-    // salted by a leading literal (xxhash64 folds columns sequentially,
-    // so a distinct first column is a distinct seed)
-    val gramKey: Column => Column =
-      if (fingerprintGrams)
-        s => struct(xxhash64(s).as("h1"),
-          xxhash64(lit(0x9E3779B97F4A7C15L), s).as("h2"))
-      else s => array_join(s, " ")
-    val grams = toks.where(size(col("t")) >= k)
+    val grams = spanGrams(toks, k, spanGramKey(fingerprintGrams))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("gram"))
+    spansFromMarkedGrams(grams.join(dup, Seq("gram"), "left_semi"), k)
+  }
+
+  /** 128-bit key: two xxhash64 passes over the token slice, the second
+    * salted by a leading literal (xxhash64 folds columns sequentially,
+    * so a distinct first column is a distinct seed); string tier joins
+    * the gram verbatim (exactly derivable, cross-engine gated). */
+  private def spanGramKey(fingerprintGrams: Boolean): Column => Column =
+    if (fingerprintGrams)
+      s => struct(xxhash64(s).as("h1"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), s).as("h2"))
+    else s => array_join(s, " ")
+
+  /** Every k-gram start of a tokenized (id, t) frame: (id, pos, gram). */
+  private def spanGrams(toks: DataFrame, k: Int,
+                        gramKey: Column => Column): DataFrame =
+    toks.where(size(col("t")) >= k)
       .select(col("id"), explode(transform(
         sequence(lit(0), size(col("t")) - k),
         i => struct(i.as("pos"),
           gramKey(slice(col("t"), i + 1, lit(k))).as("gram"))))
         .as("pg"))
       .select(col("id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
-    val dup = grams.groupBy(col("gram"))
-      .agg(countDistinct(col("id")).as("__nd"))
-      .where(col("__nd") >= minDocs)
-      .select(col("gram"))
+
+  /** Union marked k-gram extents [pos, pos+k-1] into maximal spans:
+    * consecutive marked starts with gap <= k merge (gap > k means the
+    * extents are disjoint). One per-doc window + one group. */
+  private def spansFromMarkedGrams(marked: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    grams.join(dup, Seq("gram"), "left_semi")
+    marked
       .withColumn("__gap", col("pos") - lag(col("pos"), 1).over(w))
       .withColumn("__run",
         sum(when(col("__gap").isNull || col("__gap") > k, 1)
@@ -2800,6 +2814,56 @@ object Dedup {
         col("__s").cast("long").as("span_start"),
         (col("__e") + (k - 1)).cast("long").as("span_end"),
         (col("__e") + k - col("__s")).cast("long").as("span_len"))
+  }
+
+  /** EXACT contamination-span extraction — [[exactSpanCutLists]]'
+    * machinery pointed at a HELD-OUT benchmark set (the d23/d32/d35
+    * decontamination family at span granularity): a corpus token
+    * position is contaminated iff its k-gram appears verbatim in ANY
+    * benchmark document (cross-set only — corpus-internal duplication
+    * is d89's job, not contamination), and contaminated extents union
+    * into maximal per-corpus-doc cut lists ready for [[removeSpans]].
+    * Until now the kit detected benchmark contamination at doc /
+    * fingerprint granularity; this emits the exact extent of it, so
+    * removal can keep the clean remainder of a touched document
+    * instead of dropping the document.
+    *
+    * Scale shape: the benchmark gram set is derived once (distinct
+    * keys, no positions) and is typically FAR smaller than the corpus
+    * side — eval suites are thousands of documents against a corpus of
+    * billions — so the left-semi probe broadcasts in practice (AQE
+    * decides; nothing forces a shuffle join). The corpus side pays the
+    * same single gram pass as d89, and nothing is ever pairwise in the
+    * number of contaminated documents. `fingerprintGrams` is the same
+    * 128-bit tier with the same cut-list-safety argument. */
+  def contaminationSpanCutLists(corpus: DataFrame, idCol: String,
+                                textCol: String, benchmark: DataFrame,
+                                benchTextCol: String, k: Int,
+                                fingerprintGrams: Boolean = false)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val toks = corpus.select(col(idCol).as("id"),
+        WhitespaceTokens.tokens(col(textCol)).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = benchmark.select(lit(0L).as("id"),
+      WhitespaceTokens.tokens(col(benchTextCol)).as("t"))
+    materializeAndRelease(
+      contaminationSpanPlan(toks, bench, k, fingerprintGrams), toks)
+  }
+
+  /** [[contaminationSpanCutLists]]' plan over pre-tokenized (id, t)
+    * frames — split out so the plan shape stays auditable (the public
+    * operator returns a materialized frame). */
+  private[graft] def contaminationSpanPlan(toks: DataFrame,
+                                           benchToks: DataFrame, k: Int,
+                                           fingerprintGrams: Boolean)
+      : DataFrame = {
+    val key = spanGramKey(fingerprintGrams)
+    val benchGrams = spanGrams(benchToks, k, key)
+      .select(col("gram")).distinct()
+    val marked = spanGrams(toks, k, key)
+      .join(benchGrams, Seq("gram"), "left_semi")
+    spansFromMarkedGrams(marked, k)
   }
 
   /** Apply [[exactSpanCutLists]] cut lists to a corpus: drop every

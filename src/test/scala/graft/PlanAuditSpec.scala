@@ -701,6 +701,27 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("d93: contamination marking is a LEFT-SEMI probe against the " +
+    "distinct benchmark gram set — no cartesian, nothing pairwise in " +
+    "the contaminated-document count") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    val toks = Seq((1L, "a b c d e f"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("t"))
+    val bench = Seq((0L, "z a b c d z")).toDF("doc_id", "text")
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("t"))
+    for (fp <- Seq(false, true)) {
+      val p = graft.llm.Dedup.contaminationSpanPlan(toks, bench, k = 3,
+        fingerprintGrams = fp).queryExecution.executedPlan.toString
+      assert(p.contains("LeftSemi"),
+        s"contaminated positions must select via a semi-join (fp=$fp):\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"contamination marking must never pair documents (fp=$fp):\n$p")
+    }
+  }
+
   test("d90: span removal is ONE equi-join — the corpus token stream " +
     "never explodes (no Generate on the document side)") {
     val s = spark; import s.implicits._

@@ -796,6 +796,37 @@ class DedupSpec extends SparkTestBase {
     assert(gotFp == got, s"fingerprint tier diverged: $gotFp vs $got")
   }
 
+  test("contaminationSpanCutLists: marks exactly the corpus extents " +
+    "shared with the benchmark side — cross-set only (corpus-internal " +
+    "duplication never marks, benchmark-internal duplication is " +
+    "irrelevant), extents union per the same gap rule") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f"),   // 'a b c','b c d' in bench → span [0,3]
+      (2L, "a b c d e f"),   // corpus-internal dup of doc 1 — same marks,
+                             // and the duplication itself must NOT widen them
+      (3L, "p q r s"),       // nothing shared with bench
+      (4L, "u v w x u v w")  // 'u v w' at pos {0,4}: gap 4 > k → two spans
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "z a b c d z"),
+      (101L, "u v w"),
+      (102L, "u v w")        // bench-internal dup: no effect on marks
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationSpanCutLists(corpus, "doc_id", "text",
+        bench, "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 3L, 4L), (2L, 0L, 3L, 4L),
+      (4L, 0L, 2L, 3L), (4L, 4L, 6L, 3L)), s"$got")
+    val gotFp = Dedup.contaminationSpanCutLists(corpus, "doc_id", "text",
+        bench, "text", k = 3, fingerprintGrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(gotFp == got, s"fingerprint tier diverged: $gotFp vs $got")
+  }
+
   test("removeSpans: cut tokens drop, survivors re-join in order, " +
     "cut-free and fully-cut docs both survive") {
     val s = spark; import s.implicits._
