@@ -2229,6 +2229,88 @@ object SparkEntry {
           col("sum_v").cast("double").as("sum_value"),
           col("min_vd").as("min_value"), col("max_vd").as("max_value"))
     }),
+    "m72_cdc_auto_compaction" -> ((s, dir) => {
+      // the AUTO-compaction policy in the maintenance loop: m71 proved
+      // compaction COMPOSES with the CDC fold; nothing previously
+      // TRIGGERED it — a long-lived store accreted a version per batch
+      // until an operator intervened. Here the stream folds one event
+      // type per micro-batch (each touches ONE key bucket, so the
+      // manifest chain grows one owner per batch) under
+      // maxManifestChain=3: the policy must fire a full compaction
+      // MID-STREAM, the compacted version must carry the replay-token
+      // and bucket-count markers, and the next fold must carry its
+      // cold buckets by reference to the policy-compacted version —
+      // the files-∝-touched discipline surviving an automatic rewrite.
+      // The oracle aggregates post-apply facts from scratch: an
+      // auto-fired compaction is physical churn with zero logical
+      // change.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("decimal(27,2)").as("v"),
+          col("value").as("vd"))
+      val del = pmod(col("event_id"), lit(5)) === 2 &&
+        col("event_type") === "click"
+      def ins(t: String*) = ev.where(col("event_type").isin(t: _*))
+        .withColumn("op", lit("I"))
+      val batches = Seq(
+        ins("click"), ins("view"), ins("purchase"),
+        ins("signup", "error"),
+        ev.where(del).withColumn("op", lit("D")))
+      val src = tmpQueryDir("m72-src")
+      val seen = scala.collection.mutable.Set[String]()
+      val base = 1600000000000L
+      batches.zipWithIndex.foreach { case (bdf, i) =>
+        bdf.coalesce(1).write.mode("append").parquet(src.toString)
+        new java.io.File(src.toString).listFiles()
+          .filter(f => f.getName.startsWith("part-") && seen.add(f.getName))
+          .foreach(_.setLastModified(base + i * 60000L))
+      }
+      val state = tmpQueryDir("m72-state").toString + "/state"
+      val facts = tmpQueryDir("m72-facts").toString + "/facts"
+      val ckpt = tmpQueryDir("m72-ckpt").toString
+      Incremental.cdcAggMaintenanceAvailableNow(s, src.toString,
+          batches.head.schema, "parquet", df => df,
+          pkCols = Seq("event_id"), keyCols = Seq("event_type"),
+          sumCols = Seq("v"), minCols = Seq("vd"), maxCols = Seq("vd"),
+          statePath = state, factsPath = facts, checkpointDir = ckpt,
+          maxFilesPerTrigger = Some(1), stateBuckets = 16,
+          compaction = graft.llm.LayoutStore.CompactionPolicy(
+            maxManifestChain = Some(3)))
+        .awaitTermination()
+      val conf = s.sparkContext.hadoopConfiguration
+      for (p <- Seq(facts, state)) {
+        val vs = graft.llm.LayoutStore.versions(conf, p)
+        // a full-physical version beyond the bootstrap = the policy
+        // fired (fold versions are manifested, owners span the chain)
+        val full = vs.filter(v => graft.llm.LayoutStore
+          .effectiveEntries(conf, p, v).values.toSet == Set(v))
+        require(full.exists(_ >= 3),
+          s"the chain policy must fire a full compaction mid-stream " +
+            s"at $p: full-physical versions $full of $vs")
+        val cv = full.filter(_ >= 3).min
+        // fold-after-compaction: cold buckets carry by reference to
+        // the policy-compacted version, never rewritten
+        vs.find(_ > cv).foreach { next =>
+          require(graft.llm.LayoutStore.effectiveEntries(conf, p, next)
+            .values.toSet.contains(cv),
+            s"the fold after auto-compaction must reference version " +
+              s"$cv at $p")
+        }
+        // the m71 marker guarantee, now under the automatic trigger
+        require(graft.llm.LayoutStore.readTextMarker(conf,
+            s"$p/version=${vs.last}", Incremental.StateBucketsMarker)
+          .contains("16"),
+          s"auto-compaction must preserve the bucket-count marker at $p")
+        require(graft.llm.LayoutStore.readTextMarker(conf,
+            s"$p/version=${vs.last}", Incremental.AppliedBatchMarker)
+          .isDefined,
+          s"auto-compaction must preserve the replay token at $p")
+      }
+      graft.llm.LayoutStore.readSnapshotTable(s, state)
+        .select(col("event_type"), col("n"),
+          col("sum_v").cast("double").as("sum_value"),
+          col("min_vd").as("min_value"), col("max_vd").as("max_value"))
+    }),
     "m59_multilevel_compaction" -> ((s, dir) => {
       // partial compaction over a MULTI-LEVEL (day/hour) partitioned
       // layout: only the fragmented day rewrites, and its hour
@@ -6454,6 +6536,16 @@ object SparkEntry {
       // every posting slice the probe reads
       phraseOracleSql(
         "SELECT doc_id, text FROM documents WHERE doc_id % 5 != 3"),
+    "m72_cdc_auto_compaction" ->
+      // an auto-fired compaction is physical churn with zero logical
+      // change: the post-apply facts aggregated from scratch — the
+      // deleted click slice is simply absent
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events
+        |WHERE NOT (event_id % 5 = 2 AND event_type = 'click')
+        |GROUP BY 1""".stripMargin,
     "m59_multilevel_compaction" ->
       // two versions of physical churn over a two-level layout, zero
       // logical change

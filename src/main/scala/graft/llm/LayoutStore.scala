@@ -535,6 +535,64 @@ object LayoutStore {
     }
   }
 
+  /** Auto-compaction policy for a maintenance loop (m71 proved the
+    * compactor COMPOSES with the CDC fold lifecycle; this is the
+    * trigger nothing previously supplied — a long-lived store accretes
+    * a version per batch until an operator intervenes). Both triggers
+    * are OFF by default, so `CompactionPolicy()` never fires and a
+    * policy-disabled fold is byte-identical to an unpoliced one.
+    *
+    *  - `maxManifestChain`: fire a FULL [[compactSnapshot]] when the
+    *    newest snapshot's effective entries span >= this many distinct
+    *    owner versions — the manifest-chain depth a reader must
+    *    traverse, and the thing per-batch manifested folds grow one
+    *    owner at a time. Full compaction re-materializes the whole
+    *    logical snapshot as ONE physical version, resetting the depth
+    *    to 1 (self-limiting: the trigger can't re-fire until the chain
+    *    regrows).
+    *  - `maxFilesPerEntry`: fire a PARTIAL [[compactSnapshotPartial]]
+    *    when any entry's physical dir exceeds this many data files —
+    *    the ∝-fragmentation small-file pass; cold entries carry by
+    *    reference.
+    *
+    * Checked AFTER a fold lands (the just-landed version counts toward
+    * the depth) and skipped on replayed batches — opportunistic: a
+    * crash between the fold and the compaction just defers firing to
+    * the next live batch, correctness never depends on it (compaction
+    * is physical churn with zero logical change, and [[carryMarkers]]
+    * preserves the replay token + bucket count — the m71 guarantees). */
+  final case class CompactionPolicy(
+      maxManifestChain: Option[Int] = None,
+      maxFilesPerEntry: Option[Int] = None,
+      maxRecordsPerFile: Long = 4L * 1024 * 1024) {
+    require(maxManifestChain.forall(_ >= 2),
+      s"maxManifestChain must be >= 2 (a fresh full snapshot has " +
+        s"depth 1): $maxManifestChain")
+    require(maxFilesPerEntry.forall(_ >= 1),
+      s"maxFilesPerEntry must be >= 1: $maxFilesPerEntry")
+    def enabled: Boolean =
+      maxManifestChain.isDefined || maxFilesPerEntry.isDefined
+  }
+
+  /** Apply `policy` to the newest snapshot at `path` if a trigger
+    * fires; returns the compacted version, or None (no snapshot, or
+    * thresholds not met). Trigger checks are metadata-only: a version
+    * listing + the manifest for chain depth, a file listing for
+    * fragmentation. */
+  def maybeCompact(spark: org.apache.spark.sql.SparkSession,
+                   path: String, policy: CompactionPolicy): Option[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    versions(conf, path).lastOption.flatMap { pin =>
+      val chain = effectiveEntries(conf, path, pin).values.toSet.size
+      if (policy.maxManifestChain.exists(chain >= _))
+        Some(compactSnapshot(spark, path, policy.maxRecordsPerFile))
+      else policy.maxFilesPerEntry.filter(m =>
+          fragmentedEntries(conf, path, pin, m).nonEmpty)
+        .map(m => compactSnapshotPartial(spark, path, m,
+          policy.maxRecordsPerFile))
+    }
+  }
+
   /** The pinned snapshot's entries whose physical dir holds more than
     * `maxFilesPerEntry` data files → data-file count. The cheap
     * pre-flight for [[compactSnapshotPartial]] (file-metadata only). */

@@ -510,7 +510,9 @@ object Incremental {
       statePath: String, factsPath: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       stateBuckets: Int = 16, opCol: String = "op",
-      beforeSuffix: Option[String] = None): StreamingQuery = {
+      beforeSuffix: Option[String] = None,
+      compaction: graft.llm.LayoutStore.CompactionPolicy =
+        graft.llm.LayoutStore.CompactionPolicy()): StreamingQuery = {
     val r = spark.readStream.schema(schema).format(format)
     val src = maxFilesPerTrigger.fold(r)(n =>
       r.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
@@ -521,7 +523,7 @@ object Incremental {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cdcAggMaintenanceBatch(batch, s"$ckToken-$batchId", pkCols,
           keyCols, sumCols, minCols, maxCols, statePath, factsPath,
-          stateBuckets, opCol, beforeSuffix)
+          stateBuckets, opCol, beforeSuffix, compaction)
       }
       .start()
   }
@@ -534,7 +536,9 @@ object Incremental {
       sumCols: Seq[String], minCols: Seq[String], maxCols: Seq[String],
       statePath: String, factsPath: String,
       stateBuckets: Int = 16, opCol: String = "op",
-      beforeSuffix: Option[String] = None): Unit = {
+      beforeSuffix: Option[String] = None,
+      compaction: graft.llm.LayoutStore.CompactionPolicy =
+        graft.llm.LayoutStore.CompactionPolicy()): Unit = {
     import graft.operators.AggMaintenance
     import graft.llm.LayoutStore
     require(stateBuckets >= 1, s"stateBuckets must be >= 1: $stateBuckets")
@@ -690,7 +694,18 @@ object Incremental {
               k.startsWith("kb=") && !touchedDirs.contains(k) }
         }
       }
-      ()
+      // maintenance AFTER both folds land (the just-landed versions
+      // count toward the chain depth): policy-gated, off by default —
+      // a disabled policy leaves the fold byte-identical. Skipped on
+      // replayed batches (the early returns above): opportunistic, the
+      // next live batch re-checks. Compaction carries the replay token
+      // + bucket-count markers (the m71 guarantee), so a fold landing
+      // on a policy-compacted version keeps both protections
+      if (compaction.enabled) {
+        LayoutStore.maybeCompact(s2, factsPath, compaction)
+        LayoutStore.maybeCompact(s2, statePath, compaction)
+        ()
+      }
     } finally b.unpersist()
   }
 

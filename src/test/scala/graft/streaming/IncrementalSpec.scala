@@ -296,6 +296,104 @@ class IncrementalSpec extends SparkTestBase {
     assert(factRows == Seq(1L), s"fact store must hold only pk=1: $factRows")
   }
 
+  test("cdcAggMaintenanceBatch auto-compaction: disabled and non-firing " +
+    "policies land the identical version/manifest/marker surface; a " +
+    "firing policy flattens the chain mid-stream with zero logical " +
+    "change and the markers carried") {
+    val s = spark; import s.implicits._
+    import graft.llm.LayoutStore
+    val conf = spark.sparkContext.hadoopConfiguration
+    // one key bucket per batch (click/view/purchase hash to distinct
+    // buckets at 16) → the manifest chain grows one owner per fold
+    def run(root: String, pol: LayoutStore.CompactionPolicy)
+        : (String, String) = {
+      val state = root + "/state"; val facts = root + "/facts"
+      def fold(rows: Seq[(Long, String, Double, String)], token: String) =
+        Incremental.cdcAggMaintenanceBatch(
+          rows.toDF("pk", "k", "v", "op"), token,
+          pkCols = Seq("pk"), keyCols = Seq("k"), sumCols = Seq("v"),
+          minCols = Seq("v"), maxCols = Seq("v"),
+          statePath = state, factsPath = facts, compaction = pol)
+      fold(Seq((1L, "click", 1.0, "I"), (2L, "click", 9.0, "I")), "t0")
+      fold(Seq((3L, "view", 5.0, "I")), "t1")
+      fold(Seq((4L, "purchase", 2.0, "I")), "t2")
+      (state, facts)
+    }
+    def surface(p: String) = {
+      val vs = LayoutStore.versions(conf, p)
+      (vs,
+        vs.map(v => LayoutStore.effectiveEntries(conf, p, v)),
+        vs.map(v => LayoutStore.readTextMarker(conf, s"$p/version=$v",
+          Incremental.AppliedBatchMarker)))
+    }
+    def content(p: String) = LayoutStore.readSnapshotTable(spark, p)
+      .select("k", "n", "sum_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val (sA, fA) = run(tmpDir("acp-off"), LayoutStore.CompactionPolicy())
+    val (sB, fB) = run(tmpDir("acp-quiet"),
+      LayoutStore.CompactionPolicy(maxManifestChain = Some(99)))
+    assert(surface(sA) == surface(sB) && surface(fA) == surface(fB),
+      "a policy that never fires must land the exact surface a " +
+        "disabled policy does")
+    assert(surface(sA)._1 == Seq(1L, 2L, 3L),
+      s"three folds, three versions: ${surface(sA)._1}")
+    val (sC, fC) = run(tmpDir("acp-fire"),
+      LayoutStore.CompactionPolicy(maxManifestChain = Some(3)))
+    for (p <- Seq(sC, fC)) {
+      val vs = LayoutStore.versions(conf, p)
+      assert(vs == Seq(1L, 2L, 3L, 4L),
+        s"the third fold reaches chain depth 3 → one compaction: $vs")
+      assert(LayoutStore.effectiveEntries(conf, p, 4L).values.toSet ==
+        Set(4L), "the policy compaction must be full-physical")
+      assert(LayoutStore.readTextMarker(conf, s"$p/version=4",
+        Incremental.AppliedBatchMarker).contains("t2"),
+        "auto-compaction must carry the replay token")
+      assert(LayoutStore.readTextMarker(conf, s"$p/version=4",
+        Incremental.StateBucketsMarker).contains("16"),
+        "auto-compaction must carry the bucket-count marker")
+    }
+    def factRows(p: String) = LayoutStore.readSnapshotTable(spark, p)
+      .select("pk", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(content(sC) == content(sA) && factRows(fC) == factRows(fA),
+      "an auto-fired compaction changes nothing logical")
+    // and a replayed batch still token-skips against the compacted head
+    val vsBefore = LayoutStore.versions(conf, sC)
+    Incremental.cdcAggMaintenanceBatch(
+      Seq((4L, "purchase", 2.0, "I")).toDF("pk", "k", "v", "op"), "t2",
+      pkCols = Seq("pk"), keyCols = Seq("k"), sumCols = Seq("v"),
+      minCols = Seq("v"), maxCols = Seq("v"),
+      statePath = sC, factsPath = fC,
+      compaction = LayoutStore.CompactionPolicy(maxManifestChain = Some(3)))
+    assert(LayoutStore.versions(conf, sC) == vsBefore,
+      "a replayed batch must not land versions even under a policy")
+  }
+
+  test("maybeCompact: the fragmentation trigger fires a PARTIAL " +
+    "compaction only when an entry exceeds the file bound; quiet " +
+    "thresholds return None") {
+    import graft.llm.LayoutStore
+    val s = spark; import s.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val store = tmpDir("acp-frag") + "/layout"
+    LayoutStore.writeSnapshot(conf, store) { tmp =>
+      (1L to 64L).map(i => (i, (i % 4).toInt)).toDF("id", "day")
+        .repartition(12)
+        .write.partitionBy("day").parquet(tmp)
+    }
+    assert(LayoutStore.maybeCompact(spark, store,
+      LayoutStore.CompactionPolicy(maxFilesPerEntry = Some(64))).isEmpty,
+      "under-threshold fragmentation must not fire")
+    assert(LayoutStore.maybeCompact(spark, store,
+      LayoutStore.CompactionPolicy()).isEmpty,
+      "a disabled policy must never fire")
+    val v = LayoutStore.maybeCompact(spark, store,
+      LayoutStore.CompactionPolicy(maxFilesPerEntry = Some(4)))
+    assert(v.contains(2L), s"fragmented entries must fire a partial: $v")
+    assert(LayoutStore.fragmentedEntries(conf, store, 2L, 4).isEmpty,
+      "the fired partial must de-fragment the flagged entries")
+  }
+
   test("cdcAggMaintenanceBatch: native 'U' events (beforeSuffix) are a " +
     "pk-replace on the fact store and a closed-form sum shift + min/max " +
     "repair on the state; without beforeSuffix, 'U' fails the pre-flight") {
