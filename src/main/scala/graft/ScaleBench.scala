@@ -1041,6 +1041,34 @@ object ScaleBench {
         s"first 12 merges: ${bpeMergesAuto.take(12)} vs $bpeMerges")
     bpeWords.unpersist(blocking = true)
 
+    // the replicated corpus's vocabulary is TINY (≈92 words: 31 base
+    // words + the " rev N" suffixes), so training EXHAUSTS at ~140
+    // merges — the correct fixed point, but it can't exercise a real
+    // vocab run. A dense-vocab corpus derives deterministically from
+    // the doc ids (544k distinct 16-hex-char words, weight 1): enough
+    // pair diversity to sustain 256+ merges, the production shape the
+    // driver tier exists for. The distributed tier re-anchors the
+    // first 12 rounds on THIS corpus too.
+    val denseWords = corpus.select(
+        lower(hex(xxhash64(col("doc_id")))).as("word"),
+        lit(1L).as("freq"))
+      .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val denseVocab = denseWords.count()
+    val tBpeD = System.nanoTime()
+    val denseMerges = graft.llm.Bpe.trainMergesAuto(denseWords,
+      numMerges = 256)
+    val bpeDenseSecs = secs(tBpeD)
+    require(denseMerges.size == 256,
+      s"the dense-vocab corpus must sustain 256 merges: ${denseMerges.size}")
+    val tBpeD12 = System.nanoTime()
+    val denseMerges12 = graft.llm.Bpe.trainMerges(denseWords, numMerges = 12)
+    val bpeDense12Secs = secs(tBpeD12)
+    require(denseMerges.take(12) == denseMerges12,
+      s"driver-tier BPE diverged from the distributed tier on the " +
+        s"dense corpus: ${denseMerges.take(12)} vs $denseMerges12")
+    denseWords.unpersist(blocking = true)
+
     // d40 stratum overlap at 8 synthetic strata: replicas of every base
     // doc land in all strata (doc_id % 8), so the shared-gram join runs
     // at its heaviest (near-total overlap, jaccard ~ 1)
@@ -1545,6 +1573,11 @@ object ScaleBench {
       s""""bpe_auto_merges":${bpeMergesAuto.size},""" +
       s""""bpe_auto_secs":$bpeAutoSecs,""" +
       s""""bpe_auto_sec_per_merge":${bpeAutoSecs / math.max(1, bpeMergesAuto.size)},""" +
+      s""""bpe_dense_vocab":$denseVocab,""" +
+      s""""bpe_dense_merges":${denseMerges.size},""" +
+      s""""bpe_dense_secs":$bpeDenseSecs,""" +
+      s""""bpe_dense_sec_per_merge":${bpeDenseSecs / math.max(1, denseMerges.size)},""" +
+      s""""bpe_dense_dist12_secs":$bpeDense12Secs,""" +
       s""""so_secs":$soSecs,"so_pairs":$soRows,""" +
       s""""cent_secs":$centSecs,"cent_pairs":$centRows,""" +
       s""""vec_corpus":$nVecs,"vec_float_secs":$simFSecs,""" +
