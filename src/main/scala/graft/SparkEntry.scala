@@ -2275,11 +2275,15 @@ object SparkEntry {
           statePath = state, factsPath = facts, checkpointDir = ckpt,
           maxFilesPerTrigger = Some(1), stateBuckets = 16,
           compaction = graft.llm.LayoutStore.CompactionPolicy(
-            maxManifestChain = Some(3)))
+            maxManifestChain = Some(3), retainVersions = Some(4)))
         .awaitTermination()
       val conf = s.sparkContext.hadoopConfiguration
       for (p <- Seq(facts, state)) {
         val vs = graft.llm.LayoutStore.versions(conf, p)
+        // retention's half of the policy: the serveable chain stays
+        // bounded even though five folds + compactions landed
+        require(vs.length <= 4,
+          s"retention must bound the serveable versions at $p: $vs")
         // a full-physical version beyond the bootstrap = the policy
         // fired (fold versions are manifested, owners span the chain)
         val full = vs.filter(v => graft.llm.LayoutStore

@@ -564,25 +564,37 @@ object LayoutStore {
   final case class CompactionPolicy(
       maxManifestChain: Option[Int] = None,
       maxFilesPerEntry: Option[Int] = None,
+      retainVersions: Option[Int] = None,
       maxRecordsPerFile: Long = 4L * 1024 * 1024) {
     require(maxManifestChain.forall(_ >= 2),
       s"maxManifestChain must be >= 2 (a fresh full snapshot has " +
         s"depth 1): $maxManifestChain")
     require(maxFilesPerEntry.forall(_ >= 1),
       s"maxFilesPerEntry must be >= 1: $maxFilesPerEntry")
-    def enabled: Boolean =
-      maxManifestChain.isDefined || maxFilesPerEntry.isDefined
+    require(retainVersions.forall(_ >= 1),
+      s"retainVersions must be >= 1: $retainVersions")
+    def enabled: Boolean = maxManifestChain.isDefined ||
+      maxFilesPerEntry.isDefined || retainVersions.isDefined
   }
 
-  /** Apply `policy` to the newest snapshot at `path` if a trigger
-    * fires; returns the compacted version, or None (no snapshot, or
-    * thresholds not met). Trigger checks are metadata-only: a version
-    * listing + the manifest for chain depth, a file listing for
-    * fragmentation. */
+  /** Apply `policy` to the newest snapshot at `path`: compact if a
+    * trigger fires, then enforce retention. Returns the compacted
+    * version, or None (no snapshot, or thresholds not met). Trigger
+    * checks are metadata-only: a version listing + the manifest for
+    * chain depth, a file listing for fragmentation.
+    *
+    * `retainVersions` runs [[prune]] AFTER the compaction check (a
+    * just-compacted full version anchors the retained set) — the
+    * space half of per-batch accretion, and safe by prune's
+    * manifest-aware GC: a pruned version's physically-owned dirs
+    * survive for as long as any retained manifest references them, so
+    * retention can never tear the snapshots it keeps. Retention
+    * trades ROLLBACK REACH for space — keep it generous on stores
+    * where replaying history matters. */
   def maybeCompact(spark: org.apache.spark.sql.SparkSession,
                    path: String, policy: CompactionPolicy): Option[Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    versions(conf, path).lastOption.flatMap { pin =>
+    val out = versions(conf, path).lastOption.flatMap { pin =>
       val chain = effectiveEntries(conf, path, pin).values.toSet.size
       if (policy.maxManifestChain.exists(chain >= _))
         Some(compactSnapshot(spark, path, policy.maxRecordsPerFile))
@@ -591,6 +603,9 @@ object LayoutStore {
         .map(m => compactSnapshotPartial(spark, path, m,
           policy.maxRecordsPerFile))
     }
+    if (out.isDefined || versions(conf, path).nonEmpty)
+      policy.retainVersions.foreach(r => prune(conf, path, r))
+    out
   }
 
   /** The pinned snapshot's entries whose physical dir holds more than

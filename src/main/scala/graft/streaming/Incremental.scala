@@ -318,7 +318,9 @@ object Incremental {
       keyCols: Seq[String], sumCols: Seq[String], minCols: Seq[String],
       maxCols: Seq[String], statePath: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      stateBuckets: Int = 16): StreamingQuery = {
+      stateBuckets: Int = 16,
+      compaction: graft.llm.LayoutStore.CompactionPolicy =
+        graft.llm.LayoutStore.CompactionPolicy()): StreamingQuery = {
     val r = spark.readStream.schema(schema).format(format)
     val src = maxFilesPerTrigger.fold(r)(n =>
       r.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
@@ -328,7 +330,7 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         aggMaintenanceBatch(batch, s"$ckToken-$batchId", keyCols,
-          sumCols, minCols, maxCols, statePath, stateBuckets)
+          sumCols, minCols, maxCols, statePath, stateBuckets, compaction)
       }
       .start()
   }
@@ -409,7 +411,9 @@ object Incremental {
   private[graft] def aggMaintenanceBatch(batch: DataFrame,
       batchToken: String, keyCols: Seq[String], sumCols: Seq[String],
       minCols: Seq[String], maxCols: Seq[String],
-      statePath: String, stateBuckets: Int = 16): Unit = {
+      statePath: String, stateBuckets: Int = 16,
+      compaction: graft.llm.LayoutStore.CompactionPolicy =
+        graft.llm.LayoutStore.CompactionPolicy()): Unit = {
     import graft.operators.AggMaintenance
     import graft.llm.LayoutStore
     require(stateBuckets >= 1, s"stateBuckets must be >= 1: $stateBuckets")
@@ -465,7 +469,12 @@ object Incremental {
               k.startsWith("kb=") && !touchedDirs.contains(k) }
         }
       }
-      ()
+      // same policy hook as the CDC fold: checked after the fold
+      // lands, off by default, replay-skipped via the early return
+      if (compaction.enabled) {
+        LayoutStore.maybeCompact(s2, statePath, compaction)
+        ()
+      }
     } finally delta.unpersist()
   }
 
@@ -732,7 +741,9 @@ object Incremental {
       statePath: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       clusterBuckets: Int = 64,
-      edgesPath: Option[String] = None): StreamingQuery = {
+      edgesPath: Option[String] = None,
+      compaction: graft.llm.LayoutStore.CompactionPolicy =
+        graft.llm.LayoutStore.CompactionPolicy()): StreamingQuery = {
     val r = spark.readStream.schema(schema).format(format)
     val src = maxFilesPerTrigger.fold(r)(n =>
       r.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
@@ -742,7 +753,8 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ccLabelMaintenanceBatch(batch, s"$ckToken-$batchId",
-          idCol1, idCol2, statePath, clusterBuckets, edgesPath)
+          idCol1, idCol2, statePath, clusterBuckets, edgesPath,
+          compaction)
       }
       .start()
   }
@@ -756,7 +768,9 @@ object Incremental {
   private[graft] def ccLabelMaintenanceBatch(batch: DataFrame,
       batchToken: String, idCol1: String, idCol2: String,
       statePath: String, clusterBuckets: Int = 64,
-      edgesPath: Option[String] = None): Unit = {
+      edgesPath: Option[String] = None,
+      compaction: graft.llm.LayoutStore.CompactionPolicy =
+        graft.llm.LayoutStore.CompactionPolicy()): Unit = {
     import graft.llm.{Dedup, LayoutStore}
     val conf = batch.sparkSession.sparkContext.hadoopConfiguration
     val last = LayoutStore.versions(conf, statePath).lastOption
@@ -785,7 +799,14 @@ object Incremental {
         batch, idCol1, idCol2,
         markers = Map(AppliedBatchMarker -> batchToken),
         edgesPath = edgesPath)
-    ()
+    // the same policy hook as the agg/CDC folds, on the label store
+    // AND the pair-graph sidecar (both accrete a version per batch)
+    if (compaction.enabled) {
+      LayoutStore.maybeCompact(batch.sparkSession, statePath, compaction)
+      edgesPath.foreach(ep =>
+        LayoutStore.maybeCompact(batch.sparkSession, ep, compaction))
+      ()
+    }
   }
 
   /** Gap-based SESSION aggregation as a streaming `session_window` —

@@ -369,6 +369,95 @@ class IncrementalSpec extends SparkTestBase {
       "a replayed batch must not land versions even under a policy")
   }
 
+  test("auto-compaction generalizes to the plain agg fold and the CC " +
+    "label fold: the chain policy fires on both store kinds with zero " +
+    "logical change, markers carried, sidecar included") {
+    val s = spark; import s.implicits._
+    import graft.llm.{Dedup, LayoutStore}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pol = LayoutStore.CompactionPolicy(maxManifestChain = Some(3))
+    // plain agg fold: three single-key batches grow the chain to 3
+    val aggState = tmpDir("acp-agg") + "/state"
+    def aggFold(rows: Seq[(Long, String, Double)], token: String) =
+      Incremental.aggMaintenanceBatch(rows.toDF("id", "k", "v"), token,
+        keyCols = Seq("k"), sumCols = Seq("v"), minCols = Seq("v"),
+        maxCols = Seq("v"), statePath = aggState, compaction = pol)
+    aggFold(Seq((1L, "click", 1.0), (2L, "click", 3.0)), "a0")
+    aggFold(Seq((3L, "view", 5.0)), "a1")
+    aggFold(Seq((4L, "purchase", 2.0)), "a2")
+    val aggVs = LayoutStore.versions(conf, aggState)
+    assert(aggVs == Seq(1L, 2L, 3L, 4L) &&
+      LayoutStore.effectiveEntries(conf, aggState, 4L).values.toSet ==
+        Set(4L),
+      s"the agg fold must auto-compact at chain depth 3: $aggVs")
+    assert(LayoutStore.readTextMarker(conf, s"$aggState/version=4",
+      Incremental.AppliedBatchMarker).contains("a2"))
+    val aggRows = LayoutStore.readSnapshotTable(spark, aggState)
+      .select("k", "n", "sum_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(aggRows == Set(("click", 2L, 4.0), ("view", 1L, 5.0),
+      ("purchase", 1L, 2.0)), s"$aggRows")
+
+    // CC label fold + pair-graph sidecar: disjoint edge batches touch
+    // disjoint cluster buckets → the chain grows; both stores compact
+    val ccState = tmpDir("acp-cc") + "/labels"
+    val ccEdges = tmpDir("acp-cc") + "/edges"
+    def ccFold(pairs: Seq[(Long, Long)], token: String) =
+      Incremental.ccLabelMaintenanceBatch(pairs.toDF("id1", "id2"),
+        token, "id1", "id2", ccState, clusterBuckets = 16,
+        edgesPath = Some(ccEdges), compaction = pol)
+    ccFold(Seq((1L, 2L)), "c0")
+    ccFold(Seq((10L, 11L)), "c1")
+    ccFold(Seq((20L, 21L)), "c2")
+    for (p <- Seq(ccState, ccEdges)) {
+      val vs = LayoutStore.versions(conf, p)
+      val full = vs.filter(v =>
+        LayoutStore.effectiveEntries(conf, p, v).values.toSet == Set(v))
+      assert(full.exists(_ >= 3),
+        s"the CC fold must auto-compact $p once the chain reaches 3: " +
+          s"$vs full=$full")
+    }
+    val labels = LayoutStore.readSnapshotTable(spark, ccState)
+      .select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L), s"$labels")
+  }
+
+  test("CompactionPolicy.retainVersions: retention prunes behind the " +
+    "fold, the newest snapshot still serves the full state, and the " +
+    "replay token survives on the retained head") {
+    val s = spark; import s.implicits._
+    import graft.llm.LayoutStore
+    val conf = spark.sparkContext.hadoopConfiguration
+    val state = tmpDir("acp-retain") + "/state"
+    val pol = LayoutStore.CompactionPolicy(maxManifestChain = Some(3),
+      retainVersions = Some(2))
+    def fold(rows: Seq[(Long, String, Double)], token: String) =
+      Incremental.aggMaintenanceBatch(rows.toDF("id", "k", "v"), token,
+        keyCols = Seq("k"), sumCols = Seq("v"), minCols = Seq("v"),
+        maxCols = Seq("v"), statePath = state, compaction = pol)
+    fold(Seq((1L, "click", 1.0)), "r0")
+    fold(Seq((2L, "view", 5.0)), "r1")
+    fold(Seq((3L, "purchase", 2.0)), "r2") // chain 3 → compact → prune
+    val vs = LayoutStore.versions(conf, state)
+    assert(vs.length == 2 && vs.last == 4L,
+      s"retention must keep the newest 2 serveable versions: $vs")
+    // the retained head is the compacted full snapshot — content whole
+    val rows = LayoutStore.readSnapshotTable(spark, state)
+      .select("k", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("click" -> 1L, "view" -> 1L, "purchase" -> 1L),
+      s"$rows")
+    assert(LayoutStore.readTextMarker(conf, s"$state/version=4",
+      Incremental.AppliedBatchMarker).contains("r2"),
+      "the replay token must survive retention")
+    // replaying r2 against the pruned+compacted head still skips
+    fold(Seq((3L, "purchase", 2.0)), "r2")
+    assert(LayoutStore.versions(conf, state) == vs,
+      "replay must token-skip on the retained head")
+  }
+
   test("maybeCompact: the fragmentation trigger fires a PARTIAL " +
     "compaction only when an entry exceeds the file bound; quiet " +
     "thresholds return None") {
