@@ -1821,6 +1821,18 @@ object SparkEntry {
           docs.where(col("doc_id") % 10 === 0), "text", k = 8)
         .withColumnRenamed("id", "doc_id")
     }),
+    "d95_decontam_spans_fp" -> ((s, dir) => {
+      // the 100 TB tier of d93 (the d92 pattern): contamination grams
+      // keyed by the 128-bit fingerprint instead of the gram string —
+      // same plan shape, smaller shuffle/broadcast payload. Gated
+      // against d93's OWN string-tier oracle: byte-identical cut lists
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.llm.Dedup.contaminationSpanCutLists(
+          docs.where(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          docs.where(col("doc_id") % 10 === 0), "text", k = 8,
+          fingerprintGrams = true)
+        .withColumnRenamed("id", "doc_id")
+    }),
     "d94_decontam_removal" -> ((s, dir) => {
       // d93's cut lists applied back to the corpus side — the
       // decontamination loop closed end-to-end: contaminated extents
@@ -1844,6 +1856,43 @@ object SparkEntry {
         "text")
       val merges = graft.llm.Bpe.trainMerges(words, numMerges = 8)
       words.select(explode(graft.llm.Bpe.applyMerges("word", merges))
+          .as("token"), col("freq"))
+        .groupBy(col("token")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(30)
+    }),
+    "m73_bpe_frozen_vocab" -> ((s, dir) => {
+      // the trained tokenizer as a SHIPPED ARTIFACT (the frozen-
+      // codebook discipline applied to the vocab): train once, freeze
+      // the merge table as a LayoutStore snapshot, tokenize from the
+      // RELOADED table; a retrain on a drifted corpus lands as a NEW
+      // version while the pinned version keeps serving the original
+      // table — in-flight tokenization never shifts under a retrain.
+      // The oracle is d91's from-scratch derivation: the round-trip
+      // must serve the IDENTICAL trained state
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val words = graft.llm.Bpe.wordCorpus(docs.select(col("text")),
+        "text")
+      val merges = graft.llm.Bpe.trainMerges(words, numMerges = 8)
+      val store = tmpQueryDir("m73-vocab").toString + "/vocab"
+      graft.llm.Bpe.writeVocabSnapshot(s, store, merges)
+      // drifted retrain lands v2; the pinned v1 read must still serve
+      // the ORIGINAL table
+      val drifted = graft.llm.Bpe.trainMerges(
+        words.unionByName(words.limit(5)
+          .withColumn("word", concat(col("word"), lit("zq")))),
+        numMerges = 8)
+      graft.llm.Bpe.writeVocabSnapshot(s, store, drifted)
+      val conf = s.sparkContext.hadoopConfiguration
+      require(graft.llm.LayoutStore.versions(conf, store) == Seq(1L, 2L),
+        "each freeze must land its own snapshot version")
+      val pinned = graft.llm.Bpe.readVocabSnapshot(s, store,
+        version = Some(1L))
+      require(pinned == merges,
+        s"the pinned vocab must round-trip bit-identically: $pinned")
+      require(graft.llm.Bpe.readVocabSnapshot(s, store) == drifted,
+        "the newest version must serve the retrained table")
+      // tokenize with the RELOADED pinned table — d91's formulation
+      words.select(explode(graft.llm.Bpe.applyMerges("word", pinned))
           .as("token"), col("freq"))
         .groupBy(col("token")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("token").asc).limit(30)
@@ -6118,6 +6167,14 @@ object SparkEntry {
           |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
           |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
           |FROM r GROUP BY doc_id, run""".stripMargin),
+    "d95_decontam_spans_fp" ->
+      // the STRING-tier oracle verbatim (the d92 discipline): the
+      // fingerprint tier must produce byte-identical cut lists
+      (decontamSpanOracleCte + "\n" +
+        """SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+          |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+          |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
+          |FROM r GROUP BY doc_id, run""".stripMargin),
     "d94_decontam_removal" ->
       // the decontamination chain into removal: corpus tokens
       // anti-joined against contaminated span coverage, re-joined in
@@ -6136,6 +6193,15 @@ object SparkEntry {
           |FROM ctoks LEFT JOIN (
           |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
           |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin),
+    "m73_bpe_frozen_vocab" ->
+      // d91's independent derivation verbatim: the freeze → retrain →
+      // pinned-reload round trip must serve the IDENTICAL trained
+      // state, so the same from-scratch oracle gates it
+      bpeOracleSql(8, tail = Some(
+        """SELECT token, cnt FROM (
+          |  SELECT u.tok AS token, CAST(SUM(freq) AS BIGINT) AS cnt
+          |  FROM (SELECT unnest(sym) AS tok, freq FROM w8) u GROUP BY 1)
+          |ORDER BY cnt DESC, token LIMIT 30""".stripMargin)),
     "d91_bpe_token_stats" ->
       // the identical 8 trained rounds, then the final symbol state
       // unnested and freq-weighted — gates applyMerges cross-engine

@@ -273,6 +273,39 @@ object Bpe {
     out.result()
   }
 
+  /** Persist a trained merge table as a [[LayoutStore]] snapshot — the
+    * FROZEN-TOKENIZER artifact a real pipeline ships (the IVF family's
+    * frozen-codebook discipline applied to the vocab): training runs
+    * once, every later tokenization job loads the snapshot, and
+    * retraining lands as a NEW version so in-flight readers keep the
+    * table they pinned. The table is tiny (one row per merge), so the
+    * snapshot is a single file; the version machinery, not the bytes,
+    * is the point. */
+  def writeVocabSnapshot(spark: org.apache.spark.sql.SparkSession,
+                         path: String, merges: Seq[Merge]): Long = {
+    require(merges.nonEmpty,
+      "writeVocabSnapshot: refusing to freeze an empty merge table")
+    val conf = spark.sparkContext.hadoopConfiguration
+    LayoutStore.writeSnapshot(conf, path) { tmp =>
+      spark.createDataFrame(merges.sortBy(_.rank))
+        .coalesce(1).write.parquet(tmp)
+    }
+  }
+
+  /** Load a frozen merge table (newest version by default; pin one to
+    * keep serving through a retrain) — rank order restored, so
+    * [[applyMerges]] over the loaded table reproduces the trainer's
+    * own passes exactly. */
+  def readVocabSnapshot(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        version: Option[Long] = None): Seq[Merge] =
+    LayoutStore.readSnapshotTable(spark, path, "", version)
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => Merge(r.getAs[Int]("rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("cnt")))
+      .toSeq
+
   /** Tokenize a word column with a trained merge table: the initial
     * char split followed by each merge in rank order — exactly the
     * trainer's own passes, so tokenizing the training corpus with its

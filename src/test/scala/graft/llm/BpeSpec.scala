@@ -77,6 +77,24 @@ class BpeSpec extends SparkTestBase {
     assert(dist == local && dist.head.lhs == "\uFFFD", s"$dist vs $local")
   }
 
+  test("vocab snapshot: freeze → reload round-trips the merge table " +
+    "bit-identically, a retrain lands a new version with the pinned " +
+    "read unchanged, an empty table is refused") {
+    val s = spark; import s.implicits._
+    val merges = train(Seq(("abab", 3L), ("ab", 2L), ("ba", 1L)), 3)
+    val store = tmpDir("bpe-vocab") + "/vocab"
+    assert(Bpe.writeVocabSnapshot(spark, store, merges) == 1L)
+    assert(Bpe.readVocabSnapshot(spark, store) == merges)
+    val retrained = train(Seq(("xyxy", 9L)), 3)
+    assert(Bpe.writeVocabSnapshot(spark, store, retrained) == 2L)
+    assert(Bpe.readVocabSnapshot(spark, store, Some(1L)) == merges,
+      "the pinned version must keep serving the original table")
+    assert(Bpe.readVocabSnapshot(spark, store) == retrained)
+    intercept[IllegalArgumentException] {
+      Bpe.writeVocabSnapshot(spark, store, Seq.empty)
+    }
+  }
+
   test("wordCorpus: whitespace split, empties dropped, exact freqs") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "the cat  the hat"), (2L, " the ")).toDF("id", "text")
