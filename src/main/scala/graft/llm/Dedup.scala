@@ -2244,6 +2244,15 @@ object Dedup {
       val s = sizes.select(col("__id").as(as1), col("__n").as(as2))
       if (hintSizes) broadcast(s) else s
     }
+    // Both pair lists feed TWO of the three scalar aggregates below
+    // (truth → n_true and n_hit, found → n_found and n_hit), and each
+    // aggregate builds as its own broadcast — unmaterialized, the
+    // expensive generator pipelines re-ran once per consumer, serially,
+    // inside single-threaded broadcast-build jobs (r17 profile: d63's
+    // wall was four such builds, the truth and found subtrees each
+    // computed twice). Materialize the tiny id-pair projections eagerly
+    // (truncateFrame) so each pipeline runs exactly once, in a regular
+    // parallel job, before the scalar folds read them.
     val truth = ex.select(col("__id").as("id1"), col("__s"))
       .join(ex.select(col("__id").as("id2"), col("__s")), Seq("__s"))
       .where(col("id1") < col("id2"))
@@ -2253,11 +2262,13 @@ object Dedup {
       .where(col("__c").cast("double") /
         (col("__n1") + col("__n2") - col("__c")) >= threshold)
       .select(col("id1"), col("id2"))
+    val truthM = truncateFrame(truth)
     val found = nearDupPairs(df, idCol, textCol, threshold, k, numHashes,
       bands, maxBucketSize).select(col("id1"), col("id2"))
-    val out = truth.agg(count(lit(1)).as("n_true"))
-      .crossJoin(found.agg(count(lit(1)).as("n_found")))
-      .crossJoin(truth.join(found, Seq("id1", "id2"), "left_semi")
+    val foundM = truncateFrame(found)
+    val out = truthM.agg(count(lit(1)).as("n_true"))
+      .crossJoin(foundM.agg(count(lit(1)).as("n_found")))
+      .crossJoin(truthM.join(foundM, Seq("id1", "id2"), "left_semi")
         .agg(count(lit(1)).as("n_hit")))
       .withColumn("recall", when(col("n_true") === 0, 1.0)
         .otherwise(col("n_hit").cast("double") / col("n_true")))
@@ -2308,15 +2319,24 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (truthPairs, truthBands) = simhashDetectFromSigs(sigs, maxHamming,
       maxBucketSize = None, simhashComboKeys(chunks, maxHamming))
-    val truth = truthPairs.select(col("id1"), col("id2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager-materialized, not persisted: truth feeds n_true + n_hit of
+    // BOTH tiers, and a lazy cache would fill inside the first serial
+    // broadcast build (the d63 finding)
+    val truth = truncateFrame(truthPairs.select(col("id1"), col("id2")))
     val tiers = Seq(
       "band" -> simhashDetectFromSigs(sigs, maxHamming, maxBucketSize,
         simhashBandKeys(bands)),
       "combined" -> simhashDetectFromSigs(sigs, maxHamming, maxBucketSize,
         simhashComboKeys(chunks, maxHamming)))
-    val out = tiers.map { case (name, (foundDf, _)) =>
-      val found = foundDf.select(col("id1"), col("id2"))
+    // each tier's found pairs feed TWO aggregates (n_found and n_hit),
+    // each built as a broadcast — materialize the tiny id-pair
+    // projection eagerly so the tier's detect+verify pipeline runs once
+    // in a parallel job, not twice inside serial broadcast builds (the
+    // d63 finding applied here)
+    val founds = tiers.map { case (name, (foundDf, _)) =>
+      name -> truncateFrame(foundDf.select(col("id1"), col("id2")))
+    }
+    val out = founds.map { case (name, found) =>
       truth.agg(count(lit(1)).as("n_true"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
         .crossJoin(truth.join(found, Seq("id1", "id2"), "left_semi")
@@ -2328,7 +2348,7 @@ object Dedup {
         .otherwise(col("n_hit").cast("double") / col("n_true")))
       .withColumn("precision", when(col("n_found") === 0, 1.0)
         .otherwise(col("n_hit").cast("double") / col("n_found")))
-    materializeAndRelease(out, truth, truthBands, sigs,
+    materializeAndRelease(out, truthBands, sigs,
       tiers.head._2._2, tiers.last._2._2)
   }
 

@@ -77,6 +77,7 @@ object PageRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("__deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "empty graph")
     // each round materializes eagerly with truncated lineage (the
@@ -86,7 +87,12 @@ object PageRank {
     var ranks = nodes.withColumn("rank", lit(scale / n)).localCheckpoint()
     val teleport = (scale / n) * (dd - dn) / dd
     for (_ <- 0 until iters) {
+      // withDeg feeds BOTH the dangling-mass scalar and the contribs
+      // shuffle — unpersisted, the ranks-outdeg join runs twice per
+      // round (r17 profile); persist for the round, release after the
+      // checkpoint lands
       val withDeg = ranks.join(outdeg, Seq("node"), "left")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // dangling mass: a 1-row aggregate folded into the round's plan
       // via broadcast (never a driver action — one job per round total)
       val dang = withDeg.where(col("__deg").isNull)
@@ -107,11 +113,13 @@ object PageRank {
             s"($dn * (coalesce(__in, CAST(0 AS BIGINT)) + " +
               s"(__dang div $n))) div $dd")).as("rank"))
         .localCheckpoint()
+      withDeg.unpersist(blocking = true)
       prev.unpersist(blocking = true)
     }
     // the returned frame is the last round's localCheckpoint —
     // self-contained, so the graph caches release here
     e.unpersist(blocking = true)
+    outdeg.unpersist(blocking = true)
     nodes.unpersist(blocking = true)
     ranks
   }
@@ -160,6 +168,7 @@ object PageRank {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("__deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seedRank = scale / nS
     val teleportSeed = seedRank * (dd - dn) / dd
     var ranks = nodes
@@ -167,7 +176,10 @@ object PageRank {
         when(col("__seed"), lit(seedRank)).otherwise(lit(0L)))
       .localCheckpoint()
     for (_ <- 0 until iters) {
+      // persisted for the round — dang + contribs both read it (the
+      // uniform variant's comment applies verbatim)
       val withDeg = ranks.join(outdeg, Seq("node"), "left")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dang = withDeg.where(col("__deg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
       val contribs = withDeg.where(col("__deg").isNotNull)
@@ -185,9 +197,11 @@ object PageRank {
               s"(CASE WHEN __seed THEN __dang div $nS " +
               s"ELSE CAST(0 AS BIGINT) END))) div $dd")).as("rank"))
         .localCheckpoint()
+      withDeg.unpersist(blocking = true)
       prev.unpersist(blocking = true)
     }
     e.unpersist(blocking = true)
+    outdeg.unpersist(blocking = true)
     seedSet.unpersist(blocking = true)
     nodes.unpersist(blocking = true)
     ranks.select(col("node"), col("rank"))
@@ -230,10 +244,17 @@ object PageRank {
     var scores = nodes.select(col("node"), lit(scale).as("hub"),
       lit(scale).as("auth")).localCheckpoint()
     for (_ <- 0 until iters) {
-      // auth(v) = sum of hubs over in-neighbors, then div-normalize
+      // auth(v) = sum of hubs over in-neighbors, then div-normalize.
+      // rawAuth feeds THREE consumers (the __am max broadcast, the hub
+      // half's join, the round-final scores join) and rawHub two (the
+      // __hm broadcast, the scores join) — unpersisted, the round's
+      // expensive join+aggregate subtrees re-computed per consumer (r17
+      // profile: d83's round plan ran the rawAuth shuffle 3x), so each
+      // persists for the round and releases after the checkpoint lands
       val rawAuth = e
         .join(scores.select(col("node").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("__ra"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val am = rawAuth.agg(greatest(max(col("__ra")), lit(1L)).as("__am"))
       val auth = rawAuth.crossJoin(broadcast(am))
         .select(col("node"),
@@ -243,6 +264,7 @@ object PageRank {
       val rawHub = e
         .join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("__rh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hm = rawHub.agg(greatest(max(col("__rh")), lit(1L)).as("__hm"))
       val hub = rawHub.crossJoin(broadcast(hm))
         .select(col("node"),
@@ -255,6 +277,8 @@ object PageRank {
         .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
           coalesce(col("auth"), lit(0L)).as("auth"))
         .localCheckpoint()
+      rawAuth.unpersist(blocking = true)
+      rawHub.unpersist(blocking = true)
       prev.unpersist(blocking = true)
     }
     e.unpersist(blocking = true)

@@ -29,10 +29,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: one distinct (shuffle on the canonical pair), one
   * degree aggregate, two id-keyed joins to attach endpoint degrees, one
   * wedge self-join on the oriented source, one equi-join of wedges
-  * against oriented edges on the closing pair, and one per-node count
-  * of exploded triangle corners. Triangle rows — not wedges — are the
-  * only data multiplied (×3 corners). No stage is quadratic in a
-  * node's raw degree.
+  * against oriented edges on the closing pair (pre-filtered by a
+  * broadcast Bloom filter over the oriented edge set, so the closing
+  * exchange carries surviving wedges instead of all of them), and one
+  * per-node count of exploded triangle corners. Triangle rows — not
+  * wedges — are the only data multiplied (×3 corners). No stage is
+  * quadratic in a node's raw degree.
   *
   * @return one row per node of the simple graph:
   *         (id, degree, triangles, lcc) with
@@ -97,7 +99,31 @@ object Triangles {
     val wedges = e1.join(e2, Seq("src"))
       .where(lower(col("__dx"), col("x"), col("__dy"), col("y")))
       .select(col("src"), col("x"), col("y"))
-    val triangles = wedges
+    // Bloom pre-filter (optimization guide §3.2): wedges outnumber edges
+    // by the orientation's out-degree fan-out (Σ C(outdeg,2) vs m — r17
+    // measured 377MB of wedge shuffle against 13MB of edges at the d84
+    // gate), and only the closing-edge survivors matter downstream. A
+    // broadcast Bloom filter over xxhash64(src,dst) of the oriented edge
+    // set drops definitely-non-closing wedges BEFORE the (x,y) exchange;
+    // false positives only cost a little extra shuffle — the exact
+    // left-semi join below is unchanged, so the result is identical.
+    // Skipped above `graft.triangles.bloomMaxEdges` (default 200M ≈
+    // 240MB broadcast at 1% fpp): at that scale the filter itself stops
+    // fitting comfortably in executor memory, and the plain shuffled
+    // semi-join is the robust path.
+    val spark = edges.sparkSession
+    val bloomMax = spark.conf
+      .get("graft.triangles.bloomMaxEdges", "200000000").toLong
+    val edgeCount = oriented.count()
+    val wedgesPruned =
+      if (edgeCount > 0 && edgeCount <= bloomMax) {
+        val bf = oriented.stat.bloomFilter(
+          xxhash64(col("src"), col("dst")), edgeCount, 0.01)
+        val bfB = spark.sparkContext.broadcast(bf)
+        val mightClose = udf((h: Long) => bfB.value.mightContainLong(h))
+        wedges.where(mightClose(xxhash64(col("x"), col("y"))))
+      } else wedges
+    val triangles = wedgesPruned
       .join(oriented.select(col("src").as("x"), col("dst").as("y")),
         Seq("x", "y"), "left_semi")
     // every triangle credits all three corners
