@@ -165,8 +165,12 @@ object Dedup {
     // Cache payload is ~(bands x 40B)/doc — tiny next to the text. The
     // bucket cap (windowed count, see capBuckets) is applied BEFORE the
     // persist so it runs once, not once per join side.
-    val produced = df.select(col(idCol).as("id"),
-        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+    // spreadForCompute: tokenize + shingles + numHashes md5 rounds are
+    // the dominant per-doc compute; a single-small-file scan would run
+    // them on ONE core (r17 profile — see spreadForCompute's doc)
+    val produced = spreadForCompute(
+        df.select(col(idCol).as("id"),
+          TextAnalysis.tokens(lower(col(textCol))).as("__toks")))
       .select(col("id"), shinglesFromTokens(col("__toks"), k).as("__sh"))
       .select(col("id"), minhashSignature(col("__sh"), numHashes).as("sig"))
       .select(col("id"),
@@ -399,8 +403,9 @@ object Dedup {
     // persisted for the same reason as the band frame: joined twice (id1
     // and id2 sides) and Spark won't reuse the shingling subtree across
     // the two aliased branches
-    val sh = df.select(col(idCol).as("__id"),
-        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+    val sh = spreadForCompute(
+        df.select(col(idCol).as("__id"),
+          TextAnalysis.tokens(lower(col(textCol))).as("__toks")))
       .select(col("__id"), shinglesFromTokens(col("__toks"), k).as("__raw"))
       .select(col("__id"), array_distinct(col("__raw")).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -542,7 +547,8 @@ object Dedup {
     * detector tiers and the recall gauge. */
   private def simhashSigs(df: DataFrame, idCol: String,
                           textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), md5TokenHashes(col(textCol)).as("__h"))
+    spreadForCompute(
+        df.select(col(idCol).as("id"), md5TokenHashes(col(textCol)).as("__h")))
       .select(col("id"), simhashPackedFromHashes(col("__h")).as("sig"))
 
   /** Detector core over a PRE-BUILT (id, sig) frame (persist it — three
@@ -779,8 +785,13 @@ object Dedup {
       containment: Boolean = false): (DataFrame, DataFrame) = {
     // one persist, of the POST-cap frame: the windowed cap (capBuckets)
     // runs once into the cache instead of once per consumer, and the
-    // cache is partitioned by fp — which the self-join below reuses
-    val produced = df.select(col(idCol).as("id"), lower(col(textCol)).as("__t"))
+    // cache is partitioned by fp — which the self-join below reuses.
+    // spreadForCompute: the gram-hash + winnowing explode multiplies
+    // each doc into ~|text| rows — serialized on one core when the scan
+    // is a single small file (r17 profile: d10/d25 spent 2.6-2.9s in a
+    // single-task fingerprint stage)
+    val produced = spreadForCompute(
+        df.select(col(idCol).as("id"), lower(col(textCol)).as("__t")))
       .select(col("id"), TextAnalysis.charGramHashes(col("__t"), k).as("__g"))
       .select(col("id"), TextAnalysis.winnowingMinima(col("__g"), w).as("fps"))
       .select(col("id"), explode(col("fps")).as("fp"))
@@ -881,8 +892,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int, maxBucketSize: Option[Int] = None): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1: $k")
-    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
-        length(col(textCol)).cast("int").as("__l"))
+    // spread before the segment/probe explodes: they multiply each doc
+    // into O(k²) substring-hash rows, so partitioning sized to input
+    // BYTES (one small unsplittable file = ONE partition) serializes
+    // the whole operator — r17 profile: d58's index build ran as a
+    // single 2s task inside the candidate join's broadcast build
+    val base = spreadForCompute(
+        df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+          length(col(textCol)).cast("int").as("__l")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val longs = base.where(col("__l") > k)
     val idxCapped = capEditSegments(editSegments(longs, k), maxBucketSize)
@@ -1017,8 +1034,11 @@ object Dedup {
                              k: Int, path: String): Long = {
     require(k >= 1, s"k must be >= 1: $k")
     val spark = df.sparkSession
-    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
-      length(col(textCol)).cast("int").as("__l"))
+    // spread before editSegments' k+1-way substring-hash explode (see
+    // spreadForCompute's doc — no-op at real scan parallelism)
+    val base = spreadForCompute(
+      df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+        length(col(textCol)).cast("int").as("__l")))
     LayoutStore.writeSnapshot(
       spark.sparkContext.hadoopConfiguration, path) { tmp =>
       base.select(col("__id").as("id"), col("__t").as("text"),
@@ -1063,8 +1083,11 @@ object Dedup {
       LayoutStore.readSnapshotTable(spark, path, "segs", version)
         .select(col("id").as("__idxId"), col("key").as("__key")),
       maxBucketSize)
-    val b = batch.select(col(idCol).as("__id"), col(textCol).as("__t"),
-        length(col(textCol)).cast("int").as("__l"))
+    // spread before editProbes' O(k²) substring-hash explode (see
+    // spreadForCompute's doc — no-op at real scan parallelism)
+    val b = spreadForCompute(
+        batch.select(col(idCol).as("__id"), col(textCol).as("__t"),
+          length(col(textCol)).cast("int").as("__l")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lens = histTexts.where(col("l") > k)
       .select(col("l").as("__cl")).distinct()
@@ -1322,6 +1345,20 @@ object Dedup {
     * So persist around the checkpoint — the write then replays cache
     * blocks instead of the plan — and free the blocks immediately: the
     * returned frame is backed by the checkpoint files, not the cache. */
+  /** Spread a low-parallelism input across the session's cores before a
+    * compute MULTIPLIER (explodes that emit O(k²) rows per input row):
+    * scan parallelism is sized to input BYTES (guide §2.5 — one small
+    * unsplittable file is ONE partition, and a single parquet row group
+    * cannot split), which serializes every downstream pipeline stage on
+    * a single core however expensive the per-row work is. No-op when
+    * the plan already carries >= defaultParallelism partitions — any
+    * real corpus at scale — so the round-robin exchange is paid exactly
+    * when the input is small enough for it not to matter. */
+  private[graft] def spreadForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private[graft] def truncateFrame(df: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined &&
@@ -2226,8 +2263,9 @@ object Dedup {
                      bands: Int = 4,
                      maxBucketSize: Option[Int] = None,
                      sizesBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+    val sh = spreadForCompute(
+        df.select(col(idCol).as("__id"),
+          TextAnalysis.tokens(lower(col(textCol))).as("__toks")))
       .select(col("__id"), shinglesFromTokens(col("__toks"), k).as("__raw"))
       .select(col("__id"), array_distinct(col("__raw")).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

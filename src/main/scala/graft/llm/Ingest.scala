@@ -72,8 +72,11 @@ object Ingest {
       Some(srcVersion)).head()
     val termBuckets = st.getAs[Int]("term_buckets")
 
-    val newToks = newDocs.select(col(docIdCol).as("doc_id"),
-        TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+    // spread before the per-term explode below (see
+    // Dedup.spreadForCompute — no-op at real scan parallelism)
+    val newToks = Dedup.spreadForCompute(
+        newDocs.select(col(docIdCol).as("doc_id"),
+          TextAnalysis.tokens(lower(col(textCol))).as("__t")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchIds = maybeBroadcast(
       newToks.select(col("doc_id")).distinct(), batchBroadcastMaxBytes)

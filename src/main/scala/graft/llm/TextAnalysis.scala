@@ -650,8 +650,12 @@ object TextAnalysis {
                       textCol: String = "text",
                       termBuckets: Int = 64): Unit = {
     require(termBuckets >= 1, s"termBuckets must be >= 1: $termBuckets")
-    val corpusToks = corpus.select(col(docIdCol).as("doc_id"),
-      tokens(lower(col(textCol))).as("__t"))
+    // spread before the per-term explode (~|tokens| rows per doc): a
+    // single-small-file corpus scan would tokenize+explode on ONE core
+    // (see Dedup.spreadForCompute — no-op at real scan parallelism)
+    val corpusToks = Dedup.spreadForCompute(
+      corpus.select(col(docIdCol).as("doc_id"),
+        tokens(lower(col(textCol))).as("__t")))
     val tf = corpusToks
       .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
         explode(col("__t")).as("term"))
@@ -1032,7 +1036,12 @@ object TextAnalysis {
     val gramArr = when(size(toks) < width, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - width),
         i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(width))))))
-    val g0 = df.select(col(idCol).as("id"), explode(gramArr).as("gram"))
+    // spread before the gram explode: ~|tokens| md5 rows per doc would
+    // otherwise generate on ONE core off a single-small-file scan (r17
+    // profile: d37 spent 3.1s in a single-task gram stage)
+    val g0 = Dedup.spreadForCompute(df.select(col(idCol).as("id"),
+        col(textCol)))
+      .select(col("id"), explode(gramArr).as("gram"))
       .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
     val g = g0.where(when(col("cnt") >= 1, length(col("gram")) > 0))
     val dfreq = g.groupBy(col("gram"))

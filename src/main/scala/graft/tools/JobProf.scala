@@ -17,7 +17,7 @@ object JobProf {
     val q = args(1)
     val repeats = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val builder = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,7 +26,14 @@ object JobProf {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B config hypotheses, same syntax as Bench: ';'-separated k=v
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
+        case _ =>
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     case class JobRec(id: Int, desc: String, t0: Long,
@@ -54,8 +61,16 @@ object JobProf {
       }
       override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
         if (collect) stages.synchronized {
+          // name from the DETAILS call-site (first user frame) when the
+          // short name is an executor-thread frame (broadcast builds all
+          // read "withThreadLocalCaptured at CompletableFuture")
+          val det = e.stageInfo.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("tools."))
+            .getOrElse("").trim
+          val nm = e.stageInfo.name.take(50) +
+            (if (det.nonEmpty) s" | $det" else "")
           val s = stages.getOrElseUpdate(e.stageInfo.stageId,
-            StageRec(e.stageInfo.stageId, e.stageInfo.name))
+            StageRec(e.stageInfo.stageId, nm))
           s.sub = System.currentTimeMillis()
         }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
@@ -107,11 +122,18 @@ object JobProf {
           j.stages.flatMap(stages.get).filter(_.tasks > 0)
             .sortBy(-_.taskMs).take(4).foreach { s =>
               println(f"      stage ${s.id}%5d wall=${s.wallMs}%6dms taskSum=${s.taskMs}%7dms tasks=${s.tasks}%4d " +
-                f"in=${s.inBytes / 1024}%7dK shR=${s.shufR / 1024}%7dK shW=${s.shufW / 1024}%7dK  ${s.name.take(60)}")
+                f"in=${s.inBytes / 1024}%7dK shR=${s.shufR / 1024}%7dK shW=${s.shufW / 1024}%7dK  ${s.name.take(140)}")
             }
         }
         val totalTask = stages.values.map(_.taskMs).sum
-        println(f"total task-ms=$totalTask  jobs=${jobs.size}  stages-with-tasks=${stages.values.count(_.tasks > 0)}")
+        val jw = jobs.values.filter(_.wallMs >= 0).map(_.wallMs).sum
+        // driver gaps: time between one job's end and the next's start
+        // (sequential actions only — concurrent jobs make this negative)
+        val sorted = jobs.values.toSeq.sortBy(_.t0)
+        val gaps = sorted.sliding(2).collect {
+          case Seq(a, b) if a.wallMs >= 0 => b.t0 - (a.t0 + a.wallMs)
+        }.filter(_ > 0).sum
+        println(f"total task-ms=$totalTask  job-wall-ms=$jw  gap-ms=$gaps  jobs=${jobs.size}  stages-with-tasks=${stages.values.count(_.tasks > 0)}")
       }
     }
     println(f"best: $best%.2fs")
