@@ -1083,11 +1083,13 @@ object Dedup {
       LayoutStore.readSnapshotTable(spark, path, "segs", version)
         .select(col("id").as("__idxId"), col("key").as("__key")),
       maxBucketSize)
-    // spread before editProbes' O(k²) substring-hash explode (see
-    // spreadForCompute's doc — no-op at real scan parallelism)
-    val b = spreadForCompute(
-        batch.select(col(idCol).as("__id"), col(textCol).as("__t"),
-          length(col(textCol)).cast("int").as("__l")))
+    // NOT spread: this is the per-batch probe path (called once per
+    // micro-batch on a small frame) — the r17 A/B showed the extra
+    // planning + exchange per call costs more than the parallelism
+    // gains (m35 4.2→5.0s with a spread here); the corpus-shaped index
+    // build (writeEditIndexSnapshot) is where the spread pays
+    val b = batch.select(col(idCol).as("__id"), col(textCol).as("__t"),
+        length(col(textCol)).cast("int").as("__l"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lens = histTexts.where(col("l") > k)
       .select(col("l").as("__cl")).distinct()
@@ -1355,6 +1357,8 @@ object Dedup {
     * real corpus at scale — so the round-robin exchange is paid exactly
     * when the input is small enough for it not to matter. */
   private[graft] def spreadForCompute(df: DataFrame): DataFrame = {
+    if (df.sparkSession.conf
+        .get("graft.spreadForCompute", "true") == "false") return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -72,11 +72,13 @@ object Ingest {
       Some(srcVersion)).head()
     val termBuckets = st.getAs[Int]("term_buckets")
 
-    // spread before the per-term explode below (see
-    // Dedup.spreadForCompute — no-op at real scan parallelism)
-    val newToks = Dedup.spreadForCompute(
-        newDocs.select(col(docIdCol).as("doc_id"),
-          TextAnalysis.tokens(lower(col(textCol))).as("__t")))
+    // NOT spread: this is the per-batch append path (small frames,
+    // possibly once per micro-batch) — the r17 A/B showed the extra
+    // planning + exchange per call costs more than the parallelism
+    // gains (m43 6.9→7.8s with a spread here); the corpus-shaped
+    // builder (writeBm25Layout) is where the spread pays
+    val newToks = newDocs.select(col(docIdCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchIds = maybeBroadcast(
       newToks.select(col("doc_id")).distinct(), batchBroadcastMaxBytes)
