@@ -2818,8 +2818,11 @@ object Dedup {
     require(k >= 1, s"k must be >= 1: $k")
     require(minDocs >= 2,
       s"minDocs must be >= 2 (cross-document): $minDocs")
-    val toks = df.select(col(idCol).as("id"),
-        WhitespaceTokens.tokens(col(textCol)).as("t"))
+    // spread before the k-gram explode (~|tokens| gram rows per doc)
+    // — see spreadForCompute's doc; no-op at real scan parallelism
+    val toks = spreadForCompute(
+        df.select(col(idCol).as("id"),
+          WhitespaceTokens.tokens(col(textCol)).as("t")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     materializeAndRelease(
       exactSpanPlan(toks, k, minDocs, fingerprintGrams), toks)
@@ -2904,8 +2907,10 @@ object Dedup {
                                 fingerprintGrams: Boolean = false)
       : DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val toks = corpus.select(col(idCol).as("id"),
-        WhitespaceTokens.tokens(col(textCol)).as("t"))
+    // spread before the k-gram explode (see spreadForCompute's doc)
+    val toks = spreadForCompute(
+        corpus.select(col(idCol).as("id"),
+          WhitespaceTokens.tokens(col(textCol)).as("t")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = benchmark.select(lit(0L).as("id"),
       WhitespaceTokens.tokens(col(benchTextCol)).as("t"))
