@@ -169,8 +169,9 @@ object Dedup {
     // the dominant per-doc compute; a single-small-file scan would run
     // them on ONE core (r17 profile — see spreadForCompute's doc)
     val produced = spreadForCompute(
-        df.select(col(idCol).as("id"),
-          TextAnalysis.tokens(lower(col(textCol))).as("__toks")))
+        df.select(col(idCol).as("id"), col(textCol).as("__sftxt")))
+      .select(col("id"),
+        TextAnalysis.tokens(lower(col("__sftxt"))).as("__toks"))
       .select(col("id"), shinglesFromTokens(col("__toks"), k).as("__sh"))
       .select(col("id"), minhashSignature(col("__sh"), numHashes).as("sig"))
       .select(col("id"),
@@ -404,8 +405,9 @@ object Dedup {
     // and id2 sides) and Spark won't reuse the shingling subtree across
     // the two aliased branches
     val sh = spreadForCompute(
-        df.select(col(idCol).as("__id"),
-          TextAnalysis.tokens(lower(col(textCol))).as("__toks")))
+        df.select(col(idCol).as("__id"), col(textCol).as("__sftxt")))
+      .select(col("__id"),
+        TextAnalysis.tokens(lower(col("__sftxt"))).as("__toks"))
       .select(col("__id"), shinglesFromTokens(col("__toks"), k).as("__raw"))
       .select(col("__id"), array_distinct(col("__raw")).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -547,8 +549,13 @@ object Dedup {
     * detector tiers and the recall gauge. */
   private def simhashSigs(df: DataFrame, idCol: String,
                           textCol: String): DataFrame =
+    // spread carries the RAW text; the md5 token hashing runs after the
+    // exchange (r17 re-measure: hashing before the spread kept the
+    // compute serial in the scan stage AND shuffled the fat hash
+    // arrays — d14 regressed 1.8x until the expression moved here)
     spreadForCompute(
-        df.select(col(idCol).as("id"), md5TokenHashes(col(textCol)).as("__h")))
+        df.select(col(idCol).as("id"), col(textCol).as("__sftxt")))
+      .select(col("id"), md5TokenHashes(col("__sftxt")).as("__h"))
       .select(col("id"), simhashPackedFromHashes(col("__h")).as("sig"))
 
   /** Detector core over a PRE-BUILT (id, sig) frame (persist it — three
@@ -1034,17 +1041,19 @@ object Dedup {
                              k: Int, path: String): Long = {
     require(k >= 1, s"k must be >= 1: $k")
     val spark = df.sparkSession
-    // spread before editSegments' k+1-way substring-hash explode (see
-    // spreadForCompute's doc — no-op at real scan parallelism)
-    val base = spreadForCompute(
-      df.select(col(idCol).as("__id"), col(textCol).as("__t"),
-        length(col(textCol)).cast("int").as("__l")))
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+      length(col(textCol)).cast("int").as("__l"))
     LayoutStore.writeSnapshot(
       spark.sparkContext.hadoopConfiguration, path) { tmp =>
+      // texts is a straight copy — no multiplier, no spread; ONLY the
+      // segment build (k+1 substring-hash rows per doc) spreads, so the
+      // text shuffles exactly once and only for the job that needs the
+      // parallelism (r17 re-measure: spreading the shared base re-ran
+      // the exchange in BOTH write jobs — m35/m36 regressed ~1.6x)
       base.select(col("__id").as("id"), col("__t").as("text"),
           col("__l").as("l"))
         .write.mode("overwrite").parquet(s"$tmp/texts")
-      editSegments(base.where(col("__l") > k), k)
+      editSegments(spreadForCompute(base.where(col("__l") > k)), k)
         .select(col("__idxId").as("id"), col("__key").as("key"))
         .write.mode("overwrite").parquet(s"$tmp/segs")
       spark.range(1).select(lit(k).as("k"))
@@ -2268,8 +2277,9 @@ object Dedup {
                      maxBucketSize: Option[Int] = None,
                      sizesBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
     val sh = spreadForCompute(
-        df.select(col(idCol).as("__id"),
-          TextAnalysis.tokens(lower(col(textCol))).as("__toks")))
+        df.select(col(idCol).as("__id"), col(textCol).as("__sftxt")))
+      .select(col("__id"),
+        TextAnalysis.tokens(lower(col("__sftxt"))).as("__toks"))
       .select(col("__id"), shinglesFromTokens(col("__toks"), k).as("__raw"))
       .select(col("__id"), array_distinct(col("__raw")).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2821,8 +2831,8 @@ object Dedup {
     // spread before the k-gram explode (~|tokens| gram rows per doc)
     // — see spreadForCompute's doc; no-op at real scan parallelism
     val toks = spreadForCompute(
-        df.select(col(idCol).as("id"),
-          WhitespaceTokens.tokens(col(textCol)).as("t")))
+        df.select(col(idCol).as("id"), col(textCol).as("__sftxt")))
+      .select(col("id"), WhitespaceTokens.tokens(col("__sftxt")).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     materializeAndRelease(
       exactSpanPlan(toks, k, minDocs, fingerprintGrams), toks)
@@ -2909,8 +2919,8 @@ object Dedup {
     require(k >= 1, s"k must be >= 1: $k")
     // spread before the k-gram explode (see spreadForCompute's doc)
     val toks = spreadForCompute(
-        corpus.select(col(idCol).as("id"),
-          WhitespaceTokens.tokens(col(textCol)).as("t")))
+        corpus.select(col(idCol).as("id"), col(textCol).as("__sftxt")))
+      .select(col("id"), WhitespaceTokens.tokens(col("__sftxt")).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = benchmark.select(lit(0L).as("id"),
       WhitespaceTokens.tokens(col(benchTextCol)).as("t"))

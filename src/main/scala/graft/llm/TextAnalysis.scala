@@ -650,12 +650,16 @@ object TextAnalysis {
                       textCol: String = "text",
                       termBuckets: Int = 64): Unit = {
     require(termBuckets >= 1, s"termBuckets must be >= 1: $termBuckets")
-    // spread before the per-term explode (~|tokens| rows per doc): a
-    // single-small-file corpus scan would tokenize+explode on ONE core
-    // (see Dedup.spreadForCompute — no-op at real scan parallelism)
+    // spread the RAW text before the tokenize + per-term explode (the
+    // multiplier) — see Dedup.spreadForCompute; and PERSIST the
+    // tokenized frame: it feeds two separate WRITE JOBS (postings and
+    // stats), which otherwise each re-run the scan+tokenize pipeline
+    // (and, spread, its exchange) — r17 re-measure: the unpersisted
+    // spread regressed m42/m43 ~1.35x
     val corpusToks = Dedup.spreadForCompute(
-      corpus.select(col(docIdCol).as("doc_id"),
-        tokens(lower(col(textCol))).as("__t")))
+        corpus.select(col(docIdCol).as("doc_id"), col(textCol).as("__sftxt")))
+      .select(col("doc_id"), tokens(lower(col("__sftxt"))).as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = corpusToks
       .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
         explode(col("__t")).as("term"))
@@ -671,6 +675,8 @@ object TextAnalysis {
         sum(size(col("__t")).cast("long")).as("tot"))
       .withColumn("term_buckets", lit(termBuckets))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    corpusToks.unpersist(blocking = true)
+    ()
   }
 
   /** BM25 top-k over a [[writeBm25Layout]] index: bit-exact the same

@@ -174,14 +174,19 @@ object Triangles {
     val deg = canon.select(col("u").as("id"))
       .unionByName(canon.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // both orientations from ONE join pass: the union form planned the
+    // canon⋈deg⋈deg subtree twice (r17 plan audit: 20 broadcast
+    // exchanges, 886-line plan for a 1-row aggregate); exploding the
+    // two orientations from a single attached frame emits the identical
+    // row multiset — the three sums below are order-independent exact
+    // decimals, so the result is bit-identical
     val doubled = canon
       .join(deg.select(col("id").as("u"), col("d").as("__du")), Seq("u"))
       .join(deg.select(col("id").as("v"), col("d").as("__dv")), Seq("v"))
-      .select(col("__du").as("x"), col("__dv").as("y"))
-      .unionByName(canon
-        .join(deg.select(col("id").as("u"), col("d").as("__du")), Seq("u"))
-        .join(deg.select(col("id").as("v"), col("d").as("__dv")), Seq("v"))
-        .select(col("__dv").as("x"), col("__du").as("y")))
+      .select(explode(array(
+          struct(col("__du").as("x"), col("__dv").as("y")),
+          struct(col("__dv").as("x"), col("__du").as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
     doubled.agg(
         count(lit(1)).as("m2"),
