@@ -41,6 +41,24 @@ object Dedup {
     out
   }
 
+  /** Free the storage behind [[truncateFrame]]d INTERMEDIATES once every
+    * consumer has materialized: a local checkpoint persists its RDD, and
+    * those blocks otherwise outlive the operator call until ContextCleaner
+    * GC — violating the "nothing an operator persisted outlives the call"
+    * discipline above (ADVICE r17, the recall gauges' pair frames).
+    * Reliable-checkpoint files are left to the checkpoint-dir lifecycle
+    * (deleting files under a frame someone may still hold is not safe in
+    * general); the block-level unpersist is a no-op there. Never call
+    * this on a frame that is RETURNED to the caller. */
+  private[graft] def releaseTruncated(frames: DataFrame*): Unit =
+    frames.foreach { f =>
+      f.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ =>
+      }
+    }
+
   /** Keep one doc per exact key: min id wins (deterministic). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val keyed = df.withColumn("__key", exactKey(col(textCol)))
@@ -1364,12 +1382,38 @@ object Dedup {
     * a single core however expensive the per-row work is. No-op when
     * the plan already carries >= defaultParallelism partitions — any
     * real corpus at scale — so the round-robin exchange is paid exactly
-    * when the input is small enough for it not to matter. */
+    * when the input is small enough for it not to matter.
+    *
+    * Only SCAN-ROOTED plans (a narrow Project/Filter chain over one
+    * leaf) are probed: with AQE on, `.rdd` on a plan containing
+    * exchanges materializes every upstream query stage eagerly in a
+    * separate QueryExecution, so a shuffle-bearing input would execute
+    * those stages for the probe and AGAIN for the consumer — no
+    * exchange reuse spans the two executions (ADVICE r17). Such a frame
+    * already carries shuffle-sized partitioning anyway (and an
+    * AQE-coalesced one must not be re-exploded into a full extra
+    * shuffle of raw text), so it falls through untouched. */
   private[graft] def spreadForCompute(df: DataFrame): DataFrame = {
     if (df.sparkSession.conf
         .get("graft.spreadForCompute", "true") == "false") return df
+    if (!scanRooted(df.queryExecution.analyzed)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Narrow chain over exactly one leaf — the plans whose `.rdd` is free
+    * to construct (no exchanges, hence no AQE query-stage
+    * materialization during the partition probe). */
+  private def scanRooted(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    plan match {
+      case p: logical.Project => scanRooted(p.child)
+      case f: logical.Filter => scanRooted(f.child)
+      case s: logical.SubqueryAlias => scanRooted(s.child)
+      case _: logical.LeafNode => true
+      case _ => false
+    }
   }
 
   private[graft] def truncateFrame(df: DataFrame): DataFrame = {
@@ -2326,7 +2370,9 @@ object Dedup {
         .otherwise(col("n_hit").cast("double") / col("n_true")))
       .withColumn("precision", when(col("n_found") === 0, 1.0)
         .otherwise(col("n_hit").cast("double") / col("n_found")))
-    materializeAndRelease(out, sh)
+    val res = materializeAndRelease(out, sh)
+    releaseTruncated(truthM, foundM)
+    res
   }
 
   /** [[lshRecallGauge]]'s twin for the SIMHASH detector family — one row
@@ -2400,8 +2446,10 @@ object Dedup {
         .otherwise(col("n_hit").cast("double") / col("n_true")))
       .withColumn("precision", when(col("n_found") === 0, 1.0)
         .otherwise(col("n_hit").cast("double") / col("n_found")))
-    materializeAndRelease(out, truthBands, sigs,
+    val res = materializeAndRelease(out, truthBands, sigs,
       tiers.head._2._2, tiers.last._2._2)
+    releaseTruncated(truth +: founds.map(_._2): _*)
+    res
   }
 
   /** Quality-aware canonical selection over EDIT-distance components —

@@ -1038,7 +1038,11 @@ object TextAnalysis {
                     width: Int = 4,
                     dfBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
     require(width >= 1, s"width must be >= 1: $width")
-    val toks = tokens(lower(coalesce(col(textCol), lit(""))))
+    // alias the text column (a caller whose text column is literally
+    // named "id" would otherwise produce two "id" columns after the
+    // projection below — the other spread call sites rename for the
+    // same reason; ADVICE r17)
+    val toks = tokens(lower(coalesce(col("__sftxt"), lit(""))))
     val gramArr = when(size(toks) < width, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - width),
         i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(width))))))
@@ -1046,7 +1050,7 @@ object TextAnalysis {
     // otherwise generate on ONE core off a single-small-file scan (r17
     // profile: d37 spent 3.1s in a single-task gram stage)
     val g0 = Dedup.spreadForCompute(df.select(col(idCol).as("id"),
-        col(textCol)))
+        col(textCol).as("__sftxt")))
       .select(col("id"), explode(gramArr).as("gram"))
       .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("cnt"))
     val g = g0.where(when(col("cnt") >= 1, length(col("gram")) > 0))

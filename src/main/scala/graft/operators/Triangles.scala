@@ -83,8 +83,12 @@ object Triangles {
         when(lower(col("__du"), col("u"), col("__dv"), col("v")),
           col("__dv")).otherwise(col("__du")).as("__dd"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one count serves both the stage-split materialization and the
+    // Bloom sizing below (ADVICE r17: it used to run twice when
+    // stageSecs was set)
+    var countedEdges: Option[Long] = None
     stageSecs.foreach { cb =>
-      oriented.count() // force the persist so the stage split is real
+      countedEdges = Some(oriented.count()) // force the persist so the stage split is real
       cb("orient", (System.nanoTime() - t0) / 1e9)
     }
     val tW = System.nanoTime()
@@ -110,11 +114,18 @@ object Triangles {
     // Skipped above `graft.triangles.bloomMaxEdges` (default 200M ≈
     // 240MB broadcast at 1% fpp): at that scale the filter itself stops
     // fitting comfortably in executor memory, and the plain shuffled
-    // semi-join is the robust path.
+    // semi-join is the robust path. The configured cap is additionally
+    // clamped to what the DRIVER can hold (the filter aggregates on the
+    // driver before broadcasting — ADVICE r17): 1% fpp costs ~9.6
+    // bits/item, and the clamp allows at most ~1/16 of the driver's max
+    // heap, so a default-config run near the cap degrades to the
+    // shuffled semi-join instead of OOMing during stat.bloomFilter.
     val spark = edges.sparkSession
-    val bloomMax = spark.conf
-      .get("graft.triangles.bloomMaxEdges", "200000000").toLong
-    val edgeCount = oriented.count()
+    val memMaxEdges = Runtime.getRuntime.maxMemory / 16 * 10 / 12 // bytes/16 ÷ ~1.2 B/item
+    val bloomMax = math.min(
+      spark.conf.get("graft.triangles.bloomMaxEdges", "200000000").toLong,
+      memMaxEdges)
+    val edgeCount = countedEdges.getOrElse(oriented.count())
     val wedgesPruned =
       if (edgeCount > 0 && edgeCount <= bloomMax) {
         val bf = oriented.stat.bloomFilter(

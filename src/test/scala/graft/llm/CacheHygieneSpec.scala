@@ -59,4 +59,45 @@ class CacheHygieneSpec extends SparkTestBase {
     val leaked = sc.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"nearDupPairs leaked: $leaked")
   }
+
+  test("recall gauges release their truncated pair intermediates (local-checkpoint path)") {
+    val sc = spark.sparkContext
+    // force the LOCAL checkpoint path: truncateFrame then persists each
+    // frame's RDD, which is exactly the storage releaseTruncated must
+    // free (the reliable path holds files, not blocks)
+    spark.conf.set("graft.cc.reliableCheckpoint", "false")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val before = sc.getPersistentRDDs.keySet
+      val r1 = Dedup.lshRecallGauge(docs, "doc_id", "text", threshold = 0.5)
+      assert(r1.count() == 1)
+      // only the RETURNED result frame's checkpoint blocks may survive;
+      // the truth/found intermediates must not (pre-fix: 3 survivors)
+      val leak1 = sc.getPersistentRDDs.keySet -- before
+      assert(leak1.size <= 1, s"lshRecallGauge left intermediates: $leak1")
+      val before2 = sc.getPersistentRDDs.keySet
+      val r2 = Dedup.simhashRecallGauge(docs, "doc_id", "text")
+      assert(r2.count() == 2)
+      val leak2 = sc.getPersistentRDDs.keySet -- before2
+      assert(leak2.size <= 1, s"simhashRecallGauge left intermediates: $leak2")
+    } finally spark.conf.set("graft.cc.reliableCheckpoint", "true")
+  }
+
+  test("spreadForCompute probes only scan-rooted plans; shuffle-bearing frames fall through") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // scan-rooted narrow chain over one small file: 1 partition < cores,
+    // so the spread fires
+    val spreadScan = Dedup.spreadForCompute(
+      docs.select(col("doc_id"), col("text")).where(col("doc_id").isNotNull))
+    assert(spreadScan.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // shuffle-bearing plan (aggregate): returned UNCHANGED — probing it
+    // would materialize the upstream query stages under AQE (ADVICE r17)
+    val agg = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    assert(Dedup.spreadForCompute(agg) eq agg)
+    // a join is likewise not scan-rooted
+    val joined = docs.join(agg, Seq("source"))
+    assert(Dedup.spreadForCompute(joined) eq joined)
+  }
 }
