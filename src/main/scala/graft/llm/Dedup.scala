@@ -1120,7 +1120,17 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lens = histTexts.where(col("l") > k)
       .select(col("l").as("__cl")).distinct()
-    val candsA = editProbes(b, k, lens, upward = true)
+    // candidate join strategy pinned to SHUFFLED-HASH with the
+    // batch-bounded probe side as build: the stored segment index is
+    // the BIG side (|history| · (k+1) rows), but its parquet-size
+    // estimate undersells the in-memory rows, so the planner was
+    // broadcasting it — r18 profile on m36: a 128 MiB, 1.38M-row
+    // broadcast built PER MICRO-BATCH (2.6s of the 4.4s batch).
+    // Shuffling instead moves the compressed index bytes once per
+    // batch and builds only the probe hash per partition — the shape
+    // that stays bounded when history is 100 TB and the batch is a
+    // daily shard.
+    val candsA = editProbes(b, k, lens, upward = true).hint("shuffle_hash")
       .join(segs, Seq("__key"))
       .select(col("__prbId").as("__bid"), col("__idxId").as("__hid"))
     val histShorts = histTexts.where(col("l") <= k)
@@ -2723,7 +2733,8 @@ object Dedup {
       .withColumn("__n", size(col("__terms")).cast("long"))
 
   def setSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
-                        thresholdNum: Int, thresholdDen: Int): DataFrame = {
+                        thresholdNum: Int, thresholdDen: Int,
+                        docsBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
     require(thresholdNum >= 1 && thresholdDen >= thresholdNum,
       s"threshold $thresholdNum/$thresholdDen not in (0, 1]")
     val (num, den) = (thresholdNum.toLong, thresholdDen.toLong)
@@ -2777,16 +2788,28 @@ object Dedup {
     // PAIR, the dominant garbage at millions of candidates
     val docsH = docs.select(col("__id"),
       array_sort(transform(col("__terms"), t => xxhash64(t))).as("__th"))
+    // the verify attaches ONE doc row per candidate SIDE: candidates
+    // outnumber docs by the pair fan-out (r18 profile on the d87 graph:
+    // 3.9M candidates vs 2k docs, and the un-hinted plan sort-merged —
+    // two full sorts OF THE CANDIDATE FRAME). Broadcast the per-doc
+    // token-array frame while its plan-stats bound fits (docs is
+    // persisted, so the bound is the cache's REAL size — the d18/d29
+    // guard pattern); a corpus too big to broadcast falls back to the
+    // shuffle join, never a driver OOM.
+    val hintDocs = docsH.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(docsBroadcastMaxBytes)
+    def docSide(as1: String, as2: String): DataFrame = {
+      val s = docsH.select(col("__id").as(as1), col("__th").as(as2))
+      if (hintDocs) broadcast(s) else s
+    }
     def interCount(a: Column, b: Column): Column =
       org.apache.spark.sql.GraftColumnBridge.column(
         graft.functions.SortedIntersectCount(
           org.apache.spark.sql.GraftColumnBridge.expression(a),
           org.apache.spark.sql.GraftColumnBridge.expression(b)))
     val out = cands
-      .join(docsH.select(col("__id").as("id_a"), col("__th").as("__ta")),
-        Seq("id_a"))
-      .join(docsH.select(col("__id").as("id_b"), col("__th").as("__tb")),
-        Seq("id_b"))
+      .join(docSide("id_a", "__ta"), Seq("id_a"))
+      .join(docSide("id_b", "__tb"), Seq("id_b"))
       .withColumn("inter", interCount(col("__ta"), col("__tb")))
       .where(col("inter") * (den + num) >= (col("na") + col("nb")) * num)
       .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"))

@@ -25,3 +25,15 @@ object GraftSessionBridge {
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }
+
+/** Bridge into the `private[sql]` SQL status store — the data behind the
+  * UI's SQL tab (per-execution physical-plan graphs with per-operator
+  * metrics). The headless sandbox has no UI; this is how the profiling
+  * harness (graft.tools.SqlProf) attributes wall time to OPERATORS
+  * instead of anonymous broadcast-thread stages. */
+object GraftSqlStatusBridge {
+  def statusStore(spark: SparkSession)
+      : org.apache.spark.sql.execution.ui.SQLAppStatusStore =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.statusStore
+}
